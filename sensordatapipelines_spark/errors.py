@@ -1,0 +1,50 @@
+"""Typed error surface.
+
+Mirrors the reference's exception hierarchy
+(``/root/reference/src/data_preprocessing.py:655-677``: ``DataIOError``,
+``MissingCRS``, ``UnvalidatedPipeline``, ``ColumnException``), plus
+engine-specific analysis errors.
+"""
+
+
+class EngineError(Exception):
+    """Base class for all engine errors."""
+
+
+class DataIOError(EngineError):
+    """Raised when data could not be loaded/decoded from any supported format.
+
+    Reference: ``src/data_preprocessing.py:655-658``.
+    """
+
+
+class MissingCRS(EngineError):
+    """Raised when a spatial operation runs on a frame without a CRS.
+
+    Reference: ``src/data_preprocessing.py:661-664`` (raised at ``:184-185``,
+    ``:239-240``).
+    """
+
+
+class UnvalidatedPipeline(EngineError):
+    """Raised when a pipeline is used in a way requiring prior validation.
+
+    Reference: ``src/data_preprocessing.py:667-670`` (declared, never raised);
+    the engine raises it when serializing a plan that has never successfully run
+    with ``strict_validation=True``.
+    """
+
+
+class ColumnException(EngineError):
+    """Raised when requested columns are absent and cannot be derived.
+
+    Reference: ``src/data_preprocessing.py:673-677`` (declared, never raised);
+    the engine raises it at analysis time for unknown aggregation columns.
+    """
+
+
+class UnknownOperation(EngineError):
+    """Raised at plan load ("analysis") time for an op name absent from the
+    registry — fixing the reference's broken ``from_json`` round-trip
+    (``src/data_preprocessing.py:38-48`` never resolves names back to
+    callables; SURVEY.md §1.4)."""

@@ -1,0 +1,15 @@
+"""Operator library: spatial / temporal / interpolation / text / dedup /
+similarity / multimodal, all DataFrame→DataFrame and registry-backed."""
+
+# Importing submodules registers their operators.
+from sensordatapipelines_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    interpolate,
+    multimodal,
+    similarity,
+    spatial,
+    temporal,
+    text,
+    utility,
+)

@@ -1,0 +1,92 @@
+"""Multi-function / multi-column aggregation with deterministic naming.
+
+The reference accepts "any iterable→scalar callable" as an aggregation
+function (``/root/reference/src/data_preprocessing.py:176-177``) and names the
+output columns as the func-major cartesian product
+``{func}_{source_stem}_{col}`` (``:195-197``, ``:224-226``, ``:263-265``;
+SURVEY.md §2.5 U6). The engine supports the named builtin set declaratively
+(JVM-side, whole-stage-codegen-able) and arbitrary callables only via a
+GROUPED_AGG pandas UDF escape hatch — the documented slow path.
+
+Null semantics: standard SQL null-skipping aggregates; the reference's
+``fillna(0)``-before-agg (``:600``) is an explicit opt-in ``zero_fill`` here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Named builtin aggregation functions → Column builders (JVM-side).
+BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
+    "mean": F.mean,
+    "avg": F.mean,
+    "max": F.max,
+    "min": F.min,
+    "sum": F.sum,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "stddev": F.stddev_samp,
+    "var": F.var_samp,
+    "median": F.median,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def agg_func_name(func: str | Callable) -> str:
+    return func if isinstance(func, str) else func.__name__
+
+
+def stat_column_name(func: str | Callable, source: str, col: str) -> str:
+    """``{func}_{source}_{col}`` — reference naming scheme (U6), func-major."""
+    return f"{agg_func_name(func)}_{source}_{col}"
+
+
+def build_agg_exprs(
+    columns: Sequence[str],
+    funcs: Sequence[str | Callable],
+    source: str,
+    zero_fill: bool = False,
+) -> list[Column]:
+    """Func-major product of aggregate expressions with reference naming.
+
+    ``zero_fill`` applies ``coalesce(col, 0)`` *before* aggregating —
+    the explicit version of the reference's ``fillna(0)`` in
+    ``geometries_interesect`` (``:600``).
+    """
+    exprs: list[Column] = []
+    for func in funcs:  # func-major order matches the reference's
+        fname = agg_func_name(func)
+        if isinstance(func, str):
+            if func not in BUILTIN_AGGS:
+                raise ValueError(
+                    f"unknown aggregation {func!r}; builtin set: {sorted(BUILTIN_AGGS)}"
+                )
+            builder = BUILTIN_AGGS[func]
+        elif callable(func):
+            builder = _grouped_agg_udf(func)
+        else:
+            raise TypeError(f"aggregation must be a name or callable, got {func!r}")
+        for col in columns:
+            c = F.coalesce(F.col(col), F.lit(0.0)) if zero_fill else F.col(col)
+            exprs.append(builder(c).alias(stat_column_name(fname, source, col)))
+    return exprs
+
+
+def _grouped_agg_udf(func: Callable):
+    """Escape hatch for arbitrary series→scalar callables (reference
+    ``:176-177``): Arrow-batched GROUPED_AGG pandas UDF. Slow path by design —
+    prefer the named builtins, which stay in whole-stage codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udaf(s) -> float:  # pandas Series -> scalar
+        return float(func(s))
+
+    def builder(c: Column) -> Column:
+        return _udaf(c)
+
+    return builder

@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Charter extension (SURVEY.md §2.7). Design note for 100 TB: every near-dup
+variant here is **candidate-generation by key equality** (shingle, band
+bucket) so the join is an equi-join Spark shuffles by key — never an O(n²)
+cross product. Exact dedup is a hash groupBy. Skewed shingles (ultra-common
+n-grams) are droppable via document-frequency caps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.text import tokens_expr
+from sensordatapipelines_spark.registry import register
+
+
+@register("exact_dedup")
+def exact_dedup(
+    df: DataFrame, subset: Sequence[str], id_col: str
+) -> DataFrame:
+    """Exact dedup: keep the row with the smallest ``id_col`` per ``subset``
+    key (deterministic keep-first; reference ``drop_index_duplicates``
+    ``/root/reference/src/data_preprocessing.py:643-647`` keeps first by row
+    order — Spark has none, so order is made explicit)."""
+    w = Window.partitionBy(*subset).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register("duplicate_groups")
+def duplicate_groups(df: DataFrame, subset: Sequence[str], id_col: str) -> DataFrame:
+    """Duplicate-group report: one row per key with >1 occurrences —
+    ``(key…, n_dups, keep_id)`` where ``keep_id`` is the survivor."""
+    return (
+        df.groupBy(*subset)
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_ngrams_expr(text, n: int):
+    """Word n-gram shingles as an array column (space-joined), JVM-side:
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(tokens, i+1, n)))``."""
+    toks = tokens_expr(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+@register("jaccard_pairs")
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
+
+    Candidate generation by shared shingle (equi-join on the shingle key):
+    explode distinct shingles → self-join → per-pair intersection counts →
+    ``|A∩B| / (|A| + |B| − |A∩B|)``. ``max_shingle_df`` drops shingles that
+    occur in more than that many docs — the skew guard: an ultra-common
+    shingle would otherwise create a quadratic candidate blow-up at scale.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
+    )
+    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        exploded = (
+            exploded.join(F.broadcast(freq.filter(F.col("__df") <= max_shingle_df)), "__s")
+            .select("__id", "__s")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+@register("minhash_dedup_pairs")
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs → ``(id_a, id_b, minhash_jaccard)``.
+
+    Spark-ML pipeline: shingles → ``HashingTF`` (binary) → ``MinHashLSH``
+    (seeded, deterministic) → ``approxSimilarityJoin`` at Jaccard distance
+    ``1 − threshold``. LSH banding keeps candidate generation equi-join-shaped
+    at scale (same property as ``jaccard_pairs``)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    # Cache + materialize the featurized frame: (a) one featurization pass
+    # feeds both sides of the self-join, and (b) it pins the empty-shingle
+    # filter upstream of the LSH hash UDF — Catalyst's project-collapse
+    # otherwise evaluates the UDF on unfiltered rows and MinHash rejects
+    # all-zero vectors.
+    feats = tf.transform(shingled).cache()
+    feats.count()
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jdist"
+    )
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("jdist"), 6).alias("minhash_jaccard"),
+        )
+    )
+
+
+@register("simhash")
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprint per document (64-bit, from xxhash64 of tokens).
+
+    Fully JVM-side: explode tokens → per-bit ±1 contributions aggregated with
+    conditional sums → sign vector reassembled into one BIGINT. Near-dup
+    candidates come from banding the fingerprint (see ``simhash_buckets``)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens_expr(F.col(text_col))).alias("__t")
+    )
+    h = F.xxhash64(F.col("__t"))
+    bit_sums = toks.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = sum(
+        (
+            F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits - 1)  # top bit left 0 to stay in signed range
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return bit_sums.select(F.col("__id").alias(id_col), fp.alias(out_col))
+
+
+@register("simhash_buckets")
+def simhash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash LSH candidate pairs: band the 64-bit fingerprint into
+    ``64/band_bits`` bands; docs sharing any band value are candidates
+    → ``(id_a, id_b, band)``. Equi-join on (band, value) — shuffle-friendly."""
+    fp = simhash(df, id_col=id_col, text_col=text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()
+    )

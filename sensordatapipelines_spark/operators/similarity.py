@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Charter extension (SURVEY.md §2.7): brute-force cosine top-k as the exact
+baseline, and a seeded random-hyperplane LSH variant as the scale path
+(bucketed equi-join instead of a full cross product). All vector math is
+JVM-side (``zip_with`` + ``aggregate`` fold) in double precision — no Python
+in the hot path; at 100 TB the query side broadcasts and the corpus scan
+stays columnar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.registry import register
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision via zip_with + left-fold aggregate."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@register("cosine_topk")
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k → ``(query_id, vec_id, cos_sim, rank)``.
+
+    Query side broadcasts (small); corpus scans once; per-query ranking via
+    ``row_number`` over (similarity desc, id) — deterministic ties. Self-pairs
+    (same id) are excluded."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    pairs = F.broadcast(q).join(c, on=F.col("__qid") != F.col("__cid"))
+    # Rank on the unrounded similarity (ties broken by id), round only the
+    # reported value — keeps ranking identical to an oracle that does the same.
+    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i), packed into a
+    BIGINT. Same-signature vectors land in the same bucket."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot_expr(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH buckets → exact cosine re-rank
+    within bucket → ``(query_id, vec_id, cos_sim, rank)``.
+
+    The scale path: candidate generation is an equi-join on the bucket
+    signature (shuffle by key), so the cross product never materializes.
+    Recall is tuned by ``n_planes`` (fewer planes → bigger buckets)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+    )
+    pairs = F.broadcast(q).join(c, on="__sig").filter(F.col("__qid") != F.col("__cid"))
+    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+@register("embedding_neardup")
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → ``(id_a, id_b, cos_sim)``:
+    LSH-bucketed self-join (equi-join on signature), exact cosine filter at
+    ``threshold`` within buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b,
+        on=(F.col("a.__sig") == F.col("b.__sig")) & (F.col("a.__id") < F.col("b.__id")),
+    )
+    sim = F.round(cosine_expr(F.col("a.__v"), F.col("b.__v")), 6)
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cos_sim"
+        )
+    )

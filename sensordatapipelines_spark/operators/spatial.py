@@ -1,0 +1,431 @@
+"""Spatial aggregation operators (reference A1/A2/A3 + U1/U4/U5).
+
+Geometry model (SURVEY.md §1.1 / §7): point sensors as ``lon``/``lat`` double
+columns; zone/vector layers as circle approximations (``center + radius``)
+with WKB noted as the upgrade path. The reference's sensors are
+point-centroids with circular buffers (``buffer(size, resolution=16)``,
+``/root/reference/src/data_preprocessing.py:194,221,260``), so every spatial
+predicate it actually evaluates reduces to distance math that Spark runs
+JVM-side inside whole-stage codegen — no GIS library, no Python in the hot
+path.
+
+Operator → plan shape:
+
+- A2 ``add_buffer_aggregated_data`` (vector, ``:207-235``):
+  ``sensors ⋈ layer ON dist(sensor, zone) <= buffer + zone_radius``
+  (left) → ``groupBy(sensor_id).agg(...)`` → join stats back. The reference's
+  bounding-box pre-filter (``dataset.cx[...]``, ``:222-223``) is emitted here
+  as **literal predicates** on the layer scan so parquet min/max row-group
+  skipping and partition pruning fire at scale (SURVEY.md §4).
+- A3 ``add_aggregated_data_neighbourhood`` (``:238-274``): distance join →
+  ``row_number() OVER (PARTITION BY sensor ORDER BY dist, id)`` top-k → agg.
+- A1 raster zonal stats (``:156-206``): the raster is an exploded cell table
+  ``(band, x, y, value)`` (SURVEY.md §1.2); nodata cells (value==0,
+  ``:520,528-530``) are filtered before the distance join; per-band stats via
+  conditional aggregation (no pivot pass).
+
+At 100 TB the layer/cell side is the big table: the sensor side broadcasts
+(small dim), the bbox literals prune the big scan, and the aggregation is
+partial+final. Skewed sensor density is handled by AQE skew-join splitting
+(enabled in ``session.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.errors import ColumnException, MissingCRS
+from sensordatapipelines_spark.operators.aggregates import build_agg_exprs
+from sensordatapipelines_spark.registry import register
+
+
+def check_crs(crs: int | str | None) -> int:
+    """CRS guard (reference raises ``MissingCRS`` when a frame lacks one,
+    ``src/data_preprocessing.py:184-185,239-240``)."""
+    if crs is None:
+        raise MissingCRS("spatial operation requires a CRS (EPSG code)")
+    return int(str(crs).removeprefix("EPSG:").removeprefix("epsg:"))
+
+
+def distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Euclidean distance expression (reference ``euclidian_dist``,
+    ``:363-367``) — canonical operand order for cross-engine determinism."""
+    dx = x1 - x2
+    dy = y1 - y2
+    return F.sqrt(dx * dx + dy * dy)
+
+
+@register("bbox_filter")
+def bbox_filter(
+    df: DataFrame,
+    xmin: float,
+    xmax: float,
+    ymin: float,
+    ymax: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """U4 coordinate-window subset (reference ``dataset.cx[...]``,
+    ``:222-223,261-262``). Literal range predicates → parquet row-group
+    skipping + partition pruning on spatially-partitioned data."""
+    return df.filter(
+        F.col(lon_col).between(xmin, xmax) & F.col(lat_col).between(ymin, ymax)
+    )
+
+
+@register("drop_invalid_points")
+def drop_invalid_points(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """S1 validity filter for the point-geometry model: drop rows with
+    null/NaN coordinates (reference drops empty/invalid geometries with
+    warnings, ``:478-485``; the count is observable via the returned plan)."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    return df.filter(
+        lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
+    )
+
+
+@register("with_circle_area")
+def with_circle_area(
+    df: DataFrame, radius_col: str = "radius", out_col: str = "area"
+) -> DataFrame:
+    """U5 on-demand ``area`` derivation for the circle-geometry model
+    (reference derives ``area`` as a pseudo-column, ``:210-217,249-256``)."""
+    r = F.col(radius_col)
+    return df.withColumn(out_col, F.lit(math.pi) * r * r)
+
+
+def _total_bounds(
+    df: DataFrame, lon_col: str, lat_col: str
+) -> tuple[float, float, float, float]:
+    """Driver-side bounds of the (small) sensor side — one tiny aggregate job
+    whose result becomes literal pruning predicates on the big layer scan
+    (the 100 TB-scale payoff of the reference's ``total_bounds`` pre-filter,
+    ``:222,261``)."""
+    row = df.agg(
+        F.min(lon_col).alias("xmin"),
+        F.max(lon_col).alias("xmax"),
+        F.min(lat_col).alias("ymin"),
+        F.max(lat_col).alias("ymax"),
+    ).first()
+    return (
+        float(row["xmin"]),
+        float(row["xmax"]),
+        float(row["ymin"]),
+        float(row["ymax"]),
+    )
+
+
+def _resolve_layer_columns(
+    layer: DataFrame, columns: Sequence[str] | None, radius_col: str | None
+) -> tuple[DataFrame, list[str]]:
+    """Validate/derive requested stat columns (reference ``:208-217``):
+    numeric columns pass through; ``area`` is derived on demand for circle
+    layers; anything else raises ``ColumnException`` at analysis time."""
+    if columns is None:
+        numeric = {
+            f.name
+            for f in layer.schema.fields
+            if f.dataType.typeName() in ("double", "float", "long", "integer")
+        }
+        return layer, sorted(numeric)
+    cols = list(columns)
+    for c in cols:
+        if c in layer.columns:
+            continue
+        if c == "area" and radius_col and radius_col in layer.columns:
+            layer = with_circle_area(layer, radius_col, "area")
+        else:
+            raise ColumnException(f"column {c!r} absent from layer and not derivable")
+    return layer, cols
+
+
+@register("buffer_aggregate")
+def buffer_aggregate(
+    sensors: DataFrame,
+    layer: DataFrame,
+    columns: Sequence[str] | None = None,
+    buffer_size: float = 0.0025,
+    funcs: Sequence[str] = ("mean", "max"),
+    source_name: str = "layer",
+    sensor_id_col: str = "sensor_id",
+    sensor_lon: str = "lon",
+    sensor_lat: str = "lat",
+    layer_lon: str = "lon",
+    layer_lat: str = "lat",
+    layer_radius: str | None = None,
+    crs: int | str | None = 4326,
+    bbox_prefilter: bool = True,
+    zero_fill: bool = True,
+) -> DataFrame:
+    """A2 buffer-intersect aggregation (vector branch of
+    ``add_buffer_aggregated_data``, ``:207-235``).
+
+    Circle-circle intersection: a sensor buffer of radius ``buffer_size``
+    intersects a zone circle of radius ``layer_radius`` iff
+    ``dist(centers) <= buffer_size + radius``. Stats columns are named
+    ``{func}_{source_name}_{col}`` (U6). Values are zero-filled before
+    aggregation (reference ``fillna(0)`` in ``geometries_interesect``,
+    ``:600``); sensors with no intersecting zone keep NULL stats (empty
+    intersection → NaN after the index join, ``:507-508``).
+    """
+    check_crs(crs)
+    layer, cols = _resolve_layer_columns(layer, columns, layer_radius)
+    reach = F.lit(buffer_size) + (
+        F.col(f"__l.{layer_radius}") if layer_radius else F.lit(0.0)
+    )
+    if bbox_prefilter:
+        xmin, xmax, ymin, ymax = _total_bounds(sensors, sensor_lon, sensor_lat)
+        # Widen by the max possible reach so no intersecting zone is pruned.
+        if layer_radius:
+            max_r = float(layer.agg(F.max(layer_radius)).first()[0] or 0.0)
+        else:
+            max_r = 0.0
+        pad = buffer_size + max_r
+        layer = bbox_filter(
+            layer, xmin - pad, xmax + pad, ymin - pad, ymax + pad, layer_lon, layer_lat
+        )
+    s = sensors.alias("__s")
+    l = layer.alias("__l")
+    cond = (
+        distance(
+            F.col(f"__s.{sensor_lon}"),
+            F.col(f"__s.{sensor_lat}"),
+            F.col(f"__l.{layer_lon}"),
+            F.col(f"__l.{layer_lat}"),
+        )
+        <= reach
+    )
+    pairs = s.join(l, on=cond, how="inner")
+    stats = pairs.groupBy(F.col(f"__s.{sensor_id_col}").alias("__sid")).agg(
+        *build_agg_exprs(cols, funcs, source_name, zero_fill=zero_fill)
+    )
+    return sensors.join(
+        stats, on=sensors[sensor_id_col] == stats["__sid"], how="left"
+    ).drop("__sid")
+
+
+@register("knn_aggregate")
+def knn_aggregate(
+    sensors: DataFrame,
+    layer: DataFrame,
+    columns: Sequence[str] | None = None,
+    k: int = 1,
+    funcs: Sequence[str] = ("mean", "max"),
+    source_name: str = "layer",
+    sensor_id_col: str = "sensor_id",
+    sensor_lon: str = "lon",
+    sensor_lat: str = "lat",
+    layer_lon: str = "lon",
+    layer_lat: str = "lat",
+    layer_id_col: str | None = None,
+    radius_prefilter: float | None = None,
+    crs: int | str | None = 4326,
+) -> DataFrame:
+    """A3 k-nearest-neighbour aggregation
+    (``add_aggregated_data_neighbourhood``, ``:238-274`` + helper
+    ``:540-560``): per sensor, aggregate the columns of its ``k`` nearest
+    layer rows.
+
+    Plan: distance join (optionally radius-bounded) →
+    ``row_number() OVER (PARTITION BY sensor ORDER BY dist, layer_id)`` →
+    ``rn <= k`` → groupBy + agg → left join back. Ties break on
+    ``layer_id_col`` for determinism (the reference's ``nsmallest`` keeps
+    first occurrence, ``:553``).
+
+    ``radius_prefilter`` is the scale knob: with a radius bound the join is a
+    range join the optimizer can prune instead of a full cross product; pick a
+    radius that conservatively contains ≥ k neighbours (SURVEY.md §4).
+    """
+    check_crs(crs)
+    layer, cols = _resolve_layer_columns(layer, columns, None)
+    s = sensors.select(
+        F.col(sensor_id_col).alias("__sid"),
+        F.col(sensor_lon).alias("__sx"),
+        F.col(sensor_lat).alias("__sy"),
+    )
+    d = distance(F.col("__sx"), F.col("__sy"), F.col(layer_lon), F.col(layer_lat))
+    cond = d <= F.lit(radius_prefilter) if radius_prefilter is not None else F.lit(True)
+    # The sensor side broadcasts; spread the streamed layer side across the
+    # cluster first — a small layer read as 1-2 parquet splits would otherwise
+    # serialize the whole nested-loop join on one task.
+    layer = layer.repartition(max(layer.rdd.getNumPartitions(), 16))
+    pairs = F.broadcast(s).join(layer, on=cond, how="inner").withColumn("__dist", d)
+    order = [F.col("__dist")]
+    if layer_id_col:
+        order.append(F.col(layer_id_col))
+    w = Window.partitionBy("__sid").orderBy(*order)
+    topk = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    stats = topk.groupBy("__sid").agg(*build_agg_exprs(cols, funcs, source_name))
+    return sensors.join(
+        stats, on=sensors[sensor_id_col] == stats["__sid"], how="left"
+    ).drop("__sid")
+
+
+@register("zonal_stats")
+def zonal_stats(
+    sensors: DataFrame,
+    cells: DataFrame,
+    bands: Sequence[int] | None = None,
+    buffer_size: float = 0.0025,
+    funcs: Sequence[str] = ("mean", "max"),
+    source_name: str = "raster",
+    sensor_id_col: str = "sensor_id",
+    sensor_lon: str = "lon",
+    sensor_lat: str = "lat",
+    cell_x: str = "x",
+    cell_y: str = "y",
+    band_col: str = "band",
+    value_col: str = "value",
+    nodata: float | None = 0.0,
+    crs: int | str | None = 4326,
+    bbox_prefilter: bool = True,
+) -> DataFrame:
+    """A1 raster zonal statistics (raster branch of
+    ``add_buffer_aggregated_data``, ``:156-206`` + ``get_stats_raster``
+    ``:515-538``) over the exploded cell-table raster model.
+
+    Per sensor × band: stats of cell values within ``buffer_size`` of the
+    sensor, excluding nodata cells (reference masks with ``nodata=0``,
+    ``:520,528-530``). Output columns ``{func}_{source_name}_band{b}`` (U6)
+    via conditional aggregation — single pass, no pivot job. Sensors whose
+    buffer contains no cells keep NULL stats (out-of-raster → NaN,
+    ``:521-526``).
+    """
+    check_crs(crs)
+    if bands is None:
+        bands = [r[0] for r in cells.select(band_col).distinct().orderBy(band_col).collect()]
+    cells = cells.filter(F.col(band_col).isin([int(b) for b in bands]))
+    if nodata is not None:
+        cells = cells.filter(F.col(value_col) != F.lit(nodata))
+    if bbox_prefilter:
+        xmin, xmax, ymin, ymax = _total_bounds(sensors, sensor_lon, sensor_lat)
+        cells = bbox_filter(
+            cells,
+            xmin - buffer_size,
+            xmax + buffer_size,
+            ymin - buffer_size,
+            ymax + buffer_size,
+            cell_x,
+            cell_y,
+        )
+    s = sensors.select(
+        F.col(sensor_id_col).alias("__sid"),
+        F.col(sensor_lon).alias("__sx"),
+        F.col(sensor_lat).alias("__sy"),
+    )
+    cond = (
+        distance(F.col("__sx"), F.col("__sy"), F.col(cell_x), F.col(cell_y))
+        <= F.lit(buffer_size)
+    )
+    pairs = F.broadcast(s).join(cells, on=cond, how="inner")
+    from sensordatapipelines_spark.operators.aggregates import BUILTIN_AGGS, agg_func_name
+
+    exprs = []
+    for func in funcs:
+        fname = agg_func_name(func)
+        builder = BUILTIN_AGGS[fname]
+        for b in bands:
+            exprs.append(
+                builder(
+                    F.when(F.col(band_col) == int(b), F.col(value_col))
+                ).alias(f"{fname}_{source_name}_band{int(b)}")
+            )
+    stats = pairs.groupBy("__sid").agg(*exprs)
+    return sensors.join(
+        stats, on=sensors[sensor_id_col] == stats["__sid"], how="left"
+    ).drop("__sid")
+
+
+@register("intersect_filter")
+def intersect_filter(
+    layer: DataFrame,
+    lon: float,
+    lat: float,
+    radius: float,
+    layer_lon: str = "lon",
+    layer_lat: str = "lat",
+    fill_zero: bool = True,
+) -> DataFrame:
+    """U1 ``geometries_interesect`` (``:591-600``): rows of the layer within
+    ``radius`` of a point, numeric nulls zero-filled (``fillna(0)``,
+    ``:600``)."""
+    out = layer.filter(
+        distance(F.lit(lon), F.lit(lat), F.col(layer_lon), F.col(layer_lat))
+        <= F.lit(radius)
+    )
+    if fill_zero:
+        numeric = [
+            f.name
+            for f in out.schema.fields
+            if f.dataType.typeName() in ("double", "float", "long", "integer")
+        ]
+        out = out.na.fill(0, subset=numeric)
+    return out
+
+
+# -- CRS / reprojection ----------------------------------------------------
+
+_EARTH_RADIUS_M = 6378137.0
+
+
+@register("reproject")
+def reproject(
+    df: DataFrame,
+    src_epsg: int,
+    dst_epsg: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """CRS reprojection of point coordinates (the reference reprojects layers
+    to a common CRS before every spatial predicate, ``:192-193,218-220,
+    257-259``).
+
+    EPSG:4326 ↔ EPSG:3857 (web-mercator) is implemented natively as closed
+    -form JVM expressions (no Python in the hot path); arbitrary CRS pairs
+    use pyproj via an Arrow-batched pandas UDF when pyproj is installed.
+    """
+    src, dst = check_crs(src_epsg), check_crs(dst_epsg)
+    if src == dst:
+        return df
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    if (src, dst) == (4326, 3857):
+        x = F.radians(lon) * F.lit(_EARTH_RADIUS_M)
+        y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2)) * F.lit(
+            _EARTH_RADIUS_M
+        )
+        return df.withColumn(lon_col, x).withColumn(lat_col, y)
+    if (src, dst) == (3857, 4326):
+        lo = F.degrees(lon / F.lit(_EARTH_RADIUS_M))
+        la = F.degrees(
+            F.atan(F.exp(lat / F.lit(_EARTH_RADIUS_M))) * 2 - F.lit(math.pi / 2.0)
+        )
+        return df.withColumn(lon_col, lo).withColumn(lat_col, la)
+    try:
+        from pyproj import Transformer  # optional dependency
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            f"reprojection {src}→{dst} needs pyproj (not installed); "
+            "4326↔3857 is available natively"
+        ) from exc
+    import pandas as pd  # pragma: no cover
+    from pyspark.sql.functions import pandas_udf  # pragma: no cover
+
+    transformer = Transformer.from_crs(src, dst, always_xy=True)  # pragma: no cover
+
+    @pandas_udf("x double, y double")  # pragma: no cover
+    def _tx(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        xs, ys = transformer.transform(lon_s.values, lat_s.values)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    out = df.withColumn("__xy", _tx(lon, lat))  # pragma: no cover
+    return (
+        out.withColumn(lon_col, F.col("__xy.x"))
+        .withColumn(lat_col, F.col("__xy.y"))
+        .drop("__xy")
+    )  # pragma: no cover

@@ -1,0 +1,154 @@
+"""Temporal aggregation operators (reference A4/A5).
+
+Re-expresses ``add_aggregated_time_series``
+(``/root/reference/src/data_preprocessing.py:276-351`` + helper
+``get_stats_temporal`` ``:563-585``) and ``do_time_analysis_sensors``
+(``:619-637``) as single declarative Spark queries:
+
+    readings → inclusive date-range filter → per-interval conditional
+    aggregation (one pass, map-side partial agg) → left join onto sensors.
+
+Semantic corners preserved from the reference (verified in SURVEY.md §2.3 A4):
+
+- **Hour intervals are inclusive at both ends and wrap midnight**
+  (pandas ``between_time('22:00','05:00')`` ⇒ hours {22,23,0..5} inclusive).
+- **Date ranges are inclusive of the whole end day** (pandas partial-string
+  ``.xs(slice(beg, end))`` semantics on a DatetimeIndex).
+- **All intervals produce columns.** The reference's helper overwrites its
+  ``stats`` accumulator per interval (``:571-584``) so only the *last*
+  interval survives — a bug; the documented intent (``:301-302``) is
+  per-interval columns, which is what this engine implements
+  (ledger test: ``tests/test_temporal.py``).
+
+Naming: the reference emits ``{col}('{beg}', '{end}')_{func}`` (``:341-343``);
+the engine sanitizes to ``{func}_{col}_{HHMMSS}_{HHMMSS}`` so names are valid
+SQL/parquet identifiers; the func-major product ordering is preserved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.aggregates import BUILTIN_AGGS, agg_func_name
+from sensordatapipelines_spark.registry import register
+
+DEFAULT_HOUR_INTERVALS: tuple[tuple[str, str], ...] = (
+    ("09:00:00", "17:00:00"),
+    ("22:00:00", "05:00:00"),
+)
+
+
+def _tod_seconds(time_str: str) -> int:
+    parts = [int(p) for p in time_str.split(":")]
+    while len(parts) < 3:
+        parts.append(0)
+    h, m, s = parts[:3]
+    return h * 3600 + m * 60 + s
+
+
+def time_of_day_seconds(ts: Column) -> Column:
+    """Seconds since local midnight of a timestamp column (JVM expression)."""
+    return F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+
+
+def hour_interval_predicate(ts: Column, beg: str, end: str) -> Column:
+    """Inclusive time-of-day predicate, wrapping midnight when ``beg > end``.
+
+    Matches pandas ``DataFrame.between_time(beg, end)`` semantics used by the
+    reference (``src/data_preprocessing.py:574``): ends inclusive; a window
+    like ``('22:00','05:00')`` wraps and means ``tod >= beg OR tod <= end``.
+    """
+    tod = time_of_day_seconds(ts)
+    b, e = _tod_seconds(beg), _tod_seconds(end)
+    if b <= e:
+        return (tod >= F.lit(b)) & (tod <= F.lit(e))
+    return (tod >= F.lit(b)) | (tod <= F.lit(e))
+
+
+def interval_tag(beg: str, end: str) -> str:
+    return f"{beg.replace(':', '')}_{end.replace(':', '')}"
+
+
+@register("date_range_filter")
+def date_range_filter(df: DataFrame, ts_col: str, beg: str, end: str) -> DataFrame:
+    """Inclusive date-range filter: ``beg 00:00:00 <= ts < end + 1 day``.
+
+    Matches the reference's index slice ``df.xs(slice(beg, end))``
+    (``:329-331``) — pandas datetime partial-string slicing includes the whole
+    end day.
+    """
+    ts = F.col(ts_col)
+    return df.filter(
+        (ts >= F.to_timestamp(F.lit(beg)))
+        & (ts < F.to_timestamp(F.date_add(F.to_date(F.lit(end)), 1)))
+    )
+
+
+def interval_agg_exprs(
+    ts_col: str,
+    columns: Sequence[str],
+    hour_intervals: Sequence[tuple[str, str]],
+    funcs: Sequence[str] = ("mean", "max"),
+) -> list[Column]:
+    """Func-major × interval × column conditional aggregates — one scan, no
+    per-interval passes; partial aggregation happens map-side for free."""
+    exprs: list[Column] = []
+    for func in funcs:
+        fname = agg_func_name(func)
+        builder = BUILTIN_AGGS[fname]
+        for beg, end in hour_intervals:
+            pred = hour_interval_predicate(F.col(ts_col), beg, end)
+            for col in columns:
+                exprs.append(
+                    builder(F.when(pred, F.col(col))).alias(
+                        f"{fname}_{col}_{interval_tag(beg, end)}"
+                    )
+                )
+    return exprs
+
+
+@register("time_series_aggregate")
+def time_series_aggregate(
+    sensors: DataFrame,
+    readings: DataFrame,
+    ts_col: str,
+    columns: Sequence[str],
+    sensor_col: str = "sensor_id",
+    sensors_id_col: str = "sensor_id",
+    date_range: tuple[str, str] | None = None,
+    hour_intervals: Sequence[tuple[str, str]] = DEFAULT_HOUR_INTERVALS,
+    funcs: Sequence[str] = ("mean", "max"),
+) -> DataFrame:
+    """A4: per-sensor, per-hour-interval aggregation of a readings table,
+    joined back onto the sensors table (left join — sensors without readings
+    keep NULL stats, matching the reference's index join ``:344``).
+
+    ``readings[sensor_col]`` links to ``sensors[sensors_id_col]`` — the
+    explicit-column replacement for the reference's
+    ``column_linked_sensors``/index linkage (``:311-328``; Spark has no index,
+    SURVEY.md §1.1).
+    """
+    if date_range is not None:
+        readings = date_range_filter(readings, ts_col, date_range[0], date_range[1])
+    stats = readings.groupBy(F.col(sensor_col).alias("__sid")).agg(
+        *interval_agg_exprs(ts_col, columns, hour_intervals, funcs)
+    )
+    joined = sensors.join(
+        stats, on=sensors[sensors_id_col] == stats["__sid"], how="left"
+    ).drop("__sid")
+    return joined
+
+
+@register("time_profile")
+def time_profile(df: DataFrame, ts_col: str, sensor_col: str) -> DataFrame:
+    """A5 ``do_time_analysis_sensors`` (``:619-637``): per-sensor min/max of
+    the time column. The reference prints and returns nothing; the engine
+    returns the profile as data (one row per sensor)."""
+    return df.groupBy(sensor_col).agg(
+        F.min(ts_col).alias("ts_min"),
+        F.max(ts_col).alias("ts_max"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Charter extension (SURVEY.md §2.7; BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as pure
+JVM-side expressions (no Python UDFs) so they run inside whole-stage codegen
+over 100 TB of ``documents``-shaped data. Every function is engine-portable
+arithmetic, so DuckDB oracles can reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.registry import register
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic.
+# Deliberately small + deterministic; real pipelines swap in fastText et al.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+STOPWORDS_EN: tuple[str, ...] = LANG_MARKERS["en"] + ("it", "for", "on", "with")
+
+PUNCT_CHARS = ".,;:!?"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array (pandas/SQL
+    portable: ``split`` of an empty string yields [''], which we normalize)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def char_count_expr(text: Column, ch: str) -> Column:
+    """Occurrences of one character via length-difference (portable, no regex)."""
+    return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    total = sum(
+        (char_count_expr(text, c) for c in PUNCT_CHARS), start=F.lit(0)
+    ).cast("double")
+    return F.when(F.length(text) > 0, total / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_expr(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens_expr(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
+    n = F.size(toks)
+    return F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    return F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+
+
+@register("text_stats")
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, mean token length, punctuation and
+    stopword ratios — the raw features of a quality classifier."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(t).cast("long"),
+            "n_tokens": token_count_expr(t).cast("long"),
+            "mean_token_len": mean_token_len_expr(t),
+            "punct_ratio": punct_ratio_expr(t),
+            "stopword_ratio": stopword_ratio_expr(t),
+        }
+    )
+
+
+@register("quality_score")
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards mid-length docs, healthy
+    token lengths and stopword presence; penalizes punctuation soup. A
+    deterministic, portable stand-in for a learned quality model."""
+    t = F.col(text_col)
+    n_tok = token_count_expr(t).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    mtl = mean_token_len_expr(t)
+    tok_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio_expr(t) * F.lit(4.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_expr(t) * F.lit(4.0))
+    score = (len_score + tok_score + stop_score + punct_pen) / F.lit(4.0)
+    return df.withColumn(out_col, F.round(score, 6))
+
+
+def lang_score_expr(text: Column, lang: str) -> Column:
+    toks = tokens_expr(F.lower(text))
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double")
+    n = F.size(toks)
+    return F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+
+
+@register("lang_id")
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker-hit ratios,
+    alphabetical tiebreak, 'und' (undetermined) when no marker hits."""
+    t = F.col(text_col)
+    scored = df
+    for lang in sorted(LANG_MARKERS):
+        scored = scored.withColumn(f"__sc_{lang}", lang_score_expr(t, lang))
+    best = F.greatest(*[F.col(f"__sc_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    # Reverse alphabetical fold so the *alphabetically first* max wins.
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"__sc_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    out = scored.withColumn(out_col, pred)
+    return out.drop(*[f"__sc_{lang}" for lang in LANG_MARKERS])
+
+
+@register("fingerprint")
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fp", mod: int = 2147483647
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    ``h = Σ h*31 + codepoint (mod 2^31-1)`` folded left over the characters.
+    Pure ``aggregate`` over ``split('')`` — JVM-side, portable (DuckDB:
+    ``list_reduce``), and stable across engines (all int64 arithmetic)."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c).cast("long")) % F.lit(mod),
+    )
+    return df.withColumn(out_col, h)

@@ -1,0 +1,87 @@
+"""Row-level / utility operators (reference U2/U7, README extras).
+
+- ``dedup_keep_first`` ≙ ``drop_index_duplicates``
+  (``/root/reference/src/data_preprocessing.py:643-647``): dedup by key,
+  keep-first. Spark has no row order, so "first" is made explicit and
+  deterministic via an ordering column.
+- ``equal_width_binning`` ≙ the README's ``pd.cut`` binning/legend example
+  (``/root/reference/README.md:248-261``). Bin rule: ``n`` equal-width bins
+  over [min, max]; bin ``i`` is left-closed/right-open except the last, which
+  includes the max (SQL ``width_bucket`` convention; pandas ``pd.cut`` is
+  right-closed — divergence documented, same bin count and widths).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.registry import register
+
+
+@register("dedup_keep_first")
+def dedup_keep_first(
+    df: DataFrame, subset: Sequence[str], order_col: str | None = None
+) -> DataFrame:
+    """U2: one row per ``subset`` key. With ``order_col`` the kept row is the
+    one with the smallest ``order_col`` (deterministic "first"); without it,
+    Spark's ``dropDuplicates`` keeps an arbitrary row (documented)."""
+    if order_col is None:
+        return df.dropDuplicates(list(subset))
+    w = Window.partitionBy(*subset).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register("equal_width_binning")
+def equal_width_binning(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """U7 equal-width binning → integer bin id in [1, n_bins].
+
+    ``bounds`` fixes (min, max) for determinism; otherwise they come from a
+    driver-side aggregate over the column (tiny job, literals in the plan →
+    no per-row subquery)."""
+    out_col = out_col or f"{col}_bin"
+    if bounds is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    c = F.col(col)
+    bin_id = F.least(
+        F.lit(n_bins), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int") + 1
+    )
+    return df.withColumn(
+        out_col, F.when(c.isNull(), F.lit(None)).otherwise(F.greatest(F.lit(1), bin_id))
+    )
+
+
+@register("flatten_structs")
+def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
+    """S3 nested-JSON flattening ≙ ``pd.json_normalize`` dotted paths
+    (reference ``:610-612``; documented at ``:290-292``): expand every struct
+    column into ``parent{sep}child`` leaf columns, recursively."""
+    from pyspark.sql.types import StructType
+
+    def leaves(schema: StructType, prefix: str = "") -> list[str]:
+        out: list[str] = []
+        for f in schema.fields:
+            dotted = f"{prefix}.{f.name}" if prefix else f.name
+            if isinstance(f.dataType, StructType):
+                out.extend(leaves(f.dataType, dotted))
+            else:
+                out.append(dotted)
+        return out
+
+    cols = [F.col(d).alias(d.replace(".", sep)) for d in leaves(df.schema)]
+    return df.select(*cols)

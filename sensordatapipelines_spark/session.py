@@ -1,0 +1,59 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+Single place where the engine's Spark tuning lives so tests, the driver entry
+point and the benchmark all run with identical physics:
+
+- AQE on (adaptive coalescing + skew-join splitting — skewed sensor density is
+  an expected workload property, SURVEY.md §7 "hard parts").
+- Arrow enabled for every pandas interchange (the only Python-side compute the
+  engine allows is Arrow-batched).
+- UTC session timezone so timestamp semantics are deterministic across the
+  engine and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Sensors/dim tables are small relative to fact tables: give broadcast
+    # joins room. At 100 TB the fact side never broadcasts; dims still do.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Push min/max/count aggregates into the parquet footer scan.
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+}
+
+
+def get_spark(
+    app_name: str = "sensordatapipelines-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    ``shuffle_partitions`` defaults to the parallelism of the master in local
+    mode — on a real cluster leave it to AQE's coalescing from a higher
+    initial value.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 32)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

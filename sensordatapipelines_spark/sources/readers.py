@@ -1,0 +1,134 @@
+"""Scans / sources (reference S1-S4).
+
+Canonical format is Parquet (columnar, predicate/projection pushdown — the
+scan the 100 TB path reads); CSV and JSON (incl. nested + directory unions)
+cover the reference's ingestion surface. Excel is driver-side pandas, kept
+only as a small-data escape hatch, matching the reference's fallback chain
+(``/root/reference/src/data_preprocessing.py:444-458``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.errors import DataIOError
+from sensordatapipelines_spark.operators.spatial import drop_invalid_points
+from sensordatapipelines_spark.operators.utility import flatten_structs
+
+
+def read_table(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """Read one table; format inferred from the extension when not given."""
+    if fmt is None:
+        suffix = Path(path).suffix.lower().lstrip(".")
+        fmt = {"pq": "parquet"}.get(suffix, suffix) or "parquet"
+    reader = spark.read
+    if fmt == "csv":
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+    return reader.format(fmt).options(**options).load(path)
+
+
+def open_data(spark: SparkSession, path: str) -> DataFrame:
+    """S2 fallback chain (reference ``open_data``, ``:444-458``):
+    parquet → csv → json → excel(driver pandas); ``DataIOError`` when nothing
+    decodes. Format dispatch prefers the extension, then brute-forces."""
+    suffix = Path(path).suffix.lower()
+    order = {
+        ".parquet": ["parquet", "csv", "json"],
+        ".csv": ["csv", "json", "parquet"],
+        ".json": ["json", "csv", "parquet"],
+    }.get(suffix, ["parquet", "csv", "json"])
+    for fmt in order:
+        try:
+            df = read_table(spark, path, fmt=fmt)
+            df.schema  # force analysis
+            if fmt in ("csv", "json") and len(df.columns) == 1 and df.columns[0].startswith("_c"):
+                continue  # mis-parsed single-column read
+            if fmt == "csv" and any(
+                not c.isprintable() or c == "" for c in df.columns
+            ):
+                continue  # binary garbage "parsed" as a CSV header
+            return df
+        except Exception:
+            continue
+    if suffix in (".xls", ".xlsx"):
+        try:  # pragma: no cover - optional dependency
+            import pandas as pd
+
+            return spark.createDataFrame(pd.read_excel(path))
+        except Exception as exc:
+            raise DataIOError(f"could not read excel file {path}") from exc
+    raise DataIOError(f"could not load {path} as parquet/csv/json")
+
+
+def _read_json_auto(spark: SparkSession, path: str) -> DataFrame:
+    """JSON read handling both NDJSON (line-per-record) and multi-line
+    array/object documents: try NDJSON first (the scalable layout — splittable
+    per line), fall back to multiLine when records come back corrupt."""
+    df = spark.read.json(path)
+    if "_corrupt_record" in df.columns or len(df.columns) == 0:
+        df = spark.read.option("multiLine", True).json(path)
+    return df
+
+
+def open_sensor_records(
+    spark: SparkSession, path: str, flatten: bool = True, sep: str = "."
+) -> DataFrame:
+    """S3 (reference ``open_sensor_records``, ``:602-613``): one CSV or JSON
+    file of sensor records. JSON nests are flattened to dotted column paths
+    (≙ ``pd.json_normalize``, ``:612``); CSV drops ``unnamed*`` columns."""
+    suffix = Path(path).suffix.lower()
+    if suffix == ".csv":
+        df = read_table(spark, path, fmt="csv")
+        keep = [c for c in df.columns if not c.lower().startswith("unnamed")]
+        return df.select(*keep)
+    df = _read_json_auto(spark, path)
+    return flatten_structs(df, sep=sep) if flatten else df
+
+
+def open_dir_of_data(
+    spark: SparkSession,
+    directory: str,
+    pattern: str = "*.json",
+    sensor_ids: dict[str, int] | None = None,
+    id_col: str = "sensor_id",
+) -> DataFrame:
+    """S4 (reference ``open_dir_of_data``, ``:429-442``): union every matching
+    file in a directory (one distributed read, not a loop of appends).
+
+    ``sensor_ids`` maps file *stem* → sensor id; the tag comes from
+    ``input_file_name()`` + a broadcast mapping join — the distributed
+    replacement for the reference's positional ``sensor_index_list`` (whose
+    second branch is buggy: tags with ``len(df)`` not ``len(df2)``, ``:440``;
+    the engine tags every row with its own file's id)."""
+    df = _read_json_auto(spark, str(Path(directory) / pattern))
+    df = df.withColumn(
+        "__stem",
+        F.regexp_extract(F.input_file_name(), r"([^/\\]+)\.[A-Za-z0-9]+$", 1),
+    )
+    if sensor_ids is not None:
+        mapping = spark.createDataFrame(
+            [(k, int(v)) for k, v in sensor_ids.items()], ["__stem", id_col]
+        )
+        df = df.join(F.broadcast(mapping), on="__stem", how="left")
+    return df.drop("__stem")
+
+
+def open_spatial_data(
+    spark: SparkSession,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    validate: bool = True,
+) -> DataFrame:
+    """S1 (reference ``open_spatial_data``, ``:462-492``) for the point-model:
+    read a spatial table and drop rows with invalid coordinates (reference
+    drops empty/invalid geometries with warnings, ``:478-485``). Raster
+    datasets are cell tables (SURVEY.md §1.2) and load through the same path."""
+    df = open_data(spark, path)
+    if validate and lon_col in df.columns and lat_col in df.columns:
+        df = drop_invalid_points(df, lon_col, lat_col)
+    return df

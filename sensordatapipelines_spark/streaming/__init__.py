@@ -1,0 +1,5 @@
+from sensordatapipelines_spark.streaming.interval_agg import (  # noqa: F401
+    read_events_stream,
+    stream_interval_aggregate,
+    stream_windowed_aggregate,
+)

@@ -1,0 +1,77 @@
+"""I2/I3 tests: exact-hit guard, boundedness property, kriging exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.interpolate import (
+    fit_linear_variogram,
+    idw,
+    make_grid,
+    ordinary_kriging,
+)
+
+
+def _sensors(spark):
+    return spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0), (2, 1.0, 0.0, 20.0), (3, 0.0, 1.0, 30.0), (4, 1.0, 1.0, 40.0)],
+        "sensor_id long, lon double, lat double, v double",
+    )
+
+
+def test_make_grid_arange_semantics(spark):
+    g = make_grid(spark, (0.0, 1.0, 0.0, 0.5), 0.25, 0.25)
+    pts = sorted((r["gx"], r["gy"]) for r in g.collect())
+    xs = sorted({p[0] for p in pts})
+    ys = sorted({p[1] for p in pts})
+    assert xs == [0.0, 0.25, 0.5, 0.75]  # endpoint excluded (np.arange)
+    assert ys == [0.0, 0.25]
+
+
+def test_idw_exact_hit_guard(spark):
+    """Grid point exactly on a sensor takes the sensor value — the guard the
+    reference lacks (zero distance → ∞ weight, SURVEY §2.4 I2)."""
+    out = idw(_sensors(spark), "v", power=2, lon_step=1.0, lat_step=1.0, extent=(0.0, 2.0, 0.0, 2.0))
+    vals = {(r["gx"], r["gy"]): r["v_idw"] for r in out.collect()}
+    assert vals[(0.0, 0.0)] == 10.0
+    assert vals[(1.0, 1.0)] == 40.0
+
+
+def test_idw_bounded_by_input_range(spark):
+    """Property (SURVEY §5.5): IDW is a convex combination ⇒ min ≤ ŷ ≤ max."""
+    out = idw(_sensors(spark), "v", power=2, lon_step=0.3, lat_step=0.3, extent=(-0.5, 1.5, -0.5, 1.5))
+    lo, hi = out.agg(F.min("v_idw"), F.max("v_idw")).first()
+    assert 10.0 <= lo <= hi <= 40.0
+
+
+def test_idw_nearer_sensor_dominates(spark):
+    out = idw(_sensors(spark), "v", power=2, lon_step=0.25, lat_step=0.25, extent=(0.0, 0.5, 0.0, 0.5))
+    vals = {(r["gx"], r["gy"]): r["v_idw"] for r in out.collect()}
+    # point (0.25, 0) is nearest sensor1 (v=10): estimate below global mean 25
+    assert vals[(0.25, 0.0)] < 25.0
+
+
+def test_kriging_exact_at_sensor_and_shape(spark):
+    out = ordinary_kriging(
+        _sensors(spark), "v", lon_step=0.5, lat_step=0.5,
+        extent=(0.0, 1.5, 0.0, 1.5), variogram=(0.0, 1.0),
+    ).collect()
+    assert len(out) == 9
+    vals = {(r["gx"], r["gy"]): r["v_krig"] for r in out}
+    # kriging is an exact interpolator at data points (nugget 0)
+    assert vals[(0.0, 0.0)] == pytest.approx(10.0, abs=1e-6)
+    assert vals[(1.0, 1.0)] == pytest.approx(40.0, abs=1e-6)
+    # weights sum to 1 ⇒ prediction within a sane envelope
+    for v in vals.values():
+        assert 0.0 <= v <= 50.0
+
+
+def test_fit_linear_variogram_recovers_slope():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 1, size=(40, 2))
+    # construct values whose semivariance grows ~linearly with distance
+    values = 3.0 * coords[:, 0] + 3.0 * coords[:, 1]
+    nugget, slope = fit_linear_variogram(coords, values)
+    assert slope > 0
+    assert nugget >= 0

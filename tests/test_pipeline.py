@@ -1,0 +1,86 @@
+"""Pipeline framework tests (SURVEY.md §5.3 round-trips + §2.1 semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark import Pipeline, UnknownOperation, register
+
+
+@register("add_one")
+def add_one(df, col="x"):
+    return df.withColumn(col, F.col(col) + 1)
+
+
+@register("mult")
+def mult(df, factor=2, col="x"):
+    return df.withColumn(col, F.col(col) * factor)
+
+
+@register("bad_op")
+def bad_op(df):
+    return 42  # not a DataFrame
+
+
+def test_process_folds_lazily(spark):
+    df = spark.range(5).withColumnRenamed("id", "x")
+    p = Pipeline("p").add_operation("inc", add_one).add_operation("double", "mult")
+    out = p.process(df)
+    assert [r["x"] for r in out.orderBy("x").collect()] == [2, 4, 6, 8, 10]
+    assert p.valid
+
+
+def test_json_round_trip_same_result(spark):
+    """The reference's from_json cannot re-execute (fn names never resolve,
+    src/data_preprocessing.py:38-48,108-109); the engine's registry closes it."""
+    df = spark.range(4).withColumnRenamed("id", "x")
+    p = Pipeline("rt").add_operation("inc", add_one).add_operation("x3", mult, factor=3)
+    p2 = Pipeline.from_json(p.to_json())
+    a = [r["x"] for r in p.process(df).orderBy("x").collect()]
+    b = [r["x"] for r in p2.process(df).orderBy("x").collect()]
+    assert a == b == [3, 6, 9, 12]
+
+
+def test_from_json_unknown_op_fails_at_load():
+    p = Pipeline("bad")
+    p.operations.append(
+        __import__("sensordatapipelines_spark").OpSpec("step", "no_such_op")
+    )
+    with pytest.raises(UnknownOperation):
+        Pipeline.from_json(p.to_json())
+
+
+def test_pop_operation_removes_by_name():
+    """Intent of the reference's buggy pop (iterates the 2-key dict, :68-73)."""
+    p = Pipeline("p").add_operation("a", add_one).add_operation("b", mult)
+    popped = p.pop_operation("a")
+    assert popped.function == "add_one"
+    assert [o.name for o in p.operations] == ["b"]
+    with pytest.raises(UnknownOperation):
+        p.pop_operation("zzz")
+
+
+def test_move_and_set_kwarg(spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    p = Pipeline("p").add_operation("inc", add_one).add_operation("scale", mult, factor=2)
+    p.move_operation("scale", 0)
+    assert [o.name for o in p.operations] == ["scale", "inc"]
+    p.set_kwarg("scale", "factor", 10)
+    out = [r["x"] for r in p.process(df).orderBy("x").collect()]
+    assert out == [1, 11, 21]  # (x*10)+1
+    with pytest.raises(UnknownOperation):
+        p.set_kwarg("nope", "factor", 1)
+
+
+def test_non_dataframe_result_raises(spark):
+    df = spark.range(2).withColumnRenamed("id", "x")
+    p = Pipeline("p").add_operation("bad", bad_op)
+    with pytest.raises(TypeError):
+        p.process(df)
+
+
+def test_process_generator_sweep(spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    p = Pipeline("p").add_operation("scale", mult, factor=1)
+    results = p.process_generator(df, "scale", "factor", [1, 2, 3])
+    sums = {k: v.agg(F.sum("x")).first()[0] for k, v in results.items()}
+    assert sums == {1: 3, 2: 6, 3: 9}

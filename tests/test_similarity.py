@@ -1,0 +1,50 @@
+"""Similarity-search tests: exact top-k, LSH recall on duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_neardup,
+)
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # identical to 1
+            (3, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+            (4, [0.0, 0.0, 0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact(spark):
+    out = cosine_topk(_emb(spark), _emb(spark).filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["vec_id"] == 2 and rows[0]["cos_sim"] == 1.0
+    assert rows[1]["vec_id"] == 3 and 0.9 < rows[1]["cos_sim"] < 1.0
+
+
+def test_cosine_topk_excludes_self(spark):
+    out = cosine_topk(_emb(spark), _emb(spark), k=3)
+    assert all(r["query_id"] != r["vec_id"] for r in out.collect())
+
+
+def test_ann_lsh_finds_identical_vector(spark):
+    out = ann_lsh_topk(
+        _emb(spark), _emb(spark).filter(F.col("vec_id") == 1), k=2, dim=4, n_planes=4
+    )
+    top = {r["rank"]: r for r in out.collect()}
+    assert top[1]["vec_id"] == 2  # identical vec always shares every bucket
+    assert top[1]["cos_sim"] == 1.0
+
+
+def test_embedding_neardup_pairs(spark):
+    pairs = embedding_neardup(_emb(spark), threshold=0.99, dim=4, n_planes=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert all(a < b for a, b in found)

@@ -1,0 +1,85 @@
+"""Source/sink tests (S1-S6): fallback chain, dir union + tagging, nested
+flattening, GeoJSON escape hatch."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from sensordatapipelines_spark.errors import DataIOError
+from sensordatapipelines_spark.operators.utility import flatten_structs
+from sensordatapipelines_spark.sources import (
+    open_data,
+    open_dir_of_data,
+    open_sensor_records,
+    open_spatial_data,
+    write_geojson,
+)
+
+
+def test_open_data_csv_json_fallback(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,2\n3,4\n")
+    df = open_data(spark, str(csv))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+    jf = tmp_path / "t.json"
+    jf.write_text('{"a": 1, "b": {"c": 2}}\n{"a": 3, "b": {"c": 4}}\n')
+    df2 = open_data(spark, str(jf))
+    assert df2.count() == 2
+
+    bad = tmp_path / "t.bin"
+    bad.write_bytes(b"\x00\x01\x02nonsense")
+    with pytest.raises(DataIOError):
+        open_data(spark, str(bad))
+
+
+def test_open_sensor_records_flattens_nested(spark, tmp_path):
+    """Nested JSON → dotted paths ≙ json_normalize (reference :610-612)."""
+    jf = tmp_path / "rec.json"
+    jf.write_text(
+        '[{"id": 1, "fields": {"ts": "2024-01-01", "pm25": 12.5}},'
+        ' {"id": 2, "fields": {"ts": "2024-01-02", "pm25": 9.1}}]'
+    )
+    df = open_sensor_records(spark, str(jf))
+    assert set(df.columns) == {"id", "fields.ts", "fields.pm25"}
+    assert df.count() == 2
+
+
+def test_open_dir_union_with_sensor_tagging(spark, tmp_path):
+    """Directory union + per-file sensor id (reference S4 :429-442; its
+    len(df)-vs-len(df2) tagging bug replaced by input_file_name mapping)."""
+    d = tmp_path / "sensors"
+    d.mkdir()
+    (d / "s1.json").write_text('{"v": 1}\n{"v": 2}\n')
+    (d / "s2.json").write_text('{"v": 3}\n')
+    df = open_dir_of_data(spark, str(d), sensor_ids={"s1": 101, "s2": 102})
+    rows = {(r["v"], r["sensor_id"]) for r in df.collect()}
+    assert rows == {(1, 101), (2, 101), (3, 102)}
+
+
+def test_flatten_structs_recursive(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": {"c": 5}, "d": "x"})],
+        "a long, n struct<b: struct<c: long>, d: string>",
+    )
+    out = flatten_structs(df)
+    assert set(out.columns) == {"a", "n.b.c", "n.d"}
+    assert out.first()["n.b.c"] == 5
+
+
+def test_open_spatial_data_drops_invalid(spark, tmp_path):
+    csv = tmp_path / "pts.csv"
+    csv.write_text("id,lon,lat\n1,0.5,0.5\n2,,0.1\n3,1.5,2.5\n")
+    df = open_spatial_data(spark, str(csv))
+    assert df.count() == 2
+
+
+def test_write_geojson_small_result(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.5, 43.5, "a")], "id long, lon double, lat double, name string")
+    out = tmp_path / "o.geojson"
+    write_geojson(df, str(out))
+    gj = json.loads(out.read_text())
+    assert gj["type"] == "FeatureCollection"
+    assert gj["features"][0]["geometry"]["coordinates"] == [1.5, 43.5]
+    assert gj["features"][0]["properties"] == {"id": 1, "name": "a"}

@@ -1,0 +1,147 @@
+"""Spatial operator tests — A1/A2/A3 corners from SURVEY.md §5.2."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.errors import ColumnException, MissingCRS
+from sensordatapipelines_spark.operators.spatial import (
+    bbox_filter,
+    buffer_aggregate,
+    drop_invalid_points,
+    knn_aggregate,
+    reproject,
+    with_circle_area,
+    zonal_stats,
+)
+
+
+def _sensors(spark):
+    return spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 1.0), (3, 50.0, 50.0)],
+        "sensor_id long, lon double, lat double",
+    )
+
+
+def _zones(spark):
+    # zone 10 near sensor1; zone 11 near sensors 1&2; zone 12 far away
+    return spark.createDataFrame(
+        [
+            (10, 0.1, 0.0, 0.05, 100.0, None),
+            (11, 0.5, 0.5, 0.2, 200.0, 4.0),
+            (12, 9.0, 9.0, 0.1, 999.0, 9.0),
+        ],
+        "zone_id long, lon double, lat double, radius double, pop double, height double",
+    )
+
+
+def test_buffer_aggregate_hand_computed(spark):
+    # buffer 0.2: sensor1 reaches zone10 (d=0.1 ≤ 0.25) and zone11
+    # (d=0.707 ≤ 0.4? no) → only zone10. sensor2 reaches zone11
+    # (d=0.707 ≤ 0.2+0.2=0.4? no) → none. sensor3 → none.
+    out = buffer_aggregate(
+        _sensors(spark),
+        _zones(spark),
+        columns=["pop"],
+        buffer_size=0.2,
+        source_name="z",
+        layer_radius="radius",
+    )
+    rows = {r["sensor_id"]: r for r in out.collect()}
+    assert rows[1]["mean_z_pop"] == 100.0
+    assert rows[2]["mean_z_pop"] is None  # empty intersection → NULL (ref :507-508)
+    assert rows[3]["max_z_pop"] is None
+
+
+def test_buffer_aggregate_zero_fill_before_agg(spark):
+    """fillna(0)-before-agg semantics (reference geometries_interesect :600):
+    NULL height counts as 0 in the mean."""
+    out = buffer_aggregate(
+        _sensors(spark),
+        _zones(spark),
+        columns=["height"],
+        buffer_size=0.2,
+        source_name="z",
+        layer_radius="radius",
+        zero_fill=True,
+    )
+    rows = {r["sensor_id"]: r for r in out.collect()}
+    assert rows[1]["mean_z_height"] == 0.0  # zone10 height NULL → 0
+
+
+def test_buffer_aggregate_missing_crs():
+    with pytest.raises(MissingCRS):
+        buffer_aggregate(None, None, crs=None)
+
+
+def test_unknown_column_raises(spark):
+    with pytest.raises(ColumnException):
+        buffer_aggregate(
+            _sensors(spark), _zones(spark), columns=["nope"], source_name="z"
+        )
+
+
+def test_area_derived_on_demand(spark):
+    out = with_circle_area(_zones(spark), "radius")
+    r = {x["zone_id"]: x["area"] for x in out.collect()}
+    assert r[10] == pytest.approx(math.pi * 0.05**2)
+
+
+def test_knn_k1_and_ties(spark):
+    # equidistant zones from sensor: tie broken by zone_id (lowest wins)
+    sensors = spark.createDataFrame([(1, 0.0, 0.0)], "sensor_id long, lon double, lat double")
+    zones = spark.createDataFrame(
+        [(20, 1.0, 0.0, 5.0), (21, -1.0, 0.0, 7.0), (22, 3.0, 0.0, 9.0)],
+        "zone_id long, lon double, lat double, v double",
+    )
+    out = knn_aggregate(
+        sensors, zones, columns=["v"], k=1, source_name="z", layer_id_col="zone_id"
+    )
+    assert out.first()["mean_z_v"] == 5.0  # zone 20 beats 21 on id at d=1
+    out2 = knn_aggregate(
+        sensors, zones, columns=["v"], k=2, source_name="z", layer_id_col="zone_id"
+    )
+    assert out2.first()["mean_z_v"] == 6.0  # zones 20,21
+
+
+def test_zonal_stats_nodata_and_out_of_raster(spark):
+    sensors = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 100.0)], "sensor_id long, lon double, lat double"
+    )
+    cells = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 5.0),
+            (1, 0.1, 0.0, 7.0),
+            (1, 0.0, 0.1, 0.0),   # nodata — excluded (ref :528-530)
+            (2, 0.0, 0.0, 40.0),
+        ],
+        "band int, x double, y double, value double",
+    )
+    out = zonal_stats(
+        sensors, cells, bands=[1, 2], buffer_size=0.5, source_name="r", nodata=0.0
+    )
+    rows = {r["sensor_id"]: r for r in out.collect()}
+    assert rows[1]["mean_r_band1"] == 6.0  # (5+7)/2, nodata 0 excluded
+    assert rows[1]["max_r_band2"] == 40.0
+    assert rows[2]["mean_r_band1"] is None  # out-of-raster → NULL (ref :521-526)
+
+
+def test_bbox_filter_and_validity(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.0, 2.0), (3, None, 0.1), (4, float("nan"), 0.2)],
+        "id long, lon double, lat double",
+    )
+    assert bbox_filter(df, 0.0, 1.0, 0.0, 1.0).count() == 1
+    assert drop_invalid_points(df).count() == 2
+
+
+def test_reproject_4326_3857_round_trip(spark):
+    df = spark.createDataFrame([(1.4436, 43.6045)], "lon double, lat double")
+    m = reproject(df, 4326, 3857)
+    row = m.first()
+    assert row["lon"] == pytest.approx(160700.0, rel=1e-3)   # Toulouse x
+    assert row["lat"] == pytest.approx(5404000.0, rel=1e-3)  # Toulouse y
+    back = reproject(m, 3857, 4326).first()
+    assert back["lon"] == pytest.approx(1.4436, abs=1e-9)
+    assert back["lat"] == pytest.approx(43.6045, abs=1e-9)

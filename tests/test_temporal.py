@@ -1,0 +1,96 @@
+"""A4/A5 semantics tests — the corners verified in SURVEY.md §5.2/§5.4."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.temporal import (
+    date_range_filter,
+    hour_interval_predicate,
+    time_profile,
+    time_series_aggregate,
+)
+
+
+def _readings(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, sensor_id long, v double")
+
+
+def test_hour_interval_inclusive_and_overnight_wrap(spark):
+    """pandas between_time('22:00','05:00') ⇒ hours {22,23,0..5}, ends
+    inclusive (reference :574); daytime window ends inclusive too."""
+    rows = [
+        (dt.datetime(2024, 1, 1, 21, 59, 59), 1, 1.0),
+        (dt.datetime(2024, 1, 1, 22, 0, 0), 1, 2.0),   # inclusive start
+        (dt.datetime(2024, 1, 2, 3, 30, 0), 1, 3.0),    # wrapped past midnight
+        (dt.datetime(2024, 1, 2, 5, 0, 0), 1, 4.0),     # inclusive end
+        (dt.datetime(2024, 1, 2, 5, 0, 1), 1, 5.0),     # just outside
+    ]
+    df = _readings(spark, rows)
+    night = df.filter(hour_interval_predicate(F.col("ts"), "22:00:00", "05:00:00"))
+    assert sorted(r["v"] for r in night.collect()) == [2.0, 3.0, 4.0]
+    day = df.filter(hour_interval_predicate(F.col("ts"), "03:00:00", "05:00:00"))
+    assert sorted(r["v"] for r in day.collect()) == [3.0, 4.0]
+
+
+def test_date_range_inclusive_of_end_day(spark):
+    """pandas .xs(slice(beg, end)) includes the whole end day (:329-331)."""
+    rows = [
+        (dt.datetime(2024, 1, 4, 23, 59, 59), 1, 1.0),
+        (dt.datetime(2024, 1, 5, 0, 0, 0), 1, 2.0),
+        (dt.datetime(2024, 1, 7, 23, 59, 59), 1, 3.0),
+        (dt.datetime(2024, 1, 8, 0, 0, 0), 1, 4.0),
+    ]
+    out = date_range_filter(_readings(spark, rows), "ts", "2024-01-05", "2024-01-07")
+    assert sorted(r["v"] for r in out.collect()) == [2.0, 3.0]
+
+
+def test_all_intervals_survive_ledger(spark):
+    """LEDGER TEST (SURVEY §5.4): the reference's get_stats_temporal
+    overwrites stats per interval (:571-584) so only the LAST interval
+    survives; the documented intent (:301-302) — one stat column set per
+    interval — is what the engine produces."""
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0, 0), 1, 10.0),  # in 09-17
+        (dt.datetime(2024, 1, 1, 23, 0, 0), 1, 99.0),  # in 22-05
+    ]
+    sensors = spark.createDataFrame([(1,)], "sensor_id long")
+    out = time_series_aggregate(
+        sensors,
+        _readings(spark, rows),
+        ts_col="ts",
+        columns=["v"],
+        sensor_col="sensor_id",
+        hour_intervals=(("09:00:00", "17:00:00"), ("22:00:00", "05:00:00")),
+        funcs=("mean", "max"),
+    )
+    row = out.first()
+    # BOTH intervals present — not just the last one.
+    assert row["mean_v_090000_170000"] == 10.0
+    assert row["mean_v_220000_050000"] == 99.0
+    assert row["max_v_090000_170000"] == 10.0
+    assert row["max_v_220000_050000"] == 99.0
+
+
+def test_sensors_without_readings_keep_null_stats(spark):
+    sensors = spark.createDataFrame([(1,), (2,)], "sensor_id long")
+    rows = [(dt.datetime(2024, 1, 1, 10, 0, 0), 1, 5.0)]
+    out = time_series_aggregate(
+        sensors, _readings(spark, rows), "ts", ["v"], sensor_col="sensor_id"
+    )
+    by_id = {r["sensor_id"]: r for r in out.collect()}
+    assert by_id[1]["mean_v_090000_170000"] == 5.0
+    assert by_id[2]["mean_v_090000_170000"] is None
+
+
+def test_time_profile(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 1, 1.0),
+        (dt.datetime(2024, 1, 9, 0, 0, 0), 1, 1.0),
+        (dt.datetime(2024, 1, 5, 0, 0, 0), 2, 1.0),
+    ]
+    prof = {r["sensor_id"]: r for r in time_profile(_readings(spark, rows), "ts", "sensor_id").collect()}
+    assert prof[1]["ts_min"] == dt.datetime(2024, 1, 1)
+    assert prof[1]["ts_max"] == dt.datetime(2024, 1, 9)
+    assert prof[1]["n_obs"] == 2
+    assert prof[2]["n_obs"] == 1

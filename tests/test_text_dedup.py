@@ -1,0 +1,109 @@
+"""Text analysis + dedup family tests (charter extensions, SURVEY §2.7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_buckets,
+)
+from sensordatapipelines_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from sensordatapipelines_spark.operators.utility import dedup_keep_first
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_text_stats_token_edges(spark):
+    rows = {r["doc_id"]: r for r in text_stats(_docs(spark), "text").collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[5]["n_tokens"] == 0          # empty text → 0 tokens
+    assert rows[5]["mean_token_len"] == 0.0
+    assert rows[1]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' ×2
+
+
+def test_quality_score_range(spark):
+    out = quality_score(_docs(spark), "text")
+    for r in out.collect():
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "der hund ist nicht zu haus und das ist gut"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_known_value_and_stability(spark):
+    docs = spark.createDataFrame([(1, "ab"), (2, "ab"), (3, "ba")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    # h("ab") = (0*31+97)*31 + 98 = 3105
+    assert rows[1] == 97 * 31 + 98
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_exact_dedup_keep_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 5]
+    groups = duplicate_groups(_docs(spark), ["text"], "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_dedup_keep_first_utility(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, k string, v double"
+    )
+    out = dedup_keep_first(df, ["k"], order_col="id")
+    assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    pairs = jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(1, 4)] == 1.0
+    # docs 1 and 2 share 6 of 7+7 distinct 3-grams → jaccard 6/8
+    assert by_pair[(1, 2)] == pytest.approx(6 / 8)
+    assert (1, 3) not in by_pair
+
+
+def test_minhash_finds_exact_dup(spark):
+    pairs = minhash_dedup_pairs(_docs(spark), n=3, jaccard_threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in found
+
+
+def test_simhash_identical_docs_equal_and_bucket_join(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
+    cand = {(r["id_a"], r["id_b"]) for r in simhash_buckets(_docs(spark)).collect()}
+    assert (1, 4) in cand
