@@ -66,10 +66,18 @@ DATE_RANGE = ("2024-01-05", "2024-01-20")
 INTERVALS = (("09:00:00", "17:00:00"), ("22:00:00", "05:00:00"))
 
 
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # The driver calls these with its own SparkSession: pin the runtime confs
     # the queries depend on (UTC timestamp semantics to match the DuckDB
     # oracle's naive timestamps; adaptive execution for the join-heavy plans).
+    # Memoized per (session, sf_dir): re-reading 10 parquet footers per query
+    # is pure fixed overhead.
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _VIEWS_READY:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     from sensordatapipelines_spark.runtime import ensure_shipped
@@ -77,6 +85,7 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     ensure_shipped(spark)  # mapInPandas closures must import the package on workers
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_READY.add(key)
 
 
 def _sensors(spark: SparkSession) -> DataFrame:
@@ -391,7 +400,169 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based aggregate)."""
+    _register_views(spark, sf_dir)
+    p = F.percentile(F.col("value"), F.lit([0.25, 0.5, 0.75]))
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.round(p[0], 6).alias("p25"),
+            F.round(p[1], 6).alias("p50"),
+            F.round(p[2], 6).alias("p75"),
+        )
+    )
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-set surface): per (flag, status) + totals."""
+    _register_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def events_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: union of two overlapping slices, deduplicated (S4/U2 shape)."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    a = ev.filter(F.col("event_type").isin("click", "view"))
+    b = ev.filter(F.col("value") > 50.0)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def events_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: EXCEPT — click events that are not high-value."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id")
+    b = ev.filter(F.col("value") > 90.0).select("event_id")
+    return a.distinct().subtract(b.distinct())
+
+
+def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling windows: per-day per-sensor stats (the batch twin of the
+    streaming interval aggregation; SURVEY §2.6 streaming)."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return ev.groupBy("day", "user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def events_bottomk_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bottom-k (the reference's nsmallest, :553): 3 smallest
+    values per sensor."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        spark.table("events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rk")
+    )
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (charter text-analysis op) — full arithmetic
+    oracle."""
+    from sensordatapipelines_spark.operators.text import quality_score
+
+    _register_views(spark, sf_dir)
+    return quality_score(spark.table("documents")).select("doc_id", "quality")
+
+
+def sensors_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection 4326→3857 as native JVM expressions (no Python)."""
+    from sensordatapipelines_spark.operators.spatial import reproject
+
+    _register_views(spark, sf_dir)
+    out = reproject(_sensors(spark), 4326, 3857)
+    # "+ 0.0" normalizes IEEE negative zero (lat=0 → ln(tan(π/4)) = ±0).
+    return out.select(
+        "sensor_id",
+        (F.round("lon", 2) + F.lit(0.0)).alias("x_merc"),
+        (F.round("lat", 2) + F.lit(0.0)).alias("y_merc"),
+    )
+
+
+def pipeline_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P8: a Pipeline deserialized from its JSON plan and executed lazily —
+    the engine's plan round-trip in the correctness gate."""
+    from sensordatapipelines_spark import Pipeline
+
+    _register_views(spark, sf_dir)
+    plan = """
+    {"pipe": "quality_lang", "operations": [
+      {"name": "score", "function": "quality_score", "args": [], "kwargs": {}},
+      {"name": "lang", "function": "lang_id", "args": [], "kwargs": {}}
+    ]}
+    """
+    pipe = Pipeline.from_json(plan)
+    out = pipe.process(spark.table("documents"))
+    return out.select("doc_id", "quality", "lang_pred")
+
+
 # ---- rows-only checks (non-SQL-expressible in DuckDB) ---------------------
+
+
+def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: the A4 interval aggregation executed as a
+    streaming query (file source → watermark → windowed conditional agg →
+    memory sink, availableNow trigger). Rows-only check: state + trigger
+    semantics are not SQL-expressible."""
+    import tempfile
+
+    from sensordatapipelines_spark.streaming import (
+        read_events_stream,
+        stream_interval_aggregate,
+    )
+
+    _register_views(spark, sf_dir)
+    # Stage the events table as a file-stream directory (parquet, ts as µs).
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    spark.table("events").write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage)
+    out = stream_interval_aggregate(stream, watermark="1 hour")
+    qname = "stream_interval_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(qname)
+    stat_cols = [c for c in res.columns if c.startswith(("mean_", "max_"))]
+    return res.select(
+        F.col("window_start").cast("date").alias("day"),
+        F.col("user_id").alias("sensor_id"),
+        *[F.round(F.col(c), 6).alias(c) for c in stat_cols],
+    )
 
 
 def sensors_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,12 +650,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "emb_cosine_topk": emb_cosine_topk,
+        "events_percentiles": events_percentiles,
+        "lineitem_rollup": lineitem_rollup,
+        "events_union_dedup": events_union_dedup,
+        "events_except": events_except,
+        "events_daily_profile": events_daily_profile,
+        "events_bottomk_per_sensor": events_bottomk_per_sensor,
+        "docs_quality": docs_quality,
+        "sensors_webmercator": sensors_webmercator,
+        "pipeline_quality_lang": pipeline_quality_lang,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "emb_ann_lsh": emb_ann_lsh,
         "docs_media_features": docs_media_features,
+        "events_stream_interval": events_stream_interval,
     }
 
 
@@ -512,7 +693,7 @@ def oracle_sql() -> dict[str, str]:
     interval_stats = ",\n".join(
         f"ROUND({expr}, 6) AS {name}" for name, expr in _INTERVAL_CASES.items()
     )
-    return {
+    oracles = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -806,4 +987,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
             FROM ranked WHERE rank <= {KNN_K}
         """,
+        "events_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_union_dedup": """
+            WITH u AS (
+                SELECT event_id, event_type, value FROM events
+                WHERE event_type IN ('click', 'view')
+                UNION
+                SELECT event_id, event_type, value FROM events WHERE value > 50.0
+            )
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM u GROUP BY event_type
+        """,
+        "events_except": """
+            SELECT event_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT event_id FROM events WHERE value > 90.0
+        """,
+        "events_daily_profile": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   ROUND(MAX(value), 6) AS max_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY day, user_id
+        """,
+        "events_bottomk_per_sensor": """
+            SELECT user_id, event_id, ROUND(value, 6) AS value, rk
+            FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value, event_id) AS rk
+                FROM events
+            ) WHERE rk <= 3
+        """,
+        "docs_quality": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                       CASE WHEN len({_TOKS}) > 0 THEN
+                           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                               / len({_TOKS})
+                       ELSE 0.0 END AS mtl,
+                       CASE WHEN len({_TOKS}) > 0 THEN
+                           CAST(len(list_filter({_TOKS.replace('text', 'lower(text)')},
+                               x -> x IN ('the','and','of','to','a','in','is','that','it','for','on','with'))) AS DOUBLE)
+                               / len({_TOKS})
+                       ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(replace(text, '.', ''))
+                          + length(text) - length(replace(text, ',', ''))
+                          + length(text) - length(replace(text, ';', ''))
+                          + length(text) - length(replace(text, ':', ''))
+                          + length(text) - length(replace(text, '!', ''))
+                          + length(text) - length(replace(text, '?', ''))
+                           ) / CAST(length(text) AS DOUBLE)
+                       ELSE 0.0 END AS punct_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND((LEAST(n_tok / 64.0, 1.0)
+                        + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                        + LEAST(stop_ratio * 4.0, 1.0)
+                        + GREATEST(0.0, 1.0 - punct_ratio * 4.0)) / 4.0, 6) AS quality
+            FROM feats
+        """,
+        "sensors_webmercator": f"""
+            WITH sensors AS ({SENSORS_SQL})
+            SELECT sensor_id,
+                   ROUND(radians(lon) * 6378137.0, 2) + 0.0 AS x_merc,
+                   ROUND(ln(tan(pi() / 4.0 + radians(lat) / 2)) * 6378137.0, 2) + 0.0 AS y_merc
+            FROM sensors
+        """,
     }
+    # The pipeline round-trip query composes two already-oracled ops.
+    oracles["pipeline_quality_lang"] = f"""
+        WITH q AS ({oracles["docs_quality"]}), l AS ({oracles["docs_lang_id"]})
+        SELECT q.doc_id, q.quality, l.lang_pred
+        FROM q JOIN l ON q.doc_id = l.doc_id
+    """
+    return oracles

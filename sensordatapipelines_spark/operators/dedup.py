@@ -75,10 +75,13 @@ def jaccard_pairs(
     occur in more than that many docs — the skew guard: an ultra-common
     shingle would otherwise create a quadratic candidate blow-up at scale.
     """
+    # Cache the shingled form: it feeds the size table, and the exploded view
+    # feeds BOTH sides of the self-join — without the cache, tokenization +
+    # shingling re-runs four times over the corpus.
     shingled = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
-    )
+    ).cache()
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
     if max_shingle_df is not None:
