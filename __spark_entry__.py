@@ -526,6 +526,82 @@ def pipeline_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality", "lang_pred")
 
 
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to each click event the user's most recent purchase
+    at-or-before it (union + windowed last — single shuffle, no range join)."""
+    from sensordatapipelines_spark.operators.joins import asof_join
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value", "event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_asof", 6).alias("last_purchase_value"),
+        F.col("event_id_asof").alias("last_purchase_id"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap): sessions per user with size and bounds."""
+    from sensordatapipelines_spark.operators.temporal import sessionize
+
+    _register_views(spark, sf_dir)
+    s = sessionize(
+        spark.table("events"),
+        ts_col="ts",
+        sensor_col="user_id",
+        gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+    )
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean over the last 4 observations per sensor (ROWS frame)."""
+    from sensordatapipelines_spark.operators.temporal import moving_average
+
+    _register_views(spark, sf_dir)
+    out = moving_average(
+        spark.table("events"),
+        value_col="value",
+        ts_col="ts",
+        sensor_col="user_id",
+        n_preceding=3,
+        order_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", F.round("value_ma", 6).alias("value_ma"))
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct users + event count per type."""
+    _register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---- rows-only checks (non-SQL-expressible in DuckDB) ---------------------
 
 
@@ -659,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": docs_quality,
         "sensors_webmercator": sensors_webmercator,
         "pipeline_quality_lang": pipeline_quality_lang,
+        "events_asof_purchase": events_asof_purchase,
+        "events_sessionize": events_sessionize,
+        "events_moving_avg": events_moving_avg,
+        "events_distinct_users": events_distinct_users,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_pairs": docs_minhash_pairs,
@@ -1070,6 +1150,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(radians(lon) * 6378137.0, 2) + 0.0 AS x_merc,
                    ROUND(ln(tan(pi() / 4.0 + radians(lat) / 2)) * 6378137.0, 2) + 0.0 AS y_merc
             FROM sensors
+        """,
+        "events_asof_purchase": """
+            WITH clicks AS (
+                SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+                WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id,
+                   ROUND(p.value, 6) AS last_purchase_value,
+                   p.event_id AS last_purchase_id
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.tus >= p.tus
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events
+            ),
+            lagd AS (
+                SELECT *, lag(tus) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS prev
+                FROM e
+            ),
+            sess AS (
+                SELECT *, SUM(CASE WHEN tus - prev > 1800000000 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM lagd
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch,
+                   CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_end_epoch
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id
+                                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                         6) AS value_ma
+            FROM events
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
     }
     # The pipeline round-trip query composes two already-oracled ops.

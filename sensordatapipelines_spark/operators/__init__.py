@@ -6,6 +6,7 @@ from sensordatapipelines_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     interpolate,
+    joins,
     multimodal,
     similarity,
     spatial,

@@ -1,0 +1,118 @@
+"""Join operators beyond Catalyst's built-ins: as-of join, salted skew join.
+
+- ``asof_join`` — the time-series linkage the reference approximates by
+  joining readings to sensors by id (SURVEY.md §2.6 "as-of-like linkage of
+  series to sensors"), generalized to the standard as-of semantics: for each
+  left row, the most recent right row with ``right.ts <= left.ts`` per key.
+
+  **Scale shape:** implemented as union + windowed last-non-null — a single
+  shuffle on (key), NO range-join cross product. At 100 TB this is the only
+  formulation that doesn't explode: a range join of two big fact tables is
+  quadratic in the worst case, while this is O(n log n) within key partitions
+  (sort inside the window). Skewed keys are handled by AQE; monotonic state
+  is bounded by the window frame.
+
+- ``salted_join`` — equi-join with key salting for heavy-hitter skew: the
+  big side's key is salted with a random-ish (deterministic, hash-derived)
+  suffix, and the small side is replicated ``salt`` times. Use when one key
+  dominates (a single sensor/zone with a large share of rows) and AQE's
+  skew-split isn't enough (e.g. the skew is in a broadcast-ineligible side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.registry import register
+
+
+@register("asof_join")
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` (inclusive) sharing the key ``on``.
+
+    Returns all left columns plus ``right_cols`` (NULL when no earlier right
+    row exists). ``tolerance`` (in the ts column's own unit, after cast to
+    long) drops matches older than ``left_ts - tolerance``. ``tiebreak``
+    orders right rows with identical timestamps (latest-by-tiebreak wins) —
+    pass a unique column for full determinism.
+    """
+    lcols = left.columns
+    l = left.select(
+        "*",
+        F.lit(1).alias("__is_left"),
+        F.lit(0).cast("long").alias("__tb"),
+        *[F.lit(None).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast("long").alias("__r_ts_match"),
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("__is_left"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).cast("long").alias("__r_ts_match"),
+    )
+    for c in lcols:  # left-only columns ride along as NULL on right rows
+        if c not in (on, left_ts):
+            r = r.withColumn(c, F.lit(None))
+    u = l.unionByName(r.select(*l.columns))
+    # Right rows sort BEFORE left rows at equal ts (__is_left 0 < 1) so the
+    # match is inclusive; among right ties the larger tiebreak wins (it is
+    # the last one the running last() sees).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts), F.col("__is_left"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in right_cols:
+        out = out.withColumn(f"__last_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = out.withColumn(
+        "__last_ts", F.last("__r_ts_match", ignorenulls=True).over(w)
+    )
+    out = out.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__last_ts") >= (F.col(left_ts).cast("long") - F.lit(tolerance))
+        for c in right_cols:
+            out = out.withColumn(
+                f"__last_{c}", F.when(in_tol, F.col(f"__last_{c}"))
+            )
+    return out.select(
+        *lcols, *[F.col(f"__last_{c}").alias(f"{c}_asof") for c in right_cols]
+    )
+
+
+@register("salted_join")
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key into ``salt``
+    sub-keys (derived from a hash of the full row for determinism) and
+    replicate the small side across every salt value. The shuffle then
+    spreads a heavy-hitter key over ``salt`` reducers.
+
+    Semantics are identical to ``big.join(small, on, how)`` for 1:N joins
+    (small side unique on the key)."""
+    b = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    s = small.crossJoin(
+        big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+    ).withColumn("__salt", F.col("__salt").cast(b.schema["__salt"].dataType))
+    out = b.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

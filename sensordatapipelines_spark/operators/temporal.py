@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.operators.aggregates import BUILTIN_AGGS, agg_func_name
@@ -140,6 +140,62 @@ def time_series_aggregate(
         stats, on=sensors[sensors_id_col] == stats["__sid"], how="left"
     ).drop("__sid")
     return joined
+
+
+@register("sessionize")
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    sensor_col: str = "sensor_id",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Sessionization: split each sensor's event stream into sessions at gaps
+    larger than ``gap_seconds``; emits one row per event with a per-sensor
+    ``session_id`` (1-based). Classic lag + running-sum-of-boundaries — one
+    shuffle on the sensor key, sort within partitions, no self-join.
+
+    (Batch twin of Structured Streaming's ``session_window``; kept as an
+    explicit operator so the oracle can replay it.)"""
+    ts_us = F.unix_micros(F.col(ts_col))
+    order = [ts_us]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(sensor_col).orderBy(*order)
+    gap = F.lit(gap_seconds * 1_000_000)
+    new_session = F.when(
+        (ts_us - F.lag(ts_us).over(w)) > gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + 1,
+    )
+
+
+@register("moving_average")
+def moving_average(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    sensor_col: str = "sensor_id",
+    n_preceding: int = 3,
+    order_tiebreak: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-sensor rolling mean over the last ``n_preceding``+1 observations
+    (ROWS frame). Window over the sensor shuffle — no self-join."""
+    order = [F.unix_micros(F.col(ts_col))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = (
+        Window.partitionBy(sensor_col)
+        .orderBy(*order)
+        .rowsBetween(-n_preceding, Window.currentRow)
+    )
+    return df.withColumn(out_col or f"{value_col}_ma", F.avg(value_col).over(w))
 
 
 @register("time_profile")

@@ -1,0 +1,83 @@
+"""As-of join + salted skew join tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.joins import asof_join, salted_join
+from sensordatapipelines_spark.operators.temporal import moving_average, sessionize
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0)), (1, dt.datetime(2024, 1, 1, 12, 0, 0)),
+         (2, dt.datetime(2024, 1, 1, 9, 0, 0))],
+        "key long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9, 30, 0), 100.0),
+         (1, dt.datetime(2024, 1, 1, 10, 0, 0), 200.0),   # ties left ts → inclusive
+         (1, dt.datetime(2024, 1, 1, 11, 0, 0), 300.0),
+         (2, dt.datetime(2024, 1, 1, 9, 30, 0), 999.0)],   # after left → no match
+        "key long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on="key", right_cols=["v"]).collect()
+    got = {(r["key"], r["ts"].hour): r["v_asof"] for r in out}
+    assert got[(1, 10)] == 200.0  # inclusive at equal ts
+    assert got[(1, 12)] == 300.0  # latest earlier
+    assert got[(2, 9)] is None    # nothing at-or-before
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], "key long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 8, 0, 0), 1.0)], "key long, ts timestamp, v double"
+    )
+    # match is 4h old; 1h tolerance discards it
+    out = asof_join(left, right, on="key", right_cols=["v"], tolerance=3600).first()
+    assert out["v_asof"] is None
+    out2 = asof_join(left, right, on="key", right_cols=["v"], tolerance=5 * 3600).first()
+    assert out2["v_asof"] == 1.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    import random
+
+    rng = random.Random(7)
+    # heavy-hitter key 1 dominates
+    big = spark.createDataFrame(
+        [(1 if rng.random() < 0.8 else rng.randint(2, 5), i) for i in range(1000)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 6)], "k long, name string")
+    plain = big.join(small, "k").groupBy("k").count().collect()
+    salted = salted_join(big, small, "k", salt=4).groupBy("k").count().collect()
+    assert {(r["k"], r["count"]) for r in plain} == {(r["k"], r["count"]) for r in salted}
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 1, dt.datetime(2024, 1, 1, 10, 10, 0)),   # same session (10 min)
+        (3, 1, dt.datetime(2024, 1, 1, 11, 0, 0)),    # 50 min gap → new session
+        (4, 2, dt.datetime(2024, 1, 1, 10, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sensor_id long, ts timestamp")
+    out = sessionize(df, gap_seconds=1800, order_tiebreak="event_id").collect()
+    sess = {r["event_id"]: r["session_id"] for r in out}
+    assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2 and sess[4] == 1
+
+
+def test_moving_average_rows_frame(spark):
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0, 0), 10.0),
+        (2, 1, dt.datetime(2024, 1, 1, 10, 1, 0), 20.0),
+        (3, 1, dt.datetime(2024, 1, 1, 10, 2, 0), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sensor_id long, ts timestamp, value double")
+    out = moving_average(df, n_preceding=1, order_tiebreak="event_id").collect()
+    ma = {r["event_id"]: r["value_ma"] for r in out}
+    assert ma[1] == 10.0 and ma[2] == 15.0 and ma[3] == 25.0

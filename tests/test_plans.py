@@ -1,0 +1,86 @@
+"""Plan-shape tests: the physical plans the 100 TB design depends on.
+
+These assert optimizer behavior, not results — predicate pushdown reaching
+the parquet scan, column pruning, broadcast of dimension sides, and
+whole-stage codegen coverage. A regression here is a scale regression even
+when every value is still correct (SURVEY.md §4).
+"""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q1_pricing_summary(spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # 7 needed columns only — no orderkey/partkey/suppkey in the scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_shipdate" in scan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q5_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan  # dims (region/nation/customer) broadcast
+
+
+def test_buffer_agg_broadcasts_sensor_side(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.sensors_buffer_agg(spark, SF))
+    # The distance-predicate join must broadcast one side (the sensor dim),
+    # never shuffle the big layer into a cartesian.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_events_interval_agg_single_aggregation_pass(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.events_interval_agg(spark, SF))
+    # Conditional aggregation: exactly one partial+final HashAggregate pair
+    # over events (no per-interval scans).
+    n_scans = sum(
+        1 for l in plan.splitlines() if "FileScan parquet" in l and "events" in l
+    )
+    assert n_scans == 1
+
+
+def test_whole_stage_codegen_active(spark):
+    import __spark_entry__ as e
+
+    df = e.q1_pricing_summary(spark, SF)
+    df.collect()  # finalize this DataFrame's adaptive plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen stages:
+    # scan+filter+partial-agg and the final agg must both be code-generated.
+    assert "*(1) HashAggregate" in plan or "*(1) " in plan
+    assert "*(2) HashAggregate" in plan
+
+
+def test_bbox_filter_yields_literal_range_predicates(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.sensors_bbox_filter(spark, SF))
+    # Literal bounds must appear as filters (partition-prunable at scale).
+    assert "Filter" in plan and "0.05" in plan and "0.15" in plan
