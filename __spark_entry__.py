@@ -8,8 +8,11 @@ tables with IEEE-exact arithmetic (int %, *, +, floor, sqrt) so Spark and
 DuckDB produce bit-identical inputs; all float outputs are rounded so
 order-insensitive value hashes match.
 
-Non-SQL-expressible ops (kriging, MinHash-LSH, SimHash, ANN-LSH, multimodal)
-have no oracle entry → driver records the weaker rows-only check.
+Non-SQL-expressible ops (kriging, Spark-ML MinHash, multimodal decode,
+streaming) have no oracle entry → driver records the weaker rows-only check.
+Everything else — including MinHash banding, SimHash, and hyperplane-LSH ANN —
+uses deterministic portable arithmetic (polynomial hashes, seeded literal
+hyperplanes) precisely so it CAN be oracle-checked.
 """
 
 from __future__ import annotations
@@ -64,6 +67,19 @@ IDW_EXTENT = (0.0007, 0.3207, 0.0007, 0.3207)
 IDW_STEP = 0.02  # 16 × 16 grid, offset avoids exact sensor hits
 DATE_RANGE = ("2024-01-05", "2024-01-20")
 INTERVALS = (("09:00:00", "17:00:00"), ("22:00:00", "05:00:00"))
+SWEEP_SIZES = (0.002, 0.004, 0.008)  # P9 parameter-sweep buffer sizes
+MINHASH_HASHES = 16
+MINHASH_BAND_ROWS = 2
+MINHASH_THRESHOLD = 0.5
+MINHASH_SEED = 42
+SIMHASH_BITS = 31
+ANN_PLANES = 8
+ANN_DIM = 64
+ANN_SEED = 42
+# The synthetic embeddings are near-orthogonal (max in-bucket cosine ≈ 0.45),
+# so a production-style 0.9 threshold would be vacuous; 0.25 keeps the
+# operator's full pipeline (bucket join + threshold filter) observable.
+NEARDUP_COS = 0.25
 
 
 _VIEWS_READY: set[tuple[int, str]] = set()
@@ -391,6 +407,71 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native MinHash + LSH banding near-dup pairs: deterministic universal
+    hash family over portable polynomial shingle hashes — fully arithmetic,
+    so the DuckDB oracle reproduces it bit-for-bit."""
+    from sensordatapipelines_spark.operators.dedup import minhash_pairs
+
+    _register_views(spark, sf_dir)
+    return minhash_pairs(
+        spark.table("documents"),
+        num_hashes=MINHASH_HASHES,
+        band_rows=MINHASH_BAND_ROWS,
+        threshold=MINHASH_THRESHOLD,
+        seed=MINHASH_SEED,
+    )
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints in portable mode (31-bit polynomial token hash,
+    bitwise majority) — exact arithmetic oracle in DuckDB."""
+    from sensordatapipelines_spark.operators.dedup import simhash
+
+    _register_views(spark, sf_dir)
+    return simhash(spark.table("documents"), hash_mode="poly", bits=31)
+
+
+def sensors_buffer_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 parameter sweep (``process_generator``, reference ``:131-146``):
+    the buffer-aggregation pipeline re-run per buffer size via
+    ``Pipeline.process_generator`` (set_kwarg + re-run), results unioned with
+    the swept value as a column — the Spark-native form of the reference's
+    per-value output files."""
+    from sensordatapipelines_spark import Pipeline
+    from sensordatapipelines_spark.operators.spatial import buffer_aggregate
+
+    _register_views(spark, sf_dir)
+    pipe = Pipeline("buffer_sweep")
+    pipe.add_operation(
+        "buffer",
+        buffer_aggregate,
+        layer=_zones(spark),
+        columns=["acctbal"],
+        buffer_size=SWEEP_SIZES[0],
+        funcs=("mean", "max"),
+        source_name="zones",
+        layer_radius="radius",
+        bbox_prefilter=False,  # sweep reruns share one plan; skip the bounds job
+    )
+    runs = pipe.process_generator(
+        _sensors(spark), "buffer", "buffer_size", list(SWEEP_SIZES)
+    )
+    parts = [
+        out.select(
+            "sensor_id",
+            F.lit(float(size)).alias("buffer_size"),
+            F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
+            F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+        )
+        for size, out in runs.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (exact baseline)."""
     from sensordatapipelines_spark.operators.similarity import cosine_topk
@@ -398,6 +479,39 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: seeded random-hyperplane LSH buckets + in-bucket exact re-rank.
+    The hyperplanes are deterministic (seeded PRNG, embedded as literals in
+    both engines), so even this 'approximate' path has an exact oracle."""
+    from sensordatapipelines_spark.operators.similarity import ann_lsh_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=KNN_K,
+        n_planes=ANN_PLANES,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+    )
+
+
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join + exact
+    cosine threshold within buckets (charter dedup variant)."""
+    from sensordatapipelines_spark.operators.similarity import embedding_neardup
+
+    _register_views(spark, sf_dir)
+    return embedding_neardup(
+        spark.table("embeddings"),
+        threshold=NEARDUP_COS,
+        n_planes=ANN_PLANES,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+    )
 
 
 def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,29 +771,14 @@ def sensors_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
 
 
-def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (seeded, Spark-ML banding)."""
+def docs_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH via Spark ML (HashingTF + MinHashLSH approxSimilarityJoin)
+    — the library-backed twin of the native ``docs_minhash_pairs``. Rows-only:
+    Spark ML's hash family is not reproducible in DuckDB."""
     from sensordatapipelines_spark.operators.dedup import minhash_dedup_pairs
 
     _register_views(spark, sf_dir)
     return minhash_dedup_pairs(spark.table("documents"), jaccard_threshold=0.3)
-
-
-def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (xxhash64 tokens, bitwise majority)."""
-    from sensordatapipelines_spark.operators.dedup import simhash
-
-    _register_views(spark, sf_dir)
-    return simhash(spark.table("documents"))
-
-
-def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: random-hyperplane LSH buckets + in-bucket exact re-rank."""
-    from sensordatapipelines_spark.operators.similarity import ann_lsh_topk
-
-    _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,7 +824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": docs_lang_id,
         "docs_fingerprint": docs_fingerprint,
         "docs_jaccard_pairs": docs_jaccard_pairs,
+        "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_simhash": docs_simhash,
+        "sensors_buffer_sweep": sensors_buffer_sweep,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_ann_lsh": emb_ann_lsh,
+        "emb_neardup": emb_neardup,
         "events_percentiles": events_percentiles,
         "lineitem_rollup": lineitem_rollup,
         "events_union_dedup": events_union_dedup,
@@ -741,9 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": events_distinct_users,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
-        "docs_minhash_pairs": docs_minhash_pairs,
-        "docs_simhash": docs_simhash,
-        "emb_ann_lsh": emb_ann_lsh,
+        "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
         "events_stream_interval": events_stream_interval,
     }
@@ -760,6 +862,192 @@ toks AS (
     SELECT doc_id, {_TOKS} AS t, text FROM documents
 )
 """
+
+_POLY_SQL = (
+    "list_reduce(list_transform(string_split({s}, ''),"
+    " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+)
+
+
+def _minhash_oracle() -> str:
+    """DuckDB mirror of the native MinHash+banding pipeline: same polynomial
+    shingle hash, same (a_i, b_i) literals, same band layout."""
+    from sensordatapipelines_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(MINHASH_HASHES, MINHASH_SEED)
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(h0, h -> ({a} * h + {b}) % 2147483647)) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, sig{j * MINHASH_BAND_ROWS} AS v0,"
+        f" sig{j * MINHASH_BAND_ROWS + 1} AS v1 FROM sig"
+        for j in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_HASHES)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+            FROM toks
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(shingles, s -> {_POLY_SQL.format(s="s")}) AS h0
+            FROM sh WHERE len(shingles) > 0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {sig_exprs}
+            FROM hs
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(({agree}) / {MINHASH_HASHES}.0, 6) AS minhash_jaccard
+        FROM cand
+        JOIN sig a ON a.doc_id = id_a
+        JOIN sig b ON b.doc_id = id_b
+        WHERE ({agree}) / {MINHASH_HASHES}.0 >= {MINHASH_THRESHOLD}
+    """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of portable SimHash: polynomial token hash, per-bit ±1
+    majority, 31-bit fingerprint reassembly."""
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        h AS (
+            SELECT doc_id, {_POLY_SQL.format(s="t")} AS hv FROM toks
+        ),
+        bitsums AS (
+            SELECT doc_id,
+                   {sums}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums
+    """
+
+
+def _buffer_agg_sql(buffer_size: float) -> str:
+    return f"""
+        SELECT s.sensor_id, CAST({buffer_size} AS DOUBLE) AS buffer_size,
+               st.mean_zones_acctbal, st.max_zones_acctbal
+        FROM sensors s LEFT JOIN (
+            SELECT sensor_id,
+                   ROUND(AVG(COALESCE(acctbal, 0)), 6) AS mean_zones_acctbal,
+                   ROUND(MAX(COALESCE(acctbal, 0)), 6) AS max_zones_acctbal
+            FROM (
+                SELECT s2.sensor_id, z.acctbal
+                FROM sensors s2 JOIN zones z
+                  ON SQRT((s2.lon - z.lon) * (s2.lon - z.lon)
+                        + (s2.lat - z.lat) * (s2.lat - z.lat)) <= {buffer_size} + z.radius
+            ) GROUP BY sensor_id
+        ) st USING (sensor_id)
+    """
+
+
+def _buffer_sweep_oracle() -> str:
+    parts = "\n        UNION ALL ".join(_buffer_agg_sql(s) for s in SWEEP_SIZES)
+    return f"""
+        WITH sensors AS ({SENSORS_SQL}), zones AS ({ZONES_SQL})
+        {parts}
+    """
+
+
+def _planes_sql() -> list[str]:
+    """The ANN hyperplanes as DuckDB list literals — same seeded PRNG draw as
+    the Spark side, so both engines bucket identically."""
+    from sensordatapipelines_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(ANN_DIM, ANN_PLANES, ANN_SEED)
+    return ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+
+def _lsh_sig_sql(vec: str) -> str:
+    terms = []
+    for i, plane in enumerate(_planes_sql()):
+        dot = (
+            f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+            f" j -> CAST({vec}[j] AS DOUBLE) * ({plane})[j]), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_COS_SQL = """
+    list_reduce(list_transform(range(1, 65),
+        i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y)
+    / (SQRT(list_reduce(list_transform(range(1, 65),
+        i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y))
+     * SQRT(list_reduce(list_transform(range(1, 65),
+        i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y)))
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   {_COS_SQL.format(a="q", b="c")} AS sim
+            FROM sig q JOIN sig c ON q.sig = c.sig
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+def _emb_neardup_oracle() -> str:
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SQL.format(a="a", b="b")}, 6) AS cos_sim
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL.format(a="a", b="b")}, 6) >= {NEARDUP_COS}
+    """
+
 
 _INTERVAL_CASES = {
     "mean_value_090000_170000": "AVG(CASE WHEN tod >= 32400 AND tod <= 61200 THEN value END)",
@@ -1207,4 +1495,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.doc_id, q.quality, l.lang_pred
         FROM q JOIN l ON q.doc_id = l.doc_id
     """
+    oracles["docs_minhash_pairs"] = _minhash_oracle()
+    oracles["docs_simhash"] = _simhash_oracle()
+    oracles["sensors_buffer_sweep"] = _buffer_sweep_oracle()
+    oracles["emb_ann_lsh"] = _ann_lsh_oracle()
+    oracles["emb_neardup"] = _emb_neardup_oracle()
     return oracles

@@ -31,6 +31,21 @@ def main() -> int:
     spark = get_spark(app_name="sensordatapipelines-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warm-up: pay the one-off JVM, parquet-footer and whole-stage
+    # codegen compilation costs before the clock starts, so the first query's
+    # number measures the query, not session bring-up.
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as exc:
+        print(f"bench warmup skipped: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -9,12 +9,13 @@ n-grams) are droppable via document-frequency caps.
 
 from __future__ import annotations
 
+import random
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sensordatapipelines_spark.operators.text import tokens_expr
+from sensordatapipelines_spark.operators.text import POLY_MOD, poly_hash_expr, tokens_expr
 from sensordatapipelines_spark.registry import register
 
 
@@ -162,6 +163,133 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients ``h_i(x) = (a_i·x + b_i) mod
+    2^31-1``, drawn from a seeded PRNG. Computed driver-side and embedded as
+    literals in both the Spark plan and the DuckDB oracle SQL, so the two
+    engines evaluate the *same* hash family."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, POLY_MOD), rng.randrange(0, POLY_MOD))
+        for _ in range(num_hashes)
+    ]
+
+
+@register("minhash_signature")
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Native MinHash signature → ``(id, sig0..sig{H-1})``.
+
+    Spark-first alternative to the ML pipeline (``minhash_dedup_pairs``): the
+    base hash of each shingle is the portable polynomial hash, and each
+    signature component is ``min over shingles of (a_i·h + b_i) mod p`` —
+    one ``transform`` + ``array_min`` per component, all inside whole-stage
+    codegen, no ML fit job and no Python. Docs with zero shingles (< n
+    tokens) are dropped, matching MinHash's undefined-on-empty-set semantics.
+    """
+    shingled = df.select(
+        F.col(id_col).alias(id_col),
+        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    hashed = shingled.withColumn(
+        "__h0", F.transform(F.col("__sh"), lambda s: poly_hash_expr(s))
+    )
+    def _sig(i: int, a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("__h0"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_MOD))
+        ).alias(f"sig{i}")
+
+    sigs = [_sig(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))]
+    return hashed.select(id_col, *sigs)
+
+
+@register("minhash_pairs")
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Native MinHash + LSH-banding near-dup pairs →
+    ``(id_a, id_b, minhash_jaccard)``.
+
+    Candidate generation: the signature is cut into ``num_hashes/band_rows``
+    bands; two docs are candidates iff they agree on *every* component of
+    some band — an **equi-join on (band, component values)**, so the shuffle
+    keys by band-bucket and the cross product never materializes (the same
+    scale property the reference's per-row loops lack; at 100 TB the banded
+    self-join is the only quadratic-risk step and it is bounded by bucket
+    size). The reported score is the signature-agreement estimate
+    ``|{i: sig_a_i = sig_b_i}| / num_hashes``.
+    """
+    if num_hashes % band_rows != 0:
+        raise ValueError("num_hashes must be divisible by band_rows")
+    n_bands = num_hashes // band_rows
+    sig = minhash_signature(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
+    ).cache()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"sig{j * band_rows + r}").alias(f"v{r}")
+                            for r in range(band_rows)
+                        ],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "bv.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for r in range(band_rows):
+        cond = cond & (F.col(f"a.v{r}") == F.col(f"b.v{r}"))
+    cand = (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sig{i}").alias(f"__a{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sig{i}").alias(f"__b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("minhash_jaccard", F.round(agree.cast("double") / num_hashes, 6))
+        .filter(F.col("minhash_jaccard") >= threshold)
+        .select("id_a", "id_b", "minhash_jaccard")
+    )
+
+
 @register("simhash")
 def simhash(
     df: DataFrame,
@@ -169,16 +297,27 @@ def simhash(
     text_col: str = "text",
     bits: int = 64,
     out_col: str = "simhash",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash fingerprint per document (64-bit, from xxhash64 of tokens).
+    """SimHash fingerprint per document (default 64-bit, from xxhash64 of
+    tokens).
 
     Fully JVM-side: explode tokens → per-bit ±1 contributions aggregated with
     conditional sums → sign vector reassembled into one BIGINT. Near-dup
-    candidates come from banding the fingerprint (see ``simhash_buckets``)."""
+    candidates come from banding the fingerprint (see ``simhash_buckets``).
+
+    ``hash_mode='poly'`` swaps the token hash for the portable polynomial
+    hash (31 usable bits, so ``bits`` is capped at 31) — bit-for-bit
+    reproducible in any SQL engine, which is what the DuckDB oracle checks.
+    """
+    if hash_mode == "poly":
+        bits = min(bits, 31)
+    elif hash_mode != "xxhash64":
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     toks = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens_expr(F.col(text_col))).alias("__t")
     )
-    h = F.xxhash64(F.col("__t"))
+    h = poly_hash_expr(F.col("__t")) if hash_mode == "poly" else F.xxhash64(F.col("__t"))
     bit_sums = toks.groupBy("__id").agg(
         *[
             F.sum(
@@ -187,10 +326,11 @@ def simhash(
             for b in range(bits)
         ]
     )
+    usable = bits - 1 if bits >= 64 else bits  # top bit 0 at 64 for signed range
     fp = sum(
         (
             F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(bits - 1)  # top bit left 0 to stay in signed range
+            for b in range(usable)
         ),
         start=F.lit(0).cast("long"),
     )

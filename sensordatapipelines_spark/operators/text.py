@@ -128,18 +128,25 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return out.drop(*[f"__sc_{lang}" for lang in LANG_MARKERS])
 
 
-@register("fingerprint")
-def fingerprint(
-    df: DataFrame, text_col: str = "text", out_col: str = "fp", mod: int = 2147483647
-) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint:
-    ``h = Σ h*31 + codepoint (mod 2^31-1)`` folded left over the characters.
-    Pure ``aggregate`` over ``split('')`` — JVM-side, portable (DuckDB:
-    ``list_reduce``), and stable across engines (all int64 arithmetic)."""
-    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
-    h = F.aggregate(
+POLY_MOD = 2147483647  # 2^31 - 1
+
+
+def poly_hash_expr(text: Column, mod: int = POLY_MOD) -> Column:
+    """Polynomial rolling hash ``h = fold(h*31 + codepoint) mod 2^31-1`` over
+    the characters of ``text``. Pure ``aggregate`` over ``split('')`` —
+    JVM-side, engine-portable (DuckDB: ``list_reduce``), and stable across
+    engines (all int64 arithmetic, no overflow: 31·(2^31) + 127 < 2^63)."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    return F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + F.ascii(c).cast("long")) % F.lit(mod),
     )
-    return df.withColumn(out_col, h)
+
+
+@register("fingerprint")
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fp", mod: int = POLY_MOD
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (see ``poly_hash_expr``)."""
+    return df.withColumn(out_col, poly_hash_expr(F.col(text_col), mod))

@@ -101,6 +101,30 @@ def test_minhash_finds_exact_dup(spark):
     assert (1, 4) in found
 
 
+def test_minhash_native_exact_dup_scores_one(spark):
+    from sensordatapipelines_spark.operators.dedup import minhash_pairs, minhash_signature
+
+    pairs = minhash_pairs(_docs(spark), threshold=0.5)
+    by = {(r["id_a"], r["id_b"]): r["minhash_jaccard"] for r in pairs.collect()}
+    assert by[(1, 4)] == 1.0          # exact dup → all 16 components agree
+    assert (1, 3) not in by           # disjoint shingles → no shared band
+    # Deterministic: the seeded hash family gives identical signatures per run.
+    s1 = sorted(map(tuple, minhash_signature(_docs(spark)).collect()))
+    s2 = sorted(map(tuple, minhash_signature(_docs(spark)).collect()))
+    assert s1 == s2
+    # Doc 5 (empty text) has no shingles → excluded from signatures.
+    assert {t[0] for t in s1} == {1, 2, 3, 4}
+
+
+def test_simhash_poly_mode_portable_range(spark):
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(_docs(spark), hash_mode="poly", bits=31).collect()
+    }
+    assert fp[1] == fp[4]             # identical docs → identical fingerprints
+    assert all(0 <= v < 2**31 for v in fp.values())
+
+
 def test_simhash_identical_docs_equal_and_bucket_join(spark):
     fp = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
     assert fp[1] == fp[4]
