@@ -407,6 +407,52 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zones_intersect_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 ``geometries_interesect`` (reference ``:591-600``): layer rows
+    within a radius of one point, numeric nulls zero-filled."""
+    from sensordatapipelines_spark.operators.spatial import intersect_filter
+
+    _register_views(spark, sf_dir)
+    out = intersect_filter(_zones(spark), lon=0.1, lat=0.004, radius=0.05)
+    return out.select(
+        "zone_id",
+        "lon",
+        "lat",
+        F.round("radius", 6).alias("radius"),
+        F.round("acctbal", 2).alias("acctbal"),
+    )
+
+
+def events_dir_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 ``open_dir_of_data`` (reference ``:429-442``): union a directory of
+    per-sensor JSON files with file-stem → sensor-id tagging via
+    ``input_file_name()`` + broadcast mapping join (the distributed
+    replacement for the reference's buggy positional tagging), then aggregate
+    per tagged id. The staging step itself exercises the JSON sink."""
+    import glob
+    import shutil
+    import tempfile
+
+    from sensordatapipelines_spark.sources.readers import open_dir_of_data
+
+    _register_views(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    stage = tempfile.mkdtemp(prefix="dir_union_")
+    ev = spark.table("events").select("event_id", "user_id", "event_type")
+    for t in types:
+        sub = f"{stage}/__{t}"
+        ev.filter(F.col("event_type") == t).select("event_id", "user_id").coalesce(
+            1
+        ).write.mode("overwrite").json(sub)
+        part = glob.glob(f"{sub}/part-*.json")[0]
+        shutil.move(part, f"{stage}/{t}.json")
+    mapping = {t: i + 1 for i, t in enumerate(types)}
+    df = open_dir_of_data(spark, stage, sensor_ids=mapping)
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_user")
+    )
+
+
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native MinHash + LSH banding near-dup pairs: deterministic universal
     hash family over portable polynomial shingle hashes — fully arithmetic,
@@ -755,6 +801,78 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    gap-based sessionization with per-sensor state. Staged as ONE file so the
+    availableNow run is a single micro-batch, making the output identical to
+    batch sessionization — which is exactly what the oracle asserts."""
+    import tempfile
+
+    from sensordatapipelines_spark.streaming import (
+        read_events_stream,
+        stream_sessionize,
+    )
+
+    _register_views(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    spark.table("events").select("user_id", "ts", "event_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_events_stream(spark, stage, max_files_per_trigger=1_000_000)
+    out = stream_sessionize(stream, gap_seconds=1800)
+    qname = "stream_sessionize_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: sliding event-time windows (6h window, 3h slide)
+    with watermark — each event lands in two windows. Rows-only check:
+    trigger/watermark semantics are not SQL-expressible."""
+    import tempfile
+
+    from sensordatapipelines_spark.streaming import (
+        read_events_stream,
+        stream_windowed_aggregate,
+    )
+
+    _register_views(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="stream_sliding_")
+    spark.table("events").write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage)
+    out = stream_windowed_aggregate(
+        stream,
+        window_duration="6 hours",
+        slide_duration="3 hours",
+        watermark="1 hour",
+        funcs=("mean", "max", "count"),
+    )
+    qname = "stream_sliding_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(qname)
+    return res.select(
+        F.col("window_start"),
+        F.col("user_id").alias("sensor_id"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.col("count_value").alias("n"),
+    )
+
+
 def sensors_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3: ordinary kriging (driver-fit variogram + mapInPandas predict)."""
     from sensordatapipelines_spark.operators.interpolate import ordinary_kriging
@@ -827,6 +945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
+        "zones_intersect_point": zones_intersect_point,
+        "events_dir_union": events_dir_union,
+        "events_stream_sessionize": events_stream_sessionize,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_neardup": emb_neardup,
@@ -848,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
         "events_stream_interval": events_stream_interval,
+        "events_stream_sliding": events_stream_sliding,
     }
 
 
@@ -1500,4 +1622,22 @@ def oracle_sql() -> dict[str, str]:
     oracles["sensors_buffer_sweep"] = _buffer_sweep_oracle()
     oracles["emb_ann_lsh"] = _ann_lsh_oracle()
     oracles["emb_neardup"] = _emb_neardup_oracle()
+    oracles["zones_intersect_point"] = f"""
+        WITH zones AS ({ZONES_SQL})
+        SELECT zone_id, lon, lat, ROUND(radius, 6) AS radius,
+               ROUND(COALESCE(acctbal, 0), 2) AS acctbal
+        FROM zones
+        WHERE SQRT((lon - 0.1) * (lon - 0.1) + (lat - 0.004) * (lat - 0.004)) <= 0.05
+    """
+    _type_case = " ".join(
+        f"WHEN '{t}' THEN {i + 1}"
+        for i, t in enumerate(["click", "error", "purchase", "signup", "view"])
+    )
+    oracles["events_dir_union"] = f"""
+        SELECT CASE event_type {_type_case} END AS sensor_id,
+               COUNT(*) AS n, SUM(user_id) AS sum_user
+        FROM events GROUP BY sensor_id
+    """
+    # Single-micro-batch streaming sessionization ≡ batch sessionization.
+    oracles["events_stream_sessionize"] = oracles["events_sessionize"]
     return oracles

@@ -3,3 +3,6 @@ from sensordatapipelines_spark.streaming.interval_agg import (  # noqa: F401
     stream_interval_aggregate,
     stream_windowed_aggregate,
 )
+from sensordatapipelines_spark.streaming.stateful import (  # noqa: F401
+    stream_sessionize,
+)

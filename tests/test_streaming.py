@@ -54,6 +54,51 @@ def test_stream_interval_agg_matches_batch(spark, tmp_path):
         assert got[uid]["max_value_220000_050000"] == batch[uid]["max_value_220000_050000"]
 
 
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from sensordatapipelines_spark.operators.temporal import sessionize
+    from sensordatapipelines_spark.streaming import stream_sessionize
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 101),
+        (1, dt.datetime(2024, 1, 1, 10, 10, 0), 102),   # same session (gap 10m)
+        (1, dt.datetime(2024, 1, 1, 12, 0, 0), 103),    # new session (gap > 30m)
+        (2, dt.datetime(2024, 1, 1, 9, 0, 0), 201),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    path = str(tmp_path / "sess_events")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    out = stream_sessionize(read_events_stream(spark, path), gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["session_start_epoch"], r["session_end_epoch"]
+        )
+        for r in spark.sql("select * from t_sess").collect()
+    }
+    batch = (
+        sessionize(df, ts_col="ts", sensor_col="user_id", gap_seconds=1800,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_timestamp(F.min("ts")).alias("s"),
+            F.unix_timestamp(F.max("ts")).alias("e"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_id"]): (r["n"], r["s"], r["e"])
+        for r in batch.collect()
+    }
+    assert got == expected
+
+
 def test_stream_windowed_agg_runs(spark, tmp_path):
     path = str(tmp_path / "events2")
     _write_events(spark, path)
