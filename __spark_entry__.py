@@ -76,6 +76,7 @@ SIMHASH_BITS = 31
 ANN_PLANES = 8
 ANN_DIM = 64
 ANN_SEED = 42
+IVF_CELLS = 8
 # The synthetic embeddings are near-orthogonal (max in-bucket cosine ≈ 0.45),
 # so a production-style 0.9 threshold would be vacuous; 0.25 keeps the
 # operator's full pipeline (bucket join + threshold filter) observable.
@@ -545,6 +546,35 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, IVF flavor: seeded-centroid coarse quantization (nprobe=1) +
+    exact cosine re-rank within the cell. Deterministic centroids → exact
+    oracle, like the LSH variant."""
+    from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+    )
+
+
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens with the
+    word/number/symbol class breakdown (charter text-analysis op)."""
+    from sensordatapipelines_spark.operators.text import token_counts
+
+    _register_views(spark, sf_dir)
+    return token_counts(spark.table("documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "n_words", "n_numbers", "n_symbols"
+    )
+
+
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join + exact
     cosine threshold within buckets (charter dedup variant)."""
@@ -911,6 +941,21 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media)
 
 
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row-explosion plumbing: per-media sampled frame rows via
+    mapInPandas (stubbed extraction kernel, real batch/partition shape)."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        attach_fake_media,
+        frame_sample,
+    )
+
+    _register_views(spark, sf_dir)
+    media = attach_fake_media(
+        spark.table("documents").select("doc_id"), "doc_id", kind="video"
+    )
+    return frame_sample(media, every_n=25)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -950,7 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": events_stream_sessionize,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_ivf": emb_ann_ivf,
         "emb_neardup": emb_neardup,
+        "docs_token_count": docs_token_count,
         "events_percentiles": events_percentiles,
         "lineitem_rollup": lineitem_rollup,
         "events_union_dedup": events_union_dedup,
@@ -968,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_kriging": sensors_kriging,
         "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
+        "media_frame_sample": media_frame_sample,
         "events_stream_interval": events_stream_interval,
         "events_stream_sliding": events_stream_sliding,
     }
@@ -1155,6 +1203,70 @@ def _ann_lsh_oracle() -> str:
         )
         SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+def _ivf_oracle() -> str:
+    """DuckDB mirror of IVF ANN: the same seeded centroid literals, same
+    left-fold squared-distance arithmetic, ``list_position(min)`` cell
+    assignment (1-based first-minimum, matching Spark ``array_position``)."""
+    from sensordatapipelines_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(ANN_DIM, IVF_CELLS, ANN_SEED)
+    lits = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    dists = ",\n                ".join(
+        f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        f" j -> (CAST(embedding[j] AS DOUBLE) - ({lit})[j])"
+        f" * (CAST(embedding[j] AS DOUBLE) - ({lit})[j])), (x, y) -> x + y)"
+        for lit in lits
+    )
+    return f"""
+        WITH dl AS (
+            SELECT vec_id, embedding,
+               [{dists}] AS dists
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, embedding,
+                   list_position(dists, list_min(dists)) AS cell
+            FROM dl
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   {_COS_SQL.format(a="q", b="c")} AS sim
+            FROM cells q JOIN cells c ON q.cell = c.cell
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+_BPE_SQL_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _token_count_oracle() -> str:
+    ext = f"regexp_extract_all(text, '{_BPE_SQL_PATTERN}')"
+    return f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens_ws,
+                   len({ext}) AS n_tokens_bpe,
+                   len(list_filter({ext},
+                       x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_words,
+                   len(list_filter({ext},
+                       x -> regexp_matches(x, '^[0-9]+$'))) AS n_numbers
+            FROM documents
+        )
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_words, n_numbers,
+               n_tokens_bpe - n_words - n_numbers AS n_symbols
+        FROM feats
     """
 
 
@@ -1621,7 +1733,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_simhash"] = _simhash_oracle()
     oracles["sensors_buffer_sweep"] = _buffer_sweep_oracle()
     oracles["emb_ann_lsh"] = _ann_lsh_oracle()
+    oracles["emb_ann_ivf"] = _ivf_oracle()
     oracles["emb_neardup"] = _emb_neardup_oracle()
+    oracles["docs_token_count"] = _token_count_oracle()
     oracles["zones_intersect_point"] = f"""
         WITH zones AS ({ZONES_SQL})
         SELECT zone_id, lon, lat, ROUND(radius, 6) AS radius,

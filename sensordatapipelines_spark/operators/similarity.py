@@ -131,6 +131,72 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed + 1)  # distinct stream from hyperplanes
+    return rng.standard_normal((n_cells, dim)).tolist()
+
+
+def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantization: index (1-based) of the nearest centroid,
+    first-minimum tiebreak — pure array arithmetic, identical fold order in
+    any engine, so cell assignment is deterministic and oracle-able."""
+    dists = []
+    for c in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        diff2 = F.zip_with(
+            vec, c_lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        dists.append(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+    darr = F.array(*dists)
+    return F.array_position(darr, F.array_min(darr))
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN, IVF flavor: coarse-quantize every vector to its
+    nearest of ``n_cells`` seeded centroids, then exact cosine re-rank within
+    the query's cell (nprobe=1) → ``(query_id, vec_id, cos_sim, rank)``.
+
+    The scale path twin of ``ann_lsh_topk``: candidate generation is an
+    equi-join on the cell id, so the corpus shuffles by cell and the cross
+    product never materializes. Recall tunes via ``n_cells`` (and nprobe>1 by
+    unioning neighboring-cell joins)."""
+    cents = _ivf_centroids(dim, n_cells, seed)
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
+    )
+    pairs = F.broadcast(q).join(c, on="__cell").filter(F.col("__qid") != F.col("__cid"))
+    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 @register("embedding_neardup")
 def embedding_neardup(
     df: DataFrame,

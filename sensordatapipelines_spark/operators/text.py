@@ -130,6 +130,41 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 
 POLY_MOD = 2147483647  # 2^31 - 1
 
+# BPE-ish pre-tokenization pattern: alpha runs, digit runs, single
+# non-alnum-non-space symbols — the coarse shape of GPT-2-style pre-split,
+# restricted to constructs whose semantics are identical in Java regex
+# (Spark) and RE2 (DuckDB) so token counts oracle-match exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_expr(text: Column) -> Column:
+    """Regex pre-tokenization (charter: 'token counting — whitespace + a
+    BPE-ish regex'). JVM-side ``regexp_extract_all``."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+@register("token_counts")
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting both ways: whitespace tokens and BPE-ish regex tokens,
+    plus the regex-token class breakdown (words / numbers / symbols)."""
+    t = F.col(text_col)
+    bpe = bpe_tokens_expr(t)
+    return df.withColumns(
+        {
+            "n_tokens_ws": token_count_expr(t).cast("long"),
+            "n_tokens_bpe": F.size(bpe).cast("long"),
+            "n_words": F.size(
+                F.filter(bpe, lambda x: x.rlike("^[A-Za-z]+$"))
+            ).cast("long"),
+            "n_numbers": F.size(
+                F.filter(bpe, lambda x: x.rlike("^[0-9]+$"))
+            ).cast("long"),
+        }
+    ).withColumn(
+        "n_symbols",
+        (F.col("n_tokens_bpe") - F.col("n_words") - F.col("n_numbers")).cast("long"),
+    )
+
 
 def poly_hash_expr(text: Column, mod: int = POLY_MOD) -> Column:
     """Polynomial rolling hash ``h = fold(h*31 + codepoint) mod 2^31-1`` over

@@ -71,6 +71,40 @@ def test_fingerprint_known_value_and_stability(spark):
     assert rows[1] != rows[3]
 
 
+def test_token_counts_bpe_classes(spark):
+    from sensordatapipelines_spark.operators.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "hello world 42 foo-bar!"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_counts(docs, "text").collect()}
+    r = rows[1]
+    # BPE-ish split: hello|world|42|foo|-|bar|!  → 7 tokens
+    assert r["n_tokens_ws"] == 4
+    assert r["n_tokens_bpe"] == 7
+    assert r["n_words"] == 4          # hello world foo bar
+    assert r["n_numbers"] == 1        # 42
+    assert r["n_symbols"] == 2        # - !
+    assert rows[2]["n_tokens_bpe"] == 0 and rows[2]["n_tokens_ws"] == 0
+
+
+def test_ann_ivf_deterministic_and_bucketed(spark):
+    from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ann_ivf_topk(df, df.filter("vec_id < 2"), k=3, n_cells=2, dim=8, seed=1)
+    rows = out.collect()
+    assert all(r["rank"] <= 3 for r in rows)
+    # deterministic across runs
+    rows2 = ann_ivf_topk(df, df.filter("vec_id < 2"), k=3, n_cells=2, dim=8, seed=1).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
 def test_exact_dedup_keep_min_id(spark):
     out = exact_dedup(_docs(spark), ["text"], "doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 5]
