@@ -143,6 +143,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg — the
+    predicate-pushdown/codegen benchmark (no shuffle beyond the final
+    single-row reduce)."""
+    _register_views(spark, sf_dir)
+    l = spark.table("lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
     _register_views(spark, sf_dir)
@@ -439,14 +461,17 @@ def events_dir_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     stage = tempfile.mkdtemp(prefix="dir_union_")
-    ev = spark.table("events").select("event_id", "user_id", "event_type")
+    # One partitioned write (single job), then flatten each partition's part
+    # file to <type>.json — the per-sensor-file layout the reference ingests.
+    spark.table("events").select("event_id", "user_id", "event_type").repartition(
+        "event_type"
+    ).write.partitionBy("event_type").mode("overwrite").json(f"{stage}/__parts")
     for t in types:
-        sub = f"{stage}/__{t}"
-        ev.filter(F.col("event_type") == t).select("event_id", "user_id").coalesce(
-            1
-        ).write.mode("overwrite").json(sub)
-        part = glob.glob(f"{sub}/part-*.json")[0]
-        shutil.move(part, f"{stage}/{t}.json")
+        parts = sorted(glob.glob(f"{stage}/__parts/event_type={t}/part-*.json"))
+        with open(f"{stage}/{t}.json", "wb") as dst:
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, dst)
     mapping = {t: i + 1 for i, t in enumerate(types)}
     df = open_dir_of_data(spark, stage, sensor_ids=mapping)
     return df.groupBy("sensor_id").agg(
@@ -970,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q5_nation_revenue": q5_nation_revenue,
         "orders_topk_per_customer": orders_topk_per_customer,
         "events_interval_agg": events_interval_agg,
@@ -1309,6 +1335,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
         """,
         "q3_top_orders": """
             SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

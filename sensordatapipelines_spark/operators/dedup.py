@@ -84,7 +84,12 @@ def jaccard_pairs(
         F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
     ).cache()
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
-    exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
+    # Join on the 8-byte hash of the shingle, not the string: the self-join
+    # shuffles (shingle, id) pairs both ways, so key width is the dominant
+    # shuffle cost at scale (collision odds ~n²/2⁶⁴ — immaterial).
+    exploded = shingled.select(
+        "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s")
+    )
     if max_shingle_df is not None:
         freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         exploded = (

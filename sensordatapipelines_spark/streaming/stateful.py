@@ -45,42 +45,73 @@ def stream_sessionize(
     gap_ns = int(gap_seconds) * 1_000_000_000
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         (uid,) = key
         if state.exists:
             sid, start_ns, last_ns, n = state.get
         else:
             sid, start_ns, last_ns, n = 0, -1, -1, 0
-        closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, order_tiebreak])
-            ts_ns = pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
-            for t in ts_ns:
-                t = int(t)
-                if last_ns < 0:
-                    sid, start_ns, n = 1, t, 1
-                elif t - last_ns > gap_ns:
-                    closed.append(
-                        (uid, sid, n, start_ns // 10**9, last_ns // 10**9)
-                    )
-                    sid, start_ns, n = sid + 1, t, 1
-                else:
-                    n += 1
-                last_ns = t
-        state.update((sid, start_ns, last_ns, n))
-        if last_ns >= 0:
-            # The open tail session: emitted now, re-emitted (extended) if a
-            # later micro-batch appends to it — standard update-mode behavior.
-            closed.append((uid, sid, n, start_ns // 10**9, last_ns // 10**9))
-        yield pd.DataFrame(
-            closed,
-            columns=[
-                sensor_col,
-                "session_id",
-                "n_events",
-                "session_start_epoch",
-                "session_end_epoch",
-            ],
+        cols = [
+            sensor_col,
+            "session_id",
+            "n_events",
+            "session_start_epoch",
+            "session_end_epoch",
+        ]
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            if last_ns >= 0:  # re-emit the open tail unchanged
+                yield pd.DataFrame(
+                    [(uid, sid, n, start_ns // 10**9, last_ns // 10**9)], columns=cols
+                )
+            else:
+                yield pd.DataFrame([], columns=cols)
+            return
+        batch = pd.concat(parts).sort_values([ts_col, order_tiebreak])
+        t = batch[ts_col].values.astype("datetime64[ns]").astype("int64")
+        # Vectorized segmentation: a new session starts wherever the gap to
+        # the previous event exceeds gap_ns (no per-event Python loop).
+        breaks = np.flatnonzero(np.diff(t) > gap_ns)
+        seg_start = np.r_[0, breaks + 1]
+        seg_end = np.r_[breaks, len(t) - 1]
+        starts = t[seg_start]
+        ends = t[seg_end]
+        counts = (seg_end - seg_start + 1).astype("int64")
+        continues = last_ns >= 0 and int(t[0]) - last_ns <= gap_ns
+        if continues:
+            # First segment extends the open state session.
+            starts[0] = start_ns
+            counts[0] += n
+            base = sid  # first segment keeps the state session id
+        else:
+            base = sid + 1 if last_ns >= 0 else 1
+        session_ids = np.arange(base, base + len(starts), dtype="int64")
+        out = pd.DataFrame(
+            {
+                sensor_col: np.full(len(starts), uid, dtype="int64"),
+                "session_id": session_ids,
+                "n_events": counts,
+                "session_start_epoch": starts // 10**9,
+                "session_end_epoch": ends // 10**9,
+            }
         )
+        if last_ns >= 0 and not continues:
+            # The previous tail is now closed and final — re-emit it so update
+            # mode carries its final form.
+            out = pd.concat(
+                [
+                    pd.DataFrame(
+                        [(uid, sid, n, start_ns // 10**9, last_ns // 10**9)],
+                        columns=cols,
+                    ),
+                    out,
+                ]
+            )
+        state.update(
+            (int(session_ids[-1]), int(starts[-1]), int(ends[-1]), int(counts[-1]))
+        )
+        yield out
 
     return events.groupBy(sensor_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -99,6 +99,59 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_sessionize_multibatch_state_carry(spark, tmp_path):
+    """Two micro-batches: the open tail session must extend across the batch
+    boundary (state carry), and a later-gap event must open a new session."""
+    import os
+
+    from sensordatapipelines_spark.streaming import stream_sessionize
+
+    path = str(tmp_path / "sess_mb")
+    os.makedirs(path)
+    schema = "user_id long, ts timestamp, event_id long"
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0), 1),
+         (1, dt.datetime(2024, 1, 1, 10, 10, 0), 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 20, 0), 3),   # continues session 1
+         (1, dt.datetime(2024, 1, 1, 12, 0, 0), 4)], schema  # new session
+    )
+    b1.coalesce(1).write.parquet(f"{path}/f1")
+    b2.coalesce(1).write.parquet(f"{path}/f2")
+    # Force deterministic file order: f2 strictly newer than f1.
+    now = 1_700_000_000
+    for i, d in enumerate(["f1", "f2"]):
+        for f in os.listdir(f"{path}/{d}"):
+            os.utime(f"{path}/{d}/{f}", (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/f*")
+    )
+    out = stream_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sess_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_sess_mb").collect()
+    # Update mode re-emits: take the final (max n_events) row per session.
+    final = {}
+    for r in rows:
+        k = (r["user_id"], r["session_id"])
+        if k not in final or r["n_events"] > final[k]["n_events"]:
+            final[k] = r
+    assert final[(1, 1)]["n_events"] == 3                       # extended across batches
+    assert final[(1, 1)]["session_end_epoch"] == int(
+        dt.datetime(2024, 1, 1, 10, 20, 0, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert final[(1, 2)]["n_events"] == 1                       # post-gap new session
+
+
 def test_stream_windowed_agg_runs(spark, tmp_path):
     path = str(tmp_path / "events2")
     _write_events(spark, path)
