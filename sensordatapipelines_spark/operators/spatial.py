@@ -100,6 +100,31 @@ def with_circle_area(
     return df.withColumn(out_col, F.lit(math.pi) * r * r)
 
 
+@register("with_circle_bounds")
+def with_circle_bounds(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius_col: str = "radius",
+    prefix: str = "bounds",
+) -> DataFrame:
+    """U5 on-demand ``bounds`` derivation — documented INTENT of the
+    reference's unreachable branch (``col == ['bounds']`` compares a string
+    to a list, ``:214,253``, so 'bounds' can never be requested there).
+    Emits the envelope as four numeric columns
+    ``{prefix}_{minx,miny,maxx,maxy}`` so downstream multi-func aggregation
+    works per component."""
+    lon, lat, r = F.col(lon_col), F.col(lat_col), F.col(radius_col)
+    return df.withColumns(
+        {
+            f"{prefix}_minx": lon - r,
+            f"{prefix}_miny": lat - r,
+            f"{prefix}_maxx": lon + r,
+            f"{prefix}_maxy": lat + r,
+        }
+    )
+
+
 def _total_bounds(
     df: DataFrame, lon_col: str, lat_col: str
 ) -> tuple[float, float, float, float]:
@@ -135,14 +160,21 @@ def _resolve_layer_columns(
         }
         return layer, sorted(numeric)
     cols = list(columns)
+    out_cols: list[str] = []
     for c in cols:
         if c in layer.columns:
-            continue
-        if c == "area" and radius_col and radius_col in layer.columns:
+            out_cols.append(c)
+        elif c == "area" and radius_col and radius_col in layer.columns:
             layer = with_circle_area(layer, radius_col, "area")
+            out_cols.append("area")
+        elif c == "bounds" and radius_col and radius_col in layer.columns:
+            # Documented intent of the reference's unreachable 'bounds' branch
+            # (U5 bug, ``:214,253``): expand to the four envelope components.
+            layer = with_circle_bounds(layer, radius_col=radius_col)
+            out_cols += ["bounds_minx", "bounds_miny", "bounds_maxx", "bounds_maxy"]
         else:
             raise ColumnException(f"column {c!r} absent from layer and not derivable")
-    return layer, cols
+    return layer, out_cols
 
 
 @register("buffer_aggregate")

@@ -29,6 +29,27 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles the data into ``n_buckets``
+    hash buckets on ``bucket_cols`` at write time so that later equi-joins and
+    aggregations on those keys run **without an Exchange** — the pay-once
+    co-location strategy for repeatedly-joined 100 TB fact tables (asserted
+    in ``tests/test_plans.py``). Bucketing requires ``saveAsTable`` (the
+    bucket spec lives in the catalog, not the files)."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def write_geojson(
     df: DataFrame,
     path: str,

@@ -84,3 +84,36 @@ def test_bbox_filter_yields_literal_range_predicates(spark):
     plan = _plan(e.sensors_bbox_filter(spark, SF))
     # Literal bounds must appear as filters (partition-prunable at scale).
     assert "Filter" in plan and "0.05" in plan and "0.15" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed joins: two tables bucketed on the join key must
+    sort-merge-join with NO Exchange (the pay-once shuffle strategy for
+    repeatedly-joined 100 TB fact tables)."""
+    import shutil
+
+    from sensordatapipelines_spark.sources.sinks import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    try:
+        write_bucketed(a, "bkt_a", ["id"], n_buckets=8)
+        write_bucketed(b, "bkt_b", ["id"], n_buckets=8)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        # AQE can hide the no-exchange shape behind a broadcast conversion for
+        # tiny tables; disable it for the structural assertion only.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(spark.table("bkt_a").join(spark.table("bkt_b"), "id"))
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # And the join still produces the right rows.
+        assert joined.count() == 1000
+    finally:
+        for t in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

@@ -1,0 +1,152 @@
+"""Property-based tests (SURVEY.md §5.5): aggregate invariants, IDW
+exactness/boundedness, CRS round-trip identity. Hypothesis generates the
+data; examples are capped small because each example runs a Spark job."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(finite_doubles, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_agg_min_mean_max_invariant(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = df.agg(F.min("v").alias("lo"), F.avg("v").alias("mu"), F.max("v").alias("hi")).first()
+    assert r["lo"] - 1e-9 <= r["mu"] <= r["hi"] + 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda t: (round(t[0], 3), round(t[1], 3)),
+    )
+)
+@settings(**SETTINGS)
+def test_idw_bounded_by_input_range(spark, vals):
+    """IDW is a convex combination of sensor values → predictions lie within
+    [min, max] of the inputs (reference I2's documented intent — the buggy
+    loop index `i` never increments, ``:381-385``; we implement all points)."""
+    from sensordatapipelines_spark.operators.interpolate import idw
+
+    sensors = spark.createDataFrame(
+        [(i, lon, lat, v) for i, (lon, lat, v) in enumerate(vals)],
+        "sensor_id long, lon double, lat double, val double",
+    )
+    out = idw(
+        sensors, "val", power=2, lon_step=0.5, lat_step=0.5, extent=(0.05, 0.95, 0.05, 0.95)
+    ).collect()
+    lo = min(v for _, _, v in vals)
+    hi = max(v for _, _, v in vals)
+    for r in out:
+        assert lo - 1e-9 <= r["val_idw"] <= hi + 1e-9
+
+
+def test_idw_exact_at_sensor_location(spark):
+    """A grid point coinciding with a sensor returns that sensor's value
+    exactly (zero-distance guard — absent in the reference)."""
+    from sensordatapipelines_spark.operators.interpolate import idw
+
+    sensors = spark.createDataFrame(
+        [(1, 0.0, 0.0, 42.0), (2, 1.0, 1.0, 7.0)],
+        "sensor_id long, lon double, lat double, val double",
+    )
+    out = {
+        (r["gx"], r["gy"]): r["val_idw"]
+        for r in idw(
+            sensors, "val", power=2, lon_step=1.0, lat_step=1.0, extent=(0.0, 2.0, 0.0, 2.0)
+        ).collect()
+    }
+    assert out[(0.0, 0.0)] == 42.0
+    assert out[(1.0, 1.0)] == 7.0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+            st.floats(min_value=-84.0, max_value=84.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_crs_roundtrip_identity(spark, pts):
+    """4326 → 3857 → 4326 returns the original coordinates (within fp)."""
+    from sensordatapipelines_spark.operators.spatial import reproject
+
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+        "id long, lon double, lat double",
+    )
+    back = reproject(reproject(df, 4326, 3857), 3857, 4326)
+    for orig, r in zip(pts, back.orderBy("id").collect()):
+        assert math.isclose(r["lon"], orig[0], abs_tol=1e-9)
+        assert math.isclose(r["lat"], orig[1], abs_tol=1e-9)
+
+
+def test_buffer_agg_bounds_derivation(spark):
+    """U5 ledger: requesting 'bounds' derives the envelope components —
+    documented intent of the reference's unreachable `col == ['bounds']`
+    branch (``:214,253``)."""
+    from sensordatapipelines_spark.operators.spatial import buffer_aggregate
+
+    sensors = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "sensor_id long, lon double, lat double"
+    )
+    zones = spark.createDataFrame(
+        [(10, 0.001, 0.001, 0.01), (11, 5.0, 5.0, 0.01)],
+        "zone_id long, lon double, lat double, radius double",
+    )
+    out = buffer_aggregate(
+        sensors,
+        zones,
+        columns=["bounds"],
+        buffer_size=0.05,
+        funcs=("mean",),
+        source_name="z",
+        layer_radius="radius",
+    ).first()
+    # only zone 10 intersects; its envelope is center ± radius
+    assert out["mean_z_bounds_minx"] == pytest.approx(0.001 - 0.01)
+    assert out["mean_z_bounds_maxy"] == pytest.approx(0.001 + 0.01)
+
+
+def test_sessionize_event_conservation(spark):
+    """Session sizes per user sum to that user's event count."""
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import sessionize
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i * u), u * 100 + i)
+        for u in (1, 2, 3)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    s = sessionize(df, ts_col="ts", sensor_col="user_id", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == {1: 12, 2: 12, 3: 12}
