@@ -804,6 +804,24 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("value_ma", 6).alias("value_ma"))
 
 
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (events × customer): the big side's
+    hot keys are spread over 8 salt sub-keys, the small side replicated —
+    results identical to the plain join, which is what the oracle asserts."""
+    from sensordatapipelines_spark.operators.joins import salted_join
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(ev, cust, on="user_id", salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: exact distinct users + event count per type."""
     _register_views(spark, sf_dir)
@@ -1036,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": events_asof_purchase,
         "events_sessionize": events_sessionize,
         "events_moving_avg": events_moving_avg,
+        "events_salted_join": events_salted_join,
         "events_distinct_users": events_distinct_users,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -1756,6 +1775,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "events_salted_join": """
+            SELECT c_nationkey, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_nationkey
         """,
     }
     # The pipeline round-trip query composes two already-oracled ops.
