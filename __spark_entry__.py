@@ -108,22 +108,18 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
 _STAGE_CACHE: dict[tuple[int, str, str], str] = {}
 
 
-def _stage_events(spark: SparkSession, sf_dir: str, single_file: bool = False) -> str:
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as a parquet directory for file-stream sources,
-    memoized per (session, sf_dir, layout) — the three streaming queries
-    share one staging write instead of re-exporting the table each."""
+    memoized per (session, sf_dir) — the three streaming queries share ONE
+    staging write instead of re-exporting the table each. Sessionize's
+    single-micro-batch requirement is met by ``maxFilesPerTrigger`` ≥ file
+    count, not by a separate coalesce(1) layout."""
     import tempfile
 
-    key = (id(spark.sparkContext), sf_dir, "one" if single_file else "many")
+    key = (id(spark.sparkContext), sf_dir, "many")
     if key not in _STAGE_CACHE:
         stage = tempfile.mkdtemp(prefix="stream_stage_")
-        ev = spark.table("events")
-        if single_file:
-            ev.select("user_id", "ts", "event_id").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-        else:
-            ev.write.mode("overwrite").parquet(stage)
+        spark.table("events").write.mode("overwrite").parquet(stage)
         _STAGE_CACHE[key] = stage
     return _STAGE_CACHE[key]
 
@@ -868,6 +864,93 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS ≙ left-semi join): orders having at least one
+    deep-discounted lineitem, counted per priority. The semi join never
+    materializes probe-side columns — at 100 TB the lineitem side is
+    pre-filtered and projected to the join key before the shuffle."""
+    _register_views(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def customer_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≙ left-anti join: customers (sensors) with no purchase
+    event, per market segment. The events side is filtered and projected to
+    the bare key column before the join, so the anti probe ships
+    8 bytes/row."""
+    _register_views(spark, sf_dir)
+    c = spark.table("customer")
+    ev = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    return (
+        c.join(ev, c.c_custkey == ev.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def events_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-callable aggregation (reference ``:176-177`` accepts any
+    iterable→scalar func): a Python RMS routed through the GROUPED_AGG
+    pandas-UDF escape hatch, mixed with a named builtin that stays in
+    whole-stage codegen — ``grouped_aggregate`` splits the two classes into
+    separate aggregations joined on the group key."""
+    from sensordatapipelines_spark.operators.aggregates import grouped_aggregate
+
+    _register_views(spark, sf_dir)
+
+    def rms(s):
+        import numpy as np
+
+        v = s.to_numpy(dtype="float64")
+        return float(np.sqrt((v * v).mean()))
+
+    out = grouped_aggregate(
+        spark.table("events"),
+        keys=["event_type"],
+        columns=["value"],
+        funcs=["mean", rms],
+        source="events",
+    )
+    return out.select(
+        "event_type",
+        F.round("mean_events_value", 6).alias("mean_value"),
+        F.round("rms_events_value", 6).alias("rms_value"),
+    )
+
+
+def docs_word_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued Python UDTF (third leg of the reference's callable
+    extension surface, SURVEY §2.6): LATERAL word-explode over documents,
+    re-aggregated to per-doc word stats."""
+    from sensordatapipelines_spark.operators.udtf import register_udtfs
+
+    _register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*)    AS n_words,
+               MAX(t.wlen) AS max_word_len,
+               MIN(t.word) AS first_word
+        FROM documents d, LATERAL word_explode(d.text) t
+        GROUP BY d.doc_id
+        """
+    )
+
+
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: exact distinct users + event count per type."""
     _register_views(spark, sf_dir)
@@ -917,9 +1000,10 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
-    gap-based sessionization with per-sensor state. Staged as ONE file so the
-    availableNow run is a single micro-batch, making the output identical to
-    batch sessionization — which is exactly what the oracle asserts."""
+    gap-based sessionization with per-sensor state. ``maxFilesPerTrigger``
+    above the staged file count makes the availableNow run a single
+    micro-batch, so the output is identical to batch sessionization — which
+    is exactly what the oracle asserts."""
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_sessionize,
@@ -927,8 +1011,7 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     stream = read_events_stream(
-        spark, _stage_events(spark, sf_dir, single_file=True),
-        max_files_per_trigger=1_000_000,
+        spark, _stage_events(spark, sf_dir), max_files_per_trigger=1_000_000
     )
     out = stream_sessionize(stream, gap_seconds=1800)
     qname = "stream_sessionize_result"
@@ -1090,6 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_moving_avg": events_moving_avg,
         "events_salted_join": events_salted_join,
+        "orders_semi_join": orders_semi_join,
+        "customer_anti_join": customer_anti_join,
+        "events_rms_udaf": events_rms_udaf,
+        "docs_word_udtf": docs_word_udtf,
         "events_distinct_users": events_distinct_users,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -1852,5 +1939,35 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_csv_roundtrip"] = """
         SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
         FROM events GROUP BY event_type
+    """
+    oracles["orders_semi_join"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """
+    oracles["customer_anti_join"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events
+                          WHERE user_id = c_custkey
+                            AND event_type = 'purchase')
+        GROUP BY c_mktsegment
+    """
+    oracles["events_rms_udaf"] = """
+        SELECT event_type,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(SQRT(AVG(value * value)), 6) AS rms_value
+        FROM events GROUP BY event_type
+    """
+    oracles["docs_word_udtf"] = r"""
+        SELECT doc_id, COUNT(*) AS n_words, MAX(LENGTH(w)) AS max_word_len,
+               MIN(w) AS first_word
+        FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents)
+        WHERE LENGTH(w) > 0
+        GROUP BY doc_id
     """
     return oracles

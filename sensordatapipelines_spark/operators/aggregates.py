@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -76,6 +77,40 @@ def build_agg_exprs(
     return exprs
 
 
+def grouped_aggregate(
+    df,
+    keys: Sequence[str],
+    columns: Sequence[str],
+    funcs: Sequence[str | Callable],
+    source: str,
+    zero_fill: bool = False,
+):
+    """``groupBy(keys).agg(...)`` supporting MIXED named-builtin and
+    arbitrary-callable aggregation functions in one call (the reference's
+    ``funcs=`` contract, ``:176-177``).
+
+    Spark forbids GROUPED_AGG pandas UDFs alongside JVM aggregates in a
+    single aggregation operator (``INVALID_PANDAS_UDF_PLACEMENT``), so the
+    builder splits the function list into the two classes, runs each as its
+    own aggregation over the same grouping, and equi-joins the results on
+    the group keys — both aggregations shuffle on the same keys, so AQE
+    plans the join without a third exchange. Output column order is the
+    reference's func-major product (U6) regardless of the split."""
+    keys = list(keys)
+    builtin = [f for f in funcs if isinstance(f, str)]
+    custom = [f for f in funcs if not isinstance(f, str)]
+    parts = [
+        df.groupBy(*keys).agg(*build_agg_exprs(columns, fs, source, zero_fill))
+        for fs in (builtin, custom)
+        if fs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, keys)
+    ordered = keys + [stat_column_name(f, source, c) for f in funcs for c in columns]
+    return out.select(*ordered)
+
+
 def _grouped_agg_udf(func: Callable):
     """Escape hatch for arbitrary series→scalar callables (reference
     ``:176-177``): Arrow-batched GROUPED_AGG pandas UDF. Slow path by design —
@@ -83,7 +118,7 @@ def _grouped_agg_udf(func: Callable):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _udaf(s) -> float:  # pandas Series -> scalar
+    def _udaf(s: pd.Series) -> float:
         return float(func(s))
 
     def builder(c: Column) -> Column:
