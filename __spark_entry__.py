@@ -1026,6 +1026,100 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def events_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream joins the customer dimension
+    (broadcast — a static dim never re-shuffles the stream side), then a
+    per-nation aggregate in complete mode. Exact oracle: availableNow over a
+    static staging directory makes the result identical to the batch join."""
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    out = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    qname = "stream_dim_join_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on (user_id, event_type)
+    keyed state over the stream, then a count per event_type in complete
+    mode. Exact oracle: the aggregate over the deduplicated stream equals
+    the batch COUNT(DISTINCT user_id) regardless of which physical row the
+    state keeps."""
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    out = (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    qname = "stream_dedup_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: stage events as a date-partitioned parquet
+    layout (`day=.../`), then read back with an equality filter on the
+    partition column — the scan touches ONE directory, the 100 TB habit the
+    cell-table and fact layouts rely on. The pruned day's hourly profile is
+    the result."""
+    import tempfile
+
+    _register_views(spark, sf_dir)
+    key = (id(spark.sparkContext), sf_dir, "bydate")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="events_bydate_")
+        (
+            spark.table("events")
+            .withColumn("day", F.col("ts").cast("date"))
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        _STAGE_CACHE[key] = stage
+    target_day = (
+        spark.table("events")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d"))
+        .first()["d"]
+    )
+    part = spark.read.parquet(_STAGE_CACHE[key]).filter(
+        F.col("day") == F.lit(target_day)
+    )
+    return part.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
     with watermark — each event lands in two windows. Rows-only check:
@@ -1155,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dir_union": events_dir_union,
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_stream_sessionize": events_stream_sessionize,
+        "events_stream_dim_join": events_stream_dim_join,
+        "events_stream_dedup": events_stream_dedup,
+        "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
@@ -1961,6 +2058,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(value), 6) AS mean_value,
                ROUND(SQRT(AVG(value * value)), 6) AS rms_value
         FROM events GROUP BY event_type
+    """
+    # Stream–static join and stream dedup run availableNow over a static
+    # staging dir, so their results equal the batch equivalents exactly.
+    oracles["events_stream_dim_join"] = """
+        SELECT c_nationkey, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey
+    """
+    oracles["events_stream_dedup"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """
+    oracles["events_partitioned_scan"] = """
+        SELECT EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT CAST(MIN(ts) AS DATE) FROM events)
+        GROUP BY hour
     """
     oracles["docs_word_udtf"] = r"""
         SELECT doc_id, COUNT(*) AS n_words, MAX(LENGTH(w)) AS max_word_len,
