@@ -864,6 +864,113 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer+nation,
+    top 20. Fact-fact join shuffles on orderkey; the nation dim broadcasts."""
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — a HAVING-filtered aggregate feeding a join. The
+    aggregate runs partial+final before the join, so only qualifying order
+    keys reach the probe."""
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("tot_qty"))
+        .filter(F.col("tot_qty") >= 120)
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            "c_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "tot_qty",
+        )
+    )
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations of returnflag ×
+    linestatus, incl. grand total) — one pass, Spark expands grouping sets
+    map-side."""
+    _register_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch (approx_count_distinct, rsd 5%) next to the exact
+    distinct count. The oracle pins the exact values and the sketch's error
+    bound as a boolean column — self-validating approximate aggregation (the
+    sketch value itself is engine-specific, its guarantee is not)."""
+    _register_views(spark, sf_dir)
+    agg = spark.table("events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("__sketch"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__sketch") - F.col("exact_users"))
+            <= F.lit(0.15) * F.col("exact_users")
+        ).alias("sketch_ok"),
+    )
+
+
+def sensors_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sort key over the sensor grid: Morton-interleaved cell
+    indices — the write-side layout op that makes bbox scans skip parquet
+    row groups (SCALE.md, A1). Returns the 20 lowest keys with their cells;
+    the oracle recomputes the identical integer formula in SQL."""
+    from sensordatapipelines_spark.operators.spatial import morton_key_expr
+
+    _register_views(spark, sf_dir)
+    s = _sensors(spark)
+    ix = F.round(F.col("lon") / F.lit(0.005), 0).cast("long") % 64
+    iy = F.round(F.col("lat") / F.lit(0.005), 0).cast("long") % 64
+    return (
+        s.select(
+            "sensor_id",
+            ix.alias("ix"),
+            iy.alias("iy"),
+            morton_key_expr(ix, iy, bits=6).alias("zkey"),
+        )
+        .orderBy("zkey", "sensor_id")
+        .limit(20)
+    )
+
+
 def orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS ≙ left-semi join): orders having at least one
     deep-discounted lineitem, counted per priority. The semi join never
@@ -1270,6 +1377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_moving_avg": events_moving_avg,
         "events_salted_join": events_salted_join,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        "lineitem_cube": lineitem_cube,
+        "events_approx_distinct": events_approx_distinct,
+        "sensors_morton_order": sensors_morton_order,
         "orders_semi_join": orders_semi_join,
         "customer_anti_join": customer_anti_join,
         "events_rms_udaf": events_rms_udaf,
@@ -2036,6 +2148,51 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_csv_roundtrip"] = """
         SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
         FROM events GROUP BY event_type
+    """
+    oracles["q10_returned_revenue"] = """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+    oracles["q18_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS tot_qty
+            FROM lineitem GROUP BY l_orderkey HAVING tot_qty >= 120
+        )
+        SELECT l_orderkey, c_custkey, ROUND(o_totalprice, 2) AS totalprice, tot_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """
+    oracles["lineitem_cube"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    oracles["events_approx_distinct"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS sketch_ok
+        FROM events GROUP BY event_type
+    """
+    from sensordatapipelines_spark.operators.spatial import morton_key_sql
+
+    _ix = "CAST(ROUND(lon / 0.005) AS BIGINT) % 64"
+    _iy = "CAST(ROUND(lat / 0.005) AS BIGINT) % 64"
+    oracles["sensors_morton_order"] = f"""
+        WITH sensors AS ({SENSORS_SQL})
+        SELECT sensor_id, {_ix} AS ix, {_iy} AS iy,
+               {morton_key_sql(_ix, _iy, bits=6)} AS zkey
+        FROM sensors
+        ORDER BY zkey, sensor_id
+        LIMIT 20
     """
     oracles["orders_semi_join"] = """
         SELECT o_orderpriority, COUNT(*) AS n_orders

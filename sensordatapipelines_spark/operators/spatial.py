@@ -59,6 +59,34 @@ def distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+def morton_key_expr(ix: Column, iy: Column, bits: int = 8) -> Column:
+    """Z-order (Morton) interleave of two non-negative cell indices — the
+    space-filling-curve sort key that makes parquet min/max row-group
+    skipping effective for 2-D bbox predicates (SCALE.md: "spatially
+    sorted" cell tables; the write-side twin of ``bbox_filter``'s
+    read-side pruning).
+
+    Pure integer arithmetic (floor-div + mod, no bitwise builtins), so the
+    identical formula runs on any SQL engine for oracle parity: bit ``b`` of
+    ``ix`` lands at position ``2b``, of ``iy`` at ``2b+1``.
+    """
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        xbit = F.floor(ix.cast("long") / F.lit(1 << b)) % 2
+        ybit = F.floor(iy.cast("long") / F.lit(1 << b)) % 2
+        key = key + xbit * F.lit(1 << (2 * b)) + ybit * F.lit(1 << (2 * b + 1))
+    return key
+
+
+def morton_key_sql(ix_sql: str, iy_sql: str, bits: int = 8) -> str:
+    """The same Morton formula as ANSI SQL text (for DuckDB oracles)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(FLOOR(({ix_sql}) / {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(FLOOR(({iy_sql}) / {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register("bbox_filter")
 def bbox_filter(
     df: DataFrame,

@@ -145,3 +145,41 @@ def test_reproject_4326_3857_round_trip(spark):
     back = reproject(m, 3857, 4326).first()
     assert back["lon"] == pytest.approx(1.4436, abs=1e-9)
     assert back["lat"] == pytest.approx(43.6045, abs=1e-9)
+
+
+def test_morton_key_matches_reference_interleave(spark):
+    """Z-order key: engine expression == bit-interleave reference for the
+    full 8×8 grid, and the SQL-text twin stays identical."""
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.spatial import (
+        morton_key_expr,
+        morton_key_sql,
+    )
+
+    def ref(ix, iy, bits=3):
+        z = 0
+        for b in range(bits):
+            z |= ((ix >> b) & 1) << (2 * b)
+            z |= ((iy >> b) & 1) << (2 * b + 1)
+        return z
+
+    cells = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells, "ix long, iy long")
+    out = df.select(
+        "ix", "iy", morton_key_expr(F.col("ix"), F.col("iy"), bits=3).alias("z")
+    )
+    got = {(r["ix"], r["iy"]): r["z"] for r in out.collect()}
+    assert got == {(x, y): ref(x, y) for x, y in cells}
+    # corners of the curve
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(7, 7)] == 63
+
+    import duckdb
+
+    sql = morton_key_sql("ix", "iy", bits=3)
+    duck = duckdb.sql(
+        "SELECT ix, iy, " + sql + " AS z FROM (SELECT UNNEST(range(8)) AS ix), "
+        "(SELECT UNNEST(range(8)) AS iy)"
+    ).fetchall()
+    assert {(r[0], r[1]): r[2] for r in duck} == got
