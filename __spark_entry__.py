@@ -1227,6 +1227,61 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``foreachBatch`` sink — the production pattern for engines
+    without a native streaming sink: each micro-batch lands as parquet under
+    ``batch=<id>/`` with overwrite, so a restarted query rewrites its batch
+    idempotently instead of duplicating it. Exact oracle: the re-read of all
+    batch dirs aggregates to the batch result."""
+    import tempfile
+
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    outdir = tempfile.mkdtemp(prefix="fb_sink_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select("event_type", "value")
+            .write.mode("overwrite")
+            .parquet(f"{outdir}/batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: per-sensor delta of each reading from the previous one
+    (deterministic order ts, event_id), aggregated per event type. One
+    window shuffle on the sensor key, no self-join."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.table("events").withColumn(
+        "delta", F.col("value") - F.lag("value").over(w)
+    )
+    return ev.filter(F.col("delta").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.round(F.avg("delta"), 6).alias("avg_delta"),
+        F.round(F.max("delta"), 6).alias("max_delta"),
+    )
+
+
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
     with watermark — each event lands in two windows. Rows-only check:
@@ -1357,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_stream_sessionize": events_stream_sessionize,
         "events_stream_dim_join": events_stream_dim_join,
+        "events_stream_foreach_batch": events_stream_foreach_batch,
+        "events_lag_delta": events_lag_delta,
         "events_stream_dedup": events_stream_dedup,
         "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
@@ -2222,6 +2279,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_nationkey
+    """
+    oracles["events_stream_foreach_batch"] = """
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """
+    oracles["events_lag_delta"] = """
+        WITH d AS (
+            SELECT event_type,
+                   value - LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_deltas,
+               ROUND(AVG(delta), 6) AS avg_delta,
+               ROUND(MAX(delta), 6) AS max_delta
+        FROM d WHERE delta IS NOT NULL
+        GROUP BY event_type
     """
     oracles["events_stream_dedup"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users
