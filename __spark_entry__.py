@@ -783,6 +783,29 @@ def pipeline_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality", "lang_pred")
 
 
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charter showcase: an LLM training-data prep pipeline as ONE
+    JSON-deserialized Pipeline — quality scoring → language ID → predicate
+    filter → content fingerprint → near-exact dedup (keep lowest doc_id per
+    fingerprint). Five registry ops, one lazy Catalyst plan, exact oracle."""
+    from sensordatapipelines_spark import Pipeline
+
+    _register_views(spark, sf_dir)
+    plan = """
+    {"pipe": "training_prep", "operations": [
+      {"name": "score", "function": "quality_score", "args": [], "kwargs": {}},
+      {"name": "lang", "function": "lang_id", "args": [], "kwargs": {}},
+      {"name": "keep", "function": "sql_filter", "args": [],
+       "kwargs": {"predicate": "quality >= 0.5 AND lang_pred = 'en'"}},
+      {"name": "fp", "function": "fingerprint", "args": [], "kwargs": {}},
+      {"name": "dedup", "function": "dedup_keep_first", "args": [],
+       "kwargs": {"subset": ["fp"], "order_col": "doc_id"}}
+    ]}
+    """
+    out = Pipeline.from_json(plan).process(spark.table("documents"))
+    return out.select("doc_id", "quality", "lang_pred", "fp")
+
+
 def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attach to each click event the user's most recent purchase
     at-or-before it (union + windowed last — single shuffle, no range join)."""
@@ -1282,6 +1305,54 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    event_id — unlike plain streaming dropDuplicates (state grows forever),
+    the watermark expires dedup state, which is the only formulation that
+    survives an unbounded stream. Exact oracle: event_ids are unique, so the
+    per-type counts equal the batch counts."""
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qname = "stream_dedup_wm_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch next to the exact percentile: approx_percentile's
+    median must land within the exact p40–p60 band — the sketch's guarantee
+    as a boolean, the exact median oracled (same self-validating pattern as
+    the HLL query)."""
+    _register_views(spark, sf_dir)
+    p = F.percentile(F.col("value"), F.lit([0.4, 0.5, 0.6]))
+    agg = spark.table("events").groupBy("event_type").agg(
+        p.alias("__p"),
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias("__apx"),
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("__p")[1], 6).alias("exact_p50"),
+        (
+            (F.col("__apx") >= F.col("__p")[0]) & (F.col("__apx") <= F.col("__p")[2])
+        ).alias("sketch_ok"),
+    )
+
+
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
     with watermark — each event lands in two windows. Rows-only check:
@@ -1415,6 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_foreach_batch": events_stream_foreach_batch,
         "events_lag_delta": events_lag_delta,
         "events_stream_dedup": events_stream_dedup,
+        "events_stream_dedup_watermark": events_stream_dedup_watermark,
+        "events_approx_quantiles": events_approx_quantiles,
+        "pipeline_training_prep": pipeline_training_prep,
         "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
@@ -2302,6 +2376,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
     """
+    oracles["events_stream_dedup_watermark"] = """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM (SELECT DISTINCT event_id, event_type FROM events)
+        GROUP BY event_type
+    """
+    oracles["events_approx_quantiles"] = """
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+               TRUE AS sketch_ok
+        FROM events GROUP BY event_type
+    """
+    oracles["pipeline_training_prep"] = f"""
+        WITH q AS ({{DOCS_QUALITY}}), l AS ({{DOCS_LANG}}), f AS ({{DOCS_FP}}),
+        joined AS (
+            SELECT q.doc_id, q.quality, l.lang_pred, f.fp
+            FROM q
+            JOIN l ON q.doc_id = l.doc_id
+            JOIN f ON q.doc_id = f.doc_id
+            WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM joined
+        )
+        SELECT doc_id, quality, lang_pred, fp FROM ranked WHERE rn = 1
+    """.format(
+        DOCS_QUALITY=oracles["docs_quality"],
+        DOCS_LANG=oracles["docs_lang_id"],
+        DOCS_FP=oracles["docs_fingerprint"],
+    )
     oracles["events_partitioned_scan"] = """
         SELECT EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value

@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 from sensordatapipelines_spark.registry import register
 
 
+@register("sql_filter")
+def sql_filter(df: DataFrame, predicate: str) -> DataFrame:
+    """Row filter by SQL predicate text — the JSON-plan-friendly filter
+    primitive. The predicate string goes straight to Catalyst, so pushdown
+    and pruning apply exactly as for a native ``filter`` call."""
+    return df.filter(predicate)
+
+
 @register("dedup_keep_first")
 def dedup_keep_first(
     df: DataFrame, subset: Sequence[str], order_col: str | None = None
