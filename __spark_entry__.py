@@ -449,6 +449,23 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components (iterative
+    min-label propagation) over the n-gram-Jaccard near-dup graph — the
+    iterative-algorithm surface. Oracle: a DuckDB recursive CTE computes the
+    same transitive closure."""
+    from sensordatapipelines_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    _register_views(spark, sf_dir)
+    edges = jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", n=3, threshold=0.1
+    )
+    return connected_components(edges, "id_a", "id_b")
+
+
 def zones_intersect_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 ``geometries_interesect`` (reference ``:591-600``): layer rows
     within a radius of one point, numeric nulls zero-filled."""
@@ -1353,6 +1370,59 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join: clicks joined to purchases of the same
+    sensor within the following hour, both sides watermarked — the state
+    store only retains events inside the watermark+interval horizon, which
+    is what makes a fact-to-fact stream join bounded at scale. Exact oracle:
+    availableNow over static staging ≡ the batch interval join."""
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stage = _stage_events(spark, sf_dir)
+    clicks = (
+        read_events_stream(spark, stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    # Stream–stream joins emit in APPEND mode only (inner matches emit
+    # eagerly); the sink holds the raw pairs, aggregated as a batch read.
+    qname = "stream_stream_join_result"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("c_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
     with watermark — each event lands in two windows. Rows-only check:
@@ -1475,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": docs_lang_id,
         "docs_fingerprint": docs_fingerprint,
         "docs_jaccard_pairs": docs_jaccard_pairs,
+        "docs_dup_components": docs_dup_components,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -1487,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_delta": events_lag_delta,
         "events_stream_dedup": events_stream_dedup,
         "events_stream_dedup_watermark": events_stream_dedup_watermark,
+        "events_stream_stream_join": events_stream_stream_join,
         "events_approx_quantiles": events_approx_quantiles,
         "pipeline_training_prep": pipeline_training_prep,
         "events_partitioned_scan": events_partitioned_scan,
@@ -2380,6 +2452,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, COUNT(*) AS n_events
         FROM (SELECT DISTINCT event_id, event_type FROM events)
         GROUP BY event_type
+    """
+    oracles["docs_dup_components"] = f"""
+        WITH RECURSIVE edges AS (
+            SELECT id_a, id_b FROM ({oracles["docs_jaccard_pairs"]}) j
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    """
+    oracles["events_stream_stream_join"] = """
+        SELECT c.user_id AS c_user, COUNT(*) AS n_pairs
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        GROUP BY c.user_id
     """
     oracles["events_approx_quantiles"] = """
         SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,

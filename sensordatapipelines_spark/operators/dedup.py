@@ -389,3 +389,58 @@ def simhash_buckets(
         )
         .distinct()
     )
+
+
+@register("connected_components")
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(node,
+    component)``, component = smallest reachable node id. Turns pairwise
+    near-dup matches into TRANSITIVE duplicate clusters (a near-dup of a
+    near-dup is the same document family).
+
+    This is the engine's iterative-algorithm surface: min-label propagation,
+    one shuffled aggregation per round, rounds ≈ graph diameter (near-dup
+    graphs are near-cliques, so a handful). ``localCheckpoint`` truncates
+    lineage each round so the plan stays constant-size instead of doubling;
+    the per-round convergence ``count()`` is the standard driver-side
+    fixpoint test (it is a job, not a collect of data). At 1000 executors
+    the same loop runs unchanged — state is only ever (node, label) pairs
+    partitioned by node.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -165,3 +165,15 @@ def test_simhash_identical_docs_equal_and_bucket_join(spark):
     assert fp[1] != fp[3]
     cand = {(r["id_a"], r["id_b"]) for r in simhash_buckets(_docs(spark)).collect()}
     assert (1, 4) in cand
+
+
+def test_connected_components_transitive_chain(spark):
+    """A–B, B–C chain collapses to one component labeled by the min id;
+    disjoint D–E stays separate; convergence beats max_iter."""
+    from sensordatapipelines_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (7, 8), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
