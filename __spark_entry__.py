@@ -1370,6 +1370,108 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): yearly revenue per order status as columns.
+    Explicit pivot values — the two-job ``pivot(col)`` form first runs a
+    DISTINCT over the pivot column to discover values, a full extra scan at
+    100 TB; naming them keeps it one pass."""
+    _register_views(spark, sf_dir)
+    o = spark.table("orders").withColumn("o_year", F.year("o_orderdate"))
+    wide = (
+        o.groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.select(
+        "o_year",
+        F.col("O").alias("rev_open"),
+        F.col("F").alias("rev_filled"),
+        F.col("P").alias("rev_partial"),
+    )
+
+
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-event trailing 1-hour mean per sensor —
+    a frame keyed on event-time microseconds, not row counts, so irregular
+    sampling is handled exactly. Partitioned by sensor: each window sort
+    stays inside one shuffle partition, no global ordering."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return spark.table("events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("trail_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+def customer_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking: account-balance quartiles within each market segment,
+    then per-bucket stats. The window partitions by segment — bounded
+    cardinality, so no single-task global sort; a truly global ranking at
+    100 TB would instead use approx-quantile boundaries + range assignment
+    (see ``events_approx_quantiles``)."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        spark.table("customer")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/heldout split by MD5 prefix of the document id —
+    the reproducible, engine-portable way to split a 100 TB corpus: no
+    sampling state, no shuffle, any engine recomputes the same membership.
+    Hex prefix < 'f0' ⇒ ~93.75% train."""
+    _register_views(spark, sf_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "f0", "train"
+    ).otherwise("heldout")
+    return (
+        spark.table("documents")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram with
+    the \"eval\" slice (doc_id % 19 == 0) are dropped via a broadcast
+    shingle-hash anti-join — the test-set-leakage guard of a training-data
+    pipeline. Survivor stats per source."""
+    from sensordatapipelines_spark.operators.dedup import decontaminate
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    clean = decontaminate(corpus, bench, id_col="doc_id", text_col="text", n=8)
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1560,6 +1662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup_watermark": events_stream_dedup_watermark,
         "events_stream_stream_join": events_stream_stream_join,
         "events_approx_quantiles": events_approx_quantiles,
+        "orders_pivot_status": orders_pivot_status,
+        "events_range_window": events_range_window,
+        "customer_segment_quartiles": customer_segment_quartiles,
+        "docs_train_split": docs_train_split,
+        "docs_decontaminate": docs_decontaminate,
         "pipeline_training_prep": pipeline_training_prep,
         "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
@@ -2518,5 +2625,74 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["orders_pivot_status"] = """
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+                   AS rev_open,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+                   AS rev_filled,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+                   AS rev_partial
+        FROM orders
+        GROUP BY o_year
+    """
+    oracles["events_range_window"] = """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER w, 6) AS trail_avg_1h,
+               COUNT(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """
+    oracles["customer_segment_quartiles"] = """
+        WITH ranked AS (
+            SELECT c_mktsegment, c_acctbal,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS quartile
+            FROM customer
+        )
+        SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 6) AS avg_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM ranked
+        GROUP BY c_mktsegment, quartile
+    """
+    oracles["docs_train_split"] = """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                    THEN 'train' ELSE 'heldout' END AS split,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents
+        GROUP BY split
+    """
+    oracles["docs_decontaminate"] = r"""
+        WITH toks AS (
+            SELECT doc_id, source, n_chars,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source, n_chars,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])) AS g
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(g) AS s FROM sh WHERE doc_id % 19 = 0
+        ),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(g) AS s FROM corpus) c
+            JOIN bench b ON c.s = b.s
+        )
+        SELECT source, COUNT(*) AS n_clean,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        GROUP BY source
     """
     return oracles

@@ -444,3 +444,49 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+@register("decontaminate")
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents that share ANY word
+    ``n``-gram with a benchmark/eval document — the standard guard against
+    test-set leakage into training data.
+
+    Plan shape: both sides shingle JVM-side (``word_ngrams_expr``), keyed by
+    the 8-byte ``xxhash64`` of the shingle, the benchmark side collapses to
+    DISTINCT hashes, and contaminated ids come from an equi-join. The final
+    filter is a LEFT ANTI join — no row of the corpus is ever widened, and
+    at 100 TB the benchmark shingle set (eval suites are small) broadcasts,
+    so the corpus is filtered map-side with zero shuffle of corpus rows.
+    """
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("__s"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("__s")
+    ).distinct()
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench_sh), "__s")
+        .select(F.col("__cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

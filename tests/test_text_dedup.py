@@ -167,6 +167,29 @@ def test_simhash_identical_docs_equal_and_bucket_join(spark):
     assert (1, 4) in cand
 
 
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    """A corpus doc sharing an n-gram with ANY benchmark doc is dropped;
+    docs with no shared shingle (or too short to shingle) survive."""
+    from sensordatapipelines_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence about spark engines here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps far away")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=4).collect()
+    )
+    assert kept == [2, 3]
+
+
 def test_connected_components_transitive_chain(spark):
     """A–B, B–C chain collapses to one component labeled by the min id;
     disjoint D–E stays separate; convergence beats max_iter."""
