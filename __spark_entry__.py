@@ -1472,6 +1472,89 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — fact scan with a pushed date
+    range, part dim broadcast, CASE-conditional aggregate ratio."""
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = spark.table("part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders per
+    brand — a correlated aggregate subquery decorrelated into a groupBy +
+    re-join. The per-part averages table is tiny (one row per part) and
+    broadcasts; integer quantity sums keep the 0.2×avg threshold exact
+    across engines."""
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_qty"))
+    p = spark.table("part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a plan (no table format needed): a derived update
+    batch (every 10th customer gets +1000 balance) upserted into the
+    customer table via broadcast anti-join + union, then audited per
+    nation. Oracle: the equivalent CASE projection."""
+    from sensordatapipelines_spark.operators.utility import merge_upsert
+
+    _register_views(spark, sf_dir)
+    cust = spark.table("customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    merged = merge_upsert(cust, updates, on="c_custkey")
+    return merged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: events written columnar-ORC, read back,
+    aggregated — the second columnar format next to parquet. Oracle: the
+    same aggregate over the original table (round-trip must be lossless)."""
+    import tempfile
+
+    _register_views(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="orc_stage_")
+    spark.table("events").select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).orc(f"{stage}/events_orc")
+    back = spark.read.orc(f"{stage}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1663,6 +1746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stream_join": events_stream_stream_join,
         "events_approx_quantiles": events_approx_quantiles,
         "orders_pivot_status": orders_pivot_status,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "customer_upsert": customer_upsert,
+        "events_orc_roundtrip": events_orc_roundtrip,
         "events_range_window": events_range_window,
         "customer_segment_quartiles": customer_segment_quartiles,
         "docs_train_split": docs_train_split,
@@ -2625,6 +2712,44 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["q14_promo_revenue"] = """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_revenue_pct,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    """
+    oracles["q17_small_quantity_revenue"] = """
+        WITH pa AS (
+            SELECT l_partkey AS pa_key, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem
+        JOIN pa ON pa_key = l_partkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+        GROUP BY p_brand
+    """
+    oracles["customer_upsert"] = """
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               ROUND(SUM(CASE WHEN c_custkey % 10 = 0
+                              THEN c_acctbal + 1000.0 ELSE c_acctbal END), 2)
+                   AS sum_bal
+        FROM customer
+        GROUP BY c_nationkey
+    """
+    oracles["events_orc_roundtrip"] = """
+        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
     """
     oracles["orders_pivot_status"] = """
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,

@@ -93,3 +93,21 @@ def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
 
     cols = [F.col(d).alias(d.replace(".", sep)) for d in leaves(df.schema)]
     return df.select(*cols)
+
+
+@register("merge_upsert")
+def merge_upsert(
+    target: DataFrame, source: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """Keyed upsert (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT):
+    source rows win on key collision, unmatched target rows pass through.
+
+    Plan shape: ``source ∪ (target LEFT ANTI source on keys)`` — one join,
+    one union, no window sort. When the update batch is small relative to
+    the target (the common CDC shape at 100 TB), the anti-join broadcasts
+    the source keys and the target is filtered map-side; the union is a
+    metadata-only concatenation of partitions. This is the lakehouse MERGE
+    expressed as a plan, for when no transactional table format is present.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return source.unionByName(target.join(source.select(*keys), keys, "left_anti"))

@@ -81,3 +81,18 @@ def test_moving_average_rows_frame(spark):
     out = moving_average(df, n_preceding=1, order_tiebreak="event_id").collect()
     ma = {r["event_id"]: r["value_ma"] for r in out}
     assert ma[1] == 10.0 and ma[2] == 15.0 and ma[3] == 25.0
+
+
+def test_merge_upsert_source_wins_and_inserts(spark):
+    """MERGE semantics: matched keys take the source row, unmatched target
+    rows pass through, new source keys are inserted."""
+    from sensordatapipelines_spark.operators.utility import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(target, source, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
