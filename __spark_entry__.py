@@ -1555,6 +1555,93 @@ def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier(s) by period revenue — aggregate, then
+    a global-max window over the already-aggregated (dim-sized) table, so
+    the single-partition window touches supplier-count rows, never fact
+    rows."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r"))
+    )
+    top = rev.withColumn("__mx", F.max("__r").over(Window.partitionBy())).filter(
+        F.col("__r") == F.col("__mx")
+    )
+    s = spark.table("supplier")
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("__r", 2).alias("total_revenue"),
+        )
+    )
+
+
+def events_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function surface: date_trunc, dayofmonth, last_day,
+    datediff, to_date — monthly activity profile."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "month", F.date_trunc("month", F.col("ts")).cast("date")
+    )
+    return (
+        ev.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+            F.max(F.dayofmonth("ts")).alias("max_dom"),
+            F.max(F.datediff(F.col("ts").cast("date"), F.col("month"))).alias(
+                "max_day_offset"
+            ),
+        )
+        .withColumn("month_end", F.last_day(F.col("month")).cast("string"))
+        .withColumn("month", F.col("month").cast("string"))
+    )
+
+
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over embeddings: higher-order fold
+    (``aggregate``) for the L2 norm, ``array_max``/``array_min``, ``size``
+    — all JVM-side expressions, no UDF."""
+    _register_views(spark, sf_dir)
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+    )
+
+
+def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function surface: percent_rank + cume_dist of account balance
+    within market segment (value ties share a rank, so no tiebreak column
+    is needed for determinism)."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return spark.table("customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1747,6 +1834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_quantiles": events_approx_quantiles,
         "orders_pivot_status": orders_pivot_status,
         "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "events_date_features": events_date_features,
+        "emb_vector_stats": emb_vector_stats,
+        "customer_percent_rank": customer_percent_rank,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2712,6 +2803,47 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["q15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(r, 2) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT MAX(r) FROM rev)
+    """
+    oracles["events_date_features"] = """
+        WITH base AS (
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS m, ts FROM events
+        )
+        SELECT strftime(m, '%Y-%m-%d') AS month,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+               MAX(EXTRACT(day FROM ts)) AS max_dom,
+               MAX(date_diff('day', m, CAST(ts AS DATE))) AS max_day_offset,
+               strftime(last_day(m), '%Y-%m-%d') AS month_end
+        FROM base
+        GROUP BY m
+    """
+    oracles["emb_vector_stats"] = """
+        SELECT vec_id, label, len(embedding) AS dim,
+               ROUND(SQRT(list_reduce(
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)), 6) AS l2_norm,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+        FROM embeddings
+    """
+    oracles["customer_percent_rank"] = """
+        SELECT c_custkey, c_mktsegment,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
     """
     oracles["q14_promo_revenue"] = """
         SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
