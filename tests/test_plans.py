@@ -155,3 +155,50 @@ def test_stream_dim_join_broadcasts_dimension(spark):
     )
     assert "BroadcastHashJoin" in _plan(batch)
     assert not progress  # no stray always-on streams left behind
+
+
+def test_q14_broadcasts_part_dim(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q14_promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_decontaminate_uses_broadcast_anti_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_decontaminate(spark, SF))
+    # Benchmark shingle set broadcast; corpus filtered via LEFT ANTI —
+    # corpus rows must never shuffle.
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_upsert_anti_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.customer_upsert(spark, SF))
+    assert "LeftAnti" in plan and "Union" in plan
+
+
+def test_pivot_is_single_pass(spark):
+    """Explicit pivot values ⇒ exactly one scan of orders (the
+    discover-values form would add a DISTINCT job first)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.orders_pivot_status(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q15_window_runs_over_aggregate_not_fact(spark):
+    """The global-max window must sit ABOVE the hash aggregate: window
+    input is supplier-count rows, never the lineitem fact table."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q15_top_supplier(spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # In explain output, upstream operators print BELOW downstream ones,
+    # so the Window (downstream) appears before the aggregate.
+    assert win_pos < agg_pos
