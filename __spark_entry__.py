@@ -1642,6 +1642,64 @@ def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sensors_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (PySpark 4 ``pyspark.sql.datasource``): a
+    partitioned deterministic sensor-reading generator read through the
+    standard ``spark.read.format(...)`` surface, then aggregated. The
+    oracle regenerates the same grid with SQL ``range``×``range`` and the
+    identical integer formula."""
+    from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
+
+    _register_views(spark, sf_dir)
+    register_sensor_synth(spark)
+    df = (
+        spark.read.format("sensor_synth")
+        .option("n_sensors", 64)
+        .option("n_readings", 200)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_MAP ``applyInPandas``: per-sensor z-score normalization in
+    Python (Arrow one-batch-per-group). Oracle: the window-function
+    formulation ``(v − avg over sensor) / stddev_samp over sensor`` —
+    same math, declarative plan."""
+    from sensordatapipelines_spark.operators.utility import grouped_zscore
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    out = grouped_zscore(ev, group_cols=["user_id"], value_col="value")
+    return out.select("event_id", "user_id", F.round("z", 6).alias("z"))
+
+
+def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling event-time windows via ``F.window`` (epoch-aligned
+    6-hour buckets) — the batch twin of ``events_stream_interval``; at
+    100 TB this is a plain hash aggregate on (bucket, type), one shuffle."""
+    _register_views(spark, sf_dir)
+    g = (
+        spark.table("events")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return g.select(
+        F.col("w.start").cast("string").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1838,6 +1896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_features": events_date_features,
         "emb_vector_stats": emb_vector_stats,
         "customer_percent_rank": customer_percent_rank,
+        "sensors_custom_source": sensors_custom_source,
+        "events_zscore": events_zscore,
+        "events_tumbling_batch": events_tumbling_batch,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2803,6 +2864,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["sensors_custom_source"] = """
+        WITH g AS (
+            SELECT s.i AS sensor_id, r.i AS reading_no,
+                   CAST((s.i * 31 + r.i * 17) % 1000 AS DOUBLE) / 10.0 AS value
+            FROM (SELECT unnest(range(0, 64)) AS i) s
+            CROSS JOIN (SELECT unnest(range(0, 200)) AS i) r
+        )
+        SELECT sensor_id, COUNT(*) AS n_readings,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM g GROUP BY sensor_id
+    """
+    oracles["events_zscore"] = """
+        SELECT event_id, user_id,
+               ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
+                   AS z
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """
+    oracles["events_tumbling_batch"] = """
+        SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """
     oracles["q15_top_supplier"] = """
         WITH rev AS (

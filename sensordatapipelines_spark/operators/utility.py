@@ -111,3 +111,30 @@ def merge_upsert(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return source.unionByName(target.join(source.select(*keys), keys, "left_anti"))
+
+
+@register("grouped_zscore")
+def grouped_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the GROUPED_MAP extension
+    surface (reference extension model: "any Python callable of the right
+    shape", ``README.md:16-20``). One shuffle on the group keys; each group
+    is handed to Python as ONE Arrow batch, so group cardinality must be
+    executor-memory bounded (true for per-sensor groups). Expressible as a
+    window function too — this op exists to gate the custom-Python path.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def fn(pdf):
+        m = pdf[value_col].mean()
+        s = pdf[value_col].std(ddof=1)
+        pdf[out_col] = (pdf[value_col] - m) / s
+        return pdf
+
+    return df.groupBy(*list(group_cols)).applyInPandas(fn, schema=out_schema)

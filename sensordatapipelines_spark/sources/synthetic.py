@@ -1,0 +1,71 @@
+"""Custom Python DataSource (PySpark 4 ``pyspark.sql.datasource`` API).
+
+The reference ingests sensor readings from files
+(``/root/reference/src/data_preprocessing.py:429-458``); an engine designed
+for a cluster also needs a *programmatic* source surface — this is the
+idiomatic Spark 4 way to add one (the same API a Kafka-less lab rig, a
+device gateway, or a simulation backend would plug in through).
+
+``SensorSynthDataSource`` generates a deterministic grid of sensor readings
+(pure integer arithmetic, so an external oracle can regenerate the exact
+rows). Scale design: the generator is **partitioned by sensor range** —
+each ``InputPartition`` covers a slice of sensors and is generated
+independently on its executor, so the source parallelizes like any
+file-based scan and never materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = "sensor_id BIGINT, reading_no BIGINT, value DOUBLE"
+
+
+def _value(sensor_id: int, reading_no: int) -> float:
+    """Deterministic reading: plain int modular arithmetic (engine-portable)."""
+    return float((sensor_id * 31 + reading_no * 17) % 1000) / 10.0
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int, n_readings: int) -> None:
+        self.start = start
+        self.end = end
+        self.n_readings = n_readings
+
+
+class SensorSynthReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_sensors = int(options.get("n_sensors", 100))
+        self.n_readings = int(options.get("n_readings", 100))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, -(-self.n_sensors // self.n_partitions))
+        return [
+            _Range(lo, min(lo + step, self.n_sensors), self.n_readings)
+            for lo in range(0, self.n_sensors, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for s in range(partition.start, partition.end):
+            for r in range(partition.n_readings):
+                yield (s, r, _value(s, r))
+
+
+class SensorSynthDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SensorSynthReader:
+        return SensorSynthReader(self.options)
+
+
+def register_sensor_synth(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SensorSynthDataSource)

@@ -83,3 +83,40 @@ def test_write_geojson_small_result(spark, tmp_path):
     assert gj["type"] == "FeatureCollection"
     assert gj["features"][0]["geometry"]["coordinates"] == [1.5, 43.5]
     assert gj["features"][0]["properties"] == {"id": 1, "name": "a"}
+
+
+def test_custom_datasource_partitioned_and_deterministic(spark):
+    """PySpark 4 Python DataSource: correct row grid, value formula, and
+    the requested partition split (parallel scan, not a driver loop)."""
+    from sensordatapipelines_spark.sources.synthetic import (
+        _value,
+        register_sensor_synth,
+    )
+
+    register_sensor_synth(spark)
+    df = (
+        spark.read.format("sensor_synth")
+        .option("n_sensors", 10)
+        .option("n_readings", 5)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 50
+    got = {(r["sensor_id"], r["reading_no"]): r["value"] for r in rows}
+    assert got[(3, 2)] == _value(3, 2) == float((3 * 31 + 2 * 17) % 1000) / 10.0
+
+
+def test_grouped_zscore_matches_window_formulation(spark):
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.utility import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "b", 10.0), (5, "b", 30.0)],
+        "id long, g string, value double",
+    )
+    out = {r["id"]: r["z"] for r in grouped_zscore(df, ["g"], "value").collect()}
+    assert abs(out[1] - (-1.0)) < 1e-12 and abs(out[2]) < 1e-12
+    assert abs(out[4] - (-2 ** -0.5)) < 1e-12
