@@ -1700,6 +1700,34 @@ def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join against overlapping 20-hour windows
+    (16-hour stride, so events near boundaries match two windows) — the
+    bucketed equi-join formulation; a naive theta-join would be a nested
+    loop. Oracle: the plain theta-join in DuckDB."""
+    from sensordatapipelines_spark.operators.joins import range_join
+
+    _register_views(spark, sf_dir)
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC (sessions pin UTC)
+    wins = spark.range(45).select(
+        F.col("id").alias("win_id"),
+        F.timestamp_seconds(epoch_2024 + F.col("id") * 57600).alias("ws"),
+        F.timestamp_seconds(epoch_2024 + F.col("id") * 57600 + 72000).alias("we"),
+    )
+    joined = range_join(
+        spark.table("events").select("ts", "value"),
+        wins,
+        ts_col="ts",
+        start_col="ws",
+        end_col="we",
+        bucket_seconds=86400,
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1899,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_custom_source": sensors_custom_source,
         "events_zscore": events_zscore,
         "events_tumbling_batch": events_tumbling_batch,
+        "events_range_join": events_range_join,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2864,6 +2893,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["events_range_join"] = """
+        WITH w2 AS (
+            SELECT i AS win_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL '16 hours' * i AS ws,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL '16 hours' * i + INTERVAL '20 hours' AS we
+            FROM (SELECT unnest(range(0, 45)) AS i)
+        )
+        SELECT win_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM w2 JOIN events e ON e.ts >= ws AND e.ts < we
+        GROUP BY win_id
     """
     oracles["sensors_custom_source"] = """
         WITH g AS (

@@ -116,3 +116,46 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast(b.schema["__salt"].dataType))
     out = b.join(s, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+@register("range_join")
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+    extra_keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start ≤ ts < end``) as a shuffle-safe
+    EQUI-join: bucket time into ``bucket_seconds`` chunks, explode each
+    interval to the buckets it overlaps, equi-join on the bucket id (+ any
+    ``extra_keys``), then apply the exact range predicate as a residual
+    filter.
+
+    Scale rationale: the naive formulation is a theta-join — Spark can only
+    run it as a (Broadcast)NestedLoopJoin, O(|points|·|intervals|) once the
+    interval side outgrows broadcast. Bucketing turns it into a hash join
+    whose cost is O(matching bucket pairs); the fan-out factor is
+    ``interval_length / bucket_seconds + 1`` rows per interval, so pick the
+    bucket near the typical interval length. Same trick as Databricks'
+    range-join hints / Sedona grid partitioning, expressed in plain
+    DataFrame ops.
+    """
+    b = F.lit(int(bucket_seconds))
+    pb = points.withColumn("__b", F.floor(F.unix_timestamp(F.col(ts_col)) / b))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    out = pb.join(ib, ["__b", *extra_keys], how=how).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out.drop("__b")

@@ -96,3 +96,27 @@ def test_merge_upsert_source_wins_and_inserts(spark):
     )
     out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(target, source, "k").collect()}
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_range_join_boundaries_and_overlap(spark):
+    """[start, end) semantics; an interval spanning a bucket boundary still
+    matches (explode covers every overlapped bucket); overlapping intervals
+    both match the same point."""
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 23:59:59"), (2, "2024-01-02 00:00:00"), (3, "2024-01-05 00:00:00")],
+        "pid long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [
+            (10, "2024-01-01 20:00:00", "2024-01-02 04:00:00"),  # spans midnight
+            (11, "2024-01-01 12:00:00", "2024-01-02 00:00:00"),  # end-exclusive
+        ],
+        "iid long, ws string, we string",
+    ).withColumn("ws", F.to_timestamp("ws")).withColumn("we", F.to_timestamp("we"))
+    out = range_join(pts, iv, "ts", "ws", "we", bucket_seconds=86400)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 10), (1, 11)}

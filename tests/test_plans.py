@@ -202,3 +202,13 @@ def test_q15_window_runs_over_aggregate_not_fact(spark):
     # In explain output, upstream operators print BELOW downstream ones,
     # so the Window (downstream) appears before the aggregate.
     assert win_pos < agg_pos
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join on the bucket
+    id — never a nested-loop theta join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.events_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
