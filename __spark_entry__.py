@@ -1700,6 +1700,20 @@ def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — keyword
+    extraction for corpus curation. Ordering ties break on integer/string
+    columns only, so ranks are engine-portable; the float score itself is
+    output rounded."""
+    from sensordatapipelines_spark.operators.text import tfidf_topk
+
+    _register_views(spark, sf_dir)
+    out = tfidf_topk(spark.table("documents"), id_col="doc_id", text_col="text", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df_docs", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join against overlapping 20-hour windows
     (16-hour stride, so events near boundaries match two windows) — the
@@ -1928,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": events_zscore,
         "events_tumbling_batch": events_tumbling_batch,
         "events_range_join": events_range_join,
+        "docs_tfidf_topk": docs_tfidf_topk,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2893,6 +2908,29 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["docs_tfidf_topk"] = r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, t.term, t.tf, d.df_docs,
+                   t.tf * ln((n_docs + 1.0) / (d.df_docs + 1.0)) AS score
+            FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tf DESC, df_docs ASC, term ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df_docs, ROUND(score, 6) AS score, rnk
+        FROM ranked WHERE rnk <= 3
     """
     oracles["events_range_join"] = """
         WITH w2 AS (

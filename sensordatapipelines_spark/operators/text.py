@@ -185,3 +185,50 @@ def fingerprint(
 ) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (see ``poly_hash_expr``)."""
     return df.withColumn(out_col, poly_hash_expr(F.col(text_col), mod))
+
+
+@register("tfidf_topk")
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (``tf · ln((N+1)/(df+1))``) → ``(id, term, tf, df_docs, score, rnk)``.
+
+    Plan shape: explode → two hash aggregations (term counts per doc, doc
+    frequency per term) → broadcast joins of the term-dim tables → per-doc
+    window top-k. The doc count N rides along as a broadcast 1-row
+    aggregate, keeping the whole op lazy. Ranking ties break on integer/
+    string columns only (tf desc, df asc, term asc) — no float comparison
+    decides order, so results are stable across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("__n") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("tf"), F.asc("df_docs"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__id").alias(id_col), "term", "tf", "df_docs", "score", "rnk"
+        )
+    )

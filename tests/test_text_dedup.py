@@ -200,3 +200,25 @@ def test_connected_components_transitive_chain(spark):
     )
     out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_tfidf_topk_ranks_rare_terms_higher(spark):
+    """A term unique to one doc outranks a corpus-wide term at equal tf;
+    k bounds rows per doc; ties break deterministically."""
+    from sensordatapipelines_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple zebra"),
+            (2, "apple banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    assert all(len(v) <= 2 for v in per_doc.values())
+    # doc 1: apple tf=2 wins rank 1; zebra (df=1) beats banana (df=2) at tf=1
+    assert sorted(per_doc[1]) == [(1, "apple"), (2, "zebra")]
