@@ -212,3 +212,13 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(e.events_range_join(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q18_fact_fact_join_is_shuffle_not_nested_loop(spark):
+    """Fact-to-fact (orders×lineitem aggregate) must be a shuffle join
+    (SMJ/SHJ) or AQE-converted broadcast — never a nested loop."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q18_large_orders(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

@@ -150,3 +150,59 @@ def test_sessionize_event_conservation(spark):
         for r in s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_user == {1: 12, 2: 12, 3: 12}
+
+
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=400_000), min_size=1, max_size=25),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000),
+            st.integers(min_value=0, max_value=200_000),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_range_join_equals_theta_join(spark, pts, ivs):
+    """Property: the bucketed range join returns exactly the pairs of the
+    naive theta-join, for arbitrary offsets (including bucket-straddling
+    and zero-length intervals)."""
+    from sensordatapipelines_spark.operators.joins import range_join
+
+    base = 1_700_000_000
+    p = spark.createDataFrame(
+        [(i, base + o) for i, o in enumerate(pts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts"))
+    iv = spark.createDataFrame(
+        [(j, base + s, base + s + d) for j, (s, d) in enumerate(ivs)],
+        "iid long, s long, e long",
+    ).select("iid", F.timestamp_seconds("s").alias("ws"), F.timestamp_seconds("e").alias("we"))
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "ts", "ws", "we", bucket_seconds=3600).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in p.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    tgt=st.dictionaries(st.integers(0, 20), st.integers(-100, 100), min_size=1, max_size=12),
+    src=st.dictionaries(st.integers(0, 20), st.integers(-100, 100), min_size=1, max_size=12),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_upsert_is_dict_update(spark, tgt, src):
+    """Property: merge_upsert ≡ Python dict.update — source wins on
+    collisions, nothing else changes, key set is the union."""
+    from sensordatapipelines_spark.operators.utility import merge_upsert
+
+    t = spark.createDataFrame(list(tgt.items()), "k long, v long")
+    s = spark.createDataFrame(list(src.items()), "k long, v long")
+    got = {r["k"]: r["v"] for r in merge_upsert(t, s, "k").collect()}
+    want = {**tgt, **src}
+    assert got == want
