@@ -1742,6 +1742,38 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: running per-type aggregates re-emitted each
+    micro-batch (the stage feeds ≥2 batches via maxFilesPerTrigger). The
+    memory sink keeps every emission; since running counts/sums over
+    non-negative values are monotone, MAX over emissions ≡ the final state
+    — which the batch oracle computes directly. Exercises incremental
+    state-store aggregation, not just availableNow-as-batch."""
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stage = _stage_events(spark, sf_dir)
+    counts = (
+        read_events_stream(spark, stage)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_user"))
+    )
+    qname = "stream_update_counts"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.max("sum_user").alias("sum_user"))
+    )
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join: clicks joined to purchases of the same
     sensor within the following hour, both sides watermarked — the state
@@ -1931,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": events_stream_dedup,
         "events_stream_dedup_watermark": events_stream_dedup_watermark,
         "events_stream_stream_join": events_stream_stream_join,
+        "events_stream_update_counts": events_stream_update_counts,
         "events_approx_quantiles": events_approx_quantiles,
         "orders_pivot_status": orders_pivot_status,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2908,6 +2941,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["events_stream_update_counts"] = """
+        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
+        FROM events
+        GROUP BY event_type
     """
     oracles["docs_tfidf_topk"] = r"""
         WITH toks AS (
