@@ -1714,6 +1714,34 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source deterministic down-sampling (MD5-prefix
+    thresholds as a literal CASE, evaluated map-side — zero shuffle, zero
+    sampling state; a re-run keeps the identical sample). Sources beyond
+    the rate map drop to 0."""
+    from sensordatapipelines_spark.operators.utility import hash_sample
+
+    _register_views(spark, sf_dir)
+    rates = {
+        "src0": 1.0,
+        "src1": 0.75,
+        "src2": 0.5,
+        "src3": 0.25,
+        "src4": 0.1,
+        "src5": 0.05,
+    }
+    out = hash_sample(
+        spark.table("documents"),
+        key_col="doc_id",
+        rate=rates,
+        stratum_col="source",
+        salt="mix1",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join against overlapping 20-hour windows
     (16-hour stride, so events near boundaries match two windows) — the
@@ -1976,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_batch": events_tumbling_batch,
         "events_range_join": events_range_join,
         "docs_tfidf_topk": docs_tfidf_topk,
+        "docs_source_mix": docs_source_mix,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2941,6 +2970,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["docs_source_mix"] = """
+        SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
+        FROM documents
+        WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source
+                  WHEN 'src0' THEN 'g'
+                  WHEN 'src1' THEN 'c0000000'
+                  WHEN 'src2' THEN '80000000'
+                  WHEN 'src3' THEN '40000000'
+                  WHEN 'src4' THEN '19999999'
+                  WHEN 'src5' THEN '0ccccccc'
+                  ELSE '00000000' END
+        GROUP BY source
     """
     oracles["events_stream_update_counts"] = """
         SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user

@@ -138,3 +138,46 @@ def grouped_zscore(
         return pdf
 
     return df.groupBy(*list(group_cols)).applyInPandas(fn, schema=out_schema)
+
+
+def _hex_threshold(rate: float) -> str:
+    """Sampling rate → threshold string for lexicographic comparison against
+    an 8-hex-digit MD5 prefix (portable across engines: pure string
+    compare). rate 1.0 → 'g', which every hex string sorts below."""
+    rate = min(max(rate, 0.0), 1.0)
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
+@register("hash_sample")
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | dict[str, float],
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sampling by MD5 prefix of the row key — membership is a
+    pure function of (salt, key), so a resumed or re-run job at 100 TB keeps
+    the exact same sample with zero state and zero shuffle.
+
+    ``rate`` may be a single fraction, or a ``{stratum: fraction}`` dict with
+    ``stratum_col`` — the *data-mixing* primitive of a training pipeline
+    (up/down-weight sources). The per-stratum thresholds enter the plan as a
+    literal CASE expression, evaluated map-side.
+    """
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    if isinstance(rate, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col is required when rate is a dict")
+        expr = F.lit(None).cast("string")
+        thr = None
+        for name, r in sorted(rate.items()):
+            cond = F.col(stratum_col) == name
+            thr = F.when(cond, F.lit(_hex_threshold(r))) if thr is None else thr.when(cond, F.lit(_hex_threshold(r)))
+        thr = thr.otherwise(F.lit(_hex_threshold(0.0)))
+        return df.filter(prefix < thr)
+    return df.filter(prefix < F.lit(_hex_threshold(rate)))

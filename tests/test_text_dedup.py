@@ -222,3 +222,23 @@ def test_tfidf_topk_ranks_rare_terms_higher(spark):
     assert all(len(v) <= 2 for v in per_doc.values())
     # doc 1: apple tf=2 wins rank 1; zebra (df=1) beats banana (df=2) at tf=1
     assert sorted(per_doc[1]) == [(1, "apple"), (2, "zebra")]
+
+
+def test_hash_sample_deterministic_and_rate_bounded(spark):
+    """Same (salt, key) ⇒ same membership across runs; rate 1.0 keeps all,
+    0.0 keeps none; unmapped strata drop."""
+    from sensordatapipelines_spark.operators.utility import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)], "id long, g string"
+    )
+    all_a = hash_sample(df, "id", {"a": 1.0}, stratum_col="g").collect()
+    assert {r["g"] for r in all_a} == {"a"} and len(all_a) == 100
+    none_kept = hash_sample(df, "id", 0.0).count()
+    assert none_kept == 0
+    s1 = sorted(r["id"] for r in hash_sample(df, "id", 0.5, salt="x").collect())
+    s2 = sorted(r["id"] for r in hash_sample(df, "id", 0.5, salt="x").collect())
+    assert s1 == s2 and 0 < len(s1) < 200
+    # a different salt draws a different sample
+    s3 = sorted(r["id"] for r in hash_sample(df, "id", 0.5, salt="y").collect())
+    assert s1 != s3
