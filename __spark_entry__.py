@@ -1714,6 +1714,22 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column function surface: UTF-8 encode → byte length, MD5
+    digest, base64 transport length — the typed-binary plumbing the
+    multimodal columns ride on, here with an exact cross-engine oracle."""
+    _register_views(spark, sf_dir)
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return spark.table("documents").select(
+        "doc_id",
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.md5(bin_col).alias("md5_hex"),
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip the
+        # line breaks to get the canonical RFC-4648 length DuckDB produces.
+        F.length(F.regexp_replace(F.base64(bin_col), "[\\r\\n]", "")).alias("b64_len"),
+    )
+
+
 def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing: per-source deterministic down-sampling (MD5-prefix
     thresholds as a literal CASE, evaluated map-side — zero shuffle, zero
@@ -2005,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "docs_tfidf_topk": docs_tfidf_topk,
         "docs_source_mix": docs_source_mix,
+        "docs_binary_features": docs_binary_features,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2970,6 +2987,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["docs_binary_features"] = """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS md5_hex,
+               length(to_base64(encode(text))) AS b64_len
+        FROM documents
     """
     oracles["docs_source_mix"] = """
         SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
