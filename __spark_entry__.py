@@ -124,6 +124,38 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return _STAGE_CACHE[key]
 
 
+def _run_stream(
+    spark: SparkSession,
+    out: DataFrame,
+    qname: str,
+    output_mode: str,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Start a memory-sink availableNow stream and return the sink table.
+
+    State-store partition count is frozen from ``spark.sql.shuffle.
+    partitions`` at query START, and every stateful operator opens stores
+    per partition (a stream-stream join opens four) — pin it low for the
+    local rig, where per-store fixed cost dominates; at cluster scale it is
+    sized to key cardinality instead. The session value is restored after
+    the run (measured on the stream-stream join: 10.2 s → 5.9 s at sf0.1).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
 def _sensors(spark: SparkSession) -> DataFrame:
     return spark.sql(SENSORS_SQL)
 
@@ -1127,16 +1159,7 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     stream = read_events_stream(spark, _stage_events(spark, sf_dir))
     out = stream_interval_aggregate(stream, watermark="1 hour")
-    qname = "stream_interval_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    res = spark.table(qname)
+    res = _run_stream(spark, out, "stream_interval_result", "complete")
     stat_cols = [c for c in res.columns if c.startswith(("mean_", "max_"))]
     return res.select(
         F.col("window_start").cast("date").alias("day"),
@@ -1161,16 +1184,7 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _stage_events(spark, sf_dir), max_files_per_trigger=1_000_000
     )
     out = stream_sessionize(stream, gap_seconds=1800)
-    qname = "stream_sessionize_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(qname)
+    return _run_stream(spark, out, "stream_sessionize_result", "update")
 
 
 def events_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,16 +1207,7 @@ def events_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    qname = "stream_dim_join_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(qname)
+    return _run_stream(spark, out, "stream_dim_join_result", "complete")
 
 
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,16 +1226,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    qname = "stream_dedup_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(qname)
+    return _run_stream(spark, out, "stream_dedup_result", "complete")
 
 
 def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,16 +1334,7 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    qname = "stream_dedup_wm_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(qname)
+    return _run_stream(spark, out, "stream_dedup_wm_result", "complete")
 
 
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,6 +1701,26 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics end-to-end: NULL injection (CASE), null-skipping
+    COUNT(col)/AVG, COALESCE fill — the reference's ``fillna(0)`` habit
+    made explicit (SURVEY §1.5) and checked against the oracle's identical
+    ANSI behavior."""
+    _register_views(spark, sf_dir)
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    return (
+        spark.table("events")
+        .select((F.col("user_id") % 10).alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_nonnull"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2).alias("sum_filled"),
+        )
+    )
+
+
 def docs_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column function surface: UTF-8 encode → byte length, MD5
     digest, base64 transport length — the typed-binary plumbing the
@@ -1802,18 +1809,9 @@ def events_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_user"))
     )
-    qname = "stream_update_counts"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    sink = _run_stream(spark, counts, "stream_update_counts", "update")
     return (
-        spark.table(qname)
-        .groupBy("event_type")
+        sink.groupBy("event_type")
         .agg(F.max("n").alias("n"), F.max("sum_user").alias("sum_user"))
     )
 
@@ -1855,20 +1853,8 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stream–stream joins emit in APPEND mode only (inner matches emit
     # eagerly); the sink holds the raw pairs, aggregated as a batch read.
-    qname = "stream_stream_join_result"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return (
-        spark.table(qname)
-        .groupBy("c_user")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    sink = _run_stream(spark, joined, "stream_stream_join_result", "append")
+    return sink.groupBy("c_user").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,16 +1875,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         funcs=("mean", "max", "count"),
     )
-    qname = "stream_sliding_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    res = spark.table(qname)
+    res = _run_stream(spark, out, "stream_sliding_result", "complete")
     return res.select(
         F.col("window_start"),
         F.col("user_id").alias("sensor_id"),
@@ -2022,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_topk": docs_tfidf_topk,
         "docs_source_mix": docs_source_mix,
         "docs_binary_features": docs_binary_features,
+        "events_null_semantics": events_null_semantics,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2987,6 +2965,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["events_null_semantics"] = """
+        SELECT user_id % 10 AS bucket,
+               COUNT(*) AS n,
+               COUNT(v) AS n_nonnull,
+               ROUND(AVG(v), 6) AS avg_v,
+               ROUND(SUM(COALESCE(v, 0.0)), 2) AS sum_filled
+        FROM (SELECT user_id,
+                     CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+              FROM events)
+        GROUP BY bucket
     """
     oracles["docs_binary_features"] = """
         SELECT doc_id,
