@@ -1701,6 +1701,48 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate a dense monthly
+    calendar spine, LEFT JOIN sparse facts onto it — zero-activity months
+    survive with n_orders=0. The dense-spine pattern every time-series
+    report needs; DuckDB runs its own recursive CTE as the oracle."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            WHERE m < DATE'1998-12-01'
+        )
+        SELECT CAST(m AS STRING) AS month,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+        FROM months LEFT JOIN orders
+          ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
+        GROUP BY m
+        """
+    )
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` the props
+    column into a variant, ``variant_get`` typed paths out, aggregate.
+    The open-schema column pattern for evolving event payloads — binary
+    variant encoding beats re-parsing JSON strings per access."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def events_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL null semantics end-to-end: NULL injection (CASE), null-skipping
     COUNT(col)/AVG, COALESCE fill — the reference's ``fillna(0)`` habit
@@ -2000,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_mix": docs_source_mix,
         "docs_binary_features": docs_binary_features,
         "events_null_semantics": events_null_semantics,
+        "orders_month_spine": orders_month_spine,
+        "events_variant_props": events_variant_props,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
@@ -2965,6 +3009,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["orders_month_spine"] = """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE m < DATE '1998-12-01'
+        )
+        SELECT strftime(m, '%Y-%m-%d') AS month,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+        FROM months LEFT JOIN orders
+          ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
+        GROUP BY m
+    """
+    oracles["events_variant_props"] = """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+               MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type
     """
     oracles["events_null_semantics"] = """
         SELECT user_id % 10 AS bucket,
