@@ -836,7 +836,8 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The charter showcase: an LLM training-data prep pipeline as ONE
     JSON-deserialized Pipeline — quality scoring → language ID → predicate
     filter → content fingerprint → near-exact dedup (keep lowest doc_id per
-    fingerprint). Five registry ops, one lazy Catalyst plan, exact oracle."""
+    fingerprint) → deterministic 80% subsample. Six registry ops, one lazy
+    Catalyst plan, exact oracle."""
     from sensordatapipelines_spark import Pipeline
 
     _register_views(spark, sf_dir)
@@ -848,7 +849,9 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
        "kwargs": {"predicate": "quality >= 0.5 AND lang_pred = 'en'"}},
       {"name": "fp", "function": "fingerprint", "args": [], "kwargs": {}},
       {"name": "dedup", "function": "dedup_keep_first", "args": [],
-       "kwargs": {"subset": ["fp"], "order_col": "doc_id"}}
+       "kwargs": {"subset": ["fp"], "order_col": "doc_id"}},
+      {"name": "mix", "function": "hash_sample", "args": [],
+       "kwargs": {"key_col": "doc_id", "rate": 0.8, "salt": "prep"}}
     ]}
     """
     out = Pipeline.from_json(plan).process(spark.table("documents"))
@@ -2989,7 +2992,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
             FROM joined
         )
-        SELECT doc_id, quality, lang_pred, fp FROM ranked WHERE rn = 1
+        SELECT doc_id, quality, lang_pred, fp FROM ranked
+        WHERE rn = 1
+          AND substring(md5('prep' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
     """.format(
         DOCS_QUALITY=oracles["docs_quality"],
         DOCS_LANG=oracles["docs_lang_id"],
