@@ -1704,6 +1704,27 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_divide`` (÷0 → NULL, skipped by
+    aggregates — not a job-killing exception at row 3 billion) and
+    ``try_cast`` (malformed → NULL). Oracle: the NULLIF/TRY_CAST
+    formulation of identical semantics."""
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.try_divide(F.col("value"), (F.col("user_id") % 5).cast("double")).alias(
+            "ratio"
+        ),
+        F.expr("try_cast(event_type AS INT)").alias("bad_cast"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ratio").alias("n_divisible"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        F.count("bad_cast").alias("n_cast_ok"),
+    )
+
+
 def orders_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate a dense monthly
     calendar spine, LEFT JOIN sparse facts onto it — zero-activity months
@@ -2046,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_binary_features": docs_binary_features,
         "events_null_semantics": events_null_semantics,
         "orders_month_spine": orders_month_spine,
+        "events_safe_math": events_safe_math,
         "events_variant_props": events_variant_props,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
@@ -3014,6 +3036,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
+    """
+    oracles["events_safe_math"] = """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(value / NULLIF(user_id % 5, 0)) AS n_divisible,
+               ROUND(AVG(value / NULLIF(user_id % 5, 0)), 6) AS avg_ratio,
+               COUNT(TRY_CAST(event_type AS INTEGER)) AS n_cast_ok
+        FROM events
+        GROUP BY event_type
     """
     oracles["orders_month_spine"] = """
         WITH RECURSIVE months(m) AS (
