@@ -691,6 +691,65 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity (type-token ratio) repetition filter — the
+    Gopher-style 'fraction of unique words' quality signal. Narrow map-only
+    plan: no shuffle, scales linearly with scan bandwidth."""
+    from sensordatapipelines_spark.operators.text import type_token_ratio
+
+    _register_views(spark, sf_dir)
+    out = type_token_ratio(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "ttr",
+    )
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails/phones → placeholders) with per-doc match
+    counts. The synthetic corpus carries no PII, so the gate plants a
+    deterministic contact string per doc before scrubbing — the regex tier
+    is exercised for real and the md5 of the scrubbed text is oracle-exact."""
+    from sensordatapipelines_spark.operators.text import pii_scrub
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0000"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    )
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: per-source streaming next-fit by
+    cumulative token count (window cumsum → pack id → per-pack stats)."""
+    from sensordatapipelines_spark.operators.text import sequence_pack
+
+    _register_views(spark, sf_dir)
+    return sequence_pack(spark.table("documents"), context_len=512).select(
+        "source",
+        "pack_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        "first_doc",
+        "last_doc",
+    )
+
+
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join + exact
     cosine threshold within buckets (charter dedup variant)."""
@@ -2083,6 +2142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_ivf": emb_ann_ivf,
         "emb_neardup": emb_neardup,
         "docs_token_count": docs_token_count,
+        "docs_ttr": docs_ttr,
+        "docs_pii_scrub": docs_pii_scrub,
+        "docs_pack_sequences": docs_pack_sequences,
         "events_percentiles": events_percentiles,
         "lineitem_rollup": lineitem_rollup,
         "events_union_dedup": events_union_dedup,
@@ -2635,6 +2697,70 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'fr' END
                    ELSE 'und' END AS lang_pred
             FROM scored
+        """,
+        "docs_ttr": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+                   ROUND(CASE WHEN len(t) > 0
+                              THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS ttr
+            FROM toks
+        """,
+        "docs_pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0000' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                       AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                       '[PHONE]', 'g')) AS scrub_md5
+            FROM aug
+        """,
+        "docs_pack_sequences": """
+            WITH toks AS (
+                SELECT source, doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            packed AS (
+                SELECT source, doc_id, n_tokens,
+                       CAST(FLOOR((SUM(n_tokens) OVER (
+                               PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+                FROM toks
+            )
+            SELECT source, pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   MIN(doc_id) AS first_doc,
+                   MAX(doc_id) AS last_doc
+            FROM packed
+            GROUP BY source, pack_id
         """,
         "docs_fingerprint": """
             SELECT doc_id,

@@ -232,3 +232,116 @@ def tfidf_topk(
             F.col("__id").alias(id_col), "term", "tf", "df_docs", "score", "rnk"
         )
     )
+
+
+@register("type_token_ratio")
+def type_token_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ttr: float = 0.0,
+) -> DataFrame:
+    """Lexical-diversity / repetition filter: type-token ratio per document
+    (distinct tokens / total tokens — the Gopher-style "fraction of unique
+    words" quality signal; a crawl page that repeats one sentence scores
+    near 0, natural prose near 1). Rows with ``ttr < min_ttr`` are dropped.
+
+    Pure JVM array expressions (``array_distinct`` over the whitespace
+    tokenizer), no shuffle at all: a narrow map over the scan, so at 100 TB
+    this is bandwidth-bound and embarrassingly parallel.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct(toks)) / n.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ttr"),
+    )
+    return out.filter(F.col("ttr") >= min_ttr) if min_ttr > 0 else out
+
+
+# Conservative, engine-portable PII patterns (Java regex ≡ RE2 subset: no
+# backrefs, no lookaround). Real pipelines layer NER on top; the regex tier
+# is the cheap scan-side pass that runs over every byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register("pii_scrub")
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Regex PII redaction: mask emails → ``[EMAIL]`` and intl-format phone
+    numbers → ``[PHONE]``, reporting per-doc match counts. Patterns stay in
+    the lookaround-free Java∩RE2 subset so the DuckDB oracle replays them
+    exactly. Narrow map-only plan (no shuffle); the regex runs JVM-side
+    inside codegen, which is what makes a scrub pass over 100 TB feasible.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        scrubbed.alias(out_col),
+    )
+
+
+@register("sequence_pack")
+def sequence_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    context_len: int = 512,
+) -> DataFrame:
+    """Context-window sequence packing for LLM training: within each
+    ``group_col`` stream, documents (ordered by ``id_col``) are assigned to
+    packs by cumulative token count — pack ``p`` holds the docs whose
+    running-total start offset falls in ``[p·L, (p+1)·L)``. This is the
+    deterministic "chunked concatenation" packer (the streaming next-fit
+    used by most pretraining loaders); bin-optimal packing is NP-hard and
+    non-associative, so it deliberately isn't attempted here.
+
+    Plan shape: one scan → window cumulative sum partitioned by group
+    (single shuffle on ``group_col``) → hash agg on (group, pack). At
+    100 TB the window state is a running long per partition — O(1) memory —
+    and pack ids are per-group, so new data appends packs without
+    renumbering old ones.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count_expr(F.col(text_col))
+    with_pack = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        toks.alias("n_tokens"),
+    ).withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(context_len))
+        ).cast("long"),
+    )
+    return with_pack.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

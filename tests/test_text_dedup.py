@@ -242,3 +242,68 @@ def test_hash_sample_deterministic_and_rate_bounded(spark):
     # a different salt draws a different sample
     s3 = sorted(r["id"] for r in hash_sample(df, "id", 0.5, salt="y").collect())
     assert s1 != s3
+
+
+def test_type_token_ratio_repetition_signal(spark):
+    from sensordatapipelines_spark.operators.text import type_token_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                   # 1 type / 4 tokens
+            (2, "all four words differ"),                 # 4 / 4
+            (3, ""),                                      # empty → ttr 0
+            (4, "Mixed mixed CASE case"),                 # lowercased: 2 / 4
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in type_token_ratio(df).collect()}
+    assert rows[1]["ttr"] == 0.25
+    assert rows[2]["ttr"] == 1.0
+    assert rows[3]["ttr"] == 0.0 and rows[3]["n_tokens"] == 0
+    assert rows[4]["n_types"] == 2
+    # min_ttr filter drops the repetitive doc
+    kept = {r["doc_id"] for r in type_token_ratio(df, min_ttr=0.5).collect()}
+    assert kept == {2, 4}
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from sensordatapipelines_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org today"),
+            (2, "call +1-555-123-4567 or +44-202-555-0199"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["scrubbed"] == (
+        "mail [EMAIL] and [EMAIL] today"
+    )
+    assert rows[2]["n_phones"] == 2 and rows[2]["scrubbed"] == (
+        "call [PHONE] or [PHONE]"
+    )
+    assert rows[3]["n_emails"] == 0 and rows[3]["scrubbed"] == "no pii here"
+
+
+def test_sequence_pack_next_fit_by_cumulative_tokens(spark):
+    from sensordatapipelines_spark.operators.text import sequence_pack
+
+    # 3-token docs, context 6 → packs of exactly 2 docs, per source stream.
+    df = spark.createDataFrame(
+        [(i, "a b c", "s0") for i in range(5)]
+        + [(10, "x y z", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["pack_id"]): r
+        for r in sequence_pack(df, context_len=6).collect()
+    }
+    assert out[("s0", 0)]["n_docs"] == 2 and out[("s0", 0)]["first_doc"] == 0
+    assert out[("s0", 1)]["n_docs"] == 2 and out[("s0", 1)]["last_doc"] == 3
+    assert out[("s0", 2)]["n_docs"] == 1
+    assert out[("s1", 0)]["n_docs"] == 1
+    # token conservation: pack sums add back to the corpus total
+    total = sum(r["sum_tokens"] for r in sequence_pack(df, context_len=6).collect())
+    assert total == 6 * 3
