@@ -998,6 +998,38 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: a Bloom-style occupied-bucket sketch of
+    the small side's keys prunes the events scan before the exact
+    left-semi join confirms survivors — result identical to the plain
+    semi-join (what the oracle asserts)."""
+    from sensordatapipelines_spark.operators.joins import runtime_filter_semi_join
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    vips = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    out = runtime_filter_semi_join(ev, vips, on="user_id", n_buckets=4096)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (rows / nulls / exact distinct) in a
+    single scan — the pre-ingest contract check of a training pipeline."""
+    from sensordatapipelines_spark.operators.utility import quality_audit
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return quality_audit(ev, columns=["user_id", "event_type", "value"])
+
+
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer+nation,
     top 20. Fact-fact join shuffles on orderkey; the nation dim broadcasts."""
@@ -2158,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_moving_avg": events_moving_avg,
         "events_salted_join": events_salted_join,
+        "events_runtime_filter_join": events_runtime_filter_join,
+        "events_quality_audit": events_quality_audit,
         "q10_returned_revenue": q10_returned_revenue,
         "q18_large_orders": q18_large_orders,
         "lineitem_cube": lineitem_cube,
@@ -2951,6 +2985,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "events_runtime_filter_join": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            WHERE user_id IN (
+                SELECT c_custkey FROM customer WHERE c_nationkey < 5
+            )
+        """,
+        "events_quality_audit": """
+            SELECT 'user_id' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'event_type',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT)
+            FROM events
         """,
         "events_salted_join": """
             SELECT c_nationkey, COUNT(*) AS n_events,

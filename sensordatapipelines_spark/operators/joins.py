@@ -159,3 +159,44 @@ def range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return out.drop("__b")
+
+
+@register("runtime_filter_semi_join")
+def runtime_filter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Semi-join with an explicit Bloom-style runtime pre-filter: hash the
+    small side's keys into ``n_buckets`` coarse buckets (one tiny agg job,
+    broadcast as a 1-row array), drop big-side rows whose key hashes into
+    no occupied bucket, then confirm survivors with the exact left-semi
+    join. Bucket collisions (false positives) are removed by the exact
+    join, so the result is identical to ``big.join(small, on,
+    'left_semi')`` — the sketch only prunes.
+
+    Scale rationale: at 100 TB the pre-filter runs inside the big side's
+    scan stage and eliminates most non-matching rows *before* the
+    semi-join shuffle — the same runtime-filter idea Spark's AQE bloom
+    rewrite applies internally (``bloom_filter_agg`` is not a public SQL
+    function, so the sketch here is an occupied-bucket set built from
+    public API only). Mirrors the reference's bbox pre-filter philosophy
+    (SURVEY §4: emit a cheap coarse predicate the scan can exploit,
+    /root/reference/src/data_preprocessing.py:222-223) applied to key
+    joins. A production variant would swap the array for a real bitmap;
+    the plan shape (broadcast scalar sketch → scan-side filter → exact
+    confirm) is the part that matters.
+    """
+    bucket = lambda col: F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))  # noqa: E731
+    sketch = (
+        small.select(bucket(on).alias("__b"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("__b")).alias("__bs"))
+    )
+    pruned = (
+        big.join(F.broadcast(sketch))
+        .where(F.array_contains(F.col("__bs"), bucket(on)))
+        .drop("__bs")
+    )
+    return pruned.join(small.select(on).distinct(), on, "left_semi")

@@ -181,3 +181,38 @@ def hash_sample(
         thr = thr.otherwise(F.lit(_hex_threshold(0.0)))
         return df.filter(prefix < thr)
     return df.filter(prefix < F.lit(_hex_threshold(rate)))
+
+
+@register("quality_audit")
+def quality_audit(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Per-column data-quality profile → one row per column:
+    ``(column_name, n_rows, n_nulls, n_distinct)``. The contract-check pass
+    a training pipeline runs before ingesting a new data drop.
+
+    Single scan: all columns profile in one aggregate (conditional
+    aggregates + ``count_distinct``), then the 1-row result unpivots via
+    ``stack`` — no per-column re-scan, which is the difference between one
+    and N reads of a 100 TB table. Exact multi-column ``count_distinct``
+    uses Spark's Expand (rows × columns blow-up before the partial agg);
+    for very wide audits pass ``exact=False`` to switch to
+    ``approx_count_distinct`` (HLL, no Expand) — the scale path when ±2 %
+    cardinality error is acceptable.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    nd = F.count_distinct if exact else F.approx_count_distinct
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __n, __n - __nn_{c}, __nd_{c}" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )

@@ -120,3 +120,41 @@ def test_range_join_boundaries_and_overlap(spark):
     out = range_join(pts, iv, "ts", "ws", "we", bucket_seconds=86400)
     got = {(r["pid"], r["iid"]) for r in out.collect()}
     assert got == {(1, 10), (2, 10), (1, 11)}
+
+
+def test_runtime_filter_semi_join_equals_plain_semi_join(spark):
+    from sensordatapipelines_spark.operators.joins import runtime_filter_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 10) for i in range(200)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(2,), (7,), (999,)], "k long")
+    got = {
+        r["row_id"] for r in runtime_filter_semi_join(big, small, on="k").collect()
+    }
+    want = {
+        r["row_id"] for r in big.join(small, "k", "left_semi").collect()
+    }
+    assert got == want and len(want) == 40
+    # tiny bucket count → heavy collisions → still exact (confirm join wins)
+    got_collide = {
+        r["row_id"]
+        for r in runtime_filter_semi_join(big, small, on="k", n_buckets=2).collect()
+    }
+    assert got_collide == want
+
+
+def test_quality_audit_single_pass_profile(spark):
+    from sensordatapipelines_spark.operators.utility import quality_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, None, 2.0), (4, "b", 2.0)],
+        "id long, cat string, v double",
+    )
+    rows = {r["column_name"]: r for r in quality_audit(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["cat"]["n_nulls"] == 1 and rows["cat"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    # approx path keeps the same shape
+    approx = {r["column_name"] for r in quality_audit(df, exact=False).collect()}
+    assert approx == {"id", "cat", "v"}
