@@ -222,3 +222,57 @@ def test_q18_fact_fact_join_is_shuffle_not_nested_loop(spark):
     plan = _plan(e.q18_large_orders(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_q4_semi_join_no_post_join_distinct(spark):
+    """Q4's EXISTS must plan as a left-semi join: no Distinct/HashAggregate
+    on orderkey between the join and the priority count."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+    # exactly one aggregation pair (priority counts) — a post-join dedup
+    # would add a second keyed aggregate
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_q12_single_pass_conditional_agg(spark):
+    """Q12's high/low priority counts must come from ONE aggregation pass
+    over one scan of lineitem — not a union of two filtered scans."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q12_late_priority(spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(scans) == 1
+
+
+def test_q19_part_predicates_prune_broadcast_side(spark):
+    """Q19's disjunction: the part-only conjuncts (brand+size) must reach the
+    part scan as pushed filters — Catalyst extracts the common disjunctive
+    bound instead of evaluating everything post-join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q19_disjunctive_revenue(spark, SF))
+    scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "part" in l
+    )
+    assert "Or(" in scan or "In(p_brand" in scan  # disjunctive pushdown reached the scan
+
+
+def test_q21_per_order_stats_shuffle_once(spark):
+    """Q21's reformulation: the per-order supplier stats and the late-line
+    probe must join on orderkey with ordinary hash/merge joins — never a
+    nested loop (the correlated-EXISTS translation risk)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q21_waiting_supplier(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_subquery_is_broadcast(spark):
+    """Q22's AVG threshold must attach via a 1-row broadcast join, and the
+    orders anti-join must not nest-loop."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q22_global_sales(spark, SF))
+    assert "LeftAnti" in plan
