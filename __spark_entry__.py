@@ -2494,6 +2494,87 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` aggregation (Spark's built-in merging
+    session windows) — complements the custom ``events_sessionize``: the
+    native operator merges on timestamps alone with [ts, last_ts+gap)
+    semantics (split at diff ≥ gap), no tiebreak column. Oracle reproduces
+    the merge with a gaps-and-islands window at µs precision."""
+    _register_views(spark, sf_dir)
+    e = spark.table("events")
+    g = e.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+        F.unix_timestamp(F.col("sw.end")).alias("session_end_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type location/spread: median, IQR, and MAD
+    (median absolute deviation). MAD is inherently two-pass — the per-group
+    median broadcast back onto the fact rows — but the first pass output is
+    group-cardinality rows, so the broadcast is tiny at any scale."""
+    _register_views(spark, sf_dir)
+    e = spark.table("events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.min("_med"), 6).alias("median_value"),
+        F.round(
+            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)), 6
+        ).alias("iqr"),
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
+        ).alias("mad"),
+    )
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (DataFrame ``groupingSets`` API, Spark 4) with
+    ``grouping_id`` disambiguating the all-rows set from a genuine NULL group
+    — the third of the multi-dimensional agg trio next to cube/rollup. One
+    Expand + one aggregation pass, never a union of per-set scans."""
+    _register_views(spark, sf_dir)
+    l = spark.table("lineitem")
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard pre-dedup text normalization: lowercase, strip non-alnum,
+    collapse whitespace — map-only, zero shuffle; the regexes stay in the
+    Java∩RE2 subset so the oracle replays them byte-identically."""
+    _register_views(spark, sf_dir)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2614,6 +2695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": q20_part_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales": q22_global_sales,
+        "events_session_native": events_session_native,
+        "events_robust_stats": events_robust_stats,
+        "lineitem_grouping_sets": lineitem_grouping_sets,
+        "docs_normalize": docs_normalize,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_ml": docs_minhash_ml,
@@ -4116,5 +4201,63 @@ def oracle_sql() -> dict[str, str]:
                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
           )
         GROUP BY cntrycode
+    """
+    oracles["events_session_native"] = """
+        WITH e AS (
+            SELECT user_id, value, epoch_us(ts) AS tus FROM events
+        ),
+        lagd AS (
+            SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+            FROM e
+        ),
+        sess AS (
+            SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY tus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+            FROM lagd
+        )
+        SELECT user_id,
+               CAST(FLOOR(MIN(tus) / 1000000) AS BIGINT) AS session_start_epoch,
+               CAST(FLOOR((MAX(tus) + 1800000000) / 1000000) AS BIGINT)
+                   AS session_end_epoch,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """
+    oracles["events_robust_stats"] = """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(MIN(m), 6) AS median_value,
+               ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+                   AS iqr,
+               ROUND(quantile_cont(abs(value - m), 0.5), 6) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    """
+    oracles["lineitem_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+    oracles["docs_normalize"] = """
+        WITH n AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g') AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               LENGTH(norm) AS norm_len,
+               SUBSTR(norm, 1, 40) AS norm_prefix,
+               LEN(string_split(norm, ' ')) AS n_tokens
+        FROM n
     """
     return oracles
