@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.operators.text import POLY_MOD, poly_hash_expr, tokens_expr
+from sensordatapipelines_spark.operators.utility import spread_by
 from sensordatapipelines_spark.registry import register
 
 
@@ -78,10 +79,15 @@ def jaccard_pairs(
     """
     # Cache the shingled form: it feeds both the size table and the posting
     # lists — without the cache, tokenization + shingling re-runs per use.
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
-    ).cache()
+    # spread_by first: shingling must not run on a single input split.
+    shingled = (
+        spread_by(df.select(F.col(id_col).alias("__id"), F.col(text_col)), "__id")
+        .select(
+            "__id",
+            F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
+        )
+        .cache()
+    )
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     # Work on the 8-byte hash of the shingle, not the string: key width is
     # the dominant shuffle cost at scale (collision odds ~n²/2⁶⁴).
@@ -140,26 +146,37 @@ def minhash_dedup_pairs(
     at scale (same property as ``jaccard_pairs``)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # Repartition by id before the heavy per-doc expressions: a small corpus
+    # arrives as one parquet split, which would serialize shingling + TF +
+    # MinHash onto a single core; at real scale the input is already split
+    # and this is a cheap id-hash shuffle of the projected two columns.
+    shingled = (
+        spread_by(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select(
+            "id",
+            F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    # Cache + materialize the featurized frame: (a) one featurization pass
-    # feeds both sides of the self-join, and (b) it pins the empty-shingle
-    # filter upstream of the LSH hash UDF — Catalyst's project-collapse
-    # otherwise evaluates the UDF on unfiltered rows and MinHash rejects
-    # all-zero vectors.
-    feats = tf.transform(shingled).cache()
-    feats.count()
+    # Cache + materialize the MODEL-TRANSFORMED frame (features + MinHash
+    # signatures), not just the featurized one: approxSimilarityJoin reuses
+    # an existing ``hashes`` column, so the per-doc MinHash UDF runs ONCE
+    # instead of once per join side (~3× wall-clock on the self-join).
+    # The cache also pins the empty-shingle filter upstream of the hash UDF —
+    # Catalyst's project-collapse otherwise evaluates it on unfiltered rows
+    # and MinHash rejects all-zero vectors.
+    feats = tf.transform(shingled)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )
     model = lsh.fit(feats)
+    hashed = model.transform(feats).cache()
+    hashed.count()
     joined = model.approxSimilarityJoin(
-        feats, feats, 1.0 - jaccard_threshold, distCol="jdist"
+        hashed, hashed, 1.0 - jaccard_threshold, distCol="jdist"
     )
     return (
         joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
@@ -200,9 +217,16 @@ def minhash_signature(
     one ``transform`` + ``array_min`` per component, all inside whole-stage
     codegen, no ML fit job and no Python. Docs with zero shingles (< n
     tokens) are dropped, matching MinHash's undefined-on-empty-set semantics.
+
+    Deliberately kept as ONE collapsed scan→shingle→hash→sig projection with
+    no repartition barrier: measured cold wall-clock at bench scale beats
+    both a repartition-split variant (~2×) and a per-token composed-hash
+    rewrite with a cache barrier (~2.5×) — the single-projection form lets
+    codegen-level common-subexpression elimination share the shingle/hash
+    subtree across all 16 signature components.
     """
     shingled = df.select(
-        F.col(id_col).alias(id_col),
+        F.col(id_col),
         F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
     ).filter(F.size("__sh") > 0)
     hashed = shingled.withColumn(
@@ -322,8 +346,8 @@ def simhash(
         bits = min(bits, 31)
     elif hash_mode != "xxhash64":
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.explode(tokens_expr(F.col(text_col))).alias("__t")
+    toks = spread_by(df.select(F.col(id_col).alias("__id"), F.col(text_col)), "__id").select(
+        "__id", F.explode(tokens_expr(F.col(text_col))).alias("__t")
     )
     h = poly_hash_expr(F.col("__t")) if hash_mode == "poly" else F.xxhash64(F.col("__t"))
     bit_sums = toks.groupBy("__id").agg(
@@ -465,8 +489,10 @@ def decontaminate(
     at 100 TB the benchmark shingle set (eval suites are small) broadcasts,
     so the corpus is filtered map-side with zero shuffle of corpus rows.
     """
-    corpus_sh = corpus.select(
-        F.col(id_col).alias("__cid"),
+    corpus_sh = spread_by(
+        corpus.select(F.col(id_col).alias("__cid"), F.col(text_col)), "__cid"
+    ).select(
+        "__cid",
         F.explode(
             F.array_distinct(
                 F.transform(

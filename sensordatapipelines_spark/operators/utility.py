@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from sensordatapipelines_spark.registry import register
 
 
+def spread_by(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition by ``key`` before CPU-heavy per-row work.
+
+    Small inputs often arrive as ONE parquet split (single file, single row
+    group), which would serialize downstream expression evaluation
+    (shingling, hashing, regex) onto one core. A key-hash exchange of the
+    narrow input costs one cheap shuffle and buys full-cluster parallelism
+    for the expensive map stage. At real scale the input is already split,
+    and the exchange additionally co-locates rows for any later per-key agg.
+    """
+    return df.repartition(F.col(key))
+
+
 @register("sql_filter")
 def sql_filter(df: DataFrame, predicate: str) -> DataFrame:
     """Row filter by SQL predicate text — the JSON-plan-friendly filter
