@@ -2575,6 +2575,56 @@ def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time-grid regularization with forward-fill (pandas
+    ``resample('15min').mean().ffill()``): bucket agg → ``lead`` window →
+    ``sequence``-explode gap synthesis, no spine join (see
+    ``operators/temporal.resample``). ``n_obs = 0`` marks filled rows."""
+    from sensordatapipelines_spark.operators.temporal import resample
+
+    _register_views(spark, sf_dir)
+    out = resample(
+        spark.table("events"),
+        series_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=900,
+        how="ffill",
+    )
+    return out.select(
+        "event_type",
+        F.col("grid_ts").cast("string").alias("grid_ts"),
+        F.round("value_rs", 6).alias("value_rs"),
+        "n_obs",
+    )
+
+
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of ``events_resample_ffill``: synthesized
+    gap rows blend toward the next observation, exact at both endpoints
+    (pandas ``interpolate(limit_area='inside')``). Output value is
+    ``FLOOR(x * 1e6)`` micro-units: both engines evaluate the identical
+    IEEE-double expression tree, so FLOOR is bit-deterministic where
+    ROUND's half-tie rule is engine-specific."""
+    from sensordatapipelines_spark.operators.temporal import resample
+
+    _register_views(spark, sf_dir)
+    out = resample(
+        spark.table("events"),
+        series_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=900,
+        how="linear",
+    )
+    return out.select(
+        "event_type",
+        F.col("grid_ts").cast("string").alias("grid_ts"),
+        F.floor(F.col("value_rs") * 1000000).alias("value_u6"),
+        "n_obs",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2699,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_stats": events_robust_stats,
         "lineitem_grouping_sets": lineitem_grouping_sets,
         "docs_normalize": docs_normalize,
+        "events_resample_ffill": events_resample_ffill,
+        "events_resample_interp": events_resample_interp,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_ml": docs_minhash_ml,
@@ -4260,4 +4312,50 @@ def oracle_sql() -> dict[str, str]:
                LEN(string_split(norm, ' ')) AS n_tokens
         FROM n
     """
+    # Resample oracles: same bucket-agg → lead → series-generate shape; the
+    # interpolation expression keeps the identical operand order
+    # v + (nv - v) * pos / steps so both engines round the same double.
+    _resample_core = """
+        WITH per AS (
+            SELECT event_type,
+                   make_timestamp(CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT)
+                                  * 1000000) AS b,
+                   AVG(value) AS v, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), led AS (
+            SELECT event_type, b, v, n,
+                   LEAD(b) OVER (PARTITION BY event_type ORDER BY b) AS nb,
+                   LEAD(v) OVER (PARTITION BY event_type ORDER BY b) AS nv
+            FROM per
+        ), grid AS (
+            SELECT event_type, b, v, n, nb, nv, gt
+            FROM led,
+                 UNNEST(generate_series(
+                     b, COALESCE(nb - INTERVAL 15 MINUTE, b),
+                     INTERVAL 15 MINUTE)) AS t(gt)
+        )
+    """
+    oracles["events_resample_ffill"] = (
+        _resample_core
+        + """
+        SELECT event_type,
+               strftime(gt, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+               ROUND(v, 6) AS value_rs,
+               CASE WHEN gt = b THEN n ELSE 0 END AS n_obs
+        FROM grid
+    """
+    )
+    oracles["events_resample_interp"] = (
+        _resample_core
+        + """
+        SELECT event_type,
+               strftime(gt, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+               CAST(FLOOR((CASE WHEN gt = b THEN v
+                          ELSE v + (nv - v) * ((epoch(gt) - epoch(b)) / 900)
+                                   / ((epoch(nb) - epoch(b)) / 900)
+                     END) * 1000000) AS BIGINT) AS value_u6,
+               CASE WHEN gt = b THEN n ELSE 0 END AS n_obs
+        FROM grid
+    """
+    )
     return oracles

@@ -208,3 +208,92 @@ def time_profile(df: DataFrame, ts_col: str, sensor_col: str) -> DataFrame:
         F.max(ts_col).alias("ts_max"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@register("resample")
+def resample(
+    df: DataFrame,
+    series_col: str = "sensor_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 900,
+    how: str = "ffill",
+) -> DataFrame:
+    """Regularize each series onto a fixed time grid (the Spark twin of
+    pandas ``df.resample(step).mean().ffill()`` / ``.interpolate()`` — the
+    canonical sensor-series normalization the reference's time-series model
+    (SURVEY.md §1.3, ``src/data_preprocessing.py:323-328``) implies but
+    never provides).
+
+    Plan (no per-series driver loop, no spine join):
+
+    1. epoch-aligned bucket agg: ``avg(value)``/``count`` per
+       ``(series, bucket)`` — one full-data shuffle with map-side partial
+       agg (deliberately NOT pre-partitioned by series alone: that would
+       move raw rows and concentrate each whole series on one task);
+    2. ``lead(bucket)`` / ``lead(avg)`` over the series window — a second
+       exchange, but of the already-reduced (series, bucket) rows only
+       (≤ series × span/step rows regardless of input size);
+    3. ``explode(sequence(bucket, next_bucket - step, step))`` emits the
+       grid rows *map-side*, carrying the left observation forward
+       (``ffill``) or blending toward the right one (``linear``).
+
+    Versus the join-onto-spine formulation this saves the spine build AND
+    its shuffle join; gap rows materialize only in the exploding map task.
+    At 100 TB the state per series is one row (the lead), and output size
+    is grid-bounded: series × (span/step). Dense series (every bucket
+    occupied) emit exactly one row per bucket — the explode degenerates to
+    a 1-element sequence.
+
+    Output: ``(series, grid_ts, value_rs, n_obs)`` where ``n_obs = 0``
+    marks synthesized gap rows. ``how='linear'``: gap rows get
+    ``v + (next_v - v) * pos / gap_steps`` (exact at both endpoints);
+    trailing rows (no next observation) keep their own value, matching
+    pandas ``interpolate(limit_area='inside')``.
+    """
+    if how not in ("ffill", "linear"):
+        raise ValueError(f"unknown resample mode {how!r}")
+    step = int(step_seconds)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step
+    )
+    per = (
+        df.groupBy(F.col(series_col).alias("__s"), bucket.alias("__b"))
+        .agg(F.avg(value_col).alias("__v"), F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__s").orderBy("__b")
+    step_iv = F.expr(f"INTERVAL {step} SECONDS")
+    g = per.withColumn("__nb", F.lead("__b").over(w)).withColumn(
+        "__nv", F.lead("__v").over(w)
+    )
+    grid = g.select(
+        "__s",
+        "__b",
+        "__v",
+        "__n",
+        "__nb",
+        "__nv",
+        F.explode(
+            F.sequence(
+                F.col("__b"),
+                F.coalesce(F.col("__nb") - step_iv, F.col("__b")),
+                step_iv,
+            )
+        ).alias("grid_ts"),
+    )
+    pos = (F.unix_timestamp("grid_ts") - F.unix_timestamp("__b")) / step
+    gap_steps = (F.unix_timestamp("__nb") - F.unix_timestamp("__b")) / step
+    if how == "linear":
+        filled = F.col("__v") + (F.col("__nv") - F.col("__v")) * pos / gap_steps
+    else:
+        filled = F.col("__v")
+    return grid.select(
+        F.col("__s").alias(series_col),
+        "grid_ts",
+        F.when(F.col("grid_ts") == F.col("__b"), F.col("__v"))
+        .otherwise(filled)
+        .alias("value_rs"),
+        F.when(F.col("grid_ts") == F.col("__b"), F.col("__n"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_obs"),
+    )

@@ -94,3 +94,67 @@ def test_time_profile(spark):
     assert prof[1]["ts_max"] == dt.datetime(2024, 1, 9)
     assert prof[1]["n_obs"] == 2
     assert prof[2]["n_obs"] == 1
+
+
+def test_resample_ffill_fills_gaps_with_previous_value(spark):
+    from sensordatapipelines_spark.operators.temporal import resample
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1, 0), 1, 10.0),
+        (dt.datetime(2024, 1, 1, 0, 14, 0), 1, 20.0),   # same 15-min bucket
+        (dt.datetime(2024, 1, 1, 1, 0, 0), 1, 40.0),    # 2-bucket gap before
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 2, 5.0),     # second series, dense
+        (dt.datetime(2024, 1, 1, 0, 15, 0), 2, 6.0),
+    ]
+    out = resample(
+        _readings(spark, rows), "sensor_id", "ts", "v", step_seconds=900
+    )
+    got = {
+        (r["sensor_id"], str(r["grid_ts"])): (r["value_rs"], r["n_obs"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (15.0, 2),   # avg of the 2 obs in bucket
+        (1, "2024-01-01 00:15:00"): (15.0, 0),   # gap: carried forward
+        (1, "2024-01-01 00:30:00"): (15.0, 0),
+        (1, "2024-01-01 00:45:00"): (15.0, 0),
+        (1, "2024-01-01 01:00:00"): (40.0, 1),
+        (2, "2024-01-01 00:00:00"): (5.0, 1),    # dense series: no synth rows
+        (2, "2024-01-01 00:15:00"): (6.0, 1),
+    }
+
+
+def test_resample_linear_blends_toward_next_observation(spark):
+    from sensordatapipelines_spark.operators.temporal import resample
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (dt.datetime(2024, 1, 1, 1, 0, 0), 1, 50.0),    # 4 buckets later
+    ]
+    out = resample(
+        _readings(spark, rows), "sensor_id", "ts", "v", step_seconds=900,
+        how="linear",
+    )
+    got = {str(r["grid_ts"]): r["value_rs"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 10.0,
+        "2024-01-01 00:15:00": 20.0,
+        "2024-01-01 00:30:00": 30.0,
+        "2024-01-01 00:45:00": 40.0,
+        "2024-01-01 01:00:00": 50.0,
+    }
+
+
+def test_resample_single_exchange_plan(spark):
+    """The lead-window reuses the bucket-agg's hash exchange: series is a
+    prefix-subset of the agg keys, so exactly ONE shuffle appears in the
+    plan (plus no join — gap rows come from the map-side explode)."""
+    from sensordatapipelines_spark.operators.temporal import resample
+
+    df = _readings(spark, [(dt.datetime(2024, 1, 1), 1, 1.0)])
+    plan = (
+        resample(df, "sensor_id", "ts", "v", step_seconds=900)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
