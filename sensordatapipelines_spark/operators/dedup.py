@@ -213,32 +213,34 @@ def minhash_signature(
 
     Spark-first alternative to the ML pipeline (``minhash_dedup_pairs``): the
     base hash of each shingle is the portable polynomial hash, and each
-    signature component is ``min over shingles of (a_i·h + b_i) mod p`` —
-    one ``transform`` + ``array_min`` per component, all inside whole-stage
-    codegen, no ML fit job and no Python. Docs with zero shingles (< n
-    tokens) are dropped, matching MinHash's undefined-on-empty-set semantics.
+    signature component is ``min over shingles of (a_i·h + b_i) mod p``.
+    Docs with zero shingles (< n tokens) are dropped, matching MinHash's
+    undefined-on-empty-set semantics.
 
-    Deliberately kept as ONE collapsed scan→shingle→hash→sig projection with
-    no repartition barrier: measured cold wall-clock at bench scale beats
-    both a repartition-split variant (~2×) and a per-token composed-hash
-    rewrite with a cache barrier (~2.5×) — the single-projection form lets
-    codegen-level common-subexpression elimination share the shingle/hash
-    subtree across all 16 signature components.
+    Shape: **explode shingles → hash each once → one groupBy(id) with
+    ``num_hashes`` flat ``min`` aggregates.** The tempting array-native form
+    (``array_min(transform(__h0, affine_i))`` per component over a shared
+    hashed array) is a trap: Catalyst's project-collapse inlines the shingle
+    hash subtree into every component, and higher-order functions evaluate
+    *interpreted*, so the per-character polynomial hash runs ``num_hashes``×
+    per shingle — measured 10× slower at bench scale. The flat-aggregate
+    form hashes each shingle exactly once inside a codegen'd hash aggregate
+    with map-side partial min; duplicate shingles need no dedup (min over a
+    multiset equals min over its set). One shuffle of (id, 16 longs) partial
+    states; ``spread_by`` pins parallelism for single-split local inputs.
     """
-    shingled = df.select(
+    exploded = spread_by(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    hashed = shingled.withColumn(
-        "__h0", F.transform(F.col("__sh"), lambda s: poly_hash_expr(s))
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("__s"),
     )
-    def _sig(i: int, a: int, b: int):
-        return F.array_min(
-            F.transform(F.col("__h0"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_MOD))
-        ).alias(f"sig{i}")
-
-    sigs = [_sig(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))]
-    return hashed.select(id_col, *sigs)
+    hashed = exploded.select(id_col, poly_hash_expr(F.col("__s")).alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(POLY_MOD)).alias(f"sig{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 @register("minhash_pairs")

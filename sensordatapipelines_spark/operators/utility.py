@@ -30,8 +30,15 @@ def spread_by(df: DataFrame, key: str) -> DataFrame:
     narrow input costs one cheap shuffle and buys full-cluster parallelism
     for the expensive map stage. At real scale the input is already split,
     and the exchange additionally co-locates rows for any later per-key agg.
+
+    The partition count is pinned to ``defaultParallelism`` explicitly:
+    an un-numbered ``repartition(col)`` is advisory, and AQE coalesces the
+    byte-small exchange straight back to one partition — CPU-bound work is
+    not byte-bound, so the coalesce would undo the whole point (measured:
+    the minhash signature ran 5× slower under the coalesced plan).
     """
-    return df.repartition(F.col(key))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
 
 
 @register("sql_filter")
