@@ -2625,6 +2625,111 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_corr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface: Pearson correlation and sample/population
+    covariance between a measure and a derived regressor (hour-of-day), per
+    group. Single scan, partial+final aggregation — the co-moment state
+    merges associatively, so the shuffle carries one 5-tuple per
+    (partition, group), not rows."""
+    _register_views(spark, sf_dir)
+    e = spark.table("events").select(
+        "event_type",
+        F.col("value"),
+        F.hour("ts").cast("double").alias("hr"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", "hr"), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", "hr"), 6).alias("covar_samp_vh"),
+        F.round(F.covar_pop("value", "hr"), 6).alias("covar_pop_vh"),
+    )
+
+
+def events_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend via the SQL-standard ``REGR_*`` aggregate
+    family (Spark 3.5+ builtins): slope/intercept/R² of value over time,
+    one pass, no window, no collect. The regressor is days since a fixed
+    origin INSIDE the data range — an uncentered epoch regressor (~2e4
+    with variance ~1e2) loses ~8 significant digits to cancellation in
+    Sxx = Σx²−(Σx)²/n and the two engines' different accumulation orders
+    then disagree past round(4); centering makes the moments well-
+    conditioned and the comparison stable."""
+    _register_views(spark, sf_dir)
+    e = spark.table("events").select(
+        "event_type",
+        F.col("value"),
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+            / F.lit(86400.0)
+        ).alias("xday"),
+    )
+    return e.groupBy("event_type").agg(
+        F.regr_count("value", "xday").alias("n"),
+        F.round(F.regr_slope("value", "xday"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "xday"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "xday"), 6).alias("r2"),
+    )
+
+
+def events_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the native ``unpivot`` (ANSI UNPIVOT /
+    pandas ``melt``): per-type min/avg/max pivoted into (stat, value) rows.
+    The unpivot happens AFTER the reduction, so the Expand operator
+    multiplies group-cardinality rows (×3), never fact rows."""
+    _register_views(spark, sf_dir)
+    wide = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["min_value", "avg_value", "max_value"],
+        "stat",
+        "stat_value",
+    )
+
+
+def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile (skewness, excess kurtosis) from raw power
+    sums — ONE scan computes Σx..Σx⁴ and the moments fold algebraically.
+    Deliberately NOT Spark's ``skewness``/``kurtosis`` builtins: engines
+    disagree on sample-vs-population corrections, so the portable form is
+    the identical power-sum expression tree on both sides (same story as
+    the resample oracle's FLOOR trick)."""
+    _register_views(spark, sf_dir)
+    l = spark.table("lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("x")
+    )
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - F.lit(3.0) * mu * (F.col("s2") / F.col("n")) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * mu * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * mu * mu * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis_pop"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2751,6 +2856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "events_resample_ffill": events_resample_ffill,
         "events_resample_interp": events_resample_interp,
+        "events_corr_hour": events_corr_hour,
+        "events_regr_trend": events_regr_trend,
+        "events_stats_unpivot": events_stats_unpivot,
+        "lineitem_moments": lineitem_moments,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_ml": docs_minhash_ml,
@@ -4358,4 +4467,65 @@ def oracle_sql() -> dict[str, str]:
         FROM grid
     """
     )
+    oracles["events_corr_hour"] = """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+                   AS corr_value_hour,
+               ROUND(covar_samp(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+                   AS covar_samp_vh,
+               ROUND(covar_pop(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+                   AS covar_pop_vh
+        FROM events GROUP BY event_type
+    """
+    oracles["events_regr_trend"] = """
+        WITH x AS (
+            SELECT event_type, value,
+                   (epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 86400.0
+                       AS xday
+            FROM events
+        )
+        SELECT event_type,
+               regr_count(value, xday) AS n,
+               ROUND(regr_slope(value, xday), 4) AS slope_per_day,
+               ROUND(regr_intercept(value, xday), 4) AS intercept,
+               ROUND(regr_r2(value, xday), 6) AS r2
+        FROM x GROUP BY event_type
+    """
+    oracles["events_stats_unpivot"] = """
+        WITH wide AS (
+            SELECT event_type,
+                   ROUND(MIN(value), 6) AS min_value,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   ROUND(MAX(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, 'min_value' AS stat, min_value AS stat_value FROM wide
+        UNION ALL
+        SELECT event_type, 'avg_value', avg_value FROM wide
+        UNION ALL
+        SELECT event_type, 'max_value', max_value FROM wide
+    """
+    oracles["lineitem_moments"] = """
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS s1, SUM(x*x) AS s2,
+                   SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+            FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               ROUND(s1/n, 6) AS mean_qty,
+               ROUND((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+                     / POW(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness_pop,
+               ROUND((s4/n - 4.0*(s1/n)*(s3/n)
+                      + 6.0*(s1/n)*(s1/n)*(s2/n)
+                      - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
+                     , 6) AS excess_kurtosis_pop
+        FROM s
+    """
     return oracles
