@@ -2730,6 +2730,60 @@ def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — a standard text-quality
+    signal (low entropy ⇒ boilerplate/repetition). Computed ENTIRELY with
+    higher-order array functions (split → sorted distinct → per-char count →
+    fold), so it is map-only with ZERO shuffle: at 100 TB it scales with scan
+    bandwidth, where the naive explode(char) formulation would shuffle
+    len(text) rows per document. The fold runs over the SORTED distinct
+    alphabet so both engines accumulate the float sum in the same order."""
+    _register_views(spark, sf_dir)
+    d = spark.table("documents")
+    expr = """
+        aggregate(
+            transform(
+                array_sort(array_distinct(split(lower(text), ''))),
+                ch -> size(filter(split(lower(text), ''), c -> c = ch))
+            ),
+            CAST(0.0 AS DOUBLE),
+            (acc, k) -> acc - (k / CAST(length(lower(text)) AS DOUBLE))
+                        * log2(k / CAST(length(lower(text)) AS DOUBLE))
+        )
+    """
+    return d.select(
+        "doc_id",
+        F.length(F.lower("text")).alias("n_chars"),
+        F.round(F.expr(expr), 6).alias("char_entropy_bits"),
+    )
+
+
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams with deterministic tie-break
+    (count desc, bigram asc). The global top-k is an ``orderBy().limit()``,
+    which Spark executes as TakeOrdered — per-partition heaps merged on the
+    driver, never a full sort shuffle; the only real shuffle is the bigram
+    count, whose partial aggregation collapses repeats map-side."""
+    _register_views(spark, sf_dir)
+    d = spark.table("documents")
+    # Spark's sequence(1, 0) DESCENDS (returns [1, 0]) rather than yielding
+    # an empty range, so sub-2-token docs need the explicit guard.
+    bigrams = (
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        " ELSE array() END"
+    )
+    return (
+        d.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2860,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_regr_trend": events_regr_trend,
         "events_stats_unpivot": events_stats_unpivot,
         "lineitem_moments": lineitem_moments,
+        "docs_char_entropy": docs_char_entropy,
+        "docs_bigram_topk": docs_bigram_topk,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "docs_minhash_ml": docs_minhash_ml,
@@ -4527,5 +4583,41 @@ def oracle_sql() -> dict[str, str]:
                      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
                      , 6) AS excess_kurtosis_pop
         FROM s
+    """
+    oracles["docs_char_entropy"] = """
+        WITH cs AS (
+            SELECT doc_id, lower(text) AS lt,
+                   string_split(lower(text), '') AS chars
+            FROM documents
+        )
+        SELECT doc_id,
+               LENGTH(lt) AS n_chars,
+               ROUND(
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(
+                               list_sort(list_distinct(chars)),
+                               ch -> -(CAST(len(list_filter(chars, c -> c = ch))
+                                            AS DOUBLE) / LENGTH(lt))
+                                     * log2(CAST(len(list_filter(chars, c -> c = ch))
+                                                 AS DOUBLE) / LENGTH(lt)))),
+                       (acc, x) -> acc + x),
+                   6) AS char_entropy_bits
+        FROM cs
+    """
+    oracles["docs_bigram_topk"] = """
+        WITH toks AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ), bg AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+            WHERE len(t) >= 2
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM bg GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC
+        LIMIT 20
     """
     return oracles
