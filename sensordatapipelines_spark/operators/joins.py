@@ -63,7 +63,9 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).cast("long").alias("__r_ts_match"),
+        # timestamp→timestamp cast is a no-op; NTZ→timestamp makes the long
+        # cast legal (NTZ→long is CAST_WITHOUT_SUGGESTION)
+        F.col(right_ts).cast("timestamp").cast("long").alias("__r_ts_match"),
     )
     for c in lcols:  # left-only columns ride along as NULL on right rows
         if c not in (on, left_ts):
@@ -85,7 +87,9 @@ def asof_join(
     )
     out = out.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        in_tol = F.col("__last_ts") >= (F.col(left_ts).cast("long") - F.lit(tolerance))
+        in_tol = F.col("__last_ts") >= (
+            F.col(left_ts).cast("timestamp").cast("long") - F.lit(tolerance)
+        )
         for c in right_cols:
             out = out.withColumn(
                 f"__last_{c}", F.when(in_tol, F.col(f"__last_{c}"))

@@ -157,7 +157,9 @@ def sessionize(
 
     (Batch twin of Structured Streaming's ``session_window``; kept as an
     explicit operator so the oracle can replay it.)"""
-    ts_us = F.unix_micros(F.col(ts_col))
+    # cast-to-timestamp first: tolerates TIMESTAMP_NTZ inputs (unix_micros
+    # rejects NTZ; the cast is a no-op on proper TIMESTAMP columns)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = [ts_us]
     if order_tiebreak:
         order.append(F.col(order_tiebreak))
@@ -187,7 +189,7 @@ def moving_average(
 ) -> DataFrame:
     """Per-sensor rolling mean over the last ``n_preceding``+1 observations
     (ROWS frame). Window over the sensor shuffle — no self-join."""
-    order = [F.unix_micros(F.col(ts_col))]
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]  # NTZ-tolerant
     if order_tiebreak:
         order.append(F.col(order_tiebreak))
     w = (

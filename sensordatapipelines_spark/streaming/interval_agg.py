@@ -33,18 +33,27 @@ def read_events_stream(
     schema=None,
     fmt: str = "parquet",
     max_files_per_trigger: int = 4,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """File-based streaming source over an events directory. For production
     the same query runs off Kafka by swapping the reader; the transformation
-    graph is source-agnostic."""
+    graph is source-agnostic.
+
+    Any TIMESTAMP_NTZ event-time column is cast to TIMESTAMP on read:
+    ``withWatermark`` hard-requires the instant type
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and with the session timezone
+    pinned to UTC the cast is value-preserving."""
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
-    return (
+    stream = (
         spark.readStream.format(fmt)
         .schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
 
 
 def stream_windowed_aggregate(

@@ -1,13 +1,21 @@
 """Canonical loaders for the driver's test tables (TESTDATA.md).
 
-One compatibility shim lives here: ``events.parquet`` stores
-``TIMESTAMP(NANOS)`` which Spark's vectorized parquet reader rejects
-(``PARQUET_TYPE_ILLEGAL``). We read nanos as int64
-(``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL conf) and convert
-to a proper timestamp at microsecond precision via ``timestamp_micros`` —
-an epoch→epoch mapping, independent of session timezone. Oracle-facing
-queries compare timestamps at second granularity, so the ns→µs truncation is
-not observable in correctness checks.
+One compatibility shim lives here: ``events.parquet``'s ``ts`` column has
+shipped in two physical encodings across driver data generations, and the
+engine normalizes BOTH to a session-timezone ``TIMESTAMP`` (instant) type:
+
+- ``TIMESTAMP(NANOS)``: Spark's vectorized parquet reader rejects it
+  (``PARQUET_TYPE_ILLEGAL``), so we read nanos as int64
+  (``spark.sql.legacy.parquet.nanosAsLong``) and convert via
+  ``timestamp_micros`` — an epoch→epoch mapping, timezone-independent.
+- ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``: loads as ``TIMESTAMP_NTZ``,
+  which breaks ``withWatermark`` / ``unix_micros`` / long casts downstream.
+  Cast to ``TIMESTAMP``: the session timezone is pinned to UTC everywhere
+  (session.py), so the naive wall-clock is reinterpreted as the same UTC
+  instant — value-preserving, and identical to what the DuckDB oracle sees.
+
+Oracle-facing queries compare timestamps at second granularity, so the
+ns→µs truncation in the first case is not observable in correctness checks.
 """
 
 from __future__ import annotations
@@ -34,10 +42,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanosAsLong fired: ns since epoch
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":  # naive micros; session TZ is UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
