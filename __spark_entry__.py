@@ -569,12 +569,21 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs via shared-shingle equi-join."""
+    """N-gram Jaccard near-dup pairs via shared-shingle equi-join. The
+    stop-shingle skew cap is set explicitly (and is also the operator
+    default): a corpus-common shingle must never drive an O(df²) candidate
+    set. At the gate's corpus size no shingle reaches the cap, so the
+    oracle's full-set Jaccard is unchanged with the guard active."""
     from sensordatapipelines_spark.operators.dedup import jaccard_pairs
 
     _register_views(spark, sf_dir)
     return jaccard_pairs(
-        spark.table("documents"), id_col="doc_id", text_col="text", n=3, threshold=0.1
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.1,
+        max_shingle_df=1000,
     )
 
 
@@ -3754,7 +3763,8 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS UNBOUNDED PRECEDING) + 1 AS session_id
                 FROM lagd
             )
-            SELECT user_id, session_id, COUNT(*) AS n_events,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
                    CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch,
                    CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_end_epoch
             FROM sess GROUP BY user_id, session_id
@@ -3831,15 +3841,19 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN '{t}' THEN {i + 1}"
         for i, t in enumerate(["click", "error", "purchase", "signup", "view"])
     )
+    # CAST the integer SUMs: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+    # renders as float64 — the driver's value hash then sees 147709.0 vs
+    # Spark's 147709 (the r01 hash_match=false artifact).
     oracles["events_dir_union"] = f"""
-        SELECT CASE event_type {_type_case} END AS sensor_id,
-               COUNT(*) AS n, SUM(user_id) AS sum_user
+        SELECT CAST(CASE event_type {_type_case} END AS BIGINT) AS sensor_id,
+               COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_user
         FROM events GROUP BY sensor_id
     """
     # Single-micro-batch streaming sessionization ≡ batch sessionization.
     oracles["events_stream_sessionize"] = oracles["events_sessionize"]
     oracles["events_csv_roundtrip"] = """
-        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_user
         FROM events GROUP BY event_type
     """
     oracles["q10_returned_revenue"] = """
@@ -4060,7 +4074,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     oracles["docs_source_mix"] = """
-        SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
               CASE source
@@ -4074,7 +4089,8 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY source
     """
     oracles["events_stream_update_counts"] = """
-        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_user
         FROM events
         GROUP BY event_type
     """
@@ -4214,7 +4230,8 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_nationkey
     """
     oracles["events_orc_roundtrip"] = """
-        SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user,
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_user,
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY event_type
@@ -4385,10 +4402,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["q12_late_priority"] = """
         SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                     THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -67,15 +67,19 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
 
     Candidate generation by shared shingle (equi-join on the shingle key):
     explode distinct shingles → self-join → per-pair intersection counts →
-    ``|A∩B| / (|A| + |B| − |A∩B|)``. ``max_shingle_df`` drops shingles that
-    occur in more than that many docs — the skew guard: an ultra-common
-    shingle would otherwise create a quadratic candidate blow-up at scale.
+    ``|A∩B| / (|A| + |B| − |A∩B|)``. ``max_shingle_df`` treats shingles that
+    occur in more than that many docs as stop-shingles, excluded from BOTH
+    the candidate join and the set sizes (so the measure stays a true
+    Jaccard — over the informative shingles). This is the skew guard: one
+    corpus-common shingle (df = d) would otherwise contribute O(d²)
+    candidate pairs — quadratic blow-up at 100 TB. Default ON at 1000;
+    pass ``None`` for exact full-set Jaccard on corpora known to be small.
     """
     # Cache the shingled form: it feeds both the size table and the posting
     # lists — without the cache, tokenization + shingling re-runs per use.
@@ -88,7 +92,6 @@ def jaccard_pairs(
         )
         .cache()
     )
-    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     # Work on the 8-byte hash of the shingle, not the string: key width is
     # the dominant shuffle cost at scale (collision odds ~n²/2⁶⁴).
     exploded = shingled.select(
@@ -96,10 +99,15 @@ def jaccard_pairs(
     )
     if max_shingle_df is not None:
         freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-        exploded = (
-            exploded.join(F.broadcast(freq.filter(F.col("__df") <= max_shingle_df)), "__s")
-            .select("__id", "__s")
-        )
+        # Anti-join against the HOT set: broadcasting the heavy-hitter
+        # shingles (tiny by construction — at most |corpus|/cap of them)
+        # keeps the guard map-side; broadcasting the kept majority would
+        # itself be a scale bug.
+        hot = freq.filter(F.col("__df") > max_shingle_df).select("__s")
+        exploded = exploded.join(F.broadcast(hot), "__s", "left_anti")
+        sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     # Self-join on the hashed shingle for candidate pairs. (A posting-list
     # formulation — groupBy shingle, explode ordered id combinations — saves
     # one shuffle of the exploded table, but its nested-lambda codegen costs

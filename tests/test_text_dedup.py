@@ -129,6 +129,47 @@ def test_jaccard_identical_docs_score_one(spark):
     assert (1, 3) not in by_pair
 
 
+def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """Skew guard: a corpus-common shingle must NOT create O(df²) candidate
+    pairs. Every doc shares one hot trigram ('the quick fox'); the rest of
+    each doc is unique. With the cap below the corpus size the hot shingle
+    is a stop-shingle: no pairs survive. With the cap off, all 45 pairs
+    become candidates (jaccard > 0 for every pair through the hot shingle)."""
+    docs = spark.createDataFrame(
+        [(i, "the quick fox " + " ".join(f"w{i}x{j}" for j in range(6))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    capped = jaccard_pairs(docs, n=3, threshold=1e-9, max_shingle_df=5).collect()
+    assert capped == []  # hot shingle excluded -> no shared shingles remain
+    uncapped = jaccard_pairs(docs, n=3, threshold=1e-9, max_shingle_df=None).collect()
+    assert len(uncapped) == 45  # quadratic in df without the guard
+    # A shingle at exactly the cap is kept (boundary: df <= cap passes).
+    at_cap = jaccard_pairs(docs, n=3, threshold=1e-9, max_shingle_df=10).collect()
+    assert len(at_cap) == 45
+
+
+def test_jaccard_cap_consistent_sizes(spark):
+    """With the cap active, sizes and intersections use the SAME filtered
+    shingle sets — the score stays a true Jaccard over kept shingles."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hot common gram alpha beta gamma"),
+            (2, "hot common gram alpha beta delta"),
+            (3, "hot common gram zz yy xx"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'hot common gram' appears in all 3 docs; cap=2 removes it. Docs 1,2
+    # then share {common gram alpha, gram alpha beta} of 3+3 kept shingles
+    # each... compute: doc1 kept trigrams: (common gram alpha),(gram alpha
+    # beta),(alpha beta gamma); doc2: ...,(alpha beta delta). inter=2,
+    # union=4 -> 0.5.
+    out = jaccard_pairs(docs, n=3, threshold=0.4, max_shingle_df=2).collect()
+    by = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert by[(1, 2)] == pytest.approx(0.5)
+    assert (1, 3) not in by and (2, 3) not in by
+
+
 def test_minhash_finds_exact_dup(spark):
     pairs = minhash_dedup_pairs(_docs(spark), n=3, jaccard_threshold=0.5)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
