@@ -441,6 +441,32 @@ def sensors_buffer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sensors_buffer_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 via the grid-bucketed HASH-join path (``bucketed=True``): both
+    sides assigned to cells of size ≥ max reach, sensor side exploded to its
+    3×3 neighbourhood, equi-join on the cell id, exact distance as residual
+    filter. Same oracle as ``sensors_buffer_agg`` — identical semantics;
+    this is the plan that holds when the sensor side outgrows broadcast."""
+    from sensordatapipelines_spark.operators.spatial import buffer_aggregate
+
+    _register_views(spark, sf_dir)
+    out = buffer_aggregate(
+        _sensors(spark),
+        _zones(spark),
+        columns=["acctbal"],
+        buffer_size=BUFFER_SIZE,
+        funcs=("mean", "max"),
+        source_name="zones",
+        layer_radius="radius",
+        bucketed=True,
+    )
+    return out.select(
+        "sensor_id",
+        F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
+        F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+    )
+
+
 def sensors_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: k-nearest-neighbour aggregation (window top-k over distance)."""
     from sensordatapipelines_spark.operators.spatial import knn_aggregate
@@ -2886,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_profile": events_time_profile,
         "events_json_props": events_json_props,
         "sensors_buffer_agg": sensors_buffer_agg,
+        "sensors_buffer_agg_bucketed": sensors_buffer_agg_bucketed,
         "sensors_knn_agg": sensors_knn_agg,
         "sensors_zonal_stats": sensors_zonal_stats,
         "sensors_bbox_filter": sensors_bbox_filter,
@@ -3830,6 +3857,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["emb_ann_ivf"] = _ivf_oracle()
     oracles["emb_neardup"] = _emb_neardup_oracle()
     oracles["docs_token_count"] = _token_count_oracle()
+    # Bucketed A2 is semantics-identical to the broadcast path by design —
+    # one oracle covers both plans.
+    oracles["sensors_buffer_agg_bucketed"] = oracles["sensors_buffer_agg"]
     oracles["zones_intersect_point"] = f"""
         WITH zones AS ({ZONES_SQL})
         SELECT zone_id, lon, lat, ROUND(radius, 6) AS radius,

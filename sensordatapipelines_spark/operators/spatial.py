@@ -51,6 +51,72 @@ def check_crs(crs: int | str | None) -> int:
     return int(str(crs).removeprefix("EPSG:").removeprefix("epsg:"))
 
 
+# -- engine-carried CRS (SURVEY §1.1) --------------------------------------
+#
+# The reference keeps CRS as frame state and reprojects to a common CRS
+# before every spatial predicate (``:192-193,218-220,257-259``). The Spark
+# carrier is COLUMN METADATA on the coordinate columns: metadata rides
+# through select/filter/join/rename untouched by Catalyst, needs no wrapper
+# class around DataFrame, and survives a round-trip through parquet.
+
+_CRS_META_KEY = "sdp_crs_epsg"
+
+
+@register("set_crs")
+def set_crs(
+    df: DataFrame, epsg: int | str, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Attach an EPSG code to the coordinate columns as column metadata —
+    the engine-tracked CRS attribute. Downstream spatial operators read it
+    and reproject-or-raise on mismatch instead of silently mixing CRSs."""
+    code = check_crs(epsg)
+    out = df
+    for c in (lon_col, lat_col):
+        if c in df.columns:
+            out = out.withMetadata(c, {_CRS_META_KEY: code})
+    return out
+
+
+def get_crs(df: DataFrame, lon_col: str = "lon") -> int | None:
+    """Read the engine-tracked EPSG code off a frame (None when untagged)."""
+    for f in df.schema.fields:
+        if f.name == lon_col and f.metadata and _CRS_META_KEY in f.metadata:
+            return int(f.metadata[_CRS_META_KEY])
+    return None
+
+
+def _resolve_crs_pair(
+    sensors: DataFrame,
+    layer: DataFrame,
+    crs: int | str | None,
+    sensor_lon: str,
+    layer_lon: str,
+    layer_lat: str,
+) -> DataFrame:
+    """Resolve the effective CRS of both sides of a spatial join.
+
+    Column metadata (``set_crs``) wins over the per-call ``crs`` kwarg; a
+    side with neither raises ``MissingCRS``. When the two sides disagree,
+    the LAYER is reprojected into the sensors' CRS before any distance
+    predicate — mirroring the reference's reproject-before-predicate rule —
+    so a 4326 sensor table can never silently join a 3857 layer. Returns
+    the (possibly reprojected) layer."""
+    s_eff = get_crs(sensors, sensor_lon) if sensors is not None else None
+    l_eff = get_crs(layer, layer_lon) if layer is not None else None
+    if s_eff is None:
+        s_eff = check_crs(crs)  # raises MissingCRS when kwarg is None too
+    if l_eff is None:
+        l_eff = check_crs(crs)
+    if l_eff != s_eff:
+        layer = set_crs(
+            reproject(layer, l_eff, s_eff, lon_col=layer_lon, lat_col=layer_lat),
+            s_eff,
+            lon_col=layer_lon,
+            lat_col=layer_lat,
+        )
+    return layer
+
+
 def distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """Euclidean distance expression (reference ``euclidian_dist``,
     ``:363-367``) — canonical operand order for cross-engine determinism."""
@@ -107,15 +173,29 @@ def bbox_filter(
 
 @register("drop_invalid_points")
 def drop_invalid_points(
-    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    observation=None,
 ) -> DataFrame:
     """S1 validity filter for the point-geometry model: drop rows with
-    null/NaN coordinates (reference drops empty/invalid geometries with
-    warnings, ``:478-485``; the count is observable via the returned plan)."""
+    null/NaN coordinates (reference warns per dropped invalid geometry,
+    ``:478-485``).
+
+    Observability: pass a ``pyspark.sql.Observation`` and the plan emits
+    ``n_invalid`` / ``n_total`` metrics (collected by the scan that executes
+    the query — zero extra jobs, unlike a separate ``count()``); after any
+    action, ``observation.get`` returns the dropped-row count the reference
+    surfaces as warnings."""
     lon, lat = F.col(lon_col), F.col(lat_col)
-    return df.filter(
-        lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
-    )
+    valid = lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
+    if observation is not None:
+        df = df.observe(
+            observation,
+            F.sum(F.when(valid, 0).otherwise(1)).alias("n_invalid"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    return df.filter(valid)
 
 
 @register("with_circle_area")
@@ -222,6 +302,7 @@ def buffer_aggregate(
     crs: int | str | None = 4326,
     bbox_prefilter: bool = True,
     zero_fill: bool = True,
+    bucketed: bool = False,
 ) -> DataFrame:
     """A2 buffer-intersect aggregation (vector branch of
     ``add_buffer_aggregated_data``, ``:207-235``).
@@ -233,26 +314,62 @@ def buffer_aggregate(
     aggregation (reference ``fillna(0)`` in ``geometries_interesect``,
     ``:600``); sensors with no intersecting zone keep NULL stats (empty
     intersection → NaN after the index join, ``:507-508``).
-    """
-    check_crs(crs)
+
+    CRS: column metadata (``set_crs``) on either side wins over the ``crs``
+    kwarg; mismatched sides reproject the layer into the sensors' CRS
+    before the predicate (reference ``:218-220``).
+
+    ``bucketed=True`` switches the theta-join to a GRID-BUCKETED HASH JOIN:
+    both sides are assigned to square cells of size ≥ the max reach
+    (buffer + max zone radius), the sensor side is exploded to its 3×3 cell
+    neighbourhood, the join is an equi-join on the cell id, and the exact
+    distance predicate runs as a residual filter. Identical results; the
+    plan becomes a shuffled hash/sort-merge join instead of a
+    BroadcastNestedLoopJoin — use it when the sensor side outgrows
+    broadcast (the remaining scale assumption of the default path)."""
+    layer = _resolve_crs_pair(sensors, layer, crs, sensor_lon, layer_lon, layer_lat)
     layer, cols = _resolve_layer_columns(layer, columns, layer_radius)
     reach = F.lit(buffer_size) + (
         F.col(f"__l.{layer_radius}") if layer_radius else F.lit(0.0)
     )
+    max_r = 0.0
+    if layer_radius and (bbox_prefilter or bucketed):
+        # One tiny driver-side aggregate whose result becomes plan literals.
+        max_r = float(layer.agg(F.max(layer_radius)).first()[0] or 0.0)
     if bbox_prefilter:
         xmin, xmax, ymin, ymax = _total_bounds(sensors, sensor_lon, sensor_lat)
         # Widen by the max possible reach so no intersecting zone is pruned.
-        if layer_radius:
-            max_r = float(layer.agg(F.max(layer_radius)).first()[0] or 0.0)
-        else:
-            max_r = 0.0
         pad = buffer_size + max_r
         layer = bbox_filter(
             layer, xmin - pad, xmax + pad, ymin - pad, ymax + pad, layer_lon, layer_lat
         )
-    s = sensors.alias("__s")
-    l = layer.alias("__l")
-    cond = (
+    s_pre, l_pre = sensors, layer
+    if bucketed:
+        cell = buffer_size + max_r
+        if cell <= 0.0:
+            raise ValueError("bucketed=True needs a positive reach (buffer+radius)")
+        # A zone's cell is always within one cell of any sensor it can reach
+        # (cell size ≥ max reach), so the exploded 3×3 sensor neighbourhood
+        # covers every intersecting pair exactly once: the layer row has ONE
+        # cell, and the 9 sensor copies target 9 DISTINCT cells.
+        neighbours = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        s_pre = (
+            s_pre.select("*", F.explode(neighbours).alias("__dx"))
+            .select("*", F.explode(neighbours).alias("__dy"))
+            .select(
+                "*",
+                (F.floor(F.col(sensor_lon) / F.lit(cell)) + F.col("__dx")).alias("__jx"),
+                (F.floor(F.col(sensor_lat) / F.lit(cell)) + F.col("__dy")).alias("__jy"),
+            )
+        )
+        l_pre = l_pre.select(
+            "*",
+            F.floor(F.col(layer_lon) / F.lit(cell)).alias("__lx"),
+            F.floor(F.col(layer_lat) / F.lit(cell)).alias("__ly"),
+        )
+    s = s_pre.alias("__s")
+    l = l_pre.alias("__l")
+    exact = (
         distance(
             F.col(f"__s.{sensor_lon}"),
             F.col(f"__s.{sensor_lat}"),
@@ -261,6 +378,14 @@ def buffer_aggregate(
         )
         <= reach
     )
+    if bucketed:
+        cond = (
+            (F.col("__s.__jx") == F.col("__l.__lx"))
+            & (F.col("__s.__jy") == F.col("__l.__ly"))
+            & exact
+        )
+    else:
+        cond = exact
     pairs = s.join(l, on=cond, how="inner")
     stats = pairs.groupBy(F.col(f"__s.{sensor_id_col}").alias("__sid")).agg(
         *build_agg_exprs(cols, funcs, source_name, zero_fill=zero_fill)
@@ -301,8 +426,10 @@ def knn_aggregate(
     ``radius_prefilter`` is the scale knob: with a radius bound the join is a
     range join the optimizer can prune instead of a full cross product; pick a
     radius that conservatively contains ≥ k neighbours (SURVEY.md §4).
-    """
-    check_crs(crs)
+
+    CRS: engine-tracked column metadata wins over the ``crs`` kwarg;
+    a mismatched layer reprojects into the sensors' CRS first."""
+    layer = _resolve_crs_pair(sensors, layer, crs, sensor_lon, layer_lon, layer_lat)
     layer, cols = _resolve_layer_columns(layer, columns, None)
     s = sensors.select(
         F.col(sensor_id_col).alias("__sid"),
@@ -313,8 +440,12 @@ def knn_aggregate(
     cond = d <= F.lit(radius_prefilter) if radius_prefilter is not None else F.lit(True)
     # The sensor side broadcasts; spread the streamed layer side across the
     # cluster first — a small layer read as 1-2 parquet splits would otherwise
-    # serialize the whole nested-loop join on one task.
-    layer = layer.repartition(max(layer.rdd.getNumPartitions(), 16))
+    # serialize the whole nested-loop join on one task. defaultParallelism,
+    # not layer.rdd.getNumPartitions(): touching .rdd forces a plan
+    # conversion per call (same rationale as spread_by).
+    layer = layer.repartition(
+        max(sensors.sparkSession.sparkContext.defaultParallelism, 16)
+    )
     pairs = F.broadcast(s).join(layer, on=cond, how="inner").withColumn("__dist", d)
     order = [F.col("__dist")]
     if layer_id_col:
@@ -356,8 +487,11 @@ def zonal_stats(
     via conditional aggregation — single pass, no pivot job. Sensors whose
     buffer contains no cells keep NULL stats (out-of-raster → NaN,
     ``:521-526``).
+
+    CRS: engine-tracked column metadata wins over the ``crs`` kwarg;
+    a mismatched cell table reprojects into the sensors' CRS first.
     """
-    check_crs(crs)
+    cells = _resolve_crs_pair(sensors, cells, crs, sensor_lon, cell_x, cell_y)
     if bands is None:
         bands = [r[0] for r in cells.select(band_col).distinct().orderBy(band_col).collect()]
     cells = cells.filter(F.col(band_col).isin([int(b) for b in bands]))
@@ -433,6 +567,130 @@ def intersect_filter(
 
 _EARTH_RADIUS_M = 6378137.0
 
+# WGS84 ellipsoid + UTM constants (public: Snyder, "Map Projections — A
+# Working Manual", USGS PP 1395, eqs. 8-9..8-25 / 3-21; the standard
+# ellipsoidal transverse-Mercator series, accurate to ~mm inside a zone).
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_WGS84_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_WGS84_EP2 = _WGS84_E2 / (1.0 - _WGS84_E2)
+_UTM_K0 = 0.9996
+_UTM_FALSE_E = 500000.0
+_UTM_FALSE_N = 10000000.0
+
+
+def _utm_zone(epsg: int) -> tuple[int, bool] | None:
+    """EPSG 32601-32660 → (zone, north); 32701-32760 → (zone, south)."""
+    if 32601 <= epsg <= 32660:
+        return epsg - 32600, True
+    if 32701 <= epsg <= 32760:
+        return epsg - 32700, False
+    return None
+
+
+def _utm_transform_df(
+    df: DataFrame, lon_col: str, lat_col: str, zone: int, north: bool, forward: bool
+) -> DataFrame:
+    """4326 ↔ UTM via the Snyder transverse-Mercator series (eqs. 8-9..8-15
+    forward, 8-17..8-25 inverse), evaluated as a VECTORIZED numpy kernel in
+    an Arrow-batched pandas UDF.
+
+    Why not pure Column expressions: the series is a ~12-level chain of
+    mutually-referencing trig terms. Expressed as (even staged) projections,
+    Catalyst's predicate pushdown substitutes the whole chain into every
+    pushed predicate — a bbox filter over reprojected coordinates inflated
+    the logical plan past driver heap (measured OOM on a 3-row input).
+    Pushdown through a reprojection has no scan-pruning value anyway (the
+    coordinates are computed, not stored), so the Arrow boundary costs two
+    doubles per row and buys a plan Catalyst can actually optimize. The
+    kernel itself is numpy-vectorized — no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e2, ep2, a, k0 = _WGS84_E2, _WGS84_EP2, _WGS84_A, _UTM_K0
+    lam0 = math.radians(zone * 6 - 183)
+
+    # no type hints: pandas_udf's hint inference can't resolve the
+    # function-scoped 'pd' alias; the returnType string is authoritative
+    @pandas_udf("x double, y double")
+    def _tx(lon_s, lat_s):
+        import numpy as np
+
+        if forward:
+            phi = np.radians(lat_s.values)
+            sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+            n = a / np.sqrt(1 - e2 * sin_p**2)
+            t = tan_p**2
+            c = ep2 * cos_p**2
+            aa = (np.radians(lon_s.values) - lam0) * cos_p
+            m = a * (
+                (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+                + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+                - (35 * e2**3 / 3072) * np.sin(6 * phi)
+            )
+            x = (
+                k0
+                * n
+                * (
+                    aa
+                    + (1 - t + c) * aa**3 / 6
+                    + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * aa**5 / 120
+                )
+                + _UTM_FALSE_E
+            )
+            y = k0 * (
+                m
+                + n
+                * tan_p
+                * (
+                    aa**2 / 2
+                    + (5 - t + 9 * c + 4 * c**2) * aa**4 / 24
+                    + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * aa**6 / 720
+                )
+            )
+            if not north:
+                y = y + _UTM_FALSE_N
+            return pd.DataFrame({"x": x, "y": y})
+        e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+        xp = lon_s.values - _UTM_FALSE_E
+        yp = lat_s.values if north else lat_s.values - _UTM_FALSE_N
+        mu = (yp / k0) / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+        phi1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        )
+        sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+        c1 = ep2 * cos1**2
+        t1 = tan1**2
+        den = 1 - e2 * sin1**2
+        n1 = a / np.sqrt(den)
+        r1 = a * (1 - e2) / den**1.5
+        d = xp / (n1 * k0)
+        phi = phi1 - (n1 * tan1 / r1) * (
+            d**2 / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2)
+            * d**6
+            / 720
+        )
+        lam = lam0 + (
+            d
+            - (1 + 2 * t1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
+        ) / cos1
+        return pd.DataFrame({"x": np.degrees(lam), "y": np.degrees(phi)})
+
+    out = df.withColumn("__xy", _tx(F.col(lon_col), F.col(lat_col)))
+    return (
+        out.withColumns({lon_col: F.col("__xy.x"), lat_col: F.col("__xy.y")})
+        .drop("__xy")
+    )
+
+
 
 @register("reproject")
 def reproject(
@@ -446,14 +704,33 @@ def reproject(
     to a common CRS before every spatial predicate, ``:192-193,218-220,
     257-259``).
 
-    EPSG:4326 ↔ EPSG:3857 (web-mercator) is implemented natively as closed
-    -form JVM expressions (no Python in the hot path); arbitrary CRS pairs
-    use pyproj via an Arrow-batched pandas UDF when pyproj is installed.
+    EPSG:4326 ↔ EPSG:3857 (web-mercator) is a closed-form JVM expression;
+    EPSG:4326 ↔ UTM (EPSG:32601-32660 north / 32701-32760 south) runs the
+    Snyder transverse-Mercator series as a VECTORIZED numpy kernel in an
+    Arrow-batched pandas UDF (see ``_utm_transform_df`` for why the series
+    must not be a Column expression chain); remaining CRS pairs use pyproj
+    the same way when installed. UTM↔3857 and UTM↔UTM compose through
+    4326.
     """
     src, dst = check_crs(src_epsg), check_crs(dst_epsg)
     if src == dst:
         return df
     lon, lat = F.col(lon_col), F.col(lat_col)
+    if _utm_zone(src) and dst != 4326:
+        # Compose via 4326: both legs are closed forms.
+        return reproject(
+            reproject(df, src, 4326, lon_col, lat_col), 4326, dst, lon_col, lat_col
+        )
+    if _utm_zone(dst) and src != 4326:
+        return reproject(
+            reproject(df, src, 4326, lon_col, lat_col), 4326, dst, lon_col, lat_col
+        )
+    if src == 4326 and _utm_zone(dst):
+        zone, north = _utm_zone(dst)
+        return _utm_transform_df(df, lon_col, lat_col, zone, north, forward=True)
+    if _utm_zone(src) and dst == 4326:
+        zone, north = _utm_zone(src)
+        return _utm_transform_df(df, lon_col, lat_col, zone, north, forward=False)
     if (src, dst) == (4326, 3857):
         x = F.radians(lon) * F.lit(_EARTH_RADIUS_M)
         y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2)) * F.lit(
@@ -479,7 +756,7 @@ def reproject(
     transformer = Transformer.from_crs(src, dst, always_xy=True)  # pragma: no cover
 
     @pandas_udf("x double, y double")  # pragma: no cover
-    def _tx(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+    def _tx(lon_s, lat_s):  # no hints: returnType string is authoritative
         xs, ys = transformer.transform(lon_s.values, lat_s.values)
         return pd.DataFrame({"x": xs, "y": ys})
 

@@ -123,12 +123,23 @@ def open_spatial_data(
     lon_col: str = "lon",
     lat_col: str = "lat",
     validate: bool = True,
+    crs: int | str | None = None,
+    observation=None,
 ) -> DataFrame:
     """S1 (reference ``open_spatial_data``, ``:462-492``) for the point-model:
     read a spatial table and drop rows with invalid coordinates (reference
     drops empty/invalid geometries with warnings, ``:478-485``). Raster
-    datasets are cell tables (SURVEY.md §1.2) and load through the same path."""
+    datasets are cell tables (SURVEY.md §1.2) and load through the same path.
+
+    ``crs`` tags the frame with an engine-tracked EPSG code (``set_crs``) so
+    downstream spatial operators verify/reproject instead of trusting a
+    per-call kwarg. ``observation`` (a ``pyspark.sql.Observation``) surfaces
+    the dropped-invalid-row count the reference emits as warnings."""
     df = open_data(spark, path)
     if validate and lon_col in df.columns and lat_col in df.columns:
-        df = drop_invalid_points(df, lon_col, lat_col)
+        df = drop_invalid_points(df, lon_col, lat_col, observation=observation)
+    if crs is not None:
+        from sensordatapipelines_spark.operators.spatial import set_crs
+
+        df = set_crs(df, crs, lon_col=lon_col, lat_col=lat_col)
     return df

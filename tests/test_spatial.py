@@ -147,6 +147,194 @@ def test_reproject_4326_3857_round_trip(spark):
     assert back["lat"] == pytest.approx(43.6045, abs=1e-9)
 
 
+def test_set_get_crs_round_trip(spark):
+    from sensordatapipelines_spark.operators.spatial import get_crs, set_crs
+
+    df = set_crs(_sensors(spark), 4326)
+    assert get_crs(df) == 4326
+    # metadata survives projection, filter and rename-through-select
+    assert get_crs(df.filter("sensor_id > 0").select("lon", "lat")) == 4326
+    assert get_crs(_sensors(spark)) is None
+    assert get_crs(set_crs(df, "EPSG:3857")) == 3857
+
+
+def test_crs_mismatch_auto_reprojects(spark):
+    """A 3857-tagged layer joined to 4326-tagged sensors reprojects the
+    layer before the predicate — same result as the all-4326 run."""
+    from sensordatapipelines_spark.operators.spatial import set_crs
+
+    sensors = set_crs(_sensors(spark), 4326)
+    zones4326 = _zones(spark)
+    zones3857 = set_crs(reproject(zones4326, 4326, 3857), 3857)
+    kwargs = dict(
+        columns=["pop"], buffer_size=0.2, source_name="z", layer_radius="radius"
+    )
+    expect = sorted(
+        (r["sensor_id"], r["mean_z_pop"])
+        for r in buffer_aggregate(sensors, set_crs(zones4326, 4326), **kwargs).collect()
+    )
+    got = sorted(
+        (r["sensor_id"], r["mean_z_pop"])
+        for r in buffer_aggregate(sensors, zones3857, **kwargs).collect()
+    )
+    assert got == expect
+
+
+def test_crs_metadata_beats_kwarg_and_mixing_is_never_silent(spark):
+    """Engine-tracked CRS wins over the per-call kwarg: a 3857-tagged layer
+    is NOT treated as 4326 just because the kwarg default says so."""
+    from sensordatapipelines_spark.operators.spatial import set_crs
+
+    sensors = set_crs(_sensors(spark), 4326)
+    # zone at web-mercator coordinates of (0.1, 0.0): if the engine ignored
+    # the tag and compared raw coordinates, the zone (x≈11132 m) would be far
+    # from every sensor and the stats would be NULL.
+    zones_m = set_crs(reproject(_zones(spark), 4326, 3857), 3857)
+    out = buffer_aggregate(
+        sensors,
+        zones_m,
+        columns=["pop"],
+        buffer_size=0.2,
+        source_name="z",
+        layer_radius="radius",
+        crs=4326,  # kwarg says 4326; metadata says 3857 — metadata wins
+    )
+    rows = {r["sensor_id"]: r for r in out.collect()}
+    assert rows[1]["mean_z_pop"] == 100.0
+
+
+def test_knn_and_zonal_crs_mismatch_reprojects(spark):
+    from sensordatapipelines_spark.operators.spatial import set_crs
+
+    sensors = set_crs(
+        spark.createDataFrame([(1, 0.0, 0.0)], "sensor_id long, lon double, lat double"),
+        4326,
+    )
+    zones = spark.createDataFrame(
+        [(20, 1.0, 0.0, 5.0), (21, -1.0, 0.0, 7.0)],
+        "zone_id long, lon double, lat double, v double",
+    )
+    out = knn_aggregate(
+        sensors,
+        set_crs(reproject(zones, 4326, 3857), 3857),
+        columns=["v"],
+        k=1,
+        source_name="z",
+        layer_id_col="zone_id",
+    )
+    assert out.first()["mean_z_v"] == 5.0
+    cells = spark.createDataFrame(
+        [(1, 0.0, 0.0, 5.0), (1, 0.1, 0.0, 7.0)],
+        "band int, x double, y double, value double",
+    )
+    zs = zonal_stats(
+        sensors,
+        set_crs(reproject(cells, 4326, 3857, lon_col="x", lat_col="y"), 3857, "x", "y"),
+        bands=[1],
+        buffer_size=0.5,
+        source_name="r",
+    )
+    assert zs.first()["mean_r_band1"] == 6.0
+
+
+def test_drop_invalid_points_observation_metric(spark):
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.0, 2.0), (3, None, 0.1), (4, float("nan"), 0.2)],
+        "id long, lon double, lat double",
+    )
+    obs = Observation("s1_drops")
+    out = drop_invalid_points(df, observation=obs)
+    assert out.count() == 2  # action materializes the observed metrics
+    assert obs.get["n_invalid"] == 2
+    assert obs.get["n_total"] == 4
+
+
+def test_buffer_aggregate_bucketed_matches_broadcast_plan(spark):
+    """Grid-bucketed variant: identical result to the theta-join path, and
+    the physical plan joins on the cell key (hash/sort-merge), not
+    BroadcastNestedLoopJoin."""
+    kwargs = dict(
+        columns=["pop", "height"],
+        buffer_size=0.2,
+        source_name="z",
+        layer_radius="radius",
+        funcs=("mean", "max", "count"),
+    )
+    base = buffer_aggregate(_sensors(spark), _zones(spark), **kwargs)
+    buck = buffer_aggregate(_sensors(spark), _zones(spark), bucketed=True, **kwargs)
+    cols = sorted(base.columns)
+    assert sorted(buck.columns) == cols
+    key = lambda r: r["sensor_id"]  # noqa: E731
+    assert sorted(base.select(*cols).collect(), key=key) == sorted(
+        buck.select(*cols).collect(), key=key
+    )
+    plan = buck._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reproject_utm_anchors_and_round_trip(spark):
+    """Native UTM (EPSG:326xx/327xx) closed forms.
+
+    Anchors: (1) the central-meridian equator point maps to exactly
+    (500000, 0); (2) the northing of (45°N, central meridian) equals
+    k0 × the WGS84 meridian arc to 45° — computed here by INDEPENDENT
+    numerical integration of the meridian radius (not the Snyder series
+    under test); (3) forward→inverse round-trips to ≤1e-7°; (4) the
+    southern false northing applies in 327xx."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, 3.0, 0.0), (2, 3.0, 45.0), (3, 1.4436, 43.6045), (4, 4.9, 52.4)],
+        "id long, lon double, lat double",
+    )
+    utm = {r["id"]: r for r in reproject(df, 4326, 32631).collect()}
+    assert utm[1]["lon"] == pytest.approx(500000.0, abs=1e-6)
+    assert utm[1]["lat"] == pytest.approx(0.0, abs=1e-6)
+    # independent meridian arc: integrate a(1-e2)/(1-e2 sin^2 phi)^{3/2}
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.linspace(0.0, math.radians(45.0), 2_000_001)
+    m45 = np.trapz(a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5, phi)
+    assert utm[2]["lat"] == pytest.approx(0.9996 * m45, abs=0.5)
+    # round trip all points
+    back = {r["id"]: r for r in reproject(reproject(df, 4326, 32631), 32631, 4326).collect()}
+    orig = {r["id"]: r for r in df.collect()}
+    for i in orig:
+        assert back[i]["lon"] == pytest.approx(orig[i]["lon"], abs=1e-7)
+        assert back[i]["lat"] == pytest.approx(orig[i]["lat"], abs=1e-7)
+    # southern hemisphere: false northing 10,000,000 at (-45, cm of zone 31)
+    s = spark.createDataFrame([(1, 3.0, -45.0)], "id long, lon double, lat double")
+    srow = reproject(s, 4326, 32731).first()
+    assert srow["lat"] == pytest.approx(10000000.0 - 0.9996 * m45, abs=0.5)
+    # UTM <-> 3857 composes through 4326 natively
+    comp = reproject(reproject(df, 4326, 3857), 3857, 32631).collect()
+    direct = {r["id"]: r for r in reproject(df, 4326, 32631).collect()}
+    for r in comp:
+        assert r["lon"] == pytest.approx(direct[r["id"]]["lon"], abs=1e-4)
+        assert r["lat"] == pytest.approx(direct[r["id"]]["lat"], abs=1e-4)
+
+
+def test_crs_utm_mismatch_reprojects_in_buffer_aggregate(spark):
+    """A UTM-tagged layer auto-reprojects into 4326 sensors — exercises the
+    engine-carried-CRS path through a non-web-mercator projection."""
+    from sensordatapipelines_spark.operators.spatial import set_crs
+
+    sensors = set_crs(_sensors(spark), 4326)
+    zones_utm = set_crs(reproject(_zones(spark), 4326, 32631), 32631)
+    out = buffer_aggregate(
+        sensors,
+        zones_utm,
+        columns=["pop"],
+        buffer_size=0.2,
+        source_name="z",
+        layer_radius="radius",
+    )
+    rows = {r["sensor_id"]: r for r in out.collect()}
+    assert rows[1]["mean_z_pop"] == 100.0
+
+
 def test_morton_key_matches_reference_interleave(spark):
     """Z-order key: engine expression == bit-interleave reference for the
     full 8×8 grid, and the SQL-text twin stays identical."""
