@@ -2057,6 +2057,31 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per event type, counts and
+    sums at minute, hour AND day resolution from ONE scan + ONE hash
+    aggregation (ROLLUP over the time hierarchy, grouping_id-filtered) —
+    the multi-resolution materialized-view shape of timeseries stores.
+    Oracle: UNION ALL of the three per-resolution aggregates."""
+    from sensordatapipelines_spark.operators.temporal import time_rollup
+
+    _register_views(spark, sf_dir)
+    out = time_rollup(
+        spark.table("events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        resolutions=("day", "hour", "minute"),
+    )
+    return out.select(
+        "resolution",
+        "event_type",
+        F.unix_timestamp("bucket_start").alias("bucket_epoch"),
+        "n",
+        "sum_value",
+    )
+
+
 def events_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE output mode: running per-type aggregates re-emitted each
     micro-batch (the stage feeds ≥2 batches via maxFilesPerTrigger). The
@@ -2939,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup_watermark": events_stream_dedup_watermark,
         "events_stream_stream_join": events_stream_stream_join,
         "events_stream_update_counts": events_stream_update_counts,
+        "events_time_rollup": events_time_rollup,
         "events_approx_quantiles": events_approx_quantiles,
         "orders_pivot_status": orders_pivot_status,
         "q14_promo_revenue": q14_promo_revenue,
@@ -4117,6 +4143,22 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 'src5' THEN '0ccccccc'
                   ELSE '00000000' END
         GROUP BY source
+    """
+    oracles["events_time_rollup"] = """
+        SELECT 'minute' AS resolution, event_type,
+               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_epoch,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type, bucket_epoch
+        UNION ALL
+        SELECT 'hour', event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+               COUNT(*), ROUND(SUM(value), 2)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', event_type,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT),
+               COUNT(*), ROUND(SUM(value), 2)
+        FROM events GROUP BY 2, 3
     """
     oracles["events_stream_update_counts"] = """
         SELECT event_type, COUNT(*) AS n,

@@ -28,7 +28,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from sensordatapipelines_spark import get_spark
 
-    spark = get_spark(app_name="sensordatapipelines-bench")
+    # showConsoleProgress off: progress bars must never interleave with the
+    # single JSON result line when the caller captures combined output.
+    spark = get_spark(
+        app_name="sensordatapipelines-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Untimed warm-up: pay the one-off JVM, parquet-footer and whole-stage

@@ -299,3 +299,62 @@ def resample(
         .otherwise(F.lit(0).cast("long"))
         .alias("n_obs"),
     )
+
+
+@register("time_rollup")
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "sensor_id",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("day", "hour", "minute"),
+    round_digits: int = 2,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per key, aggregates at
+    EVERY resolution of a time hierarchy (e.g. minute→hour→day) in ONE scan.
+
+    Plan shape: truncate the timestamp once per resolution (map-side
+    expressions), then a single ``ROLLUP`` over (key, coarse…fine) — Spark
+    expands it to one Expand + one hash aggregation with map-side partials,
+    so the fact table is read and shuffled once for all resolutions (vs one
+    scan per materialized view in the naive formulation). Grouping levels
+    outside the hierarchy (key-only, grand total) are filtered out by
+    ``grouping_id``. At 100 TB the Expand multiplies rows ×(levels+2)
+    before partial aggregation — the partials collapse each level to its
+    bucket cardinality, so the shuffle carries only aggregated rows.
+
+    ``resolutions`` must be ordered coarse → fine (a hierarchy — each finer
+    bucket nests inside the previous); output rows carry the resolution
+    label and the bucket start for that resolution.
+    """
+    buckets = {f"__r_{r}": F.date_trunc(r, F.col(ts_col)) for r in resolutions}
+    bcols = list(buckets)
+    g = (
+        df.withColumns(buckets)
+        .rollup(key_col, *bcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), round_digits).alias("sum_value"),
+            F.grouping_id().alias("__gid"),
+        )
+    )
+    # grouping_id bit k (from the LEFT of the rollup column list) is 0 when
+    # that column is grouped. ROLLUP over (key, c1..cn) yields prefixes:
+    # keep exactly the levels where the key and a non-empty bucket prefix
+    # are grouped: gid = 2^m - 1 for m trailing-ungrouped buckets.
+    n = len(bcols)
+    keep = {(1 << m) - 1: n - m for m in range(n)}  # gid -> #grouped buckets
+    lvl = F.col("__gid")
+    out = g.filter(lvl.isin(list(keep)))
+    res_label = F.lit(None).cast("string")
+    bucket_start = F.lit(None).cast("timestamp")
+    for gid, depth in keep.items():
+        res_label = F.when(lvl == gid, F.lit(resolutions[depth - 1])).otherwise(res_label)
+        bucket_start = F.when(lvl == gid, F.col(bcols[depth - 1])).otherwise(bucket_start)
+    return out.select(
+        res_label.alias("resolution"),
+        F.col(key_col),
+        bucket_start.alias("bucket_start"),
+        "n",
+        "sum_value",
+    )

@@ -158,3 +158,36 @@ def test_resample_single_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_time_rollup_three_resolutions_one_scan(spark):
+    from sensordatapipelines_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 10), 1.0),
+            (1, dt.datetime(2024, 1, 1, 10, 0, 50), 2.0),
+            (1, dt.datetime(2024, 1, 1, 10, 30, 0), 4.0),
+            (1, dt.datetime(2024, 1, 1, 23, 0, 0), 8.0),
+            (2, dt.datetime(2024, 1, 2, 0, 0, 0), 16.0),
+        ],
+        "sensor_id long, ts timestamp, value double",
+    )
+    out = time_rollup(df, resolutions=("day", "hour", "minute"))
+    rows = {
+        (r["resolution"], r["sensor_id"], str(r["bucket_start"])): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows[("minute", 1, "2024-01-01 10:00:00")] == (2, 3.0)
+    assert rows[("minute", 1, "2024-01-01 10:30:00")] == (1, 4.0)
+    assert rows[("hour", 1, "2024-01-01 10:00:00")] == (3, 7.0)
+    assert rows[("day", 1, "2024-01-01 00:00:00")] == (4, 15.0)
+    assert rows[("day", 2, "2024-01-02 00:00:00")] == (1, 16.0)
+    # 4 minute + 3 hour + 2 day buckets, nothing else (no grand total /
+    # key-only levels leak through the grouping_id filter)
+    assert len(rows) == 9
+    # single scan + single aggregation: the plan must contain exactly one
+    # Expand (the rollup) and no Union of per-resolution scans
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # the one rollup expand (AQE prints plan twice)
+    assert "Union" not in plan
