@@ -791,6 +791,26 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query searches its TWO
+    nearest cells — the recall knob of a production IVF index. Candidate
+    generation stays an equi-join on the cell id; the probe expansion lives
+    entirely on the (broadcast) query side."""
+    from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ann_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+        nprobe=2,
+    )
+
+
 def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens with the
     word/number/symbol class breakdown (charter text-analysis op)."""
@@ -2995,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
+        "emb_ann_ivf_probe2": emb_ann_ivf_probe2,
         "emb_neardup": emb_neardup,
         "docs_token_count": docs_token_count,
         "docs_ttr": docs_ttr,
@@ -3245,10 +3266,12 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int = 1) -> str:
     """DuckDB mirror of IVF ANN: the same seeded centroid literals, same
     left-fold squared-distance arithmetic, ``list_position(min)`` cell
-    assignment (1-based first-minimum, matching Spark ``array_position``)."""
+    assignment (1-based first-minimum, matching Spark ``array_position``).
+    ``nprobe>1``: the query side ranks cells by (distance, index) and
+    probes the nearest ``nprobe`` — same (dist, pos) window as the engine."""
     from sensordatapipelines_spark.operators.similarity import _ivf_centroids
 
     cents = _ivf_centroids(ANN_DIM, IVF_CELLS, ANN_SEED)
@@ -3259,6 +3282,28 @@ def _ivf_oracle() -> str:
         f" * (CAST(embedding[j] AS DOUBLE) - ({lit})[j])), (x, y) -> x + y)"
         for lit in lits
     )
+    if nprobe <= 1:
+        qside = """
+        qcells AS (
+            SELECT vec_id, embedding,
+                   list_position(dists, list_min(dists)) AS cell
+            FROM dl WHERE vec_id < 8
+        )"""
+    else:
+        qside = f"""
+        qexp AS (
+            SELECT dl.vec_id, dl.embedding, j.j AS cell, dl.dists[j.j] AS d
+            FROM dl, (SELECT UNNEST(range(1, {IVF_CELLS + 1})) AS j) j
+            WHERE dl.vec_id < 8
+        ),
+        qcells AS (
+            SELECT vec_id, embedding, cell
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cell) AS crn
+                FROM qexp
+            ) WHERE crn <= {nprobe}
+        )"""
     return f"""
         WITH dl AS (
             SELECT vec_id, embedding,
@@ -3269,12 +3314,12 @@ def _ivf_oracle() -> str:
             SELECT vec_id, embedding,
                    list_position(dists, list_min(dists)) AS cell
             FROM dl
-        ),
+        ),{qside},
         pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id,
                    {_COS_SQL.format(a="q", b="c")} AS sim
-            FROM cells q JOIN cells c ON q.cell = c.cell
-            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+            FROM qcells q JOIN cells c ON q.cell = c.cell
+            WHERE q.vec_id <> c.vec_id
         ),
         ranked AS (
             SELECT query_id, vec_id, sim,
@@ -3881,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["sensors_buffer_sweep"] = _buffer_sweep_oracle()
     oracles["emb_ann_lsh"] = _ann_lsh_oracle()
     oracles["emb_ann_ivf"] = _ivf_oracle()
+    oracles["emb_ann_ivf_probe2"] = _ivf_oracle(nprobe=2)
     oracles["emb_neardup"] = _emb_neardup_oracle()
     oracles["docs_token_count"] = _token_count_oracle()
     # Bucketed A2 is semantics-identical to the broadcast path by design —

@@ -136,10 +136,10 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_cells, dim)).tolist()
 
 
-def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """IVF coarse quantization: index (1-based) of the nearest centroid,
-    first-minimum tiebreak — pure array arithmetic, identical fold order in
-    any engine, so cell assignment is deterministic and oracle-able."""
+def ivf_dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared distances to every centroid — pure array arithmetic,
+    identical fold order in any engine, so assignments are deterministic
+    and oracle-able."""
     dists = []
     for c in centroids:
         c_lit = F.array(*[F.lit(float(x)) for x in c])
@@ -147,7 +147,13 @@ def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
             vec, c_lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
         )
         dists.append(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
-    darr = F.array(*dists)
+    return F.array(*dists)
+
+
+def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantization: index (1-based) of the nearest centroid,
+    first-minimum tiebreak."""
+    darr = ivf_dists_expr(vec, centroids)
     return F.array_position(darr, F.array_min(darr))
 
 
@@ -161,26 +167,46 @@ def ann_ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate NN, IVF flavor: coarse-quantize every vector to its
     nearest of ``n_cells`` seeded centroids, then exact cosine re-rank within
-    the query's cell (nprobe=1) → ``(query_id, vec_id, cos_sim, rank)``.
+    the query's ``nprobe`` nearest cells → ``(query_id, vec_id, cos_sim,
+    rank)``.
 
     The scale path twin of ``ann_lsh_topk``: candidate generation is an
     equi-join on the cell id, so the corpus shuffles by cell and the cross
-    product never materializes. Recall tunes via ``n_cells`` (and nprobe>1 by
-    unioning neighboring-cell joins)."""
+    product never materializes. Recall tunes via ``n_cells`` and ``nprobe``
+    (each query probes its ``nprobe`` closest cells — the candidate set
+    grows ~linearly in nprobe, and a corpus vector lives in exactly one
+    cell so probes never produce duplicate pairs)."""
     cents = _ivf_centroids(dim, n_cells, seed)
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
     )
-    q = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).alias("__qv"),
-        ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
-    )
+    if nprobe <= 1:
+        q = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
+        )
+    else:
+        # Rank cells per query by (distance, index) and keep the nprobe
+        # nearest. The query side is the small/broadcast side, so the
+        # explode+window runs over |queries|×n_cells rows only.
+        exploded = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.posexplode(ivf_dists_expr(F.col(vec_col), cents)).alias("__pos", "__d"),
+        )
+        wq = Window.partitionBy("__qid").orderBy("__d", "__pos")
+        q = (
+            exploded.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select("__qid", "__qv", (F.col("__pos") + 1).alias("__cell"))
+        )
     pairs = F.broadcast(q).join(c, on="__cell").filter(F.col("__qid") != F.col("__cid"))
     sim = cosine_expr(F.col("__qv"), F.col("__cv"))
     w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))

@@ -48,3 +48,22 @@ def test_embedding_neardup_pairs(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in found
     assert all(a < b for a, b in found)
+
+
+def test_ann_ivf_multiprobe_superset_recall(spark):
+    """nprobe=2 candidates are a superset of nprobe=1 (same cells probed
+    first), and recall vs brute force is monotone in nprobe."""
+    from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
+
+    df = _emb(spark)
+    q = df.filter(F.col("vec_id") == 1)
+    kw = dict(k=4, n_cells=2, dim=4, seed=7)
+    one = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk(df, q, **kw).collect()}
+    two = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk(df, q, nprobe=2, **kw).collect()}
+    assert one <= two
+    # with nprobe == n_cells every vector is a candidate -> exact result
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(df, q, k=4).collect()}
+    assert two == exact
+    # determinism across runs
+    two2 = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk(df, q, nprobe=2, **kw).collect()}
+    assert two == two2
