@@ -630,6 +630,24 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "id_a", "id_b")
 
 
+def docs_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus near-dedup: MinHash+LSH pairs → transitive clusters →
+    keep smallest-id representative → surviving corpus (the end-to-end
+    training-data dedup composition). Oracle: the recursive-CTE component
+    labels over the same banded-candidate edges, NOT-IN anti filter."""
+    from sensordatapipelines_spark.operators.dedup import neardedup_corpus
+
+    _register_views(spark, sf_dir)
+    out = neardedup_corpus(
+        spark.table("documents"),
+        num_hashes=MINHASH_HASHES,
+        band_rows=MINHASH_BAND_ROWS,
+        threshold=MINHASH_THRESHOLD,
+        seed=MINHASH_SEED,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def zones_intersect_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 ``geometries_interesect`` (reference ``:591-600``): layer rows
     within a radius of one point, numeric nulls zero-filled."""
@@ -2970,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "docs_dup_components": docs_dup_components,
+        "docs_neardedup_corpus": docs_neardedup_corpus,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4075,6 +4094,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS node, LEAST(src, MIN(dst)) AS component
         FROM reach GROUP BY src
+    """
+    oracles["docs_neardedup_corpus"] = f"""
+        WITH RECURSIVE cand AS ({_minhash_oracle()}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM cand
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS node, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
     """
     oracles["events_stream_stream_join"] = """
         SELECT c.user_id AS c_user, COUNT(*) AS n_pairs

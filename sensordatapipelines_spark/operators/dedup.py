@@ -480,6 +480,48 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+@register("neardedup_corpus")
+def neardedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """One-call corpus near-deduplication — the composition a training-data
+    pipeline actually runs: MinHash+LSH near-dup pairs → transitive
+    duplicate clusters (connected components) → keep ONE representative per
+    cluster (the smallest id, deterministic) → return the surviving corpus
+    rows unchanged.
+
+    Plan shape at 100 TB: pair generation is the banded equi-join
+    (``minhash_pairs``), components iterate over (node, label) pairs only
+    — never documents — and the final step is a broadcast LEFT ANTI join
+    of the loser-id set against the corpus (dup clusters are a small
+    fraction of the corpus, and only ids ship). Documents themselves are
+    read once and shuffled zero times.
+    """
+    pairs = minhash_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_rows=band_rows,
+        threshold=threshold,
+        seed=seed,
+    )
+    comps = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__loser")
+    )
+    return df.join(
+        F.broadcast(losers), on=df[id_col] == F.col("__loser"), how="left_anti"
+    )
+
+
 @register("decontaminate")
 def decontaminate(
     corpus: DataFrame,

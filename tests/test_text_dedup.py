@@ -348,3 +348,17 @@ def test_sequence_pack_next_fit_by_cumulative_tokens(spark):
     # token conservation: pack sums add back to the corpus total
     total = sum(r["sum_tokens"] for r in sequence_pack(df, context_len=6).collect())
     assert total == 6 * 3
+
+
+def test_neardedup_corpus_keeps_representatives(spark):
+    from sensordatapipelines_spark.operators.dedup import neardedup_corpus
+
+    out = neardedup_corpus(_docs(spark), threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # docs 1 and 4 are exact dups (same cluster -> keep 1); 2 is a near-dup
+    # of 1 above the 0.5 estimated-jaccard threshold -> same cluster;
+    # 3 and 5 are unrelated singletons and survive untouched.
+    assert 4 not in kept and 1 in kept
+    assert 3 in kept and 5 in kept
+    # schema unchanged: the operator filters rows, never rewrites them
+    assert out.columns == _docs(spark).columns
