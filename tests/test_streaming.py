@@ -170,3 +170,49 @@ def test_stream_windowed_agg_runs(spark, tmp_path):
     assert len(rows) >= 2  # at least two (window, sensor) groups
     cols = set(rows[0].asDict())
     assert {"window_start", "window_end", "user_id", "mean_value", "count_value"} <= cols
+
+
+def test_stream_running_stats_builds_tws_graph(spark, tmp_path):
+    """transformWithStateInPandas operator: the transformation graph and
+    output schema build correctly. Executing it needs google.protobuf in
+    the Python workers, which this container lacks (broken install) — the
+    graph/schema assertions are the environment-independent part, per the
+    honest-stub policy."""
+    from sensordatapipelines_spark.streaming import stream_running_stats
+
+    df = spark.createDataFrame([(1, 10.0)], "user_id long, value double")
+    stage = str(tmp_path / "tws_stage")
+    df.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(df.schema).parquet(stage)
+    out = stream_running_stats(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n", "sum_value", "min_value", "max_value",
+    ]
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+    # protobuf works on the driver in some environments; if importable,
+    # run the stream end-to-end and check exactness vs the batch aggregate
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_rs")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["user_id"]: r for r in spark.table("tws_rs").collect()}
+        assert rows[1]["n"] == 1 and rows[1]["sum_value"] == 10.0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
