@@ -1392,8 +1392,9 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: the A4 interval aggregation executed as a
     streaming query (file source → watermark → windowed conditional agg →
-    memory sink, availableNow trigger). Rows-only check: state + trigger
-    semantics are not SQL-expressible."""
+    memory sink, availableNow trigger). Exact oracle: complete mode over a
+    static staging directory retains every window's full state, so the
+    result equals the batch per-day conditional aggregation."""
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_interval_aggregate,
@@ -1405,7 +1406,7 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _run_stream(spark, out, "stream_interval_result", "complete")
     stat_cols = [c for c in res.columns if c.startswith(("mean_", "max_"))]
     return res.select(
-        F.col("window_start").cast("date").alias("day"),
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         F.col("user_id").alias("sensor_id"),
         *[F.round(F.col(c), 6).alias(c) for c in stat_cols],
     )
@@ -2186,8 +2187,9 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: sliding event-time windows (6h window, 3h slide)
-    with watermark — each event lands in two windows. Rows-only check:
-    trigger/watermark semantics are not SQL-expressible."""
+    with watermark — each event lands in two windows. Exact oracle: complete
+    mode over static staging equals the batch explode-to-two-epoch-aligned
+    -windows aggregation (Spark windows are epoch-aligned in UTC)."""
     from sensordatapipelines_spark.streaming import (
         read_events_stream,
         stream_windowed_aggregate,
@@ -2204,7 +2206,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_stream(spark, out, "stream_sliding_result", "complete")
     return res.select(
-        F.col("window_start"),
+        F.unix_timestamp("window_start").alias("ws_epoch"),
         F.col("user_id").alias("sensor_id"),
         F.round("mean_value", 6).alias("mean_value"),
         F.round("max_value", 6).alias("max_value"),
@@ -4243,6 +4245,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(epoch(date_trunc('day', ts)) AS BIGINT),
                COUNT(*), ROUND(SUM(value), 2)
         FROM events GROUP BY 2, 3
+    """
+    # Streaming windowed aggs in COMPLETE mode over static staging retain
+    # full state — exactly the batch computation; oracles are exact.
+    oracles["events_stream_interval"] = """
+        WITH tod AS (
+            SELECT user_id, value, ts,
+                   hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS s
+            FROM events
+        )
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               user_id AS sensor_id,
+               ROUND(AVG(CASE WHEN s BETWEEN 32400 AND 61200 THEN value END), 6)
+                   AS mean_value_090000_170000,
+               ROUND(AVG(CASE WHEN s >= 79200 OR s <= 18000 THEN value END), 6)
+                   AS mean_value_220000_050000,
+               ROUND(MAX(CASE WHEN s BETWEEN 32400 AND 61200 THEN value END), 6)
+                   AS max_value_090000_170000,
+               ROUND(MAX(CASE WHEN s >= 79200 OR s <= 18000 THEN value END), 6)
+                   AS max_value_220000_050000
+        FROM tod
+        GROUP BY 1, 2
+    """
+    oracles["events_stream_sliding"] = """
+        SELECT CAST(FLOOR(epoch(ts) / 10800) * 10800 - k.k * 10800 AS BIGINT)
+                   AS ws_epoch,
+               user_id AS sensor_id,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(MAX(value), 6) AS max_value,
+               COUNT(*) AS n
+        FROM events, (SELECT UNNEST([0, 1]) AS k) k
+        GROUP BY 1, 2
     """
     oracles["events_stream_update_counts"] = """
         SELECT event_type, COUNT(*) AS n,
