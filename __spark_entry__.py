@@ -1373,6 +1373,16 @@ def docs_word_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the events' user key: top heavy hitters
+    with share and uniform-ratio — the measurement behind the choice of
+    salting / AQE skew-split / bucketing for a big join."""
+    from sensordatapipelines_spark.operators.utility import key_skew_profile
+
+    _register_views(spark, sf_dir)
+    return key_skew_profile(spark.table("events"), "user_id", top_n=10)
+
+
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: exact distinct users + event count per type."""
     _register_views(spark, sf_dir)
@@ -2991,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "docs_dup_components": docs_dup_components,
         "docs_neardedup_corpus": docs_neardedup_corpus,
+        "events_key_skew": events_key_skew,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4096,6 +4107,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS node, LEAST(src, MIN(dst)) AS component
         FROM reach GROUP BY src
+    """
+    oracles["events_key_skew"] = """
+        WITH pk AS (
+            SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nkeys FROM pk)
+        SELECT key, n,
+               ROUND(n / (1.0 * total), 6) AS share,
+               ROUND(n * nkeys / (1.0 * total), 6) AS uniform_ratio
+        FROM pk, t
+        ORDER BY n DESC, key
+        LIMIT 10
     """
     oracles["docs_neardedup_corpus"] = f"""
         WITH RECURSIVE cand AS ({_minhash_oracle()}),

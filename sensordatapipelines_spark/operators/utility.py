@@ -236,3 +236,39 @@ def quality_audit(
             "(column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+@register("key_skew_profile")
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution skew diagnostic — the measurement that decides
+    between a plain shuffle, AQE skew-split, salting (``salted_join``) or
+    bucketing before a big join/agg on ``key_col``.
+
+    One aggregation pass: per-key counts, then the top-``top_n`` heavy
+    hitters with their absolute count, share of all rows, and the ratio to
+    a perfectly uniform key (share × distinct-keys — >10 means that key's
+    reducer does 10× the average work). The second stage runs over the
+    already-reduced per-key rows (≤ |distinct keys|), and the top-k is a
+    TakeOrdered, not a full sort.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .orderBy(F.desc("n"), "key")
+        .limit(top_n)
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            # 6 digits, not 2: ratios like 1.275 sit exactly on a 2-digit
+            # rounding tie, where IEEE half-up vs half-even diverge per engine
+            F.round(
+                F.col("n") * F.col("__nkeys") / F.col("__total"), 6
+            ).alias("uniform_ratio"),
+        )
+    )

@@ -74,3 +74,16 @@ def test_word_explode_udtf_lateral(spark):
     )
     got = {r["doc_id"]: (r["n"], r["mx"]) for r in out.collect()}
     assert got == {1: (3, 5), 3: (1, 3)}
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from sensordatapipelines_spark.operators.utility import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 6 + [2] * 3 + [3]], "k long"
+    )
+    rows = key_skew_profile(df, "k", top_n=2).collect()
+    assert [r["key"] for r in rows] == [1, 2]
+    assert rows[0]["n"] == 6
+    assert rows[0]["share"] == 0.6
+    assert rows[0]["uniform_ratio"] == 1.8  # 0.6 share x 3 distinct keys
