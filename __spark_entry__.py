@@ -146,8 +146,11 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
+    # no type hints: under `from __future__ import annotations` they
+    # stringify and pyspark's eval-type inference fails (pd is only a
+    # local import) — the returnType string is authoritative
     @pandas_udf("double")
-    def _warm(s: "pd.Series") -> "pd.Series":
+    def _warm(s):
         return s * 1.0
 
     spark.range(32).select(_warm(F.col("id").cast("double"))).count()
