@@ -82,3 +82,66 @@ def write_geojson(
     Path(path).write_text(
         json.dumps({"type": "FeatureCollection", "features": features}, default=str)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_size: float = 0.005,
+    bits: int = 8,
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Spatially-clustered parquet sink: range-partition + sort the rows by
+    their Z-order (Morton) key before writing, so each file/row-group covers
+    a compact spatial tile and its lon/lat min-max footer statistics become
+    TIGHT. A later ``bbox_filter`` then skips most row groups at scan time —
+    the write-side half of the engine's read-side pruning story (SCALE.md).
+
+    ``repartitionByRange`` on the key gives globally ordered files (file k's
+    key range precedes file k+1's); ``sortWithinPartitions`` orders rows
+    inside each row group. The Morton key itself is not persisted."""
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.spatial import morton_key_expr
+
+    key = morton_key_expr(
+        F.floor(F.col(lon_col) / F.lit(cell_size)),
+        F.floor(F.col(lat_col) / F.lit(cell_size)),
+        bits=bits,
+    )
+    out = df.withColumn("__zkey", key)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def compact_dir(
+    spark,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Small-files compaction: rewrite a directory into ``target_files``
+    balanced files. The operational fix for streaming/micro-batch sinks that
+    accumulate thousands of tiny files (each file costs a task + a footer
+    read at every scan; at 100 TB the metadata walk alone dominates).
+    Rewrites via a temp directory so a crash mid-compaction never leaves the
+    source half-deleted."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    df = spark.read.format(fmt).load(path)
+    df.repartition(target_files).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -120,3 +120,64 @@ def test_grouped_zscore_matches_window_formulation(spark):
     out = {r["id"]: r["z"] for r in grouped_zscore(df, ["g"], "value").collect()}
     assert abs(out[1] - (-1.0)) < 1e-12 and abs(out[2]) < 1e-12
     assert abs(out[4] - (-2 ** -0.5)) < 1e-12
+
+
+def test_write_zordered_tightens_file_footprints(spark, tmp_path):
+    """Z-order clustering measurably improves bbox prunability: the share
+    of files whose lon/lat min-max stats intersect a small query window is
+    far lower than in a hash-scattered layout of the same data."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.sources.sinks import write_zordered
+
+    pts = spark.range(4096).select(
+        (F.col("id") % 64 * 0.01).alias("lon"),
+        (F.floor(F.col("id") / 64) * 0.01).alias("lat"),
+        F.col("id").alias("v"),
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+    pts.repartition(16).write.parquet(plain_dir)  # hash-scattered baseline
+    write_zordered(pts, z_dir, cell_size=0.01, bits=6, n_files=16)
+
+    def touched(d):
+        hit, total = 0, 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                stats = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                total += 1
+                if (
+                    stats["lon"].min <= 0.05
+                    and stats["lon"].max >= 0.0
+                    and stats["lat"].min <= 0.05
+                    and stats["lat"].max >= 0.0
+                ):
+                    hit += 1
+        return hit, total
+
+    ph, pt = touched(plain_dir)
+    zh, zt = touched(z_dir)
+    assert ph == pt  # hash layout: every file spans the whole extent
+    assert zh <= zt // 4  # z-order: the 6x6-cell window hits few tiles
+    # same data back
+    assert spark.read.parquet(z_dir).count() == 4096
+
+
+def test_compact_dir_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from sensordatapipelines_spark.sources.sinks import compact_dir
+
+    d = str(tmp_path / "many")
+    spark.range(1000).repartition(20).write.parquet(d)
+    assert len(glob.glob(f"{d}/part-*.parquet")) == 20
+    compact_dir(spark, d, target_files=3)
+    assert len(glob.glob(f"{d}/part-*.parquet")) == 3
+    assert spark.read.parquet(d).count() == 1000
