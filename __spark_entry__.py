@@ -1376,6 +1376,33 @@ def docs_word_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENSOR_POLY = [
+    (0.02, 0.01),
+    (0.28, 0.05),
+    (0.31, 0.22),
+    (0.15, 0.31),
+    (0.01, 0.18),
+]
+
+
+def sensors_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon containment (even-odd ray cast over a literal pentagon) —
+    the geometry surface beyond the circle model. The SQL predicate TEXT is
+    shared verbatim with the DuckDB oracle, so the filter is exactly
+    checked; the polygon bbox rides along as literal range predicates for
+    scan pruning."""
+    from sensordatapipelines_spark.operators.spatial import polygon_filter
+
+    _register_views(spark, sf_dir)
+    inside = polygon_filter(_sensors(spark), SENSOR_POLY)
+    return inside.groupBy().agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.min("sensor_id").alias("min_id"),
+        F.max("sensor_id").alias("max_id"),
+    )
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over the events' user key: top heavy hitters
     with share and uniform-ratio — the measurement behind the choice of
@@ -3005,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_components": docs_dup_components,
         "docs_neardedup_corpus": docs_neardedup_corpus,
         "events_key_skew": events_key_skew,
+        "sensors_in_polygon": sensors_in_polygon,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4110,6 +4138,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS node, LEAST(src, MIN(dst)) AS component
         FROM reach GROUP BY src
+    """
+    from sensordatapipelines_spark.operators.spatial import (
+        point_in_polygon_predicate,
+    )
+
+    _poly_pred = point_in_polygon_predicate(SENSOR_POLY, "lon", "lat")
+    _xs = [v[0] for v in SENSOR_POLY]
+    _ys = [v[1] for v in SENSOR_POLY]
+    oracles["sensors_in_polygon"] = f"""
+        WITH sensors AS ({SENSORS_SQL})
+        SELECT COUNT(*) AS n_inside,
+               ROUND(SUM(val), 2) AS sum_val,
+               MIN(sensor_id) AS min_id,
+               MAX(sensor_id) AS max_id
+        FROM sensors
+        WHERE lon BETWEEN {min(_xs)!r} AND {max(_xs)!r}
+          AND lat BETWEEN {min(_ys)!r} AND {max(_ys)!r}
+          AND {_poly_pred}
     """
     oracles["events_key_skew"] = """
         WITH pk AS (

@@ -766,3 +766,55 @@ def reproject(
         .withColumn(lat_col, F.col("__xy.y"))
         .drop("__xy")
     )  # pragma: no cover
+
+
+def point_in_polygon_predicate(
+    vertices: list[tuple[float, float]],
+    lon_sql: str = "lon",
+    lat_sql: str = "lat",
+) -> str:
+    """Even-odd ray-cast point-in-polygon as ANSI SQL TEXT over a literal
+    vertex ring — the identical string runs in Spark SQL and DuckDB, so the
+    predicate is exactly oracle-able. One crossing-count CASE term per edge;
+    for a literal polygon the whole predicate constant-folds into the scan
+    filter (codegen, no UDF, no geometry library).
+
+    Geometry upgrade path beyond the circle model (SURVEY §1.1): vertices
+    ordered either winding, ring implicitly closed. Points exactly on an
+    edge follow even-odd half-open semantics (deterministic, engine-equal)."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        xi, yi = vertices[i]
+        xj, yj = vertices[(i + 1) % n]
+        if yi == yj:  # horizontal edge can never satisfy the straddle test
+            continue
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat_sql}) <> ({yj!r} > {lat_sql}))"
+            f" AND ({lon_sql} < ({xj!r} - {xi!r}) * ({lat_sql} - {yi!r})"
+            f" / ({yj!r} - {yi!r}) + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        raise ValueError("degenerate polygon: no non-horizontal edges")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@register("polygon_filter")
+def polygon_filter(
+    df: DataFrame,
+    vertices: list[tuple[float, float]],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Rows whose point lies inside the literal polygon (even-odd ray
+    cast). The predicate is plain arithmetic on the coordinate columns —
+    it runs inside whole-stage codegen and, combined with the polygon's
+    bbox (emitted here as literal range predicates), prunes parquet row
+    groups before the exact test runs."""
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    bbox = (
+        F.col(lon_col).between(min(xs), max(xs))
+        & F.col(lat_col).between(min(ys), max(ys))
+    )
+    return df.filter(bbox & F.expr(point_in_polygon_predicate(vertices, lon_col, lat_col)))

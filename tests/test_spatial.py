@@ -371,3 +371,45 @@ def test_morton_key_matches_reference_interleave(spark):
         "(SELECT UNNEST(range(8)) AS iy)"
     ).fetchall()
     assert {(r[0], r[1]): r[2] for r in duck} == got
+
+
+def test_polygon_filter_ray_cast(spark):
+    from sensordatapipelines_spark.operators.spatial import (
+        point_in_polygon_predicate,
+        polygon_filter,
+    )
+
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),    # inside
+            (2, 1.5, 0.5),    # outside right
+            (3, -0.1, 0.5),   # outside left
+            (4, 0.5, 1.5),    # outside above
+            (5, 0.25, 0.75),  # inside
+        ],
+        "id long, lon double, lat double",
+    )
+    inside = {r["id"] for r in polygon_filter(pts, square).collect()}
+    assert inside == {1, 5}
+    # concave polygon (notched square): the notch region is OUTSIDE
+    notched = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.5, 0.4), (0.0, 1.0)]
+    pts2 = spark.createDataFrame(
+        [(1, 0.5, 0.7), (2, 0.1, 0.2), (3, 0.9, 0.2)],
+        "id long, lon double, lat double",
+    )
+    assert {r["id"] for r in polygon_filter(pts2, notched).collect()} == {2, 3}
+    # the same predicate text evaluates identically in DuckDB
+    import duckdb
+
+    pred = point_in_polygon_predicate(notched, "lon", "lat")
+    duck = duckdb.sql(
+        "SELECT id FROM (VALUES (1, 0.5, 0.7), (2, 0.1, 0.2), (3, 0.9, 0.2))"
+        f" t(id, lon, lat) WHERE {pred}"
+    ).fetchall()
+    assert {r[0] for r in duck} == {2, 3}
+    # degenerate polygon raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        point_in_polygon_predicate([(0.0, 0.0), (1.0, 0.0)])
