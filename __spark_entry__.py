@@ -1403,6 +1403,46 @@ def sensors_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAVERSINE_REF = (0.1, 0.16)  # (lon, lat) reference point for the km query
+
+
+def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage / missing-interval detection (the gaps half of
+    gaps-and-islands; sessionize is the islands half): per user, silences
+    longer than 6 hours between consecutive events."""
+    from sensordatapipelines_spark.operators.temporal import detect_gaps
+
+    _register_views(spark, sf_dir)
+    return detect_gaps(
+        spark.table("events"),
+        ts_col="ts",
+        key_col="user_id",
+        min_gap_seconds=6 * 3600,
+        order_tiebreak="event_id",
+    )
+
+
+def sensors_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distances — the geographic-degree metric
+    the planar Euclidean model distorts. Top-20 sensors nearest a literal
+    reference point, km rounded; ordering ties broken by id. The SQL text
+    is shared verbatim with the DuckDB oracle."""
+    from sensordatapipelines_spark.operators.spatial import haversine_km_sql
+
+    _register_views(spark, sf_dir)
+    lon0, lat0 = HAVERSINE_REF
+    d = haversine_km_sql(repr(lat0), repr(lon0), "lat", "lon")
+    return spark.sql(
+        f"""
+        WITH sensors AS ({SENSORS_SQL})
+        SELECT sensor_id, ROUND({d}, 6) AS dist_km
+        FROM sensors
+        ORDER BY dist_km, sensor_id
+        LIMIT 20
+        """
+    )
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over the events' user key: top heavy hitters
     with share and uniform-ratio — the measurement behind the choice of
@@ -3033,6 +3073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardedup_corpus": docs_neardedup_corpus,
         "events_key_skew": events_key_skew,
         "sensors_in_polygon": sensors_in_polygon,
+        "sensors_haversine_topk": sensors_haversine_topk,
+        "events_gaps": events_gaps,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4143,6 +4185,29 @@ def oracle_sql() -> dict[str, str]:
         point_in_polygon_predicate,
     )
 
+    from sensordatapipelines_spark.operators.spatial import haversine_km_sql
+
+    _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["events_gaps"] = """
+        WITH lagd AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS cur,
+                   LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT user_id, prev AS gap_start_epoch, cur AS gap_end_epoch,
+               cur - prev AS gap_seconds
+        FROM lagd
+        WHERE cur - prev > 21600
+    """
+    oracles["sensors_haversine_topk"] = f"""
+        WITH sensors AS ({SENSORS_SQL})
+        SELECT sensor_id, ROUND({_hav}, 6) AS dist_km
+        FROM sensors
+        ORDER BY dist_km, sensor_id
+        LIMIT 20
+    """
     _poly_pred = point_in_polygon_predicate(SENSOR_POLY, "lon", "lat")
     _xs = [v[0] for v in SENSOR_POLY]
     _ys = [v[1] for v in SENSOR_POLY]

@@ -818,3 +818,36 @@ def polygon_filter(
         & F.col(lat_col).between(min(ys), max(ys))
     )
     return df.filter(bbox & F.expr(point_in_polygon_predicate(vertices, lon_col, lat_col)))
+
+
+def haversine_km_sql(
+    lat1: str, lon1: str, lat2: str, lon2: str, radius_km: float = 6371.0088
+) -> str:
+    """Great-circle distance in km as ANSI SQL TEXT (radians/sin/cos/asin
+    exist under the same names in Spark SQL and DuckDB, so the identical
+    string runs in both — exactly oracle-able). Mean Earth radius
+    6371.0088 km. Use when coordinates are geographic degrees and the
+    planar Euclidean model (``distance``) would distort: at continental
+    scale or high latitudes."""
+    dphi = f"RADIANS(({lat2}) - ({lat1}))"
+    dlam = f"RADIANS(({lon2}) - ({lon1}))"
+    return (
+        f"2 * {radius_km!r} * ASIN(SQRT("
+        f"SIN({dphi} / 2) * SIN({dphi} / 2)"
+        f" + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+        f" * SIN({dlam} / 2) * SIN({dlam} / 2)))"
+    )
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Column form of ``haversine_km_sql`` — same operation order, so the
+    two stay bit-identical."""
+    r = 6371.0088
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    h = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlam / 2) * F.sin(dlam / 2)
+    )
+    return F.lit(2 * r) * F.asin(F.sqrt(h))

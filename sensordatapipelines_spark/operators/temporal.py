@@ -358,3 +358,40 @@ def time_rollup(
         "n",
         "sum_value",
     )
+
+
+@register("detect_gaps")
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "sensor_id",
+    min_gap_seconds: int = 3600,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Sensor-outage / missing-interval detection (the gaps half of the
+    gaps-and-islands pattern; ``sessionize`` is the islands half): per key,
+    emit one row for every silence longer than ``min_gap_seconds`` between
+    consecutive observations → ``(key, gap_start_epoch, gap_end_epoch,
+    gap_seconds)``.
+
+    One shuffle on the key, lag window, filter — the output is bounded by
+    the number of gaps, never the number of observations."""
+    keep = [F.col(key_col), F.col(ts_col).cast("timestamp").alias("__ts")]
+    order = [F.col("__ts")]
+    if order_tiebreak:
+        keep.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cur = F.unix_timestamp(F.col("__ts"))
+    return (
+        df.select(*keep)
+        .withColumn("__cur", cur)
+        .withColumn("__prev", F.lag("__cur").over(w))
+        .filter(F.col("__cur") - F.col("__prev") > min_gap_seconds)
+        .select(
+            F.col(key_col),
+            F.col("__prev").alias("gap_start_epoch"),
+            F.col("__cur").alias("gap_end_epoch"),
+            (F.col("__cur") - F.col("__prev")).alias("gap_seconds"),
+        )
+    )

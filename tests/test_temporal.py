@@ -191,3 +191,23 @@ def test_time_rollup_three_resolutions_one_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # the one rollup expand (AQE prints plan twice)
     assert "Union" not in plan
+
+
+def test_detect_gaps_hand_computed(spark):
+    from sensordatapipelines_spark.operators.temporal import detect_gaps
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            (1, dt.datetime(2024, 1, 1, 0, 10, 0)),
+            (1, dt.datetime(2024, 1, 1, 3, 0, 0)),   # 2h50m gap
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0)),   # single obs: no gap
+        ],
+        "sensor_id long, ts timestamp",
+    )
+    gaps = detect_gaps(df, min_gap_seconds=3600).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g["sensor_id"] == 1
+    assert g["gap_seconds"] == 10200
+    assert g["gap_end_epoch"] - g["gap_start_epoch"] == 10200
