@@ -1443,6 +1443,36 @@ def sensors_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zones_polygon_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True polygon zonal stats: per polygon zone (square rings derived
+    from the zone circles), aggregate the sensors inside via the data-
+    driven ray cast — the vector-geometry generalization of A2. Oracle:
+    for axis-aligned rings the exact containment reduces to range
+    predicates (boundary-free by construction of the derived views)."""
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+
+    _register_views(spark, sf_dir)
+    z = _zones(spark)
+    lon, lat, r = F.col("lon"), F.col("lat"), F.col("radius")
+    polys = z.select(
+        "zone_id",
+        F.array(lon - r, lon + r, lon + r, lon - r).alias("xs"),
+        F.array(lat - r, lat - r, lat + r, lat + r).alias("ys"),
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        polys,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+    )
+    return out.select(
+        "zone_id",
+        F.round("mean_pts_val", 6).alias("mean_pts_val"),
+        F.round("max_pts_val", 6).alias("max_pts_val"),
+    )
+
+
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over the events' user key: top heavy hitters
     with share and uniform-ratio — the measurement behind the choice of
@@ -3075,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_in_polygon": sensors_in_polygon,
         "sensors_haversine_topk": sensors_haversine_topk,
         "events_gaps": events_gaps,
+        "zones_polygon_agg": zones_polygon_agg,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4188,6 +4219,17 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["zones_polygon_agg"] = f"""
+        WITH sensors AS ({SENSORS_SQL}), zones AS ({ZONES_SQL})
+        SELECT z.zone_id,
+               ROUND(AVG(s.val), 6) AS mean_pts_val,
+               ROUND(MAX(s.val), 6) AS max_pts_val
+        FROM zones z
+        LEFT JOIN sensors s
+          ON s.lon > z.lon - z.radius AND s.lon < z.lon + z.radius
+         AND s.lat > z.lat - z.radius AND s.lat < z.lat + z.radius
+        GROUP BY z.zone_id
+    """
     oracles["events_gaps"] = """
         WITH lagd AS (
             SELECT user_id,

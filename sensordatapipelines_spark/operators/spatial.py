@@ -851,3 +851,77 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         * F.sin(dlam / 2) * F.sin(dlam / 2)
     )
     return F.lit(2 * r) * F.asin(F.sqrt(h))
+
+
+def point_in_polygon_expr(px: Column, py: Column, xs: Column, ys: Column) -> Column:
+    """Even-odd ray cast where the polygon is DATA — vertex arrays
+    ``xs``/``ys`` (1-based ``element_at`` indexing, ring implicitly
+    closed) — so a polygon LAYER can join against points row-by-row.
+    Crossing count as an integer fold over edge indexes; horizontal edges
+    contribute false through the straddle test before the (unchecked)
+    division can matter. Pure JVM expressions: no UDF, no geometry lib."""
+    n = F.size(xs)
+    idx = F.sequence(F.lit(1), n)
+
+    def term(acc: Column, i: Column) -> Column:
+        xi, yi = F.element_at(xs, i), F.element_at(ys, i)
+        j = (i % n) + F.lit(1)
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        straddles = (yi > py) != (yj > py)
+        crosses = px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        return acc + F.when(straddles & crosses, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(idx, F.lit(0), term) % 2 == F.lit(1)
+
+
+@register("polygon_zonal_aggregate")
+def polygon_zonal_aggregate(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_cols: Sequence[str],
+    funcs: Sequence[str] = ("mean", "max"),
+    source_name: str = "points",
+    point_lon: str = "lon",
+    point_lat: str = "lat",
+    poly_id_col: str = "zone_id",
+    poly_xs: str = "xs",
+    poly_ys: str = "ys",
+) -> DataFrame:
+    """Per-polygon aggregation of the points inside it (true polygon zonal
+    stats — the vector-geometry generalization of the circle-model A2).
+
+    Join shape: the polygon side carries its vertex arrays; a per-row bbox
+    (``array_min/max`` of the rings, computed once into columns) runs as
+    the cheap first predicate, the exact ray cast as the residual. Points
+    stream; polygons broadcast (zone layers are dims). Polygons with no
+    points keep NULL stats (left join back), matching A2's empty-
+    intersection semantics."""
+    p = polygons.select(
+        "*",
+        F.array_min(F.col(poly_xs)).alias("__bxmin"),
+        F.array_max(F.col(poly_xs)).alias("__bxmax"),
+        F.array_min(F.col(poly_ys)).alias("__bymin"),
+        F.array_max(F.col(poly_ys)).alias("__bymax"),
+    )
+    s = points.select(
+        F.col(point_lon).alias("__px"),
+        F.col(point_lat).alias("__py"),
+        *[F.col(c) for c in value_cols],
+    )
+    bbox = (
+        F.col("__px").between(F.col("__bxmin"), F.col("__bxmax"))
+        & F.col("__py").between(F.col("__bymin"), F.col("__bymax"))
+    )
+    exact = point_in_polygon_expr(
+        F.col("__px"), F.col("__py"), F.col(poly_xs), F.col(poly_ys)
+    )
+    pairs = F.broadcast(p).join(s, on=bbox & exact, how="inner")
+    stats = pairs.groupBy(F.col(poly_id_col).alias("__pid")).agg(
+        *build_agg_exprs(list(value_cols), funcs, source_name)
+    )
+    return (
+        polygons.join(
+            stats, on=polygons[poly_id_col] == stats["__pid"], how="left"
+        )
+        .drop("__pid")
+    )

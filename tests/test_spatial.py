@@ -413,3 +413,45 @@ def test_polygon_filter_ray_cast(spark):
 
     with _pytest.raises(ValueError):
         point_in_polygon_predicate([(0.0, 0.0), (1.0, 0.0)])
+
+
+def test_polygon_zonal_aggregate_data_driven_rings(spark):
+    from sensordatapipelines_spark.operators.spatial import (
+        point_in_polygon_expr,
+        polygon_zonal_aggregate,
+    )
+
+    pts = spark.createDataFrame(
+        [(0.5, 0.5, 10.0), (0.5, 0.7, 20.0), (2.5, 0.5, 99.0), (1.4, 0.2, 7.0)],
+        "lon double, lat double, v double",
+    )
+    polys = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),        # unit square
+            (2, [1.2, 1.8, 1.5], [0.0, 0.0, 0.9]),                  # triangle
+            (3, [5.0, 6.0, 6.0, 5.0], [5.0, 5.0, 6.0, 6.0]),        # empty
+        ],
+        "zone_id long, xs array<double>, ys array<double>",
+    )
+    out = {r["zone_id"]: r for r in polygon_zonal_aggregate(
+        pts, polys, value_cols=["v"], funcs=("mean", "max"), source_name="p"
+    ).collect()}
+    assert out[1]["mean_p_v"] == 15.0 and out[1]["max_p_v"] == 20.0
+    assert out[2]["mean_p_v"] == 7.0
+    assert out[3]["mean_p_v"] is None  # no points -> NULL stats (A2 semantics)
+    # expression-level: concave ring, notch excluded
+    notched = spark.createDataFrame(
+        [(1, 0.5, 0.7), (2, 0.1, 0.2)], "id long, px double, py double"
+    ).withColumn("xs", F.expr("array(0.0D, 1.0D, 1.0D, 0.5D, 0.0D)")).withColumn(
+        "ys", F.expr("array(0.0D, 0.0D, 1.0D, 0.4D, 1.0D)")
+    )
+    got = {
+        r["id"]: r["inside"]
+        for r in notched.select(
+            "id",
+            point_in_polygon_expr(
+                F.col("px"), F.col("py"), F.col("xs"), F.col("ys")
+            ).alias("inside"),
+        ).collect()
+    }
+    assert got == {1: False, 2: True}
