@@ -925,3 +925,63 @@ def polygon_zonal_aggregate(
         )
         .drop("__pid")
     )
+
+
+@register("parse_wkb_points")
+def parse_wkb_points(
+    df: DataFrame,
+    wkb_col: str = "geometry",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    crs: int | str | None = None,
+) -> DataFrame:
+    """Decode a WKB POINT binary column into lon/lat doubles — the concrete
+    first step of SURVEY §1.1's "WKB as the geometry upgrade path": vector
+    files exported by GIS tools carry geometry as WKB, and this turns them
+    into the engine's native point model (optionally tagging the result
+    with an engine-tracked CRS).
+
+    Kernel: Arrow-batched ``pandas_udf`` + numpy byte slicing (IEEE-754
+    reassembly from bytes is not expressible in SQL). Handles both byte
+    orders; non-POINT or malformed values decode to NULL coordinates
+    (callers drop them with ``drop_invalid_points``, keeping S1's
+    validate-on-open semantics). Point-with-SRID (EWKB) payloads are
+    accepted: the SRID header is skipped."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("x double, y double")
+    def _decode(b):
+        import numpy as np
+        import struct
+
+        xs, ys = [], []
+        for v in b:
+            try:
+                if v is None or len(v) < 21:
+                    raise ValueError
+                little = v[0] == 1
+                fmt = "<" if little else ">"
+                gtype = struct.unpack_from(f"{fmt}I", v, 1)[0]
+                off = 5
+                if gtype & 0x20000000:  # EWKB SRID flag
+                    off += 4
+                if gtype & 0x0FFF != 1:  # not a POINT
+                    raise ValueError
+                x, y = struct.unpack_from(f"{fmt}dd", v, off)
+                xs.append(x)
+                ys.append(y)
+            except (ValueError, struct.error):
+                xs.append(None)
+                ys.append(None)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    out = (
+        df.withColumn("__pt", _decode(F.col(wkb_col)))
+        .withColumn(lon_col, F.col("__pt.x"))
+        .withColumn(lat_col, F.col("__pt.y"))
+        .drop("__pt")
+    )
+    if crs is not None:
+        out = set_crs(out, crs, lon_col=lon_col, lat_col=lat_col)
+    return out

@@ -455,3 +455,36 @@ def test_polygon_zonal_aggregate_data_driven_rings(spark):
         ).collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_parse_wkb_points_both_orders_and_garbage(spark):
+    import struct
+
+    from sensordatapipelines_spark.operators.spatial import (
+        get_crs,
+        parse_wkb_points,
+    )
+
+    def wkb(x, y, little=True, srid=None):
+        bo = b"\x01" if little else b"\x00"
+        fmt = "<" if little else ">"
+        gtype = 1 | (0x20000000 if srid else 0)
+        out = bo + struct.pack(f"{fmt}I", gtype)
+        if srid:
+            out += struct.pack(f"{fmt}I", srid)
+        return out + struct.pack(f"{fmt}dd", x, y)
+
+    rows = [
+        (1, wkb(1.5, 2.5)),                      # little-endian point
+        (2, wkb(-3.0, 4.0, little=False)),       # big-endian point
+        (3, wkb(9.0, 9.0, srid=4326)),           # EWKB with SRID header
+        (4, b"\x01\x02\x00\x00\x00garbage"),     # linestring type -> NULL
+        (5, None),                               # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    out = {r["id"]: r for r in parse_wkb_points(df, crs=4326).collect()}
+    assert (out[1]["lon"], out[1]["lat"]) == (1.5, 2.5)
+    assert (out[2]["lon"], out[2]["lat"]) == (-3.0, 4.0)
+    assert (out[3]["lon"], out[3]["lat"]) == (9.0, 9.0)
+    assert out[4]["lon"] is None and out[5]["lon"] is None
+    assert get_crs(parse_wkb_points(df, crs=4326)) == 4326
