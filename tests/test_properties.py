@@ -206,3 +206,57 @@ def test_merge_upsert_is_dict_update(spark, tgt, src):
     got = {r["k"]: r["v"] for r in merge_upsert(t, s, "k").collect()}
     want = {**tgt, **src}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_polygon_ray_cast_agrees_with_half_plane_on_convex(seed):
+    """Property: for a random CONVEX polygon, the even-odd ray cast equals
+    the independent all-half-planes containment test (cross-product signs)
+    for random probe points off the boundary."""
+    import math as m
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(3, 8)
+    angles = sorted(rng.uniform(0, 2 * m.pi) for _ in range(n))
+    verts = [(m.cos(a) * rng.uniform(0.5, 1.0), m.sin(a) * rng.uniform(0.5, 1.0))
+             for a in angles]
+    # convexify: use the hull of the generated ring (gift-wrap via sort is
+    # overkill; angle-sorted points around origin with positive radius are
+    # star-shaped, so take the convex subset by filtering reflex turns)
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    hull = []
+    pts_sorted = sorted(verts)
+    for p in pts_sorted:
+        while len(hull) >= 2 and cross(hull[-2], hull[-1], p) <= 0:
+            hull.pop()
+        hull.append(p)
+    upper = []
+    for p in reversed(pts_sorted):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    poly = hull[:-1] + upper[:-1]
+    if len(poly) < 3:
+        return
+
+    def inside_half_planes(px, py):
+        signs = [cross(poly[i], poly[(i + 1) % len(poly)], (px, py))
+                 for i in range(len(poly))]
+        return all(s > 0 for s in signs) or all(s < 0 for s in signs)
+
+    def inside_ray(px, py):
+        c = 0
+        for i in range(len(poly)):
+            xi, yi = poly[i]
+            xj, yj = poly[(i + 1) % len(poly)]
+            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+                c += 1
+        return c % 2 == 1
+
+    for _ in range(30):
+        px, py = rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5)
+        assert inside_ray(px, py) == inside_half_planes(px, py)
