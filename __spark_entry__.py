@@ -1266,6 +1266,36 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the 100 TB distinct-count pattern: build
+    per-(type, day) Datasketches HLL sketches (``hll_sketch_agg``), then
+    merge the daily sketches per type (``hll_union_agg``) instead of
+    re-scanning raw data. Self-validating oracle: the merged estimate must
+    land within the sketch's error band of the exact distinct, emitted as
+    a boolean next to the exact value (sketch bytes are engine-specific;
+    the mergeability guarantee is not)."""
+    _register_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = spark.table("events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= F.lit(0.1) * F.col("exact_users")
+        ).alias("merge_ok"),
+    )
+
+
 def sensors_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order sort key over the sensor grid: Morton-interleaved cell
     indices — the write-side layout op that makes bbox scans skip parquet
@@ -3106,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_haversine_topk": sensors_haversine_topk,
         "events_gaps": events_gaps,
         "zones_polygon_agg": zones_polygon_agg,
+        "events_hll_mergeable": events_hll_mergeable,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4219,6 +4250,11 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["events_hll_mergeable"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS merge_ok
+        FROM events GROUP BY event_type
+    """
     oracles["zones_polygon_agg"] = f"""
         WITH sensors AS ({SENSORS_SQL}), zones AS ({ZONES_SQL})
         SELECT z.zone_id,
