@@ -1266,6 +1266,22 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed 512-char chunks with 64-char overlap,
+    map-side sequence+explode+substring — the RAG/training prep step before
+    sequence packing. Chunk text itself is hashed in the gate (md5) to keep
+    the compared payload narrow."""
+    from sensordatapipelines_spark.operators.text import chunk_documents
+
+    _register_views(spark, sf_dir)
+    out = chunk_documents(
+        spark.table("documents"), chunk_chars=512, overlap_chars=64
+    )
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"), "chunk_len"
+    )
+
+
 def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE sketch rollup — the 100 TB distinct-count pattern: build
     per-(type, day) Datasketches HLL sketches (``hll_sketch_agg``), then
@@ -3137,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gaps": events_gaps,
         "zones_polygon_agg": zones_polygon_agg,
         "events_hll_mergeable": events_hll_mergeable,
+        "docs_chunks": docs_chunks,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4250,6 +4267,21 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["docs_chunks"] = """
+        WITH c AS (
+            SELECT doc_id, text,
+                   UNNEST(range(0,
+                       CAST(GREATEST(CEIL((length(text) - 512) / 448.0), 0)
+                            AS BIGINT) + 1)) AS chunk_id
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, chunk_id,
+               md5(substring(text, CAST(chunk_id * 448 + 1 AS INT), 512))
+                   AS chunk_md5,
+               length(substring(text, CAST(chunk_id * 448 + 1 AS INT), 512))
+                   AS chunk_len
+        FROM c
+    """
     oracles["events_hll_mergeable"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS merge_ok

@@ -345,3 +345,55 @@ def sequence_pack(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+@register("chunk_documents")
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+) -> DataFrame:
+    """Split long documents into fixed-size overlapping character chunks —
+    the context-window preparation step between raw documents and
+    ``sequence_pack`` (which packs whole short docs): RAG indexing and
+    training pipelines chunk first, pack second.
+
+    Map-side only: offsets come from ``sequence`` + ``explode`` and the
+    slice from ``substring`` — zero shuffle, output grows by
+    len/(chunk-overlap) rows per doc. Chunk ids are (doc, ordinal), so the
+    split is deterministic and re-runnable. Empty documents emit no rows.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars")
+    step = chunk_chars - overlap_chars
+    t = F.col(text_col)
+    n = F.length(t)
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_chars)) / F.lit(step)), F.lit(0)),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(offsets).alias("__k", "chunk_id"),
+            t.alias("__t"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(
+                F.col("__t"),
+                (F.col("chunk_id") * step + 1).cast("int"),
+                chunk_chars,
+            ).alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_text",
+            F.length("chunk_text").alias("chunk_len"),
+        )
+    )

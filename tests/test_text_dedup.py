@@ -362,3 +362,28 @@ def test_neardedup_corpus_keeps_representatives(spark):
     assert 3 in kept and 5 in kept
     # schema unchanged: the operator filters rows, never rewrites them
     assert out.columns == _docs(spark).columns
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from sensordatapipelines_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 10), (2, "x" * 25), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_chars=10, overlap_chars=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1 fits one chunk exactly; doc 3 is empty -> no rows
+    assert rows[0] == (1, 0, "a" * 10)
+    # doc 2: step 8 -> chunks at 0, 8, 16; last chunk truncated to 9 chars
+    d2 = [r for r in rows if r[0] == 2]
+    assert [r[1] for r in d2] == [0, 1, 2]
+    assert d2[0][2] == "x" * 10 and d2[2][2] == "x" * 9
+    # consecutive chunks overlap by exactly overlap_chars
+    assert len(d2[0][2]) + len(d2[1][2]) - 2 * 2 + len(d2[2][2]) + 2 == 25 + 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=10, overlap_chars=10)
