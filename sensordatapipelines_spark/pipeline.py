@@ -83,6 +83,14 @@ class Pipeline:
     """
 
     def __init__(self, name: str, operations: list[OpSpec] | None = None):
+        if not isinstance(name, str):
+            # Catch Pipeline([...ops...]) misuse at construction: a non-str
+            # name silently produced an EMPTY pipeline whose process() is
+            # the identity — the worst failure mode (no error, wrong data).
+            raise TypeError(
+                f"Pipeline name must be a string, got {type(name).__name__}; "
+                "pass operations as the second argument"
+            )
         self.name = name
         self.operations: list[OpSpec] = list(operations or [])
         self.valid = False

@@ -143,3 +143,21 @@ def open_spatial_data(
 
         df = set_crs(df, crs, lon_col=lon_col, lat_col=lat_col)
     return df
+
+
+def union_evolving(spark: SparkSession, paths: list[str], fmt: str = "parquet") -> DataFrame:
+    """Union datasets whose schemas have DRIFTED (columns added/removed over
+    time — the normal state of a long-lived ingest directory): read each
+    path, align by column NAME, and fill columns absent from a side with
+    NULL (``unionByName(allowMissingColumns=True)``). The schema-evolution
+    counterpart of ``open_dir_of_data``'s same-schema union.
+
+    Order of paths fixes the output column order (first occurrence wins),
+    so re-runs are deterministic."""
+    if not paths:
+        raise ValueError("union_evolving needs at least one path")
+    dfs = [read_table(spark, p, fmt=fmt) for p in paths]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -84,3 +84,30 @@ def test_process_generator_sweep(spark):
     results = p.process_generator(df, "scale", "factor", [1, 2, 3])
     sums = {k: v.agg(F.sum("x")).first()[0] for k, v in results.items()}
     assert sums == {1: 3, 2: 6, 3: 9}
+
+
+def test_pipeline_runs_round2_operators(spark):
+    """Integration: the round-2 operators are registry citizens — a JSON
+    pipeline chaining chunking after a quality gate round-trips and runs."""
+    from sensordatapipelines_spark.pipeline import Pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 30), (2, "")],
+        "doc_id long, text string",
+    )
+    p = Pipeline("round2")
+    p.add_operation("quality", "quality_score", text_col="text")
+    p.add_operation("gate", "sql_filter", predicate="quality >= 0.5")
+    p.add_operation("chunk", "chunk_documents", chunk_chars=100, overlap_chars=10)
+    p2 = Pipeline.from_json(p.to_json())  # name->op resolution round-trip
+    out = p2.process(docs)
+    rows = out.collect()
+    assert len(rows) > 1                      # doc 1 chunked, doc 2 dropped
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(r["chunk_len"] <= 100 for r in rows)
+    # the constructor rejects the ops-as-name misuse that silently built an
+    # empty (identity) pipeline
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        Pipeline([("quality_score", {})])

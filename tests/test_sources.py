@@ -181,3 +181,22 @@ def test_compact_dir_reduces_files_preserves_rows(spark, tmp_path):
     compact_dir(spark, d, target_files=3)
     assert len(glob.glob(f"{d}/part-*.parquet")) == 3
     assert spark.read.parquet(d).count() == 1000
+
+
+def test_union_evolving_schema_drift(spark, tmp_path):
+    from sensordatapipelines_spark.sources.readers import union_evolving
+
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p2)
+    out = union_evolving(spark, [p1, p2])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None          # old data: NULL for new column
+    assert rows[2]["score"] == 9.5
+    assert set(out.columns) == {"id", "name", "score"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        union_evolving(spark, [])
