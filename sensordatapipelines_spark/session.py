@@ -26,7 +26,12 @@ DEFAULT_CONF: dict[str, str] = {
     # Sensors/dim tables are small relative to fact tables: give broadcast
     # joins room. At 100 TB the fact side never broadcasts; dims still do.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Push min/max/count aggregates into the parquet footer scan.
+    # Push min/max/count aggregates into the parquet footer scan. NOTE:
+    # only effective on the DSv2 scan path (useV1SourceList excludes
+    # parquet); the engine keeps V1 as the default scan — V2 changes
+    # timestamp/rebase corner behavior — so this conf is armed for
+    # deployments that opt into V2, and tests/test_plans.py proves the
+    # pushdown fires there.
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",

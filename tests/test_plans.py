@@ -276,3 +276,24 @@ def test_q22_scalar_subquery_is_broadcast(spark):
 
     plan = _plan(e.q22_global_sales(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_count_aggregate_pushed_to_parquet_footers(spark):
+    """spark.sql.parquet.aggregatePushdown (set in session.py): a bare
+    COUNT(*) over parquet is answered from row-group metadata — the scan
+    node reports the pushed aggregation and reads zero data pages."""
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # footer-aggregate pushdown exists only on the DSv2 scan path
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").agg(F.count(F.lit(1)))
+        plan = _plan(df)
+        assert "PushedAggregation: [COUNT(*)]" in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+        if prev_v1 is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")

@@ -200,3 +200,18 @@ def test_union_evolving_schema_drift(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         union_evolving(spark, [])
+
+
+def test_excel_fallback_raises_dataio_without_engine(spark, tmp_path):
+    """The S2 chain's Excel tail: a .xlsx that no columnar format decodes
+    reaches the pandas fallback; without an excel engine installed the
+    typed DataIOError surfaces (not a bare ImportError)."""
+    import pytest as _pytest
+
+    from sensordatapipelines_spark.errors import DataIOError
+    from sensordatapipelines_spark.sources.readers import open_data
+
+    fake = tmp_path / "report.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not really a workbook")
+    with _pytest.raises(DataIOError):
+        open_data(spark, str(fake))
