@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "sensor_id BIGINT, reading_no BIGINT, value DOUBLE"
 
@@ -67,6 +72,40 @@ class SensorSynthReader(DataSourceReader):
         )
 
 
+class SensorSynthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: each micro-batch emits the
+    next ``batch_readings`` reading numbers for every sensor. Offsets are
+    a plain ``{"reading_no": N}`` dict — the engine's Python-source
+    demonstration of Structured Streaming's offset/commit contract
+    (exactly-once via deterministic replay of offset ranges: the rows for
+    a given offset range are a pure function of the range)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_sensors = int(options.get("n_sensors", 100))
+        self.batch_readings = int(options.get("batch_readings", 10))
+
+    def initialOffset(self) -> dict:
+        return {"reading_no": 0}
+
+    def read(self, start: dict):
+        lo = int(start["reading_no"])
+        hi = lo + self.batch_readings
+        return self._rows(lo, hi), {"reading_no": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for failure recovery
+        return self._rows(int(start["reading_no"]), int(end["reading_no"]))
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the simple stream reader runs on the
+        # driver and Spark pickles the batch for prefetch/replay caching
+        return [
+            (sensor, r, _value(sensor, r))
+            for sensor in range(self.n_sensors)
+            for r in range(lo, hi)
+        ]
+
+
 class SensorSynthDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -77,6 +116,9 @@ class SensorSynthDataSource(DataSource):
 
     def reader(self, schema) -> SensorSynthReader:
         return SensorSynthReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SensorSynthStreamReader:
+        return SensorSynthStreamReader(self.options)
 
 
 def register_sensor_synth(spark) -> None:

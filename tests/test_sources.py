@@ -215,3 +215,42 @@ def test_excel_fallback_raises_dataio_without_engine(spark, tmp_path):
     fake.write_bytes(b"PK\x03\x04 not really a workbook")
     with _pytest.raises(DataIOError):
         open_data(spark, str(fake))
+
+
+def test_sensor_synth_streaming_source(spark):
+    """Streaming face of the custom Python DataSource: offsets advance by
+    reading_no, rows are a pure function of the offset range (deterministic
+    replay = exactly-once), and the stream output matches the generator."""
+    from sensordatapipelines_spark.sources.synthetic import (
+        SensorSynthStreamReader,
+        _value,
+        register_sensor_synth,
+    )
+
+    register_sensor_synth(spark)
+    stream = (
+        spark.readStream.format("sensor_synth")
+        .option("n_sensors", 3)
+        .option("batch_readings", 5)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("synth_stream_t").collect()
+    assert len(rows) == 15  # one micro-batch: 3 sensors x 5 readings
+    assert all(
+        r["value"] == _value(r["sensor_id"], r["reading_no"]) for r in rows
+    )
+    # offset/replay contract, directly on the reader
+    r = SensorSynthStreamReader({"n_sensors": 2, "batch_readings": 3})
+    assert r.initialOffset() == {"reading_no": 0}
+    batch, nxt = r.read({"reading_no": 0})
+    assert nxt == {"reading_no": 3}
+    assert list(batch) == list(r.readBetweenOffsets({"reading_no": 0}, nxt))
