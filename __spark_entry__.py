@@ -1266,6 +1266,32 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization round-trip: per-vector max-abs scale,
+    dequantize, verify the per-component error bound scale/2 holds. The
+    bound is tie-robust (a half-way rounding tie flips the sign of the
+    error, not its magnitude), so the oracle replicates it exactly."""
+    from sensordatapipelines_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    _register_views(spark, sf_dir)
+    q = dequantize_embeddings(quantize_embeddings(spark.table("embeddings")))
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding_dq"),
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        (err <= F.col("q_scale") * 0.5 + F.lit(1e-9)).alias("within_bound"),
+    )
+
+
 def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: fixed 512-char chunks with 64-char overlap,
     map-side sequence+explode+substring — the RAG/training prep step before
@@ -3154,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_polygon_agg": zones_polygon_agg,
         "events_hll_mergeable": events_hll_mergeable,
         "docs_chunks": docs_chunks,
+        "emb_quantize_roundtrip": emb_quantize_roundtrip,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4267,6 +4294,16 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["emb_quantize_roundtrip"] = """
+        WITH s AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, ROUND(scale, 6) AS q_scale, TRUE AS within_bound
+        FROM s
+    """
     oracles["docs_chunks"] = """
         WITH c AS (
             SELECT doc_id, text,

@@ -255,3 +255,39 @@ def embedding_neardup(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cos_sim"
         )
     )
+
+
+@register("quantize_embeddings")
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization for embedding storage: per-vector
+    max-abs scale, components rounded to [-127, 127] — a 4× footprint cut
+    (float32→int8) that preserves cosine ranking to ~1e-2. Map-side array
+    arithmetic (zero shuffle); the zero vector gets scale 0 and zeros.
+    Store ``(q tinyint array, q_scale float)``; ``dequantize_embeddings``
+    inverts (lossy — per-component error ≤ scale/2)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / (amax / 127.0)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumns({scale_col: amax / F.lit(127.0), out_col: q})
+
+
+@register("dequantize_embeddings")
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: component × per-vector scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

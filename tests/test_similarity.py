@@ -67,3 +67,28 @@ def test_ann_ivf_multiprobe_superset_recall(spark):
     # determinism across runs
     two2 = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk(df, q, nprobe=2, **kw).collect()}
     assert two == two2
+
+
+def test_quantize_dequantize_bound_and_zero_vector(spark):
+    from sensordatapipelines_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in dequantize_embeddings(
+        quantize_embeddings(df)
+    ).collect()}
+    r1 = out[1]
+    assert r1["q_scale"] == pytest.approx(1.0 / 127.0)
+    for orig, dq in zip([1.0, -0.5, 0.25, 0.0], r1["embedding_dq"]):
+        assert abs(orig - dq) <= r1["q_scale"] / 2 + 1e-9
+    # max-abs component is exactly representable
+    assert r1["embedding_dq"][0] == pytest.approx(1.0)
+    # zero vector: scale 0, all-zero codes, exact round-trip
+    r2 = out[2]
+    assert r2["q_scale"] == 0.0
+    assert list(r2["embedding_dq"]) == [0.0, 0.0, 0.0, 0.0]
