@@ -1266,6 +1266,20 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-outlier guard: keep documents inside the corpus's
+    [p5, p95] token-count band (one exact-percentile pass, broadcast
+    thresholds, scan-side filter). Oracle: quantile_cont with the same
+    linear interpolation."""
+    from sensordatapipelines_spark.operators.text import filter_length_outliers
+
+    _register_views(spark, sf_dir)
+    out = filter_length_outliers(
+        spark.table("documents"), text_col="text", lo=0.05, hi=0.95
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization round-trip: per-vector max-abs scale,
     dequantize, verify the per-component error bound scale/2 holds. The
@@ -3181,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_mergeable": events_hll_mergeable,
         "docs_chunks": docs_chunks,
         "emb_quantize_roundtrip": emb_quantize_roundtrip,
+        "docs_length_filter": docs_length_filter,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4294,6 +4309,23 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["docs_length_filter"] = r"""
+        WITH counts AS (
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS n_tok
+            FROM documents
+        ),
+        b AS (
+            SELECT quantile_cont(n_tok * 1.0, 0.05) AS lo,
+                   quantile_cont(n_tok * 1.0, 0.95) AS hi
+            FROM counts
+        )
+        SELECT doc_id, source, n_chars
+        FROM counts, b
+        WHERE n_tok >= lo AND n_tok <= hi
+    """
     oracles["emb_quantize_roundtrip"] = """
         WITH s AS (
             SELECT vec_id,

@@ -397,3 +397,32 @@ def chunk_documents(
             F.length("chunk_text").alias("chunk_len"),
         )
     )
+
+
+@register("filter_length_outliers")
+def filter_length_outliers(
+    df: DataFrame,
+    text_col: str = "text",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Drop documents whose token count falls outside the corpus's
+    [lo, hi] percentile band — the standard length-outlier guard of a
+    training-data pipeline (truncated boilerplate at the bottom, merged
+    crawls at the top).
+
+    Plan: ONE exact-percentile aggregate over the token counts (a single
+    reduced row), broadcast back as a cross join, inclusive band filter.
+    The thresholds become plan constants relative to the corpus scan, so
+    the filter runs scan-side; the percentile pass is the only extra job
+    and reduces map-side."""
+    n = token_count_expr(F.col(text_col)).cast("double")
+    bounds = df.select(n.alias("__n")).agg(
+        F.percentile(F.col("__n"), F.lit(float(lo))).alias("__lo"),
+        F.percentile(F.col("__n"), F.lit(float(hi))).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter((n >= F.col("__lo")) & (n <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

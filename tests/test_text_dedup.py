@@ -387,3 +387,18 @@ def test_chunk_documents_overlap_and_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_chars=10, overlap_chars=10)
+
+
+def test_filter_length_outliers_band(spark):
+    from sensordatapipelines_spark.operators.text import filter_length_outliers
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 10, 11, 12, 13, 500])],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_length_outliers(docs, lo=0.2, hi=0.8).collect()
+    )
+    # p20/p80 of [1,10,11,12,13,500] (linear interp) = 10, 13 -> middle four
+    assert kept == [1, 2, 3, 4]
