@@ -1266,6 +1266,22 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the correct mean for irregularly
+    sampled series (plain AVG over-weights bursts): Σ vᵢ·(tᵢ₊₁−tᵢ) over the
+    observation span. Oracle replays the identical lead-window fold."""
+    from sensordatapipelines_spark.operators.temporal import time_weighted_average
+
+    _register_views(spark, sf_dir)
+    return time_weighted_average(
+        spark.table("events"),
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        order_tiebreak="event_id",
+    )
+
+
 def docs_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile length-outlier guard: keep documents inside the corpus's
     [p5, p95] token-count band (one exact-percentile pass, broadcast
@@ -3196,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": docs_chunks,
         "emb_quantize_roundtrip": emb_quantize_roundtrip,
         "docs_length_filter": docs_length_filter,
+        "events_twap": events_twap,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4309,6 +4326,25 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["events_twap"] = """
+        WITH stepped AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS DOUBLE) AS t,
+                   value AS v,
+                   LEAD(CAST(FLOOR(epoch(ts)) AS DOUBLE)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY FLOOR(epoch(ts)), event_id) AS nt
+            FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_obs,
+               ROUND(CASE WHEN MAX(t) > MIN(t)
+                          THEN SUM(CASE WHEN nt IS NOT NULL
+                                        THEN v * (nt - t) END)
+                               / (MAX(t) - MIN(t))
+                          ELSE AVG(v) END, 6) AS twap
+        FROM stepped
+        GROUP BY user_id
+    """
     oracles["docs_length_filter"] = r"""
         WITH counts AS (
             SELECT doc_id, source, n_chars,

@@ -395,3 +395,43 @@ def detect_gaps(
             (F.col("__cur") - F.col("__prev")).alias("gap_seconds"),
         )
     )
+
+
+@register("time_weighted_average")
+def time_weighted_average(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "sensor_id",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per series — the correct mean for IRREGULARLY
+    sampled sensors (a plain AVG over-weights bursts): each observation
+    holds until the next one, so the series integral is Σ valueᵢ·(tᵢ₊₁−tᵢ)
+    over the observation span, divided by the span. Single-observation
+    series fall back to their value.
+
+    One key shuffle + lead window over (ts, value); the integral folds in
+    the same aggregation — no self-join, no resample grid. Equal
+    timestamps make the lead order ambiguous (a tied row's weight is 0
+    except the last of the tie group) — pass ``order_tiebreak`` (a unique
+    column) for full determinism, exactly as ``sessionize`` does."""
+    ts = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
+    keep = [F.col(key_col), ts.alias("__t"), F.col(value_col).cast("double").alias("__v")]
+    order = [F.col("__t")]
+    if order_tiebreak:
+        keep.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    stepped = df.select(*keep).withColumn("__nt", F.lead("__t").over(w))
+    return stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.when(
+                F.max("__t") > F.min("__t"),
+                F.sum(F.when(F.col("__nt").isNotNull(), F.col("__v") * (F.col("__nt") - F.col("__t"))))
+                / (F.max("__t") - F.min("__t")),
+            ).otherwise(F.avg("__v")),
+            6,
+        ).alias("twap"),
+    )

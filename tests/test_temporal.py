@@ -211,3 +211,22 @@ def test_detect_gaps_hand_computed(spark):
     assert g["sensor_id"] == 1
     assert g["gap_seconds"] == 10200
     assert g["gap_end_epoch"] - g["gap_start_epoch"] == 10200
+
+
+def test_time_weighted_average_hand_computed(spark):
+    from sensordatapipelines_spark.operators.temporal import time_weighted_average
+
+    df = spark.createDataFrame(
+        [
+            # value 10 holds 30s, value 20 holds 10s -> (300+200)/40 = 12.5
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), 20.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 40), 99.0),  # last: weight 0
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0), 7.0),    # single obs
+        ],
+        "sensor_id long, ts timestamp, value double",
+    )
+    rows = {r["sensor_id"]: r for r in time_weighted_average(df).collect()}
+    assert rows[1]["twap"] == 12.5
+    assert rows[1]["n_obs"] == 3
+    assert rows[2]["twap"] == 7.0  # degenerate span -> plain value
