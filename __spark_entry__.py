@@ -1266,6 +1266,35 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: doc counts, total chars and mean token
+    count per (source, lang) cell, per source, and overall — GROUPING SETS
+    in one scan/aggregation (the dataset-card table of a training corpus).
+    NULL grouping keys are labeled 'ALL' to keep the three levels distinct
+    and dtype-stable."""
+    _register_views(spark, sf_dir)
+    from sensordatapipelines_spark.operators.text import token_count_expr
+
+    d = spark.table("documents").select(
+        "source",
+        "lang",
+        F.col("n_chars"),
+        token_count_expr(F.col("text")).cast("double").alias("__ntok"),
+    )
+    g = d.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("__ntok"), 6).alias("mean_tokens"),
+    )
+    return g.select(
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "total_chars",
+        "mean_tokens",
+    )
+
+
 def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user — the correct mean for irregularly
     sampled series (plain AVG over-weights bursts): Σ vᵢ·(tᵢ₊₁−tᵢ) over the
@@ -3213,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_roundtrip": emb_quantize_roundtrip,
         "docs_length_filter": docs_length_filter,
         "events_twap": events_twap,
+        "docs_corpus_profile": docs_corpus_profile,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4326,6 +4356,22 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["docs_corpus_profile"] = r"""
+        WITH d AS (
+            SELECT source, lang, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                   END AS ntok
+            FROM documents
+        )
+        SELECT COALESCE(source, 'ALL') AS source,
+               COALESCE(lang, 'ALL') AS lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(ntok), 6) AS mean_tokens
+        FROM d
+        GROUP BY ROLLUP (source, lang)
+    """
     oracles["events_twap"] = """
         WITH stepped AS (
             SELECT user_id,
