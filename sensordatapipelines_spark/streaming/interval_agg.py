@@ -113,3 +113,39 @@ def stream_interval_aggregate(
         .withColumn("window_end", F.col("window.end"))
         .drop("window")
     )
+
+
+def stream_to_zordered(
+    stream: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_size: float = 0.005,
+    files_per_batch: int = 4,
+    query_name: str = "zordered_sink",
+):
+    """Continuously-clustered landing table: each micro-batch is written
+    through ``write_zordered`` into a batch subdirectory, so file footer
+    stats stay spatially tight as data streams in (readers glob
+    ``path/batch=*``). ``foreachBatch`` + per-batch directory = idempotent
+    on retry (a replayed batch overwrites its own directory, never
+    another's). Periodic ``compact_dir`` keeps the file count bounded —
+    the standard pairing for micro-batch sinks."""
+    from sensordatapipelines_spark.sources.sinks import write_zordered
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_zordered(
+            batch_df,
+            f"{path}/batch={batch_id}",
+            lon_col=lon_col,
+            lat_col=lat_col,
+            cell_size=cell_size,
+            n_files=files_per_batch,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

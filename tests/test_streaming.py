@@ -216,3 +216,41 @@ def test_stream_running_stats_builds_tws_graph(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_to_zordered_clustered_landing(spark, tmp_path):
+    """foreachBatch z-ordered sink: streamed points land spatially
+    clustered (per-file lon ranges are narrow vs the full extent) and the
+    batch subdirectory layout is idempotent-by-construction."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.streaming.interval_agg import stream_to_zordered
+
+    src = str(tmp_path / "src")
+    spark.range(1024).select(
+        (F.col("id") % 32 * 0.01).alias("lon"),
+        (F.floor(F.col("id") / 32) * 0.01).alias("lat"),
+    ).write.parquet(src)
+    stream = spark.readStream.schema("lon double, lat double").parquet(src)
+    out = str(tmp_path / "landing")
+    q = stream_to_zordered(
+        stream, out, cell_size=0.01, files_per_batch=8, query_name="z_land"
+    )
+    q.awaitTermination(120)
+    files = glob.glob(f"{out}/batch=*/part-*.parquet")
+    assert files
+    total = 0
+    extent = 0.31
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        st = {
+            md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).statistics
+            for i in range(md.row_group(0).num_columns)
+        }
+        # each file covers a narrow lon slice of the full extent
+        assert (st["lon"].max - st["lon"].min) <= extent / 2
+    assert total == 1024
