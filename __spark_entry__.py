@@ -1266,6 +1266,21 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type stats: clamp value to the [p1, p99] band, then
+    aggregate — row-preserving outlier treatment before the mean."""
+    from sensordatapipelines_spark.operators.utility import winsorize
+
+    _register_views(spark, sf_dir)
+    w = winsorize(spark.table("events"), "value", lo=0.01, hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value_w"), 6).alias("mean_w"),
+        F.round(F.min("value_w"), 6).alias("min_w"),
+        F.round(F.max("value_w"), 6).alias("max_w"),
+    )
+
+
 def docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report: doc counts, total chars and mean token
     count per (source, lang) cell, per source, and overall — GROUPING SETS
@@ -3243,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_filter": docs_length_filter,
         "events_twap": events_twap,
         "docs_corpus_profile": docs_corpus_profile,
+        "events_winsorized_stats": events_winsorized_stats,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4356,6 +4372,19 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["events_winsorized_stats"] = """
+        WITH b AS (
+            SELECT quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_w,
+               ROUND(MIN(LEAST(GREATEST(value, lo), hi)), 6) AS min_w,
+               ROUND(MAX(LEAST(GREATEST(value, lo), hi)), 6) AS max_w
+        FROM events, b
+        GROUP BY event_type
+    """
     oracles["docs_corpus_profile"] = r"""
         WITH d AS (
             SELECT source, lang, n_chars,

@@ -272,3 +272,57 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             ).alias("uniform_ratio"),
         )
     )
+
+
+@register("winsorize")
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clamp a numeric column to its [lo, hi] percentile
+    band — the outlier treatment that keeps rows (unlike a filter) while
+    bounding the leverage of extreme values. One exact-percentile pass
+    (single reduced row, broadcast back), then a scan-side clamp."""
+    v = F.col(value_col).cast("double")
+    bounds = df.select(v.alias("__v")).agg(
+        F.percentile(F.col("__v"), F.lit(float(lo))).alias("__wlo"),
+        F.percentile(F.col("__v"), F.lit(float(hi))).alias("__whi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col or f"{value_col}_w",
+            F.least(F.greatest(v, F.col("__wlo")), F.col("__whi")),
+        )
+        .drop("__wlo", "__whi")
+    )
+
+
+@register("impute_group_mean")
+def impute_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Null imputation with the per-group mean (falling back to the global
+    mean for all-null groups): the standard sensor-gap fill when a grid
+    resample is overkill. One aggregation per level, both reduced frames
+    broadcast — the fact table is scanned once and never shuffled."""
+    v = F.col(value_col).cast("double")
+    per_group = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.avg(v).alias("__gmean")
+    )
+    overall = df.agg(F.avg(v).alias("__omean"))
+    return (
+        df.join(F.broadcast(per_group), on=df[group_col] == F.col("__g"), how="left")
+        .crossJoin(F.broadcast(overall))
+        .withColumn(
+            out_col or f"{value_col}_filled",
+            F.coalesce(v, F.col("__gmean"), F.col("__omean")),
+        )
+        .drop("__g", "__gmean", "__omean")
+    )

@@ -87,3 +87,29 @@ def test_key_skew_profile_hand_computed(spark):
     assert rows[0]["n"] == 6
     assert rows[0]["share"] == 0.6
     assert rows[0]["uniform_ratio"] == 1.8  # 0.6 share x 3 distinct keys
+
+
+def test_winsorize_and_impute_group_mean(spark):
+    import pytest
+
+    from sensordatapipelines_spark.operators.utility import (
+        impute_group_mean,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id long, v double"
+    )
+    w = {r["id"]: r["v_w"] for r in winsorize(df, "v", lo=0.2, hi=0.8).collect()}
+    # p20/p80 of 1..10 (linear interp) = 2.8, 8.2
+    assert w[1] == pytest.approx(2.8) and w[10] == pytest.approx(8.2)
+    assert w[5] == 5.0  # interior untouched
+
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "grp string, v double",
+    )
+    out = impute_group_mean(g, "v", "grp")
+    rows = sorted((r["grp"], r["v_filled"]) for r in out.collect())
+    # group a nulls -> a-mean 2.0; group b all-null -> global mean 2.0
+    assert rows == [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)]
