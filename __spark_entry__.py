@@ -1266,6 +1266,16 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup (case / punctuation / whitespace
+    -insensitive keep-min-id) — the cheap first pass before MinHash."""
+    from sensordatapipelines_spark.operators.dedup import canonical_dedup
+
+    _register_views(spark, sf_dir)
+    out = canonical_dedup(spark.table("documents"))
+    return out.select("doc_id", "source", "n_chars")
+
+
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type stats: clamp value to the [p1, p99] band, then
     aggregate — row-preserving outlier treatment before the mean."""
@@ -3259,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": events_twap,
         "docs_corpus_profile": docs_corpus_profile,
         "events_winsorized_stats": events_winsorized_stats,
+        "docs_dedup_canonical": docs_dedup_canonical,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash": docs_simhash,
         "sensors_buffer_sweep": sensors_buffer_sweep,
@@ -4372,6 +4383,20 @@ def oracle_sql() -> dict[str, str]:
     from sensordatapipelines_spark.operators.spatial import haversine_km_sql
 
     _hav = haversine_km_sql(repr(HAVERSINE_REF[1]), repr(HAVERSINE_REF[0]), "lat", "lon")
+    oracles["docs_dedup_canonical"] = r"""
+        WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')) AS canon
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+                                         ORDER BY doc_id) AS rn
+            FROM c
+        ) WHERE rn = 1
+    """
     oracles["events_winsorized_stats"] = """
         WITH b AS (
             SELECT quantile_cont(value, 0.01) AS lo,

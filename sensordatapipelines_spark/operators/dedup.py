@@ -568,3 +568,33 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def canonical_text_expr(text) -> "F.Column":
+    """Canonical form for near-exact dedup: lowercase, strip the sentence
+    punctuation set, collapse whitespace runs, trim. Catches the
+    re-serialized/copy-pasted duplicates exact hashing misses while staying
+    pure JVM regex (portable to RE2 for the oracle)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[.,;:!?]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+@register("canonical_dedup")
+def canonical_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over the CANONICALIZED text (case/punctuation/whitespace
+    -insensitive): keep the smallest id per canonical form. The standard
+    first dedup pass of a crawl pipeline — cheaper than MinHash, catches
+    the trivially-reformatted copies. Partitioned by (xxhash64, canon):
+    the hash drives the exchange cheaply while the full canonical form in
+    the key rules out collision-merges of distinct documents."""
+    canon = canonical_text_expr(F.col(text_col))
+    w = Window.partitionBy(F.xxhash64(canon), canon).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -402,3 +402,19 @@ def test_filter_length_outliers_band(spark):
     )
     # p20/p80 of [1,10,11,12,13,500] (linear interp) = 10, 13 -> middle four
     assert kept == [1, 2, 3, 4]
+
+
+def test_canonical_dedup_case_punct_whitespace(spark):
+    from sensordatapipelines_spark.operators.dedup import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick, brown fox!"),
+            (2, "the  quick brown   fox"),   # same after canonicalization
+            (3, "THE QUICK BROWN FOX."),     # same again
+            (4, "a different document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in canonical_dedup(docs).collect())
+    assert kept == [1, 4]
