@@ -43,6 +43,19 @@ class ColumnException(EngineError):
     """
 
 
+class CRSUnitMismatch(EngineError):
+    """Raised when auto-reprojection would silently change the units of a
+    radius/size column.
+
+    Reprojection rewrites the coordinate columns only; a per-row radius
+    column authored in the layer's original CRS (e.g. meters for 3857)
+    cannot be linearly rescaled into the target CRS (degree↔meter scale
+    varies with latitude), so comparing the reprojected coordinates against
+    the unconverted radii would silently produce wrong intersections. The
+    engine refuses and requires the caller to supply radii already in the
+    sensors' CRS units (or pre-reproject the layer and recompute radii)."""
+
+
 class UnknownOperation(EngineError):
     """Raised at plan load ("analysis") time for an op name absent from the
     registry — fixing the reference's broken ``from_json`` round-trip

@@ -68,6 +68,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
 
@@ -80,6 +81,16 @@ def jaccard_pairs(
     corpus-common shingle (df = d) would otherwise contribute O(d²)
     candidate pairs — quadratic blow-up at 100 TB. Default ON at 1000;
     pass ``None`` for exact full-set Jaccard on corpora known to be small.
+
+    Observability (the semantic shift is measurable, not silent): pass a
+    dict as ``metrics`` and the guard fills ``n_stop_shingles`` (distinct
+    shingles actually dropped) and ``n_distinct_shingles`` eagerly — ONE
+    small aggregate over the cached shingled form, negligible next to the
+    candidate join. ``n_stop_shingles == 0`` certifies the guarded result
+    is bit-identical to the exact (``max_shingle_df=None``) Jaccard.
+    (An ``Observation`` can't carry this: the guard's subtree is replicated
+    three times in the plan — both self-join sides and the size table — and
+    a CollectMetrics node observed from replicated subtrees fails.)
     """
     # Cache the shingled form: it feeds both the size table and the posting
     # lists — without the cache, tokenization + shingling re-runs per use.
@@ -99,6 +110,15 @@ def jaccard_pairs(
     )
     if max_shingle_df is not None:
         freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        if metrics is not None:
+            n_stop, n_all = freq.agg(
+                F.sum(
+                    F.when(F.col("__df") > max_shingle_df, 1).otherwise(0)
+                ),
+                F.count(F.lit(1)),
+            ).first()
+            metrics["n_stop_shingles"] = int(n_stop or 0)
+            metrics["n_distinct_shingles"] = int(n_all or 0)
         # Anti-join against the HOT set: broadcasting the heavy-hitter
         # shingles (tiny by construction — at most |corpus|/cap of them)
         # keeps the guard map-side; broadcasting the kept majority would
@@ -490,6 +510,7 @@ def neardedup_corpus(
     threshold: float = 0.5,
     seed: int = 42,
     max_iter: int = 20,
+    broadcast_loser_limit: int = 5_000_000,
 ) -> DataFrame:
     """One-call corpus near-deduplication — the composition a training-data
     pipeline actually runs: MinHash+LSH near-dup pairs → transitive
@@ -499,10 +520,15 @@ def neardedup_corpus(
 
     Plan shape at 100 TB: pair generation is the banded equi-join
     (``minhash_pairs``), components iterate over (node, label) pairs only
-    — never documents — and the final step is a broadcast LEFT ANTI join
-    of the loser-id set against the corpus (dup clusters are a small
-    fraction of the corpus, and only ids ship). Documents themselves are
-    read once and shuffled zero times.
+    — never documents — and the final step is a LEFT ANTI join of the
+    loser-id set against the corpus (only ids ship). The broadcast hint on
+    the loser side is GATED on its actual size: components are already
+    materialized (``localCheckpoint`` per round), so the count is nearly
+    free, and at a realistic 20-40 % dup rate on a 100 TB corpus the loser
+    set is billions of ids — a forced broadcast there is an OOM, not a
+    hint. Above ``broadcast_loser_limit`` the hint is omitted and AQE picks
+    the join strategy (shuffled anti-join; see SCALE.md "neardedup loser
+    anti-join"). Results are identical either way.
     """
     pairs = minhash_pairs(
         df,
@@ -517,9 +543,11 @@ def neardedup_corpus(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__loser")
     )
-    return df.join(
-        F.broadcast(losers), on=df[id_col] == F.col("__loser"), how="left_anti"
-    )
+    # comps is localCheckpoint-backed, so this count reuses materialized
+    # state instead of recomputing the pair/label cascade.
+    if losers.count() <= broadcast_loser_limit:
+        losers = F.broadcast(losers)
+    return df.join(losers, on=df[id_col] == F.col("__loser"), how="left_anti")
 
 
 @register("decontaminate")

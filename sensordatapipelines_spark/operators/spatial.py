@@ -38,7 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sensordatapipelines_spark.errors import ColumnException, MissingCRS
+from sensordatapipelines_spark.errors import ColumnException, CRSUnitMismatch, MissingCRS
 from sensordatapipelines_spark.operators.aggregates import build_agg_exprs
 from sensordatapipelines_spark.registry import register
 
@@ -92,6 +92,7 @@ def _resolve_crs_pair(
     sensor_lon: str,
     layer_lon: str,
     layer_lat: str,
+    radius_col: str | None = None,
 ) -> DataFrame:
     """Resolve the effective CRS of both sides of a spatial join.
 
@@ -100,7 +101,15 @@ def _resolve_crs_pair(
     the LAYER is reprojected into the sensors' CRS before any distance
     predicate — mirroring the reference's reproject-before-predicate rule —
     so a 4326 sensor table can never silently join a 3857 layer. Returns
-    the (possibly reprojected) layer."""
+    the (possibly reprojected) layer.
+
+    Unit safety: reprojection rewrites coordinates only. If the layer
+    carries a per-row ``radius_col`` (units of its ORIGINAL CRS), the
+    distance predicate downstream would compare reprojected coordinates
+    against stale-unit radii — so that combination raises
+    ``CRSUnitMismatch`` instead of silently mixing units. Scalar sizes
+    passed by callers (``buffer_size``, ``radius_prefilter``) are by
+    contract in the SENSORS' CRS units and are unaffected."""
     s_eff = get_crs(sensors, sensor_lon) if sensors is not None else None
     l_eff = get_crs(layer, layer_lon) if layer is not None else None
     if s_eff is None:
@@ -108,6 +117,15 @@ def _resolve_crs_pair(
     if l_eff is None:
         l_eff = check_crs(crs)
     if l_eff != s_eff:
+        if radius_col and radius_col in layer.columns:
+            raise CRSUnitMismatch(
+                f"layer is EPSG:{l_eff} but sensors are EPSG:{s_eff}; "
+                f"auto-reprojecting the layer would leave its radius column "
+                f"{radius_col!r} in EPSG:{l_eff} units (degree/meter scale "
+                f"varies with latitude — no linear rescale exists). Supply "
+                f"radii in EPSG:{s_eff} units, or reproject the layer "
+                f"yourself and recompute the radii."
+            )
         layer = set_crs(
             reproject(layer, l_eff, s_eff, lon_col=layer_lon, lat_col=layer_lat),
             s_eff,
@@ -317,7 +335,10 @@ def buffer_aggregate(
 
     CRS: column metadata (``set_crs``) on either side wins over the ``crs``
     kwarg; mismatched sides reproject the layer into the sensors' CRS
-    before the predicate (reference ``:218-220``).
+    before the predicate (reference ``:218-220``). Units: ``buffer_size``
+    is interpreted in the SENSORS' CRS; a mismatched layer that carries a
+    ``layer_radius`` column raises ``CRSUnitMismatch`` instead of silently
+    comparing stale-unit radii against reprojected coordinates.
 
     ``bucketed=True`` switches the theta-join to a GRID-BUCKETED HASH JOIN:
     both sides are assigned to square cells of size ≥ the max reach
@@ -327,7 +348,9 @@ def buffer_aggregate(
     plan becomes a shuffled hash/sort-merge join instead of a
     BroadcastNestedLoopJoin — use it when the sensor side outgrows
     broadcast (the remaining scale assumption of the default path)."""
-    layer = _resolve_crs_pair(sensors, layer, crs, sensor_lon, layer_lon, layer_lat)
+    layer = _resolve_crs_pair(
+        sensors, layer, crs, sensor_lon, layer_lon, layer_lat, radius_col=layer_radius
+    )
     layer, cols = _resolve_layer_columns(layer, columns, layer_radius)
     reach = F.lit(buffer_size) + (
         F.col(f"__l.{layer_radius}") if layer_radius else F.lit(0.0)
@@ -440,12 +463,17 @@ def knn_aggregate(
     cond = d <= F.lit(radius_prefilter) if radius_prefilter is not None else F.lit(True)
     # The sensor side broadcasts; spread the streamed layer side across the
     # cluster first — a small layer read as 1-2 parquet splits would otherwise
-    # serialize the whole nested-loop join on one task. defaultParallelism,
-    # not layer.rdd.getNumPartitions(): touching .rdd forces a plan
-    # conversion per call (same rationale as spread_by).
-    layer = layer.repartition(
-        max(sensors.sparkSession.sparkContext.defaultParallelism, 16)
-    )
+    # serialize the whole nested-loop join on one task. Widen-only: a layer
+    # already read as many splits keeps its parallelism (inputFiles() is a
+    # cheap proxy for the scan's split count that doesn't force a plan
+    # conversion the way .rdd.getNumPartitions() would).
+    floor = max(sensors.sparkSession.sparkContext.defaultParallelism, 16)
+    try:
+        current = len(layer.inputFiles())
+    except Exception:
+        current = 0
+    if current < floor:
+        layer = layer.repartition(floor)
     pairs = F.broadcast(s).join(layer, on=cond, how="inner").withColumn("__dist", d)
     order = [F.col("__dist")]
     if layer_id_col:

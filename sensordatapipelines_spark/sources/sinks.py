@@ -103,16 +103,36 @@ def write_zordered(
 
     ``repartitionByRange`` on the key gives globally ordered files (file k's
     key range precedes file k+1's); ``sortWithinPartitions`` orders rows
-    inside each row group. The Morton key itself is not persisted."""
+    inside each row group. The Morton key itself is not persisted.
+
+    Cell indices are rebased to a non-negative origin (per-write min — one
+    tiny driver-side aggregate that becomes plan literals) and ``bits`` is
+    sized from the ACTUAL index range, so real-world coordinates (negative
+    west/south of 0, ranges far beyond 2^8 cells) never wrap mod 2^bits or
+    violate the interleave's non-negative precondition; the caller's
+    ``bits`` is only a floor. Keys stay within a long (bits capped at 31)."""
+    import math
+
     from pyspark.sql import functions as F
 
     from sensordatapipelines_spark.operators.spatial import morton_key_expr
 
-    key = morton_key_expr(
-        F.floor(F.col(lon_col) / F.lit(cell_size)),
-        F.floor(F.col(lat_col) / F.lit(cell_size)),
-        bits=bits,
+    ix = F.floor(F.col(lon_col) / F.lit(cell_size))
+    iy = F.floor(F.col(lat_col) / F.lit(cell_size))
+    # floor(x / cell) is monotonic in x, so the index range follows from the
+    # raw coordinate min/max — an aggregate parquet footer stats can answer.
+    mn_lon, mx_lon, mn_lat, mx_lat = df.agg(
+        F.min(lon_col), F.max(lon_col), F.min(lat_col), F.max(lat_col)
+    ).first()
+    lo_x = math.floor((mn_lon or 0.0) / cell_size)
+    lo_y = math.floor((mn_lat or 0.0) / cell_size)
+    span = max(
+        math.floor((mx_lon or 0.0) / cell_size) - lo_x,
+        math.floor((mx_lat or 0.0) / cell_size) - lo_y,
+        1,
     )
+    bits = min(max(bits, math.ceil(math.log2(span + 1))), 31)
+    key = morton_key_expr(ix - F.lit(lo_x), iy - F.lit(lo_y), bits=bits)
     out = df.withColumn("__zkey", key)
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
     (
@@ -135,13 +155,24 @@ def compact_dir(
     balanced files. The operational fix for streaming/micro-batch sinks that
     accumulate thousands of tiny files (each file costs a task + a footer
     read at every scan; at 100 TB the metadata walk alone dominates).
-    Rewrites via a temp directory so a crash mid-compaction never leaves the
-    source half-deleted."""
-    import shutil
-    import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    Crash safety (LOCAL FILESYSTEM ONLY — the sibling temp/old dirs live
+    next to ``path``, so this helper targets local paths; on an object
+    store use a table format's atomic commit instead): the compacted copy
+    is written to a sibling temp dir, the original is RENAMED aside (atomic
+    on a local fs), the new dir is moved into place, and only then is the
+    old copy deleted. A crash at any step leaves at least one complete copy
+    on disk: before the rename the original is untouched; between rename
+    and move the data survives intact at ``<path>.__compact_old__``
+    (documented recovery: rename it back)."""
+    import shutil
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     df = spark.read.format(fmt).load(path)
     df.repartition(target_files).write.format(fmt).mode("overwrite").save(tmp)
-    shutil.rmtree(path)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)

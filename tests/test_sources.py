@@ -170,6 +170,51 @@ def test_write_zordered_tightens_file_footprints(spark, tmp_path):
     assert spark.read.parquet(z_dir).count() == 4096
 
 
+def test_write_zordered_real_world_coordinates(spark, tmp_path):
+    """Negative, wide-range coordinates (a real-world extent far beyond
+    2^bits cells at the default cell_size) must not wrap or alias: indices
+    rebase to a non-negative origin and bits grow to cover the actual
+    range, so distant tiles keep distinct keys and bbox prunability
+    survives."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.sources.sinks import write_zordered
+
+    # a grid spanning [-122.4, -121.76) x [37.0, 37.64) — indices ~ -24480
+    # and ~7400 at cell_size=0.005: negative AND far beyond 8-bit range
+    pts = spark.range(4096).select(
+        (F.lit(-122.4) + F.col("id") % 64 * 0.01).alias("lon"),
+        (F.lit(37.0) + F.floor(F.col("id") / 64) * 0.01).alias("lat"),
+        F.col("id").alias("v"),
+    )
+    z_dir = str(tmp_path / "zneg")
+    write_zordered(pts, z_dir, cell_size=0.005, bits=8, n_files=16)
+    hit, total = 0, 0
+    for f in glob.glob(f"{z_dir}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            stats = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            total += 1
+            if (
+                stats["lon"].min <= -122.35
+                and stats["lon"].max >= -122.4
+                and stats["lat"].min <= 37.05
+                and stats["lat"].max >= 37.0
+            ):
+                hit += 1
+    # with mod-256 wrapping/negative keys the tiles alias and most files
+    # span the window; with the rebase only a few do
+    assert hit <= total // 4
+    assert spark.read.parquet(z_dir).count() == 4096
+
+
 def test_compact_dir_reduces_files_preserves_rows(spark, tmp_path):
     import glob
 

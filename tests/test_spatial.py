@@ -160,15 +160,15 @@ def test_set_get_crs_round_trip(spark):
 
 def test_crs_mismatch_auto_reprojects(spark):
     """A 3857-tagged layer joined to 4326-tagged sensors reprojects the
-    layer before the predicate — same result as the all-4326 run."""
+    layer before the predicate — same result as the all-4326 run. (No
+    radius column here: coordinates reproject, per-row radii can't — that
+    combination raises, covered below.)"""
     from sensordatapipelines_spark.operators.spatial import set_crs
 
     sensors = set_crs(_sensors(spark), 4326)
-    zones4326 = _zones(spark)
+    zones4326 = _zones(spark).drop("radius")
     zones3857 = set_crs(reproject(zones4326, 4326, 3857), 3857)
-    kwargs = dict(
-        columns=["pop"], buffer_size=0.2, source_name="z", layer_radius="radius"
-    )
+    kwargs = dict(columns=["pop"], buffer_size=0.2, source_name="z")
     expect = sorted(
         (r["sensor_id"], r["mean_z_pop"])
         for r in buffer_aggregate(sensors, set_crs(zones4326, 4326), **kwargs).collect()
@@ -180,6 +180,28 @@ def test_crs_mismatch_auto_reprojects(spark):
     assert got == expect
 
 
+def test_crs_mismatch_with_radius_column_raises(spark):
+    """Auto-reprojection rewrites coordinates only — a layer radius column
+    would silently keep its original units (the degree-vs-meter mixing
+    failure), so the engine refuses instead."""
+    import pytest as _pytest
+
+    from sensordatapipelines_spark.errors import CRSUnitMismatch
+    from sensordatapipelines_spark.operators.spatial import set_crs
+
+    sensors = set_crs(_sensors(spark), 4326)
+    zones3857 = set_crs(reproject(_zones(spark), 4326, 3857), 3857)
+    with _pytest.raises(CRSUnitMismatch, match="radius"):
+        buffer_aggregate(
+            sensors,
+            zones3857,
+            columns=["pop"],
+            buffer_size=0.2,
+            source_name="z",
+            layer_radius="radius",
+        ).collect()
+
+
 def test_crs_metadata_beats_kwarg_and_mixing_is_never_silent(spark):
     """Engine-tracked CRS wins over the per-call kwarg: a 3857-tagged layer
     is NOT treated as 4326 just because the kwarg default says so."""
@@ -189,14 +211,13 @@ def test_crs_metadata_beats_kwarg_and_mixing_is_never_silent(spark):
     # zone at web-mercator coordinates of (0.1, 0.0): if the engine ignored
     # the tag and compared raw coordinates, the zone (x≈11132 m) would be far
     # from every sensor and the stats would be NULL.
-    zones_m = set_crs(reproject(_zones(spark), 4326, 3857), 3857)
+    zones_m = set_crs(reproject(_zones(spark).drop("radius"), 4326, 3857), 3857)
     out = buffer_aggregate(
         sensors,
         zones_m,
         columns=["pop"],
         buffer_size=0.2,
         source_name="z",
-        layer_radius="radius",
         crs=4326,  # kwarg says 4326; metadata says 3857 — metadata wins
     )
     rows = {r["sensor_id"]: r for r in out.collect()}
@@ -322,14 +343,13 @@ def test_crs_utm_mismatch_reprojects_in_buffer_aggregate(spark):
     from sensordatapipelines_spark.operators.spatial import set_crs
 
     sensors = set_crs(_sensors(spark), 4326)
-    zones_utm = set_crs(reproject(_zones(spark), 4326, 32631), 32631)
+    zones_utm = set_crs(reproject(_zones(spark).drop("radius"), 4326, 32631), 32631)
     out = buffer_aggregate(
         sensors,
         zones_utm,
         columns=["pop"],
         buffer_size=0.2,
         source_name="z",
-        layer_radius="radius",
     )
     rows = {r["sensor_id"]: r for r in out.collect()}
     assert rows[1]["mean_z_pop"] == 100.0

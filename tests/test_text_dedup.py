@@ -364,6 +364,51 @@ def test_neardedup_corpus_keeps_representatives(spark):
     assert out.columns == _docs(spark).columns
 
 
+def test_neardedup_loser_broadcast_is_gated(spark):
+    """The loser-side broadcast is a HINT gated on actual loser count, not
+    a forced plan choice: above the limit the optimized logical plan has no
+    broadcast hint (AQE picks the anti-join strategy), below it the hint is
+    present. Results identical either way."""
+    from sensordatapipelines_spark.operators.dedup import neardedup_corpus
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    hinted = neardedup_corpus(_docs(spark), threshold=0.5)
+    unhinted = neardedup_corpus(_docs(spark), threshold=0.5, broadcast_loser_limit=0)
+    assert "broadcast" in logical(hinted).lower()
+    assert "broadcast" not in logical(unhinted).lower()
+    assert sorted(r["doc_id"] for r in hinted.collect()) == sorted(
+        r["doc_id"] for r in unhinted.collect()
+    )
+
+
+def test_jaccard_stop_shingle_drop_is_observable(spark):
+    """max_shingle_df's semantic shift is measurable: the metrics dict
+    reports how many shingles were dropped; 0 drops certifies
+    guarded == exact."""
+    from sensordatapipelines_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark)
+    got: dict = {}
+    jaccard_pairs(docs, threshold=0.1, max_shingle_df=2, metrics=got).collect()
+    assert got["n_distinct_shingles"] > 0
+    assert got["n_stop_shingles"] >= 1  # the shared boilerplate shingles
+
+    loose_metrics: dict = {}
+    loose = jaccard_pairs(
+        docs, threshold=0.1, max_shingle_df=10**6, metrics=loose_metrics
+    )
+    loose_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in loose.collect()}
+    assert loose_metrics["n_stop_shingles"] == 0
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1, max_shingle_df=None).collect()
+    }
+    # zero drops -> identical to the exact full-set jaccard
+    assert loose_rows == exact
+
+
 def test_chunk_documents_overlap_and_edges(spark):
     from sensordatapipelines_spark.operators.text import chunk_documents
 

@@ -5,11 +5,21 @@ over the same sf directory, then compares row count, column-name set and
 (order-insensitively) the values — exact string equality after canonical
 formatting, which is stricter than any plausible driver hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --json OUT.json sf_dir [query ...]
+
+``run_checks`` is importable (used by tests/test_oracle_ledger.py and by the
+ledger builder tools/build_oracle_ledger.py) and returns a dict of per-query
+records: ``{"status": "pass|fail|rows_only", "rows": N, "value_hash": hex,
+"detail": str|None}``.  The value hash is sha256 over the canonicalized
+cell values, so two runs that pass must also agree on the hash.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import sys
 
 import duckdb
@@ -32,42 +42,59 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return c.sort_values(by=list(c.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as entrymod
-    from sensordatapipelines_spark import get_spark
+def value_hash(cdf: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    h.update(("|".join(cdf.columns)).encode())
+    for row in cdf.itertuples(index=False, name=None):
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()
 
-    spark = get_spark(shuffle_partitions=16)
-    spark.sparkContext.setLogLevel("ERROR")
 
+def _connect_duck(sf_dir: str, tables) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    for t in entrymod.TABLES:
+    for t in tables:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
 
+
+def run_checks(spark, sf_dir: str, names=None, verbose: bool = True) -> dict:
+    """Run the strict Spark-vs-DuckDB comparison; return per-query records."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    con = _connect_duck(sf_dir, entrymod.TABLES)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
-        if only and name not in only:
+        if names and name not in names:
             continue
+        rec: dict = {"status": "pass", "rows": None, "value_hash": None, "detail": None}
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
-            print(f"FAIL {name}: spark error: {exc}")
-            failures.append(name)
+            rec.update(status="fail", detail=f"spark error: {exc}")
+            results[name] = rec
+            if verbose:
+                print(f"FAIL {name}: spark error: {exc}")
             continue
+        rec["rows"] = len(sdf)
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(sdf)} rows, no oracle)")
+            rec["status"] = "rows_only"
+            rec["value_hash"] = value_hash(canon(sdf))
+            results[name] = rec
+            if verbose:
+                print(f"ok?  {name}: rows-only ({len(sdf)} rows, no oracle)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:
-            print(f"FAIL {name}: duckdb error: {exc}")
-            failures.append(name)
+            rec.update(status="fail", detail=f"duckdb error: {exc}")
+            results[name] = rec
+            if verbose:
+                print(f"FAIL {name}: duckdb error: {exc}")
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -84,11 +111,37 @@ def main() -> int:
                     for i in idx
                 ]
                 problems.append(f"{int(neq.sum())} mismatched rows; " + " | ".join(detail))
+            else:
+                rec["value_hash"] = value_hash(cs)
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
-            failures.append(name)
-        else:
+            rec.update(status="fail", detail="; ".join(problems))
+            if verbose:
+                print(f"FAIL {name}: " + "; ".join(problems))
+        elif verbose:
             print(f"PASS {name} ({len(sdf)} rows)")
+        results[name] = rec
+    con.close()
+    return results
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    sys.path.insert(0, "/root/repo")
+    from sensordatapipelines_spark import get_spark
+
+    spark = get_spark(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_checks(spark, sf_dir, names=only or None)
+    failures = [n for n, r in results.items() if r["status"] == "fail"]
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
