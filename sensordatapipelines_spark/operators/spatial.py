@@ -1013,3 +1013,139 @@ def parse_wkb_points(
     if crs is not None:
         out = set_crs(out, crs, lon_col=lon_col, lat_col=lat_col)
     return out
+
+
+def encode_wkb_polygon(parts: "list[list[tuple[float, float]]]", srid: int | None = None) -> bytes:
+    """Encode outer rings as little-endian WKB — POLYGON for one part,
+    MULTIPOLYGON for several; optional EWKB SRID header. Driver-side helper
+    for authoring polygon dim tables and round-trip tests (zone layers are
+    dims — encoding never runs on the data path)."""
+    import struct
+
+    def ring_bytes(ring: "list[tuple[float, float]]") -> bytes:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])  # WKB rings close explicitly
+        return struct.pack("<I", len(pts)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in pts
+        )
+
+    def polygon_bytes(ring, with_srid):
+        gtype = 3 | (0x20000000 if with_srid else 0)
+        head = struct.pack("<BI", 1, gtype)
+        if with_srid:
+            head += struct.pack("<I", srid)
+        return head + struct.pack("<I", 1) + ring_bytes(ring)
+
+    if len(parts) == 1:
+        return polygon_bytes(parts[0], srid is not None)
+    gtype = 6 | (0x20000000 if srid is not None else 0)
+    head = struct.pack("<BI", 1, gtype)
+    if srid is not None:
+        head += struct.pack("<I", srid)
+    return (
+        head
+        + struct.pack("<I", len(parts))
+        + b"".join(polygon_bytes(p, False) for p in parts)
+    )
+
+
+@register("parse_wkb_polygons")
+def parse_wkb_polygons(
+    df: DataFrame,
+    wkb_col: str = "geometry",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    part_col: str = "part",
+) -> DataFrame:
+    """Decode a WKB POLYGON / MULTIPOLYGON binary column into the
+    array-of-vertex ring format ``polygon_zonal_aggregate`` consumes —
+    closing the reference's real vector-layer ingestion path
+    (``gpd.read_file`` at ``/root/reference/src/data_preprocessing.py:471-475``)
+    without a geometry library: GIS exports carry polygons as WKB, and this
+    turns them into data-driven ring columns.
+
+    One output row PER PART (``posexplode``): a MultiPolygon zone yields
+    one ring row per part, sharing the zone's other columns; parts are
+    assumed disjoint (standard MultiPolygon validity), so per-zone stats
+    downstream aggregate across parts without double counting. Only OUTER
+    rings are decoded (holes skipped — the circle-model approximation
+    documented in SURVEY §1.1 never modeled holes either; a hole-aware
+    even-odd cast is a straight extension of the same ring format).
+    The explicit WKB closing vertex is dropped: ``point_in_polygon_expr``
+    closes rings implicitly. Both byte orders and EWKB SRID headers are
+    accepted; malformed / non-polygon values yield a NULL-ring row
+    (callers filter ``xs IS NULL``). Arrow-batched ``pandas_udf`` —
+    IEEE-754 byte reassembly is not expressible in SQL; doubles round-trip
+    bit-exactly, so decoded vertices are oracle-exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<xs: array<double>, ys: array<double>>>")
+    def _decode(col):
+        import struct
+
+        def read_ring(buf, off, fmt):
+            (npts,) = struct.unpack_from(f"{fmt}I", buf, off)
+            off += 4
+            coords = struct.unpack_from(f"{fmt}{2 * npts}d", buf, off)
+            off += 16 * npts
+            xs, ys = list(coords[0::2]), list(coords[1::2])
+            if npts > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]
+            return (xs, ys), off
+
+        def read_polygon_body(buf, off, fmt):
+            (nrings,) = struct.unpack_from(f"{fmt}I", buf, off)
+            off += 4
+            outer = None
+            for r in range(nrings):
+                ring, off = read_ring(buf, off, fmt)
+                if r == 0:
+                    outer = ring
+            return outer, off
+
+        def read_header(buf, off):
+            fmt = "<" if buf[off] == 1 else ">"
+            (gtype,) = struct.unpack_from(f"{fmt}I", buf, off + 1)
+            off += 5
+            if gtype & 0x20000000:  # EWKB SRID
+                off += 4
+            return fmt, gtype & 0x0FFF, off
+
+        out = []
+        for v in col:
+            try:
+                if v is None or len(v) < 9:
+                    raise ValueError
+                fmt, base, off = read_header(v, 0)
+                if base == 3:
+                    outer, _ = read_polygon_body(v, off, fmt)
+                    out.append([outer])
+                elif base == 6:
+                    (nparts,) = struct.unpack_from(f"{fmt}I", v, off)
+                    off += 4
+                    rings = []
+                    for _ in range(nparts):
+                        pfmt, pbase, off = read_header(v, off)
+                        if pbase != 3:
+                            raise ValueError
+                        outer, off = read_polygon_body(v, off, pfmt)
+                        rings.append(outer)
+                    out.append(rings)
+                else:
+                    raise ValueError
+            except (ValueError, IndexError, struct.error):
+                out.append(None)
+        return pd.Series(out)
+
+    return (
+        df.withColumn("__rings", _decode(F.col(wkb_col)))
+        .select(
+            "*",
+            F.posexplode_outer("__rings").alias(part_col, "__ring"),
+        )
+        .withColumn(xs_col, F.col("__ring.xs"))
+        .withColumn(ys_col, F.col("__ring.ys"))
+        .drop("__rings", "__ring")
+    )

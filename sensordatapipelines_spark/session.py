@@ -35,6 +35,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+    # Local mode runs driver + all executor threads in ONE JVM; the 1 GiB
+    # spark.driver.memory default is a laptop setting, not a 32-thread rig
+    # setting — broadcast + shuffle buffers across 32 concurrent tasks OOM
+    # at sf0.1 under it. Sized for the local test rig; on a real cluster
+    # the deploy config owns executor/driver sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

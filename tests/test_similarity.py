@@ -92,3 +92,27 @@ def test_quantize_dequantize_bound_and_zero_vector(spark):
     r2 = out[2]
     assert r2["q_scale"] == 0.0
     assert list(r2["embedding_dq"]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_ann_recall_pinned(spark):
+    """Retrieval-quality gate (deterministic, so pinned EXACTLY): IVF
+    recall@5 is high and rises with nprobe; hyperplane LSH at 8 planes
+    scores low on THIS corpus because the synthetic embeddings are
+    near-orthogonal (random vectors' true neighbours are spread uniformly
+    across buckets — the adversarial case for sign-hash LSH; fewer planes
+    or multi-table LSH is the recall knob). The point of the gate is that
+    these numbers are measured and pinned, not assumed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rows = {
+        r["method"]: r
+        for r in e.emb_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["ivf_p1"]["recall"] == 0.975
+    assert rows["ivf_p2"]["recall"] == 1.0
+    assert rows["lsh"]["recall"] == 0.05
+    assert rows["ivf_p2"]["recall"] >= rows["ivf_p1"]["recall"]
+    assert all(r["n_exact"] == 40 for r in rows.values())

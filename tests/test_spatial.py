@@ -508,3 +508,95 @@ def test_parse_wkb_points_both_orders_and_garbage(spark):
     assert (out[3]["lon"], out[3]["lat"]) == (9.0, 9.0)
     assert out[4]["lon"] is None and out[5]["lon"] is None
     assert get_crs(parse_wkb_points(df, crs=4326)) == 4326
+
+
+def test_wkb_polygon_roundtrip_and_decode(spark):
+    """WKB Polygon/MultiPolygon outer rings decode bit-exactly back to the
+    authored vertices (IEEE-754 doubles round-trip through WKB); EWKB SRID
+    headers are skipped, holes are dropped, the explicit closing vertex is
+    removed, malformed payloads yield a NULL ring row."""
+    import struct
+
+    from sensordatapipelines_spark.operators.spatial import (
+        encode_wkb_polygon,
+        parse_wkb_polygons,
+    )
+
+    tri = [(0.02, 0.01), (0.28, 0.05), (0.15, 0.31)]
+    sq1 = [(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.0, 0.1)]
+    sq2 = [(0.5, 0.5), (0.7, 0.5), (0.7, 0.8), (0.5, 0.8)]
+    rows = [
+        (1, encode_wkb_polygon([tri])),
+        (2, encode_wkb_polygon([sq1, sq2])),          # MultiPolygon, 2 parts
+        (3, encode_wkb_polygon([tri], srid=4326)),    # EWKB
+        (4, b"\x01\x07\x00\x00\x00garbage"),          # wrong geometry type
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "zone_id long, geometry binary")
+    got = {
+        (r["zone_id"], r["part"]): (r["xs"], r["ys"])
+        for r in parse_wkb_polygons(df).collect()
+    }
+    assert got[(1, 0)] == ([v[0] for v in tri], [v[1] for v in tri])
+    assert got[(2, 0)] == ([v[0] for v in sq1], [v[1] for v in sq1])
+    assert got[(2, 1)] == ([v[0] for v in sq2], [v[1] for v in sq2])
+    assert got[(3, 0)] == got[(1, 0)]  # SRID header skipped
+    assert got[(4, None)] == (None, None)
+    assert got[(5, None)] == (None, None)
+
+    # a polygon WITH a hole: only the outer ring survives
+    hole = [(0.04, 0.04), (0.06, 0.04), (0.06, 0.06), (0.04, 0.06)]
+    outer_pts = sq1 + [sq1[0]]
+    hole_pts = hole + [hole[0]]
+    body = struct.pack("<BII", 1, 3, 2)
+    for ring in (outer_pts, hole_pts):
+        body += struct.pack("<I", len(ring)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in ring
+        )
+    holed = spark.createDataFrame([(9, body)], "zone_id long, geometry binary")
+    r = parse_wkb_polygons(holed).first()
+    assert r["xs"] == [v[0] for v in sq1] and r["part"] == 0
+
+    # big-endian payload decodes identically
+    be = struct.pack(">BII", 0, 3, 1) + struct.pack(">I", len(outer_pts)) + b"".join(
+        struct.pack(">dd", x, y) for x, y in outer_pts
+    )
+    rbe = parse_wkb_polygons(
+        spark.createDataFrame([(10, be)], "zone_id long, geometry binary")
+    ).first()
+    assert rbe["xs"] == [v[0] for v in sq1]
+
+
+def test_wkb_polygon_feeds_zonal_aggregate(spark):
+    """Decoded WKB rings drive polygon_zonal_aggregate end-to-end; a
+    2-part MultiPolygon zone aggregates points from BOTH parts without
+    double counting."""
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.spatial import (
+        encode_wkb_polygon,
+        parse_wkb_polygons,
+        polygon_zonal_aggregate,
+    )
+
+    sq1 = [(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.0, 0.1)]
+    sq2 = [(0.5, 0.5), (0.7, 0.5), (0.7, 0.8), (0.5, 0.8)]
+    zones = parse_wkb_polygons(
+        spark.createDataFrame(
+            [(1, encode_wkb_polygon([sq1, sq2]))], "zone_id long, geometry binary"
+        )
+    )
+    pts = spark.createDataFrame(
+        [(0.05, 0.05, 10.0), (0.6, 0.6, 30.0), (0.9, 0.9, 99.0)],
+        "lon double, lat double, v double",
+    )
+    out = polygon_zonal_aggregate(
+        pts, zones, value_cols=["v"], funcs=("mean", "sum"), source_name="p"
+    )
+    per_zone = (
+        out.groupBy("zone_id")
+        .agg(F.first("mean_p_v").alias("m"), F.first("sum_p_v").alias("s"))
+        .first()
+    )
+    # one point in each part, the outside point excluded
+    assert per_zone["s"] == 40.0 and per_zone["m"] == 20.0
