@@ -72,17 +72,23 @@ def main() -> int:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # compact separators keep the single stdout line as short as possible;
+    # the same JSON also lands in bench_out.json so a consumer that only
+    # captured a truncated tail of stdout can still parse the full result.
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
     return 0 if all(t >= 0 for t in timings.values()) else 1
 
 

@@ -281,6 +281,8 @@ def minhash_pairs(
     band_rows: int = 2,
     threshold: float = 0.5,
     seed: int = 42,
+    max_band_df: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Native MinHash + LSH-banding near-dup pairs →
     ``(id_a, id_b, minhash_jaccard)``.
@@ -293,7 +295,19 @@ def minhash_pairs(
     self-join is the only quadratic-risk step and it is bounded by bucket
     size). The reported score is the signature-agreement estimate
     ``|{i: sig_a_i = sig_b_i}| / num_hashes``.
-    """
+
+    ``max_band_df`` (OPT-IN, default off — it changes which pairs are
+    reported) is the hot-bucket guard: a bucket holding ``d`` docs emits
+    O(d²) candidate pairs, so one giant cluster of near-identical docs
+    (boilerplate corpora) turns the banded join quadratic. With the cap,
+    buckets with more than ``max_band_df`` docs are excluded from candidate
+    generation via a broadcast anti-join of the (tiny by construction) hot
+    bucket set. Pairs INSIDE a dropped mega-cluster are not listed — the
+    structural answer for those is exact/canonical dedup first, or
+    ``neardedup_corpus``'s components over the surviving pairs, never an
+    O(d²) pair listing. Pass a ``metrics`` dict to observe
+    ``n_hot_buckets`` / ``n_buckets`` (one small aggregate over the cached
+    signatures)."""
     if num_hashes % band_rows != 0:
         raise ValueError("num_hashes must be divisible by band_rows")
     n_bands = num_hashes // band_rows
@@ -317,6 +331,18 @@ def minhash_pairs(
             )
         ).alias("bv"),
     ).select(id_col, "bv.*")
+    if max_band_df is not None:
+        bucket_cols = ["band", *[f"v{r}" for r in range(band_rows)]]
+        freq = bands.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__df"))
+        if metrics is not None:
+            n_hot, n_all = freq.agg(
+                F.sum(F.when(F.col("__df") > max_band_df, 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).first()
+            metrics["n_hot_buckets"] = int(n_hot or 0)
+            metrics["n_buckets"] = int(n_all or 0)
+        hot = freq.filter(F.col("__df") > max_band_df).select(*bucket_cols)
+        bands = bands.join(F.broadcast(hot), bucket_cols, "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cond = (F.col("a.band") == F.col("b.band")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -463,3 +463,56 @@ def test_canonical_dedup_case_punct_whitespace(spark):
     )
     kept = sorted(r["doc_id"] for r in canonical_dedup(docs).collect())
     assert kept == [1, 4]
+
+
+def _boilerplate_corpus(spark, n=120):
+    """Adversarial skew fixture: half the corpus shares one boilerplate
+    sentence (the classic terms-of-service/footer case); every doc also has
+    unique filler, so no pair is a true near-duplicate."""
+    rows = []
+    for i in range(n):
+        text = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        if i % 2 == 0:
+            text += " all rights reserved contact support for help today"
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_skew_cap_bounds_candidates(spark):
+    """On the boilerplate fixture the UNguarded shared-shingle join emits
+    O((n/2)^2) pairs; with the cap the boilerplate shingles are dropped and
+    candidate pairs collapse to zero — the quadratic blow-up the guard
+    exists to prevent, proven rather than assumed."""
+    from sensordatapipelines_spark.operators.dedup import jaccard_pairs
+
+    docs = _boilerplate_corpus(spark, n=120)
+    unguarded = jaccard_pairs(docs, threshold=0.01, max_shingle_df=None).count()
+    assert unguarded == 60 * 59 // 2  # every boilerplate pair surfaces
+
+    got: dict = {}
+    guarded = jaccard_pairs(docs, threshold=0.01, max_shingle_df=20, metrics=got)
+    assert guarded.count() == 0  # no informative shingle is ever shared
+    assert got["n_stop_shingles"] >= 5  # the boilerplate shingles were cut
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """The banded join's quadratic risk is the hot BUCKET: identical docs
+    all but guarantee full-band agreement. With max_band_df the hot buckets
+    are excluded and the pair listing stays bounded; without it the
+    near-identical cluster emits O(d^2) pairs."""
+    from sensordatapipelines_spark.operators.dedup import minhash_pairs
+
+    # 40 identical docs (one mega-cluster) + 40 unique docs
+    rows = [(i, "exactly the same boilerplate page content for every mirror host")
+            for i in range(40)]
+    rows += [(100 + i, f"unique{i} body{i} text{i} never{i} repeats{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = minhash_pairs(docs, threshold=0.5).count()
+    assert unguarded == 40 * 39 // 2  # the cluster's full pair listing
+
+    got: dict = {}
+    guarded = minhash_pairs(docs, threshold=0.5, max_band_df=10, metrics=got)
+    assert guarded.count() == 0
+    assert got["n_hot_buckets"] >= 1
+    assert got["n_buckets"] > got["n_hot_buckets"]  # only the hot set was cut
