@@ -2496,6 +2496,28 @@ def sensors_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
 
 
+def sensors_kriging_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 at scale: moving-window kriging — per-tile fit+predict inside
+    applyInPandas, no driver fit, tiles embarrassingly parallel (the scale
+    path past ordinary_kriging's max_points cap; SCALE.md). Rows-only: the
+    per-tile pinv linear algebra has no SQL twin; the pytest property test
+    pins tiled ≈ global ≈ truth on a smooth field."""
+    from sensordatapipelines_spark.operators.interpolate import kriging_tiled
+
+    _register_views(spark, sf_dir)
+    out = kriging_tiled(
+        _sensors(spark),
+        "val",
+        lon_step=IDW_STEP,
+        lat_step=IDW_STEP,
+        extent=IDW_EXTENT,
+        tile_size=0.08,
+        halo=0.04,
+        variogram=(0.0, 1.0),  # fixed for determinism
+    )
+    return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
+
+
 def docs_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH via Spark ML (HashingTF + MinHashLSH approxSimilarityJoin)
     — the library-backed twin of the native ``docs_minhash_pairs``. Rows-only:
@@ -3484,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": emb_ann_recall,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
+        "sensors_kriging_tiled": sensors_kriging_tiled,
         "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
         "media_frame_sample": media_frame_sample,

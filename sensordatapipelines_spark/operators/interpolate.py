@@ -222,3 +222,132 @@ def ordinary_kriging(
             yield pd.DataFrame({"gx": gxs, "gy": gys, out_col: pred})
 
     return grid.mapInPandas(predict, schema=schema)
+
+
+@register("kriging_tiled")
+def kriging_tiled(
+    sensors: DataFrame,
+    val_column: str,
+    lon_step: float = 0.001,
+    lat_step: float = 0.001,
+    extent: tuple[float, float, float, float] | None = None,
+    tile_size: float = 0.1,
+    halo: float | None = None,
+    variogram: tuple[float, float] | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_tile_sensors: int = 500,
+) -> DataFrame:
+    """Moving-window (tiled) ordinary kriging → ``(gx, gy, {val}_krig)`` —
+    the scale path past ``ordinary_kriging``'s ``max_points`` cap
+    (SCALE.md): the grid is cut into square tiles, each tile is kriged
+    against ONLY the sensors inside its halo-expanded window, and the
+    per-tile fit+factorize+predict runs INSIDE ``applyInPandas`` — no
+    driver-side fit, no global (n+1)² system, tiles fully parallel.
+
+    Plan shape: grid points tag their tile; sensors fan out to every tile
+    whose halo window contains them (bounded explode: ≤ (2·ceil(halo/tile)
+    + 1)² tiles per sensor); one union + one groupBy(tile) shuffle; the
+    dense linear algebra is per-tile and bounded by ``max_tile_sensors``
+    (deterministic spatially-ordered subsample, mirroring the global
+    operator's cap). At 1000 executors this is embarrassingly parallel in
+    tiles. Per-tile variogram fitting is the moving-window point — local
+    stationarity instead of one global model; pass ``variogram=(nugget,
+    slope)`` to pin it for cross-checks against the global operator.
+    Tiles with zero sensors in the window predict NULL.
+    """
+    spark = sensors.sparkSession
+    if extent is None:
+        extent = _total_bounds(sensors, lon_col, lat_col)
+    if halo is None:
+        halo = tile_size / 2.0
+    xmin, _xmax, ymin, _ymax = extent
+    reach = math.ceil(halo / tile_size - 1e-12)
+
+    grid = make_grid(spark, extent, lon_step, lat_step).select(
+        F.floor((F.col("gx") - F.lit(xmin)) / F.lit(tile_size)).alias("__tx"),
+        F.floor((F.col("gy") - F.lit(ymin)) / F.lit(tile_size)).alias("__ty"),
+        F.col("gx").alias("x"),
+        F.col("gy").alias("y"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("__role"),  # 1 = grid point
+    )
+    home_tx = F.floor((F.col(lon_col) - F.lit(xmin)) / F.lit(tile_size))
+    home_ty = F.floor((F.col(lat_col) - F.lit(ymin)) / F.lit(tile_size))
+    offs = F.sequence(F.lit(-reach), F.lit(reach))
+    s = (
+        sensors.select(
+            F.col(lon_col).alias("x"),
+            F.col(lat_col).alias("y"),
+            F.coalesce(F.col(val_column), F.lit(0.0)).alias("v"),
+            home_tx.alias("__htx"),
+            home_ty.alias("__hty"),
+        )
+        .select("*", F.explode(offs).alias("__dx"))
+        .select("*", F.explode(offs).alias("__dy"))
+        .select(
+            (F.col("__htx") + F.col("__dx")).alias("__tx"),
+            (F.col("__hty") + F.col("__dy")).alias("__ty"),
+            "x",
+            "y",
+            "v",
+            F.lit(0).alias("__role"),  # 0 = sensor
+        )
+        # keep only fan-out copies whose halo window truly contains the
+        # sensor (the corner copies of the 3x3 explode may not)
+        .filter(
+            (F.col("x") >= F.lit(xmin) + F.col("__tx") * F.lit(tile_size) - F.lit(halo))
+            & (F.col("x") < F.lit(xmin) + (F.col("__tx") + 1) * F.lit(tile_size) + F.lit(halo))
+            & (F.col("y") >= F.lit(ymin) + F.col("__ty") * F.lit(tile_size) - F.lit(halo))
+            & (F.col("y") < F.lit(ymin) + (F.col("__ty") + 1) * F.lit(tile_size) + F.lit(halo))
+        )
+    )
+    out_col = f"{val_column}_krig"
+    schema = f"gx double, gy double, {out_col} double"
+    vg = variogram
+
+    def krige_tile(pdf):
+        import pandas as pd
+
+        gmask = pdf["__role"].to_numpy() == 1
+        gpts = pdf.loc[gmask]
+        spts = pdf.loc[~gmask]
+        gxs = gpts["x"].to_numpy(dtype="float64")
+        gys = gpts["y"].to_numpy(dtype="float64")
+        if len(spts) == 0 or len(gpts) == 0:
+            return pd.DataFrame(
+                {"gx": gxs, "gy": gys, out_col: np.full(len(gpts), np.nan)}
+            )
+        if len(spts) > max_tile_sensors:
+            spts = spts.sort_values(["x", "y", "v"], kind="mergesort").head(
+                max_tile_sensors
+            )
+        coords = spts[["x", "y"]].to_numpy(dtype="float64")
+        values = spts["v"].to_numpy(dtype="float64")
+        nugget, slope = (
+            vg if vg is not None else fit_linear_variogram(coords, values)
+        )
+        n = len(values)
+        dx = coords[:, 0][:, None] - coords[:, 0][None, :]
+        dy = coords[:, 1][:, None] - coords[:, 1][None, :]
+        gamma_ss = nugget + slope * np.sqrt(dx * dx + dy * dy)
+        np.fill_diagonal(gamma_ss, 0.0)
+        K = np.zeros((n + 1, n + 1))
+        K[:n, :n] = gamma_ss
+        K[n, :n] = 1.0
+        K[:n, n] = 1.0
+        K_inv = np.linalg.pinv(K)
+        ddx = gxs[:, None] - coords[None, :, 0]
+        ddy = gys[:, None] - coords[None, :, 1]
+        h = np.sqrt(ddx * ddx + ddy * ddy)
+        rhs = np.empty((len(gxs), n + 1))
+        rhs[:, :n] = nugget + slope * h
+        rhs[:, n] = 1.0
+        pred = (rhs @ K_inv.T)[:, :n] @ values
+        return pd.DataFrame({"gx": gxs, "gy": gys, out_col: pred})
+
+    return (
+        s.unionByName(grid)
+        .groupBy("__tx", "__ty")
+        .applyInPandas(krige_tile, schema=schema)
+    )
