@@ -60,6 +60,14 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Must run before the JVM launches: streaming Python workers inherit the
+    # gateway's PYTHONPATH, and transformWithState needs google.protobuf
+    # there (no-op when protobuf is installed or the session already exists).
+    from sensordatapipelines_spark.streaming.stateful import (
+        ensure_streaming_protobuf,
+    )
+
+    ensure_streaming_protobuf()
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 32)

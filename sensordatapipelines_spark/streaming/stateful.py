@@ -18,7 +18,42 @@ cardinalities where the default HDFS-backed in-memory map cannot.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_SHIM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "protobuf_shim")
+_SDK_PB = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+
+
+def ensure_streaming_protobuf() -> bool:
+    """Make ``google.protobuf`` available to the streaming Python runner,
+    returning whether transformWithState queries can execute here.
+
+    The runner (Spark's state-server protocol) imports
+    ``google.protobuf`` in a FRESH worker process, so availability is an
+    environment property, not an in-process import: if a real protobuf is
+    installed, nothing to do; otherwise, when the container ships the
+    Cloud SDK's vendored pure-python runtime, prepend the aliasing shim
+    (``protobuf_shim/``) to ``PYTHONPATH`` — which must happen BEFORE the
+    JVM launches, since worker processes inherit the gateway's
+    environment. ``get_spark`` calls this; environments with neither
+    protobuf nor the SDK get ``False`` and tests skip the executed path
+    (graph tests still run everywhere)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(_SDK_PB):
+        return False
+    current = os.environ.get("PYTHONPATH", "")
+    if _SHIM_DIR not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _SHIM_DIR + os.pathsep + current if current else _SHIM_DIR
+        )
+    return True
 
 
 def stream_sessionize(
@@ -141,13 +176,23 @@ def stream_running_stats(
     fixed-width row per key regardless of event volume.
 
     Environment note: executing a transformWithState query needs
-    ``google.protobuf`` in the Python workers (Spark's streaming-runner
-    protocol); this container ships a broken protobuf, so tests assert the
-    transformation graph and output schema (environment-independent) and
-    the run itself is exercised only where protobuf is importable —
-    the same honest-stub policy as the multimodal decode kernels.
-    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    ``google.protobuf`` in the streaming Python workers (Spark's
+    state-server protocol). ``ensure_streaming_protobuf`` provisions it —
+    either a real install or the Cloud-SDK-vendored runtime via the
+    aliasing shim (``protobuf_shim/``) — and the executed single-batch ≡
+    batch-aggregate equivalence is asserted by tests/test_streaming.py;
+    graph/schema tests remain environment-independent. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
     ``...state.RocksDBStateStoreProvider`` at query start.
+
+    Not in the external driver's ``queries()`` set: the state-server
+    runner inherits the JVM's environment, fixed at JVM launch — a session
+    created before ``ensure_streaming_protobuf`` ran (the external
+    driver's vanilla session) cannot execute TWS in this container
+    (verified: ``addPyFile`` shipping does NOT reach the runner, which
+    imports the proto before py-files processing). The executed coverage
+    is the pytest equivalence test, which provisions the environment via
+    ``get_spark``.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

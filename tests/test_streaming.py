@@ -174,10 +174,7 @@ def test_stream_windowed_agg_runs(spark, tmp_path):
 
 def test_stream_running_stats_builds_tws_graph(spark, tmp_path):
     """transformWithStateInPandas operator: the transformation graph and
-    output schema build correctly. Executing it needs google.protobuf in
-    the Python workers, which this container lacks (broken install) — the
-    graph/schema assertions are the environment-independent part, per the
-    honest-stub policy."""
+    output schema build correctly (environment-independent)."""
     from sensordatapipelines_spark.streaming import stream_running_stats
 
     df = spark.createDataFrame([(1, 10.0)], "user_id long, value double")
@@ -191,12 +188,34 @@ def test_stream_running_stats_builds_tws_graph(spark, tmp_path):
     ]
     plan = out._jdf.queryExecution().logical().toString()
     assert "TransformWithStateInPySpark" in plan
-    # protobuf works on the driver in some environments; if importable,
-    # run the stream end-to-end and check exactness vs the batch aggregate
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        return
+
+
+def test_stream_running_stats_executes_and_matches_batch(spark, tmp_path):
+    """EXECUTED transformWithStateInPandas: the single-batch run of the
+    running-stats StatefulProcessor equals the batch aggregate — the
+    equivalence claim, now exercised for real. The streaming Python runner
+    needs google.protobuf; ensure_streaming_protobuf provisions it (real
+    install, or the Cloud-SDK-vendored runtime through the aliasing shim)
+    and the test skips only where neither exists."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.streaming import stream_running_stats
+    from sensordatapipelines_spark.streaming.stateful import (
+        ensure_streaming_protobuf,
+    )
+
+    if not ensure_streaming_protobuf():
+        _pytest.skip("no protobuf available for the streaming runner")
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (2, 10.0), (2, None), (3, -1.0)],
+        "user_id long, value double",
+    )
+    stage = str(tmp_path / "tws_exec")
+    df.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(df.schema).parquet(stage)
+    out = stream_running_stats(stream)
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -205,17 +224,32 @@ def test_stream_running_stats_builds_tws_graph(spark, tmp_path):
     try:
         q = (
             out.writeStream.format("memory")
-            .queryName("tws_rs")
+            .queryName("tws_exec")
             .outputMode("update")
             .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ck"))
             .start()
         )
-        q.awaitTermination(120)
-        rows = {r["user_id"]: r for r in spark.table("tws_rs").collect()}
-        assert rows[1]["n"] == 1 and rows[1]["sum_value"] == 10.0
+        q.awaitTermination(180)
+        got = {
+            r["user_id"]: (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+            for r in spark.table("tws_exec").collect()
+        }
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    expect = {
+        r["user_id"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect
 
 
 def test_stream_to_zordered_clustered_landing(spark, tmp_path):

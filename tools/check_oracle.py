@@ -103,7 +103,11 @@ def run_checks(spark, sf_dir: str, names=None, verbose: bool = True) -> dict:
             problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(odf.columns)}")
         if not problems:
             cs, co = canon(sdf), canon(odf)
-            if not cs.equals(co):
+            # 0-row frames: rowcount+columns already matched; DataFrame.equals
+            # would compare residual dtypes of empty columns, a non-difference
+            if len(cs) == 0 and len(co) == 0:
+                rec["value_hash"] = value_hash(cs)
+            elif not cs.equals(co):
                 neq = (cs != co).any(axis=1)
                 idx = list(cs.index[neq])[:3]
                 detail = [
