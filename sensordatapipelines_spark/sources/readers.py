@@ -55,13 +55,72 @@ def open_data(spark: SparkSession, path: str) -> DataFrame:
         except Exception:
             continue
     if suffix in (".xls", ".xlsx"):
-        try:  # pragma: no cover - optional dependency
+        try:
             import pandas as pd
 
             return spark.createDataFrame(pd.read_excel(path))
+        except ImportError:
+            # no excel engine (openpyxl/xlsxwriter) installed — fall back to
+            # the stdlib minimal reader below
+            pass
+        except Exception as exc:
+            raise DataIOError(f"could not read excel file {path}") from exc
+        try:
+            return spark.createDataFrame(_read_xlsx_minimal(path))
         except Exception as exc:
             raise DataIOError(f"could not read excel file {path}") from exc
     raise DataIOError(f"could not load {path} as parquet/csv/json")
+
+
+def _read_xlsx_minimal(path: str):
+    """Dependency-free xlsx reader (driver-side, small-data escape hatch —
+    mirrors the reference's pandas Excel fallback when no Excel engine is
+    installed). XLSX is a zip of XML: parse ``xl/sharedStrings.xml`` +
+    the first worksheet with stdlib ``zipfile`` + ``ElementTree``; first
+    row is the header, numbers come back as floats (ints when integral),
+    shared/inline strings as str. Full-fidelity Excel (formulas, dates,
+    multiple sheets) still goes through ``pandas.read_excel`` when an
+    engine is present — this covers plain tabular exports only."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
+        sheet_name = next(
+            n for n in z.namelist() if n.startswith("xl/worksheets/sheet")
+        )
+        root = ET.fromstring(z.read(sheet_name))
+        rows: list[list] = []
+        for row in root.iter(f"{{{ns['m']}}}row"):
+            vals: list = []
+            for c in row.findall("m:c", ns):
+                t = c.get("t")
+                v = c.find("m:v", ns)
+                ins = c.find("m:is", ns)
+                if t == "s" and v is not None:
+                    vals.append(shared[int(v.text)])
+                elif t == "inlineStr" and ins is not None:
+                    vals.append(
+                        "".join(x.text or "" for x in ins.iter(f"{{{ns['m']}}}t"))
+                    )
+                elif v is None or v.text is None:
+                    vals.append(None)
+                else:
+                    f = float(v.text)
+                    vals.append(int(f) if f.is_integer() else f)
+            rows.append(vals)
+    if not rows:
+        raise DataIOError(f"empty xlsx {path}")
+    header = [str(h) for h in rows[0]]
+    body = [r + [None] * (len(header) - len(r)) for r in rows[1:]]
+    return pd.DataFrame(body, columns=header)
 
 
 def _read_json_auto(spark: SparkSession, path: str) -> DataFrame:

@@ -299,3 +299,83 @@ def test_sensor_synth_streaming_source(spark):
     batch, nxt = r.read({"reading_no": 0})
     assert nxt == {"reading_no": 3}
     assert list(batch) == list(r.readBetweenOffsets({"reading_no": 0}, nxt))
+
+
+def _write_tiny_xlsx(path):
+    """Author a minimal real xlsx with stdlib zipfile (no Excel engine in
+    this container): shared-string, inline-string, float, int and empty
+    cells — the shapes the fallback reader must handle."""
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{m}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    ss = (
+        f'<?xml version="1.0"?><sst xmlns="{m}" count="3" uniqueCount="3">'
+        "<si><t>sensor</t></si><si><t>value</t></si><si><t>s1</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>s2</t></is></c><c r="B3"><v>7</v></c></row>'
+        '<row r="4"><c r="A4" t="inlineStr"><is><t>s3</t></is></c><c r="B4"/></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_open_data_excel_fallback_chain(spark, tmp_path):
+    """S2's Excel branch, exercised with a real xlsx through open_data:
+    pandas.read_excel when an engine exists, else the stdlib minimal
+    reader — either way the chain ends in a DataFrame, not an error
+    (reference open_data :444-458). Garbage with an .xlsx extension still
+    raises DataIOError."""
+    import pytest as _pytest
+
+    from sensordatapipelines_spark.errors import DataIOError
+    from sensordatapipelines_spark.sources.readers import open_data
+
+    p = str(tmp_path / "tiny.xlsx")
+    _write_tiny_xlsx(p)
+    df = open_data(spark, p)
+    assert df.columns == ["sensor", "value"]
+    rows = {r["sensor"]: r["value"] for r in df.collect()}
+    assert rows == {"s1": 1.5, "s2": 7, "s3": None}
+
+    bad = str(tmp_path / "junk.xlsx")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x01\x02 not a zip at all")
+    with _pytest.raises(DataIOError):
+        open_data(spark, bad)
