@@ -297,3 +297,18 @@ def test_count_aggregate_pushed_to_parquet_footers(spark):
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         else:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_wkb_polygon_agg_broadcasts_polygon_side(spark):
+    """zones_wkb_polygon_agg: the polygon layer is a dim — it must
+    broadcast into the point-in-polygon join, and the exact ray cast must
+    run JVM-side (a BroadcastNestedLoopJoin over the bbox+raycast
+    predicate, not a Python UDF)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.zones_wkb_polygon_agg(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the decode UDF runs on the 4-row dim side only; the sensor scan has
+    # no Python evaluation node above it
+    sensor_side = plan.split("FileScan parquet")[-1]
+    assert "ArrowEvalPython" not in sensor_side
