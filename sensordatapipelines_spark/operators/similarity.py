@@ -87,6 +87,39 @@ def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def lsh_table_seed(seed: int, table: int) -> int:
+    """Seed for hash table ``t`` (table 0 == the single-table seed, so
+    ``n_tables=1`` is bit-identical to the original operator). Shared by
+    the Spark side and the DuckDB oracle builder."""
+    return seed + 101 * table
+
+
+def _multi_table_sig_udf(planes_tables: list[list[list[float]]]):
+    """Arrow-batched signature kernel for multi-table LSH: all tables'
+    packed sign signatures per row as ``array<long>``. Accumulates the
+    dot products sequentially over dimensions (vectorized over rows), so
+    every partial sum — and therefore every sign bit at the 0 boundary —
+    matches the left-fold expression/SQL semantics bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tabs = [np.asarray(p, dtype="float64") for p in planes_tables]
+
+    @pandas_udf("array<long>")
+    def _sigs(v):
+        mat = np.vstack([np.asarray(x, dtype="float64") for x in v]) if len(v) else np.zeros((0, 1))
+        out = np.zeros((len(v), len(tabs)), dtype="int64")
+        for t, planes in enumerate(tabs):
+            for i in range(planes.shape[0]):
+                acc = np.zeros(len(v), dtype="float64")
+                for j in range(planes.shape[1]):
+                    acc = acc + mat[:, j] * planes[i, j]
+                out[:, t] += (acc > 0).astype("int64") << i
+        return pd.Series(list(out))
+
+    return _sigs
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(
     corpus: DataFrame,
@@ -97,25 +130,64 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate NN: random-hyperplane LSH buckets → exact cosine re-rank
     within bucket → ``(query_id, vec_id, cos_sim, rank)``.
 
     The scale path: candidate generation is an equi-join on the bucket
     signature (shuffle by key), so the cross product never materializes.
-    Recall is tuned by ``n_planes`` (fewer planes → bigger buckets)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cv"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+    Recall tunes on two axes: ``n_planes`` (fewer planes → bigger buckets,
+    AND-amplification) and ``n_tables`` (independent hash tables whose
+    candidates UNION, OR-amplification — the standard fix when one table's
+    recall is low, e.g. near-orthogonal corpora where true neighbours
+    rarely share all sign bits). Cost is linear in ``n_tables``: the
+    corpus emits one (table, signature) row per table and shuffles by
+    that composite key; candidates dedupe on (query, id) before the exact
+    re-rank so multi-table hits are scored once.
+
+    Kernel choice: single-table signatures stay a JVM expression; the
+    multi-table batch (``n_tables × n_planes`` dot-product folds per row)
+    would run INTERPRETED as Catalyst higher-order functions (the measured
+    trap from SCALE.md's minhash note), so it computes in one
+    Arrow-batched numpy kernel instead — vectorized over rows, SEQUENTIAL
+    over dimensions, so the accumulation order (and therefore every sign
+    bit) is IEEE-identical to the expression fold and the DuckDB oracle."""
+    if n_tables == 1:
+        planes = _hyperplanes(dim, n_planes, lsh_table_seed(seed, 0))
+        sides = [
+            df_side.select(
+                F.col(id_col).alias(f"__{role}id"),
+                F.lit(0).alias("tbl"),
+                lsh_signature_expr(F.col(vec_col), planes).alias("sig"),
+            )
+            for role, df_side in (("q", queries), ("c", corpus))
+        ]
+    else:
+        sig_udf = _multi_table_sig_udf(
+            [_hyperplanes(dim, n_planes, lsh_table_seed(seed, t)) for t in range(n_tables)]
+        )
+        sides = [
+            df_side.select(
+                F.col(id_col).alias(f"__{role}id"),
+                F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
+            )
+            for role, df_side in (("q", queries), ("c", corpus))
+        ]
+    qs, cs = sides
+    cand = (
+        F.broadcast(qs)
+        .join(cs, on=["tbl", "sig"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__cid")
     )
-    q = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).alias("__qv"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+    if n_tables > 1:
+        cand = cand.distinct()
+    qv = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
     )
-    pairs = F.broadcast(q).join(c, on="__sig").filter(F.col("__qid") != F.col("__cid"))
+    cv = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    pairs = cand.join(F.broadcast(qv), "__qid").join(cv, "__cid")
     sim = cosine_expr(F.col("__qv"), F.col("__cv"))
     w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
     return (
