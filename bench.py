@@ -48,6 +48,18 @@ def main() -> int:
             .mode("overwrite")
             .save()
         )
+        # Touch each fact table once: first-scan footer reads and the
+        # per-table codegen bring-up otherwise land on whichever query the
+        # dict happens to order first, making per-query timings depend on
+        # query ORDER rather than query PLANS.
+        for warm_tbl in ("documents", "embeddings", "orders", "customer"):
+            (
+                spark.read.parquet(f"{sf_dir}/{warm_tbl}.parquet")
+                .limit(1000)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         # View registration + package shipping are per-session fixed costs
         # (zip build, addPyFile, 10 parquet footer reads) — bring-up, not
         # query time; _register_views is memoized so queries see it warm.
