@@ -260,3 +260,67 @@ def test_polygon_ray_cast_agrees_with_half_plane_on_convex(seed):
     for _ in range(30):
         px, py = rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5)
         assert inside_ray(px, py) == inside_half_planes(px, py)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(-1e6, 1e6, allow_nan=False, width=64),
+                st.floats(-1e6, 1e6, allow_nan=False, width=64),
+            ),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+def test_wkb_polygon_roundtrip_fuzz(parts, with_srid):
+    """WKB encode→decode is the identity on outer-ring vertex lists for
+    arbitrary finite coordinates, single- and multi-part, ±SRID — pure
+    Python byte-level check (no Spark), IEEE doubles bit-exact."""
+    import struct
+
+    from sensordatapipelines_spark.operators.spatial import encode_wkb_polygon
+
+    # mirror the decoder's byte-walk directly on the encoder's output
+    buf = encode_wkb_polygon(parts, srid=4326 if with_srid else None)
+
+    def read_header(off):
+        fmt = "<" if buf[off] == 1 else ">"
+        (gtype,) = struct.unpack_from(f"{fmt}I", buf, off + 1)
+        off += 5
+        if gtype & 0x20000000:
+            off += 4
+        return fmt, gtype & 0x0FFF, off
+
+    fmt, base, off = read_header(0)
+    decoded = []
+    n_parts = 1
+    if base == 6:
+        (n_parts,) = struct.unpack_from(f"{fmt}I", buf, off)
+        off += 4
+    for _ in range(n_parts):
+        if base == 6:
+            fmt_p, base_p, off = read_header(off)
+            assert base_p == 3
+        else:
+            fmt_p = fmt
+        (nrings,) = struct.unpack_from(f"{fmt_p}I", buf, off)
+        off += 4
+        assert nrings == 1
+        (npts,) = struct.unpack_from(f"{fmt_p}I", buf, off)
+        off += 4
+        coords = struct.unpack_from(f"{fmt_p}{2 * npts}d", buf, off)
+        off += 16 * npts
+        ring = list(zip(coords[0::2], coords[1::2]))
+        assert ring[0] == ring[-1]  # WKB closes explicitly
+        decoded.append(ring[:-1])
+    assert off == len(buf)  # no trailing bytes
+    expected = [
+        list(p[:-1]) if len(p) > 1 and p[0] == p[-1] else list(p) for p in parts
+    ]
+    assert decoded == expected
