@@ -3321,6 +3321,96 @@ def zones_wkb_polygon_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Donut zone for the hole-aware path: outer square with a square hole,
+# plus a plain triangle — authored as WKB with interior rings.
+WKB_HOLE_ZONES: list[tuple[int, list[list[tuple[float, float]]]]] = [
+    (
+        1,
+        [
+            [(0.0215, 0.0215), (0.2917, 0.0215), (0.2917, 0.2917), (0.0215, 0.2917)],
+            [(0.1014, 0.1014), (0.2116, 0.1014), (0.2116, 0.2116), (0.1014, 0.2116)],
+        ],
+    ),
+    (2, [[(0.0315, 0.0117), (0.1512, 0.0213), (0.0818, 0.1411)]]),
+]
+
+
+def _wkb_hole_zone_bytes(rings: list[list[tuple[float, float]]]) -> bytes:
+    import struct
+
+    body = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        closed = ring + [ring[0]]
+        body += struct.pack("<I", len(closed)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in closed
+        )
+    return body
+
+
+def zones_wkb_holes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLE-AWARE polygon zonal stats: a donut zone (outer ring + interior
+    hole ring, real WKB interior rings) aggregates only the sensors in the
+    annulus — even-odd over all rings (``point_in_rings_expr``), the full
+    polygon geometry model (reference ingests arbitrary vector polygons
+    via gpd.read_file, ``/root/reference/src/data_preprocessing.py:471-475``)."""
+    from sensordatapipelines_spark.operators.spatial import (
+        parse_wkb_polygons,
+        polygon_zonal_aggregate,
+    )
+
+    _register_views(spark, sf_dir)
+    wkb = spark.createDataFrame(
+        [(zid, _wkb_hole_zone_bytes(rings)) for zid, rings in WKB_HOLE_ZONES],
+        "zone_id long, geometry binary",
+    )
+    zones = parse_wkb_polygons(wkb, keep_holes=True).drop("geometry")
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+        poly_rings="rings",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
+def zones_wkb_polygon_agg_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WKB polygon zonal aggregation through the VECTORIZED numpy
+    ray-cast kernel (``engine='kernel'``) — bit-equal results to the
+    expression-fold join (same oracle SQL). The kernel is the scale path
+    for realistic boundary complexity: measured 1.75x at 128-vertex rings
+    on a 1M-point stream, growing with vertex count; a tie at this bench's
+    toy 3-4-vertex zones (SCALE.md 'ray-cast kernel')."""
+    from sensordatapipelines_spark.operators.spatial import (
+        encode_wkb_polygon,
+        parse_wkb_polygons,
+        polygon_zonal_aggregate,
+    )
+
+    _register_views(spark, sf_dir)
+    wkb = spark.createDataFrame(
+        [(zid, encode_wkb_polygon(parts)) for zid, parts in WKB_ZONES],
+        "zone_id long, geometry binary",
+    )
+    zones = parse_wkb_polygons(wkb).drop("geometry")
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+        engine="kernel",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN retrieval-quality gate: recall@k of each approximate method
     (hyperplane LSH, IVF nprobe=1, IVF nprobe=2) against the exact
@@ -3548,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_char_entropy": docs_char_entropy,
         "docs_bigram_topk": docs_bigram_topk,
         "zones_wkb_polygon_agg": zones_wkb_polygon_agg,
+        "zones_wkb_polygon_agg_kernel": zones_wkb_polygon_agg_kernel,
+        "zones_wkb_holes_agg": zones_wkb_holes_agg,
         "emb_ann_recall": emb_ann_recall,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -3577,6 +3669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROUND3_SAMPLE_FIRST = [
     "docs_source_mix",
     "zones_wkb_polygon_agg",
+    "zones_wkb_polygon_agg_kernel",
+    "zones_wkb_holes_agg",
     "emb_ann_recall",
     "q2_min_acct_supplier",
     "q4_order_priority",
@@ -5683,6 +5777,35 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(h.val), 6) AS mean_pts_val,
                ROUND(MAX(h.val), 6) AS max_pts_val
         FROM (VALUES {_wkb_ids}) AS z(zone_id)
+        LEFT JOIN hits h ON h.zone_id = z.zone_id
+        GROUP BY z.zone_id
+    """
+    # kernel twin: identical results by construction -> identical oracle
+    oracles["zones_wkb_polygon_agg_kernel"] = oracles["zones_wkb_polygon_agg"]
+    # hole-aware zones: even-odd over outer+holes == (Σ ring crossings) odd
+    from sensordatapipelines_spark.operators.spatial import (
+        point_in_polygon_crossings_sql,
+    )
+
+    _hole_hits = "\n            UNION ALL ".join(
+        f"SELECT {zid} AS zone_id, s.val FROM sensors s WHERE ("
+        + " + ".join(
+            point_in_polygon_crossings_sql(ring, "s.lon", "s.lat")
+            for ring in rings
+        )
+        + ") % 2 = 1"
+        for zid, rings in WKB_HOLE_ZONES
+    )
+    _hole_ids = ", ".join(f"({zid})" for zid, _ in WKB_HOLE_ZONES)
+    oracles["zones_wkb_holes_agg"] = f"""
+        WITH sensors AS ({SENSORS_SQL}),
+        hits AS (
+            {_hole_hits}
+        )
+        SELECT z.zone_id,
+               ROUND(AVG(h.val), 6) AS mean_pts_val,
+               ROUND(MAX(h.val), 6) AS max_pts_val
+        FROM (VALUES {_hole_ids}) AS z(zone_id)
         LEFT JOIN hits h ON h.zone_id = z.zone_id
         GROUP BY z.zone_id
     """
