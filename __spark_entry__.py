@@ -1374,6 +1374,17 @@ def docs_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (min-length,
+    mean-word-length band, duplicate-unigram fraction, top-bigram coverage,
+    stopword presence, combined keep flag). Zero-shuffle: the most-frequent
+    -bigram count is a sorted-run fold, not an explode+groupBy."""
+    from sensordatapipelines_spark.operators.text import gopher_quality
+
+    _register_views(spark, sf_dir)
+    return gopher_quality(spark.table("documents"))
+
+
 def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization round-trip: per-vector max-abs scale,
     dequantize, verify the per-component error bound scale/2 holds. The
@@ -3531,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": docs_chunks,
         "emb_quantize_roundtrip": emb_quantize_roundtrip,
         "docs_length_filter": docs_length_filter,
+        "docs_gopher_quality": docs_gopher_quality,
         "events_twap": events_twap,
         "docs_corpus_profile": docs_corpus_profile,
         "events_winsorized_stats": events_winsorized_stats,
@@ -4869,6 +4881,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_chars
         FROM counts, b
         WHERE n_tok >= lo AND n_tok <= hi
+    """
+    oracles["docs_gopher_quality"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+')
+                   END AS toks,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS toks_l
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN list_sum(list_transform(toks, x -> length(x)))
+                             * 1.0 / len(toks)
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN len(toks) > 0
+                        THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                        ELSE 0.0 END AS dup_uni,
+                   len(list_filter(list_distinct(toks_l),
+                       x -> list_contains(['the','and','of','to','a','in',
+                                           'is','that','it','for','on','with'],
+                                          x))) AS n_stop_hits
+            FROM t
+        ),
+        bg AS (
+            SELECT doc_id, MAX(c) AS top_bg FROM (
+                SELECT doc_id, bgram, count(*) AS c FROM (
+                    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bgram
+                    FROM t, UNNEST(range(1, len(toks))) AS u(i)
+                ) GROUP BY doc_id, bgram
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               b.n_tokens,
+               ROUND(b.mwl, 6) AS mean_word_len,
+               ROUND(b.dup_uni, 6) AS dup_unigram_frac,
+               ROUND(CASE WHEN b.n_tokens > 0
+                          THEN COALESCE(g.top_bg, 0) * 2.0 / b.n_tokens
+                          ELSE 0.0 END, 6) AS top_bigram_frac,
+               b.n_stop_hits,
+               (b.n_tokens >= 20
+                AND b.mwl >= 3.0 AND b.mwl <= 10.0
+                AND CASE WHEN b.n_tokens > 0
+                         THEN COALESCE(g.top_bg, 0) * 2.0 / b.n_tokens
+                         ELSE 0.0 END <= 0.15
+                AND b.dup_uni <= 0.6
+                AND b.n_stop_hits >= 1) AS keep
+        FROM base b LEFT JOIN bg g USING (doc_id)
     """
     oracles["emb_quantize_roundtrip"] = """
         WITH s AS (

@@ -48,14 +48,15 @@ def main() -> int:
             .mode("overwrite")
             .save()
         )
-        # Touch each fact table once: first-scan footer reads and the
-        # per-table codegen bring-up otherwise land on whichever query the
-        # dict happens to order first, making per-query timings depend on
-        # query ORDER rather than query PLANS.
-        for warm_tbl in ("documents", "embeddings", "orders", "customer"):
+        # Full-scan each fact table once: first-scan footer reads, OS
+        # page-cache population and the per-table codegen bring-up otherwise
+        # land on whichever query the dict happens to order first, making
+        # per-query timings depend on query ORDER rather than query PLANS
+        # (a limit(1000) touch was not enough — the first full documents
+        # scan still cost ~3 s of cold-read IO inside a query timing).
+        for warm_tbl in ("documents", "embeddings", "orders", "customer", "events"):
             (
                 spark.read.parquet(f"{sf_dir}/{warm_tbl}.parquet")
-                .limit(1000)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()

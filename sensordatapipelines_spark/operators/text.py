@@ -426,3 +426,101 @@ def filter_length_outliers(
         .filter((n >= F.col("__lo")) & (n <= F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def max_repeat_count_expr(arr: Column) -> Column:
+    """Count of the most frequent element of a string array, computed as
+    the longest run in the SORTED array — a per-row ``array_sort`` +
+    ``aggregate`` fold. Zero shuffle: the alternative (explode → groupBy
+    (doc, gram) → max per doc → join back) costs two shuffles of the
+    exploded table; this stays inside whole-stage codegen and scales with
+    scan bandwidth. Empty array → 0."""
+    s = F.array_sort(arr)
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+@register("gopher_quality")
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_bigram_frac: float = 0.15,
+    max_dup_unigram_frac: float = 0.6,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1's
+    heuristics re-expressed for word-soup corpora), one row per document:
+
+    - ``n_tokens`` with a minimum-length gate,
+    - ``mean_word_len`` with a plausible-language band,
+    - ``dup_unigram_frac`` = 1 − distinct/total tokens (self-repetition),
+    - ``top_bigram_frac`` = fraction of tokens covered by the single most
+      frequent bigram (boilerplate loops),
+    - ``n_stop_hits`` = distinct stopwords present (Gopher's "stop word
+      filter": real prose contains at least a couple),
+    - ``keep`` = AND of all gates.
+
+    Everything is a map-side JVM expression — the most-frequent-bigram
+    count uses the sorted-run fold (``max_repeat_count_expr``), so the
+    whole operator is ZERO-shuffle and scales with scan bandwidth at
+    100 TB. Reference has no equivalent; charter extension per the
+    training-data-pipeline brief (SURVEY.md §2.7)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    toks_l = tokens_expr(F.lower(t))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
+
+    top_bg = max_repeat_count_expr(word_ngrams_expr(t, 2))
+    dup_uni = F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    top_bg_frac = F.when(
+        n > 0, top_bg.cast("double") * 2.0 / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    mwl = mean_token_len_expr(t)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks_l),
+            F.array(*[F.lit(w) for w in STOPWORDS_EN]),
+        )
+    )
+    keep = (
+        (n >= F.lit(min_tokens))
+        & (mwl >= F.lit(min_mean_word_len))
+        & (mwl <= F.lit(max_mean_word_len))
+        & (top_bg_frac <= F.lit(max_top_bigram_frac))
+        & (dup_uni <= F.lit(max_dup_unigram_frac))
+        & (stop_hits >= F.lit(min_stop_hits))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(dup_uni, 6).alias("dup_unigram_frac"),
+        F.round(top_bg_frac, 6).alias("top_bigram_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )

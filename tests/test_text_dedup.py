@@ -516,3 +516,50 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
     assert guarded.count() == 0
     assert got["n_hot_buckets"] >= 1
     assert got["n_buckets"] > got["n_hot_buckets"]  # only the hot set was cut
+
+
+def test_max_repeat_count_fold(spark):
+    from sensordatapipelines_spark.operators.text import max_repeat_count_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "c", "a"]),   # 'a' ×3
+            (2, ["x"]),                       # singleton
+            (3, []),                          # empty → 0
+            (4, ["z", "z", "z", "z"]),        # all same
+        ],
+        "id long, arr array<string>",
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in df.select("id", max_repeat_count_expr(F.col("arr")).alias("m")).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 0, 4: 4}
+
+
+def test_gopher_quality_gates(spark):
+    from sensordatapipelines_spark.operators.text import gopher_quality
+
+    healthy = (
+        "the quick brown fox jumps over the lazy dog while many other animals "
+        "watch from distant hills and rivers that flow gently toward open "
+        "valleys in warm summer light"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, healthy),                      # healthy prose, long enough
+            (2, "spam ham " * 30),             # one bigram dominates → drop
+            (3, "the dog"),                    # too short → drop
+            (4, ""),                           # empty → drop
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["top_bigram_frac"] > 0.15
+    assert rows[3]["keep"] is False and rows[3]["n_tokens"] == 2
+    assert rows[4]["keep"] is False and rows[4]["n_tokens"] == 0
+    # signals are bounded
+    for r in rows.values():
+        assert 0.0 <= r["dup_unigram_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 2.0
