@@ -617,6 +617,24 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.8 — near-superset /
+    contamination detection (a doc quoted inside a bigger doc has low
+    Jaccard but containment ≈ 1). One intersection count per unordered
+    pair; both directions derived arithmetically."""
+    from sensordatapipelines_spark.operators.dedup import containment_pairs
+
+    _register_views(spark, sf_dir)
+    return containment_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.8,
+        max_shingle_df=1000,
+    )
+
+
 def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components (iterative
     min-label propagation) over the n-gram-Jaccard near-dup graph — the
@@ -3531,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": docs_lang_id,
         "docs_fingerprint": docs_fingerprint,
         "docs_jaccard_pairs": docs_jaccard_pairs,
+        "docs_containment_pairs": docs_containment_pairs,
         "docs_dup_components": docs_dup_components,
         "docs_neardedup_corpus": docs_neardedup_corpus,
         "events_key_skew": events_key_skew,
@@ -4439,6 +4458,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = id_a
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.1
+        """,
+        "docs_containment_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pb AS (
+                SELECT id_a, id_b, ninter, na.n AS na, nb.n AS nb
+                FROM inter
+                JOIN sizes na ON na.doc_id = id_a
+                JOIN sizes nb ON nb.doc_id = id_b
+            )
+            SELECT id_sub, id_sup, ROUND(containment, 6) AS containment
+            FROM (
+                SELECT id_a AS id_sub, id_b AS id_sup,
+                       CAST(ninter AS DOUBLE) / na AS containment FROM pb
+                UNION ALL
+                SELECT id_b AS id_sub, id_a AS id_sup,
+                       CAST(ninter AS DOUBLE) / nb AS containment FROM pb
+            )
+            WHERE containment >= 0.8
         """,
         "emb_cosine_topk": f"""
             WITH pairs AS (

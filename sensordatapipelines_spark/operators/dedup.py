@@ -60,37 +60,20 @@ def word_ngrams_expr(text, n: int):
     )
 
 
-@register("jaccard_pairs")
-def jaccard_pairs(
+def _shingle_postings(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
     metrics: dict | None = None,
-) -> DataFrame:
-    """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
+):
+    """Shared candidate-generation core of the shingle-set similarity ops
+    (``jaccard_pairs``, ``containment_pairs``): distinct word-n-gram
+    shingles per doc, hashed to 8 bytes, with the stop-shingle skew guard.
 
-    Candidate generation by shared shingle (equi-join on the shingle key):
-    explode distinct shingles → self-join → per-pair intersection counts →
-    ``|A∩B| / (|A| + |B| − |A∩B|)``. ``max_shingle_df`` treats shingles that
-    occur in more than that many docs as stop-shingles, excluded from BOTH
-    the candidate join and the set sizes (so the measure stays a true
-    Jaccard — over the informative shingles). This is the skew guard: one
-    corpus-common shingle (df = d) would otherwise contribute O(d²)
-    candidate pairs — quadratic blow-up at 100 TB. Default ON at 1000;
-    pass ``None`` for exact full-set Jaccard on corpora known to be small.
-
-    Observability (the semantic shift is measurable, not silent): pass a
-    dict as ``metrics`` and the guard fills ``n_stop_shingles`` (distinct
-    shingles actually dropped) and ``n_distinct_shingles`` eagerly — ONE
-    small aggregate over the cached shingled form, negligible next to the
-    candidate join. ``n_stop_shingles == 0`` certifies the guarded result
-    is bit-identical to the exact (``max_shingle_df=None``) Jaccard.
-    (An ``Observation`` can't carry this: the guard's subtree is replicated
-    three times in the plan — both self-join sides and the size table — and
-    a CollectMetrics node observed from replicated subtrees fails.)
+    Returns ``(exploded, sizes)``: the posting table ``(__id, __s)`` and the
+    per-doc informative-shingle counts ``(__id, __n)``.
     """
     # Cache the shingled form: it feeds both the size table and the posting
     # lists — without the cache, tokenization + shingling re-runs per use.
@@ -128,6 +111,44 @@ def jaccard_pairs(
         sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     else:
         sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    return exploded, sizes
+
+
+@register("jaccard_pairs")
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
+
+    Candidate generation by shared shingle (equi-join on the shingle key):
+    explode distinct shingles → self-join → per-pair intersection counts →
+    ``|A∩B| / (|A| + |B| − |A∩B|)``. ``max_shingle_df`` treats shingles that
+    occur in more than that many docs as stop-shingles, excluded from BOTH
+    the candidate join and the set sizes (so the measure stays a true
+    Jaccard — over the informative shingles). This is the skew guard: one
+    corpus-common shingle (df = d) would otherwise contribute O(d²)
+    candidate pairs — quadratic blow-up at 100 TB. Default ON at 1000;
+    pass ``None`` for exact full-set Jaccard on corpora known to be small.
+
+    Observability (the semantic shift is measurable, not silent): pass a
+    dict as ``metrics`` and the guard fills ``n_stop_shingles`` (distinct
+    shingles actually dropped) and ``n_distinct_shingles`` eagerly — ONE
+    small aggregate over the cached shingled form, negligible next to the
+    candidate join. ``n_stop_shingles == 0`` certifies the guarded result
+    is bit-identical to the exact (``max_shingle_df=None``) Jaccard.
+    (An ``Observation`` can't carry this: the guard's subtree is replicated
+    three times in the plan — both self-join sides and the size table — and
+    a CollectMetrics node observed from replicated subtrees fails.)
+    """
+    exploded, sizes = _shingle_postings(
+        df, id_col, text_col, n, max_shingle_df, metrics
+    )
     # Self-join on the hashed shingle for candidate pairs. (A posting-list
     # formulation — groupBy shingle, explode ordered id combinations — saves
     # one shuffle of the exploded table, but its nested-lambda codegen costs
@@ -154,6 +175,65 @@ def jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+@register("containment_pairs")
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment → ``(id_sub, id_sup, containment)``:
+    ``C(A→B) = |A∩B| / |A|`` — the fraction of document A's shingles that
+    also appear in B. Near-superset detection: a short benchmark question
+    quoted inside a long training document has LOW Jaccard (the big doc's
+    size dominates the union) but containment ≈ 1 from the question's side,
+    which is why contamination audits use containment, not Jaccard
+    (Broder 1997's two resemblance measures).
+
+    Same candidate-generation core as ``jaccard_pairs`` (shared-shingle
+    equi-join on 8-byte hashes, stop-shingle skew cap): the intersection is
+    counted ONCE per unordered pair, then both directions' containments are
+    derived arithmetically — no second join, no doubled shuffle. Emits each
+    direction independently when it clears ``threshold``."""
+    exploded, sizes = _shingle_postings(
+        df, id_col, text_col, n, max_shingle_df, metrics
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    both = inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_sup"),
+        (F.col("__inter").cast("double") / F.col("__na").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_sup"),
+        (F.col("__inter").cast("double") / F.col("__nb").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_sub", "id_sup", F.round("containment", 6).alias("containment")
+        )
+    )
 
 
 @register("minhash_dedup_pairs")

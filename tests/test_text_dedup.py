@@ -563,3 +563,27 @@ def test_gopher_quality_gates(spark):
     for r in rows.values():
         assert 0.0 <= r["dup_unigram_frac"] <= 1.0
         assert 0.0 <= r["top_bigram_frac"] <= 2.0
+
+
+def test_containment_asymmetry(spark):
+    """A short doc quoted inside a long doc: containment ≈ 1 from the short
+    side, low from the long side — the case Jaccard misses."""
+    from sensordatapipelines_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_sub"], r["id_sup"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert out.get((1, 2)) == 1.0      # every shingle of 1 appears in 2
+    assert (2, 1) not in out           # the long doc is NOT contained in the short
+
+    # jaccard on the same pair is far below the containment threshold
+    from sensordatapipelines_spark.operators.dedup import jaccard_pairs
+    j = jaccard_pairs(docs, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.1 for r in j)
