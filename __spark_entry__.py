@@ -3516,6 +3516,46 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+SEMDEDUP_T = 0.35
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over embeddings (init = vectors of the k
+    lowest ids, 2 update rounds): the iterative-ML surface of the engine.
+    Per round the k×64 centroid matrix re-enters the plan as literals, so
+    assignment is a zero-shuffle map-side argmin; the update is one k-row
+    aggregate. Oracle: the same two rounds unrolled as DuckDB CTEs —
+    strictest possible check, the full (vec_id → cluster) mapping."""
+    from sensordatapipelines_spark.operators.similarity import kmeans_assign
+
+    _register_views(spark, sf_dir)
+    out = kmeans_assign(
+        spark.table("embeddings"), k=KMEANS_K, iters=KMEANS_ITERS, dim=ANN_DIM
+    )
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster, then drop any vector with a ≥τ-cosine
+    neighbor of lower id INSIDE its cluster (keep-lowest survivor). The
+    pairwise join is keyed on the cluster id, so the quadratic term is
+    bounded per cluster — the property that lets SemDeDup run on billions
+    of embeddings."""
+    from sensordatapipelines_spark.operators.similarity import semantic_dedup
+
+    _register_views(spark, sf_dir)
+    out = semantic_dedup(
+        spark.table("embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_T,
+        dim=ANN_DIM,
+    )
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3672,6 +3712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_wkb_polygon_agg_kernel": zones_wkb_polygon_agg_kernel,
         "zones_wkb_holes_agg": zones_wkb_holes_agg,
         "emb_ann_recall": emb_ann_recall,
+        "emb_kmeans": emb_kmeans,
+        "emb_semantic_dedup": emb_semantic_dedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4111,6 +4153,57 @@ _INTERVAL_CASES = {
     "max_value_090000_170000": "MAX(CASE WHEN tod >= 32400 AND tod <= 61200 THEN value END)",
     "max_value_220000_050000": "MAX(CASE WHEN tod >= 79200 OR tod <= 18000 THEN value END)",
 }
+
+
+def _kmeans_cte_sql(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd k-means as a DuckDB CTE chain mirroring
+    ``similarity.kmeans_assign`` exactly: cent0 = vectors of the k lowest
+    ids; per round, assignment = row_number over (squared distance, cid)
+    with the same left-fold distance as ``ivf_dists_expr``; update =
+    per-dimension avg with empty clusters keeping the previous centroid.
+    Ends with ``afinal(vec_id, embedding, cid)`` assigned against the
+    post-update centroids."""
+    d2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])),"
+        " (x, y) -> x + y)"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN {cent} c
+            ) WHERE rn = 1
+        )"""
+
+    parts = [
+        f"""cent0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"a{it}", f"cent{it - 1}"))
+        parts.append(
+            f"""cent{it} AS (
+            SELECT c0.cid, COALESCE(cn.c, c0.c) AS c
+            FROM cent{it - 1} c0 LEFT JOIN (
+                SELECT cid, list(m ORDER BY i) AS c FROM (
+                    SELECT cid, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+                    FROM a{it}, range(1, {dim + 1}) t(i)
+                    GROUP BY cid, i
+                ) GROUP BY cid
+            ) cn USING (cid)
+        )"""
+        )
+    parts.append(assign("afinal", f"cent{iters}"))
+    return "WITH " + ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5959,5 +6052,33 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
                    AS recall
         FROM stats
+    """
+    kmeans_cte = _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, ANN_DIM)
+    oracles["emb_kmeans"] = f"""
+        {kmeans_cte}
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal
+    """
+    cos = (
+        f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+        " (x, y) -> x + y)"
+        f" / (SQRT(list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),"
+        " (x, y) -> x + y))"
+        f" * SQRT(list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+        " (x, y) -> x + y)))"
+    )
+    oracles["emb_semantic_dedup"] = f"""
+        {kmeans_cte},
+        losers AS (
+            SELECT DISTINCT b.vec_id AS loser
+            FROM afinal a JOIN afinal b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {cos} >= {SEMDEDUP_T}
+        )
+        SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster
+        FROM afinal f LEFT JOIN losers l ON f.vec_id = l.loser
+        WHERE l.loser IS NULL
     """
     return oracles

@@ -363,3 +363,101 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+@register("kmeans_assign")
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Lloyd's k-means with fully deterministic init: the initial centroids
+    are the vectors of the ``k`` LOWEST ids (no RNG — reproducible across
+    engines, which makes the iterative algorithm oracle-able, unlike seeded
+    samples whose RNG differs per engine).
+
+    Scale shape: each round, centroids are k × dim doubles — control-plane
+    size — collected to the driver and re-entering the plan as LITERAL
+    arrays, so the assignment argmin (``ivf_cell_expr``) is a map-side
+    fold over k literal centroids: zero shuffle. The centroid update is one
+    ``groupBy(cluster)`` with per-dimension ``avg`` — k output rows, full
+    map-side partial aggregation. Total cost per round: one scan + one
+    k-row shuffle; driver state is O(k·dim), never O(rows) (same
+    driver-iteration pattern as ``dedup.duplicate_components``).
+
+    An empty cluster keeps its previous centroid. Returns ``df`` plus the
+    1-based final ``cluster`` column."""
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [
+        [float(x) for x in r[vec_col]] for r in init
+    ]
+    v = F.col(vec_col)
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_cell_expr(v, cents).alias("__c"),
+            *[v[i].cast("double").alias(f"__d{i}") for i in range(dim)],
+        )
+        rows = (
+            assigned.groupBy("__c")
+            .agg(*[F.avg(f"__d{i}").alias(f"__m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)  # empty cluster -> previous centroid
+        for r in rows:
+            new_cents[r["__c"] - 1] = [float(r[f"__m{i}"]) for i in range(dim)]
+        cents = new_cents
+    return df.withColumn(out_col, ivf_cell_expr(v, cents))
+
+
+@register("semantic_dedup")
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level semantic deduplication.
+    Cluster with deterministic k-means, then WITHIN each cluster drop any
+    vector that has a more-than-``threshold``-cosine-similar neighbor with
+    a lower id (keep-lowest survivor). Returns the surviving rows with
+    their cluster.
+
+    The pairwise similarity join is keyed on the cluster id, so the
+    quadratic blow-up is bounded per cluster (k tunes the bucket size at
+    scale — SemDeDup's own trick for running on billions of embeddings);
+    no all-pairs cross join ever materializes."""
+    clustered = kmeans_assign(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    slim = clustered.select(
+        F.col("cluster").alias("__cl"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    a = slim.alias("a")
+    b = slim.alias("b")
+    losers = (
+        a.join(
+            b,
+            on=(F.col("a.__cl") == F.col("b.__cl"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(cosine_expr(F.col("a.__v"), F.col("b.__v")) >= F.lit(threshold))
+        .select(F.col("b.__id").alias("__loser"))
+        .distinct()
+    )
+    return clustered.join(
+        losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
+    )

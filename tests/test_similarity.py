@@ -123,3 +123,55 @@ def test_ann_recall_pinned(spark):
     assert rows["lsh_t4"]["recall"] >= rows["lsh"]["recall"]
     assert rows["ivf_p2"]["recall"] >= rows["ivf_p1"]["recall"]
     assert all(r["n_exact"] == 40 for r in rows.values())
+
+
+def test_kmeans_deterministic_and_separates(spark):
+    """Two well-separated blobs, k=2: every vector clusters with its blob,
+    and reruns are bit-identical (no RNG anywhere)."""
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        base = [5.0] * 8 if i % 2 == 0 else [-5.0] * 8
+        rows.append((i, [float(b + 0.1 * x) for b, x in zip(base, rng.standard_normal(8))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, iters=2, dim=8).collect()}
+    evens = {out[i] for i in range(0, 20, 2)}
+    odds = {out[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    out2 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, iters=2, dim=8).collect()}
+    assert out == out2
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct points: the starved cluster must
+    keep its init centroid instead of crashing or NaN-ing."""
+    from sensordatapipelines_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 2)] * 4) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_assign(df, k=3, iters=2, dim=4).collect()
+    assert len(out) == 6
+    assert all(1 <= r["cluster"] <= 3 for r in out)
+
+
+def test_semantic_dedup_drops_neardups_within_cluster(spark):
+    """Two blobs; one blob contains a near-exact duplicate pair — the higher
+    id of the pair is dropped, everything else survives."""
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(10):
+        base = [4.0] * 8 if i < 5 else [-4.0] * 8
+        rows.append((i, [float(b + 0.5 * x) for b, x in zip(base, rng.standard_normal(8))]))
+    rows.append((99, [v + 1e-4 for v in rows[2][1]]))  # near-dup of id 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"] for r in semantic_dedup(df, k=2, iters=2, threshold=0.999, dim=8).collect()}
+    assert 2 in out and 99 not in out
+    assert out == {i for i in range(10)}
