@@ -3519,6 +3519,18 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 2
 SEMDEDUP_T = 0.35
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users reaching each stage
+    with stage timestamps constrained to at-or-after the previous stage.
+    One exchange on user_id reused by the whole window cascade; output is
+    k rows of (stage_idx, stage, n_users, conversion)."""
+    from sensordatapipelines_spark.operators.temporal import funnel
+
+    _register_views(spark, sf_dir)
+    return funnel(spark.table("events"), stages=list(FUNNEL_STAGES))
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3713,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_wkb_holes_agg": zones_wkb_holes_agg,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
+        "events_funnel": events_funnel,
         "emb_semantic_dedup": emb_semantic_dedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -6052,6 +6065,38 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
                    AS recall
         FROM stats
+    """
+    oracles["events_funnel"] = """
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t0
+            FROM events
+        ),
+        w2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click'
+                                AND t0 IS NOT NULL AND ts >= t0
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM w1
+        ),
+        w3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase'
+                                AND t1 IS NOT NULL AND ts >= t1
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM w2
+        ),
+        pu AS (SELECT DISTINCT user_id, t0, t1, t2 FROM w3),
+        c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM pu)
+        SELECT 1 AS stage_idx, 'view' AS stage, n0 AS n_users,
+               CAST(1.0 AS DOUBLE) AS conversion FROM c
+        UNION ALL
+        SELECT 2, 'click', n1,
+               CASE WHEN n0 > 0 THEN ROUND(n1 * 1.0 / n0, 6) END FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n2,
+               CASE WHEN n1 > 0 THEN ROUND(n2 * 1.0 / n1, 6) END FROM c
     """
     kmeans_cte = _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, ANN_DIM)
     oracles["emb_kmeans"] = f"""

@@ -435,3 +435,71 @@ def time_weighted_average(
             6,
         ).alias("twap"),
     )
+
+
+@register("funnel")
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached stage i having passed
+    stages 1..i-1 IN ORDER — stage i's timestamp is the earliest event of
+    that type at-or-after the user's stage-(i-1) timestamp.
+
+    Plan shape: ONE exchange on ``user_col``, then a cascade of per-stage
+    window minimums over the same partitioning (Catalyst reuses the single
+    shuffle for every WindowExec), a per-user ``distinct``, and a k-row
+    conditional aggregate unpivoted to ``(stage_idx, stage, n_users,
+    conversion)``. No self-joins, no events-sized shuffle beyond the first.
+    ``conversion`` is relative to the previous stage (stage 1 → 1.0; a
+    starved stage propagates 0 users and null conversion)."""
+    if not stages:
+        raise ValueError("funnel requires at least one stage")
+    w = Window.partitionBy(user_col)
+    ts = F.col(ts_col)
+    out = df.select(user_col, ts_col, type_col)
+    prev_t = None
+    tcols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_t is not None:
+            cond = cond & prev_t.isNotNull() & (ts >= prev_t)
+        tcol = f"__t{i}"
+        out = out.withColumn(tcol, F.min(F.when(cond, ts)).over(w))
+        prev_t = F.col(tcol)
+        tcols.append(tcol)
+    per_user = out.select(user_col, *tcols).distinct()
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col(t).isNotNull(), F.lit(1))).alias(f"__n{i}")
+            for i, t in enumerate(tcols)
+        ]
+    )
+    rows = []
+    for i, stage in enumerate(stages):
+        conv = (
+            F.lit(1.0)
+            if i == 0
+            else F.when(
+                F.col(f"__n{i - 1}") > 0,
+                F.round(
+                    F.col(f"__n{i}").cast("double")
+                    / F.col(f"__n{i - 1}").cast("double"),
+                    6,
+                ),
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"__n{i}").alias("n_users"),
+                conv.alias("conversion"),
+            )
+        )
+    return counts.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select("s.stage_idx", "s.stage", "s.n_users", "s.conversion")

@@ -230,3 +230,37 @@ def test_time_weighted_average_hand_computed(spark):
     assert rows[1]["twap"] == 12.5
     assert rows[1]["n_obs"] == 3
     assert rows[2]["twap"] == 7.0  # degenerate span -> plain value
+
+
+def test_funnel_order_constraint(spark):
+    """A stage-2 event BEFORE the user's stage-1 timestamp must not count;
+    conversion is relative to the previous stage."""
+    from datetime import datetime
+    from sensordatapipelines_spark.operators.temporal import funnel
+
+    t = lambda s: datetime(2024, 1, 1, s)
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view -> stalls at view
+        (2, t(2), "view"), (2, t(1), "click"),
+        # user 3: view only
+        (3, t(1), "view"),
+        # user 4: never views; click+purchase must not count anywhere
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["stage"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert out["click"]["conversion"] == round(1 / 3, 6)
+    assert out["purchase"]["conversion"] == 1.0
+    # same-timestamp stage events are inclusive (ts >= prev)
+    df2 = spark.createDataFrame(
+        [(9, t(5), "view"), (9, t(5), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out2 = {r["stage"]: r["n_users"] for r in funnel(df2, ["view", "click"]).collect()}
+    assert out2 == {"view": 1, "click": 1}
