@@ -3533,6 +3533,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(spark.table("events"), stages=list(FUNNEL_STAGES))
 
 
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD-2 history rebuild: compress each user's event stream into
+    state versions (runs of equal consecutive event_type) with valid_from /
+    valid_to (null = current) and a version number. One exchange on
+    user_id shared by all three WindowExecs."""
+    from sensordatapipelines_spark.operators.temporal import scd2_compress
+
+    _register_views(spark, sf_dir)
+    s = scd2_compress(
+        spark.table("events"),
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        order_tiebreak="event_id",
+    )
+    return s.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_epoch"),
+        F.unix_timestamp("valid_to").alias("valid_to_epoch"),
+        F.col("version").cast("long").alias("version"),
+    )
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over embeddings (init = vectors of the k
     lowest ids, 2 update rounds): the iterative-ML surface of the engine.
@@ -3726,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
+        "events_scd2": events_scd2,
         "emb_semantic_dedup": emb_semantic_dedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -6065,6 +6090,27 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
                    AS recall
         FROM stats
+    """
+    oracles["events_scd2"] = """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from_epoch,
+               CAST(FLOOR(EPOCH(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)))
+                    AS BIGINT) AS valid_to_epoch,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS version
+        FROM chg
     """
     oracles["events_funnel"] = """
         WITH w1 AS (

@@ -503,3 +503,45 @@ def funnel(
     return counts.select(
         F.explode(F.array(*rows)).alias("s")
     ).select("s.stage_idx", "s.stage", "s.n_users", "s.conversion")
+
+
+@register("scd2_compress")
+def scd2_compress(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Change-data-capture → slowly-changing-dimension type 2: compress a
+    per-key event stream into state VERSIONS — one row per run of equal
+    consecutive states, with ``valid_from`` / ``valid_to`` (null = current)
+    and a 1-based ``version``.
+
+    Plan: one exchange on ``key_col`` reused by the lag (change detection),
+    the post-filter lead (validity interval) and the row_number — three
+    WindowExecs, one shuffle, no self-joins. The equivalent MERGE-per-change
+    formulation shuffles once per batch; this is the full-history batch
+    rebuild shape."""
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    # Re-window over the surviving change rows only: the validity interval
+    # of version i ends where version i+1 begins. Same tiebreak as the
+    # change-detection window, so same-timestamp versions stay ordered.
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )

@@ -264,3 +264,27 @@ def test_funnel_order_constraint(spark):
     )
     out2 = {r["stage"]: r["n_users"] for r in funnel(df2, ["view", "click"]).collect()}
     assert out2 == {"view": 1, "click": 1}
+
+
+def test_scd2_compress_runs_and_validity(spark):
+    from datetime import datetime
+    from sensordatapipelines_spark.operators.temporal import scd2_compress
+
+    t = lambda s: datetime(2024, 1, 1, s)
+    rows = [
+        (1, t(1), "A", 10), (1, t(2), "A", 11), (1, t(3), "B", 12), (1, t(4), "A", 13),
+        (2, t(5), "X", 20),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, st string, eid long")
+    out = scd2_compress(df, key_col="k", ts_col="ts", state_col="st", order_tiebreak="eid")
+    got = sorted(
+        ((r["k"], r["st"], r["valid_from"].hour,
+          r["valid_to"].hour if r["valid_to"] else None, r["version"])
+         for r in out.collect())
+    )
+    assert got == [
+        (1, "A", 1, 3, 1),   # run A compressed to one version, ends at B
+        (1, "A", 4, None, 3),  # back to A -> NEW version (type-2, not distinct)
+        (1, "B", 3, 4, 2),
+        (2, "X", 5, None, 1),
+    ]
