@@ -3533,6 +3533,33 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(spark.table("events"), stages=list(FUNNEL_STAGES))
 
 
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the n-gram-Jaccard near-dup graph (3 fixed
+    power-iteration rounds, d=0.85, undirected) — ranks the canonical
+    document of each duplicate family. Oracle: the same rounds unrolled as
+    DuckDB CTEs over the identical edge list."""
+    from sensordatapipelines_spark.operators.dedup import jaccard_pairs
+    from sensordatapipelines_spark.operators.graph import pagerank
+
+    _register_views(spark, sf_dir)
+    edges = jaccard_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.1,
+        max_shingle_df=1000,
+    )
+    pr = pagerank(
+        edges, iters=PAGERANK_ITERS, damping=PAGERANK_D, undirected=True
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → SCD-2 history rebuild: compress each user's event stream into
     state versions (runs of equal consecutive event_type) with valid_from /
@@ -3751,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
         "events_scd2": events_scd2,
+        "docs_pagerank": docs_pagerank,
         "emb_semantic_dedup": emb_semantic_dedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
@@ -4242,6 +4270,47 @@ def _kmeans_cte_sql(k: int, iters: int, dim: int) -> str:
         )
     parts.append(assign("afinal", f"cent{iters}"))
     return "WITH " + ",\n".join(parts)
+
+
+def _pagerank_cte_sql(edge_sql: str, iters: int, damping: float) -> str:
+    """Unrolled power-iteration PageRank mirroring ``graph.pagerank``:
+    undirected doubling, deg ≥ 1 by construction, fixed rounds, identical
+    IEEE arithmetic ((1−d)/N + d·Σ, all CAST AS DOUBLE)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [
+        f"rawe AS ({edge_sql})",
+        """e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT id_a AS src, id_b AS dst FROM rawe
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM rawe
+            )
+        )""",
+        "deg AS (SELECT src AS node, COUNT(*) AS dg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT node, dg, {one} / nn.n AS rank FROM deg, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank / r.dg) AS s
+            FROM e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+            SELECT dd.node, dd.dg,
+                   ({one} - {d}) / nn.n + {d} * COALESCE(c.s, CAST(0.0 AS DOUBLE))
+                       AS rank
+            FROM deg dd CROSS JOIN nn LEFT JOIN c{i} c ON dd.node = c.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6144,6 +6213,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT 3, 'purchase', n2,
                CASE WHEN n1 > 0 THEN ROUND(n2 * 1.0 / n1, 6) END FROM c
     """
+    oracles["docs_pagerank"] = _pagerank_cte_sql(
+        f"SELECT id_a, id_b FROM ({oracles['docs_jaccard_pairs']})",
+        PAGERANK_ITERS,
+        PAGERANK_D,
+    )
     kmeans_cte = _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, ANN_DIM)
     oracles["emb_kmeans"] = f"""
         {kmeans_cte}
