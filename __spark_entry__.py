@@ -3629,6 +3629,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return events_interval_agg(spark, "/root/testdata/sf0.001")
 
 
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document (CCNet-style
+    perplexity-filter signal): mean ln-probability of each doc's tokens
+    under the corpus's own unigram distribution. Word-count shuffle is of
+    the vocabulary only (Heaps'-law small); the vocab log-probs broadcast
+    back onto the token stream. Per-token log-probs round to 1e-9 and sum
+    as scaled BIGINTs, so results are float-order independent."""
+    from sensordatapipelines_spark.operators.text import unigram_logprob
+
+    _register_views(spark, sf_dir)
+    return unigram_logprob(spark.table("documents"))
+
+
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent n-gram boilerplate coverage per document (the CCNet/
+    RefinedWeb duplicate-line idea for corpora without line structure):
+    3-grams present in ≥5 % of documents are boilerplate; each doc reports
+    its covered fraction plus a keep gate. The boilerplate set is small by
+    construction and broadcasts; integer counts are bit-deterministic."""
+    from sensordatapipelines_spark.operators.text import boilerplate_ngrams
+
+    _register_views(spark, sf_dir)
+    return boilerplate_ngrams(
+        spark.table("documents"), n=3, min_doc_frac=0.05, max_boiler_frac=0.3
+    )
+
+
+BM25_QUERY_TERMS = ("spark", "window", "merge")
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents for a 3-term query under
+    the Lucene-default idf. All corpus stats (N, avgdl, per-term df) come
+    from ONE aggregate row broadcast as plan constants; scoring is a
+    map-side array expression (no explode, no shuffle); top-k is a
+    TakeOrdered with doc_id tiebreak on the 6-decimal-rounded score."""
+    from sensordatapipelines_spark.operators.text import bm25_topk
+
+    _register_views(spark, sf_dir)
+    return bm25_topk(
+        spark.table("documents"), query_terms=list(BM25_QUERY_TERMS), k=10
+    )
+
+
+def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights (w_i ∝ c_i^0.5 over token
+    counts): natural share, flattened sampling weight, and implied epochs
+    per source. One corpus aggregate down to |sources| rows; pow terms
+    rounded to 1e-6 and summed as scaled BIGINTs for engine-portable
+    normalization."""
+    from sensordatapipelines_spark.operators.text import token_count_expr
+    from sensordatapipelines_spark.operators.utility import source_mix_temperature
+
+    _register_views(spark, sf_dir)
+    return source_mix_temperature(
+        spark.table("documents"),
+        source_col="source",
+        weight_expr=token_count_expr(F.col("text")),
+        alpha=0.5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3780,6 +3842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": events_scd2,
         "docs_pagerank": docs_pagerank,
         "emb_semantic_dedup": emb_semantic_dedup,
+        "docs_unigram_logprob": docs_unigram_logprob,
+        "docs_boilerplate": docs_boilerplate,
+        "docs_bm25_topk": docs_bm25_topk,
+        "docs_mix_temperature": docs_mix_temperature,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -3807,6 +3873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # shapes, the ANN suite, decontamination/resample/as-of). 50 get sampled.
 _ROUND3_SAMPLE_FIRST = [
     "docs_source_mix",
+    "docs_unigram_logprob",
+    "docs_boilerplate",
+    "docs_bm25_topk",
+    "docs_mix_temperature",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6245,5 +6315,141 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster
         FROM afinal f LEFT JOIN losers l ON f.vec_id = l.loser
         WHERE l.loser IS NULL
+    """
+    oracles["docs_unigram_logprob"] = r"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        stream AS (SELECT doc_id, unnest(t) AS tok FROM dtoks),
+        vocab AS (SELECT tok, count(*) AS c FROM stream GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM vocab),
+        lp AS (
+            SELECT tok,
+                   CAST(round(ln(c * 1.0 / total) * 1e9) AS BIGINT) AS lp_e9
+            FROM vocab, tot
+        ),
+        per_doc AS (
+            SELECT s.doc_id,
+                   count(*) AS n_tokens,
+                   sum(lp_e9) AS sum_e9
+            FROM stream s JOIN lp USING (tok)
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN p.doc_id IS NULL THEN NULL
+                    ELSE round(p.sum_e9 * 1.0 / 1e9 / p.n_tokens, 6)
+               END AS avg_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    oracles["docs_boilerplate"] = r"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(
+                            generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                   END AS g
+            FROM dtoks
+        ),
+        stream AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        dfreq AS (
+            SELECT gram, count(DISTINCT doc_id) AS dfr FROM stream GROUP BY gram
+        ),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        boiler AS (
+            SELECT gram FROM dfreq, nd WHERE dfr * 1.0 >= 0.05 * n_docs
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_grams FROM stream GROUP BY doc_id),
+        hits AS (
+            SELECT doc_id, count(*) AS n_boiler
+            FROM stream
+            WHERE gram IN (SELECT gram FROM boiler)
+            GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+        )
+        SELECT doc_id, n_grams, n_boiler,
+               round(CASE WHEN n_grams > 0
+                          THEN n_boiler * 1.0 / n_grams ELSE 0.0 END, 6)
+                   AS boiler_frac,
+               round(CASE WHEN n_grams > 0
+                          THEN n_boiler * 1.0 / n_grams ELSE 0.0 END, 6) <= 0.3
+                   AS keep
+        FROM per_doc
+    """
+    bm25_terms = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) * 1.0 AS df_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    bm25_score = " + ".join(
+        f"""CASE WHEN len(list_filter(t, x -> x = '{t}')) > 0
+             THEN ln(1.0 + (N - df_{i} + 0.5) / (df_{i} + 0.5))
+                  * (len(list_filter(t, x -> x = '{t}')) * 1.0) * 2.2
+                  / (len(list_filter(t, x -> x = '{t}')) * 1.0
+                     + 1.2 * (1.0 - 0.75 + 0.75 * (len(t) * 1.0) / avgdl))
+             ELSE 0.0 END"""
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    oracles["docs_bm25_topk"] = rf"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) * 1.0 AS N,
+                   avg(len(t) * 1.0) AS avgdl,
+                   {bm25_terms}
+            FROM dtoks
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS doc_len,
+               round({bm25_score}, 6) AS bm25
+        FROM dtoks, stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """
+    oracles["docs_mix_temperature"] = r"""
+        WITH dtoks AS (
+            SELECT source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS ntok
+            FROM documents
+        ),
+        per AS (SELECT source, sum(ntok * 1.0) AS c FROM dtoks GROUP BY source),
+        powed AS (
+            SELECT source, c,
+                   CAST(round(pow(c, 0.5) * 1e6) AS BIGINT) AS p_e6
+            FROM per
+        ),
+        norm AS (SELECT sum(p_e6) AS z_e6, sum(c) AS total FROM powed)
+        SELECT source,
+               CAST(c AS BIGINT) AS n_items,
+               round(c / total, 6) AS natural_share,
+               round(p_e6 * 1.0 / z_e6, 6) AS mix_weight,
+               round((p_e6 * 1.0 / z_e6) / (c / total), 6) AS epochs_at_budget
+        FROM powed, norm
+        ORDER BY source
     """
     return oracles

@@ -524,3 +524,203 @@ def gopher_quality(
         stop_hits.cast("long").alias("n_stop_hits"),
         keep.alias("keep"),
     )
+
+
+@register("unigram_logprob")
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-self-trained unigram language-model score per document: the
+    mean natural-log probability of the document's (lower-cased, whitespace)
+    tokens under the corpus's own unigram distribution — the classic
+    CCNet/KenLM-style "perplexity filter" signal with the corpus itself as
+    the LM. Low (very negative) scores flag rare-token soup; scores near
+    zero flag degenerate all-stopword documents.
+
+    Plan shape (100 TB): token frequencies are one word-count aggregate
+    (map-side partial combine, one shuffle of the *vocabulary*, which by
+    Heaps' law is orders of magnitude smaller than the corpus); the vocab
+    with its log-probs is then **broadcast** back onto the exploded token
+    stream, so the scoring pass is shuffle-free for the corpus side except
+    the final per-document aggregation, which re-reduces map-side.
+
+    Determinism: per-token log-probs are rounded to 1e-9 and summed as
+    scaled BIGINTs, so the per-document mean is independent of float
+    summation order — bit-identical across engines and across runs.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    tok_stream = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    vocab = tok_stream.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__total"))
+    vocab_lp = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        F.round(
+            F.log(F.col("__c").cast("double") / F.col("__total").cast("double"))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("__lp_e9"),
+    )
+    per_doc = (
+        tok_stream.join(F.broadcast(vocab_lp), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lp_e9").alias("__sum_e9"),
+        )
+    )
+    scored = per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("__sum_e9").cast("double")
+            / F.lit(1e9)
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("avg_logprob"),
+    )
+    # Docs with zero tokens score NULL avg_logprob (kept, not dropped).
+    empties = df.select(F.col(id_col)).join(
+        scored.select(id_col), id_col, "left_anti"
+    )
+    return scored.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
+    )
+
+
+@register("boilerplate_ngrams")
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_frac: float = 0.05,
+    max_boiler_frac: float = 0.3,
+) -> DataFrame:
+    """Boilerplate detection by corpus-frequent n-grams (the CCNet/
+    RefinedWeb line-dedup idea generalized to corpora without line
+    structure): an n-gram is *boilerplate* when it occurs in at least
+    ``min_doc_frac`` of all documents; each document reports what fraction
+    of its n-gram positions are covered by boilerplate, plus a ``keep``
+    gate at ``max_boiler_frac``.
+
+    Plan shape (100 TB): document frequency per n-gram is the same
+    postings aggregate jaccard_pairs uses (explode distinct shingles →
+    count, map-side combine); the boilerplate set — n-grams above the DF
+    threshold — is by construction SMALL (few grams appear in ≥5 % of a
+    large corpus), so it **broadcasts** onto the full n-gram stream and
+    the coverage count is a broadcast semi-join + per-doc count, never an
+    all-pairs or shuffled join of the corpus. All counts are integers —
+    bit-deterministic across engines.
+    """
+    from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
+
+    grams = word_ngrams_expr(F.col(text_col), n)
+    gram_stream = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    doc_freq = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    boiler = (
+        doc_freq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("__df").cast("double")
+            >= F.lit(float(min_doc_frac)) * F.col("__n_docs").cast("double")
+        )
+        .select("__g")
+    )
+    hits = (
+        gram_stream.join(F.broadcast(boiler), "__g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_boiler"))
+    )
+    totals = gram_stream.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
+    per_doc = (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("__n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_boiler",
+        F.round(frac, 6).alias("boiler_frac"),
+        (F.round(frac, 6) <= F.lit(float(max_boiler_frac))).alias("keep"),
+    )
+
+
+@register("bm25_topk")
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "Sequence[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck-Jones, the Lucene-default
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant): score every
+    document against a bag of query terms and return the top-k — the
+    lexical-search complement to the ANN operators for corpus exploration
+    and eval-set mining.
+
+    Plan shape (100 TB): corpus statistics (N, average doc length, and the
+    per-term document frequencies) all come from ONE aggregate row —
+    df(t) is a conditional sum per query term inside the same pass — which
+    then broadcasts as plan constants; scoring is a pure map-side JVM
+    expression over the token array (no explode, no shuffle), and the
+    top-k is a TakeOrdered, not a global sort. Scores are rounded to 6
+    decimals with ``id_col`` as the tiebreak so ordering is total and
+    engine-portable.
+    """
+    terms = list(query_terms)
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    dl = F.size(toks).cast("double")
+    stat_aggs = [
+        F.count(F.lit(1)).cast("double").alias("__N"),
+        F.avg(dl).alias("__avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        stat_aggs.append(
+            F.sum(F.array_contains(toks, t).cast("int")).cast("double").alias(f"__df_{i}")
+        )
+    stats = df.agg(*stat_aggs)
+    scored = df.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * dl / F.col("__avgdl")
+        )
+        score = score + F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / denom).otherwise(
+            F.lit(0.0)
+        )
+    out = scored.select(
+        F.col(id_col),
+        dl.cast("long").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    )
+    return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)

@@ -326,3 +326,58 @@ def impute_group_mean(
         )
         .drop("__g", "__gmean", "__omean")
     )
+
+
+@register("source_mix_temperature")
+def source_mix_temperature(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_expr: "F.Column | None" = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights (the multilingual-LM /
+    data-mixture recipe of Conneau & Lample 2019 §3.1 and the Pile:
+    ``w_i ∝ c_i^alpha``): given a corpus with a source/domain column,
+    compute each source's share of the corpus, the temperature-flattened
+    sampling weight, and the implied number of epochs over that source
+    (``weight / share``) for a budget of one corpus-size worth of samples.
+    ``alpha=1`` reproduces natural proportions; ``alpha→0`` approaches
+    uniform over sources; the 0.5 default is the common subsampling
+    compromise. ``weight_expr`` selects what to count (default: rows;
+    pass e.g. a token-count expression to weight by tokens).
+
+    Plan shape (100 TB): ONE aggregation pass over the corpus (map-side
+    combine down to |sources| rows); everything after runs on the reduced
+    frame — the normalization constant is a broadcast of a 1-row
+    aggregate, never a window over the corpus. Determinism: ``pow`` terms
+    are rounded to 1e-6 and summed as scaled BIGINTs, so the normalizer
+    is independent of float summation order across engines.
+    """
+    cnt = (weight_expr if weight_expr is not None else F.lit(1)).cast("double")
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(cnt).alias("__c")
+    )
+    pow_e6 = F.round(F.pow(F.col("__c"), F.lit(float(alpha))) * F.lit(1e6)).cast(
+        "long"
+    )
+    with_pow = per_src.withColumn("__p_e6", pow_e6)
+    norm = with_pow.agg(
+        F.sum("__p_e6").alias("__z_e6"), F.sum("__c").alias("__total")
+    )
+    return (
+        with_pow.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("__c").cast("long").alias("n_items"),
+            F.round(F.col("__c") / F.col("__total"), 6).alias("natural_share"),
+            F.round(
+                F.col("__p_e6").cast("double") / F.col("__z_e6").cast("double"), 6
+            ).alias("mix_weight"),
+            F.round(
+                (F.col("__p_e6").cast("double") / F.col("__z_e6").cast("double"))
+                / (F.col("__c") / F.col("__total")),
+                6,
+            ).alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )

@@ -587,3 +587,113 @@ def test_containment_asymmetry(spark):
     from sensordatapipelines_spark.operators.dedup import jaccard_pairs
     j = jaccard_pairs(docs, threshold=0.0).collect()
     assert all(r["jaccard"] < 0.1 for r in j)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: unigram LM scoring, boilerplate n-grams, BM25, mixing
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    """On a corpus where every token is equally frequent, every doc's mean
+    log-prob equals ln(1/V); an empty doc scores NULL with n_tokens 0."""
+    import math
+
+    from sensordatapipelines_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    expect = round(math.log(1 / 4), 6)
+    assert rows[1]["avg_logprob"] == pytest.approx(expect, abs=1e-6)
+    assert rows[2]["avg_logprob"] == pytest.approx(expect, abs=1e-6)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from sensordatapipelines_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyx")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+
+
+def test_boilerplate_ngrams_flags_shared_prefix(spark):
+    """A 3-gram present in 3/4 docs is boilerplate at min_doc_frac=0.5; the
+    unique doc reports zero coverage; short docs report n_grams=0."""
+    from sensordatapipelines_spark.operators.text import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "terms of service apply here"),
+            (2, "terms of service apply now"),
+            (3, "terms of service differ"),
+            (4, "completely original text entirely"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngrams(
+            df, n=3, min_doc_frac=0.5, max_boiler_frac=0.4
+        ).collect()
+    }
+    # 'terms of service' occurs in docs 1-3 (df=3 >= 0.5*5=2.5) → boilerplate
+    assert out[3]["n_boiler"] >= 1
+    assert out[4]["n_boiler"] == 0 and out[4]["keep"]
+    assert out[5]["n_grams"] == 0 and out[5]["boiler_frac"] == 0.0
+    # doc 3: grams = {'terms of service', 'of service differ'} → frac 0.5 > 0.4
+    assert out[3]["boiler_frac"] == pytest.approx(0.5)
+    assert not out[3]["keep"]
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    """A doc matching the rare term outranks one matching only the common
+    term; non-matching docs score 0 and fall out of the top-k ordering."""
+    from sensordatapipelines_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "needle in the haystack"),
+            (2, "the the the the the"),
+            (3, "nothing relevant whatsoever"),
+            (4, "needle needle sharp"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, query_terms=["needle", "the"], k=4).collect()
+    ranks = [r["doc_id"] for r in out]
+    # doc 1 matches BOTH terms → top; doc 3 matches neither → score 0, last
+    assert ranks[0] == 1 and ranks[-1] == 3
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[3] == 0.0
+    assert scores[4] > 0.0  # rare-term-only match still scores
+
+
+def test_source_mix_temperature_flattens(spark):
+    """alpha=0.5 pulls weights toward uniform: the small source's mix
+    weight exceeds its natural share, the big source's shrinks; weights
+    sum to ~1; alpha=1 reproduces natural shares."""
+    from sensordatapipelines_spark.operators.utility import source_mix_temperature
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(90)] + [("small", i) for i in range(10)],
+        "source string, x long",
+    )
+    out = {r["source"]: r for r in source_mix_temperature(df, "source", alpha=0.5).collect()}
+    assert out["small"]["mix_weight"] > out["small"]["natural_share"]
+    assert out["big"]["mix_weight"] < out["big"]["natural_share"]
+    total_w = sum(r["mix_weight"] for r in out.values())
+    assert total_w == pytest.approx(1.0, abs=1e-5)
+    nat = {
+        r["source"]: r
+        for r in source_mix_temperature(df, "source", alpha=1.0).collect()
+    }
+    assert nat["big"]["mix_weight"] == pytest.approx(nat["big"]["natural_share"], abs=1e-5)
+    assert nat["big"]["epochs_at_budget"] == pytest.approx(1.0, abs=1e-5)
