@@ -3691,6 +3691,61 @@ def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_OUT_DIM = 8
+RP_SEED = 7
+COVERAGE_M = 10
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→8 dims: the sign
+    matrix enters the plan as literals, so the operator is a map-side
+    zip_with/aggregate fold — zero shuffle, zero Python. ±1 products are
+    IEEE-exact and both engines fold left-to-right, so values match the
+    oracle bit-for-bit before the 6-decimal round."""
+    from sensordatapipelines_spark.operators.similarity import random_projection
+
+    _register_views(spark, sf_dir)
+    return random_projection(
+        spark.table("embeddings"), out_dim=RP_OUT_DIM, seed=RP_SEED
+    )
+
+
+def emb_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection: deterministic k-means fit, keep the 10 vectors
+    closest to each centroid (prototype sampling for mode-covering
+    training subsets). Centroids are plan literals; the per-cluster top-m
+    is a window row_number with (rounded distance, vec_id) total order.
+    Oracle: the same unrolled k-means CTE as emb_kmeans plus a window."""
+    from sensordatapipelines_spark.operators.similarity import (
+        cluster_coverage_sample,
+    )
+
+    _register_views(spark, sf_dir)
+    return cluster_coverage_sample(
+        spark.table("embeddings"),
+        m=COVERAGE_M,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        dim=ANN_DIM,
+    )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering: keep each document with probability equal
+    to its heuristic quality score (DCLM-style calibrated sampling instead
+    of a hard cutoff). Membership is a pure function of doc_id + score
+    (MD5-prefix uniform vs hex threshold) — zero state, zero shuffle,
+    stable across re-runs; the oracle replays the identical string
+    comparison."""
+    from sensordatapipelines_spark.operators.text import quality_score
+    from sensordatapipelines_spark.operators.utility import quality_weighted_sample
+
+    _register_views(spark, sf_dir)
+    scored = quality_score(spark.table("documents"))
+    kept = quality_weighted_sample(scored, key_col="doc_id", weight_col="quality")
+    return kept.select("doc_id", "quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3846,6 +3901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": docs_boilerplate,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_mix_temperature": docs_mix_temperature,
+        "emb_random_projection": emb_random_projection,
+        "emb_coverage_sample": emb_coverage_sample,
+        "docs_weighted_sample": docs_weighted_sample,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -3877,6 +3935,9 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_boilerplate",
     "docs_bm25_topk",
     "docs_mix_temperature",
+    "emb_random_projection",
+    "emb_coverage_sample",
+    "docs_weighted_sample",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6451,5 +6512,57 @@ def oracle_sql() -> dict[str, str]:
                round((p_e6 * 1.0 / z_e6) / (c / total), 6) AS epochs_at_budget
         FROM powed, norm
         ORDER BY source
+    """
+    from sensordatapipelines_spark.operators.similarity import _rp_signs
+
+    rp_cols = []
+    for j, row in enumerate(_rp_signs(ANN_DIM, RP_OUT_DIM, RP_SEED)):
+        signs = ", ".join(f"{float(s):.1f}" for s in row)
+        rp_cols.append(
+            f"round(list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]),"
+            f" (x, y) -> x + y) / sqrt({float(RP_OUT_DIM)}), 6) AS p{j:02d}"
+        )
+    oracles["emb_random_projection"] = (
+        "SELECT vec_id, " + ", ".join(rp_cols) + " FROM embeddings"
+    )
+    d2_final = (
+        f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])),"
+        " (x, y) -> x + y)"
+    )
+    oracles["emb_coverage_sample"] = f"""
+        {kmeans_cte},
+        dists AS (
+            SELECT e.vec_id, c.cid, {d2_final} AS d2
+            FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
+        ),
+        best AS (
+            SELECT vec_id, cid, round(d2, 6) AS dist2 FROM (
+                SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT vec_id, cid, dist2,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY dist2, vec_id) AS rnk
+            FROM best
+        ) WHERE rnk <= {COVERAGE_M}
+    """
+    oracles["docs_weighted_sample"] = f"""
+        WITH q AS ({oracles["docs_quality"]})
+        SELECT doc_id, quality
+        FROM q
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE WHEN quality >= 1.0 THEN 'g'
+                   ELSE printf('%08x',
+                        CAST(floor(quality * 4294967296.0) AS BIGINT))
+              END
     """
     return oracles

@@ -391,6 +391,22 @@ def kmeans_assign(
 
     An empty cluster keeps its previous centroid. Returns ``df`` plus the
     1-based final ``cluster`` column."""
+    cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
+    return df.withColumn(out_col, ivf_cell_expr(F.col(vec_col), cents))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """The driver-side Lloyd loop behind ``kmeans_assign``: returns the
+    final k × dim centroid matrix (control-plane size) so composing
+    operators (coverage sampling, semantic dedup) can build their own
+    literal-centroid expressions without re-fitting."""
     init = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
@@ -415,7 +431,7 @@ def kmeans_assign(
         for r in rows:
             new_cents[r["__c"] - 1] = [float(r[f"__m{i}"]) for i in range(dim)]
         cents = new_cents
-    return df.withColumn(out_col, ivf_cell_expr(v, cents))
+    return cents
 
 
 @register("semantic_dedup")
@@ -460,4 +476,113 @@ def semantic_dedup(
     )
     return clustered.join(
         losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
+    )
+
+
+def _rp_signs(dim: int, out_dim: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the random projection, generated
+    with a fixed LCG (no platform RNG) so Spark and any oracle can inline
+    the identical literals."""
+    state = seed & 0x7FFFFFFF
+    rows = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(1 if (state >> 16) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+@register("random_projection")
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    ±1 sign matrix (Achlioptas 2003's database-friendly projection): each
+    output coordinate is ``dot(vec, signs_j) / sqrt(out_dim)`` — a cheap
+    pre-filter/compaction step before ANN or clustering that preserves
+    pairwise distances within (1±ε).
+
+    Scale shape (100 TB): the sign matrix enters the plan as LITERALS, so
+    the whole operator is a map-side ``zip_with``+``aggregate`` fold per
+    output dimension — zero shuffle, zero Python, scales with scan
+    bandwidth. Determinism: ±1 multiplications are exact in IEEE double
+    and both engines fold left-to-right, so results are bit-identical;
+    outputs round to 6 decimals. Output columns ``p00..pNN`` (flat, not
+    an array, so oracle comparison is per-column)."""
+    signs = _rp_signs_for(df, vec_col, out_dim, seed)
+    v = F.col(vec_col)
+    scale = float(out_dim) ** 0.5
+    cols = {}
+    for j, row in enumerate(signs):
+        s_lit = F.array(*[F.lit(float(s)) for s in row])
+        dot = F.aggregate(
+            F.zip_with(v, s_lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols[f"p{j:02d}"] = F.round(dot / F.lit(scale), 6)
+    return df.select(F.col(id_col), *[cols[c].alias(c) for c in sorted(cols)])
+
+
+def _rp_signs_for(df: DataFrame, vec_col: str, out_dim: int, seed: int):
+    """Resolve the input dimension from the schema when possible, else
+    probe one row — keeps the operator self-contained for ad-hoc frames."""
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    dim = int(first["n"]) if first else 0
+    return _rp_signs(dim, out_dim, seed)
+
+
+@register("cluster_coverage_sample")
+def cluster_coverage_sample(
+    df: DataFrame,
+    m: int = 10,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Coreset/coverage selection: fit deterministic k-means, then keep the
+    ``m`` vectors closest to each cluster's centroid — the cheap
+    "prototype sampling" recipe for building a small training subset that
+    still covers every mode of the embedding distribution (the selection
+    half of SemDeDup-style curation, keeping centers instead of dropping
+    near-dups).
+
+    Scale shape: centroids are literals (control-plane size), so distance
+    and assignment are map-side folds; the per-cluster top-m is a window
+    ``row_number`` partitioned by cluster. NOTE the window shuffles into
+    only k partitions — fine for the usual k in the hundreds-to-thousands,
+    but for tiny k over huge data raise k or pre-aggregate with an
+    approximate distance threshold first (SCALE.md). Distances round to 6
+    decimals with ``id_col`` as tiebreak, so selection is total-ordered
+    and engine-portable."""
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
+    v = F.col(vec_col)
+    darr = ivf_dists_expr(v, cents)
+    assigned = df.withColumn("__darr", darr).select(
+        F.col(id_col),
+        F.array_position(F.col("__darr"), F.array_min(F.col("__darr"))).alias(
+            "cluster"
+        ),
+        F.round(F.array_min(F.col("__darr")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            "dist2",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )

@@ -381,3 +381,34 @@ def source_mix_temperature(
         )
         .orderBy("source")
     )
+
+
+@register("quality_weighted_sample")
+def quality_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability equal to its
+    per-row weight in [0,1] (clamped) — the DCLM/FineWeb-style alternative
+    to a hard quality cutoff that keeps a calibrated fraction of
+    mid-quality documents instead of a cliff. Membership is a pure
+    function of (salt, key, weight): the row's MD5-prefix uniform is
+    compared against the weight's 8-hex-digit threshold, so re-runs and
+    resumed jobs at 100 TB select the exact same rows with zero state and
+    zero shuffle (same determinism contract as ``hash_sample``, which
+    this generalizes from per-stratum constant rates to a per-row rate).
+
+    Engine-portable: the comparison is string-lexicographic on hex
+    digits; the threshold is ``format('%08x', floor(w * 16^8))`` with
+    w≥1 mapped to 'g' (sorts above every hex string). No float compare
+    crosses the engine boundary."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    thr = F.when(w >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%08x", F.floor(w * F.lit(4294967296.0)).cast("long"))
+    )
+    return df.filter(prefix < thr)

@@ -175,3 +175,62 @@ def test_semantic_dedup_drops_neardups_within_cluster(spark):
     out = {r["vec_id"] for r in semantic_dedup(df, k=2, iters=2, threshold=0.999, dim=8).collect()}
     assert 2 in out and 99 not in out
     assert out == {i for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation: random projection + cluster coverage sampling
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_scaling(spark):
+    """Linearity sanity: projecting 2x scales every output coordinate by 2
+    (up to the 6-decimal round); output has out_dim flat columns."""
+    from sensordatapipelines_spark.operators.similarity import random_projection
+
+    base = [float(i % 5 - 2) for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, [2.0 * x for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    out = random_projection(df, out_dim=4, seed=7)
+    assert [c for c in out.columns if c.startswith("p")] == [
+        "p00", "p01", "p02", "p03"
+    ]
+    rows = {r["vec_id"]: r for r in out.collect()}
+    for j in range(4):
+        c = f"p{j:02d}"
+        assert rows[2][c] == pytest.approx(2.0 * rows[1][c], abs=1e-5)
+
+
+def test_random_projection_deterministic_signs(spark):
+    from sensordatapipelines_spark.operators.similarity import _rp_signs
+
+    a = _rp_signs(8, 4, 7)
+    assert a == _rp_signs(8, 4, 7)
+    assert a != _rp_signs(8, 4, 8)
+    assert all(s in (-1, 1) for row in a for s in row)
+
+
+def test_cluster_coverage_sample_selects_prototypes(spark):
+    """Two well-separated blobs, m=2: the two closest vectors of each blob
+    are kept, ranked by distance with id tiebreak."""
+    from sensordatapipelines_spark.operators.similarity import (
+        cluster_coverage_sample,
+    )
+
+    rows = [
+        (1, [0.0, 0.0]),   # blob A center-ish
+        (2, [0.1, 0.0]),
+        (3, [0.4, 0.0]),   # blob A outlier
+        (4, [10.0, 0.0]),  # blob B
+        (5, [10.1, 0.0]),
+        (6, [10.5, 0.0]),  # blob B outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_coverage_sample(df, m=2, k=2, iters=2, dim=2)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {1, 2, 4, 5}
+    per_cluster = {}
+    for r in out.collect():
+        per_cluster.setdefault(r["cluster"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2] for v in per_cluster.values())

@@ -697,3 +697,23 @@ def test_source_mix_temperature_flattens(spark):
     }
     assert nat["big"]["mix_weight"] == pytest.approx(nat["big"]["natural_share"], abs=1e-5)
     assert nat["big"]["epochs_at_budget"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_quality_weighted_sample_rates(spark):
+    """Weight 1 keeps everything, weight 0 keeps nothing, weight 0.5 keeps
+    roughly half (hash-uniform), and membership is deterministic."""
+    from sensordatapipelines_spark.operators.utility import quality_weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.lit(1.0).alias("w1"),
+        F.lit(0.0).alias("w0"),
+        F.lit(0.5).alias("wh"),
+    )
+    assert quality_weighted_sample(df, "k", "w1").count() == 2000
+    assert quality_weighted_sample(df, "k", "w0").count() == 0
+    n = quality_weighted_sample(df, "k", "wh").count()
+    assert 850 <= n <= 1150
+    ids1 = {r["k"] for r in quality_weighted_sample(df, "k", "wh").collect()}
+    ids2 = {r["k"] for r in quality_weighted_sample(df, "k", "wh").collect()}
+    assert ids1 == ids2
