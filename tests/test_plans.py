@@ -312,3 +312,53 @@ def test_wkb_polygon_agg_broadcasts_polygon_side(spark):
     # no Python evaluation node above it
     sensor_side = plan.split("FileScan parquet")[-1]
     assert "ArrowEvalPython" not in sensor_side
+
+
+def test_random_projection_zero_exchange(spark):
+    """JL projection is a pure map: no Exchange anywhere in the plan — the
+    whole operator must ride the scan (SCALE.md: sign matrix as literals)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.emb_random_projection(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_stats_broadcast_scoring_mapside(spark):
+    """BM25: the one aggregate row broadcasts; scoring adds no extra
+    shuffle beyond the stats agg + final TakeOrdered."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_bm25_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_set_broadcasts(spark):
+    """The boilerplate n-gram set (small by construction) must broadcast
+    onto the gram stream — a shuffled semi-join of the corpus-sized gram
+    stream against it would be the 100 TB bottleneck."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_boilerplate(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_unigram_vocab_broadcasts(spark):
+    """The vocabulary log-prob table joins back to the token stream as a
+    broadcast (Heaps'-law small), not a corpus-sized shuffle join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_unigram_logprob(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_weighted_sample_is_scan_side_filter(spark):
+    """The soft sample is a pure filter over the scan: no Exchange, no
+    Python, membership fully inside whole-stage codegen."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_weighted_sample(spark, SF))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
