@@ -3746,6 +3746,50 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "quality")
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (finite 21-row
+    frame, alpha=0.3): one window exchange; the geometric weights come
+    from a fold recurrence (acc*(1-a)+x), so no cross-engine pow and the
+    oracle replays the identical IEEE sequence."""
+    from sensordatapipelines_spark.operators.temporal import ewma
+
+    _register_views(spark, sf_dir)
+    out = ewma(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        ts_col="ts",
+        key_col="user_id",
+        alpha=0.3,
+        window_rows=20,
+        order_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "value_ewma")
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort grid: cohort by first-event week, cells
+    count distinct returning users per week offset with the retention
+    ratio. Two map-side-combined aggregates + a broadcast of the per-
+    cohort sizes — no window over the fact table."""
+    from sensordatapipelines_spark.operators.temporal import retention_cohorts
+
+    _register_views(spark, sf_dir)
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution: for each purchase, the
+    user's first and last preceding click plus the running touch count —
+    ONE window exchange serves all three measures (no fact-fact
+    self-join)."""
+    from sensordatapipelines_spark.operators.temporal import touch_attribution
+
+    _register_views(spark, sf_dir)
+    return touch_attribution(
+        load_table(spark, sf_dir, "events"), order_tiebreak="event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3904,6 +3948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": emb_random_projection,
         "emb_coverage_sample": emb_coverage_sample,
         "docs_weighted_sample": docs_weighted_sample,
+        "events_ewma": events_ewma,
+        "events_retention": events_retention,
+        "events_attribution": events_attribution,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -3938,6 +3985,9 @@ _ROUND3_SAMPLE_FIRST = [
     "emb_random_projection",
     "emb_coverage_sample",
     "docs_weighted_sample",
+    "events_ewma",
+    "events_retention",
+    "events_attribution",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6564,5 +6614,79 @@ def oracle_sql() -> dict[str, str]:
                    ELSE printf('%08x',
                         CAST(floor(quality * 4294967296.0) AS BIGINT))
               END
+    """
+    oracles["events_ewma"] = """
+        WITH e AS (
+            SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+                   epoch_us(ts) AS tus
+            FROM events
+        ),
+        arr AS (
+            SELECT event_id, user_id,
+                   list(v) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id
+                                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+                       AS l
+            FROM e
+        )
+        SELECT event_id, user_id,
+               round(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                               (acc, x) -> acc * 0.7 + x)
+                   / list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_transform(l, x -> CAST(1.0 AS DOUBLE))),
+                         (acc, x) -> acc * 0.7 + x),
+                   6) AS value_ewma
+        FROM arr
+    """
+    oracles["events_retention"] = """
+        WITH e AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        ),
+        firstw AS (
+            SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, wk AS act_week FROM e),
+        cells AS (
+            SELECT cohort_week,
+                   CAST(FLOOR((act_week - cohort_week) / 7.0) AS BIGINT)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM act a JOIN firstw f USING (user_id)
+            GROUP BY cohort_week, week_offset
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size
+            FROM firstw GROUP BY cohort_week
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_offset,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(cohort_size AS BIGINT) AS cohort_size,
+               round(n_active * 1.0 / cohort_size, 6) AS retention
+        FROM cells c JOIN sizes s USING (cohort_week)
+    """
+    oracles["events_attribution"] = """
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+            FROM events
+        ),
+        wins AS (
+            SELECT event_id, user_id, event_type,
+                   first_value(CASE WHEN event_type = 'click' THEN event_id END
+                               IGNORE NULLS) OVER w AS first_touch_id,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS) OVER w AS last_touch_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER w AS n_touches
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS conversion_id, user_id, first_touch_id,
+               last_touch_id, CAST(n_touches AS BIGINT) AS n_touches
+        FROM wins WHERE event_type = 'purchase'
     """
     return oracles

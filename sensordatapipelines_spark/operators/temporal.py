@@ -545,3 +545,143 @@ def scd2_compress(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+@register("ewma")
+def ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "sensor_id",
+    alpha: float = 0.3,
+    window_rows: int = 20,
+    order_tiebreak: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last
+    ``window_rows``+1 observations per key — the standard smoothing for
+    irregular sensor streams where ``moving_average``'s uniform weights
+    lag trend changes. Finite-window normalized EWMA:
+    ``Σ (1-α)^j·x_{t-j} / Σ (1-α)^j`` (j=0 newest).
+
+    Engine shape: ONE window shuffle on the key; the frame's values fold
+    per row (``collect_list`` over a ROWS frame, then two left-folds for
+    numerator and normalizer). No ``pow``: the geometric weights come from
+    the recurrence ``acc*(1-α)+x`` folded oldest→newest, so Spark and any
+    oracle compute bit-identical IEEE sequences (the verify gotcha about
+    cross-engine pow never arises). O(window_rows) per row — bounded
+    frames only, by design; an unbounded EWMA is a sequential recurrence
+    that belongs to ``applyInPandas`` (SCALE.md)."""
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, Window.currentRow)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    decay = 1.0 - float(alpha)
+    num = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc * F.lit(decay) + x
+    )
+    den = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc * F.lit(decay) + F.lit(1.0)
+    )
+    return df.withColumn(out_col or f"{value_col}_ewma", F.round(num / den, 6))
+
+
+@register("retention_cohorts")
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohort grid: users are cohorted by the week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct users from that cohort active ``offset`` weeks later, plus
+    the retention ratio against the cohort's size — the standard
+    engagement decay matrix.
+
+    Engine shape: per-user first-event timestamp is one map-side-combined
+    aggregate; distinct (user, week) activity is a second; both shuffle
+    on ``user_col`` so AQE can coalesce, and the final cell aggregation
+    reduces to |cohorts × offsets| rows. Cohort sizes join back
+    BROADCAST (one row per cohort week). No window over the fact table."""
+    ts = F.col(ts_col).cast("timestamp")
+    wk = F.date_trunc("week", ts).cast("date")
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(wk).alias("cohort_week")
+    )
+    activity = df.select(
+        F.col(user_col).alias("__u"), wk.alias("act_week")
+    ).distinct()
+    cells = (
+        activity.join(first, "__u")
+        .groupBy("cohort_week", ((F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("long")).alias("week_offset"))
+        .agg(F.count_distinct(F.col("__u")).alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+@register("touch_attribution")
+def touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, the id of the user's FIRST and LAST preceding touch
+    event (plus the running touch count) — the marketing-attribution
+    primitive, and the generalization of the as-of join
+    (``events_asof_purchase`` is exactly the last-touch column).
+
+    Engine shape: ONE window exchange on the user key serves all three
+    measures (``first``/``last`` with ignorenulls over an unbounded
+    preceding ROWS frame, and a conditional running count) — no
+    self-join of the fact table against itself, which is the naive
+    two-scan formulation. Conversions with no prior touch keep NULL
+    attribution (kept, not dropped)."""
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col(type_col) == touch_type
+    touch_id = F.when(is_touch, F.col(id_col))
+    out = (
+        df.withColumn("first_touch_id", F.first(touch_id, ignorenulls=True).over(w))
+        .withColumn("last_touch_id", F.last(touch_id, ignorenulls=True).over(w))
+        .withColumn("n_touches", F.sum(is_touch.cast("long")).over(w))
+        .filter(F.col(type_col) == convert_type)
+    )
+    return out.select(
+        F.col(id_col).alias("conversion_id"),
+        user_col,
+        "first_touch_id",
+        "last_touch_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+    )

@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.operators.temporal import (
@@ -288,3 +290,100 @@ def test_scd2_compress_runs_and_validity(spark):
         (1, "B", 3, 4, 2),
         (2, "X", 5, None, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation: EWMA, retention cohorts, touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_recurrence_matches_closed_form(spark):
+    """EWMA of [1, 1, 1] is 1 regardless of alpha; a step change moves the
+    smoothed value toward the new level by exactly alpha-weighted decay."""
+    from sensordatapipelines_spark.operators.temporal import ewma
+
+    rows = [
+        (1, "s", "2024-01-01 00:00:00", 1.0),
+        (2, "s", "2024-01-01 00:01:00", 1.0),
+        (3, "s", "2024-01-01 00:02:00", 1.0),
+        (4, "s", "2024-01-01 00:03:00", 11.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts string, value double")
+    out = {
+        r["event_id"]: r["value_ewma"]
+        for r in ewma(df, key_col="k", alpha=0.3, window_rows=20,
+                      order_tiebreak="event_id").collect()
+    }
+    assert out[1] == 1.0 and out[3] == 1.0
+    # num = ((1*0.7+1)*0.7+1)*0.7+11, den = ((1*.7+1)*.7+1)*.7+1
+    num = ((1 * 0.7 + 1) * 0.7 + 1) * 0.7 + 11
+    den = ((1 * 0.7 + 1) * 0.7 + 1) * 0.7 + 1
+    assert out[4] == pytest.approx(round(num / den, 6))
+
+
+def test_ewma_window_bound_limits_history(spark):
+    """window_rows=1 → only the previous row participates."""
+    from sensordatapipelines_spark.operators.temporal import ewma
+
+    rows = [
+        (1, "s", "2024-01-01 00:00:00", 100.0),
+        (2, "s", "2024-01-01 00:01:00", 0.0),
+        (3, "s", "2024-01-01 00:02:00", 0.0),
+        (4, "s", "2024-01-01 00:03:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts string, value double")
+    out = {
+        r["event_id"]: r["value_ewma"]
+        for r in ewma(df, key_col="k", alpha=0.5, window_rows=1,
+                      order_tiebreak="event_id").collect()
+    }
+    assert out[3] == 0.0 and out[4] == 0.0  # row 1 aged out of the frame
+
+
+def test_retention_cohorts_grid(spark):
+    """Two users cohorted week 1; one returns in week 2 → retention 0.5 at
+    offset 1; a week-2 user forms its own cohort at offset 0."""
+    from sensordatapipelines_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday week 1
+        (2, "2024-01-02 10:00:00"),
+        (1, "2024-01-08 10:00:00"),  # user 1 returns week 2
+        (3, "2024-01-09 10:00:00"),  # new cohort week 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    out = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in retention_cohorts(df).collect()
+    }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["cohort_size"] == 1
+
+
+def test_touch_attribution_first_last(spark):
+    """Purchase attributes to first AND last prior click; a purchase with
+    no prior touch keeps NULLs; later clicks don't leak backwards."""
+    from sensordatapipelines_spark.operators.temporal import touch_attribution
+
+    rows = [
+        (10, 1, "click", "2024-01-01 00:00:00"),
+        (11, 1, "view", "2024-01-01 00:01:00"),
+        (12, 1, "click", "2024-01-01 00:02:00"),
+        (13, 1, "purchase", "2024-01-01 00:03:00"),
+        (14, 1, "click", "2024-01-01 00:04:00"),
+        (20, 2, "purchase", "2024-01-01 00:00:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    )
+    out = {
+        r["conversion_id"]: r
+        for r in touch_attribution(df, order_tiebreak="event_id").collect()
+    }
+    assert out[13]["first_touch_id"] == 10
+    assert out[13]["last_touch_id"] == 12
+    assert out[13]["n_touches"] == 2
+    assert out[20]["first_touch_id"] is None and out[20]["n_touches"] == 0
