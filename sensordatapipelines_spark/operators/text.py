@@ -457,6 +457,29 @@ def max_repeat_count_expr(arr: Column) -> Column:
     )
 
 
+def _max_count_udf():
+    """Arrow-batched most-frequent-element counter for a string-array
+    column: ``np.unique`` with counts per row. Integer output — any
+    method that counts the same elements is bit-identical, so this kernel
+    and the ``max_repeat_count_expr`` fold are exact twins; the kernel
+    exists because the per-row struct fold runs INTERPRETED in Catalyst
+    (measured: it dominated gopher_quality's runtime)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _maxcount(arrs):
+        out = np.zeros(len(arrs), dtype="int64")
+        for i, a in enumerate(arrs):
+            if a is not None and len(a):
+                _, counts = np.unique(np.asarray(a, dtype=object), return_counts=True)
+                out[i] = int(counts.max())
+        return pd.Series(out)
+
+    return _maxcount
+
+
 @register("gopher_quality")
 def gopher_quality(
     df: DataFrame,
@@ -468,6 +491,7 @@ def gopher_quality(
     max_top_bigram_frac: float = 0.15,
     max_dup_unigram_frac: float = 0.6,
     min_stop_hits: int = 1,
+    engine: str = "kernel",
 ) -> DataFrame:
     """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1's
     heuristics re-expressed for word-soup corpora), one row per document:
@@ -481,11 +505,14 @@ def gopher_quality(
       filter": real prose contains at least a couple),
     - ``keep`` = AND of all gates.
 
-    Everything is a map-side JVM expression — the most-frequent-bigram
-    count uses the sorted-run fold (``max_repeat_count_expr``), so the
-    whole operator is ZERO-shuffle and scales with scan bandwidth at
-    100 TB. Reference has no equivalent; charter extension per the
-    training-data-pipeline brief (SURVEY.md §2.7)."""
+    Everything is map-side and ZERO-shuffle either way, scaling with scan
+    bandwidth at 100 TB. The most-frequent-bigram count is integer-exact
+    under both engines: ``engine="kernel"`` (default) uses the
+    Arrow-batched ``np.unique`` counter (the per-row struct fold runs
+    interpreted in Catalyst and measured as the operator's hot spot);
+    ``engine="expr"`` keeps the pure-JVM sorted-run fold
+    (``max_repeat_count_expr``). Reference has no equivalent; charter
+    extension per the training-data-pipeline brief (SURVEY.md §2.7)."""
     t = F.col(text_col)
     toks = tokens_expr(t)
     toks_l = tokens_expr(F.lower(t))
@@ -493,7 +520,11 @@ def gopher_quality(
     nd = F.size(F.array_distinct(toks))
     from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
 
-    top_bg = max_repeat_count_expr(word_ngrams_expr(t, 2))
+    bigrams = word_ngrams_expr(t, 2)
+    if engine == "kernel":
+        top_bg = _max_count_udf()(bigrams)
+    else:
+        top_bg = max_repeat_count_expr(bigrams)
     dup_uni = F.when(
         n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))

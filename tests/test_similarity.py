@@ -234,3 +234,36 @@ def test_cluster_coverage_sample_selects_prototypes(spark):
     for r in out.collect():
         per_cluster.setdefault(r["cluster"], []).append(r["rnk"])
     assert all(sorted(v) == [1, 2] for v in per_cluster.values())
+
+
+def test_kmeans_kernel_expr_twins_identical(spark):
+    """The Arrow argmin kernel and the literal-fold expression are exact
+    twins: identical assignments on the same frame."""
+    from sensordatapipelines_spark.operators.similarity import kmeans_assign
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, kmeans_assign(df, k=4, iters=2, dim=8, engine="kernel").select("vec_id", "cluster").collect()))
+    b = sorted(map(tuple, kmeans_assign(df, k=4, iters=2, dim=8, engine="expr").select("vec_id", "cluster").collect()))
+    assert a == b
+
+
+def test_semantic_dedup_kernel_expr_twins_identical(spark):
+    from sensordatapipelines_spark.operators.similarity import semantic_dedup
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((10, 8))
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in base[i] * 1.0001]))  # near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(r["vec_id"] for r in semantic_dedup(df, k=2, iters=1, dim=8, engine="kernel").collect())
+    b = sorted(r["vec_id"] for r in semantic_dedup(df, k=2, iters=1, dim=8, engine="expr").collect())
+    assert a == b
+    assert len(a) < 20  # some near-dups dropped

@@ -717,3 +717,21 @@ def test_quality_weighted_sample_rates(spark):
     ids1 = {r["k"] for r in quality_weighted_sample(df, "k", "wh").collect()}
     ids2 = {r["k"] for r in quality_weighted_sample(df, "k", "wh").collect()}
     assert ids1 == ids2
+
+
+def test_gopher_kernel_expr_twins_identical(spark):
+    from sensordatapipelines_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat again " * 3),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, ""),
+            (4, "assorted words of a perfectly ordinary and long enough document "
+                "that it should pass every gate with room to spare for sure"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, gopher_quality(docs, engine="kernel").collect()))
+    b = sorted(map(tuple, gopher_quality(docs, engine="expr").collect()))
+    assert a == b
