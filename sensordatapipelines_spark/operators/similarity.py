@@ -51,13 +51,23 @@ def cosine_topk(
     ``row_number`` over (similarity desc, id) — deterministic ties. Self-pairs
     (same id) are excluded."""
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+        norm_expr(F.col(query_vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
     pairs = F.broadcast(q).join(c, on=F.col("__qid") != F.col("__cid"))
     # Rank on the unrounded similarity (ties broken by id), round only the
-    # reported value — keeps ranking identical to an oracle that does the same.
-    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    # reported value — keeps ranking identical to an oracle that does the
+    # same. Norms precompute once per row; the per-pair dot runs in the
+    # fold-exact Arrow kernel (bit-identical to cosine_expr's fold).
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
     return (
         pairs.withColumn("__sim", sim)
@@ -153,27 +163,21 @@ def ann_lsh_topk(
     Arrow-batched numpy kernel instead — vectorized over rows, SEQUENTIAL
     over dimensions, so the accumulation order (and therefore every sign
     bit) is IEEE-identical to the expression fold and the DuckDB oracle."""
-    if n_tables == 1:
-        planes = _hyperplanes(dim, n_planes, lsh_table_seed(seed, 0))
-        sides = [
-            df_side.select(
-                F.col(id_col).alias(f"__{role}id"),
-                F.lit(0).alias("tbl"),
-                lsh_signature_expr(F.col(vec_col), planes).alias("sig"),
-            )
-            for role, df_side in (("q", queries), ("c", corpus))
-        ]
-    else:
-        sig_udf = _multi_table_sig_udf(
-            [_hyperplanes(dim, n_planes, lsh_table_seed(seed, t)) for t in range(n_tables)]
+    # Signatures always compute in the Arrow kernel (bit-identical to the
+    # lsh_signature_expr fold — table 0 IS the single-table signature);
+    # the n_planes dot folds per row run interpreted as Catalyst HOFs
+    # otherwise and their literal plane arrays bloat plan analysis
+    # (SCALE.md literal-centroid note).
+    sig_udf = _multi_table_sig_udf(
+        [_hyperplanes(dim, n_planes, lsh_table_seed(seed, t)) for t in range(n_tables)]
+    )
+    sides = [
+        df_side.select(
+            F.col(id_col).alias(f"__{role}id"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
         )
-        sides = [
-            df_side.select(
-                F.col(id_col).alias(f"__{role}id"),
-                F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
-            )
-            for role, df_side in (("q", queries), ("c", corpus))
-        ]
+        for role, df_side in (("q", queries), ("c", corpus))
+    ]
     qs, cs = sides
     cand = (
         F.broadcast(qs)
@@ -184,11 +188,19 @@ def ann_lsh_topk(
     if n_tables > 1:
         cand = cand.distinct()
     qv = queries.select(
-        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    cv = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    cv = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
     pairs = cand.join(F.broadcast(qv), "__qid").join(cv, "__cid")
-    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
     return (
         pairs.withColumn("__sim", sim)
@@ -251,18 +263,23 @@ def ann_ivf_topk(
     product never materializes. Recall tunes via ``n_cells`` and ``nprobe``
     (each query probes its ``nprobe`` closest cells — the candidate set
     grows ~linearly in nprobe, and a corpus vector lives in exactly one
-    cell so probes never produce duplicate pairs)."""
+    cell so probes never produce duplicate pairs).
+
+    The corpus-side cell assignment runs in the Arrow argmin kernel
+    (``_cell_assign_udf``, bit-identical to ``ivf_cell_expr`` — see the
+    SCALE.md literal-centroid note); per-pair cosine precomputes norms
+    per row and evaluates one fold per pair."""
     cents = _ivf_centroids(dim, n_cells, seed)
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
-        ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
+        _cell_assign_udf(cents)(F.col(vec_col)).alias("__cell"),
     )
     if nprobe <= 1:
         q = queries.select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).alias("__qv"),
-            ivf_cell_expr(F.col(vec_col), cents).alias("__cell"),
+            _cell_assign_udf(cents)(F.col(vec_col)).alias("__cell"),
         )
     else:
         # Rank cells per query by (distance, index) and keep the nprobe
@@ -279,8 +296,12 @@ def ann_ivf_topk(
             .filter(F.col("__rn") <= nprobe)
             .select("__qid", "__qv", (F.col("__pos") + 1).alias("__cell"))
         )
+    q = q.withColumn("__qn", norm_expr(F.col("__qv")))
+    c = c.withColumn("__cn", norm_expr(F.col("__cv")))
     pairs = F.broadcast(q).join(c, on="__cell").filter(F.col("__qid") != F.col("__cid"))
-    sim = cosine_expr(F.col("__qv"), F.col("__cv"))
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
     return (
         pairs.withColumn("__sim", sim)
@@ -307,19 +328,25 @@ def embedding_neardup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → ``(id_a, id_b, cos_sim)``:
     LSH-bucketed self-join (equi-join on signature), exact cosine filter at
-    ``threshold`` within buckets."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    ``threshold`` within buckets. Signatures and the per-pair dot run in
+    the fold-exact Arrow kernels; norms precompute once per row."""
+    sig_udf = _multi_table_sig_udf([_hyperplanes(dim, n_planes, seed)])
     sig = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("__sig"),
+        norm_expr(F.col(vec_col)).alias("__n"),
+        sig_udf(F.col(vec_col))[0].alias("__sig"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = a.join(
         b,
         on=(F.col("a.__sig") == F.col("b.__sig")) & (F.col("a.__id") < F.col("b.__id")),
     )
-    sim = F.round(cosine_expr(F.col("a.__v"), F.col("b.__v")), 6)
+    sim = F.round(
+        _pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__n") * F.col("b.__n")),
+        6,
+    )
     return (
         pairs.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
