@@ -653,12 +653,19 @@ def boilerplate_ngrams(
     from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
 
     grams = word_ngrams_expr(F.col(text_col), n)
-    gram_stream = df.select(F.col(id_col), F.explode(grams).alias("__g"))
-    doc_freq = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("__g"))
-        .groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # Explode ONCE, reduce to (doc, gram, occurrences) immediately: this
+    # single exchange feeds BOTH the document-frequency aggregate (df per
+    # gram = row count) and the final per-doc coverage aggregate —
+    # Spark's ReuseExchange dedupes the shared subplan, so the corpus
+    # n-gram stream is built and shuffled exactly once (the previous
+    # two-explode formulation paid the interpreted gram construction and
+    # the 2M-row shuffle twice).
+    pair_counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
+    doc_freq = pair_counts.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     boiler = (
         doc_freq.crossJoin(F.broadcast(n_docs))
@@ -668,16 +675,18 @@ def boilerplate_ngrams(
         )
         .select("__g")
     )
-    hits = (
-        gram_stream.join(F.broadcast(boiler), "__g", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n_boiler"))
+    flagged = pair_counts.join(
+        F.broadcast(boiler.withColumn("__hit", F.lit(1))), "__g", "left"
     )
-    totals = gram_stream.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
+    counts = flagged.groupBy(id_col).agg(
+        F.sum("__c").alias("__n_grams"),
+        F.sum(
+            F.when(F.col("__hit").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+        ).alias("__n_boiler"),
+    )
     per_doc = (
         df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
+        .join(counts, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__n_grams"), F.lit(0)).cast("long").alias("n_grams"),

@@ -337,12 +337,20 @@ def test_bm25_stats_broadcast_scoring_mapside(spark):
 
 def test_boilerplate_set_broadcasts(spark):
     """The boilerplate n-gram set (small by construction) must broadcast
-    onto the gram stream — a shuffled semi-join of the corpus-sized gram
-    stream against it would be the 100 TB bottleneck."""
+    onto the (doc, gram) counts — a shuffled join of the corpus-sized
+    stream against it would be the 100 TB bottleneck. Both consumers of
+    the gram stream must aggregate to (doc, gram) BEFORE any exchange
+    (map-side compression; column pruning keeps the two subplans
+    canonically distinct, so ReuseExchange cannot merge them — the
+    partial aggregate is what bounds the shuffled bytes)."""
     import __spark_entry__ as e
 
     plan = _plan(e.docs_boilerplate(spark, SF))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate explode") <= 2
+    # the gram-keyed join must never shuffle-sort the corpus-sized gram
+    # stream (the final doc_id reattach join may legitimately be SMJ)
+    assert "SortMergeJoin [__g" not in plan
 
 
 def test_unigram_vocab_broadcasts(spark):
