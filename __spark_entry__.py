@@ -3830,6 +3830,45 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregate maintenance: build mergeable power-sum states
+    over two disjoint halves of the events table (split by event_id
+    parity — the 'yesterday's state + today's delta' shape), MERGE them,
+    and finalize into count/mean/variance/extremes. The oracle computes
+    the same metrics over the whole table directly, proving the merge
+    algebra exact. States are key-reduced before the merge: the combine
+    shuffles |keys| rows, never raw data."""
+    from sensordatapipelines_spark.operators.utility import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    even = aggregate_state(ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value")
+    odd = aggregate_state(ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "value")
+    merged = merge_aggregate_states(even, odd, ["event_type"])
+    return finalize_aggregate_state(merged, ["event_type"])
+
+
+def docs_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style corpus coverage: the smallest set of sources whose
+    token mass reaches 80 % of the corpus (ordered by weight desc, key
+    tiebreak). The window runs over the ALREADY-AGGREGATED per-source
+    weights — control-plane sized by contract."""
+    from sensordatapipelines_spark.operators.text import token_count_expr
+    from sensordatapipelines_spark.operators.utility import top_p_by_weight
+
+    _register_views(spark, sf_dir)
+    per_src = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(F.sum(token_count_expr(F.col("text"))).cast("long").alias("n_tokens"))
+    )
+    return top_p_by_weight(per_src, key_col="source", weight_col="n_tokens", p=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3991,6 +4030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": events_ewma,
         "events_retention": events_retention,
         "events_attribution": events_attribution,
+        "events_state_merge": events_state_merge,
+        "docs_top_p_sources": docs_top_p_sources,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4028,6 +4069,8 @@ _ROUND3_SAMPLE_FIRST = [
     "events_ewma",
     "events_retention",
     "events_attribution",
+    "events_state_merge",
+    "docs_top_p_sources",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6728,5 +6771,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id AS conversion_id, user_id, first_touch_id,
                last_touch_id, CAST(n_touches AS BIGINT) AS n_touches
         FROM wins WHERE event_type = 'purchase'
+    """
+    oracles["events_state_merge"] = """
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value) / count(*), 6) AS mean,
+               round((sum(value * value) - sum(value) * sum(value) / count(*))
+                     / (count(*) - 1), 4) AS var_samp,
+               round(min(value), 6) AS vmin,
+               round(max(value), 6) AS vmax
+        FROM events
+        GROUP BY event_type
+    """
+    oracles["docs_top_p_sources"] = r"""
+        WITH per AS (
+            SELECT source,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END) AS BIGINT) AS w
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(w * 1.0) AS total FROM per),
+        c AS (
+            SELECT source, w,
+                   COALESCE(sum(w * 1.0) OVER (ORDER BY w DESC, source
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0.0) AS before
+            FROM per
+        )
+        SELECT source, w AS weight, round((before + w) / total, 6) AS cum_share
+        FROM c, t
+        WHERE before < 0.8 * total
     """
     return oracles

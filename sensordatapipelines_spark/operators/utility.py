@@ -412,3 +412,129 @@ def quality_weighted_sample(
         F.format_string("%08x", F.floor(w * F.lit(4294967296.0)).cast("long"))
     )
     return df.filter(prefix < thr)
+
+
+STATE_COLS = ("n", "s1", "s2", "vmin", "vmax")
+
+
+@register("aggregate_state")
+def aggregate_state(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+) -> DataFrame:
+    """Build MERGEABLE aggregation state per key: ``(n, Σx, Σx², min,
+    max)`` — the power-sum representation every continuous-aggregate /
+    incremental-rollup system keeps, because two states combine with
+    pure addition/min/max (``merge_aggregate_states``) and finalize into
+    count/mean/variance/extremes (``finalize_aggregate_state``) without
+    rescanning history. This is the batch twin of the streaming rollup:
+    process each new partition/day once, merge its state into the stored
+    state, finalize on read.
+
+    One map-side-combined aggregate; state size is O(|keys|)."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+@register("merge_aggregate_states")
+def merge_aggregate_states(
+    a: DataFrame,
+    b: DataFrame,
+    keys: "Sequence[str]",
+) -> DataFrame:
+    """Merge two mergeable states (full outer on keys; absent side
+    contributes the identity): counts and power sums ADD, extremes
+    MIN/MAX — the algebra that makes incremental maintenance exact for
+    these metrics. Both inputs are already key-reduced, so the merge
+    shuffles state rows only, never raw data."""
+    ka = [F.col(f"a.{k}") for k in keys]
+    kb = [F.col(f"b.{k}") for k in keys]
+    cond = None
+    for x, y in zip(ka, kb):
+        c = x.eqNullSafe(y)
+        cond = c if cond is None else (cond & c)
+    j = a.alias("a").join(b.alias("b"), on=cond, how="full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    return j.select(
+        *key_cols,
+        (F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))).alias("n"),
+        (F.coalesce(F.col("a.s1"), F.lit(0.0)) + F.coalesce(F.col("b.s1"), F.lit(0.0))).alias("s1"),
+        (F.coalesce(F.col("a.s2"), F.lit(0.0)) + F.coalesce(F.col("b.s2"), F.lit(0.0))).alias("s2"),
+        F.least(
+            F.coalesce(F.col("a.vmin"), F.col("b.vmin")),
+            F.coalesce(F.col("b.vmin"), F.col("a.vmin")),
+        ).alias("vmin"),
+        F.greatest(
+            F.coalesce(F.col("a.vmax"), F.col("b.vmax")),
+            F.coalesce(F.col("b.vmax"), F.col("a.vmax")),
+        ).alias("vmax"),
+    )
+
+
+@register("finalize_aggregate_state")
+def finalize_aggregate_state(state: DataFrame, keys: "Sequence[str]") -> DataFrame:
+    """Finalize mergeable state into the user-facing metrics: count, mean,
+    sample variance (from power sums), min, max. Pure projection — zero
+    shuffle over the already-reduced state."""
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0)),
+    )
+    return state.select(
+        *[F.col(k) for k in keys],
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 4).alias("var_samp"),
+        F.round(F.col("vmin"), 6).alias("vmin"),
+        F.round(F.col("vmax"), 6).alias("vmax"),
+    )
+
+
+@register("top_p_by_weight")
+def top_p_by_weight(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    p: float = 0.9,
+) -> DataFrame:
+    """Nucleus-style coverage selection: order keys by weight descending
+    and keep the smallest prefix whose cumulative weight reaches fraction
+    ``p`` of the total (a key enters while the cumulative weight BEFORE
+    it is still < p·total — so the selection always crosses the p line,
+    top-p sampling semantics). The data-mixing primitive for "keep the
+    domains covering 90 % of tokens, audit the tail".
+
+    Intended for ALREADY-AGGREGATED key weights (|keys| rows, e.g. the
+    output of a per-source aggregate), where the single unpartitioned
+    window is control-plane sized; for raw 100 TB data aggregate first —
+    that is the operator contract, not an implementation accident.
+    Ordering ties break on the key for a total, engine-portable order."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(weight_col).desc(), F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = df.agg(F.sum(F.col(weight_col).cast("double")).alias("__t"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("__before", F.coalesce(F.sum(F.col(weight_col).cast("double")).over(w), F.lit(0.0)))
+        .filter(F.col("__before") < F.lit(float(p)) * F.col("__t"))
+        .select(
+            key_col,
+            F.col(weight_col).alias("weight"),
+            F.round((F.col("__before") + F.col(weight_col)) / F.col("__t"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -113,3 +113,53 @@ def test_winsorize_and_impute_group_mean(spark):
     rows = sorted((r["grp"], r["v_filled"]) for r in out.collect())
     # group a nulls -> a-mean 2.0; group b all-null -> global mean 2.0
     assert rows == [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation: mergeable aggregate state + top-p coverage
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_state_merge_equals_full_recompute(spark):
+    """Splitting the data arbitrarily, building states, and merging must
+    finalize to the same metrics as a single full-data state — the
+    incremental-maintenance exactness contract (incl. a key present in
+    only one half)."""
+    import pytest
+    from sensordatapipelines_spark.operators.utility import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("b", 20.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    half1 = df.limit(3)  # a,a,a (deterministic: limit on unshuffled local data)
+    full_state = aggregate_state(df, ["k"], "v")
+    s1 = aggregate_state(spark.createDataFrame(rows[:3], "k string, v double"), ["k"], "v")
+    s2 = aggregate_state(spark.createDataFrame(rows[3:], "k string, v double"), ["k"], "v")
+    merged = merge_aggregate_states(s1, s2, ["k"])
+    a = {r["k"]: r for r in finalize_aggregate_state(merged, ["k"]).collect()}
+    b = {r["k"]: r for r in finalize_aggregate_state(full_state, ["k"]).collect()}
+    assert set(a) == set(b) == {"a", "b", "c"}
+    for k in a:
+        for col in ("n", "mean", "var_samp", "vmin", "vmax"):
+            assert a[k][col] == pytest.approx(b[k][col]), (k, col)
+    assert a["a"]["mean"] == 3.0 and a["a"]["var_samp"] == 4.0
+    assert a["c"]["var_samp"] is None  # n=1 → undefined sample variance
+
+
+def test_top_p_by_weight_crosses_threshold(spark):
+    """Keys enter in weight order until cumulative coverage crosses p; the
+    selection always includes the key that crosses the line."""
+    from sensordatapipelines_spark.operators.utility import top_p_by_weight
+
+    df = spark.createDataFrame(
+        [("w", 50), ("x", 30), ("y", 15), ("z", 5)], "k string, wt long"
+    )
+    kept = {r["k"]: r for r in top_p_by_weight(df, "k", "wt", p=0.8).collect()}
+    # cumulative: w=50 (before 0), x=80 (before 50), y crosses? before=80 == 0.8*100 → excluded
+    assert set(kept) == {"w", "x"}
+    assert kept["x"]["cum_share"] == 0.8
+    everything = top_p_by_weight(df, "k", "wt", p=1.0).count()
+    assert everything == 4
