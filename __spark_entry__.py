@@ -142,6 +142,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_dir_union(spark, sf_dir)
     _stage_csv(spark, sf_dir)
     _stage_orc(spark, sf_dir)
+    _stage_binary(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -3869,6 +3870,51 @@ def docs_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_p_by_weight(per_src, key_col="source", weight_col="n_tokens", p=0.8)
 
 
+N_BINARY_STAGE = 16
+
+
+def _stage_binary(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a directory of deterministic binary payloads: one ``.bin``
+    per lowest-id document, content = the 16-byte MD5 digest of its text
+    (pure function of the table, so the DuckDB oracle reconstructs the
+    expected bytes from ``documents`` without touching the staged path)."""
+    import hashlib
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            payload = hashlib.md5(r["text"].encode("utf-8")).digest()
+            with open(f"{stage}/doc_{r['doc_id']:06d}.bin", "wb") as f:
+                f.write(payload)
+
+    return _staged(spark, sf_dir, "binary_src", build)
+
+
+def media_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest edge: read a staged directory of opaque binary
+    payloads through the built-in ``binaryFile`` source (file-parallel,
+    glob pruning at listing time) and emit (file_name, n_bytes,
+    content_hex). The staged bytes are a pure function of the documents
+    table, so the oracle rebuilds them with SQL md5 — a REAL value check
+    of the binary ingest path, not rows-only."""
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_binary(spark, sf_dir)
+    df = open_binary_dir(spark, stage, glob="*.bin")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.hex(F.col("content")).alias("content_hex"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4032,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": events_attribution,
         "events_state_merge": events_state_merge,
         "docs_top_p_sources": docs_top_p_sources,
+        "media_binary_ingest": media_binary_ingest,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4071,6 +4118,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_attribution",
     "events_state_merge",
     "docs_top_p_sources",
+    "media_binary_ingest",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6802,5 +6850,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, w AS weight, round((before + w) / total, 6) AS cum_share
         FROM c, t
         WHERE before < 0.8 * total
+    """
+    oracles["media_binary_ingest"] = f"""
+        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin'
+                   AS file_name,
+               CAST(16 AS BIGINT) AS n_bytes,
+               upper(md5(text)) AS content_hex
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT {N_BINARY_STAGE})
     """
     return oracles

@@ -220,3 +220,27 @@ def union_evolving(spark: SparkSession, paths: list[str], fmt: str = "parquet") 
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def open_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw media ingestion: read a directory of opaque binary payloads
+    (images/audio/video blobs) through Spark's built-in ``binaryFile``
+    source → ``(path, modificationTime, length, content)``. This is the
+    ingest edge of the multimodal pipeline (SURVEY §2.7): payloads land
+    as one ``binary`` column plus file metadata, partition-parallel over
+    files, and flow straight into ``operators.multimodal``'s Arrow
+    feature/decode kernels.
+
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``"*.png"``) — file pruning
+    happens at listing time, before any bytes are read. At 100 TB the
+    source parallelizes by file; pack small objects into larger archives
+    upstream (small-file problem) — this reader is for payloads, not
+    millions of tiny sidecars."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

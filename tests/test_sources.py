@@ -379,3 +379,17 @@ def test_open_data_excel_fallback_chain(spark, tmp_path):
         f.write(b"\x00\x01\x02 not a zip at all")
     with _pytest.raises(DataIOError):
         open_data(spark, bad)
+
+
+def test_open_binary_dir_reads_payloads(spark, tmp_path):
+    """binaryFile ingestion: content bytes round-trip exactly, glob
+    pruning filters at listing time."""
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\xfe")
+    (tmp_path / "b.bin").write_bytes(b"payload")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = open_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].split("/")[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\xfe", "b.bin": b"payload"}
+    assert {r["length"] for r in df.collect()} == {3, 7}
