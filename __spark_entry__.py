@@ -3915,6 +3915,38 @@ def media_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal chain: binaryFile ingest → media struct →
+    Arrow ``mapInPandas`` feature extraction (deterministic byte-decode
+    kernel). Because the staged payloads are md5 digests of document
+    texts, the oracle recomputes byte means/stds from hex pairs in pure
+    SQL — the first VALUE check through the whole multimodal plumbing
+    (ingest + struct + Arrow kernel), not rows-only."""
+    from sensordatapipelines_spark.operators.multimodal import media_features
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_binary(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.bin")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("blob").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    out = media_features(media, fake=True)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("std_val", 6).alias("std_val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4079,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_state_merge": events_state_merge,
         "docs_top_p_sources": docs_top_p_sources,
         "media_binary_ingest": media_binary_ingest,
+        "media_payload_features": media_payload_features,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4119,6 +4152,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_state_merge",
     "docs_top_p_sources",
     "media_binary_ingest",
+    "media_payload_features",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6858,5 +6892,31 @@ def oracle_sql() -> dict[str, str]:
                upper(md5(text)) AS content_hex
         FROM (SELECT doc_id, text FROM documents
               ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+    """
+    oracles["media_payload_features"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 2, 1)) - 1)
+                            AS DOUBLE)) AS b
+            FROM staged
+        )
+        SELECT doc_id AS media_id,
+               'blob' AS kind,
+               CAST(16 AS BIGINT) AS n_bytes,
+               round(list_sum(b) / 16.0, 6) AS mean_val,
+               round(sqrt(list_sum(list_transform(b,
+                         x -> (x - list_sum(b) / 16.0)
+                            * (x - list_sum(b) / 16.0))) / 16.0), 6)
+                   AS std_val
+        FROM bytes
     """
     return oracles
