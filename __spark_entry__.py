@@ -3947,6 +3947,64 @@ def media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: PSI between the first and second half of
+    the event stream (split on the median event_id — a stand-in for
+    yesterday-vs-today data drops) over 10 fixed bins on the value range.
+    Each side reduces map-side to 10 rows; bin edges are plan literals,
+    so the sides never co-shuffle."""
+    from sensordatapipelines_spark.operators.utility import psi_drift
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "value", lo=0.0, hi=100.0, n_bins=10)
+
+
+def customer_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (quantile) binning of customer balances: 10 ntile
+    buckets with (value, key) total order so every row's label is
+    deterministic; per-bucket count + balance span — the heavy-tail
+    complement of customer_bins' equal-width buckets."""
+    from sensordatapipelines_spark.operators.utility import equal_depth_binning
+
+    _register_views(spark, sf_dir)
+    b = equal_depth_binning(
+        spark.table("customer"),
+        value_col="c_acctbal",
+        n_bins=10,
+        order_tiebreak="c_custkey",
+    )
+    return b.groupBy(F.col("depth_bin").cast("long").alias("depth_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+    )
+
+
+def docs_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size histogram: connected components over the
+    near-dup graph, then (cluster_size → number of clusters) — the
+    dedup observability readout ('how much of the corpus is in 2-doc
+    families vs 50-doc boilerplate blobs'). Runs on the already-reduced
+    (node, component) table."""
+    from sensordatapipelines_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    _register_views(spark, sf_dir)
+    edges = jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", n=3, threshold=0.1
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4112,6 +4170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_p_sources": docs_top_p_sources,
         "media_binary_ingest": media_binary_ingest,
         "media_payload_features": media_payload_features,
+        "events_psi_drift": events_psi_drift,
+        "customer_depth_bins": customer_depth_bins,
+        "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4153,6 +4214,9 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_top_p_sources",
     "media_binary_ingest",
     "media_payload_features",
+    "events_psi_drift",
+    "customer_depth_bins",
+    "docs_dup_cluster_sizes",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -6918,5 +6982,49 @@ def oracle_sql() -> dict[str, str]:
                             * (x - list_sum(b) / 16.0))) / 16.0), 6)
                    AS std_val
         FROM bytes
+    """
+    oracles["events_psi_drift"] = """
+        WITH binned AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT),
+                                  0), 9) AS bin,
+                   event_id % 2 AS side
+            FROM events
+            WHERE value IS NOT NULL
+        ),
+        r AS (SELECT bin, count(*) AS nr FROM binned WHERE side = 0 GROUP BY bin),
+        c AS (SELECT bin, count(*) AS nc FROM binned WHERE side = 1 GROUP BY bin),
+        m AS (
+            SELECT COALESCE(r.bin, c.bin) AS bin,
+                   COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+            FROM r FULL OUTER JOIN c ON r.bin = c.bin
+        ),
+        t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM m)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(nr AS BIGINT) AS n_ref,
+               CAST(nc AS BIGINT) AS n_cur,
+               round((nr / tr + 0.000001 - (nc / tc + 0.000001))
+                     * ln((nr / tr + 0.000001) / (nc / tc + 0.000001)), 6)
+                   AS psi_term
+        FROM m, t
+    """
+    oracles["customer_depth_bins"] = """
+        WITH b AS (
+            SELECT c_acctbal,
+                   ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS depth_bin
+            FROM customer
+        )
+        SELECT CAST(depth_bin AS BIGINT) AS depth_bin,
+               count(*) AS n,
+               round(min(c_acctbal), 2) AS lo_bal,
+               round(max(c_acctbal), 2) AS hi_bal
+        FROM b GROUP BY depth_bin
+    """
+    oracles["docs_dup_cluster_sizes"] = f"""
+        WITH comp AS ({oracles["docs_dup_components"]})
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               count(*) AS n_clusters
+        FROM (SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component)
+        GROUP BY cluster_size
     """
     return oracles

@@ -538,3 +538,97 @@ def top_p_by_weight(
             ),
         )
     )
+
+
+@register("psi_drift")
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution over fixed equal-width bins on [lo, hi] (values outside
+    clamp into the edge bins): per-bin
+    ``(p - q) · ln(p / q)`` with ``eps``-smoothed shares, plus the total
+    — the standard drift gate between yesterday's and today's data drop
+    (PSI < 0.1 stable, > 0.25 action).
+
+    Engine shape: each side is ONE map-side-combined aggregate down to
+    ``n_bins`` rows; everything after runs on the reduced frames with
+    broadcast totals. Fixed bin edges are plan literals — no quantile
+    pass, so the two sides never co-shuffle. Per-bin terms round at 1e-6
+    for engine portability."""
+    span = float(hi) - float(lo)
+    width = span / n_bins
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        idx = F.least(
+            F.greatest(
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        # nulls carry no distribution information and would fracture the
+        # full-outer bin join (null keys never merge) — excluded.
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(idx.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = binned(ref, "__nr")
+    c = binned(cur, "__nc")
+    bins = r.join(c, "bin", "full_outer").select(
+        F.col("bin"),
+        F.coalesce(F.col("__nr"), F.lit(0)).alias("__nr"),
+        F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
+    )
+    totals = bins.agg(
+        F.sum("__nr").alias("__tr"), F.sum("__nc").alias("__tc")
+    )
+    p = F.col("__nr") / F.col("__tr") + F.lit(float(eps))
+    q = F.col("__nc") / F.col("__tc") + F.lit(float(eps))
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("__nr").cast("long").alias("n_ref"),
+            F.col("__nc").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register("equal_depth_binning")
+def equal_depth_binning(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str = "depth_bin",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Equal-DEPTH (quantile) binning via ``ntile``: every bin holds the
+    same row count (±1) — the complement of ``equal_width_binning`` for
+    heavy-tailed columns where width bins put 99 % of rows in one bucket.
+
+    NOTE the global ``ntile`` orders the whole table in ONE window
+    partition — correct but single-reducer at the sort. That is this
+    operator's contract for exact equal-depth labels; at 100 TB use
+    percentile thresholds (``filter_length_outliers``-style one-row
+    aggregate + a literal CASE) when ±ε on the boundaries is acceptable.
+    Pass ``order_tiebreak`` (a unique key) to make each ROW's label — not
+    just the per-bin counts — deterministic and engine-portable."""
+    from pyspark.sql import Window
+
+    order = [F.col(value_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))

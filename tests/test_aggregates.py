@@ -163,3 +163,30 @@ def test_top_p_by_weight_crosses_threshold(spark):
     assert kept["x"]["cum_share"] == 0.8
     everything = top_p_by_weight(df, "k", "wt", p=1.0).count()
     assert everything == 4
+
+
+def test_psi_drift_identical_distributions_zero(spark):
+    """PSI of a distribution against itself is ~0; a shifted distribution
+    produces a clearly positive total."""
+    import pytest
+    from sensordatapipelines_spark.operators.utility import psi_drift
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    b = spark.range(1000).selectExpr("CAST((id % 100) + 30 AS DOUBLE) AS v")
+    same = psi_drift(a, a, "v", lo=0.0, hi=100.0, n_bins=10)
+    total_same = sum(r["psi_term"] for r in same.collect())
+    assert total_same == pytest.approx(0.0, abs=1e-9)
+    shifted = psi_drift(a, b, "v", lo=0.0, hi=100.0, n_bins=10)
+    total_shift = sum(r["psi_term"] for r in shifted.collect())
+    assert total_shift > 0.25  # action-level drift
+    # out-of-range values clamp into edge bins, never vanish
+    assert sum(r["n_cur"] for r in shifted.collect()) == 1000
+
+
+def test_equal_depth_binning_balanced(spark):
+    from sensordatapipelines_spark.operators.utility import equal_depth_binning
+
+    df = spark.range(100).selectExpr("id AS k", "CAST(id * id AS DOUBLE) AS v")
+    out = equal_depth_binning(df, "v", n_bins=4, order_tiebreak="k")
+    counts = {r["depth_bin"]: r["count"] for r in out.groupBy("depth_bin").count().collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}  # equal depth, heavy tail
