@@ -143,6 +143,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_csv(spark, sf_dir)
     _stage_orc(spark, sf_dir)
     _stage_binary(spark, sf_dir)
+    _stage_logs(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -4005,6 +4006,67 @@ def docs_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_logs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as raw log lines
+    ``evt=<id> ts_us=<micros> user=<id> type=<event_type>`` (integers and
+    enum strings only — no float formatting crosses the engine
+    boundary)."""
+
+    def build(stage: str) -> None:
+        (
+            spark.table("events")
+            .select(
+                F.concat(
+                    F.lit("evt="),
+                    F.col("event_id"),
+                    F.lit(" ts_us="),
+                    F.unix_micros(F.col("ts").cast("timestamp")),
+                    F.lit(" user="),
+                    F.col("user_id"),
+                    F.lit(" type="),
+                    F.col("event_type"),
+                ).alias("value")
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .text(f"{stage}/logs")
+        )
+
+    return _staged(spark, sf_dir, "log_src", build)
+
+
+LOG_PATTERN = r"^evt=(\d+) ts_us=(-?\d+) user=(\d+) type=(\w+)$"
+
+
+def events_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ETL edge: raw log lines through the built-in text
+    source, ONE regex parse into typed columns (all JVM-side, parse runs
+    in the scan stage), then aggregate per event type — count, user sum,
+    and the time span. Unparseable lines would surface as NULL types
+    (none in the staged export)."""
+    from sensordatapipelines_spark.sources.readers import open_text_logs
+
+    _register_views(spark, sf_dir)
+    stage = _stage_logs(spark, sf_dir)
+    df = open_text_logs(
+        spark,
+        f"{stage}/logs",
+        LOG_PATTERN,
+        [
+            ("event_id", "long"),
+            ("ts_us", "long"),
+            ("user_id", "long"),
+            ("event_type", "string"),
+        ],
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4173,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": events_psi_drift,
         "customer_depth_bins": customer_depth_bins,
         "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
+        "events_log_ingest": events_log_ingest,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4217,6 +4280,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_psi_drift",
     "customer_depth_bins",
     "docs_dup_cluster_sizes",
+    "events_log_ingest",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7026,5 +7090,14 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT component, count(*) AS cluster_size
               FROM comp GROUP BY component)
         GROUP BY cluster_size
+    """
+    oracles["events_log_ingest"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events
+        GROUP BY event_type
     """
     return oracles

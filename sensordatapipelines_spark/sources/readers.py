@@ -244,3 +244,30 @@ def open_binary_dir(
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def open_text_logs(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    fields: "Sequence[tuple[str, str]]",
+) -> DataFrame:
+    """Log-file ingestion: read raw lines through the built-in ``text``
+    source and parse them with ONE regex — ``fields`` is an ordered list
+    of ``(column_name, cast_type)``, one per capture group. Unparseable
+    lines survive as NULL-columned rows (filter on a required field to
+    drop them) — the standard semi-structured ETL edge.
+
+    Everything is JVM-side (``regexp_extract`` per group over the same
+    pattern — Catalyst dedupes the regex compile); the text source splits
+    by line and parallelizes by file block, so at 100 TB this scales with
+    scan bandwidth like any other columnar read, just with the parse in
+    the scan stage instead of the footer."""
+    df = spark.read.text(path)
+    # try_cast, not cast: an unmatched group extracts '' and ANSI mode
+    # would fail the whole job on one bad log line — NULL is the contract.
+    cols = [
+        F.regexp_extract(F.col("value"), pattern, i + 1).try_cast(t).alias(name)
+        for i, (name, t) in enumerate(fields)
+    ]
+    return df.select(*cols)

@@ -393,3 +393,25 @@ def test_open_binary_dir_reads_payloads(spark, tmp_path):
     rows = {r["path"].split("/")[-1]: bytes(r["content"]) for r in df.collect()}
     assert rows == {"a.bin": b"\x00\x01\xfe", "b.bin": b"payload"}
     assert {r["length"] for r in df.collect()} == {3, 7}
+
+
+def test_open_text_logs_parses_and_nulls_unparseable(spark, tmp_path):
+    from sensordatapipelines_spark.operators import utility  # noqa: F401
+    from sensordatapipelines_spark.sources.readers import open_text_logs
+
+    (tmp_path / "x.log").write_text(
+        "evt=1 user=10 type=click\n"
+        "evt=2 user=20 type=view\n"
+        "GARBAGE LINE\n"
+    )
+    df = open_text_logs(
+        spark,
+        str(tmp_path),
+        r"^evt=(\d+) user=(\d+) type=(\w+)$",
+        [("event_id", "long"), ("user_id", "long"), ("event_type", "string")],
+    )
+    rows = df.collect()
+    assert len(rows) == 3  # unparseable line survives as NULLs
+    parsed = {r["event_id"]: r for r in rows if r["event_id"] is not None}
+    assert parsed[1]["event_type"] == "click" and parsed[2]["user_id"] == 20
+    assert df.filter("event_id IS NULL").count() == 1
