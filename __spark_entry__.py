@@ -4067,6 +4067,30 @@ def events_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation showcase as ONE JSON-deserialized Pipeline:
+    quality scoring → soft quality-weighted sampling (keep-probability =
+    score) → percentile length-band filter → temperature-flattened
+    source-mix weights over the curated corpus. Four registry ops, one
+    lazy Catalyst plan; the oracle replays the identical md5-threshold,
+    quantile_cont band and scaled-BIGINT pow normalization."""
+    from sensordatapipelines_spark import Pipeline
+
+    _register_views(spark, sf_dir)
+    plan = """
+    {"pipe": "curation_v2", "operations": [
+      {"name": "score", "function": "quality_score", "args": [], "kwargs": {}},
+      {"name": "soft", "function": "quality_weighted_sample", "args": [],
+       "kwargs": {"key_col": "doc_id", "weight_col": "quality"}},
+      {"name": "band", "function": "filter_length_outliers", "args": [],
+       "kwargs": {"text_col": "text", "lo": 0.05, "hi": 0.95}},
+      {"name": "mix", "function": "source_mix_temperature", "args": [],
+       "kwargs": {"source_col": "source", "alpha": 0.5}}
+    ]}
+    """
+    return Pipeline.from_json(plan).process(spark.table("documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4236,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_depth_bins": customer_depth_bins,
         "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
         "events_log_ingest": events_log_ingest,
+        "pipeline_curation": pipeline_curation,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4281,6 +4306,7 @@ _ROUND3_SAMPLE_FIRST = [
     "customer_depth_bins",
     "docs_dup_cluster_sizes",
     "events_log_ingest",
+    "pipeline_curation",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7099,5 +7125,49 @@ def oracle_sql() -> dict[str, str]:
                max(epoch_us(ts)) AS last_us
         FROM events
         GROUP BY event_type
+    """
+    oracles["pipeline_curation"] = f"""
+        WITH q AS ({oracles["docs_quality"]}),
+        scored AS (
+            SELECT d.doc_id, d.source, d.text, q.quality
+            FROM documents d JOIN q USING (doc_id)
+        ),
+        soft AS (
+            SELECT * FROM scored
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE WHEN quality >= 1.0 THEN 'g'
+                       ELSE printf('%08x',
+                            CAST(floor(quality * 4294967296.0) AS BIGINT))
+                  END
+        ),
+        counted AS (
+            SELECT *, CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) * 1.0
+                      END AS n_tok
+            FROM soft
+        ),
+        bounds AS (
+            SELECT quantile_cont(n_tok, 0.05) AS lo,
+                   quantile_cont(n_tok, 0.95) AS hi
+            FROM counted
+        ),
+        band AS (
+            SELECT c.* FROM counted c, bounds b
+            WHERE c.n_tok >= b.lo AND c.n_tok <= b.hi
+        ),
+        per AS (SELECT source, count(*) * 1.0 AS c FROM band GROUP BY source),
+        powed AS (
+            SELECT source, c,
+                   CAST(round(pow(c, 0.5) * 1e6) AS BIGINT) AS p_e6
+            FROM per
+        ),
+        norm AS (SELECT sum(p_e6) AS z_e6, sum(c) AS total FROM powed)
+        SELECT source,
+               CAST(c AS BIGINT) AS n_items,
+               round(c / total, 6) AS natural_share,
+               round(p_e6 * 1.0 / z_e6, 6) AS mix_weight,
+               round((p_e6 * 1.0 / z_e6) / (c / total), 6) AS epochs_at_budget
+        FROM powed, norm
+        ORDER BY source
     """
     return oracles
