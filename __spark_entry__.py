@@ -4091,6 +4091,56 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Pipeline.from_json(plan).process(spark.table("documents"))
 
 
+def events_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE incremental maintenance: each streaming micro-batch reduces to
+    its mergeable power-sum state inside ``foreachBatch`` and MERGES into
+    the running state (per-batch work = one map-side-combined aggregate +
+    a |keys|-row merge — history is never rescanned). The finalized
+    running state must equal the batch recompute over all data — the same
+    exactness the events_state_merge gate proves for a 2-way merge, here
+    proven across however many micro-batches the stream delivers."""
+    import tempfile
+
+    from sensordatapipelines_spark.operators.utility import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    statedir = tempfile.mkdtemp(prefix="state_merge_")
+    state_path = f"{statedir}/state"
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch_state = aggregate_state(bdf, ["event_type"], "value")
+        import os
+
+        if os.path.exists(state_path):
+            prev = bdf.sparkSession.read.parquet(state_path)
+            merged = merge_aggregate_states(prev, batch_state, ["event_type"])
+        else:
+            merged = batch_state
+        # write-then-swap: parquet readers never see a half-written state
+        tmp = f"{statedir}/next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.read.parquet(state_path)
+    return finalize_aggregate_state(final, ["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4261,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
         "events_log_ingest": events_log_ingest,
         "pipeline_curation": pipeline_curation,
+        "events_stream_state_merge": events_stream_state_merge,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4307,6 +4358,7 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_dup_cluster_sizes",
     "events_log_ingest",
     "pipeline_curation",
+    "events_stream_state_merge",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7170,4 +7222,7 @@ def oracle_sql() -> dict[str, str]:
         FROM powed, norm
         ORDER BY source
     """
+    # The streaming incremental merge must finalize to the same metrics
+    # as a full-table recompute — identical oracle to the 2-way merge.
+    oracles["events_stream_state_merge"] = oracles["events_state_merge"]
     return oracles
