@@ -4141,6 +4141,51 @@ def events_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_aggregate_state(final, ["event_type"])
 
 
+def zones_ring_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True polygon geometry scalars: shoelace area and signed-area
+    centroid over NON-axis-aligned vertex rings (diamonds derived from
+    the zone circles — area must equal 2r², centroid the zone center).
+    Pure index-ordered folds, map-side, zero shuffle; the oracle replays
+    the identical fold. Completes §1.1's area/centroid derivations for
+    real polygon geometry beyond the bbox approximation."""
+    from sensordatapipelines_spark.operators.spatial import (
+        ring_area_expr,
+        ring_centroid_expr,
+    )
+
+    _register_views(spark, sf_dir)
+    z = _zones(spark)
+    lon, lat, r = F.col("lon"), F.col("lat"), F.col("radius")
+    rings = z.select(
+        "zone_id",
+        F.array(lon, lon + r, lon, lon - r).alias("xs"),
+        F.array(lat - r, lat, lat + r, lat).alias("ys"),
+    )
+    cent = ring_centroid_expr(F.col("xs"), F.col("ys"))
+    return rings.select(
+        "zone_id",
+        F.round(ring_area_expr(F.col("xs"), F.col("ys")), 12).alias("ring_area"),
+        F.round(cent["cx"], 9).alias("cx"),
+        F.round(cent["cy"], 9).alias("cy"),
+    )
+
+
+def docs_topn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting rollup: top-5 sources by token mass keep their identity,
+    the tail folds into one __others__ row — bounded result size at any
+    key cardinality; the window orders only the reduced per-key rows."""
+    from sensordatapipelines_spark.operators.text import token_count_expr
+    from sensordatapipelines_spark.operators.utility import topn_with_others
+
+    _register_views(spark, sf_dir)
+    return topn_with_others(
+        spark.table("documents"),
+        key_col="source",
+        n=5,
+        weight_expr=token_count_expr(F.col("text")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4312,6 +4357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_log_ingest": events_log_ingest,
         "pipeline_curation": pipeline_curation,
         "events_stream_state_merge": events_stream_state_merge,
+        "zones_ring_geometry": zones_ring_geometry,
+        "docs_topn_sources": docs_topn_sources,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4359,6 +4406,8 @@ _ROUND3_SAMPLE_FIRST = [
     "events_log_ingest",
     "pipeline_curation",
     "events_stream_state_merge",
+    "zones_ring_geometry",
+    "docs_topn_sources",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7225,4 +7274,62 @@ def oracle_sql() -> dict[str, str]:
     # The streaming incremental merge must finalize to the same metrics
     # as a full-table recompute — identical oracle to the 2-way merge.
     oracles["events_stream_state_merge"] = oracles["events_state_merge"]
+    shoelace_t = (
+        "xs[i] * ys[CASE WHEN i = 4 THEN 1 ELSE i + 1 END]"
+        " - xs[CASE WHEN i = 4 THEN 1 ELSE i + 1 END] * ys[i]"
+    )
+    oracles["zones_ring_geometry"] = f"""
+        WITH z AS ({ZONES_SQL}),
+        rings AS (
+            SELECT zone_id,
+                   [lon, lon + radius, lon, lon - radius] AS xs,
+                   [lat - radius, lat, lat + radius, lat] AS ys
+            FROM z
+        ),
+        folded AS (
+            SELECT zone_id, xs, ys,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 5), i -> {shoelace_t})),
+                       (a, b) -> a + b) AS cross_sum,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 5),
+                           i -> (xs[i] + xs[CASE WHEN i = 4 THEN 1
+                                            ELSE i + 1 END])
+                                * ({shoelace_t}))),
+                       (a, b) -> a + b) AS cx_sum,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 5),
+                           i -> (ys[i] + ys[CASE WHEN i = 4 THEN 1
+                                            ELSE i + 1 END])
+                                * ({shoelace_t}))),
+                       (a, b) -> a + b) AS cy_sum
+            FROM rings
+        )
+        SELECT zone_id,
+               round(abs(cross_sum) / 2.0, 12) AS ring_area,
+               round(cx_sum / (cross_sum * 3.0), 9) AS cx,
+               round(cy_sum / (cross_sum * 3.0), 9) AS cy
+        FROM folded
+    """
+    oracles["docs_topn_sources"] = r"""
+        WITH per AS (
+            SELECT source AS key,
+                   sum(CASE WHEN trim(text) = '' THEN 0.0
+                       ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                       END) AS w
+            FROM documents GROUP BY source
+        ),
+        labeled AS (
+            SELECT CASE WHEN row_number() OVER (ORDER BY w DESC, key) <= 5
+                        THEN key ELSE '__others__' END AS key_or_other,
+                   w
+            FROM per
+        )
+        SELECT key_or_other,
+               count(*) AS n_keys,
+               round(sum(w), 6) AS weight
+        FROM labeled
+        GROUP BY key_or_other
+        ORDER BY weight DESC, key_or_other
+    """
     return oracles

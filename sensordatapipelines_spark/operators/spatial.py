@@ -1302,3 +1302,67 @@ def parse_wkb_polygons(
     if keep_holes:
         out = out.withColumn(rings_col, F.col("__part_rings"))
     return out.drop("__parts", "__part_rings")
+
+
+def ring_cross_sum_expr(xs: Column, ys: Column) -> Column:
+    """Signed shoelace sum ``Σ (x_i·y_{i+1} − x_{i+1}·y_i)`` over an
+    implicitly-closed vertex ring (1-based ``element_at``, last vertex
+    wraps to the first) — a left fold in index order, so any engine
+    reproduces the float sum bit-for-bit. Positive = counter-clockwise."""
+    n = F.size(xs)
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(xs, i)
+            * F.element_at(ys, F.when(i == n, F.lit(1)).otherwise(i + 1))
+            - F.element_at(xs, F.when(i == n, F.lit(1)).otherwise(i + 1))
+            * F.element_at(ys, i)
+        ),
+    )
+
+
+def ring_area_expr(xs: Column, ys: Column) -> Column:
+    """Planar polygon area of a vertex ring via the shoelace formula —
+    winding-independent (absolute value). The 'area' derivation of §1.1
+    for REAL polygon geometry, beyond the bbox-derived approximation."""
+    return F.abs(ring_cross_sum_expr(xs, ys)) / F.lit(2.0)
+
+
+def ring_centroid_expr(xs: Column, ys: Column) -> Column:
+    """Planar polygon centroid ``struct(cx, cy)`` of a vertex ring (the
+    standard signed-area-weighted formula; correct for either winding
+    because the signed cross sum cancels in the ratio). Degenerate rings
+    (zero area) yield NULLs rather than a division blow-up."""
+    n = F.size(xs)
+    cross = ring_cross_sum_expr(xs, ys)
+
+    def wrapped(arr: Column, i: Column) -> Column:
+        return F.element_at(arr, F.when(i == n, F.lit(1)).otherwise(i + 1))
+
+    cx_sum = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(xs, i) + wrapped(xs, i))
+        * (
+            F.element_at(xs, i) * wrapped(ys, i)
+            - wrapped(xs, i) * F.element_at(ys, i)
+        ),
+    )
+    cy_sum = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(ys, i) + wrapped(ys, i))
+        * (
+            F.element_at(xs, i) * wrapped(ys, i)
+            - wrapped(xs, i) * F.element_at(ys, i)
+        ),
+    )
+    safe = F.when(cross != 0.0, cross * F.lit(3.0))
+    return F.struct(
+        (cx_sum / safe).alias("cx"),
+        (cy_sum / safe).alias("cy"),
+    )

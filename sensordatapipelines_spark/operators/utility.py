@@ -632,3 +632,44 @@ def equal_depth_binning(
         order.append(F.col(order_tiebreak).asc())
     w = Window.orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+@register("topn_with_others")
+def topn_with_others(
+    df: DataFrame,
+    key_col: str,
+    n: int = 10,
+    weight_expr: "F.Column | None" = None,
+    others_label: str = "__others__",
+) -> DataFrame:
+    """Reporting rollup: the top-``n`` keys by weight keep their identity,
+    everything else folds into one ``__others__`` row — the standard
+    dashboard shape ('top 10 domains + the tail') that keeps result sizes
+    bounded no matter the key cardinality.
+
+    Two aggregates: raw → per-key weights (map-side combined), then the
+    rank-or-others relabel over the REDUCED frame and a |n|+1-row
+    re-aggregate. The fact table is scanned once; the window orders only
+    per-key rows (|keys|, not |rows|). Ties rank by (weight desc, key) —
+    total order, engine-portable."""
+    from pyspark.sql import Window
+
+    w_expr = (weight_expr if weight_expr is not None else F.lit(1)).cast("double")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(w_expr).alias("__w")
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("__w").desc(), F.col("key")))
+    labeled = per_key.withColumn(
+        "key_or_other",
+        F.when(rk <= n, F.col("key").cast("string")).otherwise(
+            F.lit(others_label)
+        ),
+    )
+    return (
+        labeled.groupBy("key_or_other")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(F.sum("__w"), 6).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.col("key_or_other"))
+    )

@@ -3,6 +3,8 @@ of the reference's callable-extension surface (SURVEY §2.6)."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from sensordatapipelines_spark.operators.aggregates import (
     build_agg_exprs,
     grouped_aggregate,
@@ -190,3 +192,16 @@ def test_equal_depth_binning_balanced(spark):
     out = equal_depth_binning(df, "v", n_bins=4, order_tiebreak="k")
     counts = {r["depth_bin"]: r["count"] for r in out.groupBy("depth_bin").count().collect()}
     assert counts == {1: 25, 2: 25, 3: 25, 4: 25}  # equal depth, heavy tail
+
+
+def test_topn_with_others_folds_tail(spark):
+    from sensordatapipelines_spark.operators.utility import topn_with_others
+
+    rows = [("a", 5), ("a", 5), ("b", 8), ("c", 3), ("d", 1), ("e", 1)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    out = topn_with_others(df, "k", n=2, weight_expr=F.col("w"))
+    rowsd = {r["key_or_other"]: r for r in out.collect()}
+    assert rowsd["a"]["weight"] == 10.0 and rowsd["b"]["weight"] == 8.0
+    assert rowsd["__others__"]["n_keys"] == 3
+    assert rowsd["__others__"]["weight"] == 5.0
+    assert set(rowsd) == {"a", "b", "__others__"}

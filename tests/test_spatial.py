@@ -676,3 +676,38 @@ def test_polygon_zonal_kernel_engine_matches_expr(spark):
          for r in polygon_zonal_aggregate(pts, zones, engine="kernel", **kwargs).collect()}
     assert a == b and len(a) == 3
     assert a[(2, 0)] == (None, None)  # far zone: NULL stats in both engines
+
+
+def test_ring_area_and_centroid_known_shapes(spark):
+    """Unit square: area 1, centroid (0.5, 0.5) either winding; translated
+    diamond of 'radius' r: area 2r^2, centroid at the center."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.spatial import (
+        ring_area_expr,
+        ring_centroid_expr,
+    )
+
+    rows = [
+        (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),   # ccw square
+        (2, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),   # cw square
+        (3, [5.0, 5.2, 5.0, 4.8], [2.8, 3.0, 3.2, 3.0]),   # diamond r=0.2
+    ]
+    df = spark.createDataFrame(rows, "rid long, xs array<double>, ys array<double>")
+    cent = ring_centroid_expr(F.col("xs"), F.col("ys"))
+    out = {
+        r["rid"]: r
+        for r in df.select(
+            "rid",
+            ring_area_expr(F.col("xs"), F.col("ys")).alias("a"),
+            cent["cx"].alias("cx"),
+            cent["cy"].alias("cy"),
+        ).collect()
+    }
+    assert out[1]["a"] == pytest.approx(1.0)
+    assert out[2]["a"] == pytest.approx(1.0)  # winding-independent
+    assert (out[1]["cx"], out[1]["cy"]) == (pytest.approx(0.5), pytest.approx(0.5))
+    assert (out[2]["cx"], out[2]["cy"]) == (pytest.approx(0.5), pytest.approx(0.5))
+    assert out[3]["a"] == pytest.approx(2 * 0.2 * 0.2)
+    assert (out[3]["cx"], out[3]["cy"]) == (pytest.approx(5.0), pytest.approx(3.0))
