@@ -4186,6 +4186,56 @@ def docs_topn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_Q = 3
+FUZZY_K = 2
+
+
+def nation_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join: nation names against deterministically
+    typo'd twins (2nd char replaced), matched via the positional q-gram
+    candidate scheme + exact Levenshtein ≤ 2. Candidates come from a
+    banded equi-join on gram text, never an all-pairs cross product; the
+    oracle replays the identical candidate scheme, so the q-gram recall
+    contract is part of the checked semantics."""
+    from sensordatapipelines_spark.operators.joins import fuzzy_join
+
+    _register_views(spark, sf_dir)
+    nat = spark.table("nation").select("n_nationkey", "n_name")
+    typod = nat.select(
+        F.col("n_nationkey").alias("t_key"),
+        F.concat(
+            F.substring("n_name", 1, 1), F.lit("x"), F.expr("substring(n_name, 3)")
+        ).alias("t_name"),
+    )
+    out = fuzzy_join(
+        nat,
+        typod,
+        left_id="n_nationkey",
+        left_col="n_name",
+        right_id="t_key",
+        right_col="t_name",
+        max_distance=FUZZY_K,
+        q=FUZZY_Q,
+    )
+    return out
+
+
+def docs_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph clustering structure: per-node triangle counts over the
+    n-gram-Jaccard near-dup graph (duplicate families are near-cliques).
+    Triangles enumerate as a<b<c via two keyed equi-joins + an edge
+    semi-check — every join shuffles by node id, no cross product."""
+    from sensordatapipelines_spark.operators.dedup import jaccard_pairs
+    from sensordatapipelines_spark.operators.graph import triangle_count
+
+    _register_views(spark, sf_dir)
+    edges = jaccard_pairs(
+        spark.table("documents"), id_col="doc_id", text_col="text", n=3,
+        threshold=0.1, max_shingle_df=1000,
+    )
+    return triangle_count(edges, "id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4359,6 +4409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_state_merge": events_stream_state_merge,
         "zones_ring_geometry": zones_ring_geometry,
         "docs_topn_sources": docs_topn_sources,
+        "nation_fuzzy_match": nation_fuzzy_match,
+        "docs_triangle_count": docs_triangle_count,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4408,6 +4460,8 @@ _ROUND3_SAMPLE_FIRST = [
     "events_stream_state_merge",
     "zones_ring_geometry",
     "docs_topn_sources",
+    "nation_fuzzy_match",
+    "docs_triangle_count",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7331,5 +7385,53 @@ def oracle_sql() -> dict[str, str]:
         FROM labeled
         GROUP BY key_or_other
         ORDER BY weight DESC, key_or_other
+    """
+    oracles["nation_fuzzy_match"] = f"""
+        WITH lt AS (SELECT n_nationkey AS lid, n_name AS ls FROM nation),
+        rt AS (
+            SELECT n_nationkey AS rid,
+                   substr(n_name, 1, 1) || 'x' || substr(n_name, 3) AS rs
+            FROM nation
+        ),
+        lg AS (
+            SELECT lid, unnest(generate_series(1, length(ls) - {FUZZY_Q - 1}))
+                       AS pos, ls
+            FROM lt WHERE length(ls) >= {FUZZY_Q}
+        ),
+        lgr AS (SELECT lid, pos, substr(ls, pos, {FUZZY_Q}) AS g FROM lg),
+        rg AS (
+            SELECT rid, unnest(generate_series(1, length(rs) - {FUZZY_Q - 1}))
+                       AS pos, rs
+            FROM rt WHERE length(rs) >= {FUZZY_Q}
+        ),
+        rgr AS (SELECT rid, pos, substr(rs, pos, {FUZZY_Q}) AS g FROM rg),
+        cand AS (
+            SELECT DISTINCT lid, rid
+            FROM lgr JOIN rgr ON lgr.g = rgr.g
+                 AND abs(lgr.pos - rgr.pos) <= {FUZZY_K}
+        ),
+        pairs AS (
+            SELECT c.lid, c.rid, levenshtein(lt.ls, rt.rs) AS d
+            FROM cand c JOIN lt ON c.lid = lt.lid JOIN rt ON c.rid = rt.rid
+        )
+        SELECT lid AS left_id, rid AS right_id,
+               CAST(d AS BIGINT) AS edit_distance
+        FROM pairs WHERE d <= {FUZZY_K}
+    """
+    oracles["docs_triangle_count"] = f"""
+        WITH jp AS ({oracles["docs_jaccard_pairs"]}),
+        e AS (
+            SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+            FROM jp WHERE id_a <> id_b
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, count(*) AS n_triangles
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
     """
     return oracles

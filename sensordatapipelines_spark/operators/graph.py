@@ -75,3 +75,45 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", "rank")
+
+
+@register("triangle_count")
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list → ``(node,
+    n_triangles)`` — the clustering-structure readout of the near-dup
+    graph (duplicate families are near-cliques; a high triangle count
+    flags template/boilerplate blobs, a low one chance collisions).
+
+    Scale shape: edges canonicalize to ``a < b`` once, then triangles
+    enumerate via two equi-joins — (a,b)⋈(b,c) on the shared middle
+    node, then a semi-check that (a,c) is an edge. Every join is keyed
+    (shuffle by node), no cross product; the standard optimization of
+    orienting edges low→high means each triangle is generated exactly
+    once as a<b<c. Skewed hubs shuffle by their node id — salt or
+    AQE-skew-split if one node dominates (SCALE.md)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        on=["x", "z"],
+        how="left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

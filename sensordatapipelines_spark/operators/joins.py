@@ -204,3 +204,70 @@ def runtime_filter_semi_join(
         .drop("__bs")
     )
     return pruned.join(small.select(on).distinct(), on, "left_semi")
+
+
+@register("fuzzy_join")
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_distance: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Fuzzy string (record-linkage) join: pairs whose edit distance is at
+    most ``max_distance`` — matching misspelled names, OCR noise, vendor
+    aliases across tables.
+
+    Scale shape: the naive formulation is an all-pairs Levenshtein cross
+    join — quadratic and undistributable. Instead, candidates come from a
+    positional q-gram equi-join (the banded-LSH shape of
+    ``minhash_pairs``): two strings within edit distance ``k`` share a
+    q-gram at positions differing by ≤ k whenever
+    ``len − q + 1 > k·q`` (each edit destroys at most ``q`` grams and
+    shifts positions by ≤ 1) — the standard completeness precondition;
+    strings shorter than that bound may be missed, which is part of this
+    operator's CONTRACT (the oracle replays the identical candidate
+    scheme). Exact ``levenshtein`` scores candidates only, after a
+    distinct on the id pair so each pair is scored once."""
+    lt = left.select(F.col(left_id).alias("__lid"), F.col(left_col).alias("__ls"))
+    rt = right.select(F.col(right_id).alias("__rid"), F.col(right_col).alias("__rs"))
+
+    def grams(df: DataFrame, sid: str, s: str) -> DataFrame:
+        n = F.length(F.col(s))
+        # guard, don't clamp: sequence(1, 0) DESCENDS in Spark, so a
+        # sub-q string must produce an empty gram set explicitly
+        idx = F.when(
+            n >= q, F.sequence(F.lit(1), n - (q - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            sid,
+            F.posexplode(
+                F.transform(idx, lambda i: F.substring(F.col(s), i, q))
+            ).alias("__pos", "__g"),
+        )
+
+    lg = grams(lt, "__lid", "__ls")
+    rg = grams(rt, "__rid", "__rs")
+    cand = (
+        lg.join(
+            rg,
+            on=(lg["__g"] == rg["__g"])
+            & (F.abs(lg["__pos"] - rg["__pos"]) <= max_distance),
+        )
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    pairs = (
+        cand.join(lt, "__lid")
+        .join(rt, "__rid")
+        .withColumn("__dist", F.levenshtein(F.col("__ls"), F.col("__rs")))
+        .filter(F.col("__dist") <= max_distance)
+    )
+    return pairs.select(
+        F.col("__lid").alias("left_id"),
+        F.col("__rid").alias("right_id"),
+        F.col("__dist").cast("long").alias("edit_distance"),
+    )

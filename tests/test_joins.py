@@ -158,3 +158,40 @@ def test_quality_audit_single_pass_profile(spark):
     # approx path keeps the same shape
     approx = {r["column_name"] for r in quality_audit(df, exact=False).collect()}
     assert approx == {"id", "cat", "v"}
+
+
+def test_fuzzy_join_qgram_candidates_and_distance(spark):
+    """Typos within the edit budget match; unrelated strings don't; a
+    sub-q string yields no grams (and no crash)."""
+    from sensordatapipelines_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "johnson"), (2, "smithers"), (3, "ab")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonhson"), (11, "smothers"), (12, "zzzzzzz")],
+        "id long, name string",
+    )
+    out = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in fuzzy_join(
+            left, right, "id", "name", "id", "name", max_distance=2, q=3
+        ).collect()
+    }
+    assert out[(1, 10)] == 2   # transposition = 2 edits
+    assert out[(2, 11)] == 1   # substitution
+    assert all(lid != 3 for lid, _ in out)       # sub-q string: no grams
+    assert all(rid != 12 for _, rid in out)      # no spurious match
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has 2 triangles; the two hub nodes sit in both."""
+    from sensordatapipelines_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],  # missing (3,4)
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
