@@ -324,3 +324,82 @@ def test_wkb_polygon_roundtrip_fuzz(parts, with_srid):
         list(p[:-1]) if len(p) > 1 and p[0] == p[-1] else list(p) for p in parts
     ]
     assert decoded == expected
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=2, max_size=20),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(**SETTINGS)
+def test_ewma_bounded_by_window_extremes(spark, vals, alpha):
+    """A normalized EWMA is a convex combination of its frame's values, so
+    it can never leave [min, max] of the visible window (here: the whole
+    prefix, window_rows > list size)."""
+    from sensordatapipelines_spark.operators.temporal import ewma
+
+    rows = [
+        (i, "k", f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts string, value double")
+    out = ewma(df, key_col="k", alpha=alpha, window_rows=50, order_tiebreak="event_id")
+    for r in out.collect():
+        prefix = vals[: r["event_id"] + 1]
+        assert min(prefix) - 1e-6 <= r["value_ewma"] <= max(prefix) + 1e-6
+
+
+@given(
+    a_vals=st.lists(finite_doubles, min_size=1, max_size=15),
+    b_vals=st.lists(finite_doubles, min_size=1, max_size=15),
+    c_vals=st.lists(finite_doubles, min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_state_merge_associative_and_commutative(spark, a_vals, b_vals, c_vals):
+    """(A ⊕ B) ⊕ C finalizes like A ⊕ (B ⊕ C) and like B ⊕ A ⊕ C — the
+    mergeable-state algebra the incremental rollup relies on."""
+    from sensordatapipelines_spark.operators.utility import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+
+    def state(vals):
+        df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+        return aggregate_state(df, ["k"], "v")
+
+    A, B, C = state(a_vals), state(b_vals), state(c_vals)
+
+    def fin(s):
+        r = finalize_aggregate_state(s, ["k"]).first()
+        return (r["n"], r["mean"], r["var_samp"], r["vmin"], r["vmax"])
+
+    left = fin(merge_aggregate_states(merge_aggregate_states(A, B, ["k"]), C, ["k"]))
+    right = fin(merge_aggregate_states(A, merge_aggregate_states(B, C, ["k"]), ["k"]))
+    swapped = fin(merge_aggregate_states(merge_aggregate_states(B, A, ["k"]), C, ["k"]))
+    for x, y in zip(left, right):
+        assert x == pytest.approx(y, rel=1e-6, abs=1e-6)
+    for x, y in zip(left, swapped):
+        assert x == pytest.approx(y, rel=1e-6, abs=1e-6)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**SETTINGS)
+def test_ring_area_matches_convex_hull_formula(spark, seed):
+    """Shoelace area of a random convex polygon (sorted-by-angle points on
+    a circle with jittered radii) is positive and matches the numpy
+    cross-product computation."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.spatial import ring_area_expr
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 9))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(0.5, 1.5, k)
+    xs = (np.cos(ang) * rad).tolist()
+    ys = (np.sin(ang) * rad).tolist()
+    x = np.array(xs); y = np.array(ys)
+    expected = abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+    df = spark.createDataFrame([(xs, ys)], "xs array<double>, ys array<double>")
+    got = df.select(ring_area_expr(F.col("xs"), F.col("ys")).alias("a")).first()["a"]
+    assert got == pytest.approx(expected, rel=1e-9)
+    assert got > 0
