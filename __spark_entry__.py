@@ -4236,6 +4236,62 @@ def docs_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, "id_a", "id_b")
 
 
+def events_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (Spark 4 WITH RECURSIVE): generate the full
+    daily calendar between the stream's first and last event as an
+    acyclic recursion, then left-join daily counts so silent days appear
+    as zero — the gap-filled calendar every monitoring dashboard wants
+    (complement of detect_gaps). The spine bounds are a 2-value
+    driver-side aggregate (control-plane); recursion depth = day span,
+    bounded by construction. Oracle: the same calendar via
+    generate_series with scalar-subquery bounds."""
+    _register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events"
+    ).first()
+    return spark.sql(
+        f"""
+        WITH RECURSIVE days(d) AS (
+            SELECT DATE '{row["lo"]}'
+            UNION ALL
+            SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '{row["hi"]}'
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+            FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(days.d AS STRING) AS day,
+               CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        """
+    )
+
+
+def orders_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: each BUILDING-segment
+    customer's single most expensive order (price desc, orderkey
+    tiebreak) via ``, LATERAL (... LIMIT 1)`` — Catalyst decorrelates
+    into a ranked join rather than executing per-row subqueries. The
+    oracle runs the IDENTICAL SQL text in DuckDB."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey,
+           t.o_orderkey,
+           ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS top_price
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4411,6 +4467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_topn_sources": docs_topn_sources,
         "nation_fuzzy_match": nation_fuzzy_match,
         "docs_triangle_count": docs_triangle_count,
+        "events_recursive_spine": events_recursive_spine,
+        "orders_lateral_topk": orders_lateral_topk,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4462,6 +4520,8 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_topn_sources",
     "nation_fuzzy_match",
     "docs_triangle_count",
+    "events_recursive_spine",
+    "orders_lateral_topk",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7434,4 +7494,24 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         GROUP BY node
     """
+    oracles["events_recursive_spine"] = """
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+            FROM events
+        ),
+        days AS (
+            SELECT unnest(generate_series(
+                       (SELECT lo FROM bounds),
+                       (SELECT hi FROM bounds),
+                       INTERVAL 1 DAY)) AS d
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+            FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT strftime(CAST(days.d AS DATE), '%Y-%m-%d') AS day,
+               CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily ON CAST(days.d AS DATE) = daily.d
+    """
+    oracles["orders_lateral_topk"] = _LATERAL_TOPK_SQL
     return oracles
