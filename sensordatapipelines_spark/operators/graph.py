@@ -102,6 +102,11 @@ def triangle_count(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # three consumers (both wedge sides + the closing semi-join) would
+        # each re-derive the upstream edge computation — at 3× the cost of
+        # a near-dup candidate join that is itself the expensive part
+        # (measured: 14 s → 5 s on the gate). Materialize once.
+        .localCheckpoint()
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
