@@ -4292,6 +4292,37 @@ _LATERAL_TOPK_SQL = """
 """
 
 
+def events_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract ingest gate as data: one row per rule with its
+    violation count — unique event_id, non-null ts/user_id, value within
+    [0, 100]. All null/range rules ride ONE aggregate; uniqueness adds a
+    map-side-combined key count with Σ(c−1) over duplicates."""
+    from sensordatapipelines_spark.operators.utility import contract_violations
+
+    _register_views(spark, sf_dir)
+    return contract_violations(
+        spark.table("events"),
+        unique_keys=["event_id"],
+        not_null=["ts", "user_id"],
+        ranges={"value": (0.0, 100.0)},
+    )
+
+
+def docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source sampling: exactly min(k, group size) docs per
+    source, ranked by salted MD5 with key tiebreak — stateless,
+    re-run-stable, skew-independent. One window exchange on the group
+    key."""
+    from sensordatapipelines_spark.operators.utility import group_sample_k
+
+    _register_views(spark, sf_dir)
+    out = group_sample_k(
+        spark.table("documents"), group_col="source", key_col="doc_id", k=5,
+        salt="bal",
+    )
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4469,6 +4500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_triangle_count": docs_triangle_count,
         "events_recursive_spine": events_recursive_spine,
         "orders_lateral_topk": orders_lateral_topk,
+        "events_contract_checks": events_contract_checks,
+        "docs_group_sample": docs_group_sample,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4522,6 +4555,8 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_triangle_count",
     "events_recursive_spine",
     "orders_lateral_topk",
+    "events_contract_checks",
+    "docs_group_sample",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7514,4 +7549,34 @@ def oracle_sql() -> dict[str, str]:
         FROM days LEFT JOIN daily ON CAST(days.d AS DATE) = daily.d
     """
     oracles["orders_lateral_topk"] = _LATERAL_TOPK_SQL
+    oracles["events_contract_checks"] = """
+        SELECT 'unique(event_id)' AS rule,
+               CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS n_violations
+        FROM (SELECT event_id, count(*) AS c FROM events
+              GROUP BY event_id HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'not_null(ts)',
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'not_null(user_id)',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'range(value,0.0,100.0)',
+               CAST(sum(CASE WHEN CAST(value AS DOUBLE) < 0.0
+                              OR CAST(value AS DOUBLE) > 100.0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+    """
+    oracles["docs_group_sample"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 5
+    """
     return oracles

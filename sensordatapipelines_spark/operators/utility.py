@@ -673,3 +673,94 @@ def topn_with_others(
         )
         .orderBy(F.desc("weight"), F.col("key_or_other"))
     )
+
+
+@register("contract_violations")
+def contract_violations(
+    df: DataFrame,
+    unique_keys: "Sequence[str] | None" = None,
+    not_null: "Sequence[str] | None" = None,
+    ranges: "dict[str, tuple[float, float]] | None" = None,
+) -> DataFrame:
+    """Data-contract audit → one row per rule: ``(rule, n_violations)``.
+    The ingest gate a pipeline runs before accepting a data drop —
+    duplicate keys, unexpected NULLs, out-of-range values — as DATA, so
+    the caller can alert on any ``n_violations > 0`` or join the audit
+    into a run ledger.
+
+    One scan for all null/range rules (conditional sums in a single
+    aggregate); the uniqueness rule adds one map-side-combined key count
+    whose violation total is Σ(c−1) over duplicated keys — no row-level
+    materialization of offenders. Rules report in a fixed order
+    (uniqueness, not-null, ranges as given)."""
+    rows = []
+    if unique_keys:
+        per_key = df.groupBy(*[F.col(k) for k in unique_keys]).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        dup = per_key.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1)), F.lit(0)
+            ).alias("n_violations")
+        ).select(
+            F.lit("unique(" + ",".join(unique_keys) + ")").alias("rule"),
+            F.col("n_violations").cast("long"),
+        )
+        rows.append(dup)
+    aggs = []
+    labels = []
+    for c in not_null or []:
+        labels.append(f"not_null({c})")
+        aggs.append(F.sum(F.col(c).isNull().cast("long")))
+    for c, (lo, hi) in (ranges or {}).items():
+        labels.append(f"range({c},{lo},{hi})")
+        v = F.col(c).cast("double")
+        aggs.append(
+            F.sum(((v < F.lit(float(lo))) | (v > F.lit(float(hi)))).cast("long"))
+        )
+    if aggs:
+        one = df.agg(*[a.alias(f"__r{i}") for i, a in enumerate(aggs)])
+        stacked = ", ".join(
+            f"'{lab}', __r{i}" for i, lab in enumerate(labels)
+        )
+        rows.append(
+            one.select(
+                F.expr(
+                    f"stack({len(labels)}, {stacked}) AS (rule, n_violations)"
+                )
+            ).select("rule", F.col("n_violations").cast("long"))
+        )
+    if not rows:
+        raise ValueError("contract_violations needs at least one rule")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register("group_sample_k")
+def group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group, rank rows by
+    the MD5 of (salt, key) and keep the ``k`` smallest — a stateless,
+    re-run-stable stand-in for per-group reservoir sampling, and the
+    balanced-per-class subsampling primitive (equal examples per
+    language/source/label regardless of group skew).
+
+    One window exchange on the group key; membership is a pure function
+    of (salt, key, group population), so reruns and engine replays agree
+    exactly. Hash ties are broken by the key itself (total order)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

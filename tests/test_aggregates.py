@@ -205,3 +205,42 @@ def test_topn_with_others_folds_tail(spark):
     assert rowsd["__others__"]["n_keys"] == 3
     assert rowsd["__others__"]["weight"] == 5.0
     assert set(rowsd) == {"a", "b", "__others__"}
+
+
+def test_contract_violations_counts(spark):
+    import pytest
+    from sensordatapipelines_spark.operators.utility import contract_violations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 50.0), (2, None, 150.0), (3, "c", None)],
+        "id long, name string, v double",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in contract_violations(
+            df,
+            unique_keys=["id"],
+            not_null=["name"],
+            ranges={"v": (0.0, 100.0)},
+        ).collect()
+    }
+    assert out["unique(id)"] == 1          # id=1 twice -> 1 extra row
+    assert out["not_null(name)"] == 1
+    assert out["range(v,0.0,100.0)"] == 1  # 150 out of range; NULL not counted
+    with pytest.raises(ValueError):
+        contract_violations(df)
+
+
+def test_group_sample_k_balanced_and_stable(spark):
+    from sensordatapipelines_spark.operators.utility import group_sample_k
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_sample_k(df, "grp", "id", k=5, salt="s")
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts == {"big": 5, "small": 3}  # min(k, group size)
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in group_sample_k(df, "grp", "id", k=5, salt="s").collect())
+    assert ids1 == ids2  # deterministic
+    ids3 = sorted(r["id"] for r in group_sample_k(df, "grp", "id", k=5, salt="t").collect())
+    assert ids1 != ids3  # salt changes the sample
