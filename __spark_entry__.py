@@ -4323,6 +4323,30 @@ def docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: consecutive
+    event-type pairs per user with counts and row-normalized
+    probabilities. One lag window exchange + a map-side count to
+    |states|² rows; the normalizer joins back broadcast."""
+    from sensordatapipelines_spark.operators.temporal import transition_matrix
+
+    _register_views(spark, sf_dir)
+    return transition_matrix(
+        load_table(spark, sf_dir, "events"), order_tiebreak="event_id"
+    )
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event: per user, the delay from first signup to the first
+    purchase at-or-after it; never-converting users keep a NULL delay
+    (right-censored, not dropped). Conditional per-key aggregates — no
+    window over the fact table."""
+    from sensordatapipelines_spark.operators.temporal import time_to_convert
+
+    _register_views(spark, sf_dir)
+    return time_to_convert(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4502,6 +4526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lateral_topk": orders_lateral_topk,
         "events_contract_checks": events_contract_checks,
         "docs_group_sample": docs_group_sample,
+        "events_transitions": events_transitions,
+        "events_time_to_convert": events_time_to_convert,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4557,6 +4583,8 @@ _ROUND3_SAMPLE_FIRST = [
     "orders_lateral_topk",
     "events_contract_checks",
     "docs_group_sample",
+    "events_transitions",
+    "events_time_to_convert",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7578,5 +7606,45 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rk
             FROM documents
         ) WHERE rk <= 5
+    """
+    oracles["events_transitions"] = """
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                       AS prev
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev AS from_state, event_type AS to_state,
+                   count(*) AS n
+            FROM ordered WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        ),
+        t AS (SELECT from_state, sum(n) AS tt FROM pairs GROUP BY from_state)
+        SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+               round(n * 1.0 / tt, 6) AS p
+        FROM pairs JOIN t USING (from_state)
+    """
+    oracles["events_time_to_convert"] = """
+        WITH per AS (
+            SELECT user_id AS key,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS s
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id AS key, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT p.key, p.s, min(c.cts) AS c
+            FROM per p LEFT JOIN conv c
+              ON p.key = c.key AND c.cts >= p.s
+            WHERE p.s IS NOT NULL
+            GROUP BY p.key, p.s
+        )
+        SELECT key, s AS start_us, round((c - s) / 1e6, 6) AS delay_s
+        FROM j
     """
     return oracles

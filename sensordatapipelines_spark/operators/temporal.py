@@ -685,3 +685,87 @@ def touch_attribution(
         "last_touch_id",
         F.col("n_touches").cast("long").alias("n_touches"),
     )
+
+
+@register("transition_matrix")
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for each
+    (from_state, to_state) pair of CONSECUTIVE events within a key, the
+    transition count and the row-normalized probability — the behavioral
+    fingerprint behind next-action prediction and anomaly detection
+    ('purchase after error' spikes).
+
+    One window exchange on the key (lag), then a map-side-combined count
+    to |states|² rows; the per-from normalizer joins back BROADCAST
+    (|states| rows). Probabilities round at 1e-6."""
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+        )
+    )
+
+
+@register("time_to_convert")
+def time_to_convert(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-event distribution: per key, the delay from its FIRST
+    ``start_type`` event to its FIRST ``convert_type`` event at or after
+    it; keys that never convert report a NULL delay (right-censored, kept
+    — dropping them would bias every downstream statistic). Output is
+    per-key ``(key, start_us, delay_s)``.
+
+    One conditional aggregate per key (min over each event class,
+    map-side combined) — no self-join, no window over the fact table."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(F.when(F.col(type_col) == start_type, ts_us)).alias("__s"),
+        F.min(F.when(F.col(type_col) == convert_type, ts_us)).alias("__c0"),
+    )
+    # first conversion AT OR AFTER the first start (a purchase before
+    # signup does not count as converting that signup)
+    conv = df.select(
+        F.col(key_col).alias("key"),
+        F.when(F.col(type_col) == convert_type, ts_us).alias("__cts"),
+    ).filter(F.col("__cts").isNotNull())
+    joined = (
+        per_key.filter(F.col("__s").isNotNull())
+        .join(conv, "key", "left")
+        .filter(F.col("__cts").isNull() | (F.col("__cts") >= F.col("__s")))
+        .groupBy("key", "__s")
+        .agg(F.min("__cts").alias("__c"))
+    )
+    return joined.select(
+        "key",
+        F.col("__s").alias("start_us"),
+        F.round((F.col("__c") - F.col("__s")) / F.lit(1e6), 6).alias("delay_s"),
+    )

@@ -387,3 +387,50 @@ def test_touch_attribution_first_last(spark):
     assert out[13]["last_touch_id"] == 12
     assert out[13]["n_touches"] == 2
     assert out[20]["first_touch_id"] is None and out[20]["n_touches"] == 0
+
+
+def test_transition_matrix_probabilities(spark):
+    """Transitions count consecutive pairs per key; probabilities
+    normalize per from-state; cross-key boundaries never pair."""
+    from sensordatapipelines_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:01:00"),
+        (3, 1, "a", "2024-01-01 00:02:00"),
+        (4, 1, "b", "2024-01-01 00:03:00"),
+        (5, 2, "b", "2024-01-01 00:00:30"),  # other user: no cross pair
+        (6, 2, "c", "2024-01-01 00:01:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    )
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in transition_matrix(df, order_tiebreak="event_id").collect()
+    }
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 0.5
+    assert out[("b", "c")]["p"] == 0.5
+    assert ("c", "a") not in out and ("a", "c") not in out
+
+
+def test_time_to_convert_censoring_and_ordering(spark):
+    """First signup → first purchase AT-OR-AFTER it; pre-signup purchases
+    don't count; never-converting users keep a NULL delay."""
+    from sensordatapipelines_spark.operators.temporal import time_to_convert
+
+    rows = [
+        (1, 1, "purchase", "2024-01-01 00:00:00"),  # before signup: ignored
+        (2, 1, "signup", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 01:30:00"),
+        (4, 2, "signup", "2024-01-01 00:00:00"),    # never converts
+        (5, 3, "view", "2024-01-01 00:00:00"),      # never signs up: absent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    )
+    out = {r["key"]: r for r in time_to_convert(df).collect()}
+    assert out[1]["delay_s"] == 1800.0
+    assert out[2]["delay_s"] is None
+    assert 3 not in out
