@@ -4347,6 +4347,26 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_to_convert(load_table(spark, sf_dir, "events"))
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day dedup: process the even-id half as yesterday's drop,
+    then the odd-id half against the resulting fingerprint state —
+    first-batch-wins semantics (a key seen yesterday suppresses today's
+    copy even if today's id is lower), which the oracle encodes as
+    COALESCE(min even id, min id) per key. State carries key columns
+    only; the anti-join broadcasts the reduced side."""
+    from sensordatapipelines_spark.operators.dedup import incremental_dedup
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    s1, state = incremental_dedup(day1, None, ["text"], "doc_id")
+    s2, _ = incremental_dedup(day2, state, ["text"], "doc_id")
+    return s1.select("doc_id", "source").unionByName(
+        s2.select("doc_id", "source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4528,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_group_sample": docs_group_sample,
         "events_transitions": events_transitions,
         "events_time_to_convert": events_time_to_convert,
+        "docs_incremental_dedup": docs_incremental_dedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4585,6 +4606,7 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_group_sample",
     "events_transitions",
     "events_time_to_convert",
+    "docs_incremental_dedup",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7646,5 +7668,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT key, s AS start_us, round((c - s) / 1e6, 6) AS delay_s
         FROM j
+    """
+    oracles["docs_incremental_dedup"] = """
+        WITH pick AS (
+            SELECT text AS k,
+                   COALESCE(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                            min(doc_id)) AS keep_id
+            FROM documents GROUP BY text
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN pick p
+          ON d.text = p.k AND d.doc_id = p.keep_id
     """
     return oracles

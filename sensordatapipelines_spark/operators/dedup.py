@@ -732,3 +732,40 @@ def canonical_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register("incremental_dedup")
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    subset: Sequence[str],
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup against a persistent fingerprint state:
+    ``(survivors, updated_state)`` — the day-over-day shape of corpus
+    dedup, where yesterday's fingerprints must suppress today's re-crawls
+    WITHOUT rescanning yesterday's corpus.
+
+    - ``survivors``: the batch's first-occurrence rows (keep lowest
+      ``id_col`` per key, exactly ``exact_dedup``) that are ALSO unseen —
+      an anti-join against the state on the key columns.
+    - ``updated_state``: the old state unioned with the new keys —
+      key-columns only, so state size is O(distinct keys), not O(rows).
+
+    Plan shape: the state is key-reduced; when today's batch is small
+    relative to history (the normal drop), Catalyst broadcasts the batch
+    side of the anti-join; the state update is a union + distinct over
+    key columns with map-side combine. Processing A then B yields exactly
+    the survivors of batch-deduping A∪B (keep-lowest-id within each
+    batch, first-batch-wins across batches) — asserted by pytest and the
+    gate oracle."""
+    cols = list(subset)
+    batch_first = exact_dedup(batch, cols, id_col)
+    if seen is None:
+        new_keys = batch_first.select(*cols).distinct()
+        return batch_first, new_keys
+    survivors = batch_first.join(seen.select(*cols), cols, "left_anti")
+    updated = seen.select(*cols).unionByName(
+        survivors.select(*cols)
+    ).distinct()
+    return survivors, updated

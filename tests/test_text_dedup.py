@@ -735,3 +735,23 @@ def test_gopher_kernel_expr_twins_identical(spark):
     a = sorted(map(tuple, gopher_quality(docs, engine="kernel").collect()))
     b = sorted(map(tuple, gopher_quality(docs, engine="expr").collect()))
     assert a == b
+
+
+def test_incremental_dedup_first_batch_wins(spark):
+    """Processing A then B suppresses B's copies of keys seen in A (even
+    when B's id is lower), dedups within each batch, and grows the state
+    by exactly the new keys."""
+    from sensordatapipelines_spark.operators.dedup import incremental_dedup
+
+    day1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "alpha")], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(1, "alpha"), (2, "gamma"), (3, "gamma")], "doc_id long, text string"
+    )
+    s1, state1 = incremental_dedup(day1, None, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [10, 11]
+    s2, state2 = incremental_dedup(day2, state1, ["text"], "doc_id")
+    # id 1 ('alpha') is LOWER than day1's 10 but loses: first batch wins
+    assert sorted(r["doc_id"] for r in s2.collect()) == [2]
+    assert sorted(r["text"] for r in state2.collect()) == ["alpha", "beta", "gamma"]
