@@ -4367,6 +4367,26 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per source: the smallest
+    n_chars whose cumulative token mass reaches half the source's total —
+    what the TOKENS experience, not what the documents vote (long docs
+    dominate). One window exchange per group + a min over the qualifying
+    rows; (value, doc_id) total order."""
+    from sensordatapipelines_spark.operators.aggregates import weighted_percentile
+    from sensordatapipelines_spark.operators.text import token_count_expr
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "__w", token_count_expr(F.col("text")).cast("double")
+    )
+    out = weighted_percentile(
+        docs, group_col="source", value_col="n_chars", weight_col="__w",
+        q=0.5, tiebreak_col="doc_id",
+    )
+    return out.select("source", F.col("p50_weighted").cast("long").alias("p50_weighted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4549,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_time_to_convert": events_time_to_convert,
         "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_weighted_median": docs_weighted_median,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4607,6 +4628,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_transitions",
     "events_time_to_convert",
     "docs_incremental_dedup",
+    "docs_weighted_median",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7679,5 +7701,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d JOIN pick p
           ON d.text = p.k AND d.doc_id = p.keep_id
+    """
+    oracles["docs_weighted_median"] = r"""
+        WITH d AS (
+            SELECT source, doc_id, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                   END AS w
+            FROM documents
+        ),
+        cum AS (
+            SELECT source, n_chars,
+                   sum(w) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cw,
+                   sum(w) OVER (PARTITION BY source) AS tw
+            FROM d
+        )
+        SELECT source,
+               CAST(min(n_chars) AS BIGINT) AS p50_weighted
+        FROM cum
+        WHERE tw > 0 AND cw >= 0.5 * tw
+        GROUP BY source
     """
     return oracles

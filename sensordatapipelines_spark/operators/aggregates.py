@@ -17,8 +17,10 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.registry import register
 
 # Named builtin aggregation functions → Column builders (JVM-side).
 BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
@@ -125,3 +127,44 @@ def _grouped_agg_udf(func: Callable):
         return _udaf(c)
 
     return builder
+
+
+@register("weighted_percentile")
+def weighted_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted percentile per group: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — the
+    token-weighted median/quantile a corpus report needs (an unweighted
+    median over documents misstates what the TOKENS experience when long
+    docs dominate).
+
+    One window exchange on the group key (ordered cumulative weight, with
+    an optional unique ``tiebreak_col`` making per-row order total), then
+    a min-aggregate over the qualifying rows — two passes over the
+    already-shuffled group, no self-join. Weights must be non-negative;
+    zero-total groups return NULL."""
+    w = F.col(weight_col).cast("double")
+    order = [F.col(value_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = df.withColumn("__cw", F.sum(w).over(win)).withColumn(
+        "__tw", F.sum(w).over(tot)
+    )
+    hit = cum.filter(
+        (F.col("__tw") > 0) & (F.col("__cw") >= F.lit(float(q)) * F.col("__tw"))
+    )
+    return hit.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.min(F.col(value_col)).alias(f"p{int(q * 100)}_weighted")
+    )

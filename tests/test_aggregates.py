@@ -244,3 +244,31 @@ def test_group_sample_k_balanced_and_stable(spark):
     assert ids1 == ids2  # deterministic
     ids3 = sorted(r["id"] for r in group_sample_k(df, "grp", "id", k=5, salt="t").collect())
     assert ids1 != ids3  # salt changes the sample
+
+
+def test_weighted_percentile_vs_manual(spark):
+    """Weighted median picks the value where cumulative weight crosses
+    half the total; heavy weight on a single value pulls the median there;
+    zero-total groups are absent (NULL contract)."""
+    rows = [
+        ("g", 1.0, 1.0, 1),
+        ("g", 2.0, 1.0, 2),
+        ("g", 100.0, 10.0, 3),  # dominates: weighted median = 100
+        ("z", 5.0, 0.0, 4),     # zero-total group
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, w double, id long")
+    from sensordatapipelines_spark.operators.aggregates import weighted_percentile
+
+    out = {
+        r["grp"]: r["p50_weighted"]
+        for r in weighted_percentile(df, "grp", "v", "w", q=0.5, tiebreak_col="id").collect()
+    }
+    assert out["g"] == 100.0
+    assert "z" not in out
+    unw = {
+        r["grp"]: r["p50_weighted"]
+        for r in weighted_percentile(
+            df.withColumn("w1", F.lit(1.0)), "grp", "v", "w1", q=0.5, tiebreak_col="id"
+        ).collect()
+    }
+    assert unw["g"] == 2.0  # unweighted median of {1,2,100}
