@@ -4387,6 +4387,42 @@ def docs_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", F.col("p50_weighted").cast("long").alias("p50_weighted"))
 
 
+def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED_MAP surface: per-user as-of alignment of clicks to their
+    latest preceding purchase via groupBy.cogroup.applyInPandas with a
+    pd.merge_asof inside the worker — the custom two-sided-Python escape
+    hatch, gated against a LATERAL SQL oracle with the identical
+    (ts desc, event_id desc) tie rule."""
+    from sensordatapipelines_spark.operators.joins import cogroup_asof
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", tus.alias("tus")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), "value", tus.alias("ptus")
+    )
+    out = cogroup_asof(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="tus",
+        right_ts="ptus",
+        left_cols=["event_id", "tus"],
+        right_cols=["value", "p_id"],
+        right_tiebreak="p_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.round("r_value", 6).alias("r_value"),
+        F.col("r_p_id").cast("long").alias("r_p_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4570,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": events_time_to_convert,
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_weighted_median": docs_weighted_median,
+        "events_cogroup_asof": events_cogroup_asof,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4629,6 +4666,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_time_to_convert",
     "docs_incremental_dedup",
     "docs_weighted_median",
+    "events_cogroup_asof",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7724,5 +7762,23 @@ def oracle_sql() -> dict[str, str]:
         FROM cum
         WHERE tw > 0 AND cw >= 0.5 * tw
         GROUP BY source
+    """
+    oracles["events_cogroup_asof"] = """
+        WITH clicks AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, event_id AS p_id, value, epoch_us(ts) AS ptus
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.event_id, c.tus,
+               round(t.value, 6) AS r_value,
+               CAST(t.p_id AS BIGINT) AS r_p_id
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT value, p_id FROM p
+            WHERE p.user_id = c.user_id AND p.ptus <= c.tus
+            ORDER BY ptus DESC, p_id DESC LIMIT 1
+        ) t ON TRUE
     """
     return oracles

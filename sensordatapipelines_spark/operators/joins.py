@@ -271,3 +271,73 @@ def fuzzy_join(
         F.col("__rid").alias("right_id"),
         F.col("__dist").cast("long").alias("edit_distance"),
     )
+
+
+@register("cogroup_asof")
+def cogroup_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_cols: "Sequence[str]" = (),
+    right_cols: "Sequence[str]" = (),
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """The COGROUPED_MAP extension surface: per-key as-of alignment in
+    pandas via ``groupBy(k).cogroup(groupBy(k)).applyInPandas`` — both
+    sides of a key arrive as ONE pandas frame each and a
+    ``pd.merge_asof`` runs inside the worker. Semantics are the backward
+    inclusive as-of of ``asof_join`` (latest right at-or-before each left
+    row), so the declarative twin is its exact oracle.
+
+    This op exists to gate the custom-two-sided-Python path (the same
+    reason ``grouped_zscore`` gates GROUPED_MAP): real uses are
+    alignment logic that SQL can't express — per-key model replay,
+    bidirectional tolerance matching. One co-shuffle on the key; each
+    key's two frames must fit a worker (same contract as any
+    cogroup/applyInPandas)."""
+    import pandas as pd
+
+    lc = list(left_cols) or [c for c in left.columns if c != on]
+    rc = list(right_cols)
+    out_fields = (
+        [f"{on} long"]
+        + [f"{c} {dict(left.dtypes)[c]}" for c in lc]
+        + [f"r_{c} {dict(right.dtypes)[c]}" for c in rc]
+    )
+    schema = ", ".join(out_fields)
+
+    def merge(l_pdf: "pd.DataFrame", r_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=[on] + lc + [f"r_{c}" for c in rc])
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if len(r_pdf) == 0:
+            out = l_sorted[[on] + lc].copy()
+            for c in rc:
+                out[f"r_{c}"] = None
+            return out
+        r_keys = [right_ts] + ([right_tiebreak] if right_tiebreak else [])
+        # sort by (ts, tiebreak): merge_asof takes the LAST right row at an
+        # equal timestamp, so ascending tiebreak == larger-tiebreak-wins —
+        # the same tie rule as asof_join. The right ts renames to a private
+        # name so same-named ts columns never collide into _x/_y suffixes.
+        r_sorted = (
+            r_pdf.sort_values(r_keys, kind="mergesort")[[right_ts] + rc]
+            .rename(columns={right_ts: "__rts", **{c: f"r_{c}" for c in rc}})
+        )
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on="__rts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[on] + lc + [f"r_{c}" for c in rc]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

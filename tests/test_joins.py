@@ -195,3 +195,31 @@ def test_triangle_count_known_graph(spark):
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_cogroup_asof_matches_declarative_asof(spark):
+    """The COGROUPED_MAP pandas merge_asof must agree with the declarative
+    asof_join on the same inputs (incl. the equal-ts inclusive match and
+    keys present on only one side)."""
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (2, 50, 12), (3, 10, 13)],
+        "k long, tus long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 5.0, 20), (1, 150, 6.0, 21), (2, 60, 7.0, 22)],
+        "k long, tus long, v double, rid long",
+    )
+    from sensordatapipelines_spark.operators.joins import cogroup_asof
+
+    out = {
+        r["lid"]: (r["r_v"], r["r_rid"])
+        for r in cogroup_asof(
+            left, right, on="k", left_ts="tus", right_ts="tus",
+            left_cols=["lid", "tus"], right_cols=["v", "rid"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert out[10] == (5.0, 20)     # equal ts matches inclusively
+    assert out[11] == (6.0, 21)     # latest preceding
+    assert out[12] == (None, None)  # right row is later -> no match
+    assert out[13] == (None, None)  # key absent on right
