@@ -4357,11 +4357,15 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.dedup import incremental_dedup
 
     _register_views(spark, sf_dir)
-    docs = spark.table("documents")
+    # the 30-char prefix key (same as docs_dedup_exact) so the gate
+    # exercises real duplicate suppression at every scale factor
+    docs = spark.table("documents").withColumn(
+        "key", F.substring("text", 1, 30)
+    )
     day1 = docs.filter(F.col("doc_id") % 2 == 0)
     day2 = docs.filter(F.col("doc_id") % 2 == 1)
-    s1, state = incremental_dedup(day1, None, ["text"], "doc_id")
-    s2, _ = incremental_dedup(day2, state, ["text"], "doc_id")
+    s1, state = incremental_dedup(day1, None, ["key"], "doc_id")
+    s2, _ = incremental_dedup(day2, state, ["key"], "doc_id")
     return s1.select("doc_id", "source").unionByName(
         s2.select("doc_id", "source")
     )
@@ -7731,14 +7735,14 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_incremental_dedup"] = """
         WITH pick AS (
-            SELECT text AS k,
+            SELECT substring(text, 1, 30) AS k,
                    COALESCE(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
                             min(doc_id)) AS keep_id
-            FROM documents GROUP BY text
+            FROM documents GROUP BY substring(text, 1, 30)
         )
         SELECT d.doc_id, d.source
         FROM documents d JOIN pick p
-          ON d.text = p.k AND d.doc_id = p.keep_id
+          ON substring(d.text, 1, 30) = p.k AND d.doc_id = p.keep_id
     """
     oracles["docs_weighted_median"] = r"""
         WITH d AS (
