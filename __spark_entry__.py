@@ -4427,6 +4427,47 @@ def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the cell-partitioned IVF index layout once per (session, sf)."""
+    from sensordatapipelines_spark.operators.similarity import write_ann_index
+
+    def build(stage: str) -> None:
+        write_ann_index(
+            spark.table("embeddings"),
+            f"{stage}/index",
+            n_cells=IVF_CELLS,
+            dim=ANN_DIM,
+            seed=ANN_SEED,
+        )
+
+    return _staged(spark, sf_dir, "ann_index", build)
+
+
+def emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED cell-partitioned index: the probed
+    cells compute driver-side (control-plane) and enter the scan as a
+    literal ``cell IN (...)`` partition filter — candidate generation
+    happens at the directory listing, before any non-probed byte is
+    read. Result-identical to the in-memory IVF (same centroids, same
+    tie rules), so it shares emb_ann_ivf's oracle; a plan test asserts
+    the partition filter reaches the scan."""
+    from sensordatapipelines_spark.operators.similarity import query_ann_index
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ann_index(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return query_ann_index(
+        spark,
+        f"{stage}/index",
+        emb.filter(F.col("vec_id") < 8),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+        nprobe=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4611,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_weighted_median": docs_weighted_median,
         "events_cogroup_asof": events_cogroup_asof,
+        "emb_ann_index_topk": emb_ann_index_topk,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4671,6 +4713,7 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_incremental_dedup",
     "docs_weighted_median",
     "events_cogroup_asof",
+    "emb_ann_index_topk",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7785,4 +7828,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ptus DESC, p_id DESC LIMIT 1
         ) t ON TRUE
     """
+    # the persisted-index serving path is result-identical to in-memory IVF
+    oracles["emb_ann_index_topk"] = oracles["emb_ann_ivf"]
     return oracles

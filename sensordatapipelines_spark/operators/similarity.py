@@ -698,3 +698,118 @@ def cluster_coverage_sample(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a CELL-PARTITIONED parquet layout:
+    ``path/cell=<i>/part-*.parquet`` with each vector stored in exactly
+    one coarse cell (the same seeded centroids ``ann_ivf_topk`` probes).
+    Serving then reads ONLY the probed cells — Spark's partition pruning
+    turns candidate generation into a directory-level skip, the on-disk
+    analogue of the cell equi-join.
+
+    At 100 TB: one assignment pass (Arrow argmin kernel, map-side) + one
+    partitioned write; cells are the natural unit of parallel compaction
+    and incremental append (new vectors write into their cell dirs)."""
+    cents = _ivf_centroids(dim, n_cells, seed)
+    (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _cell_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Serve top-k from a ``write_ann_index`` layout: compute the query
+    set's probed cells DRIVER-SIDE (|queries| × nprobe ints — control
+    plane), push them as a literal ``cell IN (...)`` predicate so the
+    parquet scan prunes to the probed directories, then exact-cosine
+    re-rank within the matching cells. Result-identical to
+    ``ann_ivf_topk`` on the same corpus (same centroids, same tie rules);
+    the difference is WHERE candidate generation happens — at the
+    directory listing, before any byte of a non-probed cell is read."""
+    import numpy as np
+
+    cents = _ivf_centroids(dim, n_cells, seed)
+    C = np.asarray(cents, dtype="float64")
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_cells: set[int] = set()
+    qcell: dict[int, list[int]] = {}
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype="float64")
+        d = np.zeros(C.shape[0])
+        for ci in range(C.shape[0]):
+            acc = 0.0
+            for j in range(C.shape[1]):
+                diff = v[j] - C[ci, j]
+                acc += diff * diff
+            d[ci] = acc
+        order = np.lexsort((np.arange(C.shape[0]), d))
+        cells = [int(c) + 1 for c in order[:nprobe]]
+        qcell[r[id_col]] = cells
+        probe_cells.update(cells)
+    corpus = spark.read.parquet(path).filter(
+        F.col("cell").isin(*sorted(probe_cells))
+    )
+    pairs_cells = [
+        (qid, c) for qid, cs in qcell.items() for c in cs
+    ]
+    probe_df = spark.createDataFrame(pairs_cells, f"{id_col} long, cell int")
+    q = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            norm_expr(F.col(vec_col)).alias("__qn"),
+        )
+        .join(
+            probe_df.select(F.col(id_col).alias("__qid"), "cell"), "__qid"
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+        F.col("cell"),
+    )
+    pairs = F.broadcast(q).join(c, on="cell").filter(
+        F.col("__qid") != F.col("__cid")
+    )
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

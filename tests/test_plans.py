@@ -370,3 +370,19 @@ def test_quality_weighted_sample_is_scan_side_filter(spark):
     plan = _plan(e.docs_weighted_sample(spark, SF))
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_ann_index_scan_prunes_to_probed_cells(spark):
+    """Serving from the persisted IVF index must prune at the DIRECTORY
+    level: the index scan's PartitionFilters carry the probed cell ids,
+    so non-probed cells are never read (the on-disk analogue of the cell
+    equi-join)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.emb_ann_index_topk(spark, SF))
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "/index" in l
+    )
+    pf = scan.split("PartitionFilters: ")[1]
+    assert "cell" in pf.split("]")[0]  # non-empty partition filter on cell
