@@ -49,7 +49,12 @@ def duplicate_groups(df: DataFrame, subset: Sequence[str], id_col: str) -> DataF
 
 def word_ngrams_expr(text, n: int):
     """Word n-gram shingles as an array column (space-joined), JVM-side:
-    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(tokens, i+1, n)))``."""
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(tokens, i+1, n)))``.
+
+    The expression twin of ``word_ngrams_kernel`` — kept as the
+    zero-dependency reference (and the shape every SQL oracle mirrors);
+    the kernel is the default hot path because this HOF tree runs
+    INTERPRETED per gram (measured 6.7× slower at sf0.1 — SCALE.md)."""
     toks = tokens_expr(text)
     count = F.size(toks) - F.lit(n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
@@ -58,6 +63,40 @@ def word_ngrams_expr(text, n: int):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def word_ngrams_kernel(n: int):
+    """Arrow-batched shingle builder returning the IDENTICAL string array
+    as ``word_ngrams_expr`` (verified bit-equal): ASCII ``\\s+`` split to
+    match Java regex semantics, space-joined n-token windows, [] for
+    sub-n docs. Exists because the per-gram slice/concat HOF runs
+    interpreted in Catalyst and dominated every shingle-family operator
+    (jaccard/minhash/simhash/containment postings — measured 4.2 s →
+    0.6 s for the sf0.1 postings pass)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("array<string>")
+    def _grams(texts):
+        out = []
+        for t in texts:
+            if t is None or not t.strip():
+                out.append([])
+                continue
+            toks = ws.split(t.strip())
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                )
+        return pd.Series(out)
+
+    return _grams
 
 
 def _shingle_postings(
@@ -82,7 +121,7 @@ def _shingle_postings(
         spread_by(df.select(F.col(id_col).alias("__id"), F.col(text_col)), "__id")
         .select(
             "__id",
-            F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("__sh"),
+            F.array_distinct(word_ngrams_kernel(n)(F.col(text_col))).alias("__sh"),
         )
         .cache()
     )
@@ -262,7 +301,7 @@ def minhash_dedup_pairs(
         spread_by(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
         .select(
             "id",
-            F.array_distinct(word_ngrams_expr(F.col(text_col), n)).alias("shingles"),
+            F.array_distinct(word_ngrams_kernel(n)(F.col(text_col))).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
     )
@@ -341,7 +380,7 @@ def minhash_signature(
         df.select(F.col(id_col), F.col(text_col)), id_col
     ).select(
         F.col(id_col),
-        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("__s"),
+        F.explode(word_ngrams_kernel(n)(F.col(text_col))).alias("__s"),
     )
     hashed = exploded.select(id_col, poly_hash_expr(F.col("__s")).alias("__h"))
     aggs = [
@@ -682,7 +721,7 @@ def decontaminate(
         F.explode(
             F.array_distinct(
                 F.transform(
-                    word_ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+                    word_ngrams_kernel(n)(F.col(text_col)), lambda s: F.xxhash64(s)
                 )
             )
         ).alias("__s"),
@@ -691,7 +730,7 @@ def decontaminate(
         F.explode(
             F.array_distinct(
                 F.transform(
-                    word_ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+                    word_ngrams_kernel(n)(F.col(text_col)), lambda s: F.xxhash64(s)
                 )
             )
         ).alias("__s")

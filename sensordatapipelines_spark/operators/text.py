@@ -518,9 +518,9 @@ def gopher_quality(
     toks_l = tokens_expr(F.lower(t))
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
-    from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
+    from sensordatapipelines_spark.operators.dedup import word_ngrams_kernel
 
-    bigrams = word_ngrams_expr(t, 2)
+    bigrams = word_ngrams_kernel(2)(t)
     if engine == "kernel":
         top_bg = _max_count_udf()(bigrams)
     else:
@@ -650,9 +650,9 @@ def boilerplate_ngrams(
     all-pairs or shuffled join of the corpus. All counts are integers —
     bit-deterministic across engines.
     """
-    from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
+    from sensordatapipelines_spark.operators.dedup import word_ngrams_kernel
 
-    grams = word_ngrams_expr(F.col(text_col), n)
+    grams = word_ngrams_kernel(n)(F.col(text_col))
     # Explode ONCE, reduce to (doc, gram, occurrences) immediately: this
     # single exchange feeds BOTH the document-frequency aggregate (df per
     # gram = row count) and the final per-doc coverage aggregate —

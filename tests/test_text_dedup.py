@@ -755,3 +755,28 @@ def test_incremental_dedup_first_batch_wins(spark):
     # id 1 ('alpha') is LOWER than day1's 10 but loses: first batch wins
     assert sorted(r["doc_id"] for r in s2.collect()) == [2]
     assert sorted(r["text"] for r in state2.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_word_ngrams_kernel_expr_twins_identical(spark):
+    """The Arrow shingle kernel and the HOF expression produce the exact
+    same string arrays on every edge (empty, blank, sub-n, multi-space)."""
+    from sensordatapipelines_spark.operators.dedup import (
+        word_ngrams_expr,
+        word_ngrams_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "one  two\tthree"),   # multi-space + tab collapse
+            (3, "xy"),                 # sub-n
+            (4, ""),
+            (5, "   "),
+            (6, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        a = {r["doc_id"]: r["g"] for r in docs.select("doc_id", word_ngrams_expr(F.col("text"), n).alias("g")).collect()}
+        b = {r["doc_id"]: r["g"] for r in docs.select("doc_id", word_ngrams_kernel(n)(F.col("text")).alias("g")).collect()}
+        assert a == b, n
