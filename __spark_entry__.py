@@ -4468,6 +4468,30 @@ def emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_incremental_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day NEAR-dedup: the even-id half builds yesterday's LSH
+    signature state; the odd-id half is checked against that index plus
+    its own lower ids — today's drop never rescans or re-signs history.
+    Deterministic non-recursive drop rule, encoded layer-by-layer in the
+    oracle over the same minhash-pairs CTE."""
+    from sensordatapipelines_spark.operators.dedup import incremental_neardedup
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(
+        num_hashes=MINHASH_HASHES,
+        band_rows=MINHASH_BAND_ROWS,
+        threshold=MINHASH_THRESHOLD,
+        seed=MINHASH_SEED,
+        n=3,
+    )
+    s1, state = incremental_neardedup(day1, None, **kw)
+    s2, _ = incremental_neardedup(day2, state, **kw)
+    return s1.select("doc_id", "source").unionByName(s2.select("doc_id", "source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4653,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_median": docs_weighted_median,
         "events_cogroup_asof": events_cogroup_asof,
         "emb_ann_index_topk": emb_ann_index_topk,
+        "docs_incremental_neardedup": docs_incremental_neardedup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4714,6 +4739,7 @@ _ROUND3_SAMPLE_FIRST = [
     "docs_weighted_median",
     "events_cogroup_asof",
     "emb_ann_index_topk",
+    "docs_incremental_neardedup",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7830,4 +7856,32 @@ def oracle_sql() -> dict[str, str]:
     """
     # the persisted-index serving path is result-identical to in-memory IVF
     oracles["emb_ann_index_topk"] = oracles["emb_ann_ivf"]
+    oracles["docs_incremental_neardedup"] = f"""
+        WITH mh AS ({oracles["docs_minhash_pairs"]}),
+        sym AS (
+            SELECT id_a AS x, id_b AS y FROM mh
+            UNION ALL
+            SELECT id_b, id_a FROM mh
+        ),
+        drop_e AS (
+            SELECT DISTINCT y AS id FROM sym
+            WHERE y % 2 = 0 AND x % 2 = 0 AND x < y
+        ),
+        surv_e AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 0
+              AND doc_id NOT IN (SELECT id FROM drop_e)
+        ),
+        drop_o AS (
+            SELECT DISTINCT y AS id FROM sym
+            WHERE y % 2 = 1 AND (
+                  (x % 2 = 0 AND x IN (SELECT doc_id FROM surv_e))
+               OR (x % 2 = 1 AND x < y)
+            )
+        )
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM surv_e))
+           OR (doc_id % 2 = 1
+               AND doc_id NOT IN (SELECT id FROM drop_o))
+    """
     return oracles

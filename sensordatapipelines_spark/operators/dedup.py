@@ -808,3 +808,144 @@ def incremental_dedup(
         survivors.select(*cols)
     ).distinct()
     return survivors, updated
+
+
+def _sig_bands(sig: DataFrame, id_col: str, num_hashes: int, band_rows: int) -> DataFrame:
+    """Explode a MinHash signature frame into its LSH band rows
+    ``(id, band, v0..v{band_rows-1})`` — the shared banding of
+    ``minhash_pairs`` and ``incremental_neardedup``."""
+    n_bands = num_hashes // band_rows
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"sig{j * band_rows + r}").alias(f"v{r}")
+                            for r in range(band_rows)
+                        ],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "bv.*")
+
+
+@register("incremental_neardedup")
+def incremental_neardedup(
+    batch: DataFrame,
+    state: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dedup against a persistent MinHash-signature
+    state: ``(survivors, updated_state)`` — the day-over-day shape of
+    fuzzy corpus dedup, where today's drop is checked against
+    yesterday's LSH index WITHOUT rescanning (or even re-signing)
+    yesterday's corpus.
+
+    Drop rule (deterministic, non-recursive): a batch doc is dropped iff
+    it is ≥``threshold`` signature-similar to ANY state doc, or to any
+    LOWER-id doc of its own batch. Docs with fewer than ``n`` tokens
+    carry no signature and survive trivially (MinHash's
+    undefined-on-empty semantics, same as ``minhash_pairs``). The state
+    holds the SIGNATURES of survivors only — O(survivors × num_hashes)
+    longs, the LSH-index retention convention (a dropped doc's
+    near-dups are represented by its kept survivor).
+
+    Plan shape: batch signatures compute once (the flat-aggregate
+    minhash); candidates against the state and within the batch are BOTH
+    banded equi-joins (band + component values — never a cross product);
+    the state side never re-signs or rescans text. Exactly the per-drop
+    cost profile an at-scale ingest wants: O(batch) signing + bounded
+    bucket joins."""
+    sig_b = minhash_signature(
+        batch, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, seed=seed,
+    ).cache()
+    bands_b = _sig_bands(sig_b, id_col, num_hashes, band_rows)
+
+    agree = sum(
+        (
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        start=F.lit(0),
+    )
+    sim_ok = (agree.cast("double") / num_hashes) >= F.lit(float(threshold))
+
+    losers = None
+    if state is not None:
+        bands_s = _sig_bands(state, id_col, num_hashes, band_rows)
+        cond = F.col("a.band") == F.col("b.band")
+        for r in range(band_rows):
+            cond = cond & (F.col(f"a.v{r}") == F.col(f"b.v{r}"))
+        cand_bs = (
+            bands_s.alias("a")
+            .join(bands_b.alias("b"), on=cond)
+            .select(
+                F.col(f"a.{id_col}").alias("__sid"),
+                F.col(f"b.{id_col}").alias("__bid"),
+            )
+            .distinct()
+        )
+        sa = state.select(
+            F.col(id_col).alias("__sid"),
+            *[F.col(f"sig{i}").alias(f"__a{i}") for i in range(num_hashes)],
+        )
+        sb = sig_b.select(
+            F.col(id_col).alias("__bid"),
+            *[F.col(f"sig{i}").alias(f"__b{i}") for i in range(num_hashes)],
+        )
+        losers = (
+            cand_bs.join(sa, "__sid").join(sb, "__bid")
+            .filter(sim_ok)
+            .select(F.col("__bid").alias("__loser"))
+            .distinct()
+        )
+    # within-batch: lower id wins, non-recursively
+    cond_bb = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for r in range(band_rows):
+        cond_bb = cond_bb & (F.col(f"a.v{r}") == F.col(f"b.v{r}"))
+    cand_bb = (
+        bands_b.alias("a")
+        .join(bands_b.alias("b"), on=cond_bb)
+        .select(
+            F.col(f"a.{id_col}").alias("__aid"),
+            F.col(f"b.{id_col}").alias("__bid"),
+        )
+        .distinct()
+    )
+    sa_b = sig_b.select(
+        F.col(id_col).alias("__aid"),
+        *[F.col(f"sig{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb_b = sig_b.select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(f"sig{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    losers_bb = (
+        cand_bb.join(sa_b, "__aid").join(sb_b, "__bid")
+        .filter(sim_ok)
+        .select(F.col("__bid").alias("__loser"))
+        .distinct()
+    )
+    all_losers = losers_bb if losers is None else losers.unionByName(losers_bb).distinct()
+    survivors = batch.join(
+        all_losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
+    )
+    surv_sigs = sig_b.join(
+        all_losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
+    )
+    new_state = surv_sigs if state is None else state.unionByName(surv_sigs)
+    return survivors, new_state

@@ -780,3 +780,33 @@ def test_word_ngrams_kernel_expr_twins_identical(spark):
         a = {r["doc_id"]: r["g"] for r in docs.select("doc_id", word_ngrams_expr(F.col("text"), n).alias("g")).collect()}
         b = {r["doc_id"]: r["g"] for r in docs.select("doc_id", word_ngrams_kernel(n)(F.col("text")).alias("g")).collect()}
         assert a == b, n
+
+
+def test_incremental_neardedup_state_and_rules(spark):
+    """Near-dup of a state doc is dropped even at a lower id; within-batch
+    lower id wins; sub-n docs survive trivially; state holds survivors'
+    signatures only."""
+    from sensordatapipelines_spark.operators.dedup import incremental_neardedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    day1 = spark.createDataFrame(
+        [(10, base), (11, "totally unrelated words describing other things entirely")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            (1, base),                       # near-dup of state doc 10 (lower id!)
+            (2, base + " extra"),            # near-dup of 1 AND of state
+            (3, "short"),                    # sub-n: no signature, survives
+            (4, "fresh new content nobody has ever written before today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, num_hashes=16, band_rows=2, threshold=0.5, seed=42)
+    s1, state1 = incremental_neardedup(day1, None, **kw)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [10, 11]
+    s2, state2 = incremental_neardedup(day2, state1, **kw)
+    surv2 = sorted(r["doc_id"] for r in s2.collect())
+    assert surv2 == [3, 4]
+    # state grew by exactly the signed survivors (3 has no signature)
+    assert sorted(r["doc_id"] for r in state2.collect()) == [4, 10, 11]
