@@ -386,3 +386,25 @@ def test_ann_index_scan_prunes_to_probed_cells(spark):
     )
     pf = scan.split("PartitionFilters: ")[1]
     assert "cell" in pf.split("]")[0]  # non-empty partition filter on cell
+
+
+def test_incremental_dedup_state_join_shape(spark):
+    """The incremental dedup gate must express both suppression joins as
+    hash anti-joins (broadcast or shuffled-hash under AQE) — never a
+    nested-loop of batch rows against the state."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_incremental_dedup(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_neardedup_no_cross_product(spark):
+    """Candidate generation against the signature state and within the
+    batch must both be keyed joins; no nested-loop anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.docs_incremental_neardedup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
