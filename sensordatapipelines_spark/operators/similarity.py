@@ -431,6 +431,37 @@ def kmeans_assign(
     return df.withColumn(out_col, ivf_cell_expr(F.col(vec_col), cents))
 
 
+def _cell_dist_udf(cents: list[list[float]]):
+    """Arrow kernel returning ``struct(cell, d2)`` — nearest centroid
+    (first-minimum tiebreak) AND its squared distance, the pair
+    ``cluster_coverage_sample`` ranks on. Same dimension-sequential
+    accumulation as ``_cell_assign_udf``, so both values are
+    bit-identical to the ``ivf_dists_expr`` folds."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype="float64")
+
+    @pandas_udf("struct<cell: long, d2: double>")
+    def _cd(v):
+        if not len(v):
+            return pd.DataFrame({"cell": [], "d2": []})
+        M = np.vstack([np.asarray(x, dtype="float64") for x in v])
+        d = np.zeros((len(v), C.shape[0]), dtype="float64")
+        for ci in range(C.shape[0]):
+            acc = np.zeros(len(v), dtype="float64")
+            for j in range(C.shape[1]):
+                diff = M[:, j] - C[ci, j]
+                acc = acc + diff * diff
+            d[:, ci] = acc
+        idx = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {"cell": (idx + 1).astype("int64"), "d2": d[np.arange(len(v)), idx]}
+        )
+
+    return _cd
+
+
 def _cell_assign_udf(cents: list[list[float]]):
     """Arrow-batched nearest-centroid kernel: vectorized over rows,
     sequential over dimensions per centroid, first-minimum tiebreak — the
@@ -679,13 +710,14 @@ def cluster_coverage_sample(
 
     cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
     v = F.col(vec_col)
-    darr = ivf_dists_expr(v, cents)
-    assigned = df.withColumn("__darr", darr).select(
+    # (cluster, min-dist) from the fold-exact Arrow kernel — the literal
+    # k×dim distance expression is the measured analysis-time bomb
+    # (SCALE.md literal-centroid note)
+    cd = _cell_dist_udf(cents)(v)
+    assigned = df.withColumn("__cd", cd).select(
         F.col(id_col),
-        F.array_position(F.col("__darr"), F.array_min(F.col("__darr"))).alias(
-            "cluster"
-        ),
-        F.round(F.array_min(F.col("__darr")), 6).alias("dist2"),
+        F.col("__cd.cell").alias("cluster"),
+        F.round(F.col("__cd.d2"), 6).alias("dist2"),
     )
     w = Window.partitionBy("cluster").orderBy(F.col("dist2").asc(), F.col(id_col).asc())
     return (
