@@ -4492,6 +4492,21 @@ def docs_incremental_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.select("doc_id", "source").unionByName(s2.select("doc_id", "source"))
 
 
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-adjusted anomalies: each reading scored against its own
+    (user, hour-of-day) cell's mean/std — daily seasonality never
+    masquerades as anomaly. |keys|×24 cells broadcast back onto one
+    scan; no fact-table shuffle."""
+    from sensordatapipelines_spark.operators.temporal import (
+        deseasonalized_anomalies,
+    )
+
+    _register_views(spark, sf_dir)
+    return deseasonalized_anomalies(
+        load_table(spark, sf_dir, "events"), z_threshold=2.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4678,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cogroup_asof": events_cogroup_asof,
         "emb_ann_index_topk": emb_ann_index_topk,
         "docs_incremental_neardedup": docs_incremental_neardedup,
+        "events_anomalies": events_anomalies,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4740,6 +4756,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_cogroup_asof",
     "emb_ann_index_topk",
     "docs_incremental_neardedup",
+    "events_anomalies",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7883,5 +7900,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE (doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM surv_e))
            OR (doc_id % 2 = 1
                AND doc_id NOT IN (SELECT id FROM drop_o))
+    """
+    oracles["events_anomalies"] = """
+        WITH cells AS (
+            SELECT user_id AS k, EXTRACT(hour FROM ts) AS h,
+                   count(*) AS n, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events
+            GROUP BY user_id, EXTRACT(hour FROM ts)
+            HAVING count(*) >= 2 AND stddev_samp(value) > 0
+        )
+        SELECT e.event_id, e.user_id,
+               round(e.value, 6) AS value,
+               round((e.value - c.mu) / c.sd, 6) AS z
+        FROM events e JOIN cells c
+          ON e.user_id = c.k AND EXTRACT(hour FROM e.ts) = c.h
+        WHERE abs(round((e.value - c.mu) / c.sd, 6)) > 2.0
     """
     return oracles

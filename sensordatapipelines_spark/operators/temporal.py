@@ -769,3 +769,44 @@ def time_to_convert(
         F.col("__s").alias("start_us"),
         F.round((F.col("__c") - F.col("__s")) / F.lit(1e6), 6).alias("delay_s"),
     )
+
+
+@register("deseasonalized_anomalies")
+def deseasonalized_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Season-adjusted anomaly detection: score each reading against the
+    mean/std of its OWN (key, hour-of-day) cell — a 2 a.m. reading is
+    compared to other 2 a.m. readings, so daily seasonality doesn't
+    masquerade as anomaly (the failure mode of a flat per-key z-score).
+    Returns the readings whose |z| exceeds ``z_threshold``; cells with
+    fewer than 2 observations or zero variance score no anomalies
+    (undefined z — excluded, not NaN).
+
+    One map-side-combined aggregate to |keys|×24 cells, broadcast back
+    onto the scan — the fact table is read once and never shuffled, so
+    this is a pure scan-bandwidth operator at 100 TB."""
+    hour = F.hour(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.select(F.col(key_col).alias("__k"), hour.alias("__h"), v.alias("__v"))
+        .groupBy("__k", "__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__v").alias("__mu"),
+            F.stddev_samp("__v").alias("__sd"),
+        )
+        .filter((F.col("__n") >= 2) & (F.col("__sd") > 0))
+    )
+    scored = df.join(
+        F.broadcast(cells),
+        on=(F.col(key_col) == F.col("__k")) & (hour == F.col("__h")),
+    ).withColumn("z", F.round((v - F.col("__mu")) / F.col("__sd"), 6))
+    return scored.filter(F.abs(F.col("z")) > F.lit(float(z_threshold))).select(
+        id_col, key_col, F.round(v, 6).alias("value"), "z"
+    )

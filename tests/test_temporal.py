@@ -434,3 +434,26 @@ def test_time_to_convert_censoring_and_ordering(spark):
     assert out[1]["delay_s"] == 1800.0
     assert out[2]["delay_s"] is None
     assert 3 not in out
+
+
+def test_deseasonalized_anomalies_respects_seasonality(spark):
+    """A value normal FOR ITS HOUR is not an anomaly even if globally
+    extreme; a value abnormal for its hour is flagged; degenerate cells
+    (n<2 or zero variance) flag nothing."""
+    from sensordatapipelines_spark.operators.temporal import (
+        deseasonalized_anomalies,
+    )
+
+    rows = (
+        # hour 02: values near 100 (high baseline) with one low outlier
+        [(i, 1, f"2024-01-0{d} 02:00:00", 100.0 + i) for d, i in zip(range(1, 8), range(7))]
+        + [(100, 1, "2024-01-08 02:00:00", 10.0)]
+        # hour 14: constant (zero variance -> no anomalies possible)
+        + [(200 + i, 1, f"2024-01-0{i+1} 14:00:00", 50.0) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    out = {r["event_id"]: r["z"] for r in deseasonalized_anomalies(df, z_threshold=2.0).collect()}
+    assert set(out) == {100}       # only the hour-02 outlier
+    assert out[100] < -2.0
