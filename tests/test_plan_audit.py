@@ -1,0 +1,53 @@
+"""The committed plan audit is complete and clean.
+
+Like the oracle ledger, PLAN_AUDIT.json is standing evidence — here that
+no query's physical plan contains an undocumented scale hazard. A new
+query without an audit row fails CI until tools/plan_audit.py is re-run.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+AUDIT = "/root/repo/PLAN_AUDIT.json"
+
+# BNLJ is legitimate ONLY as a documented broadcast-dim / scalar-literal
+# pattern; every query allowed to carry one is listed here explicitly so a
+# new nested-loop shape must be consciously admitted.
+BNLJ_ALLOWED = {
+    "docs_unigram_logprob", "docs_boilerplate", "docs_bm25_topk",
+    "docs_mix_temperature", "docs_top_p_sources", "events_psi_drift",
+    "pipeline_curation", "zones_wkb_polygon_agg", "zones_wkb_holes_agg",
+    "emb_ann_recall", "q22_global_sales", "emb_cosine_topk",
+    "events_salted_join", "events_runtime_filter_join", "sensors_buffer_agg",
+    "sensors_knn_agg", "sensors_zonal_stats", "sensors_idw",
+    "events_key_skew", "zones_polygon_agg", "docs_length_filter",
+    "events_winsorized_stats", "sensors_buffer_sweep", "docs_tfidf_topk",
+    "sensors_kriging", "sensors_kriging_tiled",
+}
+
+
+def test_committed_plan_audit_complete_and_clean():
+    import __spark_entry__ as e
+
+    with open(AUDIT) as f:
+        audit = json.load(f)
+    qnames = {
+        n for n in e.queries() if not n.startswith("events_stream_")
+    }
+    audited = {n for n in audit if not n.startswith("_")}
+    missing = qnames - audited
+    assert not missing, (
+        f"queries without an audit row (re-run tools/plan_audit.py): {missing}"
+    )
+    errors = {n for n in audited if "error" in audit[n]}
+    assert not errors, f"audit errors: {errors}"
+    for n in audited:
+        rec = audit[n]
+        assert rec.get("cartesian", 0) == 0, f"{n} has a CartesianProduct"
+        if rec.get("bnlj", 0) > 0:
+            assert n in BNLJ_ALLOWED, (
+                f"{n} introduced a BroadcastNestedLoopJoin not on the "
+                "documented allow-list"
+            )
