@@ -4507,6 +4507,33 @@ def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per customer recency/frequency/
+    monetary with quartile scores concatenated into the classic segment
+    code. One per-key aggregate; ntile windows run over the reduced
+    per-key frame with (metric, key) total order."""
+    from sensordatapipelines_spark.operators.utility import rfm_segments
+
+    _register_views(spark, sf_dir)
+    return rfm_segments(
+        spark.table("orders"),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+        n_tiles=4,
+    )
+
+
+def events_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin CV schedule over the event stream: 4 expanding-
+    window folds with boundary epochs and train/test counts — all 8
+    conditional sums in ONE scan, bounds as driver literals."""
+    from sensordatapipelines_spark.operators.utility import rolling_origin_folds
+
+    _register_views(spark, sf_dir)
+    return rolling_origin_folds(load_table(spark, sf_dir, "events"), "ts", k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4694,6 +4721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_index_topk": emb_ann_index_topk,
         "docs_incremental_neardedup": docs_incremental_neardedup,
         "events_anomalies": events_anomalies,
+        "customer_rfm": customer_rfm,
+        "events_backtest_folds": events_backtest_folds,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4757,6 +4786,8 @@ _ROUND3_SAMPLE_FIRST = [
     "emb_ann_index_topk",
     "docs_incremental_neardedup",
     "events_anomalies",
+    "customer_rfm",
+    "events_backtest_folds",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7915,5 +7946,55 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN cells c
           ON e.user_id = c.k AND EXTRACT(hour FROM e.ts) = c.h
         WHERE abs(round((e.value - c.mu) / c.sd, 6)) > 2.0
+    """
+    oracles["customer_rfm"] = """
+        WITH per AS (
+            SELECT o_custkey AS key, max(o_orderdate) AS last_d,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+        scored AS (
+            SELECT key,
+                   CAST(date_diff('day', CAST(last_d AS DATE),
+                                  CAST(ref_d AS DATE)) AS INT)
+                       AS recency_days,
+                   frequency, monetary
+            FROM per, ref
+        )
+        SELECT key, recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days DESC, key) AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY frequency ASC, key) AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY monetary ASC, key) AS VARCHAR)
+                   AS rfm
+        FROM scored
+    """
+    oracles["events_backtest_folds"] = """
+        WITH b AS (
+            SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events
+        ),
+        w AS (SELECT lo, hi, (hi - lo) // 5 + 1 AS width FROM b),
+        cuts AS (
+            SELECT unnest(generate_series(1, 4)) AS fold, lo, width
+            FROM w
+        ),
+        c AS (
+            SELECT fold, lo + fold * width AS cut,
+                   lo + (fold + 1) * width AS endc
+            FROM cuts
+        )
+        SELECT c.fold,
+               CAST(c.cut AS BIGINT) AS test_start_us,
+               CAST(c.endc AS BIGINT) AS test_end_us,
+               CAST(sum(CASE WHEN epoch_us(e.ts) < c.cut
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN epoch_us(e.ts) >= c.cut
+                              AND epoch_us(e.ts) < c.endc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM c CROSS JOIN events e
+        GROUP BY c.fold, c.cut, c.endc
     """
     return oracles

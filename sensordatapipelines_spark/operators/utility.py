@@ -764,3 +764,105 @@ def group_sample_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+@register("rfm_segments")
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per key, Recency (days since last activity,
+    against the dataset's max date), Frequency (activity count) and
+    Monetary (total amount), each scored into ``n_tiles`` quantile tiles
+    (recency REVERSED — recent = high score) and concatenated into the
+    classic segment code ('444' = best customers).
+
+    One per-key aggregate (map-side combined), then three ntile windows
+    over the REDUCED per-key frame — |keys| rows, not |rows|; the
+    reference date is a broadcast 1-row aggregate. Tile windows order by
+    (metric, key) so every row's score is deterministic."""
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col).cast("timestamp")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(ts).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(amount_col).cast("double")), 2).alias("monetary"),
+    )
+    ref = df.agg(F.max(ts).alias("__ref"))
+    scored = per_key.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.datediff(F.col("__ref").cast("date"), F.col("__last").cast("date")),
+    )
+    # recency: SMALLER is better → order desc so recent keys land in the
+    # top tile; frequency/monetary: larger is better
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("key"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("key"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("key"))
+    out = (
+        scored.withColumn("r_score", F.ntile(n_tiles).over(w_r))
+        .withColumn("f_score", F.ntile(n_tiles).over(w_f))
+        .withColumn("m_score", F.ntile(n_tiles).over(w_m))
+    )
+    return out.select(
+        "key",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+@register("rolling_origin_folds")
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    time-series models: the span between the dataset's first and last
+    timestamp splits into ``k+1`` equal slices; fold ``i`` trains on
+    everything before slice ``i+1`` and tests on slice ``i+1`` — the
+    leakage-free backtest schedule (no fold ever tests on data its train
+    window has seen).
+
+    Output: one row per fold with the boundary epochs and train/test row
+    counts. The span bounds are a 1-row aggregate broadcast as literals;
+    fold membership is then a conditional sum per fold in ONE scan (the
+    per-fold counts come from a single aggregate with 2k conditional
+    sums — not k passes)."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.agg(
+        F.min(ts_us).alias("__lo"), F.max(ts_us).alias("__hi")
+    ).first()
+    lo, hi = int(bounds["__lo"]), int(bounds["__hi"])
+    width = (hi - lo) // (k + 1) + 1  # +1 so the max lands inside slice k+1
+    aggs = []
+    for i in range(1, k + 1):
+        cut = lo + i * width
+        end = lo + (i + 1) * width
+        aggs.append(F.sum((ts_us < F.lit(cut)).cast("long")).alias(f"__tr{i}"))
+        aggs.append(
+            F.sum(
+                ((ts_us >= F.lit(cut)) & (ts_us < F.lit(end))).cast("long")
+            ).alias(f"__te{i}")
+        )
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"{i}, CAST({lo + i * width} AS BIGINT), "
+        f"CAST({lo + (i + 1) * width} AS BIGINT), __tr{i}, __te{i}"
+        for i in range(1, k + 1)
+    )
+    return one.select(
+        F.expr(
+            f"stack({k}, {stacked}) AS "
+            "(fold, test_start_us, test_end_us, n_train, n_test)"
+        )
+    )

@@ -272,3 +272,38 @@ def test_weighted_percentile_vs_manual(spark):
         ).collect()
     }
     assert unw["g"] == 2.0  # unweighted median of {1,2,100}
+
+
+def test_rfm_segments_scores(spark):
+    """Recent/frequent/big spenders land in top tiles; the reverse lands
+    at the bottom; segment code concatenates r/f/m."""
+    rows = (
+        [(1, f"2024-03-{d:02d}", 100.0) for d in range(1, 9)]   # recent, frequent, big
+        + [(2, "2024-01-01", 5.0)]                                # stale, rare, small
+        + [(3, "2024-02-15", 50.0), (4, "2024-02-20", 60.0)]
+    )
+    df = spark.createDataFrame(rows, "cust long, d string, amt double")
+    from sensordatapipelines_spark.operators.utility import rfm_segments
+
+    out = {r["key"]: r for r in rfm_segments(df, "cust", "d", "amt", n_tiles=4).collect()}
+    assert out[1]["rfm"] == "444"
+    assert out[2]["rfm"] == "111"
+    assert out[1]["recency_days"] == 0 and out[1]["frequency"] == 8
+
+
+def test_rolling_origin_folds_no_leakage(spark):
+    """Every fold's train count equals the rows strictly before its test
+    window; counts grow monotonically; all rows belong to some slice."""
+    rows = [(i, f"2024-01-01 {h:02d}:00:00") for i, h in enumerate(range(20))]
+    df = spark.createDataFrame(rows, "id long, ts string")
+    from sensordatapipelines_spark.operators.utility import rolling_origin_folds
+
+    folds = sorted(
+        rolling_origin_folds(df, "ts", k=3).collect(), key=lambda r: r["fold"]
+    )
+    trains = [r["n_train"] for r in folds]
+    assert trains == sorted(trains)            # expanding windows
+    for r in folds:
+        assert r["n_train"] + r["n_test"] <= 20
+        assert r["test_start_us"] < r["test_end_us"]
+    assert folds[0]["n_train"] > 0 and folds[-1]["n_test"] > 0

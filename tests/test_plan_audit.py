@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "events_key_skew", "zones_polygon_agg", "docs_length_filter",
     "events_winsorized_stats", "sensors_buffer_sweep", "docs_tfidf_topk",
     "sensors_kriging", "sensors_kriging_tiled",
+    "customer_rfm",  # broadcast 1-row reference-date cross join
 }
 
 
