@@ -294,9 +294,16 @@ def cogroup_asof(
     This op exists to gate the custom-two-sided-Python path (the same
     reason ``grouped_zscore`` gates GROUPED_MAP): real uses are
     alignment logic that SQL can't express — per-key model replay,
-    bidirectional tolerance matching. One co-shuffle on the key; each
-    key's two frames must fit a worker (same contract as any
-    cogroup/applyInPandas)."""
+    bidirectional tolerance matching.
+
+    Granularity: cogrouping on the RAW key hands pandas one tiny frame
+    pair per key — measured per-call overhead dominated the gate (1500
+    users ≈ 1500 Python invocations). The cogroup key is therefore a
+    HASH BUCKET of the key (``n_buckets`` co-shuffled groups) and the
+    per-key alignment happens inside ``pd.merge_asof(by=on)`` — same
+    results, ~n_keys/n_buckets× fewer Python calls; each BUCKET's two
+    frames must fit a worker (same contract as any applyInPandas,
+    tunable via ``n_buckets``)."""
     import pandas as pd
 
     lc = list(left_cols) or [c for c in left.columns if c != on]
@@ -311,7 +318,7 @@ def cogroup_asof(
     def merge(l_pdf: "pd.DataFrame", r_pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(l_pdf) == 0:
             return pd.DataFrame(columns=[on] + lc + [f"r_{c}" for c in rc])
-        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        l_sorted = l_pdf.sort_values([left_ts, on], kind="mergesort")
         if len(r_pdf) == 0:
             out = l_sorted[[on] + lc].copy()
             for c in rc:
@@ -321,23 +328,44 @@ def cogroup_asof(
         # sort by (ts, tiebreak): merge_asof takes the LAST right row at an
         # equal timestamp, so ascending tiebreak == larger-tiebreak-wins —
         # the same tie rule as asof_join. The right ts renames to a private
-        # name so same-named ts columns never collide into _x/_y suffixes.
+        # name so same-named ts columns never collide into _x/_y suffixes;
+        # the right key arrives under the private "__ron" (see below) and
+        # renames back to ``on`` for merge_asof's by=.
         r_sorted = (
-            r_pdf.sort_values(r_keys, kind="mergesort")[[right_ts] + rc]
-            .rename(columns={right_ts: "__rts", **{c: f"r_{c}" for c in rc}})
+            r_pdf.sort_values(r_keys, kind="mergesort")[["__ron", right_ts] + rc]
+            .rename(
+                columns={
+                    "__ron": on,
+                    right_ts: "__rts",
+                    **{c: f"r_{c}" for c in rc},
+                }
+            )
         )
         merged = pd.merge_asof(
             l_sorted,
             r_sorted,
             left_on=left_ts,
             right_on="__rts",
+            by=on,
             direction="backward",
             allow_exact_matches=True,
         )
         return merged[[on] + lc + [f"r_{c}" for c in rc]]
 
+    n_buckets = 64
+    lb = left.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets))
+    )
+    # the right key rides under a PRIVATE name: Spark's cogroup Arrow
+    # transfer drops a right-side data column that duplicates a left-side
+    # name in some partitions (observed on the shared key column) — a
+    # unique name sidesteps the dedup entirely
+    rb = right.select(
+        F.col(on).alias("__ron"),
+        *[F.col(c) for c in right.columns if c != on],
+    ).withColumn("__bkt", F.pmod(F.xxhash64(F.col("__ron")), F.lit(n_buckets)))
     return (
-        left.groupBy(on)
-        .cogroup(right.groupBy(on))
+        lb.groupBy("__bkt")
+        .cogroup(rb.groupBy("__bkt"))
         .applyInPandas(merge, schema=schema)
     )
