@@ -403,3 +403,44 @@ def test_ring_area_matches_convex_hull_formula(spark, seed):
     got = df.select(ring_area_expr(F.col("xs"), F.col("ys")).alias("a")).first()["a"]
     assert got == pytest.approx(expected, rel=1e-9)
     assert got > 0
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(**SETTINGS)
+def test_fuzzy_join_complete_within_precondition(spark, seed):
+    """For strings long enough that len−q+1 > k·q holds after editing, the
+    positional q-gram candidate scheme must find EVERY pair within the
+    edit budget (the documented completeness guarantee)."""
+    import random
+
+    from sensordatapipelines_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    bases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(12, 20)))
+        for _ in range(4)
+    ]
+    rights = []
+    expected = set()
+    for i, b in enumerate(bases):
+        s = list(b)
+        n_edits = rng.randint(0, 2)
+        for _ in range(n_edits):  # substitutions keep length (precondition holds)
+            pos = rng.randrange(len(s))
+            s[pos] = rng.choice(alpha)
+        edited = "".join(s)
+        rights.append((100 + i, edited))
+        dist = sum(1 for a, c in zip(b, edited) if a != c)
+        if dist <= 2:
+            expected.add((i, 100 + i, dist))
+    left = spark.createDataFrame(list(enumerate(bases)), "id long, s string")
+    right = spark.createDataFrame(rights, "id long, s string")
+    out = {
+        (r["left_id"], r["right_id"], r["edit_distance"])
+        for r in fuzzy_join(left, right, "id", "s", "id", "s",
+                            max_distance=2, q=3).collect()
+    }
+    assert expected <= out  # completeness: no in-budget pair missed
+    for _, _, d in out:
+        assert d <= 2       # soundness: nothing beyond the budget
