@@ -4534,6 +4534,35 @@ def events_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_origin_folds(load_table(spark, sf_dir, "events"), "ts", k=4)
 
 
+def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replay: every event re-joined to the SCD-2 state
+    version valid at its own timestamp, with a self-consistency flag
+    (the matched version's state must equal the event's own type — true
+    except for same-microsecond transition ties, which are data, not
+    error). Keyed join; fan-in = per-key version count, never a range
+    cross product."""
+    from sensordatapipelines_spark.operators.temporal import (
+        scd2_compress,
+        scd2_lookup,
+    )
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_compress(
+        ev, key_col="user_id", ts_col="ts", state_col="event_type",
+        order_tiebreak="event_id",
+    )
+    out = scd2_lookup(
+        ev.select("event_id", "user_id", "ts", "event_type"), hist
+    )
+    return out.select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("h.version").cast("long").alias("version"),
+        (F.col("h.event_type") == F.col("e.event_type")).alias("consistent"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4723,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": events_anomalies,
         "customer_rfm": customer_rfm,
         "events_backtest_folds": events_backtest_folds,
+        "events_scd2_lookup": events_scd2_lookup,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -4788,6 +4818,7 @@ _ROUND3_SAMPLE_FIRST = [
     "events_anomalies",
     "customer_rfm",
     "events_backtest_folds",
+    "events_scd2_lookup",
     "zones_wkb_polygon_agg",
     "zones_wkb_polygon_agg_kernel",
     "zones_wkb_holes_agg",
@@ -7996,5 +8027,35 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         FROM c CROSS JOIN events e
         GROUP BY c.fold, c.cut, c.endc
+    """
+    oracles["events_scd2_lookup"] = """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                       AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, epoch_us(ts) AS vf_us, event_id
+            FROM ordered
+            WHERE prev IS NULL OR event_type <> prev
+        ),
+        hist AS (
+            SELECT user_id, event_type, vf_us,
+                   lead(vf_us) OVER (PARTITION BY user_id
+                                     ORDER BY vf_us, event_id) AS vt_us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY vf_us, event_id) AS version
+            FROM chg
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(h.version AS BIGINT) AS version,
+               h.event_type = e.event_type AS consistent
+        FROM events e
+        LEFT JOIN hist h
+          ON e.user_id = h.user_id
+         AND h.vf_us <= epoch_us(e.ts)
+         AND (h.vt_us IS NULL OR epoch_us(e.ts) < h.vt_us)
     """
     return oracles

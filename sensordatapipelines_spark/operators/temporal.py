@@ -810,3 +810,35 @@ def deseasonalized_anomalies(
     return scored.filter(F.abs(F.col("z")) > F.lit(float(z_threshold))).select(
         id_col, key_col, F.round(v, 6).alias("value"), "z"
     )
+
+
+@register("scd2_lookup")
+def scd2_lookup(
+    events: DataFrame,
+    history: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD-2 history: attach to each event
+    the state version VALID AT its timestamp (``valid_from ≤ ts`` and
+    ``ts < valid_to``, open-ended current version matches everything
+    after) — the replay primitive that lets any fact be re-joined to the
+    dimension exactly as it stood ('what plan was this user on when the
+    event fired').
+
+    Plan shape: equi-join on the key with the validity window as a
+    residual predicate — per-key version counts are small (state
+    CHANGES, not events), so the join stays keyed and the fan-in per
+    event is the per-key version count, never a range-join cross
+    product. An event before its key's first version keeps NULLs."""
+    ts_us = F.unix_micros(F.col(f"e.{ts_col}").cast("timestamp"))
+    vf_us = F.unix_micros(F.col(f"h.{valid_from_col}").cast("timestamp"))
+    vt = F.col(f"h.{valid_to_col}")
+    cond = (
+        (F.col(f"e.{key_col}") == F.col(f"h.{key_col}"))
+        & (vf_us <= ts_us)
+        & (vt.isNull() | (ts_us < F.unix_micros(vt.cast("timestamp"))))
+    )
+    return events.alias("e").join(history.alias("h"), on=cond, how="left")

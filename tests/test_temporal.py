@@ -457,3 +457,40 @@ def test_deseasonalized_anomalies_respects_seasonality(spark):
     out = {r["event_id"]: r["z"] for r in deseasonalized_anomalies(df, z_threshold=2.0).collect()}
     assert set(out) == {100}       # only the hour-02 outlier
     assert out[100] < -2.0
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Each event matches exactly the version valid at its instant; an
+    event before the first version keeps NULLs; a transition-instant
+    event belongs to the NEW version."""
+    from sensordatapipelines_spark.operators.temporal import (
+        scd2_compress,
+        scd2_lookup,
+    )
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:10:00"),
+        (2, 1, "a", "2024-01-01 00:20:00"),
+        (3, 1, "b", "2024-01-01 00:30:00"),  # transition instant
+        (4, 1, "b", "2024-01-01 00:40:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    )
+    hist = scd2_compress(ev, key_col="user_id", ts_col="ts",
+                         state_col="event_type", order_tiebreak="event_id")
+    early = spark.createDataFrame(
+        [(0, 1, "x", "2024-01-01 00:00:00")],
+        "event_id long, user_id long, event_type string, ts string",
+    )
+    out = scd2_lookup(ev.unionByName(early), hist)
+    got = {
+        r["event_id"]: (r["version"], r["event_type"])
+        for r in out.select(
+            "e.event_id", "h.version", "h.event_type"
+        ).collect()
+    }
+    assert got[1] == (1, "a") and got[2] == (1, "a")
+    assert got[3] == (2, "b")          # transition event -> new version
+    assert got[4] == (2, "b")
+    assert got[0] == (None, None)      # before history begins
