@@ -148,7 +148,8 @@ def weighted_percentile(
     an optional unique ``tiebreak_col`` making per-row order total), then
     a min-aggregate over the qualifying rows — two passes over the
     already-shuffled group, no self-join. Weights must be non-negative;
-    zero-total groups return NULL."""
+    zero-total groups are OMITTED from the output (no row emitted — a
+    NULL percentile row would claim a quantile no weight supports)."""
     w = F.col(weight_col).cast("double")
     order = [F.col(value_col).asc()]
     if tiebreak_col:

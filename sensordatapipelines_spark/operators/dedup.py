@@ -67,9 +67,11 @@ def word_ngrams_expr(text, n: int):
 
 def word_ngrams_kernel(n: int):
     """Arrow-batched shingle builder returning the IDENTICAL string array
-    as ``word_ngrams_expr`` (verified bit-equal): ASCII ``\\s+`` split to
-    match Java regex semantics, space-joined n-token windows, [] for
-    sub-n docs. Exists because the per-gram slice/concat HOF runs
+    as ``word_ngrams_expr`` (verified bit-equal): SPACE-only edge trim to
+    match Spark ``F.trim`` exactly (Python ``str.strip()`` would also eat
+    control chars and Unicode spaces the expr keeps, diverging the twins
+    on such inputs), ASCII ``\\s+`` split to match Java regex semantics,
+    space-joined n-token windows, [] for sub-n docs. Exists because the per-gram slice/concat HOF runs
     interpreted in Catalyst and dominated every shingle-family operator
     (jaccard/minhash/simhash/containment postings — measured 4.2 s →
     0.6 s for the sf0.1 postings pass)."""
@@ -84,10 +86,10 @@ def word_ngrams_kernel(n: int):
     def _grams(texts):
         out = []
         for t in texts:
-            if t is None or not t.strip():
+            if t is None or not t.strip(" "):
                 out.append([])
                 continue
-            toks = ws.split(t.strip())
+            toks = ws.split(t.strip(" "))
             if len(toks) < n:
                 out.append([])
             else:
@@ -153,6 +155,21 @@ def _shingle_postings(
     return exploded, sizes
 
 
+def _sizes_broadcastable(df: DataFrame, limit: int | None) -> bool:
+    """Gate the broadcast hint on the per-document sizes table. ``sizes``
+    has at most one row per input document, so the cheap upstream document
+    count (a column-pruned scan, often metadata-only on parquet) bounds it
+    without materializing the shingle pipeline a second time. At the
+    charter's 100 TB corpus that is billions of rows — a forced
+    ``F.broadcast`` there is an OOM, not a hint (the same bug class gated
+    by ``broadcast_loser_limit`` in ``neardedup_corpus``). Above the limit
+    the hint is omitted and AQE picks the strategy; results are identical
+    either way."""
+    if limit is None or limit <= 0:
+        return False
+    return df.count() <= limit
+
+
 @register("jaccard_pairs")
 def jaccard_pairs(
     df: DataFrame,
@@ -162,6 +179,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
     metrics: dict | None = None,
+    broadcast_sizes_limit: int | None = 5_000_000,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs → ``(id_a, id_b, jaccard)``.
 
@@ -202,9 +220,11 @@ def jaccard_pairs(
     )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    if _sizes_broadcastable(df, broadcast_sizes_limit):
+        na, nb = F.broadcast(na), F.broadcast(nb)
     out = (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.col("__inter").cast("double")
@@ -225,6 +245,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
     metrics: dict | None = None,
+    broadcast_sizes_limit: int | None = 5_000_000,
 ) -> DataFrame:
     """Asymmetric shingle containment → ``(id_sub, id_sup, containment)``:
     ``C(A→B) = |A∩B| / |A|`` — the fraction of document A's shingles that
@@ -251,7 +272,9 @@ def containment_pairs(
     )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    both = inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    if _sizes_broadcastable(df, broadcast_sizes_limit):
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    both = inter.join(na, "id_a").join(nb, "id_b")
     fwd = both.select(
         F.col("id_a").alias("id_sub"),
         F.col("id_b").alias("id_sup"),

@@ -283,6 +283,7 @@ def cogroup_asof(
     left_cols: "Sequence[str]" = (),
     right_cols: "Sequence[str]" = (),
     right_tiebreak: str | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """The COGROUPED_MAP extension surface: per-key as-of alignment in
     pandas via ``groupBy(k).cogroup(groupBy(k)).applyInPandas`` — both
@@ -308,8 +309,10 @@ def cogroup_asof(
 
     lc = list(left_cols) or [c for c in left.columns if c != on]
     rc = list(right_cols)
+    # the key keeps its REAL type — hardcoding e.g. long would Arrow-error
+    # on string/date keys at runtime
     out_fields = (
-        [f"{on} long"]
+        [f"{on} {dict(left.dtypes)[on]}"]
         + [f"{c} {dict(left.dtypes)[c]}" for c in lc]
         + [f"r_{c} {dict(right.dtypes)[c]}" for c in rc]
     )
@@ -352,7 +355,6 @@ def cogroup_asof(
         )
         return merged[[on] + lc + [f"r_{c}" for c in rc]]
 
-    n_buckets = 64
     lb = left.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets))
     )

@@ -536,7 +536,6 @@ def kmeans_fit(
     return cents
 
 
-@register("semantic_dedup")
 def _pair_dot_udf():
     """Arrow-batched dot-product kernel for candidate pairs: vectorized
     over rows, SEQUENTIAL over dimensions, so every partial sum is
@@ -560,6 +559,7 @@ def _pair_dot_udf():
     return _dot
 
 
+@register("semantic_dedup")
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,
@@ -592,7 +592,7 @@ def semantic_dedup(
     dimensions, bit-identical to the fold (measured ~2× on top of the
     norm precompute); ``engine="expr"`` keeps the pure-JVM fold twin."""
     clustered = kmeans_assign(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim, engine=engine
     )
     slim = clustered.select(
         F.col("cluster").alias("__cl"),

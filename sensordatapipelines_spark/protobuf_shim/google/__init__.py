@@ -35,7 +35,11 @@ import os
 import sys
 import types
 
-_SDK = "/usr/lib/google-cloud-sdk/lib/third_party"
+# SDP_PROTOBUF_PATH overrides the default SDK location (the shim must keep
+# working when the SDK moves or the vendored copy lives elsewhere).
+_SDK = os.environ.get(
+    "SDP_PROTOBUF_PATH", "/usr/lib/google-cloud-sdk/lib/third_party"
+)
 if os.path.isdir(_SDK) and _SDK not in sys.path:
     sys.path.append(_SDK)
 

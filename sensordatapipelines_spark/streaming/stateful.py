@@ -23,7 +23,13 @@ import os
 from pyspark.sql import DataFrame
 
 _SHIM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "protobuf_shim")
-_SDK_PB = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+# SDP_PROTOBUF_PATH overrides the SDK root (same env var the shim honors)
+_SDK_PB = os.path.join(
+    os.environ.get("SDP_PROTOBUF_PATH", "/usr/lib/google-cloud-sdk/lib/third_party"),
+    "cloudsdk",
+    "google",
+    "protobuf",
+)
 
 
 def ensure_streaming_protobuf() -> bool:

@@ -223,3 +223,26 @@ def test_cogroup_asof_matches_declarative_asof(spark):
     assert out[11] == (6.0, 21)     # latest preceding
     assert out[12] == (None, None)  # right row is later -> no match
     assert out[13] == (None, None)  # key absent on right
+
+
+def test_cogroup_asof_string_key(spark):
+    """The output schema derives the key's REAL type — a string key must
+    not Arrow-error (regression: the key type was hardcoded long)."""
+    left = spark.createDataFrame(
+        [("a", 100, 10), ("b", 50, 11)], "k string, tus long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 1.5, 7)], "k string, tus long, v double, rid long"
+    )
+    from sensordatapipelines_spark.operators.joins import cogroup_asof
+
+    out = {
+        r["lid"]: (r["k"], r["r_v"])
+        for r in cogroup_asof(
+            left, right, on="k", left_ts="tus", right_ts="tus",
+            left_cols=["lid", "tus"], right_cols=["v", "rid"],
+            n_buckets=4,
+        ).collect()
+    }
+    assert out[10] == ("a", 1.5)
+    assert out[11] == ("b", None)

@@ -408,3 +408,34 @@ def test_incremental_neardedup_no_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_pairwise_sizes_broadcast_is_gated_not_forced(spark):
+    """The per-document sizes joins in jaccard_pairs/containment_pairs must
+    not carry an unconditional broadcast hint: sizes is |corpus| rows — a
+    forced broadcast is an OOM at 100 TB scale. Below the count gate the
+    hint applies (small-corpus fast path); with the gate disabled the
+    analyzed plan carries NO broadcast hints at all (max_shingle_df=None
+    also drops the hot-set hint), so AQE owns the strategy."""
+    from sensordatapipelines_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    # containment unions fwd+rev projections of the hinted join, so the
+    # analyzed tree replicates its 2 hints
+    for op, n_hints in ((jaccard_pairs, 2), (containment_pairs, 4)):
+        assert hints(op(docs, n=2, max_shingle_df=None, broadcast_sizes_limit=0)) == 0
+        assert hints(op(docs, n=2, max_shingle_df=None)) == n_hints  # gate engaged
+        # results identical either way (tiny corpus, both paths exact)
+        a = sorted(map(tuple, op(docs, n=2, threshold=0.5, broadcast_sizes_limit=0).collect()))
+        b = sorted(map(tuple, op(docs, n=2, threshold=0.5).collect()))
+        assert a == b and a

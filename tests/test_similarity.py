@@ -267,3 +267,26 @@ def test_semantic_dedup_kernel_expr_twins_identical(spark):
     b = sorted(r["vec_id"] for r in semantic_dedup(df, k=2, iters=1, dim=8, engine="expr").collect())
     assert a == b
     assert len(a) < 20  # some near-dups dropped
+
+
+def test_semantic_dedup_resolves_and_runs_via_registry(spark):
+    """Regression: a helper defined between the decorator and the function
+    once captured the registry slot, so JSON plans naming semantic_dedup
+    resolved to the wrong callable. The registry entry must BE the
+    operator and execute through a JSON pipeline."""
+    from sensordatapipelines_spark import Pipeline, get_operation
+
+    fn = get_operation("semantic_dedup")
+    assert fn.__name__ == "semantic_dedup"
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8), (3, [5.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    p = Pipeline("semdedup").add_operation(
+        "dedup", "semantic_dedup", k=2, iters=1, threshold=0.999, dim=8
+    )
+    p2 = Pipeline.from_json(p.to_json())
+    out = {r["vec_id"] for r in p2.process(df).collect()}
+    # ids 0/1 are exact dups -> higher id dropped; 2 and 3 survive
+    assert out == {0, 2, 3}

@@ -773,6 +773,14 @@ def test_word_ngrams_kernel_expr_twins_identical(spark):
             (4, ""),
             (5, "   "),
             (6, "a b c"),
+            # Spark F.trim strips ONLY the space char: control chars and
+            # Unicode spaces must survive the edge-trim identically in
+            # both twins (a Python str.strip() kernel would eat them).
+            (7, " alpha beta gamma delta "),
+            (8, "\x00ctl one two three"),
+            (9, "\ttab leading a b c"),
+            (10, " \x1f mixed \x01 ends \x1f "),
+            (11, " nbsp lead a b c "),  # U+00A0 is NOT ASCII \s
         ],
         "doc_id long, text string",
     )
