@@ -73,15 +73,28 @@ def main() -> int:
     except Exception as exc:
         print(f"bench warmup skipped: {exc}", file=sys.stderr)
 
+    # Median-of-N per query (default 3, SPARK_GRAFT_REPEATS overrides):
+    # single-run timings at the sub-second scale are dominated by JIT /
+    # GC / page-cache noise — a 1→4 s swing round-over-round turned out
+    # to be unmeasurable from one sample. Runs are back-to-back per query
+    # so the median reflects the warm plan, which is what plan changes
+    # actually move.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            runs[name] = samples
+            timings[name] = sorted(samples)[len(samples) // 2]
         except Exception as exc:  # a failing query must not hide the rest
             timings[name] = -1.0
+            runs[name] = samples
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -90,18 +103,32 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "repeats": repeats,
         "sf": sf,
     }
-    # compact separators keep the single stdout line as short as possible;
-    # the same JSON also lands in bench_out.json so a consumer that only
-    # captured a truncated tail of stdout can still parse the full result.
-    line = json.dumps(payload, separators=(",", ":"))
+    # Per-query detail (medians + raw runs) goes to bench_out.json; stdout
+    # ends with a COMPACT summary line (total + count + sf, ≤200 bytes) so
+    # a consumer that tail-captures stdout always gets parseable JSON —
+    # the full 195-query dict was long enough to be truncated by such
+    # capture windows.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    summary = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "repeats": repeats,
+        "sf": sf,
+        "detail": "bench_out.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     return 0 if all(t >= 0 for t in timings.values()) else 1
 
 
