@@ -144,6 +144,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_orc(spark, sf_dir)
     _stage_binary(spark, sf_dir)
     _stage_logs(spark, sf_dir)
+    _stage_geojson(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -3482,6 +3483,143 @@ def zones_wkb_polygon_agg_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
+    vertices (zone 2 as a true MultiPolygon) plus two features the S1
+    validity filter must drop: a LineString and a 2-vertex degenerate
+    'polygon'. Vertices are the same literals the WKB oracle ray-casts;
+    JSON double round-trip is bit-exact, so the staged file is a pure
+    function of constants the oracle already encodes."""
+    import json as _json
+
+    def build(stage: str) -> None:
+        feats = []
+        for zid, parts in WKB_ZONES:
+            closed = [
+                [[x, y] for x, y in part] + [[part[0][0], part[0][1]]]
+                for part in parts
+            ]
+            geom = (
+                {"type": "Polygon", "coordinates": [closed[0]]}
+                if len(closed) == 1
+                else {"type": "MultiPolygon", "coordinates": [[r] for r in closed]}
+            )
+            feats.append(
+                {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {"zone_id": zid},
+                }
+            )
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+                "properties": {"zone_id": 98},
+            }
+        )
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                },
+                "properties": {"zone_id": 99},
+            }
+        )
+        with open(f"{stage}/zones.geojson", "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+    return _staged(spark, sf_dir, "geojson_src", build)
+
+
+def zones_geojson_holes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole-aware GeoJSON ingestion: the WKB donut zones staged as a
+    GeoJSON Polygon WITH an interior ring (RFC 7946 rings beyond the
+    first are holes), read natively with ``keep_holes=True`` and run
+    through the even-odd ray cast — same vertices as the WKB twin, same
+    oracle."""
+    import json as _json
+
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+    from sensordatapipelines_spark.sources.readers import open_geojson
+
+    _register_views(spark, sf_dir)
+
+    def build(stage: str) -> None:
+        feats = [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[x, y] for x, y in ring] + [[ring[0][0], ring[0][1]]]
+                        for ring in rings
+                    ],
+                },
+                "properties": {"zone_id": zid},
+            }
+            for zid, rings in WKB_HOLE_ZONES
+        ]
+        with open(f"{stage}/holes.geojson", "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+    stage = _staged(spark, sf_dir, "geojson_holes_src", build)
+    zones = open_geojson(spark, f"{stage}/holes.geojson", keep_holes=True).select(
+        F.col("properties")["zone_id"].cast("long").alias("zone_id"),
+        "part",
+        "xs",
+        "ys",
+        "rings",
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+        poly_rings="rings",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
+def zones_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON vector-file ingestion end-to-end — the last real reference
+    ingestion gap (``gpd.read_file`` on vector files,
+    ``/root/reference/src/data_preprocessing.py:471-475``): a staged
+    ``.geojson`` FeatureCollection (Polygon + MultiPolygon + two invalid
+    features) reads through the native JSON source (``open_geojson``),
+    the validity filter drops the LineString and the 2-vertex ring, and
+    the surviving ring layer drives the same data-driven ray-cast zonal
+    aggregation as the WKB twin — identical vertices, identical oracle."""
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+    from sensordatapipelines_spark.sources.readers import open_geojson
+
+    _register_views(spark, sf_dir)
+    stage = _stage_geojson(spark, sf_dir)
+    zones = open_geojson(spark, f"{stage}/zones.geojson").select(
+        F.col("properties")["zone_id"].cast("long").alias("zone_id"),
+        "part",
+        "xs",
+        "ys",
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN retrieval-quality gate: recall@k of each approximate method
     (hyperplane LSH, IVF nprobe=1, IVF nprobe=2) against the exact
@@ -4708,6 +4846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_wkb_polygon_agg": zones_wkb_polygon_agg,
         "zones_wkb_polygon_agg_kernel": zones_wkb_polygon_agg_kernel,
         "zones_wkb_holes_agg": zones_wkb_holes_agg,
+        "zones_geojson_ingest": zones_geojson_ingest,
+        "zones_geojson_holes_agg": zones_geojson_holes_agg,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -7110,6 +7250,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # kernel twin: identical results by construction -> identical oracle
     oracles["zones_wkb_polygon_agg_kernel"] = oracles["zones_wkb_polygon_agg"]
+    # GeoJSON ingestion stages the SAME zone vertices (JSON double
+    # round-trip is bit-exact) and runs the same aggregation -> same oracle
+    oracles["zones_geojson_ingest"] = oracles["zones_wkb_polygon_agg"]
     # hole-aware zones: even-odd over outer+holes == (Σ ring crossings) odd
     from sensordatapipelines_spark.operators.spatial import (
         point_in_polygon_crossings_sql,
@@ -7137,6 +7280,8 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN hits h ON h.zone_id = z.zone_id
         GROUP BY z.zone_id
     """
+    # GeoJSON holes twin: same donut vertices, same even-odd cast
+    oracles["zones_geojson_holes_agg"] = oracles["zones_wkb_holes_agg"]
     # ANN recall gate: compose the already-exact per-method oracles.
     oracles["emb_ann_recall"] = f"""
         WITH exact AS ({oracles["emb_cosine_topk"]}),

@@ -271,3 +271,93 @@ def open_text_logs(
         for i, (name, t) in enumerate(fields)
     ]
     return df.select(*cols)
+
+
+_GEOJSON_FC_SCHEMA = (
+    "type string, features array<struct<"
+    "type string, "
+    "geometry struct<type string, coordinates string>, "
+    "properties map<string,string>>>"
+)
+
+
+def open_geojson(
+    spark: SparkSession,
+    path: str,
+    keep_holes: bool = False,
+    validate: bool = True,
+) -> DataFrame:
+    """Native GeoJSON FeatureCollection → ring-format vector layer — the
+    reference's real vector-file ingestion path (``gpd.read_file``,
+    ``/root/reference/src/data_preprocessing.py:471-475``) with zero
+    geometry-library dependencies: GeoJSON is plain JSON (RFC 7946), so
+    the built-in JSON source does the scan and Catalyst does the rest.
+
+    The depth trick: Polygon coordinates are 3-deep arrays,
+    MultiPolygon 4-deep — one inferred schema can't hold both, and a
+    mismatched explicit schema would null sibling fields. So
+    ``geometry.coordinates`` reads as a STRING column (the JSON source
+    returns the raw token text for non-string schemas), and a per-row
+    ``from_json`` with the depth chosen by ``geometry.type`` parses it —
+    all JVM-side, no Python. Output matches ``parse_wkb_polygons``: one
+    row per polygon PART (``posexplode``) carrying ``feature_idx``,
+    ``geom_type``, ``properties`` (raw-text map — numeric props arrive as
+    their JSON literals; callers cast), ``part``, outer-ring ``xs``/``ys``
+    and, with ``keep_holes``, the full ``rings`` struct array for the
+    even-odd cast. Explicit closing vertices are dropped (ray casts close
+    implicitly); doubles round-trip JSON text bit-exactly, so ingested
+    vertices are oracle-exact.
+
+    ``validate`` applies the S1 validity filter (reference drops invalid
+    geometries with warnings, ``:478-485``): non-polygonal / malformed
+    features and rings with fewer than 3 vertices are dropped. At scale
+    the JSON source parallelizes by file, the normal shape for vector
+    layers (many files, each modest) — and the layer is the broadcast dim
+    side of every downstream zonal join anyway."""
+    raw = spark.read.option("multiLine", "true").schema(_GEOJSON_FC_SCHEMA).json(path)
+    feats = raw.select(F.posexplode_outer("features").alias("feature_idx", "__f"))
+    gtype = F.col("__f.geometry.type")
+    poly = F.from_json(
+        F.col("__f.geometry.coordinates"), "array<array<array<double>>>"
+    )
+    mpoly = F.from_json(
+        F.col("__f.geometry.coordinates"), "array<array<array<array<double>>>>"
+    )
+    parts = (
+        F.when(gtype == "Polygon", F.array(poly))
+        .when(gtype == "MultiPolygon", mpoly)
+        .otherwise(F.lit(None).cast("array<array<array<array<double>>>>"))
+    )
+
+    def ring_struct(ring):
+        n = F.size(ring)
+        closed = (
+            (n > 1)
+            & (F.element_at(ring, 1)[0] == F.element_at(ring, -1)[0])
+            & (F.element_at(ring, 1)[1] == F.element_at(ring, -1)[1])
+        )
+        pts = F.when(closed, F.slice(ring, 1, n - 1)).otherwise(ring)
+        return F.struct(
+            F.transform(pts, lambda p: p[0]).alias("xs"),
+            F.transform(pts, lambda p: p[1]).alias("ys"),
+        )
+
+    out = (
+        feats.select(
+            "feature_idx",
+            gtype.alias("geom_type"),
+            F.col("__f.properties").alias("properties"),
+            F.transform(parts, lambda part: F.transform(part, ring_struct)).alias(
+                "__parts"
+            ),
+        )
+        .select("*", F.posexplode_outer("__parts").alias("part", "__part_rings"))
+        .withColumn("xs", F.col("__part_rings")[0]["xs"])
+        .withColumn("ys", F.col("__part_rings")[0]["ys"])
+    )
+    if keep_holes:
+        out = out.withColumn("rings", F.col("__part_rings"))
+    out = out.drop("__parts", "__part_rings")
+    if validate:
+        out = out.filter(F.size("xs") >= 3)
+    return out

@@ -415,3 +415,72 @@ def test_open_text_logs_parses_and_nulls_unparseable(spark, tmp_path):
     parsed = {r["event_id"]: r for r in rows if r["event_id"] is not None}
     assert parsed[1]["event_type"] == "click" and parsed[2]["user_id"] == 20
     assert df.filter("event_id IS NULL").count() == 1
+
+
+def test_open_geojson_mixed_geometries_and_validity(spark, tmp_path):
+    """Native GeoJSON FeatureCollection reader: Polygon and MultiPolygon in
+    ONE file (different coordinate nesting depths), closing vertices
+    dropped, holes surfaced via keep_holes, and the S1 validity filter
+    dropping non-polygonal / degenerate features."""
+    import json
+
+    from sensordatapipelines_spark.sources.readers import open_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0.0, 0.0], [1.0, 0.0], [0.5, 1.0], [0.0, 0.0]],
+                        [[0.2, 0.2], [0.8, 0.2], [0.5, 0.7], [0.2, 0.2]],
+                    ],
+                },
+                "properties": {"zone_id": 1, "name": "donut"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[2.0, 2.0], [3.0, 2.0], [2.5, 3.0]]],
+                        [[[4.0, 4.0], [5.0, 4.0], [4.5, 5.0]]],
+                    ],
+                },
+                "properties": {"zone_id": 2},
+            },
+            {
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+                "properties": {"zone_id": 98},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                },
+                "properties": {"zone_id": 99},
+            },
+        ],
+    }
+    p = tmp_path / "zones.geojson"
+    p.write_text(json.dumps(fc))
+
+    out = open_geojson(spark, str(p), keep_holes=True)
+    rows = {(r["feature_idx"], r["part"]): r for r in out.collect()}
+    # 1 polygon part + 2 multipolygon parts; invalid features dropped
+    assert set(rows) == {(0, 0), (1, 0), (1, 1)}
+    donut = rows[(0, 0)]
+    assert donut["xs"] == [0.0, 1.0, 0.5]          # closing vertex dropped
+    assert donut["properties"]["name"] == "donut"
+    assert donut["properties"]["zone_id"] == "1"   # raw-text map
+    assert len(donut["rings"]) == 2                # hole kept
+    assert donut["rings"][1]["xs"] == [0.2, 0.8, 0.5]
+    mp = rows[(1, 1)]
+    assert mp["geom_type"] == "MultiPolygon" and mp["xs"] == [4.0, 5.0, 4.5]
+    # validate=False keeps the degraded rows as NULL/short rings
+    raw = open_geojson(spark, str(p), validate=False)
+    assert raw.count() == 5  # 3 valid parts + LineString NULL + 2-vertex
