@@ -145,6 +145,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_binary(spark, sf_dir)
     _stage_logs(spark, sf_dir)
     _stage_geojson(spark, sf_dir)
+    _stage_ascii_grid(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -3483,6 +3484,66 @@ def zones_wkb_polygon_agg_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_ascii_grid(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the synthetic raster (2 bands × 64×64, the CELLS formula
+    ``(px·31 + py·17 + band·7) mod 101``, nodata = 0) as real ESRI
+    ASCII-grid files, one per band, top row first. xllcorner = 0 and the
+    corner origin make the decoded cell coords ``px·0.005`` BIT-equal to
+    the synthetic cell table's, so the zonal oracle transfers unchanged."""
+
+    def build(stage: str) -> None:
+        for band in (1, 2):
+            lines = [
+                "ncols 64",
+                "nrows 64",
+                "xllcorner 0.0",
+                "yllcorner 0.0",
+                "cellsize 0.005",
+                "NODATA_value 0",
+            ]
+            for py in range(63, -1, -1):  # top row first
+                lines.append(
+                    " ".join(
+                        str((px * 31 + py * 17 + band * 7) % 101)
+                        for px in range(64)
+                    )
+                )
+            with open(f"{stage}/grid_b{band}.asc", "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    return _staged(spark, sf_dir, "ascii_grid_src", build)
+
+
+def sensors_zonal_from_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end from an ACTUAL raster file: the synthetic raster
+    staged as per-band ESRI ASCII grids (the text raster format GIS tools
+    export; reference ingests grid files via ``rasterio.open``,
+    ``/root/reference/src/data_preprocessing.py:471,515-538``), decoded by
+    ``open_ascii_grid`` into the cell table entirely JVM-side, then the
+    same buffered zonal aggregation as ``sensors_zonal_stats`` — whose
+    oracle transfers verbatim because the decode is bit-exact."""
+    from sensordatapipelines_spark.operators.spatial import zonal_stats
+    from sensordatapipelines_spark.sources.readers import open_ascii_grid
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ascii_grid(spark, sf_dir)
+    cells = open_ascii_grid(spark, f"{stage}/grid_b1.asc", band=1).unionByName(
+        open_ascii_grid(spark, f"{stage}/grid_b2.asc", band=2)
+    )
+    out = zonal_stats(
+        _sensors(spark),
+        cells,
+        bands=[1, 2],
+        buffer_size=0.0075,
+        funcs=("mean", "max"),
+        source_name="rast",
+    )
+    stat_cols = [c for c in out.columns if "_rast_" in c]
+    return out.select(
+        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+    )
+
+
 def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
     """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
     vertices (zone 2 as a true MultiPolygon) plus two features the S1
@@ -4848,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_wkb_holes_agg": zones_wkb_holes_agg,
         "zones_geojson_ingest": zones_geojson_ingest,
         "zones_geojson_holes_agg": zones_geojson_holes_agg,
+        "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -7253,6 +7315,9 @@ def oracle_sql() -> dict[str, str]:
     # GeoJSON ingestion stages the SAME zone vertices (JSON double
     # round-trip is bit-exact) and runs the same aggregation -> same oracle
     oracles["zones_geojson_ingest"] = oracles["zones_wkb_polygon_agg"]
+    # The staged ASCII grids hold the synthetic raster (corner origin,
+    # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers
+    oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]
     # hole-aware zones: even-odd over outer+holes == (Σ ring crossings) odd
     from sensordatapipelines_spark.operators.spatial import (
         point_in_polygon_crossings_sql,

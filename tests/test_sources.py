@@ -484,3 +484,30 @@ def test_open_geojson_mixed_geometries_and_validity(spark, tmp_path):
     # validate=False keeps the degraded rows as NULL/short rings
     raw = open_geojson(spark, str(p), validate=False)
     assert raw.count() == 5  # 3 valid parts + LineString NULL + 2-vertex
+
+
+def test_open_ascii_grid_decode(spark, tmp_path):
+    """ESRI ASCII-grid decode: header fields parsed, top row first
+    (py = nrows-1-row), corner vs center origin arithmetic, nodata
+    surfaced as a column, all JVM-side."""
+    from sensordatapipelines_spark.sources.readers import open_ascii_grid
+
+    p = tmp_path / "g.asc"
+    p.write_text(
+        "ncols 3\nnrows 2\nxllcorner 10.0\nyllcorner 20.0\n"
+        "cellsize 0.5\nNODATA_value -9\n"
+        "1 2 3\n4 -9 6\n"
+    )
+    rows = {(r["px"], r["py"]): r for r in open_ascii_grid(spark, str(p), band=7).collect()}
+    assert len(rows) == 6
+    # first data line is the TOP row -> py = 1
+    assert rows[(0, 1)]["value"] == 1.0 and rows[(2, 1)]["value"] == 3.0
+    assert rows[(1, 0)]["value"] == -9.0  # nodata kept in the decode
+    r = rows[(2, 0)]
+    assert r["band"] == 7 and r["nodata"] == -9.0
+    assert r["x"] == 10.0 + 2 * 0.5 and r["y"] == 20.0
+    c = {
+        (r["px"], r["py"]): r
+        for r in open_ascii_grid(spark, str(p), origin="center").collect()
+    }
+    assert c[(0, 0)]["x"] == 10.0 + 0.25 and c[(0, 0)]["y"] == 20.0 + 0.25
