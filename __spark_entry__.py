@@ -146,6 +146,8 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_logs(spark, sf_dir)
     _stage_geojson(spark, sf_dir)
     _stage_ascii_grid(spark, sf_dir)
+    _stage_ppm(spark, sf_dir)
+    _stage_wav(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -2589,16 +2591,129 @@ def docs_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(spark.table("documents"), jaccard_threshold=0.3)
 
 
+def _stage_ppm(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL binary PPM (P6) image files, 4×2 RGB, pixel bytes =
+    the doc text's 16-byte MD5 digest tiled to 24 samples — a pure
+    function of ``documents``, so the oracle recomputes per-channel means
+    from hex pairs in SQL while the engine must genuinely parse the
+    netpbm header and deinterleave channels to match."""
+    import hashlib
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            raster = bytes(d[j % 16] for j in range(24))
+            with open(f"{stage}/doc_{r['doc_id']:06d}.ppm", "wb") as f:
+                f.write(b"P6\n4 2\n255\n" + raster)
+
+    return _staged(spark, sf_dir, "ppm_src", build)
+
+
+def _stage_wav(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL RIFF/WAVE PCM16 mono files whose 8 frames are the doc
+    text's MD5 digest bytes (block_align = 2) — byte-for-byte
+    reconstructable in oracle SQL from ``md5(text)`` hex."""
+    import hashlib
+    import struct as _struct
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            wav = (
+                b"RIFF"
+                + _struct.pack("<I", 36 + len(d))
+                + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<I", 16)
+                + _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                + b"data"
+                + _struct.pack("<I", len(d))
+                + d
+            )
+            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+                f.write(wav)
+
+    return _staged(spark, sf_dir, "wav_src", build)
+
+
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → mapInPandas feature extraction."""
-    from sensordatapipelines_spark.operators.multimodal import (
-        attach_fake_media,
-        media_features,
-    )
+    """REAL image decode end-to-end (no codec library): staged binary P6
+    PPM files → binaryFile ingest → Arrow ``mapInPandas`` netpbm parse +
+    channel deinterleave (``decode_ppm``). Pixel bytes are MD5 digests of
+    document texts, so the DuckDB oracle recomputes width/height/channel
+    means from hex pairs — a strict VALUE check of a genuine image
+    decode, not rows-only plumbing."""
+    from sensordatapipelines_spark.operators.multimodal import media_features
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
 
     _register_views(spark, sf_dir)
-    media = attach_fake_media(spark.table("documents").select("doc_id"), "doc_id")
-    return media_features(media)
+    stage = _stage_ppm(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.ppm")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    out = media_features(media, fake=False)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("std_val", 6).alias("std_val"),
+        F.round("mean_c0", 6).alias("mean_c0"),
+        F.round("mean_c1", 6).alias("mean_c1"),
+        F.round("mean_c2", 6).alias("mean_c2"),
+    )
+
+
+def media_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame extraction: staged RIFF/WAVE PCM16 files →
+    binaryFile ingest → ``frame_sample(fake=False)``, which walks the
+    chunk list, finds the data chunk and emits every 3rd PCM frame's raw
+    bytes. Frames are MD5 digest bytes, so the oracle rebuilds each
+    frame's hex from ``md5(text)`` — byte-exact proof of a real WAV
+    parse."""
+    from sensordatapipelines_spark.operators.multimodal import frame_sample
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    out = frame_sample(media, every_n=3, fake=False)
+    return out.select(
+        "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4961,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
         "media_frame_sample": media_frame_sample,
+        "media_wav_frames": media_wav_frames,
         "events_stream_interval": events_stream_interval,
         "events_stream_sliding": events_stream_sliding,
     }
@@ -7794,6 +7910,57 @@ def oracle_sql() -> dict[str, str]:
                             * (x - list_sum(b) / 16.0))) / 16.0), 6)
                    AS std_val
         FROM bytes
+    """
+    # Real PPM decode: 4x2 RGB raster = md5 digest tiled to 24 samples.
+    # Channel c holds raster positions 3k+c; 24 = header(11) + raster bytes.
+    oracles["docs_media_features"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 24), j ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 2 * (j % 16) + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 2 * (j % 16) + 2, 1)) - 1)
+                            AS DOUBLE)) AS b
+            FROM staged
+        )
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               CAST(35 AS BIGINT) AS n_bytes,
+               CAST(4 AS INT) AS width,
+               CAST(2 AS INT) AS height,
+               CAST(3 AS INT) AS n_channels,
+               round(list_sum(b) / 24.0, 6) AS mean_val,
+               round(sqrt(list_sum(list_transform(b,
+                         x -> (x - list_sum(b) / 24.0)
+                            * (x - list_sum(b) / 24.0))) / 24.0), 6)
+                   AS std_val,
+               round(list_sum(list_transform(range(0, 8),
+                         k -> b[3 * k + 1])) / 8.0, 6) AS mean_c0,
+               round(list_sum(list_transform(range(0, 8),
+                         k -> b[3 * k + 2])) / 8.0, 6) AS mean_c1,
+               round(list_sum(list_transform(range(0, 8),
+                         k -> b[3 * k + 3])) / 8.0, 6) AS mean_c2
+        FROM bytes
+    """
+    # Real WAV frame extraction: 8 PCM16 mono frames = digest bytes; every
+    # 3rd frame -> indices 0,3,6; frame hex = digest hex at 4*idx.
+    oracles["media_wav_frames"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        )
+        SELECT doc_id AS media_id,
+               CAST(i.frame_idx AS INT) AS frame_idx,
+               UPPER(SUBSTR(h, 4 * i.frame_idx + 1, 4)) AS frame_hex
+        FROM staged
+        CROSS JOIN (SELECT UNNEST([0, 3, 6]) AS frame_idx) i
     """
     oracles["events_psi_drift"] = """
         WITH binned AS (

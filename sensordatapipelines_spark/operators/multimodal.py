@@ -63,15 +63,86 @@ def attach_fake_media(
     )
 
 
+def decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL image decode for the uncompressed netpbm formats — P6 (RGB)
+    and P5 (grayscale), maxval ≤ 255: pure struct parsing, no codec
+    library. Returns ``(pixels[h, w, c] uint8, width, height, channels)``.
+    Header is whitespace-separated with ``#`` comments per the spec; the
+    raster follows the single whitespace byte after maxval."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # tokenize the header: magic, width, height, maxval (comments stripped)
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not supported")
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(height, width, channels), width, height, channels
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL audio decode for uncompressed RIFF/WAVE PCM (8- or 16-bit):
+    walks the chunk list (fmt / data; skips LIST etc.), no codec library.
+    Returns ``(frames[n_frames, channels] as int, sample_rate,
+    channels, block_align)``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError("only uncompressed 8/16-bit PCM supported")
+    dtype = np.int16 if bits == 16 else np.uint8
+    n_frames = len(data) // block_align
+    samples = np.frombuffer(data, dtype=dtype, count=n_frames * channels)
+    return samples.reshape(n_frames, channels), sample_rate, channels, block_align
+
+
 def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
-    """Decode encoded media bytes to an array. Real decoding requires codec
-    libraries not present in this environment — STUB."""
+    """Decode media bytes to a flat float array. REAL for the uncompressed
+    container formats a pure-python executor can parse (netpbm P5/P6
+    images, RIFF/WAVE PCM audio — ``decode_ppm`` / ``decode_wav``);
+    compressed codecs (JPEG/PNG/MP3/H.264) require libraries not in this
+    environment and stay a clearly-marked stub."""
     if fake:
         # Deterministic fake: interpret the payload bytes directly.
         return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    head = bytes(payload[:4])
+    if head[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)[0].astype(np.float64).ravel()
+    if head == b"RIFF":
+        return decode_wav(payload)[0].astype(np.float64).ravel()
     raise NotImplementedError(
-        "real media decoding requires PIL/soundfile/ffmpeg (not installed); "
-        "run with fake=True for the deterministic test kernel"
+        "compressed media decoding requires PIL/soundfile/ffmpeg (not "
+        "installed); uncompressed PPM/PGM/WAV decode natively, or run "
+        "with fake=True for the deterministic test kernel"
     )
 
 
@@ -79,9 +150,17 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
 def media_features(df: DataFrame, media_col: str = "media", fake: bool = True) -> DataFrame:
     """Decode + feature-extract media payloads via Arrow-batched
     ``mapInPandas``: per item emits ``(media_id, kind, n_bytes, mean_val,
-    std_val)``. The Spark-side batch shape, schema and partitioning are the
-    real production plumbing; only the decode kernel is stubbed."""
-    schema = "media_id long, kind string, n_bytes long, mean_val double, std_val double"
+    std_val)`` plus, when the payload decodes as a REAL image/audio
+    container (``fake=False``, netpbm or WAVE), the decoded shape and
+    per-channel means ``(width, height, n_channels, sample_rate,
+    mean_c0..mean_c2)`` — NULL for the fake/flat path. The decode is a
+    genuine pure-python parse for uncompressed formats; compressed
+    codecs raise (see ``_decode_kernel``)."""
+    schema = (
+        "media_id long, kind string, n_bytes long, mean_val double, "
+        "std_val double, width int, height int, n_channels int, "
+        "sample_rate int, mean_c0 double, mean_c1 double, mean_c2 double"
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,14 +168,37 @@ def media_features(df: DataFrame, media_col: str = "media", fake: bool = True) -
                 continue
             rows = []
             for m in pdf[media_col]:
-                arr = _decode_kernel(m["payload"], m["kind"], fake)
+                payload = bytes(m["payload"])
+                width = height = n_channels = sample_rate = None
+                ch_means = [None, None, None]
+                if fake:
+                    arr = _decode_kernel(payload, m["kind"], True)
+                elif payload[:2] in (b"P6", b"P5"):
+                    px, width, height, n_channels = decode_ppm(payload)
+                    arr = px.astype(np.float64).ravel()
+                    for c in range(min(n_channels, 3)):
+                        ch_means[c] = float(px[:, :, c].astype(np.float64).mean())
+                elif payload[:4] == b"RIFF":
+                    frames, sample_rate, n_channels, _ = decode_wav(payload)
+                    arr = frames.astype(np.float64).ravel()
+                    for c in range(min(n_channels, 3)):
+                        ch_means[c] = float(frames[:, c].astype(np.float64).mean())
+                else:
+                    arr = _decode_kernel(payload, m["kind"], False)
                 rows.append(
                     {
                         "media_id": int(m["media_id"]),
                         "kind": m["kind"],
-                        "n_bytes": int(len(m["payload"])),
+                        "n_bytes": int(len(payload)),
                         "mean_val": float(arr.mean()) if arr.size else 0.0,
                         "std_val": float(arr.std()) if arr.size else 0.0,
+                        "width": width,
+                        "height": height,
+                        "n_channels": n_channels,
+                        "sample_rate": sample_rate,
+                        "mean_c0": ch_means[0],
+                        "mean_c1": ch_means[1],
+                        "mean_c2": ch_means[2],
                     }
                 )
             yield pd.DataFrame(rows)
@@ -108,20 +210,52 @@ def media_features(df: DataFrame, media_col: str = "media", fake: bool = True) -
 def frame_sample(
     df: DataFrame, media_col: str = "media", every_n: int = 10, fake: bool = True
 ) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame index
-    ``(media_id, frame_idx, frame_bytes)``. Frame *extraction* is stubbed
-    (deterministic slices of the payload in fake mode); the row-explosion
-    shape and partition behavior are real."""
+    """Frame/sample extraction plumbing: one output row per sampled frame
+    index ``(media_id, frame_idx, frame_bytes)``. With ``fake=False`` and
+    a RIFF/WAVE payload this is a REAL extraction — the chunk walk finds
+    the data chunk, ``block_align`` defines the frame stride, and
+    ``frame_bytes`` is that PCM frame's raw bytes (so a staged
+    deterministic WAV is value-oracle-able byte for byte). Video frame
+    extraction still requires ffmpeg and raises; fake mode keeps the
+    deterministic payload-slice kernel for plumbing tests."""
     schema = "media_id long, frame_idx int, frame_bytes binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for m in pdf[media_col]:
-                if not fake:
-                    raise NotImplementedError("real frame extraction requires ffmpeg")
-                n_frames = int(m["meta"]["n_frames"] or 0)
                 payload = bytes(m["payload"])
+                if not fake:
+                    if payload[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "real frame extraction beyond WAVE requires ffmpeg"
+                        )
+                    # locate the data chunk without copying the samples out
+                    pos, block_align, data_off, data_len = 12, None, None, 0
+                    while pos + 8 <= len(payload):
+                        cid = payload[pos : pos + 4]
+                        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+                        if cid == b"fmt ":
+                            block_align = struct.unpack_from("<HHIIHH", payload, pos + 8)[4]
+                        elif cid == b"data":
+                            data_off, data_len = pos + 8, csize
+                        pos += 8 + csize + (csize & 1)
+                    if block_align is None or data_off is None:
+                        raise ValueError("WAVE payload missing fmt/data chunk")
+                    n_frames = data_len // block_align
+                    for idx in range(0, n_frames, every_n):
+                        lo = data_off + idx * block_align
+                        rows.append(
+                            {
+                                "media_id": int(m["media_id"]),
+                                "frame_idx": idx,
+                                "frame_bytes": payload[lo : lo + block_align],
+                            }
+                        )
+                    continue
+                n_frames = int(m["meta"]["n_frames"] or 0)
                 for idx in range(0, n_frames, every_n):
                     lo = idx % max(len(payload), 1)
                     rows.append(

@@ -36,3 +36,62 @@ def test_frame_sample_explodes_rows(spark):
     rows = frames.collect()
     assert len(rows) >= 3  # ≥1 frame per item
     assert all(r["frame_idx"] % 50 == 0 for r in rows)
+
+
+def test_decode_ppm_p6_p5_and_comments():
+    """Pure-python netpbm parse: P6 RGB with header comments, P5 gray."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import decode_ppm
+
+    raster = bytes(range(24))
+    px, w, h, c = decode_ppm(b"P6\n# a comment\n4 2\n# another\n255\n" + raster)
+    assert (w, h, c) == (4, 2, 3)
+    assert px[0, 0].tolist() == [0, 1, 2] and px[1, 3].tolist() == [21, 22, 23]
+    g, w, h, c = decode_ppm(b"P5\n3 2\n255\n" + bytes(range(6)))[0], 3, 2, 1
+    assert g.ravel().tolist() == [0, 1, 2, 3, 4, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_ppm(b"JUNK")
+    with _pt.raises(NotImplementedError):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
+
+def test_decode_wav_pcm16_and_chunk_walk():
+    """RIFF chunk walk: LIST chunk skipped (incl. odd-size word padding),
+    PCM16 stereo deinterleaved, sample_rate surfaced."""
+    import struct
+
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    data = struct.pack("<6h", 100, -100, 200, -200, 300, -300)  # 3 stereo frames
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    frames, sr, ch, ba = decode_wav(wav)
+    assert (sr, ch, ba) == (44100, 2, 4)
+    assert frames.shape == (3, 2)
+    assert frames[:, 0].tolist() == [100, 200, 300]
+    assert frames[:, 1].tolist() == [-100, -200, -300]
+
+
+def test_media_features_real_ppm_channel_means(spark):
+    """fake=False on a staged P6 payload: real decode, per-channel means."""
+    from sensordatapipelines_spark.operators.multimodal import media_features
+
+    raster = bytes([10, 20, 30] * 8)  # every pixel RGB=(10,20,30)
+    payload = b"P6\n4 2\n255\n" + raster
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))], "media_id long, kind string, payload binary"
+    ).select(F.struct("media_id", "kind", "payload").alias("media"))
+    r = media_features(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["n_channels"]) == (4, 2, 3)
+    assert (r["mean_c0"], r["mean_c1"], r["mean_c2"]) == (10.0, 20.0, 30.0)
+    assert r["mean_val"] == 20.0 and r["n_bytes"] == len(payload)
