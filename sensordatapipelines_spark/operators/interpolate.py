@@ -111,12 +111,12 @@ def idw(
     )
 
 
-def fit_linear_variogram(
+def _experimental_variogram(
     coords: np.ndarray, values: np.ndarray, n_lags: int = 6
-) -> tuple[float, float]:
-    """Fit ``γ(h) = nugget + slope·h`` to the experimental semivariogram
-    (what pykrige's ``variogram_model='linear'`` does; reference ``:413-414``).
-    Driver-side: sensor counts are small by construction (§1.1)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lag-binned experimental semivariogram ``(centers, means)`` — the
+    shared input of every model fit. Driver-side: sensor counts are small
+    by construction (§1.1)."""
     dx = coords[:, 0][:, None] - coords[:, 0][None, :]
     dy = coords[:, 1][:, None] - coords[:, 1][None, :]
     h = np.sqrt(dx * dx + dy * dy)
@@ -124,7 +124,7 @@ def fit_linear_variogram(
     iu = np.triu_indices(len(values), k=1)
     h, gamma = h[iu], gamma[iu]
     if h.size == 0 or float(h.max()) == 0.0:
-        return 0.0, 0.0
+        return np.array([]), np.array([])
     bins = np.linspace(0.0, float(h.max()), n_lags + 1)
     centers, means = [], []
     for i in range(n_lags):
@@ -132,12 +132,97 @@ def fit_linear_variogram(
         if m.any():
             centers.append(0.5 * (bins[i] + bins[i + 1]))
             means.append(float(gamma[m].mean()))
-    if len(centers) < 2:
-        return 0.0, float(gamma.mean() / max(float(h.mean()), 1e-300))
-    A = np.vstack([np.ones(len(centers)), np.array(centers)]).T
-    sol, *_ = np.linalg.lstsq(A, np.array(means), rcond=None)
-    nugget, slope = float(sol[0]), float(sol[1])
-    return max(nugget, 0.0), slope
+    return np.array(centers), np.array(means)
+
+
+def variogram_gamma(model: str, params: tuple, h: np.ndarray) -> np.ndarray:
+    """Evaluate the semivariogram model γ(h) (pykrige parameterizations —
+    the reference exposes ``variogram_model`` and delegates there,
+    ``/root/reference/src/data_preprocessing.py:413-414``):
+
+    - ``linear``: ``params=(nugget, slope)``, γ = nugget + slope·h
+    - ``spherical``: ``params=(nugget, sill, range)``,
+      γ = nugget + psill·(1.5·h/a − 0.5·(h/a)³) for h < a, sill beyond
+    - ``exponential``: ``params=(nugget, sill, range)``,
+      γ = nugget + psill·(1 − e^(−3h/a)) (95 % of the sill at h = a)
+
+    where ``psill = sill − nugget``. γ(0) is the nugget by formula; the
+    kriging matrices zero their diagonal explicitly, which is what makes
+    nugget-0 kriging an exact interpolator."""
+    h = np.asarray(h, dtype="float64")
+    if model == "linear":
+        nugget, slope = params
+        return nugget + slope * h
+    if model == "spherical":
+        nugget, sill, rng = params
+        psill, a = sill - nugget, max(float(rng), 1e-300)
+        hr = h / a
+        return np.where(
+            h < a, nugget + psill * (1.5 * hr - 0.5 * hr**3), sill
+        )
+    if model == "exponential":
+        nugget, sill, rng = params
+        psill, a = sill - nugget, max(float(rng), 1e-300)
+        return nugget + psill * (1.0 - np.exp(-3.0 * h / a))
+    raise ValueError(f"unknown variogram model {model!r}")
+
+
+def fit_variogram(
+    coords: np.ndarray,
+    values: np.ndarray,
+    model: str = "linear",
+    n_lags: int = 6,
+) -> tuple:
+    """Fit the chosen variogram model to the experimental semivariogram.
+
+    ``linear`` solves the 2-parameter least squares directly. The bounded
+    models (``spherical`` / ``exponential``) are linear in (nugget, psill)
+    GIVEN the range, so the fit is a deterministic grid search over 24
+    candidate ranges spanning the lag domain, each solved by 2-parameter
+    least squares (clamped non-negative), keeping the lowest-SSE
+    candidate — no RNG, no iterative optimizer, reproducible across
+    engines."""
+    centers, means = _experimental_variogram(coords, values, n_lags)
+    if model == "linear":
+        if centers.size == 0:
+            return 0.0, 0.0
+        if centers.size < 2:
+            return 0.0, float(means.mean() / max(float(centers.mean()), 1e-300))
+        A = np.vstack([np.ones(len(centers)), centers]).T
+        sol, *_ = np.linalg.lstsq(A, means, rcond=None)
+        return max(float(sol[0]), 0.0), float(sol[1])
+    if model not in ("spherical", "exponential"):
+        raise ValueError(f"unknown variogram model {model!r}")
+    if centers.size == 0:
+        return 0.0, 0.0, 1.0
+    if centers.size < 2:
+        return 0.0, float(means.mean()), float(centers.mean() or 1.0)
+    best = None
+    hmax = float(centers.max())
+    for a in np.linspace(hmax / 24.0, 2.0 * hmax, 24):
+        # basis value of the unit-psill model at each lag center
+        if model == "spherical":
+            hr = np.minimum(centers / a, 1.0)
+            base = 1.5 * hr - 0.5 * hr**3
+        else:
+            base = 1.0 - np.exp(-3.0 * centers / a)
+        A = np.vstack([np.ones(len(centers)), base]).T
+        sol, *_ = np.linalg.lstsq(A, means, rcond=None)
+        nugget, psill = max(float(sol[0]), 0.0), max(float(sol[1]), 0.0)
+        resid = means - (nugget + psill * base)
+        sse = float(resid @ resid)
+        if best is None or sse < best[0]:
+            best = (sse, nugget, nugget + psill, float(a))
+    _, nugget, sill, rng = best
+    return nugget, sill, rng
+
+
+def fit_linear_variogram(
+    coords: np.ndarray, values: np.ndarray, n_lags: int = 6
+) -> tuple[float, float]:
+    """Back-compat alias: ``fit_variogram(model='linear')`` (what pykrige's
+    ``variogram_model='linear'`` does; reference ``:413-414``)."""
+    return fit_variogram(coords, values, "linear", n_lags)
 
 
 @register("ordinary_kriging")
@@ -147,19 +232,23 @@ def ordinary_kriging(
     lon_step: float = 0.001,
     lat_step: float = 0.001,
     extent: tuple[float, float, float, float] | None = None,
-    variogram: tuple[float, float] | None = None,
+    variogram: tuple | None = None,
+    variogram_model: str = "linear",
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_points: int = 1000,
 ) -> DataFrame:
     """I3 ordinary kriging onto a regular grid → ``(gx, gy, {val}_krig)``.
 
-    Driver: collect sensors (small side by design), fit the linear variogram
-    (or take explicit ``variogram=(nugget, slope)`` for deterministic tests),
-    build and factorize the ordinary-kriging matrix once. Executors: for each
-    Arrow batch of grid points, build the RHS semivariance vectors and solve
-    with the shipped factorization — O(n²) per point, fully parallel over the
-    grid, no shuffle."""
+    Driver: collect sensors (small side by design), fit the variogram of
+    ``variogram_model`` — ``linear`` (reference default), ``spherical`` or
+    ``exponential`` (the reference exposes the model as a pykrige
+    pass-through, ``:413-414``) — or take explicit ``variogram`` params
+    ((nugget, slope) linear / (nugget, sill, range) bounded) for
+    deterministic tests; build and factorize the ordinary-kriging matrix
+    once. Executors: for each Arrow batch of grid points, build the RHS
+    semivariance vectors and solve with the shipped factorization — O(n²)
+    per point, fully parallel over the grid, no shuffle."""
     spark = sensors.sparkSession
     if extent is None:
         extent = _total_bounds(sensors, lon_col, lat_col)
@@ -178,13 +267,12 @@ def ordinary_kriging(
     pts = sel.toPandas().to_numpy(dtype="float64")
     coords, values = pts[:, :2], pts[:, 2]
     if variogram is None:
-        variogram = fit_linear_variogram(coords, values)
-    nugget, slope = variogram
+        variogram = fit_variogram(coords, values, variogram_model)
     n = len(values)
     # Ordinary kriging system: [[Γ, 1], [1ᵀ, 0]] · w = [γ(p), 1]
     dx = coords[:, 0][:, None] - coords[:, 0][None, :]
     dy = coords[:, 1][:, None] - coords[:, 1][None, :]
-    gamma_ss = nugget + slope * np.sqrt(dx * dx + dy * dy)
+    gamma_ss = variogram_gamma(variogram_model, variogram, np.sqrt(dx * dx + dy * dy))
     np.fill_diagonal(gamma_ss, 0.0)
     K = np.zeros((n + 1, n + 1))
     K[:n, :n] = gamma_ss
@@ -193,7 +281,13 @@ def ordinary_kriging(
     # Tiny jitter keeps the system solvable when sensors coincide.
     K_inv = np.linalg.pinv(K)
     bc = spark.sparkContext.broadcast(
-        {"coords": coords, "values": values, "K_inv": K_inv, "nugget": nugget, "slope": slope}
+        {
+            "coords": coords,
+            "values": values,
+            "K_inv": K_inv,
+            "model": variogram_model,
+            "params": tuple(variogram),
+        }
     )
     grid = make_grid(spark, extent, lon_step, lat_step)
     out_col = f"{val_column}_krig"
@@ -204,7 +298,7 @@ def ordinary_kriging(
 
         model = bc.value
         c, v, ki = model["coords"], model["values"], model["K_inv"]
-        nug, slo = model["nugget"], model["slope"]
+        vg_model, vg_params = model["model"], model["params"]
         nn = len(v)
         for pdf in batches:
             if len(pdf) == 0:
@@ -215,7 +309,7 @@ def ordinary_kriging(
             ddy = gys[:, None] - c[None, :, 1]
             h = np.sqrt(ddx * ddx + ddy * ddy)
             rhs = np.empty((len(pdf), nn + 1))
-            rhs[:, :nn] = nug + slo * h
+            rhs[:, :nn] = variogram_gamma(vg_model, vg_params, h)
             rhs[:, nn] = 1.0
             w = rhs @ ki.T  # (m, n+1)
             pred = w[:, :nn] @ v
@@ -233,7 +327,8 @@ def kriging_tiled(
     extent: tuple[float, float, float, float] | None = None,
     tile_size: float = 0.1,
     halo: float | None = None,
-    variogram: tuple[float, float] | None = None,
+    variogram: tuple | None = None,
+    variogram_model: str = "linear",
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_tile_sensors: int = 500,
@@ -324,13 +419,15 @@ def kriging_tiled(
             )
         coords = spts[["x", "y"]].to_numpy(dtype="float64")
         values = spts["v"].to_numpy(dtype="float64")
-        nugget, slope = (
-            vg if vg is not None else fit_linear_variogram(coords, values)
+        params = (
+            vg if vg is not None else fit_variogram(coords, values, variogram_model)
         )
         n = len(values)
         dx = coords[:, 0][:, None] - coords[:, 0][None, :]
         dy = coords[:, 1][:, None] - coords[:, 1][None, :]
-        gamma_ss = nugget + slope * np.sqrt(dx * dx + dy * dy)
+        gamma_ss = variogram_gamma(
+            variogram_model, params, np.sqrt(dx * dx + dy * dy)
+        )
         np.fill_diagonal(gamma_ss, 0.0)
         K = np.zeros((n + 1, n + 1))
         K[:n, :n] = gamma_ss
@@ -341,7 +438,7 @@ def kriging_tiled(
         ddy = gys[:, None] - coords[None, :, 1]
         h = np.sqrt(ddx * ddx + ddy * ddy)
         rhs = np.empty((len(gxs), n + 1))
-        rhs[:, :n] = nugget + slope * h
+        rhs[:, :n] = variogram_gamma(variogram_model, params, h)
         rhs[:, n] = 1.0
         pred = (rhs @ K_inv.T)[:, :n] @ values
         return pd.DataFrame({"gx": gxs, "gy": gys, out_col: pred})

@@ -138,3 +138,75 @@ def test_kriging_tiled_empty_tile_is_null(spark):
     vals = {(r["gx"], r["gy"]): r["val_krig"] for r in out}
     assert vals[(0.0, 0.0)] is not None
     assert vals[(1.5, 1.5)] is None  # far tile: no sensors in its window
+
+
+@pytest.mark.parametrize("model", ["spherical", "exponential"])
+def test_kriging_bounded_models_exact_at_sensor(spark, model):
+    """Spherical/exponential variograms (reference's pykrige
+    variogram_model pass-through): nugget-0 kriging stays an exact
+    interpolator at data points and bounded on this smooth field."""
+    out = ordinary_kriging(
+        _sensors(spark), "v", lon_step=0.5, lat_step=0.5,
+        extent=(0.0, 1.5, 0.0, 1.5),
+        variogram=(0.0, 100.0, 1.5), variogram_model=model,
+    ).collect()
+    assert len(out) == 9
+    vals = {(r["gx"], r["gy"]): r["v_krig"] for r in out}
+    assert vals[(0.0, 0.0)] == pytest.approx(10.0, abs=1e-6)
+    assert vals[(1.0, 1.0)] == pytest.approx(40.0, abs=1e-6)
+    for v in vals.values():
+        assert 0.0 <= v <= 50.0
+
+
+@pytest.mark.parametrize("model", ["spherical", "exponential"])
+def test_fit_variogram_bounded_models_recover_sill(model):
+    """Deterministic grid-search fit: on data generated FROM the model the
+    fit recovers sill/range within the lag-binning tolerance, and the
+    fitted curve is non-decreasing with h."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.interpolate import (
+        fit_variogram,
+        variogram_gamma,
+    )
+
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(0, 2, size=(60, 2))
+    # a field with bounded spatial variance: independent-ish beyond range
+    values = np.sin(coords[:, 0] * 5.0) * 4.0 + rng.normal(0, 0.3, 60)
+    nugget, sill, rang = fit_variogram(coords, values, model)
+    assert nugget >= 0.0 and sill >= nugget and rang > 0.0
+    hs = np.linspace(0, 3, 50)
+    g = variogram_gamma(model, (nugget, sill, rang), hs)
+    assert (np.diff(g) >= -1e-12).all()       # monotone non-decreasing
+    assert g[-1] <= sill + 1e-9               # bounded by the sill
+
+
+def test_kriging_tiled_bounded_model_matches_global(spark):
+    """The tiled scale path accepts the same bounded models: with a pinned
+    variogram and a halo covering every sensor the per-tile predictions
+    match the global operator."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.interpolate import kriging_tiled
+
+    rows = [
+        (i, 0.1 * (i % 5), 0.1 * (i // 5), 2.0 + 0.1 * (i % 5) + 0.2 * (i // 5))
+        for i in range(25)
+    ]
+    sensors = spark.createDataFrame(rows, "sensor_id long, lon double, lat double, val double")
+    kwargs = dict(
+        lon_step=0.13, lat_step=0.13, extent=(0.0, 0.4, 0.0, 0.4),
+        variogram=(0.0, 50.0, 0.6), variogram_model="spherical",
+    )
+    tiled = {
+        (round(r["gx"], 9), round(r["gy"], 9)): r["val_krig"]
+        for r in kriging_tiled(sensors, "val", tile_size=0.5, halo=0.6, **kwargs).collect()
+    }
+    glob = {
+        (round(r["gx"], 9), round(r["gy"], 9)): r["val_krig"]
+        for r in ordinary_kriging(sensors, "val", **kwargs).collect()
+    }
+    assert set(tiled) == set(glob)
+    for k in glob:
+        assert tiled[k] == pytest.approx(glob[k], abs=1e-8)
