@@ -2581,14 +2581,12 @@ def sensors_kriging_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
 
 
-def docs_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH via Spark ML (HashingTF + MinHashLSH approxSimilarityJoin)
-    — the library-backed twin of the native ``docs_minhash_pairs``. Rows-only:
-    Spark ML's hash family is not reproducible in DuckDB."""
-    from sensordatapipelines_spark.operators.dedup import minhash_dedup_pairs
-
-    _register_views(spark, sf_dir)
-    return minhash_dedup_pairs(spark.table("documents"), jaccard_threshold=0.3)
+# docs_minhash_ml (the Spark-ML MinHashLSH twin gate) was RETIRED from the
+# gate surface in round 4: it was the one rows-only entry with no
+# determinism excuse beyond the library call, and the native seeded
+# minhash_pairs is the proven, fully-oracled path. The operator itself
+# (minhash_dedup_pairs) remains in the package, covered by a seed-pinned
+# pair-set pytest (tests/test_text_dedup.py::test_minhash_ml_twin_pair_set).
 
 
 def _stage_ppm(spark: SparkSession, sf_dir: str) -> str:
@@ -5073,7 +5071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
-        "docs_minhash_ml": docs_minhash_ml,
         "docs_media_features": docs_media_features,
         "media_frame_sample": media_frame_sample,
         "media_wav_frames": media_wav_frames,
