@@ -4677,6 +4677,8 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = docs.filter(F.col("doc_id") % 2 == 0)
     day2 = docs.filter(F.col("doc_id") % 2 == 1)
     s1, state = incremental_dedup(day1, None, ["key"], "doc_id")
+    # day boundary == materialized state (see docs_incremental_neardedup)
+    state = state.localCheckpoint(eager=False)
     s2, _ = incremental_dedup(day2, state, ["key"], "doc_id")
     return s1.select("doc_id", "source").unionByName(
         s2.select("doc_id", "source")
@@ -4800,6 +4802,12 @@ def docs_incremental_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
     )
     s1, state = incremental_neardedup(day1, None, **kw)
+    # The day boundary MATERIALIZES the state — that is the operator's
+    # production contract (yesterday's LSH index is persisted storage, not
+    # a live plan). Without it, day-2's plan embeds day-1's entire banded
+    # join cascade (measured 87 exchanges vs 30 after truncation); values
+    # are identical.
+    state = state.localCheckpoint(eager=False)
     s2, _ = incremental_neardedup(day2, state, **kw)
     return s1.select("doc_id", "source").unionByName(s2.select("doc_id", "source"))
 

@@ -148,9 +148,16 @@ def _shingle_postings(
         # keeps the guard map-side; broadcasting the kept majority would
         # itself be a scale bug.
         hot = freq.filter(F.col("__df") > max_shingle_df).select("__s")
-        exploded = exploded.join(F.broadcast(hot), "__s", "left_anti")
+        # Cache the FILTERED postings: they feed three consumers (both
+        # self-join sides + the sizes aggregate), and without the cache the
+        # explode + hot-set anti-join re-executes per consumer — measured as
+        # the dominant duplication in the containment/jaccard plans. The two
+        # join-side exchanges over the same cached scan also become
+        # ReuseExchange-able (identical canonical subtrees).
+        exploded = exploded.join(F.broadcast(hot), "__s", "left_anti").cache()
         sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     else:
+        exploded = exploded.cache()
         sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     return exploded, sizes
 
@@ -275,22 +282,26 @@ def containment_pairs(
     if _sizes_broadcastable(df, broadcast_sizes_limit):
         na, nb = F.broadcast(na), F.broadcast(nb)
     both = inter.join(na, "id_a").join(nb, "id_b")
-    fwd = both.select(
+    fwd = F.struct(
         F.col("id_a").alias("id_sub"),
         F.col("id_b").alias("id_sup"),
         (F.col("__inter").cast("double") / F.col("__na").cast("double")).alias(
             "containment"
         ),
     )
-    rev = both.select(
+    rev = F.struct(
         F.col("id_b").alias("id_sub"),
         F.col("id_a").alias("id_sup"),
         (F.col("__inter").cast("double") / F.col("__nb").cast("double")).alias(
             "containment"
         ),
     )
+    # Both directions come off ONE pass over the joined pairs (explode of a
+    # 2-struct array) — a fwd.union(rev) would re-evaluate the whole
+    # candidate-join subtree twice, doubling every exchange in the plan.
     return (
-        fwd.unionByName(rev)
+        both.select(F.explode(F.array(fwd, rev)).alias("__p"))
+        .select("__p.*")
         .filter(F.col("containment") >= threshold)
         .select(
             "id_sub", "id_sup", F.round("containment", 6).alias("containment")

@@ -430,11 +430,11 @@ def test_pairwise_sizes_broadcast_is_gated_not_forced(spark):
     def hints(df):
         return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
-    # containment unions fwd+rev projections of the hinted join, so the
-    # analyzed tree replicates its 2 hints
-    for op, n_hints in ((jaccard_pairs, 2), (containment_pairs, 4)):
+    # containment emits both directions from ONE pass (2-struct explode),
+    # so both operators carry exactly the two size-side hints when gated
+    for op in (jaccard_pairs, containment_pairs):
         assert hints(op(docs, n=2, max_shingle_df=None, broadcast_sizes_limit=0)) == 0
-        assert hints(op(docs, n=2, max_shingle_df=None)) == n_hints  # gate engaged
+        assert hints(op(docs, n=2, max_shingle_df=None)) == 2  # gate engaged
         # results identical either way (tiny corpus, both paths exact)
         a = sorted(map(tuple, op(docs, n=2, threshold=0.5, broadcast_sizes_limit=0).collect()))
         b = sorted(map(tuple, op(docs, n=2, threshold=0.5).collect()))
