@@ -5098,60 +5098,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: q[n] for n in (*head, *rest)}
 
 
-# Round-3 driver-sample rotation: never-driver-checked queries, most
-# valuable first (the r01-red fix, new operators, the 13 unchecked TPC-H
-# shapes, the ANN suite, decontamination/resample/as-of). 50 get sampled.
-_ROUND3_SAMPLE_FIRST = [
-    "docs_source_mix",
-    "docs_unigram_logprob",
-    "docs_boilerplate",
-    "docs_bm25_topk",
-    "docs_mix_temperature",
-    "emb_random_projection",
-    "emb_coverage_sample",
-    "docs_weighted_sample",
-    "events_ewma",
-    "events_retention",
-    "events_attribution",
-    "events_state_merge",
-    "docs_top_p_sources",
-    "media_binary_ingest",
-    "media_payload_features",
-    "events_psi_drift",
-    "customer_depth_bins",
-    "docs_dup_cluster_sizes",
-    "events_log_ingest",
-    "pipeline_curation",
-    "events_stream_state_merge",
-    "zones_ring_geometry",
-    "docs_topn_sources",
-    "nation_fuzzy_match",
-    "docs_triangle_count",
-    "events_recursive_spine",
-    "orders_lateral_topk",
-    "events_contract_checks",
-    "docs_group_sample",
-    "events_transitions",
-    "events_time_to_convert",
-    "docs_incremental_dedup",
-    "docs_weighted_median",
-    "events_cogroup_asof",
-    "emb_ann_index_topk",
+# Round-4 driver-sample rotation: this round's new/changed-shape queries
+# first (fresh GeoJSON/raster/media gates, the dedup family whose plans
+# changed), then the 79 queries never yet driver-checked (r01+r02+r03
+# covered 114 of the prior surface). 50 get sampled per round.
+_ROUND4_SAMPLE_FIRST = [
+    "zones_geojson_ingest",
+    "zones_geojson_holes_agg",
+    "sensors_zonal_from_grid",
+    "docs_media_features",
+    "media_wav_frames",
+    "docs_containment_pairs",
+    "docs_jaccard_pairs",
+    "docs_dup_components",
     "docs_incremental_neardedup",
-    "events_anomalies",
-    "customer_rfm",
-    "events_backtest_folds",
-    "events_scd2_lookup",
-    "zones_wkb_polygon_agg",
-    "zones_wkb_polygon_agg_kernel",
-    "zones_wkb_holes_agg",
-    "emb_ann_recall",
-    "q2_min_acct_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
+    "docs_incremental_dedup",
+    "emb_semantic_dedup",
+    "events_cogroup_asof",
+    "docs_weighted_median",
     "q11_important_parts",
     "q12_late_priority",
     "q13_customer_distribution",
@@ -5194,7 +5158,6 @@ _ROUND3_SAMPLE_FIRST = [
     "events_salted_join",
     "events_runtime_filter_join",
     "customer_upsert",
-    # --- sample cut line (driver takes 50) ---
     "customer_anti_join",
     "orders_semi_join",
     "orders_month_spine",
@@ -5220,7 +5183,20 @@ _ROUND3_SAMPLE_FIRST = [
     "events_stats_unpivot",
     "docs_char_entropy",
     "docs_bigram_topk",
+    "docs_gopher_quality",
+    "emb_kmeans",
+    "events_funnel",
+    "events_scd2",
+    "docs_pagerank",
+    "sensors_kriging",
+    "sensors_kriging_tiled",
+    "media_frame_sample",
+    "events_stream_interval",
+    "events_stream_sliding"
 ]
+# rotated each round; alias keeps the queries() wiring stable
+_ROUND3_SAMPLE_FIRST = _ROUND4_SAMPLE_FIRST
+
 
 
 # --------------------------------------------------------------------------
