@@ -145,6 +145,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_binary(spark, sf_dir)
     _stage_logs(spark, sf_dir)
     _stage_geojson(spark, sf_dir)
+    _stage_shapefile(spark, sf_dir)
     _stage_ascii_grid(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
@@ -3657,6 +3658,67 @@ def sensors_zonal_from_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_shapefile(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the WKB_ZONES vertices as a REAL ESRI Shapefile layer
+    (.shp main file + .dbf attribute table) — the reference's default
+    vector interchange format (``to_file`` driver, ``gpd.read_file``).
+    Zone 2's two parts land as two outer rings of one record; zone ids
+    ride in the .dbf. Doubles round-trip the .shp binary bit-exactly, so
+    the WKB zonal oracle transfers."""
+    from sensordatapipelines_spark.sources.shapefile import (
+        write_dbf,
+        write_shp_polygons,
+    )
+
+    def build(stage: str) -> None:
+        # each WKB_ZONES part is an OUTER ring -> one single-ring PART each
+        shapes = [
+            [[(list(map(float, (p[0] for p in part))),
+               list(map(float, (p[1] for p in part))))]
+             for part in parts]
+            for _zid, parts in WKB_ZONES
+        ]
+        write_shp_polygons(f"{stage}/zones.shp", shapes)
+        write_dbf(
+            f"{stage}/zones.dbf",
+            ["zone_id"],
+            [[str(zid)] for zid, _ in WKB_ZONES],
+        )
+
+    return _staged(spark, sf_dir, "shapefile_src", build)
+
+
+def zones_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile ingestion end-to-end: the WKB zones staged as a real
+    .shp/.dbf layer, parsed pure-python on executors via the binaryFile
+    source (``open_shapefile``), attributes joined from the .dbf, and the
+    same ray-cast zonal aggregation — identical vertices (windings
+    normalized; the even-odd cast is winding-independent), identical
+    oracle as the WKB and GeoJSON twins."""
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+    from sensordatapipelines_spark.sources.shapefile import open_shapefile
+
+    _register_views(spark, sf_dir)
+    stage = _stage_shapefile(spark, sf_dir)
+    zones = open_shapefile(spark, stage).select(
+        F.col("properties")["zone_id"].cast("long").alias("zone_id"),
+        "part",
+        "xs",
+        "ys",
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
 def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
     """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
     vertices (zone 2 as a true MultiPolygon) plus two features the S1
@@ -5030,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_wkb_holes_agg": zones_wkb_holes_agg,
         "zones_geojson_ingest": zones_geojson_ingest,
         "zones_geojson_holes_agg": zones_geojson_holes_agg,
+        "zones_shapefile_ingest": zones_shapefile_ingest,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5105,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROUND4_SAMPLE_FIRST = [
     "zones_geojson_ingest",
     "zones_geojson_holes_agg",
+    "zones_shapefile_ingest",
     "sensors_zonal_from_grid",
     "docs_media_features",
     "media_wav_frames",
@@ -7412,6 +7476,9 @@ def oracle_sql() -> dict[str, str]:
     # GeoJSON ingestion stages the SAME zone vertices (JSON double
     # round-trip is bit-exact) and runs the same aggregation -> same oracle
     oracles["zones_geojson_ingest"] = oracles["zones_wkb_polygon_agg"]
+    # Shapefile twin: same vertices (winding-normalized; even-odd cast is
+    # winding-independent), same aggregation -> same oracle
+    oracles["zones_shapefile_ingest"] = oracles["zones_wkb_polygon_agg"]
     # The staged ASCII grids hold the synthetic raster (corner origin,
     # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]

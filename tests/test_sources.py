@@ -511,3 +511,50 @@ def test_open_ascii_grid_decode(spark, tmp_path):
         for r in open_ascii_grid(spark, str(p), origin="center").collect()
     }
     assert c[(0, 0)]["x"] == 10.0 + 0.25 and c[(0, 0)]["y"] == 20.0 + 0.25
+
+
+def test_shapefile_roundtrip_multipart_holes_points(spark, tmp_path):
+    """Pure-python ESRI Shapefile round-trip: multi-part record (two outer
+    rings), donut record (outer + hole, grouped by winding), .dbf
+    attributes joined by record index; degenerate record dropped by the
+    validity filter."""
+    from sensordatapipelines_spark.sources.shapefile import (
+        open_shapefile,
+        parse_dbf,
+        parse_shp,
+        write_dbf,
+        write_shp_polygons,
+    )
+
+    shapes = [
+        # record 1: MultiPolygon — two single-ring parts
+        [
+            [([0.0, 1.0, 0.5], [0.0, 0.0, 1.0])],
+            [([5.0, 6.0, 5.5], [5.0, 5.0, 6.0])],
+        ],
+        # record 2: donut — one part, outer + hole
+        [[
+            ([2.0, 4.0, 4.0, 2.0], [2.0, 2.0, 4.0, 4.0]),
+            ([2.5, 3.5, 3.5, 2.5], [2.5, 2.5, 3.5, 3.5]),
+        ]],
+    ]
+    write_shp_polygons(str(tmp_path / "z.shp"), shapes)
+    write_dbf(str(tmp_path / "z.dbf"), ["zone_id", "name"], [["1", "multi"], ["2", "donut"]])
+
+    names, rows = parse_dbf((tmp_path / "z.dbf").read_bytes())
+    assert names == ["zone_id", "name"] and rows == [["1", "multi"], ["2", "donut"]]
+    recs = parse_shp((tmp_path / "z.shp").read_bytes())
+    assert [r[0] for r in recs] == [1, 2]
+    assert len(recs[0][2]) == 2 and len(recs[1][2]) == 2  # flat ring counts
+
+    out = {(r["fid"], r["part"]): r for r in open_shapefile(spark, str(tmp_path)).collect()}
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["properties"]["name"] == "multi"
+    # multipart: both rings are OUTER (two parts, one ring each)
+    assert len(out[(1, 0)]["rings"]) == 1 and len(out[(1, 1)]["rings"]) == 1
+    assert sorted(out[(1, 1)]["xs"]) == [5.0, 5.5, 6.0]
+    # donut: one part with outer + hole
+    donut = out[(2, 0)]
+    assert len(donut["rings"]) == 2
+    assert sorted(donut["rings"][1]["xs"]) == [2.5, 2.5, 3.5, 3.5]
+    assert donut["properties"]["zone_id"] == "2"
