@@ -146,6 +146,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_logs(spark, sf_dir)
     _stage_geojson(spark, sf_dir)
     _stage_shapefile(spark, sf_dir)
+    _stage_gpkg(spark, sf_dir)
     _stage_ascii_grid(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
@@ -3719,6 +3720,72 @@ def zones_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_gpkg(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the WKB_ZONES as a REAL GeoPackage: a SQLite db with the
+    OGC registry tables (gpkg_contents, gpkg_geometry_columns) and a
+    zones feature table whose geometry blobs are GPB-wrapped WKB — the
+    exact bytes `encode_wkb_polygon` emits, so the decode chain
+    (GPB strip → WKB parse) is bit-exact and the zonal oracle
+    transfers."""
+    import sqlite3
+
+    from sensordatapipelines_spark.operators.spatial import encode_wkb_polygon
+    from sensordatapipelines_spark.sources.geopackage import wrap_gpb
+
+    def build(stage: str) -> None:
+        con = sqlite3.connect(f"{stage}/zones.gpkg")
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns "
+            "(table_name TEXT, column_name TEXT)"
+        )
+        con.execute("INSERT INTO gpkg_contents VALUES ('zones', 'features')")
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES ('zones', 'geom')")
+        con.execute("CREATE TABLE zones (zone_id INTEGER, geom BLOB)")
+        for zid, parts in WKB_ZONES:
+            con.execute(
+                "INSERT INTO zones VALUES (?, ?)",
+                (zid, wrap_gpb(encode_wkb_polygon(parts))),
+            )
+        con.commit()
+        con.close()
+
+    return _staged(spark, sf_dir, "gpkg_src", build)
+
+
+def zones_gpkg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage ingestion end-to-end: the WKB zones staged as a real
+    .gpkg (SQLite + GPB-wrapped WKB blobs), read via the stdlib-sqlite
+    escape hatch (``open_geopackage``) into the existing WKB decode, and
+    the same ray-cast zonal aggregation — identical bytes, identical
+    oracle as the WKB/GeoJSON/Shapefile twins. Closes the reference's
+    last vector format (gpd.read_file accepts .gpkg)."""
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+    from sensordatapipelines_spark.sources.geopackage import open_geopackage
+
+    _register_views(spark, sf_dir)
+    stage = _stage_gpkg(spark, sf_dir)
+    zones = open_geopackage(spark, f"{stage}/zones.gpkg").select(
+        F.col("properties")["zone_id"].cast("long").alias("zone_id"),
+        "part",
+        "xs",
+        "ys",
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
 def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
     """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
     vertices (zone 2 as a true MultiPolygon) plus two features the S1
@@ -5093,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_geojson_ingest": zones_geojson_ingest,
         "zones_geojson_holes_agg": zones_geojson_holes_agg,
         "zones_shapefile_ingest": zones_shapefile_ingest,
+        "zones_gpkg_ingest": zones_gpkg_ingest,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5169,6 +5237,7 @@ _ROUND4_SAMPLE_FIRST = [
     "zones_geojson_ingest",
     "zones_geojson_holes_agg",
     "zones_shapefile_ingest",
+    "zones_gpkg_ingest",
     "sensors_zonal_from_grid",
     "docs_media_features",
     "media_wav_frames",
@@ -7479,6 +7548,8 @@ def oracle_sql() -> dict[str, str]:
     # Shapefile twin: same vertices (winding-normalized; even-odd cast is
     # winding-independent), same aggregation -> same oracle
     oracles["zones_shapefile_ingest"] = oracles["zones_wkb_polygon_agg"]
+    # GeoPackage twin: GPB-wrapped WKB decodes to identical bytes
+    oracles["zones_gpkg_ingest"] = oracles["zones_wkb_polygon_agg"]
     # The staged ASCII grids hold the synthetic raster (corner origin,
     # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]

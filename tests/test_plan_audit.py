@@ -29,7 +29,8 @@ BNLJ_ALLOWED = {
     # round-4 file-ingestion twins of already-allowed zonal shapes: the
     # distance/ray-cast join broadcasts the small vector/sensor dim side
     "zones_geojson_ingest", "zones_geojson_holes_agg",
-    "zones_shapefile_ingest", "sensors_zonal_from_grid",
+    "zones_shapefile_ingest", "zones_gpkg_ingest",
+    "sensors_zonal_from_grid",
 }
 
 

@@ -558,3 +558,51 @@ def test_shapefile_roundtrip_multipart_holes_points(spark, tmp_path):
     assert len(donut["rings"]) == 2
     assert sorted(donut["rings"][1]["xs"]) == [2.5, 2.5, 3.5, 3.5]
     assert donut["properties"]["zone_id"] == "2"
+
+
+def test_geopackage_roundtrip(spark, tmp_path):
+    """GPB wrap/strip symmetry, gpkg_contents discovery, attribute map,
+    MultiPolygon part fan-out through the WKB decode."""
+    import sqlite3
+
+    from sensordatapipelines_spark.operators.spatial import encode_wkb_polygon
+    from sensordatapipelines_spark.sources.geopackage import (
+        list_feature_tables,
+        open_geopackage,
+        strip_gpb_header,
+        wrap_gpb,
+    )
+
+    wkb = encode_wkb_polygon([[(0.0, 0.0), (1.0, 0.0), (0.5, 1.0)]])
+    assert strip_gpb_header(wrap_gpb(wkb)) == wkb
+
+    p = tmp_path / "z.gpkg"
+    con = sqlite3.connect(str(p))
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('zones', 'features')")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('zones', 'geom')")
+    con.execute("CREATE TABLE zones (zone_id INTEGER, name TEXT, geom BLOB)")
+    con.execute(
+        "INSERT INTO zones VALUES (1, 'tri', ?)",
+        (wrap_gpb(encode_wkb_polygon([[(0.0, 0.0), (1.0, 0.0), (0.5, 1.0)]])),),
+    )
+    con.execute(
+        "INSERT INTO zones VALUES (2, 'multi', ?)",
+        (wrap_gpb(encode_wkb_polygon(
+            [[(2.0, 2.0), (3.0, 2.0), (2.5, 3.0)],
+             [(4.0, 4.0), (5.0, 4.0), (4.5, 5.0)]]
+        )),),
+    )
+    con.commit()
+    con.close()
+
+    assert list_feature_tables(str(p)) == ["zones"]
+    out = {
+        (r["properties"]["zone_id"], r["part"]): r
+        for r in open_geopackage(spark, str(p)).collect()
+    }
+    assert set(out) == {("1", 0), ("2", 0), ("2", 1)}
+    assert out[("1", 0)]["properties"]["name"] == "tri"
+    assert out[("1", 0)]["xs"] == [0.0, 1.0, 0.5]
+    assert out[("2", 1)]["xs"] == [4.0, 5.0, 4.5]
