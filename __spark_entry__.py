@@ -3786,6 +3786,53 @@ def zones_gpkg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph (line) dedup — the RefinedWeb/FineWeb pass:
+    multi-paragraph documents are derived deterministically (groups of 4
+    consecutive docs joined by newline; every 3rd group additionally
+    repeats doc 0's text as a trailing paragraph, planting guaranteed
+    cross-document duplicates), then every paragraph that occurred
+    earlier in the corpus is dropped and documents reassemble from the
+    survivors. Keep-first is an aggregate (min (id, pos) per paragraph),
+    never a window — map-side combine keeps a billion-fold boilerplate
+    paragraph skew-safe."""
+    from sensordatapipelines_spark.operators.dedup import paragraph_dedup
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    grouped = (
+        docs.groupBy(F.floor(F.col("doc_id") / 4).cast("long").alias("did"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    seed = docs.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("__seed")
+    )
+    staged = grouped.join(F.broadcast(seed)).select(
+        "did",
+        F.when(
+            F.col("did") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), F.col("__seed")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = paragraph_dedup(staged, id_col="did", text_col="text")
+    return out.select(
+        F.col("did").alias("doc_id"),
+        F.md5(F.col("text")).alias("clean_md5"),
+        "n_paras",
+        "n_kept",
+    )
+
+
 def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
     """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
     vertices (zone 2 as a true MultiPolygon) plus two features the S1
@@ -5161,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_geojson_holes_agg": zones_geojson_holes_agg,
         "zones_shapefile_ingest": zones_shapefile_ingest,
         "zones_gpkg_ingest": zones_gpkg_ingest,
+        "docs_paragraph_dedup": docs_paragraph_dedup,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5238,6 +5286,7 @@ _ROUND4_SAMPLE_FIRST = [
     "zones_geojson_holes_agg",
     "zones_shapefile_ingest",
     "zones_gpkg_ingest",
+    "docs_paragraph_dedup",
     "sensors_zonal_from_grid",
     "docs_media_features",
     "media_wav_frames",
@@ -7550,6 +7599,44 @@ def oracle_sql() -> dict[str, str]:
     oracles["zones_shapefile_ingest"] = oracles["zones_wkb_polygon_agg"]
     # GeoPackage twin: GPB-wrapped WKB decodes to identical bytes
     oracles["zones_gpkg_ingest"] = oracles["zones_wkb_polygon_agg"]
+    # Paragraph dedup: keep-first = min (id, pos) per paragraph; QUALIFY
+    # row_number encodes the same rule; reassembly order by position.
+    oracles["docs_paragraph_dedup"] = """
+        WITH grouped AS (
+            SELECT CAST(FLOOR(doc_id / 4) AS BIGINT) AS did,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS text
+            FROM documents GROUP BY FLOOR(doc_id / 4)
+        ),
+        staged AS (
+            SELECT did,
+                   CASE WHEN did % 3 = 0
+                        THEN text || chr(10) ||
+                             (SELECT text FROM documents WHERE doc_id = 0)
+                        ELSE text END AS text
+            FROM grouped
+        ),
+        paras AS (
+            SELECT did,
+                   UNNEST(list_transform(string_split(text, chr(10)),
+                                         (p, i) -> {'pos': i - 1, 'para': p})) AS u
+            FROM staged
+        ),
+        flat AS (SELECT did, u.pos AS pos, u.para AS para FROM paras),
+        kept AS (
+            SELECT did, pos, para FROM flat
+            QUALIFY row_number() OVER (PARTITION BY para ORDER BY did, pos) = 1
+        ),
+        rebuilt AS (
+            SELECT did, string_agg(para, chr(10) ORDER BY pos) AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY did
+        )
+        SELECT s.did AS doc_id,
+               md5(COALESCE(r.clean, '')) AS clean_md5,
+               CAST(len(string_split(s.text, chr(10))) AS INT) AS n_paras,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM staged s LEFT JOIN rebuilt r ON s.did = r.did
+    """
     # The staged ASCII grids hold the synthetic raster (corner origin,
     # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]

@@ -983,3 +983,65 @@ def incremental_neardedup(
     )
     new_state = surv_sigs if state is None else state.unionByName(surv_sigs)
     return survivors, new_state
+
+
+@register("paragraph_dedup")
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level deduplication (the RefinedWeb/FineWeb
+    line-dedup pass): split each document on ``sep``, keep only the FIRST
+    occurrence of every distinct paragraph across the whole corpus
+    (first = lowest ``(id, position)``), and reassemble each document
+    from its surviving paragraphs in original order. Returns
+    ``(id, clean text, n_paras, n_kept)`` — a document whose every
+    paragraph was seen earlier comes back empty rather than disappearing
+    (the caller decides the drop threshold).
+
+    Plan shape at 100 TB: NO self-join and NO window over the paragraph
+    key — keep-first is ``min(struct(id, pos))`` grouped by the paragraph,
+    which partial-aggregates map-side, so a boilerplate paragraph
+    occurring a billion times reduces to one row per partition before the
+    exchange (the skew-safety a ``row_number`` window lacks). The kept
+    rows ARE the aggregate output (one per distinct paragraph), so
+    reassembly is a second groupBy on the id — two shuffles total, both
+    with map-side combine. Per-doc paragraph counts ride the same
+    aggregates; no extra pass."""
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    winners = paras.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    )
+    kept = winners.select(
+        F.col("__w.__id").alias("__id"),
+        F.col("__w.__pos").alias("__pos"),
+        "__para",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep)).alias("n_paras"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

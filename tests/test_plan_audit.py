@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "zones_geojson_ingest", "zones_geojson_holes_agg",
     "zones_shapefile_ingest", "zones_gpkg_ingest",
     "sensors_zonal_from_grid",
+    "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
 }
 
 

@@ -850,3 +850,28 @@ def test_minhash_ml_twin_pair_set(spark):
         for r in minhash_dedup_pairs(docs, n=3, jaccard_threshold=0.5, seed=42).collect()
     }
     assert out == out2                             # seeded determinism
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """RefinedWeb-style line dedup: first occurrence (lowest id, pos) wins
+    corpus-wide; documents reassemble in original order; a fully-duplicate
+    document returns empty, not absent."""
+    from sensordatapipelines_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),          # 'beta' seen in doc 1 -> dropped
+            (3, "alpha\nbeta"),          # all seen -> empty
+            (4, "beta\nbeta\nepsilon"),  # within-doc repeat also dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert out[2]["text"] == "delta" and out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "epsilon"
+    # totals: 10 paragraphs, 5 distinct survivors
+    assert sum(r["n_paras"] for r in out.values()) == 10
+    assert sum(r["n_kept"] for r in out.values()) == 5
