@@ -142,6 +142,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_dir_union(spark, sf_dir)
     _stage_csv(spark, sf_dir)
     _stage_orc(spark, sf_dir)
+    _stage_xml(spark, sf_dir)
     _stage_binary(spark, sf_dir)
     _stage_logs(spark, sf_dir)
     _stage_geojson(spark, sf_dir)
@@ -2106,6 +2107,40 @@ def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     stage = _stage_orc(spark, sf_dir)
     back = spark.read.orc(f"{stage}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _stage_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Events exported through the built-in XML sink (Spark 4 native)."""
+
+    def build(stage: str) -> None:
+        spark.table("events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.mode("overwrite").format("xml").option("rootTag", "events").option(
+            "rowTag", "event"
+        ).save(f"{stage}/events_xml")
+
+    return _staged(spark, sf_dir, "xml", build)
+
+
+def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip via Spark 4's BUILT-IN XML data source
+    (no spark-xml package): events written row-tagged XML, read back with
+    schema inference, aggregated. Oracle: the same aggregate over the
+    original table — the round-trip must be lossless. The XML scan
+    parallelizes by file like any text source; staging is memoized and
+    untimed (the query measures the XML parse + aggregate)."""
+    _register_views(spark, sf_dir)
+    stage = _stage_xml(spark, sf_dir)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .load(f"{stage}/events_xml")
+    )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("sum_user"),
@@ -5135,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "customer_upsert": customer_upsert,
         "events_orc_roundtrip": events_orc_roundtrip,
+        "events_xml_roundtrip": events_xml_roundtrip,
         "events_range_window": events_range_window,
         "customer_segment_quartiles": customer_segment_quartiles,
         "docs_train_split": docs_train_split,
@@ -5287,6 +5323,7 @@ _ROUND4_SAMPLE_FIRST = [
     "zones_shapefile_ingest",
     "zones_gpkg_ingest",
     "docs_paragraph_dedup",
+    "events_xml_roundtrip",
     "sensors_zonal_from_grid",
     "docs_media_features",
     "media_wav_frames",
@@ -7094,6 +7131,8 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY event_type
     """
+    # lossless round-trip -> identical aggregate oracle
+    oracles["events_xml_roundtrip"] = oracles["events_orc_roundtrip"]
     oracles["orders_pivot_status"] = """
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
                ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
