@@ -142,22 +142,36 @@ def grouped_zscore(
 ) -> DataFrame:
     """Per-group z-score via ``applyInPandas`` — the GROUPED_MAP extension
     surface (reference extension model: "any Python callable of the right
-    shape", ``README.md:16-20``). One shuffle on the group keys; each group
-    is handed to Python as ONE Arrow batch, so group cardinality must be
-    executor-memory bounded (true for per-sensor groups). Expressible as a
-    window function too — this op exists to gate the custom-Python path.
+    shape", ``README.md:16-20``). Expressible as a window function too —
+    this op exists to gate the custom-Python path.
+
+    Granularity (the ``cogroup_asof`` lesson, SCALE.md): Spark's grouping
+    key sets the PARALLELISM/memory unit, not the semantic unit — grouping
+    on the raw key hands Python one tiny frame PER KEY (measured: per-call
+    overhead dominates at thousands of keys). The Spark group is therefore
+    a HASH BUCKET of the key and the per-key normalization runs inside the
+    bucket via ``pandas.groupby.transform`` — identical per-group
+    arithmetic (same pandas mean/std kernels over the same rows),
+    ~n_keys/n_buckets× fewer Python calls; each bucket must fit a worker
+    (standard applyInPandas contract, ``n_buckets`` tunes it).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    n_buckets = 64
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+    keys = list(group_cols)
 
     def fn(pdf):
-        m = pdf[value_col].mean()
-        s = pdf[value_col].std(ddof=1)
-        pdf[out_col] = (pdf[value_col] - m) / s
-        return pdf
+        g = pdf.groupby(keys, sort=False)[value_col]
+        pdf[out_col] = (pdf[value_col] - g.transform("mean")) / g.transform("std")
+        return pdf.drop(columns="__bkt")
 
-    return df.groupBy(*list(group_cols)).applyInPandas(fn, schema=out_schema)
+    bkt = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_buckets))
+    return (
+        df.withColumn("__bkt", bkt)
+        .groupBy("__bkt")
+        .applyInPandas(fn, schema=out_schema)
+    )
 
 
 def _hex_threshold(rate: float) -> str:

@@ -37,7 +37,13 @@ def audit_plan(plan: str) -> dict:
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange SinglePartition"),
-        "reused_exchanges": plan.count("ReusedExchange"),
+        # AQE rewrites physical reuse into query-stage nodes, so count both
+        # spellings: a non-AQE ReusedExchange AND the AQE stage-level forms
+        # (ReusedQueryStage / TableCacheQueryStage — the cache-backed reuse
+        # the round-4 postings cache introduces).
+        "reused_exchanges": plan.count("ReusedExchange")
+        + plan.count("ReusedQueryStage")
+        + plan.count("TableCacheQueryStage"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "shj": plan.count("ShuffledHashJoin"),
