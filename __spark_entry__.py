@@ -3868,6 +3868,25 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring (span) dedup — Lee et al. 2021: every 8-token
+    span occurring more than once in the corpus is removed from all but
+    its first occurrence, documents rebuilt from surviving tokens. The
+    oracle mirrors the keep-first rule with QUALIFY row_number over the
+    literal gram strings (the engine keys on xxhash64 of the same gram —
+    value-identical absent 64-bit collisions)."""
+    from sensordatapipelines_spark.operators.dedup import substring_dedup
+
+    _register_views(spark, sf_dir)
+    out = substring_dedup(spark.table("documents"), span_tokens=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
 def _stage_geojson(spark: SparkSession, sf_dir: str) -> str:
     """Stage a real ``.geojson`` FeatureCollection holding the WKB_ZONES
     vertices (zone 2 as a true MultiPolygon) plus two features the S1
@@ -5245,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_shapefile_ingest": zones_shapefile_ingest,
         "zones_gpkg_ingest": zones_gpkg_ingest,
         "docs_paragraph_dedup": docs_paragraph_dedup,
+        "docs_substring_dedup": docs_substring_dedup,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5323,6 +5343,7 @@ _ROUND4_SAMPLE_FIRST = [
     "zones_shapefile_ingest",
     "zones_gpkg_ingest",
     "docs_paragraph_dedup",
+    "docs_substring_dedup",
     "events_xml_roundtrip",
     "sensors_zonal_from_grid",
     "docs_media_features",
@@ -7675,6 +7696,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(s.text, chr(10))) AS INT) AS n_paras,
                CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
         FROM staged s LEFT JOIN rebuilt r ON s.did = r.did
+    """
+    # Substring (span) dedup: same keep-first-by-(id,start) rule over the
+    # literal 8-token gram; losing spans union to covered positions.
+    oracles["docs_substring_dedup"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS t
+            FROM documents
+        ),
+        trows AS (
+            SELECT doc_id, u.pos AS pos, u.tok AS tok
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(t,
+                               (x, i) -> {'pos': i - 1, 'tok': x})) AS u
+                  FROM toks)
+        ),
+        flat AS (
+            SELECT doc_id, u.s AS s, u.g AS g
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(range(1, len(t) - 8 + 2),
+                               i -> {'s': i - 1,
+                                     'g': array_to_string(t[i:i+7], ' ')})) AS u
+                  FROM toks WHERE len(t) >= 8)
+        ),
+        losers AS (
+            SELECT doc_id, s FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, s) AS rn
+                FROM flat)
+            WHERE rn > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, UNNEST(range(s, s + 8)) AS pos FROM losers)
+        ),
+        kept AS (
+            SELECT tr.doc_id, tr.pos, tr.tok
+            FROM trows tr
+            WHERE NOT EXISTS (SELECT 1 FROM covered c
+                              WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               md5(COALESCE(r.clean, '')) AS clean_md5,
+               CAST(len(t.t) AS INT) AS n_tokens,
+               CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     """
     # The staged ASCII grids hold the synthetic raster (corner origin,
     # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers

@@ -1045,3 +1045,95 @@ def paragraph_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+@register("substring_dedup")
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Repeated-SUBSTRING deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any ``span_tokens``-token
+    span whose exact token sequence occurs more than once in the corpus is
+    removed from every occurrence EXCEPT the first (first = lowest
+    ``(id, start)``). A token is dropped when ANY losing span covers it
+    (overlapping duplicated spans union), and documents are rebuilt from
+    their surviving tokens — ``(id, clean text, n_tokens, n_removed)``.
+
+    Plan shape at 100 TB — entirely JVM, no windows over hot keys:
+    span candidates are token n-grams hashed to 8 bytes (the shingle
+    trick); the keep-first winner per span is ``min(struct(id, start))``
+    with map-side combine (a boilerplate span occurring 10⁹ times
+    partial-aggregates before the exchange); losing spans explode to at
+    most ``span_tokens`` covered indices each; removal is one anti-join of
+    the token table against the distinct covered indices; reassembly is
+    one groupBy(id). Four shuffles, all combining or keyed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    # Guard sub-span docs explicitly: Spark's sequence(0, -1) DESCENDS
+    # ([0, -1]) instead of being empty, which would fabricate two bogus
+    # grams per short doc.
+    gram_hashes = F.when(
+        F.size("__toks") >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - span_tokens),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice("__toks", i + 1, span_tokens))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(
+        "__id", F.posexplode(gram_hashes).alias("__start", "__g")
+    )
+    winners = grams.groupBy("__g").agg(
+        F.min(F.struct("__id", "__start")).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    losers = (
+        grams.join(winners.filter(F.col("__n") > 1), "__g")
+        .filter(
+            (F.col("__id") != F.col("__w.__id"))
+            | (F.col("__start") != F.col("__w.__start"))
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.col("__start"), F.col("__start") + F.lit(span_tokens - 1)
+                )
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    token_rows = toks.select(
+        "__id", F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    kept = token_rows.join(losers, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = toks.select("__id", F.size("__toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

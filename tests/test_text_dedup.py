@@ -875,3 +875,29 @@ def test_paragraph_dedup_keep_first_and_reassembly(spark):
     # totals: 10 paragraphs, 5 distinct survivors
     assert sum(r["n_paras"] for r in out.values()) == 10
     assert sum(r["n_kept"] for r in out.values()) == 5
+
+
+def test_substring_dedup_removes_later_spans(spark):
+    """Lee-et-al span dedup: a duplicated 4-token span keeps its first
+    occurrence (lowest (id, start)) and is removed everywhere else;
+    overlapping losing spans union; sub-span docs pass through."""
+    from sensordatapipelines_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),            # first occurrence of 'a b c d'
+            (2, "p q a b c d r"),          # later occurrence -> removed
+            (3, "a b c"),                  # shorter than the span -> kept
+            (4, "a b c d e p q a b c d"),  # two dup spans in one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, span_tokens=4).collect()}
+    assert out[1]["text"] == "a b c d x y" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "p q r" and out[2]["n_removed"] == 4
+    assert out[3]["text"] == "a b c" and out[3]["n_removed"] == 0
+    # doc 4: 'a b c d' (starts 0 and 7) loses to doc 1; 'p q a b' and
+    # 'q a b c' (starts 5, 6) lose to doc 2 — the union of losing spans
+    # covers every token except position 4 ('e')
+    assert out[4]["text"] == "e" and out[4]["n_removed"] == 10
+    assert out[4]["n_tokens"] == 11
