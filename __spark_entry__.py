@@ -3868,6 +3868,60 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dedup: documents arrive as a file stream
+    (two micro-batches — the even-id half, then the odd-id half, ordered
+    by file mtime with maxFilesPerTrigger=1), and a ``foreachBatch``
+    handler runs ``incremental_neardedup`` against a parquet-persisted,
+    version-per-batch LSH-signature state. Exactly the batch
+    day-over-day result — so this STREAMING pipeline shares the strict
+    ``docs_incremental_neardedup`` value oracle."""
+    import os
+    import tempfile
+
+    from sensordatapipelines_spark.streaming.stateful import (
+        neardedup_batch_handler,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    key = (id(spark.sparkContext), sf_dir, "stream_docs")
+    if key not in _STAGE_CACHE:
+        stage = tempfile.mkdtemp(prefix="docs_stream_")
+        os.makedirs(f"{stage}/in")
+        for i, half in enumerate((0, 1)):
+            docs.filter(F.col("doc_id") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/tmp{i}")
+            part = next(
+                f for f in os.listdir(f"{stage}/tmp{i}") if f.endswith(".parquet")
+            )
+            dst = f"{stage}/in/day{i}.parquet"
+            os.rename(f"{stage}/tmp{i}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        _STAGE_CACHE[key] = stage
+    stage = _STAGE_CACHE[key]
+    out_dir = tempfile.mkdtemp(prefix="docs_stream_out_")
+    state_dir = tempfile.mkdtemp(prefix="docs_stream_state_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/in")
+    )
+    handler = neardedup_batch_handler(
+        state_dir,
+        out_dir,
+        num_hashes=MINHASH_HASHES,
+        band_rows=MINHASH_BAND_ROWS,
+        threshold=MINHASH_THRESHOLD,
+        seed=MINHASH_SEED,
+        n=3,
+    )
+    q = stream.writeStream.foreachBatch(handler).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select("doc_id", "source")
+
+
 def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring (span) dedup — Lee et al. 2021: every 8-token
     span occurring more than once in the corpus is removed from all but
@@ -5265,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_gpkg_ingest": zones_gpkg_ingest,
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_substring_dedup": docs_substring_dedup,
+        "docs_stream_neardedup": docs_stream_neardedup,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5344,6 +5399,7 @@ _ROUND4_SAMPLE_FIRST = [
     "zones_gpkg_ingest",
     "docs_paragraph_dedup",
     "docs_substring_dedup",
+    "docs_stream_neardedup",
     "events_xml_roundtrip",
     "sensors_zonal_from_grid",
     "docs_media_features",
@@ -8659,6 +8715,9 @@ def oracle_sql() -> dict[str, str]:
            OR (doc_id % 2 = 1
                AND doc_id NOT IN (SELECT id FROM drop_o))
     """
+    # Streaming near-dedup produces the batch day-over-day result exactly
+    oracles["docs_stream_neardedup"] = oracles["docs_incremental_neardedup"]
+
     oracles["events_anomalies"] = """
         WITH cells AS (
             SELECT user_id AS k, EXTRACT(hour FROM ts) AS h,

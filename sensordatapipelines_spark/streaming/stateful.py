@@ -249,3 +249,48 @@ def stream_running_stats(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def neardedup_batch_handler(
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+):
+    """``foreachBatch`` handler running INCREMENTAL near-dedup with a
+    parquet-persisted LSH-signature state — the production day-over-day
+    drop driven by Structured Streaming: each micro-batch signs once,
+    banded-joins yesterday's index, lands its survivors under
+    ``batch=<id>/`` (idempotent overwrite) and writes the UPDATED state as
+    a new version directory.
+
+    State versioning makes the handler restart-safe without ever
+    overwriting a directory it is reading: batch ``b`` reads the highest
+    ``v<k>`` with ``k < b`` (None on the first batch) and writes ``v<b>``
+    with overwrite — a re-run of batch ``b`` reads the same prior state
+    and rewrites the same outputs. State holds survivors' signatures only
+    (O(survivors × num_hashes) longs), so day N+1 never re-signs or
+    rescans days 1..N — the same contract as the batch
+    ``incremental_neardedup``, which this wraps verbatim."""
+    import os
+
+    from sensordatapipelines_spark.operators.dedup import incremental_neardedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [
+            int(d[1:])
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        ]
+        state = (
+            spark.read.parquet(f"{state_dir}/v{max(prior)}") if prior else None
+        )
+        survivors, new_state = incremental_neardedup(
+            batch_df, state, id_col=id_col, text_col=text_col, **kw
+        )
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return handle

@@ -288,3 +288,39 @@ def test_stream_to_zordered_clustered_landing(spark, tmp_path):
         # each file covers a narrow lon slice of the full extent
         assert (st["lon"].max - st["lon"].min) <= extent / 2
     assert total == 1024
+
+
+def test_neardedup_batch_handler_state_versioning(spark, tmp_path):
+    """foreachBatch near-dedup: versioned parquet state gives the batch
+    day-over-day result, and re-running a batch (restart) is idempotent —
+    it reads the same prior state version and rewrites the same output."""
+    from sensordatapipelines_spark.streaming.stateful import (
+        neardedup_batch_handler,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (3, "totally different text about calibration data", "a"),
+            (2, "the quick brown fox jumps over the lazy dog", "b"),  # dup of 1
+            (4, "another unrelated document entirely here now", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    handler = neardedup_batch_handler(
+        state_dir, out_dir, num_hashes=16, band_rows=2, threshold=0.5, seed=7, n=3
+    )
+    day1 = docs.filter("doc_id IN (1, 3)")
+    day2 = docs.filter("doc_id IN (2, 4)")
+    handler(day1, 0)
+    handler(day2, 1)
+    out = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert out == {1, 3, 4}  # doc 2 suppressed by day-1's state
+    # restart of batch 1: same prior state (v0), same survivors
+    handler(day2, 1)
+    out2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert out2 == out
+    import os
+
+    assert sorted(d for d in os.listdir(state_dir)) == ["v0", "v1"]
