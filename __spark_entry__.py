@@ -2618,6 +2618,46 @@ def sensors_kriging_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
 
 
+def sensors_kriging_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 with a BOUNDED variogram model: ordinary kriging under a pinned
+    spherical variogram (nugget 0, sill 2, range 0.3) — the reference's
+    ``variogram_model`` pass-through made gate-visible. Deterministic
+    (pinned params, fixed grid, numpy pinv) but rows-only: the kriging
+    solve has no SQL twin; pytest property tests pin exactness at sensors
+    and sill-bounded monotone curves for both bounded models."""
+    from sensordatapipelines_spark.operators.interpolate import ordinary_kriging
+
+    _register_views(spark, sf_dir)
+    out = ordinary_kriging(
+        _sensors(spark),
+        "val",
+        lon_step=IDW_STEP,
+        lat_step=IDW_STEP,
+        extent=IDW_EXTENT,
+        variogram=(0.0, 2.0, 0.3),
+        variogram_model="spherical",
+    )
+    return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
+
+
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle: rank every document by
+    the MD5 of (seed, id) — a reproducible permutation with no RNG state,
+    the pre-epoch shuffle step of a training-data pipeline (re-runs and
+    engines agree byte-for-byte; changing the seed string reshuffles).
+    The rank is a row_number over the hash order (unique MD5 inputs give
+    a total order), checked positionally by the oracle."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    w = Window.orderBy(F.md5(F.concat_ws(":", F.lit("epoch0"), F.col("doc_id"))))
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 # docs_minhash_ml (the Spark-ML MinHashLSH twin gate) was RETIRED from the
 # gate surface in round 4: it was the one rows-only entry with no
 # determinism excuse beyond the library call, and the native seeded
@@ -5320,6 +5360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_substring_dedup": docs_substring_dedup,
         "docs_stream_neardedup": docs_stream_neardedup,
+        "sensors_kriging_spherical": sensors_kriging_spherical,
+        "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
@@ -5400,6 +5442,8 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_paragraph_dedup",
     "docs_substring_dedup",
     "docs_stream_neardedup",
+    "docs_global_shuffle",
+    "sensors_kriging_spherical",
     "events_xml_roundtrip",
     "sensors_zonal_from_grid",
     "docs_media_features",
@@ -8717,6 +8761,13 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streaming near-dedup produces the batch day-over-day result exactly
     oracles["docs_stream_neardedup"] = oracles["docs_incremental_neardedup"]
+    # Global shuffle: same md5 total order, rank checked positionally
+    oracles["docs_global_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('epoch0' || ':' || doc_id)) AS INT) AS rank
+        FROM documents
+    """
 
     oracles["events_anomalies"] = """
         WITH cells AS (

@@ -24,7 +24,7 @@ BNLJ_ALLOWED = {
     "sensors_knn_agg", "sensors_zonal_stats", "sensors_idw",
     "events_key_skew", "zones_polygon_agg", "docs_length_filter",
     "events_winsorized_stats", "sensors_buffer_sweep", "docs_tfidf_topk",
-    "sensors_kriging", "sensors_kriging_tiled",
+    "sensors_kriging", "sensors_kriging_tiled", "sensors_kriging_spherical",
     "customer_rfm",  # broadcast 1-row reference-date cross join
     # round-4 file-ingestion twins of already-allowed zonal shapes: the
     # distance/ray-cast join broadcasts the small vector/sensor dim side
