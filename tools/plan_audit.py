@@ -33,6 +33,9 @@ SKIP_PREFIXES = ("events_stream_",)  # streaming: executes on build
 
 
 def audit_plan(plan: str) -> dict:
+    # A finalized AdaptiveSparkPlan stringifies BOTH the final plan and the
+    # "== Initial Plan ==" it replaced — count only the plan that ran.
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
@@ -84,6 +87,15 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
+            # EXECUTE before stringifying: AQE only materializes its final
+            # plan — runtime join conversions, coalesced reads, and the
+            # reuse nodes (ReusedQueryStage / TableCacheQueryStage) — during
+            # execution; the pre-execution AdaptiveSparkPlan hides them all
+            # (observed: reuse showed 0 suite-wide despite shared cached
+            # subtrees). collect() drives THIS DataFrame's queryExecution
+            # (a noop write would finalize a different one); sf0.001 result
+            # sets are driver-safe by construction.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - audit must not die
             out[name] = {"error": str(exc)[:200]}
