@@ -444,3 +444,118 @@ def test_fuzzy_join_complete_within_precondition(spark, seed):
     assert expected <= out  # completeness: no in-budget pair missed
     for _, _, d in out:
         assert d <= 2       # soundness: nothing beyond the budget
+
+
+# ---------------------------------------------------------------------------
+# Round-4 binary-format round-trips: the pure-python parsers (shapefile,
+# GeoPackage GPB, ASCII grid) must reproduce arbitrary generated inputs
+# exactly — these run WITHOUT Spark (driver-side codecs), so examples are
+# cheap and can be many.
+# ---------------------------------------------------------------------------
+
+coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    allow_subnormal=False,
+)
+
+
+def _ring(draw, n):
+    """A non-degenerate ring: n distinct-ish vertices (exact round-trip is
+    about bytes, not geometry validity)."""
+    xs = draw(st.lists(coord, min_size=n, max_size=n))
+    ys = draw(st.lists(coord, min_size=n, max_size=n))
+    return xs, ys
+
+
+@given(data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_shp_record_roundtrip_bytes_exact(data):
+    """write_shp_polygons → parse_shp reproduces every vertex bit-exactly
+    (modulo the documented winding normalization and closing-vertex drop)."""
+    from sensordatapipelines_spark.sources.shapefile import (
+        parse_shp,
+        write_shp_polygons,
+    )
+    import tempfile, os
+
+    n_rec = data.draw(st.integers(1, 3))
+    shapes = []
+    for _ in range(n_rec):
+        n_parts = data.draw(st.integers(1, 3))
+        parts = []
+        for _ in range(n_parts):
+            n_rings = data.draw(st.integers(1, 2))
+            rings = [
+                _ring(data.draw, data.draw(st.integers(3, 6)))
+                for _ in range(n_rings)
+            ]
+            parts.append(rings)
+        shapes.append(parts)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.shp")
+    write_shp_polygons(p, shapes)
+    recs = parse_shp(open(p, "rb").read())
+    assert [r[0] for r in recs] == list(range(1, n_rec + 1))
+    for (rec_no, kind, rings), parts in zip(recs, shapes):
+        assert kind == "polygon"
+        assert len(rings) == sum(len(pt) for pt in parts)  # flat ring count
+        # vertex SETS survive exactly (order may reverse per winding rule)
+        got = sorted(
+            tuple(sorted(zip(xs, ys))) for xs, ys in rings
+        )
+        want = sorted(
+            tuple(sorted(zip(xs, ys))) for pt in parts for xs, ys in pt
+        )
+        assert got == want
+
+
+@given(
+    wkb=st.binary(min_size=0, max_size=64),
+    srs=st.integers(-2**31, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_gpb_wrap_strip_identity(wkb, srs):
+    from sensordatapipelines_spark.sources.geopackage import (
+        strip_gpb_header,
+        wrap_gpb,
+    )
+
+    assert strip_gpb_header(wrap_gpb(wkb, srs)) == wkb
+
+
+@given(
+    vals=st.lists(
+        st.integers(-999, 999), min_size=1, max_size=24
+    ),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_ascii_grid_roundtrip_values_and_coords(spark, vals, data):
+    """An ASCII grid written row-major top-first decodes to the exact cell
+    values with py = nrows-1-row and corner-origin coordinates."""
+    from sensordatapipelines_spark.sources.readers import open_ascii_grid
+    import tempfile, os
+
+    ncols = data.draw(st.integers(1, max(1, len(vals))))
+    nrows = (len(vals) + ncols - 1) // ncols
+    grid = (vals + [0] * (ncols * nrows - len(vals)))
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "g.asc")
+    lines = [
+        f"ncols {ncols}", f"nrows {nrows}", "xllcorner 2.5",
+        "yllcorner -3.5", "cellsize 0.25", "NODATA_value -9999",
+    ]
+    for r in range(nrows):
+        lines.append(" ".join(str(v) for v in grid[r * ncols : (r + 1) * ncols]))
+    open(p, "w").write("\n".join(lines) + "\n")
+    rows = {
+        (r["px"], r["py"]): r for r in open_ascii_grid(spark, p).collect()
+    }
+    assert len(rows) == ncols * nrows
+    for r_idx in range(nrows):
+        for c in range(ncols):
+            rec = rows[(c, nrows - 1 - r_idx)]
+            assert rec["value"] == float(grid[r_idx * ncols + c])
+            assert rec["x"] == 2.5 + c * 0.25
+            assert rec["y"] == -3.5 + (nrows - 1 - r_idx) * 0.25
+            assert rec["nodata"] == -9999.0
