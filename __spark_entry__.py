@@ -3962,6 +3962,34 @@ def docs_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("doc_id", "source")
 
 
+def media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: staged 4×2 P6 rasters (md5-digest
+    pixels) → ``media_resize`` nearest-neighbor to 2×1 → resized PPM
+    bytes. The floor index mapping selects input pixels (0,0) and (0,2),
+    i.e. digest bytes 0-2 and 6-8, so the oracle rebuilds the ENTIRE
+    resized payload hex (constant header + selected digest hex) — a
+    byte-exact check of decode + resample + re-encode."""
+    from sensordatapipelines_spark.operators.multimodal import media_resize
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ppm(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.ppm")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    out = media_resize(media, out_w=2, out_h=1)
+    return out.select(
+        "media_id", "width", "height", F.hex("payload").alias("payload_hex")
+    )
+
+
 def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring (span) dedup — Lee et al. 2021: every 8-token
     span occurring more than once in the corpus is removed from all but
@@ -5360,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_substring_dedup": docs_substring_dedup,
         "docs_stream_neardedup": docs_stream_neardedup,
+        "media_ppm_resize": media_ppm_resize,
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
@@ -5442,6 +5471,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_paragraph_dedup",
     "docs_substring_dedup",
     "docs_stream_neardedup",
+    "media_ppm_resize",
     "docs_global_shuffle",
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
@@ -8366,6 +8396,21 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(range(0, 8),
                          k -> b[3 * k + 3])) / 8.0, 6) AS mean_c2
         FROM bytes
+    """
+    # Real resize: out pixels = in pixels (0,0) and (0,2) = digest bytes
+    # 0-2 and 6-8; payload hex = constant P6 2x1 header + those bytes.
+    oracles["media_ppm_resize"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        )
+        SELECT doc_id AS media_id,
+               CAST(2 AS INT) AS width,
+               CAST(1 AS INT) AS height,
+               '50360A3220310A3235350A'
+                   || UPPER(SUBSTR(h, 1, 6) || SUBSTR(h, 13, 6)) AS payload_hex
+        FROM staged
     """
     # Real WAV frame extraction: 8 PCM16 mono frames = digest bytes; every
     # 3rd frame -> indices 0,3,6; frame hex = digest hex at 4*idx.

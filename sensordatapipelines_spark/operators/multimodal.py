@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Charter extension (SURVEY.md §2.7). The container has no image/audio codecs,
-so the *decode kernels* are stubs (a clearly-marked ``NotImplementedError``
-path plus a deterministic fake decoder for tests), while everything
-Spark-side is real and tested: the typed schema, Arrow-batched
-``mapInPandas`` plumbing, batch shapes, and partition behavior. Swapping the
-fake kernel for PIL/ffmpeg is a one-function change on the executor side.
+Charter extension (SURVEY.md §2.7). Decode is REAL for the uncompressed
+container formats a pure-python executor can parse — netpbm P5/P6 images
+(``decode_ppm``), RIFF/WAVE PCM audio (``decode_wav``) — with genuine
+feature extraction, frame extraction and nearest-neighbor resize on top,
+all strict-value-oracled. Compressed codecs (JPEG/PNG/MP3/H.264) require
+libraries absent from this container and raise a clearly-marked
+``NotImplementedError`` (a deterministic fake decoder keeps the plumbing
+testable); swapping in PIL/ffmpeg is a one-function change on the
+executor side.
 
 Schema convention::
 
@@ -268,3 +271,56 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return df.select(media_col).mapInPandas(sample, schema=schema)
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor image resize on a decoded ``(h, w, c)`` raster —
+    output pixel (i, j) takes input pixel (floor(i·h/out_h),
+    floor(j·w/out_w)): the standard integer-exact mapping, so resized
+    bytes are a pure function of the input bytes (oracle-able)."""
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
+@register("media_resize")
+def media_resize(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int = 64,
+    out_h: int = 64,
+) -> DataFrame:
+    """REAL image resize for uncompressed netpbm payloads via Arrow
+    ``mapInPandas``: decode (``decode_ppm``), nearest-neighbor resample to
+    ``out_w × out_h`` (deterministic floor mapping — byte-exact,
+    oracle-able), re-encode as the same netpbm format. Emits
+    ``(media_id, width, height, payload)`` with the resized image bytes —
+    the thumbnail/normalization step of a multimodal training pipeline.
+    Compressed formats raise (codec libraries absent), same contract as
+    ``media_features``."""
+    schema = "media_id long, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                payload = bytes(m["payload"])
+                px, _w, _h, channels = decode_ppm(payload)
+                small = resize_nearest(px, out_w, out_h)
+                magic = b"P6" if channels == 3 else b"P5"
+                out_bytes = (
+                    magic + b"\n%d %d\n255\n" % (out_w, out_h)
+                    + small.astype(np.uint8).tobytes()
+                )
+                rows.append(
+                    {
+                        "media_id": int(m["media_id"]),
+                        "width": out_w,
+                        "height": out_h,
+                        "payload": out_bytes,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return df.select(media_col).mapInPandas(run, schema=schema)

@@ -95,3 +95,32 @@ def test_media_features_real_ppm_channel_means(spark):
     assert (r["width"], r["height"], r["n_channels"]) == (4, 2, 3)
     assert (r["mean_c0"], r["mean_c1"], r["mean_c2"]) == (10.0, 20.0, 30.0)
     assert r["mean_val"] == 20.0 and r["n_bytes"] == len(payload)
+
+
+def test_resize_nearest_mapping_and_media_resize(spark):
+    """Nearest-neighbor floor mapping: out (i,j) = in (i*h//oh, j*w//ow);
+    media_resize re-encodes a decodable netpbm payload."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import (
+        decode_ppm,
+        media_resize,
+        resize_nearest,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    small = resize_nearest(px, 2, 1)
+    assert small.shape == (1, 2, 3)
+    assert small[0, 0].tolist() == [0, 1, 2]     # in (0,0)
+    assert small[0, 1].tolist() == [6, 7, 8]     # in (0,2)
+    up = resize_nearest(px, 8, 4)                # upscale repeats pixels
+    assert up.shape == (4, 8, 3) and up[0, 0].tolist() == up[1, 1].tolist()
+
+    payload = b"P6\n4 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(payload))], "media_id long, kind string, payload binary"
+    ).select(F.struct("media_id", "kind", "payload").alias("media"))
+    r = media_resize(df, out_w=2, out_h=1).collect()[0]
+    out_px, w, h, c = decode_ppm(bytes(r["payload"]))
+    assert (w, h, c) == (2, 1, 3)
+    assert out_px[0, 0].tolist() == [0, 1, 2] and out_px[0, 1].tolist() == [6, 7, 8]
