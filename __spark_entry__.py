@@ -3990,6 +3990,36 @@ def media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation end-to-end: staged 8-frame PCM16 WAVs
+    (digest bytes) → ``audio_resample(every_n=2)`` → a valid 4000 Hz WAV
+    whose 4 frames are the digest bytes at frames 0/2/4/6. The oracle
+    rebuilds the ENTIRE re-encoded payload hex (constant 44-byte header +
+    the selected digest hex) — byte-exact decode + decimate + re-encode."""
+    from sensordatapipelines_spark.operators.multimodal import audio_resample
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    out = audio_resample(media, every_n=2)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
 def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-substring (span) dedup — Lee et al. 2021: every 8-token
     span occurring more than once in the corpus is removed from all but
@@ -5389,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": docs_substring_dedup,
         "docs_stream_neardedup": docs_stream_neardedup,
         "media_ppm_resize": media_ppm_resize,
+        "media_wav_resample": media_wav_resample,
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
@@ -5472,6 +5503,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_substring_dedup",
     "docs_stream_neardedup",
     "media_ppm_resize",
+    "media_wav_resample",
     "docs_global_shuffle",
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
@@ -8410,6 +8442,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS INT) AS height,
                '50360A3220310A3235350A'
                    || UPPER(SUBSTR(h, 1, 6) || SUBSTR(h, 13, 6)) AS payload_hex
+        FROM staged
+    """
+    # Real audio decimation: kept frames 0/2/4/6 = digest bytes 0-1/4-5/
+    # 8-9/12-13; payload hex = constant 44-byte 4000Hz header + those.
+    oracles["media_wav_resample"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        )
+        SELECT doc_id AS media_id,
+               CAST(4000 AS INT) AS sample_rate,
+               CAST(4 AS INT) AS n_frames,
+               '524946462C00000057415645666D74201000000001000100A00F0000401F0000020010006461746108000000'
+                   || UPPER(SUBSTR(h, 1, 4) || SUBSTR(h, 9, 4)
+                            || SUBSTR(h, 17, 4) || SUBSTR(h, 25, 4)) AS payload_hex
         FROM staged
     """
     # Real WAV frame extraction: 8 PCM16 mono frames = digest bytes; every

@@ -324,3 +324,63 @@ def media_resize(
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
 
     return df.select(media_col).mapInPandas(run, schema=schema)
+
+
+@register("audio_resample")
+def audio_resample(
+    df: DataFrame,
+    media_col: str = "media",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL audio decimation for RIFF/WAVE PCM payloads: decode
+    (``decode_wav``), keep every ``every_n``-th frame, re-encode a valid
+    minimal WAV at ``sample_rate / every_n`` — the sample-rate
+    normalization step of an audio training pipeline (plain decimation;
+    an anti-alias filter is a kernel swap on the same plumbing). Emits
+    ``(media_id, sample_rate, n_frames, payload)``; byte-deterministic,
+    so staged digests oracle the whole re-encoded payload."""
+    import struct
+
+    schema = "media_id long, sample_rate int, n_frames int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                frames, sr, channels, block_align = decode_wav(bytes(m["payload"]))
+                kept = frames[::every_n]
+                bits = 8 * block_align // channels
+                new_sr = sr // every_n
+                data = kept.astype(frames.dtype).tobytes()
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", 16)
+                    + struct.pack(
+                        "<HHIIHH",
+                        1,
+                        channels,
+                        new_sr,
+                        new_sr * block_align,
+                        block_align,
+                        bits,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append(
+                    {
+                        "media_id": int(m["media_id"]),
+                        "sample_rate": new_sr,
+                        "n_frames": int(len(kept)),
+                        "payload": wav,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_frames", "payload"]
+            )
+
+    return df.select(media_col).mapInPandas(run, schema=schema)

@@ -124,3 +124,32 @@ def test_resize_nearest_mapping_and_media_resize(spark):
     out_px, w, h, c = decode_ppm(bytes(r["payload"]))
     assert (w, h, c) == (2, 1, 3)
     assert out_px[0, 0].tolist() == [0, 1, 2] and out_px[0, 1].tolist() == [6, 7, 8]
+
+
+def test_audio_resample_decimation(spark):
+    """WAV decimation: every_n frames survive, sample_rate divides, and
+    the re-encoded payload decodes back losslessly (stereo preserved)."""
+    import struct
+
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import (
+        audio_resample,
+        decode_wav,
+    )
+
+    data = struct.pack("<8h", 1, -1, 2, -2, 3, -3, 4, -4)  # 4 stereo frames
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(3, "audio", bytearray(wav))], "media_id long, kind string, payload binary"
+    ).select(F.struct("media_id", "kind", "payload").alias("media"))
+    r = audio_resample(df, every_n=2).collect()[0]
+    assert (r["sample_rate"], r["n_frames"]) == (4000, 2)
+    frames, sr, ch, ba = decode_wav(bytes(r["payload"]))
+    assert (sr, ch, ba) == (4000, 2, 4)
+    assert frames.tolist() == [[1, -1], [3, -3]]  # frames 0 and 2
