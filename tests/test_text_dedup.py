@@ -901,3 +901,29 @@ def test_substring_dedup_removes_later_spans(spark):
     # covers every token except position 4 ('e')
     assert out[4]["text"] == "e" and out[4]["n_removed"] == 10
     assert out[4]["n_tokens"] == 11
+
+
+def test_quality_and_lang_kernel_expr_twins_identical(spark):
+    """The Arrow one-pass kernels must be BIT-equal to the expression
+    twins on every edge: empty/blank, control chars, punctuation soup,
+    marker-mixed languages, sub/super length docs."""
+    from sensordatapipelines_spark.operators.text import lang_id, quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, ""),
+            (3, "   "),
+            (4, "!!!,,,...;;;:::???"),
+            (5, "der hund und die katze das ist ein haus"),
+            (6, "el la de que y en un es " * 8),
+            (7, "\tweird\x00 spacing here and the of to a in is that"),
+            (8, "x " * 200),
+            (9, "supercalifragilistic " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    for op, col in ((quality_score, "quality"), (lang_id, "lang_pred")):
+        a = {r["doc_id"]: r[col] for r in op(docs, engine="kernel").collect()}
+        b = {r["doc_id"]: r[col] for r in op(docs, engine="expr").collect()}
+        assert a == b, (col, a, b)
