@@ -1012,7 +1012,11 @@ def paragraph_dedup(
     aggregates; no extra pass."""
     paras = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        # null text counts as one empty paragraph (null arrays would
+        # silently vanish from the explode and the doc with them)
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "__pos", "__para"
+        ),
     )
     winners = paras.groupBy("__para").agg(
         F.min(F.struct("__id", "__pos")).alias("__w")
@@ -1034,7 +1038,9 @@ def paragraph_dedup(
     )
     totals = df.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep)).alias("n_paras"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "n_paras"
+        ),
     )
     return (
         totals.join(rebuilt, "__id", "left")
@@ -1073,7 +1079,8 @@ def substring_dedup(
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
-        tokens_expr(F.col(text_col)).alias("__toks"),
+        # coalesce: null text tokenizes as empty, not as a vanished row
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     )
     # Guard sub-span docs explicitly: Spark's sequence(0, -1) DESCENDS
     # ([0, -1]) instead of being empty, which would fabricate two bogus

@@ -927,3 +927,22 @@ def test_quality_and_lang_kernel_expr_twins_identical(spark):
         a = {r["doc_id"]: r[col] for r in op(docs, engine="kernel").collect()}
         b = {r["doc_id"]: r[col] for r in op(docs, engine="expr").collect()}
         assert a == b, (col, a, b)
+
+
+def test_paragraph_and_substring_dedup_null_text(spark):
+    """A NULL text must not make the document vanish: it behaves as an
+    empty document (one empty paragraph / zero tokens)."""
+    from sensordatapipelines_spark.operators.dedup import (
+        paragraph_dedup,
+        substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta"), (2, None)], "doc_id long, text string"
+    )
+    p = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert set(p) == {1, 2}
+    assert p[2]["n_paras"] == 1 and p[2]["text"] == ""
+    s = {r["doc_id"]: r for r in substring_dedup(docs, span_tokens=2).collect()}
+    assert set(s) == {1, 2}
+    assert s[2]["n_tokens"] == 0 and s[2]["n_removed"] == 0
