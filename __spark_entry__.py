@@ -3957,8 +3957,21 @@ def docs_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=MINHASH_SEED,
         n=3,
     )
-    q = stream.writeStream.foreachBatch(handler).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    # Pin shuffle partitions low for the stream (same rationale as
+    # _run_stream): each micro-batch is a fraction of the corpus, and the
+    # handler's banded joins otherwise plan 32 near-empty partitions per
+    # exchange at bench scale; restored after. Results are identical.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir).select("doc_id", "source")
 
 
