@@ -111,3 +111,42 @@ def test_pipeline_runs_round2_operators(spark):
 
     with _pytest.raises(TypeError):
         Pipeline([("quality_score", {})])
+
+
+def test_pipeline_drives_round4_dedup_ops(spark):
+    """The reference Pipeline API (JSON plan -> registry resolution -> lazy
+    fold) drives the round-4 operators: paragraph dedup, span dedup and
+    quality scoring chained as one deserialized plan equals the direct
+    composition."""
+    from sensordatapipelines_spark import Pipeline
+    from sensordatapipelines_spark.operators.dedup import (
+        paragraph_dedup,
+        substring_dedup,
+    )
+    from sensordatapipelines_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog\nalpha beta"),
+            (2, "alpha beta\nthe quick brown fox jumps over the lazy dog"),
+            (3, "completely different content here now today folks"),
+        ],
+        "doc_id long, text string",
+    )
+    plan = """
+    {"pipe": "dedup_stack", "operations": [
+      {"name": "paras", "function": "paragraph_dedup", "args": [], "kwargs": {}},
+      {"name": "spans", "function": "substring_dedup", "args": [],
+       "kwargs": {"span_tokens": 4}},
+      {"name": "score", "function": "quality_score", "args": [], "kwargs": {}}
+    ]}
+    """
+    got = Pipeline.from_json(plan).process(docs)
+    want = quality_score(
+        substring_dedup(paragraph_dedup(docs), span_tokens=4)
+    )
+    g = {r["doc_id"]: (r["text"], r["quality"]) for r in got.collect()}
+    w = {r["doc_id"]: (r["text"], r["quality"]) for r in want.collect()}
+    assert g == w
+    # doc 2's both paragraphs were seen in doc 1 -> empty after the stack
+    assert g[2][0] == ""
