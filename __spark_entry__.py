@@ -149,6 +149,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_shapefile(spark, sf_dir)
     _stage_gpkg(spark, sf_dir)
     _stage_ascii_grid(spark, sf_dir)
+    _stage_geotiff(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
@@ -3734,6 +3735,63 @@ def sensors_zonal_from_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_geotiff(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the synthetic raster as ONE 2-sample uncompressed GeoTIFF
+    (chunky interleave — the multiband layout GDAL writes by default).
+    Upper-left y = 64·0.005 makes the decoded ``yll = uly − nrows·sy``
+    exactly 0.0 (pure exponent scaling, no rounding), so decoded x/y are
+    bit-equal ``px·0.005`` / ``py·0.005`` — the zonal oracle transfers."""
+
+    def build(stage: str) -> None:
+        import numpy as np
+
+        from sensordatapipelines_spark.sources.geotiff import write_geotiff
+
+        px = np.arange(64)[None, :]
+        py = np.arange(64)[:, None]
+        cube = np.stack(
+            [(px * 31 + py * 17 + band * 7) % 101 for band in (1, 2)]
+        )  # (band, py, px); TIFF row 0 is the TOP row -> flip py
+        write_geotiff(
+            f"{stage}/raster.tif",
+            cube[:, ::-1, :],
+            pixel_scale=(0.005, 0.005),
+            upper_left=(0.0, 64 * 0.005),
+            nodata=0,
+            dtype="u1",
+        )
+
+    return _staged(spark, sf_dir, "geotiff_src", build)
+
+
+def sensors_zonal_from_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end from a BINARY raster file: the synthetic raster
+    staged as one 2-sample uncompressed GeoTIFF (the binary grid format
+    ``rasterio.open`` consumes in the reference,
+    ``/root/reference/src/data_preprocessing.py:471,515-538``), decoded
+    file-parallel by ``open_geotiff``'s Arrow kernel into the cell table,
+    then the same buffered zonal aggregation as ``sensors_zonal_stats`` —
+    whose oracle transfers verbatim because the decode is bit-exact."""
+    from sensordatapipelines_spark.operators.spatial import zonal_stats
+    from sensordatapipelines_spark.sources.geotiff import open_geotiff
+
+    _register_views(spark, sf_dir)
+    stage = _stage_geotiff(spark, sf_dir)
+    cells = open_geotiff(spark, stage)
+    out = zonal_stats(
+        _sensors(spark),
+        cells,
+        bands=[1, 2],
+        buffer_size=0.0075,
+        funcs=("mean", "max"),
+        source_name="rast",
+    )
+    stat_cols = [c for c in out.columns if "_rast_" in c]
+    return out.select(
+        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+    )
+
+
 def _stage_shapefile(spark: SparkSession, sf_dir: str) -> str:
     """Stage the WKB_ZONES vertices as a REAL ESRI Shapefile layer
     (.shp main file + .dbf attribute table) — the reference's default
@@ -5436,6 +5494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
+        "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5521,6 +5580,7 @@ _ROUND4_SAMPLE_FIRST = [
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
     "sensors_zonal_from_grid",
+    "sensors_zonal_from_geotiff",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -7928,6 +7988,8 @@ def oracle_sql() -> dict[str, str]:
     # The staged ASCII grids hold the synthetic raster (corner origin,
     # xll=0 -> decoded x/y bit-equal px*0.005) -> the zonal oracle transfers
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]
+    # the staged GeoTIFF decodes to the same bit-exact cell table
+    oracles["sensors_zonal_from_geotiff"] = oracles["sensors_zonal_stats"]
     # hole-aware zones: even-odd over outer+holes == (Σ ring crossings) odd
     from sensordatapipelines_spark.operators.spatial import (
         point_in_polygon_crossings_sql,

@@ -1,0 +1,414 @@
+"""Uncompressed GeoTIFF ingestion/export without a raster library.
+
+The reference's raster surface is ``rasterio.open`` consuming grid files
+(``/root/reference/src/data_preprocessing.py:471,515-538``). The engine's
+raster model is the exploded cell table ``(band, px, py, x, y, value,
+nodata, grid_file)`` (SURVEY §1.2); ``open_ascii_grid`` covers the text
+grid format, and this module covers the binary one GIS tools actually
+exchange: GeoTIFF — classic TIFF 6.0 with the GeoTIFF georeferencing
+tags. Scope is the UNCOMPRESSED profile (Compression=1, the
+``rasterio ... compress=None``/GDAL default `-co COMPRESS=NONE` output):
+both byte orders, strip- and tile-organized layouts, chunky
+(PlanarConfiguration=1) multi-sample files, 8/16/32-bit integer
+(signed/unsigned) and 32/64-bit float samples, ``ModelPixelScaleTag`` +
+``ModelTiepointTag`` georeferencing, and the GDAL ``GDAL_NODATA`` ASCII
+tag. Compressed profiles raise a typed error naming the compression —
+re-export uncompressed (any GIS tool) rather than silently mis-decoding.
+
+- ``parse_geotiff`` — payload → ``(array (bands, nrows, ncols) float64,
+  meta)`` with ``meta = {ncols, nrows, n_bands, sx, sy, ulx, uly,
+  nodata}``. Pure struct/numpy; runs on executors.
+- ``open_geotiff`` — Spark entry via the built-in ``binaryFile`` source
+  (one row per file, file-parallel — the tiles-as-files layout big
+  rasters ship as) + an Arrow ``mapInPandas`` kernel emitting the cell
+  table. Cell coords follow ``open_ascii_grid``'s conventions exactly
+  (``py`` grows upward, ``origin='corner'`` ⇒ ``x = xll + px·sx``,
+  ``y = yll + py·sy`` with ``yll = uly − nrows·sy``), so oracles written
+  against the synthetic cell table transfer bit-exactly.
+- ``write_geotiff`` — minimal single/multi-sample uncompressed writer
+  (one strip per row, little-endian) for staging and export parity;
+  driver-side, same small-layer contract as the GeoJSON/Shapefile sinks.
+
+Scale note: ONE file decodes in one task (uncompressed TIFF strips are
+seekable, but binaryFile delivers whole payloads); the normal large-
+raster layout is a directory of tiles-as-files, which parallelizes at
+listing time. A monolithic raster too big for one task should be
+converted once to cell-table parquet and consumed from there.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# TIFF field types -> (struct fmt char, size)
+_TYPE_FMT = {
+    1: ("B", 1),  # BYTE
+    2: ("c", 1),  # ASCII
+    3: ("H", 2),  # SHORT
+    4: ("I", 4),  # LONG
+    6: ("b", 1),  # SBYTE
+    8: ("h", 2),  # SSHORT
+    9: ("i", 4),  # SLONG
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+_TAG_SAMPLE_FORMAT = 339
+_TAG_PIXEL_SCALE = 33550  # ModelPixelScaleTag: (sx, sy, sz) doubles
+_TAG_TIEPOINT = 33922  # ModelTiepointTag: (i, j, k, x, y, z) ...
+_TAG_GDAL_NODATA = 42113  # ASCII
+
+_COMPRESSION_NAMES = {
+    2: "CCITT-RLE", 5: "LZW", 6: "old-JPEG", 7: "JPEG",
+    8: "Deflate", 32773: "PackBits", 32946: "Deflate(legacy)",
+    34712: "JPEG2000", 50000: "Zstd", 50001: "WebP",
+}
+
+
+def _read_ifd(payload: bytes, bo: str, off: int) -> dict[int, list]:
+    """One IFD → ``{tag: [values...]}`` with out-of-line values followed."""
+    (n,) = struct.unpack_from(bo + "H", payload, off)
+    entries: dict[int, list] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, ftype, count = struct.unpack_from(bo + "HHI", payload, base)
+        if ftype not in _TYPE_FMT:
+            continue
+        fmt, sz = _TYPE_FMT[ftype]
+        total = sz * count
+        if total <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, base + 8)
+        if ftype == 2:  # ASCII: NUL-terminated string
+            raw = payload[voff : voff + count]
+            entries[tag] = [raw.split(b"\x00")[0].decode("ascii", "replace")]
+        else:
+            entries[tag] = list(
+                struct.unpack_from(bo + str(count) + fmt, payload, voff)
+            )
+    return entries
+
+
+def _sample_dtype(bits: int, sfmt: int, bo: str) -> np.dtype:
+    end = "<" if bo == "<" else ">"
+    if sfmt == 3:  # IEEE float
+        if bits == 32:
+            return np.dtype(end + "f4")
+        if bits == 64:
+            return np.dtype(end + "f8")
+        raise ValueError(f"unsupported float sample width: {bits} bits")
+    kind = "i" if sfmt == 2 else "u"
+    if bits in (8, 16, 32):
+        return np.dtype(f"{end}{kind}{bits // 8}")
+    raise ValueError(f"unsupported integer sample width: {bits} bits")
+
+
+def parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Parse an uncompressed classic GeoTIFF → ``(cube, meta)`` where
+    ``cube`` is ``(n_bands, nrows, ncols) float64`` (row 0 = TOP row, the
+    TIFF raster order) and ``meta`` carries ``ncols nrows n_bands sx sy
+    ulx uly nodata``. Raises ``ValueError`` on BigTIFF, compressed
+    profiles (naming the compression), or planar (non-chunky) layout."""
+    if len(payload) < 8:
+        raise ValueError("not a TIFF: truncated header")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF not supported: re-export as classic TIFF")
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    tags = _read_ifd(payload, bo, ifd_off)
+
+    comp = int(tags.get(_TAG_COMPRESSION, [1])[0])
+    if comp != 1:
+        name = _COMPRESSION_NAMES.get(comp, str(comp))
+        raise ValueError(
+            f"compressed GeoTIFF ({name}) not supported: "
+            "re-export uncompressed (COMPRESS=NONE)"
+        )
+    if int(tags.get(_TAG_PLANAR, [1])[0]) != 1:
+        raise ValueError("planar (PlanarConfiguration=2) TIFF not supported")
+
+    ncols = int(tags[_TAG_WIDTH][0])
+    nrows = int(tags[_TAG_HEIGHT][0])
+    spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
+    bits_l = tags.get(_TAG_BITS, [8])
+    if len(set(bits_l)) > 1:
+        raise ValueError("mixed per-sample bit depths not supported")
+    bits = int(bits_l[0])
+    sfmt_l = tags.get(_TAG_SAMPLE_FORMAT, [1])
+    sfmt = int(sfmt_l[0])
+    dt = _sample_dtype(bits, sfmt, bo)
+
+    flat = np.zeros((nrows, ncols * spp), dtype=np.float64)
+    if _TAG_TILE_OFFSETS in tags:
+        tw = int(tags[_TAG_TILE_WIDTH][0])
+        th = int(tags[_TAG_TILE_LENGTH][0])
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags.get(_TAG_TILE_COUNTS, [tw * th * spp * (bits // 8)] * len(offsets))
+        tiles_across = (ncols + tw - 1) // tw
+        for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
+            tile = np.frombuffer(
+                payload, dtype=dt, count=int(tcnt) // dt.itemsize, offset=int(toff)
+            ).reshape(th, tw * spp)
+            r0 = (ti // tiles_across) * th
+            c0 = (ti % tiles_across) * tw
+            rows_take = min(th, nrows - r0)
+            cols_take = min(tw, ncols - c0)
+            flat[r0 : r0 + rows_take, c0 * spp : (c0 + cols_take) * spp] = tile[
+                :rows_take, : cols_take * spp
+            ].astype(np.float64)
+    else:
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        rps = int(tags.get(_TAG_ROWS_PER_STRIP, [nrows])[0])
+        counts = tags.get(
+            _TAG_STRIP_COUNTS,
+            [min(rps, nrows - i * rps) * ncols * spp * (bits // 8)
+             for i in range(len(offsets))],
+        )
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            n_vals = int(scnt) // dt.itemsize
+            strip = np.frombuffer(
+                payload, dtype=dt, count=n_vals, offset=int(soff)
+            ).reshape(-1, ncols * spp)
+            r0 = si * rps
+            flat[r0 : r0 + strip.shape[0], :] = strip.astype(np.float64)
+
+    # chunky layout: row-major (row, col, sample) -> (sample, row, col)
+    cube = flat.reshape(nrows, ncols, spp).transpose(2, 0, 1)
+
+    scale = tags.get(_TAG_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tie = tags.get(_TAG_TIEPOINT, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    # tiepoint maps raster (i, j) -> model (x, y): ul = (x - i*sx, y + j*sy)
+    sx, sy = float(scale[0]), float(scale[1])
+    ulx = float(tie[3]) - float(tie[0]) * sx
+    uly = float(tie[4]) + float(tie[1]) * sy
+    nodata = None
+    if _TAG_GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[_TAG_GDAL_NODATA][0].strip())
+        except (ValueError, AttributeError):
+            nodata = None
+    meta = {
+        "ncols": ncols, "nrows": nrows, "n_bands": spp,
+        "sx": sx, "sy": sy, "ulx": ulx, "uly": uly, "nodata": nodata,
+    }
+    return cube, meta
+
+
+def open_geotiff(
+    spark: SparkSession,
+    path: str,
+    band: int | None = None,
+    origin: str = "corner",
+    pattern: str = "*.tif*",
+) -> DataFrame:
+    """Uncompressed GeoTIFF file(s) → the exploded cell table ``(band,
+    px, py, x, y, value, nodata, grid_file)`` that ``zonal_stats``
+    consumes — the binary-raster half of the reference's file ingestion
+    (``rasterio.open``, ``/root/reference/src/data_preprocessing.py:471``).
+
+    Samples surface as bands ``1..SamplesPerPixel``; ``band=k`` keeps
+    only that sample (reference semantics: integer band ids, default all
+    — ``:170-171,190-191``). Coordinates follow ``open_ascii_grid``'s
+    conventions so cell-table oracles transfer bit-exactly: ``py`` grows
+    UPWARD (``py = nrows − 1 − row``; TIFF row 0 is the top row),
+    ``origin='corner'`` ⇒ ``x = xll + px·sx``, ``y = yll + py·sy`` with
+    ``xll = ulx`` and ``yll = uly − nrows·sy``; ``origin='center'`` adds
+    the half-cell offset (the rasterio ``xy()`` center convention).
+
+    File-parallel via the built-in ``binaryFile`` source; the per-file
+    decode is an Arrow ``mapInPandas`` kernel (numpy ``frombuffer`` —
+    no per-pixel Python). ``nodata`` (GDAL_NODATA tag) surfaces as a
+    column for ``zonal_stats`` to filter, keeping the decode faithful."""
+    if origin not in ("corner", "center"):
+        raise ValueError(f"origin must be 'corner' or 'center', got {origin!r}")
+    center = origin == "center"
+    want_band = band
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(F.col("path").alias("grid_file"), "content")
+    )
+
+    schema = (
+        "band int, px int, py int, x double, y double, "
+        "value double, nodata double, grid_file string"
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            for gf, payload in zip(pdf["grid_file"], pdf["content"]):
+                cube, meta = parse_geotiff(bytes(payload))
+                nrows, ncols = meta["nrows"], meta["ncols"]
+                sx, sy = meta["sx"], meta["sy"]
+                xll = meta["ulx"]
+                yll = meta["uly"] - nrows * sy
+                px = np.tile(np.arange(ncols, dtype=np.int32), nrows)
+                row = np.repeat(np.arange(nrows, dtype=np.int32), ncols)
+                py = (nrows - 1) - row
+                # same expression shapes as open_ascii_grid's JVM math
+                x = xll + px.astype(np.float64) * sx
+                y = yll + py.astype(np.float64) * sy
+                if center:
+                    x = x + sx / 2.0
+                    y = y + sy / 2.0
+                nod = meta["nodata"]
+                for b in range(meta["n_bands"]):
+                    if want_band is not None and b + 1 != want_band:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "band": np.full(px.shape, b + 1, dtype=np.int32),
+                            "px": px,
+                            "py": py,
+                            "x": x,
+                            "y": y,
+                            "value": cube[b].reshape(-1),
+                            "nodata": np.full(
+                                px.shape,
+                                np.nan if nod is None else nod,
+                                dtype=np.float64,
+                            ),
+                            "grid_file": gf,
+                        }
+                    )
+
+    out = files.mapInPandas(decode, schema=schema)
+    # NaN marker -> SQL NULL so nodata semantics match open_ascii_grid's
+    return out.withColumn(
+        "nodata", F.when(F.isnan("nodata"), F.lit(None)).otherwise(F.col("nodata"))
+    )
+
+
+def write_geotiff(
+    path: str,
+    cube: "np.ndarray",
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    upper_left: tuple[float, float] = (0.0, 0.0),
+    nodata: float | None = None,
+    dtype: str = "f8",
+) -> None:
+    """Minimal uncompressed little-endian GeoTIFF writer (staging +
+    export parity; driver-side, small-raster contract like the GeoJSON
+    sink). ``cube`` is ``(bands, nrows, ncols)`` or ``(nrows, ncols)``;
+    bands interleave chunky (PlanarConfiguration=1) with one strip per
+    row. ``upper_left`` is the model coordinate of the raster's top-left
+    CORNER; ``dtype`` any of u1/i2/i4/f4/f8."""
+    arr = np.asarray(cube)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    n_bands, nrows, ncols = arr.shape
+    dt = np.dtype("<" + dtype)
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    # chunky interleave rows: (row, col, sample)
+    data = np.ascontiguousarray(arr.transpose(1, 2, 0).astype(dt))
+    row_bytes = ncols * n_bands * dt.itemsize
+
+    tags: list[tuple[int, int, int, object]] = []  # (tag, type, count, values)
+
+    def add(tag, ftype, values):
+        vals = values if isinstance(values, (list, tuple, bytes)) else [values]
+        tags.append((tag, ftype, len(vals), vals))
+
+    nodata_ascii = (
+        None if nodata is None else (repr(float(nodata)).encode("ascii") + b"\x00")
+    )
+    add(_TAG_WIDTH, 4, ncols)
+    add(_TAG_HEIGHT, 4, nrows)
+    add(_TAG_BITS, 3, [bits] * n_bands)
+    add(_TAG_COMPRESSION, 3, 1)
+    add(262, 3, 1)  # PhotometricInterpretation: BlackIsZero
+    add(_TAG_SAMPLES_PER_PIXEL, 3, n_bands)
+    add(_TAG_ROWS_PER_STRIP, 4, 1)
+    add(_TAG_PLANAR, 3, 1)
+    add(_TAG_SAMPLE_FORMAT, 3, [sfmt] * n_bands)
+    add(_TAG_PIXEL_SCALE, 12, [float(pixel_scale[0]), float(pixel_scale[1]), 0.0])
+    add(_TAG_TIEPOINT, 12,
+        [0.0, 0.0, 0.0, float(upper_left[0]), float(upper_left[1]), 0.0])
+    if nodata_ascii is not None:
+        add(_TAG_GDAL_NODATA, 2, nodata_ascii)
+    # strip offsets/counts filled after layout
+    add(_TAG_STRIP_OFFSETS, 4, [0] * nrows)
+    add(_TAG_STRIP_COUNTS, 4, [row_bytes] * nrows)
+    tags.sort(key=lambda t: t[0])
+
+    n_tags = len(tags)
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    overflow_off = ifd_off + ifd_size
+    # lay out out-of-line values
+    overflow: list[bytes] = []
+    cur = overflow_off
+
+    def pack_vals(ftype, vals):
+        if ftype == 2:
+            return bytes(vals) if isinstance(vals, (bytes, bytearray)) else vals[0]
+        fmt, _sz = _TYPE_FMT[ftype]
+        return struct.pack("<" + str(len(vals)) + fmt, *vals)
+
+    # first pass to compute data start (strip offsets depend on it)
+    sizes = []
+    for tag, ftype, count, vals in tags:
+        _fmt, sz = _TYPE_FMT[ftype]
+        total = sz * count
+        sizes.append(total if total > 4 else 0)
+    data_off = cur + sum((s + 1) & ~1 for s in sizes)
+    # now fill strip offsets with real positions
+    final_tags = []
+    for tag, ftype, count, vals in tags:
+        if tag == _TAG_STRIP_OFFSETS:
+            vals = [data_off + r * row_bytes for r in range(nrows)]
+        final_tags.append((tag, ftype, count, vals))
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", n_tags)
+    for tag, ftype, count, vals in final_tags:
+        _fmt, sz = _TYPE_FMT[ftype]
+        total = sz * count
+        packed = pack_vals(ftype, vals)
+        if total <= 4:
+            out += struct.pack("<HHI", tag, ftype, count) + packed.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<HHII", tag, ftype, count, cur)
+            overflow.append(packed + (b"\x00" if len(packed) % 2 else b""))
+            cur += len(overflow[-1])
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    for blob in overflow:
+        out += blob
+    assert len(out) == data_off, (len(out), data_off)
+    out += data.tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -606,3 +606,138 @@ def test_geopackage_roundtrip(spark, tmp_path):
     assert out[("1", 0)]["properties"]["name"] == "tri"
     assert out[("1", 0)]["xs"] == [0.0, 1.0, 0.5]
     assert out[("2", 1)]["xs"] == [4.0, 5.0, 4.5]
+
+
+def test_geotiff_roundtrip_dtypes_and_cell_table(spark, tmp_path):
+    """write_geotiff -> parse_geotiff is value-exact for every supported
+    dtype, and open_geotiff emits the same cell table as the equivalent
+    ASCII grid (the conventions contract that lets oracles transfer)."""
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        open_geotiff,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(11)
+    for dtype, gen in [
+        ("u1", lambda s: rng.randint(0, 256, s)),
+        ("i2", lambda s: rng.randint(-(2**15), 2**15, s)),
+        ("i4", lambda s: rng.randint(-(2**31), 2**31, s)),
+        ("f4", lambda s: rng.randn(*s).astype("f4")),
+        ("f8", lambda s: rng.randn(*s)),
+    ]:
+        a = np.asarray(gen((3, 5, 7)))
+        p = str(tmp_path / f"rt_{dtype}.tif")
+        write_geotiff(p, a, pixel_scale=(0.5, 0.25), upper_left=(10.0, 20.0),
+                      nodata=-1, dtype=dtype)
+        cube, meta = parse_geotiff(open(p, "rb").read())
+        assert cube.shape == (3, 5, 7)
+        assert np.array_equal(cube, a.astype(np.float64))
+        assert (meta["sx"], meta["sy"]) == (0.5, 0.25)
+        assert (meta["ulx"], meta["uly"]) == (10.0, 20.0)
+        assert meta["nodata"] == -1.0
+
+    # Spark path: 2-band file -> cell table rows = 2 * nrows * ncols, and
+    # corner-origin coords reproduce xll + px*sx / yll + py*sy bit-exactly
+    vals = np.arange(2 * 4 * 6).reshape(2, 4, 6).astype(np.float64)
+    gp = str(tmp_path / "cells.tif")
+    write_geotiff(gp, vals, pixel_scale=(0.005, 0.005),
+                  upper_left=(0.0, 4 * 0.005), nodata=0, dtype="f8")
+    cells = open_geotiff(spark, str(tmp_path), pattern="cells.tif").collect()
+    assert len(cells) == 2 * 4 * 6
+    for r in cells:
+        row = 4 - 1 - (r.py)  # top row first in the file
+        assert r.value == vals[r.band - 1, row, r.px]
+        assert r.x == r.px * 0.005 and r.y == r.py * 0.005
+        assert r.nodata == 0.0
+    # band selection keeps only that sample
+    b2 = open_geotiff(spark, str(tmp_path), band=2, pattern="cells.tif")
+    assert b2.count() == 4 * 6 and b2.select("band").distinct().collect()[0][0] == 2
+
+
+def test_geotiff_big_endian_and_tiled_parse(tmp_path):
+    """parse_geotiff handles MM byte order and tile-organized layouts
+    (hand-built files — the writer only emits II strips)."""
+    import struct
+
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import parse_geotiff
+
+    def build(order, tiled):
+        bo = "<" if order == b"II" else ">"
+        ncols, nrows = 6, 5
+        data = np.arange(nrows * ncols, dtype=np.dtype(bo + "i2"))
+        if tiled:
+            # one 8x8 tile padded with zeros
+            tile = np.zeros((8, 8), dtype=np.dtype(bo + "i2"))
+            tile[:nrows, :ncols] = data.reshape(nrows, ncols)
+            payload_data = tile.tobytes()
+            layout_tags = [
+                (322, 3, [8]), (323, 3, [8]),
+                (324, 4, None),  # tile offsets filled below
+                (325, 4, [len(payload_data)]),
+            ]
+        else:
+            payload_data = data.tobytes()
+            layout_tags = [
+                (273, 4, None), (278, 4, [nrows]),
+                (279, 4, [len(payload_data)]),
+            ]
+        tags = [
+            (256, 4, [ncols]), (257, 4, [nrows]), (258, 3, [16]),
+            (259, 3, [1]), (277, 3, [1]), (339, 3, [2]),
+        ] + layout_tags
+        tags.sort(key=lambda t: t[0])
+        ifd_off = 8
+        ifd_size = 2 + 12 * len(tags) + 4
+        data_off = ifd_off + ifd_size
+        out = bytearray()
+        out += struct.pack(bo + "2sHI", order, 42, ifd_off)
+        out += struct.pack(bo + "H", len(tags))
+        for tag, ftype, vals in tags:
+            if vals is None:
+                vals = [data_off]
+            fmt = {3: "H", 4: "I"}[ftype]
+            packed = struct.pack(bo + str(len(vals)) + fmt, *vals)
+            out += struct.pack(bo + "HHI", tag, ftype, len(vals))
+            out += packed.ljust(4, b"\x00")[:4]
+        out += struct.pack(bo + "I", 0)
+        out += payload_data
+        return bytes(out), data.astype(np.float64).reshape(nrows, ncols)
+
+    for order in (b"II", b"MM"):
+        for tiled in (False, True):
+            payload, expect = build(order, tiled)
+            cube, meta = parse_geotiff(payload)
+            assert cube.shape == (1, 5, 6), (order, tiled)
+            assert np.array_equal(cube[0], expect), (order, tiled)
+
+
+def test_geotiff_rejects_compressed_and_bigtiff(tmp_path):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, np.zeros((2, 2)), dtype="u1")
+    raw = bytearray(open(p, "rb").read())
+    # flip the Compression tag value to LZW (5): find tag 259 in the IFD
+    (n,) = struct.unpack_from("<H", raw, 8)
+    for i in range(n):
+        base = 10 + 12 * i
+        (tag,) = struct.unpack_from("<H", raw, base)
+        if tag == 259:
+            struct.pack_into("<I", raw, base + 8, 5)
+    with pytest.raises(ValueError, match="LZW"):
+        parse_geotiff(bytes(raw))
+    with pytest.raises(ValueError, match="BigTIFF"):
+        parse_geotiff(struct.pack("<2sHH", b"II", 43, 0) + b"\x00" * 8)
