@@ -2641,6 +2641,63 @@ def sensors_kriging_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
 
 
+# One synthetic URL per document, derived from doc_id alone so the DuckDB
+# oracle can rebuild the identical column. Hosts chosen so each matches at
+# most ONE blocklist entry (keeps min(blocked_by) oracle-trivial).
+URL_HOSTS = (
+    "docs.example.com",     # blocked via suffix 'example.com'
+    "cdn.adsite.io",        # blocked exact
+    "blog.sample.net",      # clean
+    "static.files.org",     # clean
+    "bad.tracker.net",      # blocked via suffix 'tracker.net'
+)
+URL_BLOCKLIST = ("example.com", "cdn.adsite.io", "tracker.net")
+TERM_BLOCKLIST = ("slow", "stall", "leak")
+
+
+def docs_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation gate (C4/RefinedWeb URL filtering): each
+    document gets a synthetic URL (pure function of doc_id), the operator
+    extracts the host and matches it against a blocklist with
+    registrable-suffix semantics (subdomains blocked too) via the exploded
+    suffix equi-join — only (id, suffix) pairs shuffle."""
+    from sensordatapipelines_spark.operators.webfilter import url_host_filter
+
+    _register_views(spark, sf_dir)
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.col("doc_id") % len(URL_HOSTS) + 1).cast("int")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([(d,) for d in URL_BLOCKLIST], "domain string")
+    out = url_host_filter(docs, bl, id_col="doc_id", mode="annotate")
+    return out.select("doc_id", "host", "blocked_by")
+
+
+def docs_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-term curation gate (C4's badwords filter shape): per-document
+    banned-token counts/fraction over a literal term list, zero-shuffle
+    map-side expressions; keep = banned_frac under the tolerance."""
+    from sensordatapipelines_spark.operators.webfilter import (
+        term_blocklist_score,
+    )
+
+    _register_views(spark, sf_dir)
+    out = term_blocklist_score(
+        spark.table("documents"),
+        terms=TERM_BLOCKLIST,
+        max_banned_frac=0.05,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_banned", "banned_frac", "n_banned_distinct", "keep"
+    )
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5495,6 +5552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
+        "docs_url_filter": docs_url_filter,
+        "docs_term_blocklist": docs_term_blocklist,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5581,6 +5640,8 @@ _ROUND4_SAMPLE_FIRST = [
     "events_xml_roundtrip",
     "sensors_zonal_from_grid",
     "sensors_zonal_from_geotiff",
+    "docs_url_filter",
+    "docs_term_blocklist",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -7990,6 +8051,53 @@ def oracle_sql() -> dict[str, str]:
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]
     # the staged GeoTIFF decodes to the same bit-exact cell table
     oracles["sensors_zonal_from_geotiff"] = oracles["sensors_zonal_stats"]
+    # synthetic per-doc URL is a pure function of doc_id; suffix-match via
+    # equality-or-dot-suffix (each fixture host matches ≤1 blocklist entry)
+    _hosts_sql = "[" + ", ".join(f"'{h}'" for h in URL_HOSTS) + "]"
+    _bl_sql = ", ".join(f"('{d}')" for d in URL_BLOCKLIST)
+    oracles["docs_url_filter"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_hosts_sql}[CAST(doc_id % {len(URL_HOSTS)} AS INT) + 1] AS host
+            FROM documents
+        ),
+        hits AS (
+            SELECT d.doc_id, min(b.domain) AS blocked_by
+            FROM d JOIN (VALUES {_bl_sql}) b(domain)
+              ON d.host = b.domain OR d.host LIKE '%.' || b.domain
+            GROUP BY d.doc_id
+        )
+        SELECT d.doc_id, d.host, h.blocked_by
+        FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+    _terms_sql = "[" + ", ".join(f"'{t}'" for t in TERM_BLOCKLIST) + "]"
+    oracles["docs_term_blocklist"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> list_contains({_terms_sql}, x)))
+                       AS n_banned,
+                   len(list_distinct(
+                       list_filter(toks, x -> list_contains({_terms_sql}, x))))
+                       AS n_banned_distinct
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_banned,
+               round(CASE WHEN n_tokens > 0
+                          THEN n_banned * 1.0 / n_tokens ELSE 0.0 END, 6)
+                   AS banned_frac,
+               n_banned_distinct,
+               (CASE WHEN n_tokens > 0
+                     THEN n_banned * 1.0 / n_tokens ELSE 0.0 END) <= 0.05 AS keep
+        FROM s
+    """
     # hole-aware zones: even-odd over outer+holes == (Σ ring crossings) odd
     from sensordatapipelines_spark.operators.spatial import (
         point_in_polygon_crossings_sql,

@@ -14,4 +14,5 @@ from sensordatapipelines_spark.operators import (  # noqa: F401
     temporal,
     text,
     utility,
+    webfilter,
 )

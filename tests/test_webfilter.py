@@ -1,0 +1,106 @@
+import pytest
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.webfilter import (
+    host_suffixes_expr,
+    term_blocklist_score,
+    url_host_expr,
+    url_host_filter,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://docs.example.com/a"),
+            (2, "http://user:pw@CDN.AdSite.io:8080/x?q=1"),
+            (3, "https://example.com.evil.org/phish"),  # suffix trick: clean
+            (4, "https://example.com/root"),
+            (5, "not a url at all"),
+            (6, "https://blog.sample.net/p"),
+        ],
+        "doc_id long, url string",
+    )
+
+
+def _bl(spark):
+    return spark.createDataFrame(
+        [("example.com",), ("cdn.adsite.io",)], "domain string"
+    )
+
+
+def test_url_host_expr_and_suffixes(spark):
+    rows = spark.range(1).select(
+        url_host_expr(F.lit("https://User@Sub.Host.COM:443/p?a#f")).alias("h"),
+        host_suffixes_expr(F.lit("a.b.c.d.e.f.com"), max_labels=3).alias("s"),
+        host_suffixes_expr(F.lit("")).alias("empty"),
+    ).collect()[0]
+    assert rows.h == "sub.host.com"  # userinfo, port, path stripped; lowercased
+    assert rows.s == ["e.f.com", "f.com", "com"]  # capped at last 3 labels
+    assert rows.empty == []
+
+
+def test_url_host_filter_modes_and_suffix_semantics(spark):
+    out = {
+        r.doc_id: r
+        for r in url_host_filter(_docs(spark), _bl(spark), id_col="doc_id").collect()
+    }
+    assert out[1].blocked_by == "example.com"  # subdomain match
+    assert out[2].blocked_by == "cdn.adsite.io"  # exact, case/port/userinfo-proof
+    assert out[3].blocked_by is None  # example.com.evil.org must NOT match
+    assert out[4].blocked_by == "example.com"  # exact registrable domain
+    assert out[5].blocked_by is None and out[5].host == ""  # non-URL: clean
+    assert out[6].blocked_by is None
+
+    kept = url_host_filter(_docs(spark), _bl(spark), id_col="doc_id", mode="drop")
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 5, 6]
+    assert "blocked_by" not in kept.columns
+    quarantined = url_host_filter(
+        _docs(spark), _bl(spark), id_col="doc_id", mode="quarantine"
+    )
+    assert sorted(r.doc_id for r in quarantined.collect()) == [1, 2, 4]
+    with pytest.raises(ValueError, match="mode"):
+        url_host_filter(_docs(spark), _bl(spark), mode="bogus")
+
+
+def test_url_host_filter_shortest_match_and_broadcast_gate(spark):
+    # host matching two entries -> blocked_by is the SHORTEST (registrable)
+    docs = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame(
+        [("b.example.com",), ("example.com",)], "domain string"
+    )
+    assert (
+        url_host_filter(docs, bl, id_col="doc_id").collect()[0].blocked_by
+        == "example.com"
+    )
+    # count-gate: a limit below the blocklist size must not force the
+    # broadcast hint (AQE may still pick broadcast for a tiny side; the
+    # check is that the un-hinted plan builds and runs)
+    assert url_host_filter(
+        docs, bl, id_col="doc_id", broadcast_blocklist_limit=1
+    ).count() == 1
+
+
+def test_term_blocklist_score_counts_and_gate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Slow drip slow LEAK here"),
+            (2, "all clean words only"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in term_blocklist_score(
+            docs, terms=("slow", "leak"), max_banned_frac=0.25
+        ).collect()
+    }
+    assert (out[1].n_tokens, out[1].n_banned, out[1].n_banned_distinct) == (5, 3, 2)
+    assert out[1].banned_frac == 0.6 and out[1].keep is False
+    assert out[2].n_banned == 0 and out[2].keep is True
+    assert out[3].n_tokens == 0 and out[3].banned_frac == 0.0 and out[3].keep is True
+    assert out[4].n_tokens is None or out[4].n_tokens == 0  # null text tolerated
