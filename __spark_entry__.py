@@ -2698,6 +2698,23 @@ def docs_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document by
+    log p_target − log p_raw under hashed unigram+bigram bag models, with
+    the English subset as the target corpus — the importance-resampling
+    signal that selects raw data toward a target domain. Profiles are two
+    vocabulary-sized aggregates; the log-ratio table broadcasts; weights
+    sum as 1e-9-scaled BIGINTs so the result is float-order independent."""
+    from sensordatapipelines_spark.operators.text import dsir_importance_weights
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=10_000
+    )
+    return out.select("doc_id", "n_feats", "log_weight")
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5554,6 +5571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
         "docs_url_filter": docs_url_filter,
         "docs_term_blocklist": docs_term_blocklist,
+        "docs_dsir_weights": docs_dsir_weights,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5642,6 +5660,7 @@ _ROUND4_SAMPLE_FIRST = [
     "sensors_zonal_from_geotiff",
     "docs_url_filter",
     "docs_term_blocklist",
+    "docs_dsir_weights",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8069,6 +8088,66 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, d.host, h.blocked_by
         FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+    # DSIR: hashed unigram+bigram profiles; ln-ratio rounded to 1e-9 and
+    # summed as BIGINTs (the unigram_logprob float-order-independence trick)
+    oracles["docs_dsir_weights"] = r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS toks
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END) AS fs
+            FROM tok
+        ),
+        rawstream AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_transform(string_split(f, ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 2147483647) % 10000 AS b
+            FROM (SELECT doc_id, lang, unnest(fs) AS f FROM feats)
+        ),
+        tgtstream AS (
+            SELECT list_reduce(
+                       list_transform(string_split(f, ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 2147483647) % 10000 AS b
+            FROM (SELECT unnest(fs) AS f FROM feats WHERE lang = 'en')
+        ),
+        rp AS (SELECT b, count(*) AS cr FROM rawstream GROUP BY b),
+        tp AS (SELECT b, count(*) AS ct FROM tgtstream GROUP BY b),
+        prof AS (
+            SELECT COALESCE(rp.b, tp.b) AS b,
+                   COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+            FROM rp FULL OUTER JOIN tp ON rp.b = tp.b
+        ),
+        tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM prof),
+        ratio AS (
+            SELECT b,
+                   CAST(round((ln((ct + 1.0) / (tt + 1.0 * 10000))
+                             - ln((cr + 1.0) / (tr + 1.0 * 10000))) * 1e9)
+                        AS BIGINT) AS lr
+            FROM prof, tot
+        ),
+        scored AS (
+            SELECT rs.doc_id, count(*) AS n_feats, sum(lr) AS s
+            FROM rawstream rs JOIN ratio ON rs.b = ratio.b
+            GROUP BY rs.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_feats, 0) AS n_feats,
+               COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """
     _terms_sql = "[" + ", ".join(f"'{t}'" for t in TERM_BLOCKLIST) + "]"
     oracles["docs_term_blocklist"] = f"""

@@ -869,3 +869,124 @@ def bm25_topk(
         F.round(score, 6).alias("bm25"),
     )
     return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+
+
+@register("dsir_importance_weights")
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    engine: str = "kernel",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much it looks
+    like a TARGET corpus, as the log importance weight
+    ``log p_target(doc) − log p_raw(doc)`` under hashed-n-gram bag models.
+
+    Features are the paper's word unigrams + bigrams, hashed into
+    ``n_buckets`` buckets (polynomial rolling hash — the engine-portable
+    ``poly_hash_expr``); both corpus profiles are Laplace-``alpha``
+    smoothed bucket distributions. Per document,
+    ``log_weight = Σ_features (log p_t[b] − log p_r[b])`` — documents the
+    target distribution favors score high; downstream selection is
+    ``ORDER BY log_weight`` top-k or the stateless
+    ``quality_weighted_sample`` gate over a normalized weight.
+
+    Plan shape (100 TB): each profile is ONE hashed-bucket aggregate
+    (map-side combined; the shuffle carries ≤ ``n_buckets`` rows per
+    side). The per-bucket log-ratio table (≤ ``n_buckets`` rows — plan
+    constants at heart) is **broadcast** onto the raw feature stream, so
+    scoring is shuffle-free except the per-document re-reduce. Totals
+    enter as a broadcast 1-row cross join (scalar, not a shuffle).
+
+    Determinism: per-bucket log-ratios are rounded to 1e-9 and summed as
+    scaled BIGINTs (the ``unigram_logprob`` contract) — the per-document
+    weight is independent of float summation order, bit-identical across
+    engines. Zero-feature documents carry weight 0.0 (empty product).
+
+    ``engine="kernel"`` builds bigrams with the Arrow shingle kernel
+    (bit-equal twin of the HOF expression); ``engine="expr"`` stays pure
+    JVM."""
+    from sensordatapipelines_spark.operators.dedup import (
+        word_ngrams_expr,
+        word_ngrams_kernel,
+    )
+
+    tcol = target_text_col or text_col
+
+    def feature_stream(frame: DataFrame, col: str, idc: str | None) -> DataFrame:
+        t = F.lower(F.col(col))
+        grams2 = (
+            word_ngrams_kernel(2)(t) if engine == "kernel" else word_ngrams_expr(t, 2)
+        )
+        feats = F.concat(tokens_expr(t), grams2)
+        cols = [F.col(idc).alias("__id")] if idc else []
+        return frame.select(*cols, F.explode(feats).alias("__f")).withColumn(
+            "__b", poly_hash_expr(F.col("__f")) % F.lit(n_buckets)
+        )
+
+    raw_stream = feature_stream(df, text_col, id_col)
+    tgt_stream = feature_stream(target, tcol, None)
+
+    raw_prof = raw_stream.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_prof = tgt_stream.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    prof = (
+        raw_prof.join(tgt_prof, "__b", "full_outer")
+        .select(
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    totals = prof.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    a = F.lit(float(alpha))
+    b_ct = F.lit(float(n_buckets))
+    ratio = prof.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            (
+                F.log(
+                    (F.col("__ct").cast("double") + a)
+                    / (F.col("__tt").cast("double") + a * b_ct)
+                )
+                - F.log(
+                    (F.col("__cr").cast("double") + a)
+                    / (F.col("__tr").cast("double") + a * b_ct)
+                )
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("__lr_e9"),
+    )
+    scored = (
+        raw_stream.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__lr_e9").alias("__sum_e9"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_feats").cast("long").alias("n_feats"),
+            F.round(F.col("__sum_e9").cast("double") / F.lit(1e9), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+    empties = df.select(F.col(id_col)).join(
+        scored.select(id_col), id_col, "left_anti"
+    )
+    return scored.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_feats"),
+            F.lit(0.0).alias("log_weight"),
+        )
+    )

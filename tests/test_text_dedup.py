@@ -946,3 +946,39 @@ def test_paragraph_and_substring_dedup_null_text(spark):
     s = {r["doc_id"]: r for r in substring_dedup(docs, span_tokens=2).collect()}
     assert set(s) == {1, 2}
     assert s[2]["n_tokens"] == 0 and s[2]["n_removed"] == 0
+
+
+def test_dsir_importance_weights_twins_and_semantics(spark):
+    from sensordatapipelines_spark.operators.text import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the quick brown fox", "en"),
+            (3, "der schnelle braune fuchs", "de"),
+            (4, "le renard brun rapide", "fr"),
+            (5, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    target = docs.filter("lang = 'en'")
+    kern = {
+        r.doc_id: r
+        for r in dsir_importance_weights(docs, target, n_buckets=256).collect()
+    }
+    expr = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            docs, target, n_buckets=256, engine="expr"
+        ).collect()
+    }
+    # kernel and expression engines are bit-identical
+    assert kern == expr
+    # identical docs score identically; target-like docs outscore off-target
+    assert kern[1].log_weight == kern[2].log_weight
+    assert kern[1].log_weight > kern[3].log_weight
+    assert kern[1].log_weight > kern[4].log_weight
+    # empty doc: empty product -> weight exactly 0.0, zero features
+    assert (kern[5].n_feats, kern[5].log_weight) == (0, 0.0)
+    # n_feats = unigrams + bigrams
+    assert kern[1].n_feats == 4 + 3
