@@ -4135,6 +4135,32 @@ def media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end: staged 4×2 P6 rasters
+    (md5-digest pixels) → ``image_dhash`` (grayscale channel sum, nearest
+    resize to 9×8, adjacent-column comparison bits). The floor mapping
+    puts the three informative comparisons at bit positions 5/3/1 of each
+    row byte and repeats each source row 4×, so the oracle rebuilds the
+    full 16-hex-char hash from md5 hex pairs — a strict value check of
+    decode → grayscale → resize → bit packing."""
+    from sensordatapipelines_spark.operators.multimodal import image_dhash
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ppm(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.ppm")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return image_dhash(media, hash_w=8, hash_h=8)
+
+
 def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decimation end-to-end: staged 8-frame PCM16 WAVs
     (digest bytes) → ``audio_resample(every_n=2)`` → a valid 4000 Hz WAV
@@ -5565,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_neardedup": docs_stream_neardedup,
         "media_ppm_resize": media_ppm_resize,
         "media_wav_resample": media_wav_resample,
+        "media_image_dhash": media_image_dhash,
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
@@ -5653,6 +5680,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_stream_neardedup",
     "media_ppm_resize",
     "media_wav_resample",
+    "media_image_dhash",
     "docs_global_shuffle",
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
@@ -8705,6 +8733,45 @@ def oracle_sql() -> dict[str, str]:
                '50360A3220310A3235350A'
                    || UPPER(SUBSTR(h, 1, 6) || SUBSTR(h, 13, 6)) AS payload_hex
         FROM staged
+    """
+    # dHash over the 4x2 rasters: gray(p) = sum of digest bytes 3p..3p+2
+    # (mod 16); the 9x8 floor resize puts the 3 informative column
+    # comparisons at bit values 32/8/2 and repeats each source row 4x.
+    oracles["media_image_dhash"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 2, 1)) - 1)
+                            AS BIGINT)) AS b
+            FROM staged
+        ),
+        gray AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), p ->
+                       b[(3 * p) % 16 + 1] + b[(3 * p + 1) % 16 + 1]
+                     + b[(3 * p + 2) % 16 + 1]) AS g
+            FROM bytes
+        ),
+        rowbytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 2), y ->
+                       CASE WHEN g[y * 4 + 2] > g[y * 4 + 1] THEN 32 ELSE 0 END
+                     + CASE WHEN g[y * 4 + 3] > g[y * 4 + 2] THEN 8 ELSE 0 END
+                     + CASE WHEN g[y * 4 + 4] > g[y * 4 + 3] THEN 2 ELSE 0 END) AS rb
+            FROM gray
+        )
+        SELECT doc_id AS media_id,
+               repeat(lpad(lower(hex(rb[1])), 2, '0'), 4)
+                   || repeat(lpad(lower(hex(rb[2])), 2, '0'), 4) AS dhash
+        FROM rowbytes
     """
     # Real audio decimation: kept frames 0/2/4/6 = digest bytes 0-1/4-5/
     # 8-9/12-13; payload hex = constant 44-byte 4000Hz header + those.

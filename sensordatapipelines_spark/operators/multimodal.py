@@ -384,3 +384,46 @@ def audio_resample(
             )
 
     return df.select(media_col).mapInPandas(run, schema=schema)
+
+
+@register("image_dhash")
+def image_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) for image near-duplicate
+    detection: decode the netpbm payload, grayscale by integer channel
+    SUM (no float luminance — bit-exact, oracle-able), nearest-neighbor
+    resize to ``(hash_w+1) × hash_h`` (the ``resize_nearest`` floor
+    mapping), then one bit per cell: ``gray[y, x+1] > gray[y, x]``. Bits
+    pack row-major MSB-first into bytes; emits ``(media_id, dhash)`` with
+    the hash as a lowercase hex string (16 chars at the default 8×8).
+
+    Near-dup images differ in a few bits — banded hamming joins over
+    hash substrings (the ``simhash_pairs`` machinery) find pairs without
+    an all-pairs scan. Arrow ``mapInPandas``; compressed formats raise
+    (codec libraries absent), same contract as ``media_features``."""
+    schema = "media_id long, dhash string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                px, _w, _h, _c = decode_ppm(bytes(m["payload"]))
+                gray = px.astype(np.int64).sum(axis=2)
+                g = resize_nearest(gray[:, :, None], hash_w + 1, hash_h)[:, :, 0]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).reshape(-1)
+                pad = (-len(bits)) % 8
+                if pad:
+                    bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+                rows.append(
+                    {
+                        "media_id": int(m["media_id"]),
+                        "dhash": np.packbits(bits).tobytes().hex(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return df.select(media_col).mapInPandas(run, schema=schema)

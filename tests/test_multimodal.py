@@ -153,3 +153,39 @@ def test_audio_resample_decimation(spark):
     frames, sr, ch, ba = decode_wav(bytes(r["payload"]))
     assert (sr, ch, ba) == (4000, 2, 4)
     assert frames.tolist() == [[1, -1], [3, -3]]  # frames 0 and 2
+
+
+def test_image_dhash_properties(spark):
+    """dHash is identical for identical images, differs across different
+    ones, and is invariant to uniform brightness shifts (the property that
+    makes it a PERCEPTUAL hash)."""
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import image_dhash
+
+    def ppm(seed, shift=0):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 200, (8, 8, 3)).astype(np.int64) + shift
+        return b"P6\n8 8\n255\n" + px.astype(np.uint8).tobytes()
+
+    rows = [
+        (1, ppm(1)),
+        (2, ppm(1)),          # identical
+        (3, ppm(2)),          # different content
+        (4, ppm(1, shift=40)),  # same content, uniformly brighter
+    ]
+    df = spark.createDataFrame(
+        [(i, ("image", p)) for i, p in rows],
+        "media_id long, media struct<kind:string, payload:binary>",
+    ).select(
+        F.struct(
+            F.col("media_id"),
+            F.col("media.kind").alias("kind"),
+            F.col("media.payload").alias("payload"),
+        ).alias("media")
+    )
+    out = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[1] == out[4]  # brightness-shift invariant
+    assert len(out[1]) == 16  # 64 bits -> 16 hex chars
