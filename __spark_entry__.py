@@ -4161,6 +4161,30 @@ def media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(media, hash_w=8, hash_h=8)
 
 
+def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-contour audio fingerprint end-to-end: staged 8-frame PCM16
+    WAVs (digest bytes as little-endian int16 samples) → per-frame |s|
+    energies → 7 adjacent-comparison bits packed into one hex byte. The
+    oracle reconstructs the signed samples from md5 hex pairs and rebuilds
+    the same byte — a strict value check of WAV decode + contour bits."""
+    from sensordatapipelines_spark.operators.multimodal import audio_fingerprint
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return audio_fingerprint(media, n_windows=8)
+
+
 def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decimation end-to-end: staged 8-frame PCM16 WAVs
     (digest bytes) → ``audio_resample(every_n=2)`` → a valid 4000 Hz WAV
@@ -5592,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ppm_resize": media_ppm_resize,
         "media_wav_resample": media_wav_resample,
         "media_image_dhash": media_image_dhash,
+        "media_audio_fingerprint": media_audio_fingerprint,
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
@@ -5681,6 +5706,7 @@ _ROUND4_SAMPLE_FIRST = [
     "media_ppm_resize",
     "media_wav_resample",
     "media_image_dhash",
+    "media_audio_fingerprint",
     "docs_global_shuffle",
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
@@ -8772,6 +8798,49 @@ def oracle_sql() -> dict[str, str]:
                repeat(lpad(lower(hex(rb[1])), 2, '0'), 4)
                    || repeat(lpad(lower(hex(rb[2])), 2, '0'), 4) AS dhash
         FROM rowbytes
+    """
+    # Audio contour: samples = signed LE int16 from digest byte pairs;
+    # 7 adjacent |s| comparisons pack MSB-first into one byte.
+    oracles["media_audio_fingerprint"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 2, 1)) - 1)
+                            AS BIGINT)) AS b
+            FROM staged
+        ),
+        samples AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), i ->
+                       abs(CASE WHEN b[2 * i + 2] >= 128
+                                THEN b[2 * i + 1] + 256 * b[2 * i + 2] - 65536
+                                ELSE b[2 * i + 1] + 256 * b[2 * i + 2]
+                           END)) AS s
+            FROM bytes
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CASE WHEN s[2] > s[1] THEN 128 ELSE 0 END
+                 + CASE WHEN s[3] > s[2] THEN 64 ELSE 0 END
+                 + CASE WHEN s[4] > s[3] THEN 32 ELSE 0 END
+                 + CASE WHEN s[5] > s[4] THEN 16 ELSE 0 END
+                 + CASE WHEN s[6] > s[5] THEN 8 ELSE 0 END
+                 + CASE WHEN s[7] > s[6] THEN 4 ELSE 0 END
+                 + CASE WHEN s[8] > s[7] THEN 2 ELSE 0 END AS byte
+            FROM samples
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 AS INT) AS n_frames,
+               lpad(lower(hex(byte)), 2, '0') AS fingerprint
+        FROM fp
     """
     # Real audio decimation: kept frames 0/2/4/6 = digest bytes 0-1/4-5/
     # 8-9/12-13; payload hex = constant 44-byte 4000Hz header + those.

@@ -427,3 +427,52 @@ def image_dhash(
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
     return df.select(media_col).mapInPandas(run, schema=schema)
+
+
+@register("audio_fingerprint")
+def audio_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    n_windows: int = 8,
+) -> DataFrame:
+    """Energy-contour audio fingerprint — the audio twin of
+    ``image_dhash``: decode the RIFF/WAVE PCM payload, average channels to
+    mono (integer floor division — bit-exact), split the frames into
+    ``n_windows`` equal windows (trailing remainder frames dropped, the
+    floor contract), take each window's summed |sample| energy, and emit
+    one bit per adjacent-window comparison (``E[w+1] > E[w]``) packed
+    MSB-first into a lowercase hex string. Gain-shift-robust in the same
+    way dHash is brightness-robust: the contour compares only ADJACENT
+    windows. Near-dup clips pair via banded hamming joins
+    (``simhash_pairs`` machinery). Arrow ``mapInPandas``; compressed
+    codecs raise (same contract as ``media_features``)."""
+    schema = "media_id long, n_frames int, fingerprint string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                frames, _sr, _ch, _ba = decode_wav(bytes(m["payload"]))
+                mono = frames.astype(np.int64).sum(axis=1) // frames.shape[1]
+                per = len(mono) // n_windows
+                if per == 0:
+                    energies = np.zeros(0, dtype=np.int64)
+                else:
+                    take = mono[: per * n_windows].reshape(n_windows, per)
+                    energies = np.abs(take).sum(axis=1)
+                bits = (energies[1:] > energies[:-1]).astype(np.uint8)
+                pad = (-len(bits)) % 8
+                if pad:
+                    bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+                rows.append(
+                    {
+                        "media_id": int(m["media_id"]),
+                        "n_frames": int(len(mono)),
+                        "fingerprint": np.packbits(bits).tobytes().hex()
+                        if len(bits)
+                        else "",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames", "fingerprint"])
+
+    return df.select(media_col).mapInPandas(run, schema=schema)

@@ -189,3 +189,45 @@ def test_image_dhash_properties(spark):
     assert out[1] != out[3]
     assert out[1] == out[4]  # brightness-shift invariant
     assert len(out[1]) == 16  # 64 bits -> 16 hex chars
+
+
+def test_audio_fingerprint_properties(spark):
+    """Identical clips share a fingerprint, different clips differ, and a
+    uniform gain shift preserves it (contour compares adjacent windows)."""
+    import struct
+
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import audio_fingerprint
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.RandomState(3)
+    base = [int(v) for v in rng.randint(-3000, 3000, 64)]
+    rows = [
+        (1, wav(base)),
+        (2, wav(base)),                       # identical
+        (3, wav([int(v) for v in rng.randint(-3000, 3000, 64)])),  # different
+        (4, wav([v * 2 for v in base])),      # uniform gain x2
+    ]
+    df = spark.createDataFrame(
+        [(i, ("audio", p)) for i, p in rows],
+        "media_id long, media struct<kind:string, payload:binary>",
+    ).select(
+        F.struct(
+            F.col("media_id"),
+            F.col("media.kind").alias("kind"),
+            F.col("media.payload").alias("payload"),
+        ).alias("media")
+    )
+    out = {r.media_id: r for r in audio_fingerprint(df, n_windows=8).collect()}
+    assert out[1].fingerprint == out[2].fingerprint
+    assert out[1].fingerprint != out[3].fingerprint
+    assert out[1].fingerprint == out[4].fingerprint  # gain-invariant contour
+    assert out[1].n_frames == 64
