@@ -4185,6 +4185,32 @@ def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(media, n_windows=8)
 
 
+def media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash → pairs, end-to-end multimodal near-dedup: dHash the staged
+    rasters, then banded hamming join (``hamming_pairs``). The config
+    satisfies the pigeonhole recall contract (4 bands > 3 max bits), so
+    the banded result EQUALS exact all-pairs hamming — which is precisely
+    what the oracle computes, proving the pruning loses nothing."""
+    from sensordatapipelines_spark.operators.dedup import hamming_pairs
+    from sensordatapipelines_spark.operators.multimodal import image_dhash
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ppm(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.ppm")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    hashes = image_dhash(media, hash_w=8, hash_h=8)
+    return hamming_pairs(hashes, max_hamming=3, n_bands=4)
+
+
 def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decimation end-to-end: staged 8-frame PCM16 WAVs
     (digest bytes) → ``audio_resample(every_n=2)`` → a valid 4000 Hz WAV
@@ -5617,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_resample": media_wav_resample,
         "media_image_dhash": media_image_dhash,
         "media_audio_fingerprint": media_audio_fingerprint,
+        "media_dhash_pairs": media_dhash_pairs,
         "sensors_kriging_spherical": sensors_kriging_spherical,
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
@@ -5707,6 +5734,7 @@ _ROUND4_SAMPLE_FIRST = [
     "media_wav_resample",
     "media_image_dhash",
     "media_audio_fingerprint",
+    "media_dhash_pairs",
     "docs_global_shuffle",
     "sensors_kriging_spherical",
     "events_xml_roundtrip",
@@ -8798,6 +8826,50 @@ def oracle_sql() -> dict[str, str]:
                repeat(lpad(lower(hex(rb[1])), 2, '0'), 4)
                    || repeat(lpad(lower(hex(rb[2])), 2, '0'), 4) AS dhash
         FROM rowbytes
+    """
+    # Banded-hamming pairs vs EXACT all-pairs: the staged hash repeats each
+    # row byte 4x, so hamming = 4*(popcount(xor byte0) + popcount(xor
+    # byte1)); max_hamming=3 under 4 bands satisfies the pigeonhole recall
+    # contract, making banded == exact (what this oracle computes).
+    oracles["media_dhash_pairs"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 2 * i + 2, 1)) - 1)
+                            AS BIGINT)) AS b
+            FROM staged
+        ),
+        gray AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), p ->
+                       b[(3 * p) % 16 + 1] + b[(3 * p + 1) % 16 + 1]
+                     + b[(3 * p + 2) % 16 + 1]) AS g
+            FROM bytes
+        ),
+        rowbytes AS (
+            SELECT doc_id,
+                   CASE WHEN g[2] > g[1] THEN 32 ELSE 0 END
+                 + CASE WHEN g[3] > g[2] THEN 8 ELSE 0 END
+                 + CASE WHEN g[4] > g[3] THEN 2 ELSE 0 END AS rb0,
+                   CASE WHEN g[6] > g[5] THEN 32 ELSE 0 END
+                 + CASE WHEN g[7] > g[6] THEN 8 ELSE 0 END
+                 + CASE WHEN g[8] > g[7] THEN 2 ELSE 0 END AS rb1
+            FROM gray
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(4 * (bit_count(xor(a.rb0, b.rb0))
+                       + bit_count(xor(a.rb1, b.rb1))) AS INT) AS hamming
+        FROM rowbytes a JOIN rowbytes b ON a.doc_id < b.doc_id
+        WHERE 4 * (bit_count(xor(a.rb0, b.rb0))
+                 + bit_count(xor(a.rb1, b.rb1))) <= 3
     """
     # Audio contour: samples = signed LE int16 from digest byte pairs;
     # 7 adjacent |s| comparisons pack MSB-first into one byte.

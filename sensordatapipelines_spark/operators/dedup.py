@@ -1144,3 +1144,78 @@ def substring_dedup(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+@register("hamming_pairs")
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs over fixed-width HEX hashes (``image_dhash``,
+    ``audio_fingerprint``, any simhash-like signature) by banded hamming
+    join: split each hash into ``n_bands`` equal hex substrings,
+    candidate pairs share at least one exact band (equi-join on
+    ``(band_idx, band)`` — keyed, never all-pairs), then the exact bit
+    hamming distance filters to ``<= max_hamming``.
+
+    Pigeonhole recall contract: with ``n_bands >= max_hamming + 1``, a
+    pair within ``max_hamming`` differing bits cannot differ in every
+    band, so the banded result is EXACTLY the all-pairs result (the gate
+    query's oracle checks this equivalence). ``n_bands <= max_hamming``
+    trades recall for fewer candidates — approximate mode, documented
+    not asserted.
+
+    The hamming distance is a pure-JVM nibble fold: per hex position,
+    ``bit_count(nibble_a XOR nibble_b)`` — no UDF, no 64-bit overflow
+    games, any hash width. Hot-band skew (e.g. the all-zero band of
+    near-black thumbnails) is bounded by the hash entropy; for
+    pathological corpora pre-filter constant hashes first."""
+    h = F.lower(F.col(hash_col))
+    slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
+    width = F.length("__h") / F.lit(n_bands)
+    banded = slim.select(
+        "__id",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__band"),
+    ).withColumn(
+        "__bs",
+        F.substring(
+            F.col("__h"),
+            (F.col("__band") * width + 1).cast("int"),
+            width.cast("int"),
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    nib = lambda col, i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(col, i, 1)) - F.lit(1)
+    )
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bs") == F.col("b.__bs"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.length("__ha")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(nib(F.col("__ha"), i).bitwiseXOR(nib(F.col("__hb"), i))),
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )

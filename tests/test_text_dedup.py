@@ -982,3 +982,43 @@ def test_dsir_importance_weights_twins_and_semantics(spark):
     assert (kern[5].n_feats, kern[5].log_weight) == (0, 0.0)
     # n_feats = unigrams + bigrams
     assert kern[1].n_feats == 4 + 3
+
+
+def test_hamming_pairs_banding_is_exact_under_pigeonhole(spark):
+    """With n_bands >= max_hamming + 1, the banded join finds EXACTLY the
+    all-pairs result — checked against a brute-force recompute over every
+    pair, including hashes engineered so the differing bits straddle
+    band boundaries."""
+    from itertools import combinations
+
+    from sensordatapipelines_spark.operators.dedup import hamming_pairs
+
+    hashes = {
+        1: "0123456789abcdef",
+        2: "0123456789abcdee",  # 1 bit from #1, in the last band
+        3: "1123456789abcdee",  # +1 bit in the FIRST band (2 from #2)
+        4: "ffffffffffffffff",
+        5: "0123456789abcdef",  # identical to #1
+        6: "0323456789abcdee",  # bits spread across first+last bands
+    }
+    df = spark.createDataFrame(
+        list(hashes.items()), "media_id long, dhash string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, max_hamming=4, n_bands=8).collect()
+    }
+
+    def ham(x, y):
+        return sum(
+            bin(int(a, 16) ^ int(b, 16)).count("1") for a, b in zip(x, y)
+        )
+
+    want = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a, b in combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= 4
+    }
+    assert got == want
+    # sanity: the engineered straddling pairs are present
+    assert (1, 2) in got and (2, 3) in got and (1, 6) in got
