@@ -741,3 +741,51 @@ def test_geotiff_rejects_compressed_and_bigtiff(tmp_path):
         parse_geotiff(bytes(raw))
     with pytest.raises(ValueError, match="BigTIFF"):
         parse_geotiff(struct.pack("<2sHH", b"II", 43, 0) + b"\x00" * 8)
+
+
+def test_geotiff_roundtrip_hypothesis():
+    """Property: write->parse is value- and geo-exact for arbitrary small
+    rasters across every supported dtype (no Spark; pure parser)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        bands=st.integers(1, 3),
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        dtype=st.sampled_from(["u1", "i2", "i4", "f4", "f8"]),
+        seed=st.integers(0, 2**31 - 1),
+        sx=st.floats(0.001, 10, allow_nan=False),
+        ulx=st.floats(-1000, 1000, allow_nan=False),
+    )
+    def check(bands, h, w, dtype, seed, sx, ulx):
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        if dtype[0] == "f":
+            a = rng.randn(bands, h, w)
+        else:
+            info = np.iinfo(np.dtype(dtype))
+            a = rng.randint(info.min, int(info.max) + 1, (bands, h, w))
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            write_geotiff(
+                f.name, a, pixel_scale=(sx, sx), upper_left=(ulx, 0.0),
+                dtype=dtype,
+            )
+            cube, meta = parse_geotiff(open(f.name, "rb").read())
+        expect = np.asarray(a).astype(
+            np.dtype("<" + dtype)
+        ).astype(np.float64)
+        assert cube.shape == (bands, h, w)
+        assert np.array_equal(cube, expect)
+        assert (meta["n_bands"], meta["nrows"], meta["ncols"]) == (bands, h, w)
+        assert meta["sx"] == sx and meta["ulx"] == ulx
+
+    check()
