@@ -439,3 +439,48 @@ def test_pairwise_sizes_broadcast_is_gated_not_forced(spark):
         a = sorted(map(tuple, op(docs, n=2, threshold=0.5, broadcast_sizes_limit=0).collect()))
         b = sorted(map(tuple, op(docs, n=2, threshold=0.5).collect()))
         assert a == b and a
+
+
+def test_url_host_filter_keyed_join_no_cartesian(spark):
+    """Suffix matching is an equi-join on the exploded suffix set; the
+    verdict joins back on the id — no cartesian, no nested loop."""
+    from sensordatapipelines_spark.operators.webfilter import url_host_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.example{i % 2}.com/p") for i in range(50)],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("example0.com",), ("x.org",)], "domain string")
+    plan = _plan(url_host_filter(docs, bl, id_col="doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_pairs_band_equijoin_no_cartesian(spark):
+    """Candidate generation is keyed on (band_idx, band substring) —
+    the plan must contain an equi-join, never an all-pairs product."""
+    from sensordatapipelines_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"{i % 7:016x}") for i in range(64)], "media_id long, dhash string"
+    )
+    plan = _plan(hamming_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """The per-bucket log-ratio table must broadcast onto the raw feature
+    stream (vocabulary-sized, never a corpus-side shuffle for scoring)."""
+    from sensordatapipelines_spark.operators.text import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} tok{i % 2}", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(
+        dsir_importance_weights(docs, docs.filter("lang = 'en'"), n_buckets=64)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
