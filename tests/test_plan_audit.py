@@ -31,7 +31,9 @@ BNLJ_ALLOWED = {
     "zones_geojson_ingest", "zones_geojson_holes_agg",
     "zones_shapefile_ingest", "zones_gpkg_ingest",
     "sensors_zonal_from_grid",
+    "sensors_zonal_from_geotiff",
     "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
+    "docs_dsir_weights",  # broadcast 1-row profile-totals cross join
 }
 
 
