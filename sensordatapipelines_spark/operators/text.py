@@ -911,20 +911,22 @@ def dsir_importance_weights(
     ``engine="kernel"`` builds bigrams with the Arrow shingle kernel
     (bit-equal twin of the HOF expression); ``engine="expr"`` stays pure
     JVM."""
-    from sensordatapipelines_spark.operators.dedup import (
-        word_ngrams_expr,
-        word_ngrams_kernel,
-    )
+    from sensordatapipelines_spark.operators.dedup import word_ngrams_expr
 
     tcol = target_text_col or text_col
 
     def feature_stream(frame: DataFrame, col: str, idc: str | None) -> DataFrame:
         t = F.lower(F.col(col))
-        grams2 = (
-            word_ngrams_kernel(2)(t) if engine == "kernel" else word_ngrams_expr(t, 2)
-        )
-        feats = F.concat(tokens_expr(t), grams2)
         cols = [F.col(idc).alias("__id")] if idc else []
+        if engine == "kernel":
+            # one Arrow pass: tokenize + bigram + memoized poly-hash bucket
+            # (the per-char aggregate HOF below runs interpreted per
+            # feature occurrence and dominated this operator's runtime)
+            return frame.select(
+                *cols,
+                F.explode(hashed_bucket_kernel(n_buckets)(t)).alias("__b"),
+            )
+        feats = F.concat(tokens_expr(t), word_ngrams_expr(t, 2))
         return frame.select(*cols, F.explode(feats).alias("__f")).withColumn(
             "__b", poly_hash_expr(F.col("__f")) % F.lit(n_buckets)
         )
@@ -990,3 +992,57 @@ def dsir_importance_weights(
             F.lit(0.0).alias("log_weight"),
         )
     )
+
+
+def hashed_bucket_kernel(n_buckets: int):
+    """Arrow-batched DSIR feature hasher: per document, the multiset of
+    hashed unigram+bigram buckets (``poly_hash % n_buckets``), returned
+    as ONE array column — replaces tokenize → shingle → explode → per-char
+    ``aggregate`` HOF, which runs interpreted in Catalyst and dominated
+    ``dsir_importance_weights`` (measured: the hash fold is the hot spot,
+    same pathology ``word_ngrams_kernel`` fixed for the shingle family).
+
+    Bit-equal contract with the expression path: SPACE-only edge trim
+    (Spark ``F.trim``), ASCII ``\\s+`` split (Java regex semantics),
+    space-joined bigrams, and the identical ``fold(31h + codepoint) mod
+    2^31−1`` arithmetic (``ord`` ≡ Spark/DuckDB ``ascii`` code points —
+    all int64-safe). Token/bigram hashes are memoized per Arrow batch:
+    Zipf's law makes the distinct-feature set far smaller than the
+    feature stream, so the per-char Python fold runs once per DISTINCT
+    feature, not once per occurrence."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    M = POLY_MOD
+
+    @pandas_udf("array<long>")
+    def _buckets(texts):
+        memo: dict[str, int] = {}
+
+        def hb(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                h = 0
+                for ch in s:
+                    h = (h * 31 + ord(ch)) % M
+                v = h % n_buckets
+                memo[s] = v
+            return v
+
+        out = []
+        for t in texts:
+            if t is None or not t.strip(" "):
+                out.append([])
+                continue
+            toks = ws.split(t.strip(" "))
+            feats = [hb(tok) for tok in toks]
+            feats.extend(
+                hb(toks[i] + " " + toks[i + 1]) for i in range(len(toks) - 1)
+            )
+            out.append(feats)
+        return pd.Series(out)
+
+    return _buckets
