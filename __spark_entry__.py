@@ -2715,6 +2715,26 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_feats", "log_weight")
 
 
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection end-to-end: importance weights → deterministic
+    greedy top-k (ORDER BY weight DESC with doc_id tiebreak — the
+    paper's top-k heuristic baseline; Spark executes it as TakeOrdered,
+    never a full sort). The 100 selected docs lean English — the target
+    corpus pulled the raw corpus toward itself."""
+    from sensordatapipelines_spark.operators.text import dsir_importance_weights
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=10_000
+    )
+    return (
+        out.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(100)
+        .select("doc_id", "log_weight")
+    )
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5651,6 +5671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_filter": docs_url_filter,
         "docs_term_blocklist": docs_term_blocklist,
         "docs_dsir_weights": docs_dsir_weights,
+        "docs_dsir_select": docs_dsir_select,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5743,6 +5764,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_url_filter",
     "docs_term_blocklist",
     "docs_dsir_weights",
+    "docs_dsir_select",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8231,6 +8253,13 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """
+    # greedy top-k selection over the same weights; rounded-weight ties
+    # break on doc_id in BOTH engines
+    oracles["docs_dsir_select"] = (
+        "WITH base AS (" + oracles["docs_dsir_weights"] + ") "
+        "SELECT doc_id, log_weight FROM base "
+        "ORDER BY log_weight DESC, doc_id LIMIT 100"
+    )
     _terms_sql = "[" + ", ".join(f"'{t}'" for t in TERM_BLOCKLIST) + "]"
     oracles["docs_term_blocklist"] = f"""
         WITH t AS (

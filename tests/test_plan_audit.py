@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "sensors_zonal_from_geotiff",
     "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
     "docs_dsir_weights",  # broadcast 1-row profile-totals cross join
+    "docs_dsir_select",  # same shape (top-k over the weights)
 }
 
 
