@@ -150,3 +150,32 @@ def test_pipeline_drives_round4_dedup_ops(spark):
     assert g == w
     # doc 2's both paragraphs were seen in doc 1 -> empty after the stack
     assert g[2][0] == ""
+
+
+def test_pipeline_json_drives_term_blocklist(spark):
+    """The C4-style banned-term gate is a registry op, so a JSON plan can
+    carry it (terms ride as a plain kwargs list) — exactly how a curation
+    recipe ships between teams."""
+    from sensordatapipelines_spark import Pipeline
+    from sensordatapipelines_spark.operators.webfilter import (
+        term_blocklist_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "clean words here"), (2, "a slow leak appears")],
+        "doc_id long, text string",
+    )
+    plan = """
+    {"pipe": "term_gate", "operations": [
+      {"name": "gate", "function": "term_blocklist_score", "args": [],
+       "kwargs": {"terms": ["slow", "leak"], "max_banned_frac": 0.0}}
+    ]}
+    """
+    got = {r["doc_id"]: r["keep"] for r in Pipeline.from_json(plan).process(docs).collect()}
+    want = {
+        r["doc_id"]: r["keep"]
+        for r in term_blocklist_score(
+            docs, terms=["slow", "leak"], max_banned_frac=0.0
+        ).collect()
+    }
+    assert got == want == {1: True, 2: False}
