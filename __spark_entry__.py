@@ -2735,6 +2735,31 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language-document detection: multi-paragraph documents are
+    derived deterministically (groups of 4 consecutive docs joined by
+    newline — consecutive docs carry DIFFERENT languages, so the groups
+    are genuinely mixed), then ``paragraph_lang_profile`` language-IDs
+    every paragraph and reduces to majority language, majority fraction
+    and distinct-language count per document."""
+    from sensordatapipelines_spark.operators.text import paragraph_lang_profile
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    grouped = docs.groupBy(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("did")
+    ).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    return paragraph_lang_profile(grouped, id_col="did")
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5672,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_term_blocklist": docs_term_blocklist,
         "docs_dsir_weights": docs_dsir_weights,
         "docs_dsir_select": docs_dsir_select,
+        "docs_paragraph_langs": docs_paragraph_langs,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5765,6 +5791,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_term_blocklist",
     "docs_dsir_weights",
     "docs_dsir_select",
+    "docs_paragraph_langs",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8252,6 +8279,64 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Per-paragraph language profile over the derived multi-paragraph docs
+    # (same grouping as the paragraph-dedup gate); majority tiebreak =
+    # count DESC then lang ASC in both engines
+    oracles["docs_paragraph_langs"] = r"""
+        WITH grouped AS (
+            SELECT CAST(floor(doc_id / 4) AS BIGINT) AS did,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS text
+            FROM documents GROUP BY 1
+        ),
+        paras AS (
+            SELECT did, string_split_regex(trim(lower(p)), '\s+') AS toks
+            FROM (SELECT did, unnest(string_split(text, chr(10))) AS p
+                  FROM grouped)
+            WHERE trim(p) != ''
+        ),
+        scored AS (
+            SELECT did,
+                CAST(len(list_filter(toks,
+                    x -> x IN ('the','and','of','to','a','in','is','that')))
+                    AS DOUBLE) / len(toks) AS sc_en,
+                CAST(len(list_filter(toks,
+                    x -> x IN ('der','die','und','das','ist','nicht','ein','zu')))
+                    AS DOUBLE) / len(toks) AS sc_de,
+                CAST(len(list_filter(toks,
+                    x -> x IN ('el','la','de','que','y','en','un','es')))
+                    AS DOUBLE) / len(toks) AS sc_es,
+                CAST(len(list_filter(toks,
+                    x -> x IN ('le','la','et','les','des','un','une','est')))
+                    AS DOUBLE) / len(toks) AS sc_fr
+            FROM paras
+        ),
+        langed AS (
+            SELECT did,
+                   CASE WHEN GREATEST(sc_de, sc_en, sc_es, sc_fr) > 0 THEN
+                       CASE WHEN sc_de = GREATEST(sc_de, sc_en, sc_es, sc_fr) THEN 'de'
+                            WHEN sc_en = GREATEST(sc_de, sc_en, sc_es, sc_fr) THEN 'en'
+                            WHEN sc_es = GREATEST(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
+                            ELSE 'fr' END
+                   ELSE 'und' END AS lang
+            FROM scored
+        ),
+        counts AS (SELECT did, lang, count(*) AS c FROM langed GROUP BY 1, 2),
+        ranked AS (
+            SELECT did, lang, c,
+                   row_number() OVER (PARTITION BY did ORDER BY c DESC, lang) AS rn
+            FROM counts
+        ),
+        tot AS (
+            SELECT did, sum(c) AS n_paras, count(*) AS n_langs
+            FROM counts GROUP BY 1
+        )
+        SELECT t.did,
+               CAST(t.n_paras AS BIGINT) AS n_paras,
+               r.lang AS top_lang,
+               round(r.c * 1.0 / t.n_paras, 6) AS top_frac,
+               CAST(t.n_langs AS BIGINT) AS n_langs
+        FROM tot t JOIN ranked r ON t.did = r.did AND r.rn = 1
     """
     # greedy top-k selection over the same weights; rounded-weight ties
     # break on doc_id in BOTH engines

@@ -1046,3 +1046,51 @@ def hashed_bucket_kernel(n_buckets: int):
         return pd.Series(out)
 
     return _buckets
+
+
+@register("paragraph_lang_profile")
+def paragraph_lang_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    engine: str = "kernel",
+) -> DataFrame:
+    """Per-paragraph language profile — the mixed-language-document signal
+    (FineWeb-style pipelines run language ID per LINE because a dominant-
+    language score hides embedded foreign boilerplate): split on ``sep``,
+    language-ID every non-blank paragraph (the ``lang_id`` marker argmax,
+    same kernel/expr twins), and reduce per document to ``n_paras``,
+    ``top_lang`` (majority language, count-desc then alphabetical
+    tiebreak), ``top_frac`` and ``n_langs`` (distinct predictions, 'und'
+    included). Documents whose ``top_frac`` is well under 1.0 are the
+    mixed-language candidates.
+
+    Scale shape: explode → map-side lang scoring → two keyed aggregates
+    ((doc, lang) counts, then per-doc majority via a min-struct — never a
+    window over the paragraph stream). Both aggregates combine map-side;
+    the shuffle carries (doc, lang) rows, bounded by |docs| × |langs|."""
+    paras = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(F.split(F.col(text_col), sep)).alias("__para"),
+    ).filter(F.trim("__para") != "")
+    scored = lang_id(paras, text_col="__para", out_col="__lang", engine=engine)
+    counts = scored.groupBy("__did", "__lang").agg(F.count(F.lit(1)).alias("__c"))
+    prof = counts.groupBy("__did").agg(
+        F.sum("__c").alias("n_paras"),
+        F.min(
+            F.struct((-F.col("__c")).alias("nc"), F.col("__lang").alias("l"))
+        ).alias("__top"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return prof.select(
+        F.col("__did").alias(id_col),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("__top")["l"].alias("top_lang"),
+        F.round(
+            (-F.col("__top")["nc"]).cast("double")
+            / F.col("n_paras").cast("double"),
+            6,
+        ).alias("top_frac"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+    )

@@ -1022,3 +1022,26 @@ def test_hamming_pairs_banding_is_exact_under_pigeonhole(spark):
     assert got == want
     # sanity: the engineered straddling pairs are present
     assert (1, 2) in got and (2, 3) in got and (1, 6) in got
+
+
+def test_paragraph_lang_profile_mixed_docs(spark):
+    from sensordatapipelines_spark.operators.text import paragraph_lang_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog\nder hund ist nicht da\nthe end of it"),
+            (2, "el que y la en un\nel es y que en la"),
+            (3, "zzz qqq www\n\n   \nthe of and to"),
+        ],
+        "doc_id long, text string",
+    )
+    kern = {r.doc_id: r for r in paragraph_lang_profile(docs).collect()}
+    expr = {r.doc_id: r for r in paragraph_lang_profile(docs, engine="expr").collect()}
+    assert kern == expr  # kernel/expr lang twins agree through the profile
+    assert (kern[1].n_paras, kern[1].top_lang, kern[1].n_langs) == (3, "en", 2)
+    assert kern[1].top_frac == round(2 / 3, 6)
+    assert (kern[2].n_paras, kern[2].top_lang, kern[2].n_langs) == (2, "es", 1)
+    assert kern[2].top_frac == 1.0
+    # blank paragraphs dropped; marker-less paragraph scores 'und'
+    assert (kern[3].n_paras, kern[3].n_langs) == (2, 2)
+    assert kern[3].top_lang in ("en", "und") and kern[3].top_frac == 0.5
