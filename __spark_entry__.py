@@ -2760,6 +2760,36 @@ def docs_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_lang_profile(grouped, id_col="did")
 
 
+def docs_url_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the cheapest crawl-dedup pass: four messy URL
+    variants per page id (default port, fragment, uppercase host +
+    trailing slash, a real query param) canonicalize so the first three
+    collapse to one form; keep-first then drops the later doc_ids. The
+    oracle replays the SAME regex chain in DuckDB — every pattern is
+    restricted to Java∩RE2-portable constructs precisely so this check
+    is possible."""
+    from sensordatapipelines_spark.operators.utility import dedup_keep_first
+    from sensordatapipelines_spark.operators.webfilter import canonicalize_url
+
+    _register_views(spark, sf_dir)
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    host = F.element_at(
+        hosts, (F.floor(F.col("doc_id") / 4) % len(URL_HOSTS) + 1).cast("int")
+    )
+    page = F.floor(F.col("doc_id") / 4).cast("string")
+    variant = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://"), host, F.lit(":443/p/"), page, F.lit("?utm_source=feed")))
+        .when(variant == 1, F.concat(F.lit("https://"), host, F.lit("/p/"), page, F.lit("#section")))
+        .when(variant == 2, F.concat(F.lit("https://"), F.upper(host), F.lit("/p/"), page, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), page, F.lit("?a=1")))
+    )
+    docs = spark.table("documents").select("doc_id", url.alias("url"))
+    canon = canonicalize_url(docs)
+    kept = dedup_keep_first(canon, ["url_canon"], order_col="doc_id")
+    return kept.select("doc_id", "url_canon")
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5698,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": docs_dsir_weights,
         "docs_dsir_select": docs_dsir_select,
         "docs_paragraph_langs": docs_paragraph_langs,
+        "docs_url_canon_dedup": docs_url_canon_dedup,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5792,6 +5823,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_dsir_weights",
     "docs_dsir_select",
     "docs_paragraph_langs",
+    "docs_url_canon_dedup",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8279,6 +8311,61 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # URL canonicalization chain replayed verbatim in RE2 (DuckDB) — the
+    # patterns are deliberately Java∩RE2-portable; keep-first via min()
+    oracles["docs_url_canon_dedup"] = f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   {_hosts_sql}[CAST((doc_id // 4) % {len(URL_HOSTS)} AS INT) + 1]
+                       AS host,
+                   CAST(doc_id // 4 AS VARCHAR) AS page,
+                   CAST(doc_id % 4 AS INT) AS variant
+            FROM documents
+        ),
+        urls AS (
+            SELECT doc_id,
+                   CASE variant
+                     WHEN 0 THEN 'https://' || host || ':443/p/' || page
+                                 || '?utm_source=feed'
+                     WHEN 1 THEN 'https://' || host || '/p/' || page || '#section'
+                     WHEN 2 THEN 'https://' || upper(host) || '/p/' || page || '/'
+                     ELSE 'https://' || host || '/p/' || page || '?a=1'
+                   END AS url
+            FROM raw
+        ),
+        step1 AS (
+            SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls
+        ),
+        step2 AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           lower(regexp_extract(u,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?&#]*', 0)),
+                           '^(http://[^/:]+):80$', '\\1'),
+                       '^(https://[^/:]+):443$', '\\1')
+                   || substr(u, length(regexp_extract(u,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?&#]*', 0)) + 1) AS u
+            FROM step1
+        ),
+        step5 AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(replace(u, '?', '&'),
+                               '&(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
+                           '^([^&]*)&', '\\1?'),
+                       '[?&]$', '') AS u
+            FROM step2
+        ),
+        canon AS (
+            SELECT doc_id, regexp_replace(u, '([^/])/$', '\\1') AS url_canon
+            FROM step5
+        )
+        SELECT doc_id, url_canon FROM canon
+        WHERE doc_id = (SELECT min(c2.doc_id) FROM canon c2
+                        WHERE c2.url_canon = canon.url_canon)
     """
     # Per-paragraph language profile over the derived multi-paragraph docs
     # (same grouping as the paragraph-dedup gate); majority tiebreak =

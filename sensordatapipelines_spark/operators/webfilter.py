@@ -154,3 +154,54 @@ def term_blocklist_score(
         F.size(F.array_distinct(banned)).alias("n_banned_distinct"),
         (frac <= F.lit(float(max_banned_frac))).alias("keep"),
     )
+
+
+DEFAULT_TRACKING_PARAMS = ("utm_[^&]*", "fbclid=[^&]*", "gclid=[^&]*")
+
+
+def canonical_url_expr(
+    url: Column, tracking: "Sequence[str]" = DEFAULT_TRACKING_PARAMS
+) -> Column:
+    """Canonical URL form for URL-level dedup — the normalization every
+    web-crawl pipeline runs before grouping by URL: drop the fragment,
+    lowercase the scheme://host[:port] prefix, strip default ports
+    (http:80, https:443), remove tracking query params, and drop one
+    trailing slash. Pure expressions, every regex restricted to
+    constructs whose semantics match between Java regex (Spark) and RE2
+    (DuckDB): no lookarounds, no backreference tricks.
+
+    Global-replace portability: Spark's ``regexp_replace`` is always
+    global, so the "first separator" fix-up uses an ANCHORED pattern
+    (only one possible match). The chain unifies ``?`` to ``&`` first so
+    every tracking param carries its own separator, strips them in one
+    global pass, then restores the first separator to ``?``."""
+    # 1. fragment
+    u = F.regexp_replace(url, "#.*", "")
+    # 2. lowercase scheme://authority, strip default ports
+    prefix = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?&#]*", 0)
+    rest = F.substring(u, F.length(prefix) + 1, F.length(u))
+    p = F.lower(prefix)
+    p = F.regexp_replace(p, "^(http://[^/:]+):80$", "$1")
+    p = F.regexp_replace(p, "^(https://[^/:]+):443$", "$1")
+    u = F.concat(p, rest)
+    # 3-5. unify separators, strip tracking params, restore the first '?'
+    u = F.replace(u, F.lit("?"), F.lit("&"))
+    u = F.regexp_replace(u, "&(" + "|".join(tracking) + ")", "")
+    u = F.regexp_replace(u, "^([^&]*)&", "$1?")
+    # 6-7. trailing separator, then one trailing slash
+    u = F.regexp_replace(u, "[?&]$", "")
+    return F.regexp_replace(u, "([^/])/$", "$1")
+
+
+@register("canonicalize_url")
+def canonicalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    tracking: "Sequence[str]" = DEFAULT_TRACKING_PARAMS,
+) -> DataFrame:
+    """Attach the canonical URL (see ``canonical_url_expr``) — feed it to
+    ``dedup_keep_first``/``duplicate_groups`` for URL-level dedup, the
+    cheapest dedup pass a crawl pipeline runs (before any content hash).
+    Map-side, zero shuffle."""
+    return df.withColumn(out_col, canonical_url_expr(F.col(url_col), tracking))

@@ -104,3 +104,24 @@ def test_term_blocklist_score_counts_and_gate(spark):
     assert out[2].n_banned == 0 and out[2].keep is True
     assert out[3].n_tokens == 0 and out[3].banned_frac == 0.0 and out[3].keep is True
     assert out[4].n_tokens is None or out[4].n_tokens == 0  # null text tolerated
+
+
+def test_canonical_url_expr_edges(spark):
+    from sensordatapipelines_spark.operators.webfilter import canonicalize_url
+
+    cases = {
+        1: ("https://Example.COM:443/Path/?utm_source=x&q=1&utm_b=2#frag",
+            "https://example.com/Path/?q=1"),
+        2: ("http://Host.com:80/a/b/", "http://host.com/a/b"),
+        3: ("https://h.io/p?utm_only=1", "https://h.io/p"),
+        4: ("https://h.io/p?a=1&fbclid=zzz&b=2", "https://h.io/p?a=1&b=2"),
+        5: ("https://h.io/", "https://h.io"),
+        6: ("not a url ? with & stuff", "not a url ? with & stuff"),
+        7: ("https://h.io/p?q=utm_fake", "https://h.io/p?q=utm_fake"),
+        8: ("https://h.io:8443/p", "https://h.io:8443/p"),  # non-default port kept
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "i long, url string"
+    )
+    got = {r.i: r.url_canon for r in canonicalize_url(df).collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
