@@ -127,7 +127,18 @@ def parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     ``cube`` is ``(n_bands, nrows, ncols) float64`` (row 0 = TOP row, the
     TIFF raster order) and ``meta`` carries ``ncols nrows n_bands sx sy
     ulx uly nodata``. Raises ``ValueError`` on BigTIFF, compressed
-    profiles (naming the compression), or planar (non-chunky) layout."""
+    profiles (naming the compression), planar (non-chunky) layout, and
+    ANY truncated/corrupt structure — executor tasks see one typed error
+    class, never a raw ``struct.error``/``KeyError`` from a bad file."""
+    try:
+        return _parse_geotiff(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"corrupt GeoTIFF structure: {exc!r}") from exc
+
+
+def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if len(payload) < 8:
         raise ValueError("not a TIFF: truncated header")
     order = payload[:2]
@@ -165,6 +176,16 @@ def parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     sfmt_l = tags.get(_TAG_SAMPLE_FORMAT, [1])
     sfmt = int(sfmt_l[0])
     dt = _sample_dtype(bits, sfmt, bo)
+
+    # an UNCOMPRESSED raster's sample bytes cannot exceed the file that
+    # holds them — a header claiming otherwise is corrupt, and allocating
+    # its canvas would OOM the executor before any strip read could fail
+    if ncols <= 0 or nrows <= 0 or spp <= 0:
+        raise ValueError("corrupt GeoTIFF: non-positive raster dimensions")
+    if nrows * ncols * spp * (bits // 8) > 2 * len(payload) + 4096:
+        raise ValueError(
+            "corrupt GeoTIFF: declared dimensions exceed the payload size"
+        )
 
     flat = np.zeros((nrows, ncols * spp), dtype=np.float64)
     if _TAG_TILE_OFFSETS in tags:

@@ -789,3 +789,37 @@ def test_geotiff_roundtrip_hypothesis():
         assert meta["sx"] == sx and meta["ulx"] == ulx
 
     check()
+
+
+def test_geotiff_corrupt_input_raises_valueerror_only():
+    """Truncated/bit-flipped/garbage payloads raise ValueError (or
+    NotImplementedError for legitimately unsupported profiles) — never a
+    raw struct.error/KeyError leaking out of an executor task."""
+    import random
+    import tempfile
+
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = random.Random(7)
+    p = tempfile.mktemp(suffix=".tif")
+    write_geotiff(p, np.arange(12.0).reshape(3, 4))
+    raw = open(p, "rb").read()
+    for trial in range(200):
+        b = bytearray(raw)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            b = bytes(rng.randrange(256) for _ in range(rng.randrange(8, 200)))
+        try:
+            parse_geotiff(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
