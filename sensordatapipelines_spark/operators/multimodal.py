@@ -99,6 +99,19 @@ def decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Typed-error entry: corrupt/truncated payloads raise ValueError, never
+    a raw struct.error out of an executor task (decode contract below)."""
+    import struct
+
+    try:
+        return _decode_wav(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt WAVE structure: {exc!r}") from exc
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL audio decode for uncompressed RIFF/WAVE PCM (8- or 16-bit):
     walks the chunk list (fmt / data; skips LIST etc.), no codec library.
     Returns ``(frames[n_frames, channels] as int, sample_rate,

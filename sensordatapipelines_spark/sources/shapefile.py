@@ -45,6 +45,17 @@ SHP_POLYGON = 5
 
 
 def parse_shp(payload: bytes) -> list[tuple[int, str, list[tuple[list, list]]]]:
+    """Typed-error entry: corrupt/truncated payloads raise ValueError, never
+    a raw struct.error/IndexError out of an executor task."""
+    try:
+        return _parse_shp(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt shapefile structure: {exc!r}") from exc
+
+
+def _parse_shp(payload: bytes) -> list[tuple[int, str, list[tuple[list, list]]]]:
     """Parse a .shp main file → ``[(record_no, kind, parts)]`` where
     ``parts`` is ``[(xs, ys), ...]`` — one entry per ring for polygons
     (outer ring first per ESRI winding; explicit closing vertex dropped),
@@ -91,6 +102,17 @@ def parse_shp(payload: bytes) -> list[tuple[int, str, list[tuple[list, list]]]]:
 
 
 def parse_dbf(payload: bytes) -> tuple[list[str], list[list[str]]]:
+    """Typed-error entry: corrupt/truncated payloads raise ValueError, never
+    a raw struct.error/IndexError out of an executor task."""
+    try:
+        return _parse_dbf(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt dbf structure: {exc!r}") from exc
+
+
+def _parse_dbf(payload: bytes) -> tuple[list[str], list[list[str]]]:
     """Parse a dBASE III .dbf attribute table → ``(field_names, rows)``
     with every value as stripped TEXT (raw-string convention; callers
     cast). Deleted records (flag ``*``) are skipped."""

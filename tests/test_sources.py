@@ -823,3 +823,40 @@ def test_geotiff_corrupt_input_raises_valueerror_only():
             parse_geotiff(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_binary_parsers_corrupt_input_typed_errors():
+    """Fuzz: shp/dbf/wav parsers raise only ValueError (or
+    NotImplementedError) on truncated/flipped/garbage payloads."""
+    import random
+    import struct
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+    from sensordatapipelines_spark.sources.shapefile import parse_dbf, parse_shp
+
+    rng = random.Random(5)
+    shp = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", 64)
+    shp += b"\x00" * 72 + struct.pack(">ii", 1, 10)
+    shp += struct.pack("<i", 1) + struct.pack("<2d", 1.0, 2.0)
+    dbf = bytes([3, 24, 1, 1]) + struct.pack("<IHH", 1, 65, 12) + b"\x00" * 20
+    dbf += (b"name\x00\x00\x00\x00\x00\x00\x00C\x00\x00\x00\x00"
+            + bytes([11]) + b"\x00" * 15 + b"\x0d" + b" hello      ")
+    wav = (b"RIFF" + struct.pack("<I", 52) + b"WAVE" + b"fmt "
+           + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16) + bytes(16))
+    for fn, seed in ((parse_shp, shp), (parse_dbf, dbf), (decode_wav, wav)):
+        for trial in range(150):
+            b = bytearray(seed)
+            mode = trial % 3
+            if mode == 0:
+                b = b[: rng.randrange(1, len(b))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 5)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 100)))
+            try:
+                fn(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
