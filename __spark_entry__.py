@@ -2790,6 +2790,24 @@ def docs_url_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "url_canon")
 
 
+def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination AUDIT (the measure-before-you-drop twin of
+    docs_decontaminate): per contaminated corpus document, distinct
+    8-gram count, benchmark-hit count and hit fraction — the signal that
+    separates a verbatim test-set copy (hit_frac ≈ 1) from a document
+    merely quoting one benchmark question."""
+    from sensordatapipelines_spark.operators.dedup import contamination_report
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    rep = contamination_report(corpus, bench, id_col="doc_id", n=8)
+    return rep.filter(F.col("n_hit") > 0).select(
+        "doc_id", "n_shingles", "n_hit", "hit_frac"
+    )
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5729,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_select": docs_dsir_select,
         "docs_paragraph_langs": docs_paragraph_langs,
         "docs_url_canon_dedup": docs_url_canon_dedup,
+        "docs_contamination_report": docs_contamination_report,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5824,6 +5843,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_dsir_select",
     "docs_paragraph_langs",
     "docs_url_canon_dedup",
+    "docs_contamination_report",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8311,6 +8331,42 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Contamination audit: joins on shingle STRINGS (the engine's
+    # xxhash64 key is a size optimization, collision-free at this scale)
+    oracles["docs_contamination_report"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])) AS g
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(g) AS s FROM sh WHERE doc_id % 19 = 0
+        ),
+        corpus AS (
+            SELECT doc_id, unnest(g) AS s FROM sh WHERE doc_id % 19 <> 0
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1
+        ),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corpus c JOIN bench b ON c.s = b.s
+            GROUP BY 1
+        )
+        SELECT p.doc_id,
+               CAST(p.n_shingles AS BIGINT) AS n_shingles,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               round(h.n_hit * 1.0 / p.n_shingles, 6) AS hit_frac
+        FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+        WHERE h.n_hit > 0
     """
     # URL canonicalization chain replayed verbatim in RE2 (DuckDB) — the
     # patterns are deliberately Java∩RE2-portable; keep-first via min()

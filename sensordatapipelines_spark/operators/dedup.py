@@ -1219,3 +1219,76 @@ def hamming_pairs(
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register("contamination_report")
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Audit twin of ``decontaminate``: instead of silently dropping,
+    MEASURE the leakage — per corpus document, the distinct word-n-gram
+    count, how many of those shingles appear anywhere in the benchmark
+    set, and the contaminated fraction. Contamination audits run this
+    BEFORE deciding a drop policy (a doc quoting one benchmark question
+    differs from a verbatim test-set copy; ``hit_frac`` separates them).
+
+    Same plan shape as ``decontaminate``: both sides shingle JVM-side,
+    keyed by the 8-byte shingle hash, benchmark side DISTINCT +
+    broadcast; the per-doc hit count re-reduces map-side. Documents with
+    zero shingles (shorter than ``n`` tokens) report ``n_shingles = 0``
+    with ``hit_frac`` NULL."""
+    corpus_sh = spread_by(
+        corpus.select(F.col(id_col).alias("__cid"), F.col(text_col)), "__cid"
+    ).select(
+        "__cid",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_kernel(n)(F.col(text_col)), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("__s"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_kernel(n)(F.col(text_col)), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("__s")
+    ).distinct()
+    per_doc = corpus_sh.groupBy("__cid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "__s")
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    joined = (
+        per_doc.join(hits, "__cid", "left")
+        .select(
+            "__cid",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+    base = corpus.select(F.col(id_col).alias("__cid")).join(
+        joined, "__cid", "left"
+    )
+    return base.select(
+        F.col("__cid").alias(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        ).alias("hit_frac"),
+    )

@@ -1045,3 +1045,29 @@ def test_paragraph_lang_profile_mixed_docs(spark):
     # blank paragraphs dropped; marker-less paragraph scores 'und'
     assert (kern[3].n_paras, kern[3].n_langs) == (2, 2)
     assert kern[3].top_lang in ("en", "und") and kern[3].top_frac == 0.5
+
+
+def test_contamination_report_measures_leakage(spark):
+    from sensordatapipelines_spark.operators.dedup import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),      # verbatim copy
+            (2, "intro words alpha beta gamma delta epsilon zeta outro"),
+            (3, "totally unrelated content with many words here"),
+            (4, "ab"),                                       # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_report(corpus, bench, n=3).collect()
+    }
+    assert out[1].hit_frac == 1.0                      # full copy
+    assert 0 < out[2].hit_frac < 1.0                   # partial quote
+    assert out[3].n_hit == 0 and out[3].hit_frac == 0.0
+    assert out[4].n_shingles == 0 and out[4].hit_frac is None
