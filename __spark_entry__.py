@@ -2808,6 +2808,41 @@ def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-ops regression check): the customer table
+    vs a deterministically mutated next-day snapshot — every 13th key
+    deleted, every 7th account balance bumped, every 11th surviving row
+    cloned under key+1,000,000 — classified added/removed/changed via the
+    portable MD5 row hash (balances rendered through DECIMAL(12,2) so
+    both engines hash identical strings)."""
+    from sensordatapipelines_spark.operators.utility import snapshot_diff
+
+    _register_views(spark, sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(12,2)").cast("string")
+    old_p = spark.table("customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", bal.alias("bal")
+    )
+    base = spark.table("customer").filter(F.col("c_custkey") % 13 != 0)
+    mutated = base.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            (F.col("c_acctbal") + F.lit(10.0)).cast("decimal(12,2)").cast("string"),
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(12,2)").cast("string"))
+        .alias("bal"),
+    )
+    clones = mutated.filter(F.col("c_custkey") % 11 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    new_p = mutated.unionByName(clones)
+    out = snapshot_diff(old_p, new_p, keys=["c_custkey"])
+    return out.select("c_custkey", "change", "old_hash", "new_hash")
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5748,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_langs": docs_paragraph_langs,
         "docs_url_canon_dedup": docs_url_canon_dedup,
         "docs_contamination_report": docs_contamination_report,
+        "customer_snapshot_diff": customer_snapshot_diff,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5844,6 +5880,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_paragraph_langs",
     "docs_url_canon_dedup",
     "docs_contamination_report",
+    "customer_snapshot_diff",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8331,6 +8368,46 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Snapshot diff: identical mutation + identical md5 row hash in SQL
+    oracles["customer_snapshot_diff"] = r"""
+        WITH old_p AS (
+            SELECT c_custkey,
+                   md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
+                       c_mktsegment,
+                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)))
+                       AS old_hash
+            FROM customer
+        ),
+        mutated AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN CAST(CAST(c_acctbal + 10.0 AS DECIMAL(12,2)) AS VARCHAR)
+                        ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                   END AS bal
+            FROM customer WHERE c_custkey % 13 <> 0
+        ),
+        new_rows AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment, bal FROM mutated
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_mktsegment, bal
+            FROM mutated WHERE c_custkey % 11 = 0
+        ),
+        new_p AS (
+            SELECT c_custkey,
+                   md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
+                       c_mktsegment, bal)) AS new_hash
+            FROM new_rows
+        )
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.old_hash IS NULL THEN 'added'
+                    WHEN n.new_hash IS NULL THEN 'removed'
+                    WHEN o.old_hash <> n.new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               o.old_hash, n.new_hash
+        FROM old_p o FULL OUTER JOIN new_p n ON o.c_custkey = n.c_custkey
+        WHERE NOT (o.old_hash IS NOT NULL AND n.new_hash IS NOT NULL
+                   AND o.old_hash = n.new_hash)
     """
     # Contamination audit: joins on shingle STRINGS (the engine's
     # xxhash64 key is a size optimization, collision-free at this scale)

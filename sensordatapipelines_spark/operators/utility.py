@@ -880,3 +880,49 @@ def rolling_origin_folds(
             "(fold, test_start_us, test_end_us, n_train, n_test)"
         )
     )
+
+
+@register("snapshot_diff")
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: "Sequence[str]",
+    value_cols: "Sequence[str] | None" = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Table diff between two snapshots — the data-ops regression check
+    ("what did this pipeline change?"): one row per key present in either
+    side, classified ``added`` / ``removed`` / ``changed`` (and
+    ``unchanged`` when ``include_unchanged``), with the row-value hashes.
+
+    Values compare by an MD5 over the ``value_cols`` rendered to strings
+    with an unambiguous NULL sentinel and a ``|`` separator — portable
+    (DuckDB computes the identical hash; render floats through DECIMAL
+    in the caller when cross-engine string formatting matters). Plan
+    shape: two slim projections, ONE full-outer equi-join on the keys —
+    no row widening, no window; at 100 TB this is the minimal shuffle
+    any diff can do (both sides must co-locate by key once)."""
+    keys = list(keys)
+    vcols = list(value_cols) if value_cols else [
+        c for c in new.columns if c not in keys
+    ]
+
+    def row_hash(df: DataFrame) -> Column:
+        rendered = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL")) for c in vcols
+        ]
+        return F.md5(F.concat_ws("|", *rendered))
+
+    o = old.select(*keys, row_hash(old).alias("old_hash"))
+    n = new.select(*keys, row_hash(new).alias("new_hash"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(*keys, change.alias("change"), "old_hash", "new_hash")
+    if include_unchanged:
+        return out
+    return out.filter(F.col("change") != "unchanged")

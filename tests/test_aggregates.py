@@ -307,3 +307,27 @@ def test_rolling_origin_folds_no_leakage(spark):
         assert r["n_train"] + r["n_test"] <= 20
         assert r["test_start_us"] < r["test_end_us"]
     assert folds[0]["n_train"] > 0 and folds[-1]["n_test"] > 0
+
+
+def test_snapshot_diff_classification(spark):
+    from sensordatapipelines_spark.operators.utility import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+    full = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, keys=["k"], include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 4
+    # NULL value vs the string 'NULL' must hash differently (sentinel)
+    o3 = spark.createDataFrame([(1, None)], "k long, s string")
+    n3 = spark.createDataFrame([(1, "NULL")], "k long, s string")
+    assert (
+        snapshot_diff(o3, n3, keys=["k"]).collect()[0].change == "changed"
+    )
