@@ -1174,6 +1174,18 @@ def hamming_pairs(
     near-black thumbnails) is bounded by the hash entropy; for
     pathological corpora pre-filter constant hashes first."""
     h = F.lower(F.col(hash_col))
+    # a hash whose hex length doesn't divide into n_bands would band a
+    # truncated prefix — a SILENT recall loss; fail loudly per offending
+    # row instead (raise_error stays JVM-side, costs one modulo)
+    h = F.when(
+        F.length(h) % F.lit(n_bands) != 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"hamming_pairs: hash length not divisible by {n_bands} bands: "),
+                h,
+            )
+        ),
+    ).otherwise(h)
     slim = df.select(F.col(id_col).alias("__id"), h.alias("__h"))
     width = F.length("__h") / F.lit(n_bands)
     banded = slim.select(

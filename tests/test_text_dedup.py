@@ -1071,3 +1071,15 @@ def test_contamination_report_measures_leakage(spark):
     assert 0 < out[2].hit_frac < 1.0                   # partial quote
     assert out[3].n_hit == 0 and out[3].hit_frac == 0.0
     assert out[4].n_shingles == 0 and out[4].hit_frac is None
+
+
+def test_hamming_pairs_rejects_indivisible_hash_length(spark):
+    import pytest
+
+    from sensordatapipelines_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcde")], "media_id long, dhash string"  # 5 chars, 4 bands
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        hamming_pairs(df, n_bands=4).collect()
