@@ -809,6 +809,18 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the 5 most
+    cosine-similar vectors with a DIFFERENT label — the negatives that
+    sit just across the decision boundary. Same broadcast-query shape as
+    the exact top-k; the label inequality rides the join condition."""
+    from sensordatapipelines_spark.operators.similarity import hard_negatives
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
+
+
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: seeded random-hyperplane LSH buckets + in-bucket exact re-rank.
     The hyperplanes are deterministic (seeded PRNG, embedded as literals in
@@ -5784,6 +5796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_canon_dedup": docs_url_canon_dedup,
         "docs_contamination_report": docs_contamination_report,
         "customer_snapshot_diff": customer_snapshot_diff,
+        "emb_hard_negatives": emb_hard_negatives,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5881,6 +5894,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_url_canon_dedup",
     "docs_contamination_report",
     "customer_snapshot_diff",
+    "emb_hard_negatives",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -6801,6 +6815,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs
             )
             SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
+            FROM ranked WHERE rank <= {KNN_K}
+        """,
+        # hard-negative mining: same exact cosine, label-mismatched pairs only
+        "emb_hard_negatives": f"""
+            WITH pairs AS (
+                SELECT q.vec_id AS query_id, e.vec_id, e.label AS neg_label,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+                       / (SQRT(list_reduce(list_transform(range(1, 65),
+                               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                               (x, y) -> x + y))
+                        * SQRT(list_reduce(list_transform(range(1, 65),
+                               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                               (x, y) -> x + y))) AS sim
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 8 AND q.vec_id <> e.vec_id
+                  AND q.label <> e.label
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, neg_label, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM pairs
+            )
+            SELECT query_id, vec_id, neg_label, ROUND(sim, 6) AS cos_sim, rank
             FROM ranked WHERE rank <= {KNN_K}
         """,
         "events_percentiles": """

@@ -855,3 +855,59 @@ def query_ann_index(
             "rank",
         )
     )
+
+
+@register("hard_negatives")
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the ``k`` MOST-similar corpus vectors carrying a DIFFERENT label —
+    the negatives that actually move an embedding model (random negatives
+    are trivially separable; the hard ones sit just across the boundary).
+    Returns ``(query_id, vec_id, neg_label, cos_sim, rank)``.
+
+    Same plan shape as ``cosine_topk`` (query side broadcast, corpus
+    scanned once, fold-exact Arrow dot kernel, deterministic
+    ``row_number`` ties): the label inequality rides the broadcast join
+    condition, so mismatched-label pairs are never materialized. At
+    billion-vector scale, swap the corpus side for an ANN candidate set
+    (``ann_lsh_topk``/IVF) and re-rank — the ranking stage is shared."""
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlab"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__clab"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
+    pairs = F.broadcast(q).join(
+        c,
+        on=(F.col("__qid") != F.col("__cid"))
+        & (F.col("__qlab") != F.col("__clab")),
+    )
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.col("__clab").alias("neg_label"),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

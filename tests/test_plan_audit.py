@@ -20,6 +20,7 @@ BNLJ_ALLOWED = {
     "docs_mix_temperature", "docs_top_p_sources", "events_psi_drift",
     "pipeline_curation", "zones_wkb_polygon_agg", "zones_wkb_holes_agg",
     "emb_ann_recall", "q22_global_sales", "emb_cosine_topk",
+    "emb_hard_negatives",  # broadcast query side, inequality-only condition
     "events_salted_join", "events_runtime_filter_join", "sensors_buffer_agg",
     "sensors_knn_agg", "sensors_zonal_stats", "sensors_idw",
     "events_key_skew", "zones_polygon_agg", "docs_length_filter",

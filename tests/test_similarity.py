@@ -290,3 +290,20 @@ def test_semantic_dedup_resolves_and_runs_via_registry(spark):
     out = {r["vec_id"] for r in p2.process(df).collect()}
     # ids 0/1 are exact dups -> higher id dropped; 2 and 3 survive
     assert out == {0, 2, 3}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from sensordatapipelines_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.99, 0.1], "a"),   # most similar to 1, SAME label -> excluded
+        (3, [0.9, 0.2], "b"),    # best different-label negative
+        (4, [0.0, 1.0], "b"),
+        (5, [-1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = hard_negatives(df, df.filter("vec_id = 1"), k=2).collect()
+    got = [(r.vec_id, r.neg_label, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(3, "b", 1), (4, "b", 2)]
+    assert all(r.neg_label != "a" for r in out)
