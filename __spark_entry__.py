@@ -2855,6 +2855,47 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "change", "old_hash", "new_hash")
 
 
+def docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: assignment hashes the SOURCE (group) key, so a
+    source's documents — and any near-duplicates among them — land
+    entirely on one side. One row per (source, split) proves the
+    disjointness property itself: no source appears under both."""
+    from sensordatapipelines_spark.operators.utility import group_disjoint_split
+
+    _register_views(spark, sf_dir)
+    out = group_disjoint_split(
+        spark.table("documents"), group_col="source", heldout_rate=0.25
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture manifest: per source, documents in length-priority order
+    until 800 whitespace tokens — the "N tokens per source, best first"
+    selection a training-mix builder runs. One window exchange; the
+    budget-crossing document is kept (budgets are floors)."""
+    from sensordatapipelines_spark.operators.text import token_count_expr
+    from sensordatapipelines_spark.operators.utility import token_budget_pack
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = token_budget_pack(
+        docs,
+        budget=800,
+        group_col="source",
+        tokens_col="n_tokens",
+        priority_col="n_chars",
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: rank every document by
     the MD5 of (seed, id) — a reproducible permutation with no RNG state,
@@ -5797,6 +5838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination_report": docs_contamination_report,
         "customer_snapshot_diff": customer_snapshot_diff,
         "emb_hard_negatives": emb_hard_negatives,
+        "docs_group_split": docs_group_split,
+        "docs_token_budget": docs_token_budget,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5895,6 +5938,8 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_contamination_report",
     "customer_snapshot_diff",
     "emb_hard_negatives",
+    "docs_group_split",
+    "docs_token_budget",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8409,6 +8454,36 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Group-disjoint split: md5(source) prefix vs the 0.25 threshold
+    oracles["docs_group_split"] = r"""
+        SELECT source,
+               CASE WHEN substring(md5(source), 1, 8) < '40000000'
+                    THEN 'heldout' ELSE 'train' END AS split,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """
+    # Token-budget pack: same (n_chars DESC, doc_id) order + running sum
+    oracles["docs_token_budget"] = r"""
+        WITH counted AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM counted
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens - n_tokens < 800
     """
     # Snapshot diff: identical mutation + identical md5 row hash in SQL
     oracles["customer_snapshot_diff"] = r"""

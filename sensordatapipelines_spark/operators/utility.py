@@ -926,3 +926,65 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.filter(F.col("change") != "unchanged")
+
+
+@register("group_disjoint_split")
+def group_disjoint_split(
+    df: DataFrame,
+    group_col: str,
+    heldout_rate: float = 0.1,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/heldout split: the assignment hashes the GROUP
+    key (domain, source, author…), so every row of a group lands on the
+    SAME side — near-duplicates within a group can never straddle the
+    split, the failure mode a row-level split invites (RefinedWeb-style
+    pipelines split by registered domain for exactly this reason).
+
+    Same contract as ``hash_sample``: membership is a pure function of
+    (salt, group key) — MD5-prefix threshold, zero state, zero shuffle,
+    stable across re-runs and cluster sizes."""
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))), 1, 8
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            prefix < F.lit(_hex_threshold(heldout_rate)), F.lit("heldout")
+        ).otherwise(F.lit("train")),
+    )
+
+
+@register("token_budget_pack")
+def token_budget_pack(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Mixture manifest builder: per group, take documents in priority
+    order (``priority_col`` DESC, id ASC tiebreak; id order when no
+    priority) until the cumulative token count reaches ``budget`` — "give
+    me 1M tokens per source, best first". The document that CROSSES the
+    budget is included (budgets are floors, matching how sampling
+    manifests are consumed), everything after it is cut.
+
+    ONE window exchange per group ordering — no self-join, no iteration;
+    the cumulative sum uses the standard running-total frame. Emits the
+    kept rows plus ``cum_tokens``."""
+    order = (
+        [F.desc(priority_col), F.col(id_col)] if priority_col else [F.col(id_col)]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    out = df.withColumn("cum_tokens", cum.cast("long"))
+    return out.filter(
+        (F.col("cum_tokens") - F.col(tokens_col)) < F.lit(int(budget))
+    )

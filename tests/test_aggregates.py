@@ -331,3 +331,44 @@ def test_snapshot_diff_classification(spark):
     assert (
         snapshot_diff(o3, n3, keys=["k"]).collect()[0].change == "changed"
     )
+
+
+def test_group_disjoint_split_never_straddles(spark):
+    from sensordatapipelines_spark.operators.utility import group_disjoint_split
+
+    df = spark.createDataFrame(
+        [(i, f"host{i % 7}") for i in range(70)], "doc_id long, source string"
+    )
+    out = group_disjoint_split(df, group_col="source", heldout_rate=0.4)
+    sides = out.groupBy("source").agg(
+        F.count_distinct("split").alias("n_sides")
+    ).collect()
+    assert all(r.n_sides == 1 for r in sides)  # no group straddles
+    # stable across re-runs (pure function of the group key)
+    again = {(r.doc_id, r.split) for r in out.collect()}
+    assert {(r.doc_id, r.split) for r in
+            group_disjoint_split(df, "source", 0.4).collect()} == again
+
+
+def test_token_budget_pack_floor_semantics(spark):
+    from sensordatapipelines_spark.operators.utility import token_budget_pack
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 40, 9),   # priority order within 'a': 1 (40), 2 (30), 3 (20)
+            (2, "a", 30, 5),
+            (3, "a", 20, 5),
+            (4, "b", 99, 100),
+        ],
+        "doc_id long, source string, prio long, n_tokens long",
+    )
+    out = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_pack(
+            df, budget=10, group_col="source",
+            tokens_col="n_tokens", priority_col="prio",
+        ).collect()
+    }
+    # doc 1 (9 < 10) kept; doc 2 starts at 9 < 10 -> kept (crosses, floor
+    # semantics); doc 3 starts at 14 >= 10 -> cut; group b's first always kept
+    assert out == {1: 9, 2: 14, 4: 100}
