@@ -3048,18 +3048,33 @@ def media_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal row-explosion plumbing: per-media sampled frame rows via
-    mapInPandas (stubbed extraction kernel, real batch/partition shape)."""
-    from sensordatapipelines_spark.operators.multimodal import (
-        attach_fake_media,
-        frame_sample,
-    )
+    """Multimodal row-explosion plumbing with a FULL value oracle: the
+    fake-video media structs are pure functions of the documents table
+    (payload = the text's md5 digest, n_frames = doc_id mod 40 + 10), so
+    DuckDB reproduces every sampled frame's bytes — the deterministic
+    payload-slice kernel (idx mod len window) is checked hex-for-hex,
+    upgrading this gate from rows-only. Real video extraction still
+    requires ffmpeg (the WAV path has its own byte-exact gate)."""
+    from sensordatapipelines_spark.operators.multimodal import frame_sample
 
     _register_views(spark, sf_dir)
-    media = attach_fake_media(
-        spark.table("documents").select("doc_id"), "doc_id", kind="video"
+    media = spark.table("documents").select(
+        F.struct(
+            F.col("doc_id").cast("long").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.unhex(F.md5(F.col("text"))).alias("payload"),
+            F.struct(
+                F.lit("fake").alias("format"),
+                (F.pmod(F.col("doc_id"), F.lit(40)) + 10)
+                .cast("int")
+                .alias("n_frames"),
+            ).alias("meta"),
+        ).alias("media")
     )
-    return frame_sample(media, every_n=25)
+    out = frame_sample(media, every_n=25)
+    return out.select(
+        "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -8454,6 +8469,18 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Fake-video frame sampling: payload/meta are pure functions of the
+    # documents table, so every sampled frame's hex is reproducible —
+    # idx 0 = the full 16-byte digest; idx 25 wraps to bytes 9..15
+    oracles["media_frame_sample"] = r"""
+        WITH staged AS (SELECT doc_id, md5(text) AS h FROM documents)
+        SELECT doc_id AS media_id, CAST(0 AS INT) AS frame_idx,
+               UPPER(h) AS frame_hex
+        FROM staged
+        UNION ALL
+        SELECT doc_id, CAST(25 AS INT), UPPER(substr(h, 19, 14))
+        FROM staged WHERE doc_id % 40 >= 16
     """
     # Group-disjoint split: md5(source) prefix vs the 0.25 threshold
     oracles["docs_group_split"] = r"""
