@@ -1083,3 +1083,39 @@ def test_hamming_pairs_rejects_indivisible_hash_length(spark):
     )
     with pytest.raises(Exception, match="not divisible"):
         hamming_pairs(df, n_bands=4).collect()
+
+
+def test_hamming_pairs_random_fuzz_matches_bruteforce(spark):
+    """128 random 64-bit hashes: the banded join reproduces brute-force
+    all-pairs exactly whenever the pigeonhole contract holds."""
+    import random
+    from itertools import combinations
+
+    from sensordatapipelines_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(17)
+    base = [rng.getrandbits(64) for _ in range(32)]
+    # plant near-dups: flip up to 3 random bits of random base hashes
+    hashes = {i + 1: f"{h:016x}" for i, h in enumerate(base)}
+    nid = len(base) + 1
+    for _ in range(96):
+        src = rng.choice(base)
+        for _ in range(rng.randrange(0, 4)):
+            src ^= 1 << rng.randrange(64)
+        hashes[nid] = f"{src:016x}"
+        nid += 1
+    df = spark.createDataFrame(list(hashes.items()), "media_id long, dhash string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    want = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a, b in combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= 3
+    }
+    assert got == want and len(want) > 50  # the fuzz actually planted pairs

@@ -125,3 +125,30 @@ def test_canonical_url_expr_edges(spark):
     )
     got = {r.i: r.url_canon for r in canonicalize_url(df).collect()}
     assert got == {k: v[1] for k, v in cases.items()}
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) — a normalizer that isn't idempotent
+    would dedup differently depending on how many times it ran."""
+    from sensordatapipelines_spark.operators.webfilter import canonical_url_expr
+
+    urls = [
+        "https://Example.COM:443/Path/?utm_source=x&q=1&utm_b=2#frag",
+        "http://Host.com:80/a/b/",
+        "https://h.io/p?utm_only=1",
+        "https://h.io/p?a=1&fbclid=zzz&b=2",
+        "https://h.io/",
+        "not a url ? with & stuff",
+        "https://h.io/p?q=utm_fake",
+        "https://user@h.io:8443/p/?x=1&utm_z=2#f",
+        "ftp://files.example.org/pub/",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonical_url_expr(F.col("url")).alias("once"),
+    ).select(
+        "once", canonical_url_expr(F.col("once")).alias("twice")
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, (r.once, r.twice)
