@@ -4943,6 +4943,19 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each click shares equally in the
+    next purchase's credit. The forward-looking as-of window assigns
+    every touch to exactly one conversion (no fact-fact range join);
+    two window exchanges total."""
+    from sensordatapipelines_spark.operators.temporal import linear_attribution
+
+    _register_views(spark, sf_dir)
+    return linear_attribution(
+        load_table(spark, sf_dir, "events"), order_tiebreak="event_id"
+    )
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5855,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": emb_hard_negatives,
         "docs_group_split": docs_group_split,
         "docs_token_budget": docs_token_budget,
+        "events_linear_attribution": events_linear_attribution,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5955,6 +5969,7 @@ _ROUND4_SAMPLE_FIRST = [
     "emb_hard_negatives",
     "docs_group_split",
     "docs_token_budget",
+    "events_linear_attribution",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8469,6 +8484,41 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.n_feats, 0) AS n_feats,
                COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+    # Linear attribution: forward as-of window assigns each touch its
+    # next conversion; share = 1/n over the derived (user, conversion) key
+    oracles["events_linear_attribution"] = r"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+            FROM events
+        ),
+        wconv AS (
+            SELECT event_id, user_id, event_type, tus,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING)
+                       AS conversion_id
+            FROM e
+        ),
+        touches AS (
+            SELECT * FROM wconv
+            WHERE event_type = 'click' AND conversion_id IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_id AS touch_id, user_id, conversion_id,
+                   row_number() OVER (PARTITION BY user_id, conversion_id
+                                      ORDER BY tus, event_id) AS touch_rank,
+                   count(*) OVER (PARTITION BY user_id, conversion_id)
+                       AS n_touches
+            FROM touches
+        )
+        SELECT touch_id, user_id, conversion_id,
+               CAST(touch_rank AS BIGINT) AS touch_rank,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               round(1.0 / n_touches, 6) AS credit
+        FROM ranked
     """
     # Fake-video frame sampling: payload/meta are pure functions of the
     # documents table, so every sampled frame's hex is reproducible —

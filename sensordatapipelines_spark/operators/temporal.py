@@ -842,3 +842,63 @@ def scd2_lookup(
         & (vt.isNull() | (ts_us < F.unix_micros(vt.cast("timestamp"))))
     )
     return events.alias("e").join(history.alias("h"), on=cond, how="left")
+
+
+@register("linear_attribution")
+def linear_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution — the third standard model next to
+    first/last touch (``touch_attribution``): every touch preceding a
+    conversion (since the user's previous conversion) shares the credit
+    equally. Emits one row per ATTRIBUTED TOUCH:
+    ``(touch_id, user, conversion_id, touch_rank, n_touches, credit)``
+    with ``credit = round(1/n_touches, 6)``.
+
+    Engine shape — the naive formulation is a fact-fact range join
+    (conversions × preceding touches, the classic 100 TB trap); instead,
+    each touch finds its NEXT conversion with a FORWARD-looking window
+    (first conversion id over the following frame — an as-of join as one
+    window exchange), which assigns every touch to exactly one
+    conversion; rank and share then come from a second window over the
+    derived (user, conversion) key. Two window exchanges total, both on
+    the user key family; integer-deterministic credit (no exp/pow).
+    Touches after the user's last conversion stay unattributed and are
+    excluded (documented; count them upstream if needed)."""
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_id = F.when(F.col(type_col) == convert_type, F.col(id_col))
+    touches = (
+        df.withColumn("conversion_id", F.first(conv_id, ignorenulls=True).over(fwd))
+        .filter(
+            (F.col(type_col) == touch_type) & F.col("conversion_id").isNotNull()
+        )
+    )
+    grp = Window.partitionBy(user_col, "conversion_id").orderBy(*order)
+    out = touches.withColumn("touch_rank", F.row_number().over(grp)).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(
+            Window.partitionBy(user_col, "conversion_id")
+        ),
+    )
+    return out.select(
+        F.col(id_col).alias("touch_id"),
+        F.col(user_col),
+        "conversion_id",
+        F.col("touch_rank").cast("long").alias("touch_rank"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.round(F.lit(1.0) / F.col("n_touches").cast("double"), 6).alias("credit"),
+    )

@@ -494,3 +494,30 @@ def test_scd2_lookup_point_in_time(spark):
     assert got[3] == (2, "b")          # transition event -> new version
     assert got[4] == (2, "b")
     assert got[0] == (None, None)      # before history begins
+
+
+def test_linear_attribution_shares_and_reset(spark):
+    from sensordatapipelines_spark.operators.temporal import linear_attribution
+
+    rows = [
+        # user A: 2 clicks -> purchase P1 (credit 0.5 each), then click -> P2
+        (1, "u", "2024-01-01 00:00:01", "click"),
+        (2, "u", "2024-01-01 00:00:02", "click"),
+        (3, "u", "2024-01-01 00:00:03", "purchase"),
+        (4, "u", "2024-01-01 00:00:04", "click"),
+        (5, "u", "2024-01-01 00:00:05", "purchase"),
+        (6, "u", "2024-01-01 00:00:06", "click"),   # after last purchase -> dropped
+        (7, "v", "2024-01-01 00:00:01", "view"),    # non-touch -> ignored
+        (8, "v", "2024-01-01 00:00:02", "purchase"),  # conversion with no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, event_type string"
+    )
+    out = {
+        r.touch_id: r
+        for r in linear_attribution(df, order_tiebreak="event_id").collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].conversion_id == 3 and out[1].credit == 0.5 and out[1].n_touches == 2
+    assert out[2].conversion_id == 3 and out[2].touch_rank == 2
+    assert out[4].conversion_id == 5 and out[4].credit == 1.0
