@@ -4956,6 +4956,20 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) attribution: first and last
+    touch before each purchase get 0.4 credit each, middles share 0.2 —
+    same forward as-of window machinery as the linear model."""
+    from sensordatapipelines_spark.operators.temporal import linear_attribution
+
+    _register_views(spark, sf_dir)
+    return linear_attribution(
+        load_table(spark, sf_dir, "events"),
+        order_tiebreak="event_id",
+        model="position",
+    )
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5869,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_group_split": docs_group_split,
         "docs_token_budget": docs_token_budget,
         "events_linear_attribution": events_linear_attribution,
+        "events_position_attribution": events_position_attribution,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5970,6 +5985,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_group_split",
     "docs_token_budget",
     "events_linear_attribution",
+    "events_position_attribution",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8518,6 +8534,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(touch_rank AS BIGINT) AS touch_rank,
                CAST(n_touches AS BIGINT) AS n_touches,
                round(1.0 / n_touches, 6) AS credit
+        FROM ranked
+    """
+    # U-shaped attribution: same windows, 40/20/40 credit CASE
+    oracles["events_position_attribution"] = r"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+            FROM events
+        ),
+        wconv AS (
+            SELECT event_id, user_id, event_type, tus,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING)
+                       AS conversion_id
+            FROM e
+        ),
+        touches AS (
+            SELECT * FROM wconv
+            WHERE event_type = 'click' AND conversion_id IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_id AS touch_id, user_id, conversion_id,
+                   row_number() OVER (PARTITION BY user_id, conversion_id
+                                      ORDER BY tus, event_id) AS touch_rank,
+                   count(*) OVER (PARTITION BY user_id, conversion_id)
+                       AS n_touches
+            FROM touches
+        )
+        SELECT touch_id, user_id, conversion_id,
+               CAST(touch_rank AS BIGINT) AS touch_rank,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               round(CASE WHEN n_touches = 1 THEN 1.0
+                          WHEN n_touches = 2 THEN 0.5
+                          WHEN touch_rank = 1 OR touch_rank = n_touches
+                               THEN 0.4
+                          ELSE 0.2 / (n_touches - 2.0) END, 6) AS credit
         FROM ranked
     """
     # Fake-video frame sampling: payload/meta are pure functions of the

@@ -854,13 +854,16 @@ def linear_attribution(
     touch_type: str = "click",
     convert_type: str = "purchase",
     order_tiebreak: str | None = None,
+    model: str = "linear",
 ) -> DataFrame:
     """Multi-touch LINEAR attribution — the third standard model next to
     first/last touch (``touch_attribution``): every touch preceding a
     conversion (since the user's previous conversion) shares the credit
     equally. Emits one row per ATTRIBUTED TOUCH:
     ``(touch_id, user, conversion_id, touch_rank, n_touches, credit)``
-    with ``credit = round(1/n_touches, 6)``.
+    with ``credit = round(1/n_touches, 6)``; ``model="position"`` switches
+    to the U-shaped 40/20/40 weighting (first and last touch 0.4 each,
+    middles share 0.2) — per-conversion credit always sums to 1.
 
     Engine shape — the naive formulation is a fact-fact range join
     (conversions × preceding touches, the classic 100 TB trap); instead,
@@ -894,11 +897,26 @@ def linear_attribution(
             Window.partitionBy(user_col, "conversion_id")
         ),
     )
+    n = F.col("n_touches").cast("double")
+    rank = F.col("touch_rank")
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "position":
+        # U-shaped 40/20/40: first and last touch get 0.4 each, middles
+        # share the remaining 0.2; degenerate groups keep total credit 1.0
+        credit = (
+            F.when(F.col("n_touches") == 1, F.lit(1.0))
+            .when((F.col("n_touches") == 2), F.lit(0.5))
+            .when((rank == 1) | (rank == F.col("n_touches")), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - F.lit(2.0)))
+        )
+    else:
+        raise ValueError(f"model must be linear|position, got {model!r}")
     return out.select(
         F.col(id_col).alias("touch_id"),
         F.col(user_col),
         "conversion_id",
         F.col("touch_rank").cast("long").alias("touch_rank"),
         F.col("n_touches").cast("long").alias("n_touches"),
-        F.round(F.lit(1.0) / F.col("n_touches").cast("double"), 6).alias("credit"),
+        F.round(credit, 6).alias("credit"),
     )

@@ -521,3 +521,26 @@ def test_linear_attribution_shares_and_reset(spark):
     assert out[1].conversion_id == 3 and out[1].credit == 0.5 and out[1].n_touches == 2
     assert out[2].conversion_id == 3 and out[2].touch_rank == 2
     assert out[4].conversion_id == 5 and out[4].credit == 1.0
+
+
+def test_position_attribution_u_shape(spark):
+    from sensordatapipelines_spark.operators.temporal import linear_attribution
+
+    rows = [
+        (1, "u", "2024-01-01 00:00:01", "click"),
+        (2, "u", "2024-01-01 00:00:02", "click"),
+        (3, "u", "2024-01-01 00:00:03", "click"),
+        (4, "u", "2024-01-01 00:00:04", "click"),
+        (5, "u", "2024-01-01 00:00:05", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, event_type string"
+    )
+    out = {
+        r.touch_id: r.credit
+        for r in linear_attribution(
+            df, order_tiebreak="event_id", model="position"
+        ).collect()
+    }
+    assert out == {1: 0.4, 2: 0.1, 3: 0.1, 4: 0.4}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
