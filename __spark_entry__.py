@@ -4970,6 +4970,33 @@ def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier conversion curve: signup→purchase delays with users
+    who never converted right-censored at the end of the observation
+    window (the global max event time — a broadcast scalar). Survival
+    steps at every event time; the cumulative product runs as
+    1e-9-scaled ln sums along the time order, cross-engine exact."""
+    from sensordatapipelines_spark.operators.temporal import (
+        km_survival,
+        time_to_convert,
+    )
+
+    _register_views(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    ttc = time_to_convert(events)
+    end_us = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__end")
+    )
+    subj = ttc.crossJoin(F.broadcast(end_us)).select(
+        F.coalesce(
+            F.col("delay_s"),
+            F.round((F.col("__end") - F.col("start_us")) / F.lit(1e6), 6),
+        ).alias("duration_s"),
+        F.when(F.col("delay_s").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    return km_survival(subj)
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5884,6 +5911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": docs_token_budget,
         "events_linear_attribution": events_linear_attribution,
         "events_position_attribution": events_position_attribution,
+        "events_km_survival": events_km_survival,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -5986,6 +6014,7 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_token_budget",
     "events_linear_attribution",
     "events_position_attribution",
+    "events_km_survival",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -8535,6 +8564,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_touches AS BIGINT) AS n_touches,
                round(1.0 / n_touches, 6) AS credit
         FROM ranked
+    """
+    # Kaplan-Meier: same delays as time_to_convert, censoring at the
+    # global max event time; product = ordered 1e-9-scaled ln sums
+    oracles["events_km_survival"] = r"""
+        WITH per AS (
+            SELECT user_id AS key,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS s
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id AS key, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT p.key, p.s, min(c.cts) AS c
+            FROM per p LEFT JOIN conv c
+              ON p.key = c.key AND c.cts >= p.s
+            WHERE p.s IS NOT NULL
+            GROUP BY p.key, p.s
+        ),
+        subj AS (
+            SELECT COALESCE(round((c - s) / 1e6, 6),
+                            round(((SELECT max(epoch_us(ts)) FROM events) - s)
+                                  / 1e6, 6)) AS t,
+                   CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM j
+        ),
+        at_t AS (
+            SELECT t, sum(ev) AS n_events, count(*) AS alln
+            FROM subj GROUP BY 1
+        ),
+        stepped AS (
+            SELECT t, n_events, alln,
+                   sum(alln) OVER ()
+                 - COALESCE(sum(alln) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+            FROM at_t
+        ),
+        km AS (
+            SELECT t, n_risk, n_events,
+                   max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS z,
+                   sum(CASE WHEN n_events < n_risk
+                            THEN CAST(round(ln(1.0 - n_events * 1.0 / n_risk)
+                                            * 1e9) AS BIGINT)
+                            ELSE 0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum
+            FROM stepped
+        )
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_events AS BIGINT) AS n_events,
+               CASE WHEN z = 1 THEN 0.0
+                    ELSE round(exp(cum / 1e9), 6) END AS survival
+        FROM km WHERE n_events > 0
     """
     # U-shaped attribution: same windows, 40/20/40 credit CASE
     oracles["events_position_attribution"] = r"""

@@ -920,3 +920,67 @@ def linear_attribution(
         F.col("n_touches").cast("long").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     )
+
+
+@register("km_survival")
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration_s",
+    event_col: str = "converted",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over right-censored durations —
+    the standard time-to-event curve (conversion, churn, failure). Input:
+    one row per subject, ``duration_col`` = observed time, ``event_col``
+    1 = the event happened at that time / 0 = censored there. Output one
+    row per distinct EVENT time: ``(group?, t, n_risk, n_events,
+    survival)`` with ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)``.
+
+    Engine shape: one (group, t) aggregate (map-side combined — the
+    shuffle carries distinct times, not subjects) plus ordered windows
+    for the at-risk counts and the cumulative product. Determinism: the
+    product is a cumulative sum of 1e-9-scaled ``ln(1 − d/n)`` BIGINTs
+    along the time order (the ``unigram_logprob`` contract), exponentiated
+    once and rounded — cross-engine exact. A step where every at-risk
+    subject events (``d = n``) pins survival to exactly 0.0 from there on
+    (``ln(0)`` never enters the sum; Spark would NULL it, DuckDB -inf)."""
+    gcols = [group_col] if group_col else []
+    at_t = df.groupBy(
+        *gcols, F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).alias("n_events"),
+        F.count(F.lit(1)).alias("__all"),
+    )
+    w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy("t")
+    prev = F.coalesce(
+        F.sum("__all").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    n_risk = (F.sum("__all").over(w_all) - prev).cast("long")
+    stepped = at_t.withColumn("n_risk", n_risk)
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    lr_e9 = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - d / n) * F.lit(1e9)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    zero_seen = F.max(
+        (F.col("n_events") == F.col("n_risk")).cast("int")
+    ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    cum_e9 = F.sum(lr_e9).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    out = (
+        stepped.withColumn("__z", zero_seen)
+        .withColumn("__cum", cum_e9)
+        .filter(F.col("n_events") > 0)
+        .select(
+            *gcols,
+            "t",
+            F.col("n_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.when(F.col("__z") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__cum").cast("double") / F.lit(1e9)), 6))
+            .alias("survival"),
+        )
+    )
+    return out

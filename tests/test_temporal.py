@@ -544,3 +544,20 @@ def test_position_attribution_u_shape(spark):
     }
     assert out == {1: 0.4, 2: 0.1, 3: 0.1, 4: 0.4}
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_km_survival_textbook_example(spark):
+    """The classic worked KM example: times 1,2+,3,4+,5 (+= censored):
+    S(1)=4/5=0.8, S(3)=0.8*(2/3)=0.5333, S(5)=0."""
+    from sensordatapipelines_spark.operators.temporal import km_survival
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)],
+        "duration_s double, converted int",
+    )
+    out = {r.t: r for r in km_survival(df).collect()}
+    assert set(out) == {1.0, 3.0, 5.0}  # steps at event times only
+    assert (out[1.0].n_risk, out[1.0].n_events) == (5, 1)
+    assert out[1.0].survival == 0.8
+    assert (out[3.0].n_risk, out[3.0].survival) == (3, 0.533333)
+    assert (out[5.0].n_risk, out[5.0].survival) == (1, 0.0)  # d == n pins 0
