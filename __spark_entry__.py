@@ -4997,6 +4997,35 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(subj)
 
 
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event user key: the sketch
+    build is a ``depth×width``-bounded groupBy (map-side combine caps each
+    task's shuffle at 4×2048 cells no matter the input size), candidates
+    join the broadcast sketch, est = min over the 4 hash rows. Exact count
+    attached to exhibit the CMS guarantee (est ≥ exact, never under)."""
+    from sensordatapipelines_spark.operators.sketches import cms_heavy_hitters
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    hh = cms_heavy_hitters(ev, "user_id", threshold=85, depth=4, width=2048)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return hh.join(exact, "user_id").select(
+        "user_id", F.col("est").alias("est_cnt"), "exact_cnt"
+    )
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type: k=32 smallest distinct
+    poly-hashes; exact below k, ``(k-1)·M/h_k`` at k. The deterministic,
+    oracle-replayable counterpart to ``events_hll_mergeable``."""
+    from sensordatapipelines_spark.operators.sketches import kmv_distinct
+
+    _register_views(spark, sf_dir)
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", k=32, group_by="event_type"
+    ).withColumnRenamed("grp", "event_type")
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5912,6 +5941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_linear_attribution": events_linear_attribution,
         "events_position_attribution": events_position_attribution,
         "events_km_survival": events_km_survival,
+        "events_cms_heavy_hitters": events_cms_heavy_hitters,
+        "events_kmv_distinct": events_kmv_distinct,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6015,6 +6046,8 @@ _ROUND4_SAMPLE_FIRST = [
     "events_linear_attribution",
     "events_position_attribution",
     "events_km_survival",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -10094,5 +10127,70 @@ def oracle_sql() -> dict[str, str]:
           ON e.user_id = h.user_id
          AND h.vf_us <= epoch_us(e.ts)
          AND (h.vt_us IS NULL OR epoch_us(e.ts) < h.vt_us)
+    """
+    # Count-min sketch replay: the sketch depends on user hashes only, so
+    # cell counts = sum of exact per-user counts over colliding users —
+    # identical to summing the raw event rows. Constants must match
+    # operators/sketches.py (CMS_A/CMS_B rows 0-3, width 2048, P=2^31-1).
+    oracles["events_cms_heavy_hitters"] = r"""
+        WITH exact AS (
+            SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+        ),
+        hashed AS (
+            SELECT user_id, exact_cnt,
+                   list_reduce(
+                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 2147483647
+                   ) AS h
+            FROM exact
+        ),
+        params AS (
+            SELECT * FROM (VALUES (0, 1000000007, 271), (1, 1500000001, 541),
+                                  (2, 1999999973, 1087),
+                                  (3, 2147483629, 2161)) AS t(j, a, b)
+        ),
+        cells AS (
+            SELECT user_id, exact_cnt, j,
+                   ((a * h + b) % 2147483647) % 2048 AS cell
+            FROM hashed CROSS JOIN params
+        ),
+        sketch AS (
+            SELECT j, cell, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+            FROM cells GROUP BY j, cell
+        ),
+        est AS (
+            SELECT c.user_id, MIN(s.cnt) AS est_cnt
+            FROM cells c JOIN sketch s USING (j, cell)
+            GROUP BY c.user_id
+        )
+        SELECT e.user_id, e.est_cnt, x.exact_cnt
+        FROM est e JOIN exact x USING (user_id)
+        WHERE e.est_cnt >= 85
+    """
+    # KMV distinct sketch: k = 32 smallest distinct poly-hashes per type;
+    # (k-1)*M/h_k at k, exact below.
+    oracles["events_kmv_distinct"] = r"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   (1000000007 * list_reduce(
+                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 2147483647
+                   ) + 271) % 2147483647 AS h
+            FROM events
+        ),
+        rn AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        )
+        SELECT event_type,
+               COUNT(*) AS n_kept,
+               CASE WHEN COUNT(*) = 32 THEN MAX(h) END AS kth_hash,
+               CASE WHEN COUNT(*) = 32
+                    THEN (31.0 * 2147483647.0) / CAST(MAX(h) AS DOUBLE)
+                    ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+        FROM rn WHERE rn <= 32 GROUP BY event_type
     """
     return oracles

@@ -10,6 +10,7 @@ from sensordatapipelines_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     similarity,
+    sketches,
     spatial,
     temporal,
     text,

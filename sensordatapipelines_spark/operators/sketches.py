@@ -1,0 +1,202 @@
+"""Mergeable summary sketches: count-min (heavy hitters) and KMV distinct.
+
+Charter extension (SURVEY.md §2.7 — training-pipeline observability at
+100 TB). Both sketches here are *mergeable, fixed-size aggregates*: the
+whole point at scale is that each mapper folds its partition into a bounded
+summary (``depth × width`` cells for CMS, ``k`` hashes per group for KMV)
+and the shuffle moves summaries, not rows. Spark's partial aggregation
+gives that for free once the sketch is expressed as a ``groupBy().agg()``:
+the map side combines to at most one cell row per (row, cell) per task.
+
+Determinism contract: every hash here is the engine-portable polynomial
+rolling hash (``poly_hash_expr`` — pure int64 arithmetic, replicated in
+DuckDB oracle SQL with ``list_reduce``), so the sketch *values* — not just
+their error guarantees — are reproducible across engines and runs. A
+production deployment would swap ``F.xxhash64`` in via the ``hasher``
+parameter for better mixing; the shape of the plan is unchanged.
+
+Reference parity: the reference engine has no sketches — its profiling is
+exact pandas ``value_counts`` over in-memory frames
+(/root/reference/src/data_preprocessing.py:199 row-at-a-time apply); these
+operators are the scale path for the same "what is heavy / how many
+distinct" questions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensordatapipelines_spark.operators.text import POLY_MOD, poly_hash_expr
+from sensordatapipelines_spark.registry import register
+
+# Fixed hash rows for CMS: cell_j(h) = ((A[j]*h + B[j]) mod P) mod width.
+# The multipliers MUST be large (~1e9-3.5e9): clustered key hashes (short
+# digit ids span a few million values) only decorrelate across rows when
+# A[j]*h wraps P thousands of times — a small odd multiplier is invertible
+# mod a power-of-two width, so a mod-width collision would survive EVERY
+# row and the min-fold would never repair it (measured: 926/1500 false
+# positives with small A, 247 with these). Max product 3.5e9 × (2^31-1)
+# ≈ 7.5e18 stays inside int64.
+CMS_A = (
+    1000000007,
+    1500000001,
+    1999999973,
+    2147483629,
+    2500000001,
+    3000000019,
+    3500000017,
+)
+CMS_B = (271, 541, 1087, 2161, 4327, 8647, 17293)
+
+
+def _cms_cell(h: Column, j: int, width: int) -> Column:
+    return ((F.lit(CMS_A[j]) * h + F.lit(CMS_B[j])) % F.lit(POLY_MOD)) % F.lit(width)
+
+
+def uniform_poly_hash_expr(text: Column) -> Column:
+    """Poly hash scrambled to near-uniform over [0, P): ``(A·h + B) mod P``
+    with the same large-multiplier reasoning as ``CMS_A`` — raw poly hashes
+    of short keys sit in a narrow band, which is fine for equality joins
+    but fatal for order-statistic estimators (KMV's ``(k-1)·M/h_k`` read
+    9038 for a true 5000 on the raw hash, 4385 after the scramble)."""
+    return (F.lit(CMS_A[0]) * poly_hash_expr(text) + F.lit(CMS_B[0])) % F.lit(POLY_MOD)
+
+
+@register("cms_sketch")
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    hasher: Callable[[Column], Column] = poly_hash_expr,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: ``depth × width`` cells,
+    ``cnt`` = total weight of keys hashing into the cell.
+
+    100 TB shape: one ``groupBy(j, cell).sum`` — the explode multiplies rows
+    by ``depth`` but map-side partial aggregation caps each task's shuffle
+    output at ``depth × width`` rows regardless of input size, and sketches
+    from different days/sources merge by adding cells (the CMS guarantee is
+    preserved under +). No key ever crosses the wire.
+    """
+    if depth > len(CMS_A):
+        raise ValueError(f"depth <= {len(CMS_A)} supported, got {depth}")
+    h = hasher(F.col(key_col).cast("string"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_cell(h, j, width).alias("cell"))
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("jc"), w.alias("__w"))
+        .groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+@register("cms_estimate")
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hasher: Callable[[Column], Column] = poly_hash_expr,
+) -> DataFrame:
+    """Point-estimate counts for a candidate-key frame against a built
+    sketch: est(key) = min over the ``depth`` cells the key hashes into
+    (the classic CMS upper-bound estimate — never under, over only on
+    collision).
+
+    The ``depth``/``width``/``hasher`` MUST match the ones the sketch was
+    built with. Join shape: candidates explode to ``depth`` rows and
+    equi-join the (tiny, ≤ depth×width-row) sketch — Spark broadcasts the
+    sketch side; the min-fold is a key-local groupBy.
+    """
+    h = hasher(F.col(key_col).cast("string"))
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_cell(h, j, width).alias("cell"))
+        for j in range(depth)
+    ])
+    exploded = keys.select(F.col(key_col), F.explode(cells).alias("jc")).select(
+        key_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell")
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+@register("cms_heavy_hitters")
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    candidates: DataFrame | None = None,
+    hasher: Callable[[Column], Column] = poly_hash_expr,
+) -> DataFrame:
+    """Keys whose CMS estimate meets ``threshold``, with the estimate.
+
+    ``candidates`` defaults to ``df``'s distinct keys — fine up to the
+    cardinality a distinct can carry. At 100 TB pass an explicit candidate
+    frame (e.g. per-partition local top-k, or yesterday's heavy set): CMS's
+    value is that the *sketch build* never shuffles keys, so candidates can
+    be screened against it for the cost of a broadcast join. Estimates are
+    upper bounds: the result may include false positives near the
+    threshold, never false negatives (ε·N overestimate with ε = e/width).
+    """
+    sk = cms_sketch(df, key_col, depth, width, weight_col, hasher)
+    cand = candidates if candidates is not None else df.select(key_col).distinct()
+    est = cms_estimate(sk, cand, key_col, depth, width, hasher)
+    return est.filter(F.col("est") >= F.lit(threshold))
+
+
+@register("kmv_distinct")
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_by: str | None = None,
+    hasher: Callable[[Column], Column] = uniform_poly_hash_expr,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, optionally per group:
+    keep the ``k`` smallest distinct hash values; if fewer than ``k``
+    distinct hashes exist the count is exact, else estimate
+    ``(k-1) * M / h_k`` with ``h_k`` the k-th smallest hash and ``M`` the
+    hash modulus.
+
+    Output: one row per group — ``n_kept`` (≤ k), ``kth_hash`` (null when
+    exact), ``est_distinct`` (double).
+
+    100 TB shape: the distinct-hash dedup and the top-k window both key on
+    the group, so the shuffle carries at most (distinct keys) rows and the
+    state per group is k values — and KMV sketches merge (union the hash
+    sets, re-take the k smallest), so per-source/per-day sketches roll up
+    without touching raw data. This is the exact-deterministic counterpart
+    to the HLL gate (``events_hll_mergeable``): HLL is engine-opaque, KMV
+    is replayable in oracle SQL.
+    """
+    g = F.col(group_by) if group_by else F.lit("__all__")
+    hashed = df.select(
+        g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.when(F.count("*") == k, F.max("h")).alias("kth_hash"),
+        F.when(
+            F.count("*") == k,
+            (F.lit(float(k - 1)) * F.lit(float(POLY_MOD))) / F.max("h").cast("double"),
+        )
+        .otherwise(F.count("*").cast("double"))
+        .alias("est_distinct"),
+    )
