@@ -5026,6 +5026,25 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "event_type")
 
 
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection on the event value series per
+    type: closed-form ``P_i − min(0, min P_j)`` prefix-sum windows over
+    one group-keyed exchange, 1e-9-integer accumulators so the alarm
+    comparison is cross-engine exact."""
+    from sensordatapipelines_spark.operators.temporal import cusum_changepoints
+
+    _register_views(spark, sf_dir)
+    return cusum_changepoints(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        slack_k=0.5,
+        threshold_h=5.0,
+        tiebreak="event_id",
+    )
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5943,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_survival": events_km_survival,
         "events_cms_heavy_hitters": events_cms_heavy_hitters,
         "events_kmv_distinct": events_kmv_distinct,
+        "events_cusum_alarms": events_cusum_alarms,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6048,6 +6068,7 @@ _ROUND4_SAMPLE_FIRST = [
     "events_km_survival",
     "events_cms_heavy_hitters",
     "events_kmv_distinct",
+    "events_cusum_alarms",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -10192,5 +10213,42 @@ def oracle_sql() -> dict[str, str]:
                     THEN (31.0 * 2147483647.0) / CAST(MAX(h) AS DOUBLE)
                     ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
         FROM rn WHERE rn <= 32 GROUP BY event_type
+    """
+    # CUSUM closed form: S_i = P_i - min(0, min_{j<=i} P_j) over
+    # 1e-9-integer deviations (k=0.5, h=5.0) — integer-exact accumulators.
+    oracles["events_cusum_alarms"] = r"""
+        WITH base AS (
+            SELECT event_type, event_id, ts, value,
+                   avg(value) OVER (PARTITION BY event_type) AS mu,
+                   stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+            FROM events
+        ),
+        d AS (
+            SELECT *,
+                   CAST(round(((CASE WHEN sd > 0 THEN (value - mu) / sd
+                                     ELSE 0 END) - 0.5) * 1e9) AS BIGINT) AS up_e9,
+                   CAST(round((-(CASE WHEN sd > 0 THEN (value - mu) / sd
+                                      ELSE 0 END) - 0.5) * 1e9) AS BIGINT) AS dn_e9
+            FROM base
+        ),
+        p AS (
+            SELECT *, sum(up_e9) OVER w AS pu, sum(dn_e9) OVER w AS pd
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+            SELECT *, pu - least(0, min(pu) OVER w) AS su,
+                      pd - least(0, min(pd) OVER w) AS sd2
+            FROM p
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, event_id,
+               round(CAST(su AS DOUBLE) / 1e9, 6) AS cusum_up,
+               round(CAST(sd2 AS DOUBLE) / 1e9, 6) AS cusum_dn,
+               CASE WHEN su > 5000000000 THEN 'up' ELSE 'down' END AS direction
+        FROM s
+        WHERE su > 5000000000 OR sd2 > 5000000000
     """
     return oracles

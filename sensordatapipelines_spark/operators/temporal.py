@@ -984,3 +984,66 @@ def km_survival(
         )
     )
     return out
+
+
+@register("cusum_changepoints")
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per group: standardize the
+    series against the group's mean/stddev, then run the classic
+    ``S_i = max(0, S_{i-1} + (±z_i − k))`` drift accumulators and flag
+    rows where either side exceeds ``threshold_h``.
+
+    Engine shape: the recursion has the closed form
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` with ``P`` the prefix sum of
+    the slack-adjusted deviations, so the whole detector is ordered
+    window functions over ONE group-keyed exchange — no recursion, no
+    Python, no state store; it scales as any windowed aggregation does.
+    Determinism: deviations are rounded to 1e-9-scaled BIGINTs before
+    the prefix sums (the ``km_survival``/``unigram_logprob`` contract),
+    making the accumulators and the ``> h`` comparison integer-exact
+    across engines; only the group mean/stddev carry float summation
+    order, absorbed by the e9 rounding. Zero-variance groups emit no
+    alarms (z pinned to 0).
+
+    Output: alarm rows only — ``(group, tiebreak/ts, cusum_up,
+    cusum_dn, direction)``.
+    """
+    gw = Window.partitionBy(group_col)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    wo = gw.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    mu = F.avg(F.col(value_col).cast("double")).over(gw)
+    sd = F.stddev_pop(F.col(value_col).cast("double")).over(gw)
+    z = F.when(sd > 0, (F.col(value_col).cast("double") - mu) / sd).otherwise(
+        F.lit(0.0)
+    )
+    up_e9 = F.round((z - F.lit(slack_k)) * F.lit(1e9)).cast("long")
+    dn_e9 = F.round((-z - F.lit(slack_k)) * F.lit(1e9)).cast("long")
+    with_d = df.withColumn("__up", up_e9).withColumn("__dn", dn_e9)
+    p_up = F.sum("__up").over(wo)
+    p_dn = F.sum("__dn").over(wo)
+    with_p = with_d.withColumn("__pu", p_up).withColumn("__pd", p_dn)
+    s_up = F.col("__pu") - F.least(F.lit(0).cast("long"), F.min("__pu").over(wo))
+    s_dn = F.col("__pd") - F.least(F.lit(0).cast("long"), F.min("__pd").over(wo))
+    h_e9 = F.lit(int(round(threshold_h * 1e9))).cast("long")
+    scored = with_p.withColumn("__su", s_up).withColumn("__sd", s_dn).filter(
+        (F.col("__su") > h_e9) | (F.col("__sd") > h_e9)
+    )
+    key_cols = [group_col] + ([tiebreak] if tiebreak else [ts_col])
+    return scored.select(
+        *key_cols,
+        F.round(F.col("__su").cast("double") / F.lit(1e9), 6).alias("cusum_up"),
+        F.round(F.col("__sd").cast("double") / F.lit(1e9), 6).alias("cusum_dn"),
+        F.when(F.col("__su") > h_e9, F.lit("up"))
+        .otherwise(F.lit("down"))
+        .alias("direction"),
+    )

@@ -561,3 +561,43 @@ def test_km_survival_textbook_example(spark):
     assert out[1.0].survival == 0.8
     assert (out[3.0].n_risk, out[3.0].survival) == (3, 0.533333)
     assert (out[5.0].n_risk, out[5.0].survival) == (1, 0.0)  # d == n pins 0
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """Closed form S_i = P_i - min(0, min P_j) must equal the textbook
+    recursion S_i = max(0, S_{i-1} + d_i), and a mean shift must alarm
+    after the shift, never before."""
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import cusum_changepoints
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5] * 8 + [4.0] * 12  # shift at i=40
+    rows = [
+        ("s1", i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, ts timestamp, v double")
+    out = cusum_changepoints(
+        df, "g", "ts", "v", slack_k=0.5, threshold_h=3.0, tiebreak="i"
+    ).collect()
+    alarmed = sorted(r.i for r in out)
+    assert alarmed and min(alarmed) >= 40, alarmed
+
+    # direct recursion on the standardized series
+    import statistics
+
+    mu = statistics.fmean(vals)
+    sd = statistics.pstdev(vals)
+    s, first = 0.0, None
+    for i, v in enumerate(vals):
+        s = max(0.0, s + ((v - mu) / sd - 0.5))
+        if s > 3.0 and first is None:
+            first = i
+    assert first == min(alarmed)
+    by_i = {r.i: r for r in out}
+    # recompute s fully and compare the reported accumulator values
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + ((v - mu) / sd - 0.5))
+        if i in by_i:
+            assert abs(by_i[i].cusum_up - s) < 1e-5
