@@ -5045,6 +5045,41 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the orders/lineitem star:
+    null + domain checks folded into ONE full-scan aggregate per table,
+    PK-duplicate stats as one keyed groupBy, FK orphans as LEFT ANTI
+    joins (broadcast dim for orders→customer; shuffle for the fact-fact
+    lineitem→orders)."""
+    from sensordatapipelines_spark.operators.utility import dq_report
+
+    _register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = dq_report(
+        orders,
+        pk="o_orderkey",
+        not_null=["o_custkey", "o_orderdate"],
+        domain={
+            "totalprice_nonpositive": F.col("o_totalprice") <= 0,
+            "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        fks=[("o_custkey", customer, "c_custkey")],
+    ).withColumn("tbl", F.lit("orders"))
+    b = dq_report(
+        lineitem,
+        not_null=["l_shipdate"],
+        domain={
+            "negative_qty": F.col("l_quantity") <= 0,
+            "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        },
+        fks=[("l_orderkey", orders, "o_orderkey")],
+        broadcast_dims=False,
+    ).withColumn("tbl", F.lit("lineitem"))
+    return a.unionByName(b)
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -5963,6 +5998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_heavy_hitters": events_cms_heavy_hitters,
         "events_kmv_distinct": events_kmv_distinct,
         "events_cusum_alarms": events_cusum_alarms,
+        "orders_dq_report": orders_dq_report,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6069,6 +6105,7 @@ _ROUND4_SAMPLE_FIRST = [
     "events_cms_heavy_hitters",
     "events_kmv_distinct",
     "events_cusum_alarms",
+    "orders_dq_report",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -10250,5 +10287,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN su > 5000000000 THEN 'up' ELSE 'down' END AS direction
         FROM s
         WHERE su > 5000000000 OR sd2 > 5000000000
+    """
+    # DQ audit: every check is a COUNT under a predicate; the long-format
+    # union mirrors dq_report's check naming exactly.
+    oracles["orders_dq_report"] = r"""
+        SELECT 'row_count' AS check, COUNT(*) AS value, 'orders' AS tbl FROM orders
+        UNION ALL
+        SELECT 'null_o_custkey', COUNT(*) FILTER (o_custkey IS NULL), 'orders' FROM orders
+        UNION ALL
+        SELECT 'null_o_orderdate', COUNT(*) FILTER (o_orderdate IS NULL), 'orders' FROM orders
+        UNION ALL
+        SELECT 'domain_totalprice_nonpositive', COUNT(*) FILTER (o_totalprice <= 0), 'orders' FROM orders
+        UNION ALL
+        SELECT 'domain_bad_status', COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')), 'orders' FROM orders
+        UNION ALL
+        SELECT 'dup_pk_o_orderkey_keys', COUNT(*), 'orders'
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'dup_pk_o_orderkey_excess_rows', COALESCE(SUM(n - 1), 0), 'orders'
+        FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orphan_o_custkey', COUNT(*), 'orders'
+        FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'row_count', COUNT(*), 'lineitem' FROM lineitem
+        UNION ALL
+        SELECT 'null_l_shipdate', COUNT(*) FILTER (l_shipdate IS NULL), 'lineitem' FROM lineitem
+        UNION ALL
+        SELECT 'domain_negative_qty', COUNT(*) FILTER (l_quantity <= 0), 'lineitem' FROM lineitem
+        UNION ALL
+        SELECT 'domain_discount_range', COUNT(*) FILTER (l_discount < 0 OR l_discount > 1), 'lineitem' FROM lineitem
+        UNION ALL
+        SELECT 'orphan_l_orderkey', COUNT(*), 'lineitem'
+        FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     """
     return oracles

@@ -988,3 +988,80 @@ def token_budget_pack(
     return out.filter(
         (F.col("cum_tokens") - F.col(tokens_col)) < F.lit(int(budget))
     )
+
+
+@register("dq_report")
+def dq_report(
+    df: DataFrame,
+    pk: str | None = None,
+    not_null: Sequence[str] = (),
+    domain: dict[str, "F.Column"] | None = None,
+    fks: Sequence[tuple[str, DataFrame, str]] = (),
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Declarative data-quality audit → long-format report
+    ``(check string, value long)``: row count, per-column null counts,
+    named domain-predicate violation counts, duplicate-primary-key
+    stats, and foreign-key orphan counts.
+
+    100 TB shape: ``row_count`` + every ``null_*`` + every ``domain_*``
+    fold into ONE full-scan aggregate (map-side combined, no shuffle —
+    a single row of counters per task); the PK check is one groupBy on
+    the key; each FK is one LEFT ANTI join whose dim side is broadcast
+    when ``broadcast_dims`` (TPC-H-style dims; set False for fact-fact
+    integrity and let AQE pick). The unioned report is a handful of
+    1-row aggregates — the plan is N independent small jobs, not a
+    monolith, so a scheduler can run them concurrently.
+
+    ``domain`` predicates count VIOLATIONS: pass the condition that
+    flags a bad row (e.g. ``F.col("o_totalprice") <= 0``).
+    """
+    checks: list[DataFrame] = []
+    base_aggs = [F.count(F.lit(1)).cast("long").alias("row_count")]
+    for c in not_null:
+        base_aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"null_{c}")
+        )
+    for name, pred in (domain or {}).items():
+        base_aggs.append(
+            F.sum(pred.cast("long")).cast("long").alias(f"domain_{name}")
+        )
+    one = df.agg(*base_aggs)
+    names = [f.name for f in one.schema.fields]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    checks.append(
+        one.selectExpr(f"stack({len(names)}, {stack}) as (check, value)")
+    )
+    if pk is not None:
+        dup = (
+            df.groupBy(pk)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("a"),
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).cast("long").alias("b"),
+            )
+        )
+        checks.append(
+            dup.selectExpr(
+                f"stack(2, 'dup_pk_{pk}_keys', a, 'dup_pk_{pk}_excess_rows', b)"
+                " as (check, value)"
+            )
+        )
+    for fk_col, dim, dim_key in fks:
+        dim_keys = dim.select(F.col(dim_key).alias(fk_col)).distinct()
+        right = F.broadcast(dim_keys) if broadcast_dims else dim_keys
+        orphans = (
+            df.filter(F.col(fk_col).isNotNull())
+            .join(right, fk_col, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        )
+        checks.append(
+            orphans.select(
+                F.lit(f"orphan_{fk_col}").alias("check"), F.col("v").alias("value")
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
