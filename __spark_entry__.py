@@ -809,6 +809,22 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus compresses to m=4 one-byte codes
+    in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
+    the 16 smallest ids, a control-plane collect the oracle replays from
+    the table); each query precomputes its 4×16 ADC lookup table once in
+    its projection, so the per-pair cost is 4 lookups + adds, not a
+    64-dim fold."""
+    from sensordatapipelines_spark.operators.similarity import pq_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, m=4, k_codes=16, dim=ANN_DIM
+    )
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining: per query, the 5 most
     cosine-similar vectors with a DIFFERENT label — the negatives that
@@ -4604,6 +4620,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_ivf_topk,
         ann_lsh_topk,
         cosine_topk,
+        pq_topk,
     )
 
     _register_views(spark, sf_dir)
@@ -4645,6 +4662,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, q, k=KNN_K, n_cells=IVF_CELLS, dim=ANN_DIM, seed=ANN_SEED, nprobe=2
             ),
         ),
+        ("pq", pq_topk(emb, q, k=KNN_K, m=4, k_codes=16, dim=ANN_DIM)),
     ]
     tagged = None
     for name, ann in methods:
@@ -5999,6 +6017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": events_kmv_distinct,
         "events_cusum_alarms": events_cusum_alarms,
         "orders_dq_report": orders_dq_report,
+        "emb_pq_topk": emb_pq_topk,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6106,6 +6125,7 @@ _ROUND4_SAMPLE_FIRST = [
     "events_kmv_distinct",
     "events_cusum_alarms",
     "orders_dq_report",
+    "emb_pq_topk",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -6486,6 +6506,64 @@ def _ivf_oracle(nprobe: int = 1) -> str:
         )
         SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+def _pq_oracle(m: int = 4, k_codes: int = 16, k: int = 5) -> str:
+    """DuckDB mirror of PQ/ADC top-k: codebooks are the sub-vectors of the
+    ``k_codes`` smallest-id embeddings (rebuilt from the table — no
+    literals needed), corpus codes = per-(vec, subspace) argmin with ties
+    to the smallest code, query LUT = the same distance matrix restricted
+    to the query set, ADC = fixed-order pivoted sum (matching the
+    engine's ``(((0+l0)+l1)+l2)+l3`` fold, never an unordered SUM)."""
+    sub = ANN_DIM // m
+    term = (
+        f"(CAST(e.embedding[p.j*{sub} + i] AS DOUBLE)"
+        f" - CAST(cb.cbv[p.j*{sub} + i] AS DOUBLE))"
+    )
+    pivot = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN dist END) AS d{j}" for j in range(m)
+    )
+    adc = " + ".join(["0.0"] + [f"d{j}" for j in range(m)])
+    return f"""
+        WITH cb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, embedding AS cbv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k_codes})
+        ),
+        cd AS (
+            SELECT e.vec_id, p.j, cb.c,
+                   list_reduce(list_transform(range(1, {sub + 1}),
+                       i -> {term} * {term}), (x, y) -> x + y) AS dist
+            FROM embeddings e
+            CROSS JOIN cb
+            CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) p
+        ),
+        codes AS (
+            SELECT vec_id, j, c AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                             ORDER BY dist, c) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ),
+        lut AS (SELECT vec_id AS qid, j, c, dist FROM cd WHERE vec_id < 8),
+        pairj AS (
+            SELECT l.qid, co.vec_id, co.j, l.dist
+            FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.code
+            WHERE l.qid <> co.vec_id
+        ),
+        piv AS (
+            SELECT qid, vec_id, {pivot}
+            FROM pairj GROUP BY qid, vec_id
+        ),
+        ranked AS (
+            SELECT qid AS query_id, vec_id, {adc} AS adc,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY {adc}, vec_id) AS rank
+            FROM piv
+        )
+        SELECT query_id, vec_id, ROUND(adc, 6) AS adc_dist, rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -7236,6 +7314,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["emb_ann_lsh"] = _ann_lsh_oracle()
     oracles["emb_ann_lsh_multi"] = _ann_lsh_multi_oracle(ANN_TABLES)
     oracles["emb_ann_ivf"] = _ivf_oracle()
+    oracles["emb_pq_topk"] = _pq_oracle()
     oracles["emb_ann_ivf_probe2"] = _ivf_oracle(nprobe=2)
     oracles["emb_neardup"] = _emb_neardup_oracle()
     oracles["docs_token_count"] = _token_count_oracle()
@@ -9054,6 +9133,7 @@ def oracle_sql() -> dict[str, str]:
         lsh4 AS ({oracles["emb_ann_lsh_multi"]}),
         ivf1 AS ({oracles["emb_ann_ivf"]}),
         ivf2 AS ({oracles["emb_ann_ivf_probe2"]}),
+        pq AS ({oracles["emb_pq_topk"]}),
         ex AS (SELECT query_id, vec_id FROM exact),
         stats AS (
             SELECT 'lsh' AS method,
@@ -9073,6 +9153,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf_p2',
                    (SELECT COUNT(*) FROM ivf2 l
+                    JOIN ex ON l.query_id = ex.query_id
+                           AND l.vec_id = ex.vec_id)
+            UNION ALL
+            SELECT 'pq',
+                   (SELECT COUNT(*) FROM pq l
                     JOIN ex ON l.query_id = ex.query_id
                            AND l.vec_id = ex.vec_id)
         )

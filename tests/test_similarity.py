@@ -307,3 +307,70 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r.vec_id, r.neg_label, r.rank) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(3, "b", 1), (4, "b", 2)]
     assert all(r.neg_label != "a" for r in out)
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = pq_seed_codebooks(df, m=4, k_codes=8, dim=16)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    out1 = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs).collect()}
+    out2 = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs).collect()}
+    assert out1 == out2
+    assert all(len(c) == 4 and all(1 <= x <= 8 for x in c) for c in out1.values())
+    # seed vectors quantize each subspace to themselves (distance 0 to
+    # their own centroid), so vec 0..7's code j must be its own index... only
+    # guaranteed when its slice IS centroid j — check exact-zero distance:
+    for i in range(8):
+        numpy_codes = []
+        for j in range(4):
+            sl = vecs[i, j * 4:(j + 1) * 4].astype("float64")
+            d = [float(((sl - np.array(c, dtype="float64")) ** 2).sum()) for c in cbs[j]]
+            numpy_codes.append(d.index(min(d)) + 1)
+        assert out1[i] == numpy_codes
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import (
+        pq_seed_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(12)
+    vecs = rng.standard_normal((80, 16)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(df, df.filter("vec_id < 3"), k=4, m=4, k_codes=8, dim=16)
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+
+    cbs = pq_seed_codebooks(df, m=4, k_codes=8, dim=16)
+    v64 = vecs.astype("float64")
+    codes = np.zeros((80, 4), dtype=int)
+    for j in range(4):
+        cb = np.array(cbs[j], dtype="float64")  # (8, 4)
+        d = ((v64[:, None, j * 4:(j + 1) * 4] - cb[None]) ** 2).sum(-1)
+        codes[:, j] = d.argmin(1)
+    for q in range(3):
+        adc = np.zeros(80)
+        for j in range(4):
+            cb = np.array(cbs[j], dtype="float64")
+            lut = ((v64[q, j * 4:(j + 1) * 4] - cb) ** 2).sum(-1)
+            adc += lut[codes[:, j]]
+        order = sorted((a, i) for i, a in enumerate(adc) if i != q)[:4]
+        for rank, (_, i) in enumerate(order, 1):
+            assert got[(q, rank)] == i
