@@ -825,6 +825,27 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (nprobe=2): coarse cells prune candidates via an EQUI-join
+    on the cell id, PQ codes + per-query ADC tables score them — the
+    FAISS-style production ANN shape, corpus stored as m bytes/vector."""
+    from sensordatapipelines_spark.operators.similarity import ivf_pq_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+        m=4,
+        k_codes=16,
+        nprobe=2,
+    )
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining: per query, the 5 most
     cosine-similar vectors with a DIFFERENT label — the negatives that
@@ -5098,6 +5119,79 @@ def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types estimated ON
+    the KMV sketches (Beyer et al. set algebra): data scanned once for
+    the per-type k-sets, every pair compared on G×k sketch rows."""
+    from sensordatapipelines_spark.operators.sketches import kmv_intersect_pairs
+
+    _register_views(spark, sf_dir)
+    return kmv_intersect_pairs(
+        load_table(spark, sf_dir, "events"), "user_id", k=32, group_by="event_type"
+    )
+
+
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day (WAU next to DAU):
+    per-day dedup first, then a bounded ×7 day-explode + re-dedup —
+    shuffles scale with actives, not events; never a range self-join."""
+    from sensordatapipelines_spark.operators.temporal import rolling_active_users
+
+    _register_views(spark, sf_dir)
+    return rolling_active_users(
+        load_table(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual split of the hourly mean value
+    per event type (period=24): one ordered window exchange + a 24-row
+    seasonal table broadcast back; every statistic rounds at 6 places
+    before downstream arithmetic (cross-engine exact)."""
+    from sensordatapipelines_spark.operators.temporal import seasonal_decompose
+
+    _register_views(spark, sf_dir)
+    # the hourly mean sums e6-scaled BIGINTs (order-free integer sum) and
+    # emits the UNROUNDED division — see seasonal_decompose's determinism
+    # contract for why no round(x, 6) may touch aggregate outputs here
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * F.lit(1e6)).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    return seasonal_decompose(hourly, "event_type", "hr", "v", period=24)
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample (exactly 100 docs) across sources:
+    largest-remainder integer allocation + MD5-rank membership — the
+    balanced-eval-set primitive, fully deterministic."""
+    from sensordatapipelines_spark.operators.utility import stratified_sample_alloc
+
+    _register_views(spark, sf_dir)
+    out = stratified_sample_alloc(
+        spark.table("documents"), "source", "doc_id", total_n=100
+    )
+    return out.select("doc_id", "source", "alloc")
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
+    unigram backoff): vocabulary-sized count aggregates, scores joined
+    back by broadcast, 1e-9-integer log-prob sums."""
+    from sensordatapipelines_spark.operators.text import bigram_logprob
+
+    _register_views(spark, sf_dir)
+    return bigram_logprob(spark.table("documents"))
+
+
 def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-aggregate maintenance: build mergeable power-sum states
     over two disjoint halves of the events table (split by event_id
@@ -6018,6 +6112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_alarms": events_cusum_alarms,
         "orders_dq_report": orders_dq_report,
         "emb_pq_topk": emb_pq_topk,
+        "emb_ivfpq_topk": emb_ivfpq_topk,
+        "docs_bigram_logprob": docs_bigram_logprob,
+        "events_kmv_overlap": events_kmv_overlap,
+        "events_rolling_actives": events_rolling_actives,
+        "events_seasonal_decompose": events_seasonal_decompose,
+        "docs_stratified_sample": docs_stratified_sample,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6126,6 +6226,12 @@ _ROUND4_SAMPLE_FIRST = [
     "events_cusum_alarms",
     "orders_dq_report",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "docs_bigram_logprob",
+    "events_kmv_overlap",
+    "events_rolling_actives",
+    "events_seasonal_decompose",
+    "docs_stratified_sample",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -6506,6 +6612,99 @@ def _ivf_oracle(nprobe: int = 1) -> str:
         )
         SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+def _ivfpq_oracle(m: int = 4, k_codes: int = 16, k: int = 5, nprobe: int = 2) -> str:
+    """DuckDB mirror of IVF-PQ: the IVF oracle's seeded-centroid cell
+    tables (corpus argmin cell + query nprobe cells) pruning the PQ
+    oracle's code/LUT scoring — candidates join on cell equality, ADC is
+    the fixed-order pivoted sum."""
+    from sensordatapipelines_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(ANN_DIM, IVF_CELLS, ANN_SEED)
+    lits = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    dists = ",\n                ".join(
+        f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
+        f" j -> (CAST(embedding[j] AS DOUBLE) - ({lit})[j])"
+        f" * (CAST(embedding[j] AS DOUBLE) - ({lit})[j])), (x, y) -> x + y)"
+        for lit in lits
+    )
+    sub = ANN_DIM // m
+    term = (
+        f"(CAST(e.embedding[p.j*{sub} + i] AS DOUBLE)"
+        f" - CAST(cb.cbv[p.j*{sub} + i] AS DOUBLE))"
+    )
+    pivot = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN dist END) AS d{j}" for j in range(m)
+    )
+    adc = " + ".join(["0.0"] + [f"d{j}" for j in range(m)])
+    return f"""
+        WITH dl AS (
+            SELECT vec_id, embedding,
+               [{dists}] AS dists
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, list_position(dists, list_min(dists)) AS cell
+            FROM dl
+        ),
+        qexp AS (
+            SELECT dl.vec_id, j.j AS cell, dl.dists[j.j] AS d
+            FROM dl, (SELECT UNNEST(range(1, {IVF_CELLS + 1})) AS j) j
+            WHERE dl.vec_id < 8
+        ),
+        qcells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cell) AS crn
+                FROM qexp
+            ) WHERE crn <= {nprobe}
+        ),
+        cb AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, embedding AS cbv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k_codes})
+        ),
+        cd AS (
+            SELECT e.vec_id, p.j, cb.c,
+                   list_reduce(list_transform(range(1, {sub + 1}),
+                       i -> {term} * {term}), (x, y) -> x + y) AS dist
+            FROM embeddings e
+            CROSS JOIN cb
+            CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) p
+        ),
+        codes AS (
+            SELECT vec_id, j, c AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                             ORDER BY dist, c) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ),
+        lut AS (SELECT vec_id AS qid, j, c, dist FROM cd WHERE vec_id < 8),
+        cand AS (
+            SELECT q.vec_id AS qid, c.vec_id
+            FROM qcells q JOIN cells c ON c.cell = q.cell
+            WHERE q.vec_id <> c.vec_id
+        ),
+        pairj AS (
+            SELECT cand.qid, cand.vec_id, co.j, l.dist
+            FROM cand
+            JOIN codes co ON co.vec_id = cand.vec_id
+            JOIN lut l ON l.qid = cand.qid AND l.j = co.j AND l.c = co.code
+        ),
+        piv AS (
+            SELECT qid, vec_id, {pivot}
+            FROM pairj GROUP BY qid, vec_id
+        ),
+        ranked AS (
+            SELECT qid AS query_id, vec_id, {adc} AS adc,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY {adc}, vec_id) AS rank
+            FROM piv
+        )
+        SELECT query_id, vec_id, ROUND(adc, 6) AS adc_dist, rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -7315,6 +7514,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["emb_ann_lsh_multi"] = _ann_lsh_multi_oracle(ANN_TABLES)
     oracles["emb_ann_ivf"] = _ivf_oracle()
     oracles["emb_pq_topk"] = _pq_oracle()
+    oracles["emb_ivfpq_topk"] = _ivfpq_oracle()
     oracles["emb_ann_ivf_probe2"] = _ivf_oracle(nprobe=2)
     oracles["emb_neardup"] = _emb_neardup_oracle()
     oracles["docs_token_count"] = _token_count_oracle()
@@ -10407,5 +10607,202 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'orphan_l_orderkey', COUNT(*), 'lineitem'
         FROM lineitem l WHERE l.l_orderkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """
+    # Interpolated bigram LM (λ=0.75): same e9-integer contract as the
+    # unigram oracle; multiple unnest()s in one SELECT zip positionally.
+    oracles["docs_bigram_logprob"] = r"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+            FROM dtoks WHERE len(t) >= 2
+        ),
+        stream AS (SELECT doc_id, unnest(t) AS tok FROM dtoks),
+        uni AS (SELECT tok, count(*) AS c FROM stream GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM uni),
+        bi AS (SELECT w1, w2, count(*) AS cb FROM grams GROUP BY w1, w2),
+        lp AS (
+            SELECT b.w1, b.w2,
+                   CAST(round(ln(0.75 * (b.cb * 1.0 / up.c)
+                                 + 0.25 * (uw.c * 1.0 / tot.total)) * 1e9)
+                        AS BIGINT) AS lp_e9
+            FROM bi b
+            JOIN uni up ON up.tok = b.w1
+            JOIN uni uw ON uw.tok = b.w2
+            CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT g.doc_id, count(*) AS n_bigrams, sum(lp_e9) AS sum_e9
+            FROM grams g JOIN lp ON lp.w1 = g.w1 AND lp.w2 = g.w2
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN p.doc_id IS NULL THEN NULL
+                    ELSE round(p.sum_e9 * 1.0 / 1e9 / p.n_bigrams, 6)
+               END AS avg_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    # KMV pairwise set algebra: per-type k-sets, merged per pair,
+    # |A∩B| = ρ·|A∪B|; est_intersection uses the UNROUNDED union estimate
+    # (as the engine does).
+    oracles["events_kmv_overlap"] = r"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type AS grp,
+                   (1000000007 * list_reduce(
+                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 2147483647
+                   ) + 271) % 2147483647 AS h
+            FROM events
+        ),
+        topk AS (
+            SELECT grp, h FROM (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM hashed
+            ) WHERE rn <= 32
+        ),
+        gs AS (SELECT DISTINCT grp FROM topk),
+        pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b
+            FROM gs a, gs b WHERE a.grp < b.grp
+        ),
+        tagged AS (
+            SELECT p.grp_a, p.grp_b, t.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN topk t ON t.grp = p.grp_a
+            UNION ALL
+            SELECT p.grp_a, p.grp_b, t.h, 0, 1
+            FROM pairs p JOIN topk t ON t.grp = p.grp_b
+        ),
+        merged AS (
+            SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+            FROM tagged GROUP BY grp_a, grp_b, h
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b
+                                             ORDER BY h) AS rn
+                FROM merged
+            ) WHERE rn <= 32
+        ),
+        agg AS (
+            SELECT grp_a, grp_b, COUNT(*) AS n_kept,
+                   CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_common,
+                   MAX(h) AS hk
+            FROM kept GROUP BY grp_a, grp_b
+        )
+        SELECT grp_a, grp_b, n_kept, n_common,
+               round(CASE WHEN n_kept = 32
+                          THEN (31.0 * 2147483647.0) / CAST(hk AS DOUBLE)
+                          ELSE CAST(n_kept AS DOUBLE) END, 6) AS est_union,
+               round(CASE WHEN n_kept = 32
+                          THEN (CAST(n_common AS DOUBLE)
+                                * ((31.0 * 2147483647.0) / CAST(hk AS DOUBLE)))
+                               / 32.0
+                          ELSE CAST(n_common AS DOUBLE) END, 6)
+                   AS est_intersection
+        FROM agg
+    """
+    # Rolling actives: per-day dedup → bounded ×7 explode → re-dedup.
+    oracles["events_rolling_actives"] = r"""
+        WITH daily AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k FROM events
+        ),
+        covered AS (
+            SELECT DISTINCT d + CAST(o.off AS INTEGER) AS day, k
+            FROM daily, (SELECT UNNEST(range(0, 7)) AS off) o
+        ),
+        days AS (SELECT DISTINCT d AS day FROM daily),
+        rolling AS (
+            SELECT c.day, COUNT(*) AS rolling_actives
+            FROM covered c JOIN days USING (day) GROUP BY c.day
+        ),
+        dau AS (SELECT d AS day, COUNT(*) AS dau FROM daily GROUP BY d)
+        SELECT strftime(day, '%Y-%m-%d') AS day, dau, rolling_actives
+        FROM rolling JOIN dau USING (day)
+    """
+    # Additive seasonal decomposition: centered 25-row MA (NULL on short
+    # frames), per-position detrended means centered per group; every
+    # statistic rounds at 6 before downstream use (the engine's contract).
+    oracles["events_seasonal_decompose"] = r"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+                       / 1e6 / CAST(COUNT(*) AS DOUBLE) AS v
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        hv AS (SELECT *, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM hourly),
+        b AS (
+            SELECT event_type, hr, v,
+                   row_number() OVER w AS rn,
+                   CASE WHEN COUNT(*) OVER f = 25
+                        THEN CAST(2 * SUM(v6) OVER f
+                                  - (lag(v6, 12) OVER w + lead(v6, 12) OVER w)
+                                  AS DOUBLE) / 48000000.0 END AS trend
+            FROM hv
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr),
+                   f AS (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ),
+        d AS (
+            SELECT *, (rn - 1) % 24 AS pos, v - trend AS det,
+                   CAST(round((v - trend) * 1e6) AS BIGINT) AS det6
+            FROM b
+        ),
+        s AS (
+            SELECT event_type, pos,
+                   CAST(SUM(det6) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+                       AS s_raw
+            FROM d WHERE det IS NOT NULL GROUP BY event_type, pos
+        ),
+        c AS (
+            SELECT event_type, pos,
+                   s_raw - (CAST(SUM(CAST(round(s_raw * 1e6) AS BIGINT))
+                                     OVER (PARTITION BY event_type) AS DOUBLE)
+                            / 1e6
+                            / CAST(COUNT(*) OVER (PARTITION BY event_type)
+                                   AS DOUBLE)) AS seasonal
+            FROM s
+        )
+        SELECT d.event_type, d.hr, d.v AS value, d.trend,
+               c.seasonal, d.v - d.trend - c.seasonal AS residual
+        FROM d LEFT JOIN c ON c.event_type = d.event_type AND c.pos = d.pos
+    """
+    # Largest-remainder (Hamilton) stratified allocation — all integer
+    # arithmetic, MD5-rank membership.
+    oracles["docs_stratified_sample"] = r"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS nh FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(nh) AS n FROM counts),
+        base AS (
+            SELECT source, nh, (100 * nh) // n AS b, (100 * nh) % n AS rem
+            FROM counts, tot
+        ),
+        alloc AS (
+            SELECT source,
+                   b + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                             <= 100 - (SELECT SUM(b) FROM base)
+                        THEN 1 ELSE 0 END) AS alloc
+            FROM base
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source, a.alloc,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rk
+            FROM documents d JOIN alloc a USING (source)
+        )
+        SELECT doc_id, source, alloc FROM ranked WHERE rk <= alloc
     """
     return oracles

@@ -1019,3 +1019,79 @@ def pq_topk(
             "rank",
         )
     )
+
+
+@register("ivf_pq_topk")
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    m: int = 4,
+    k_codes: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN architecture — IVF
+    coarse cells prune candidates (equi-join on the cell id, the corpus
+    never cross-joins), PQ codes + per-query ADC lookup tables score
+    them (m table lookups per pair, the corpus stored as m bytes per
+    vector) → ``(query_id, vec_id, adc_dist, rank)``.
+
+    This composition is why the two pieces exist: IVF bounds WHO you
+    score, PQ bounds WHAT a score costs and what the corpus weighs in
+    memory. Codes here quantize the raw vectors against shared
+    codebooks (oracle-replayable from the table); the classic residual
+    refinement (quantize ``v − centroid[cell]``) drops in by shifting
+    ``vec_col`` first and is the production upgrade path."""
+    cents = _ivf_centroids(dim, n_cells, seed)
+    cbs = pq_seed_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
+    sub = len(cbs[0][0])
+    enc = pq_encode(corpus, cbs, vec_col).select(
+        F.col(id_col).alias("__cid"),
+        F.col("pq_code").alias("__codes"),
+        _cell_assign_udf(cents)(F.col(vec_col)).alias("__cell"),
+    )
+    exploded = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(ivf_dists_expr(F.col(vec_col), cents)).alias("__pos", "__d"),
+    )
+    wq = Window.partitionBy("__qid").orderBy("__d", "__pos")
+    probed = (
+        exploded.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qv", (F.col("__pos") + 1).alias("__cell"))
+    )
+    qcols = [F.col("__qid"), F.col("__cell")]
+    for j, cb in enumerate(cbs):
+        sl = F.slice(F.col("__qv"), j * sub + 1, sub)
+        qcols.append(
+            F.array(*[_sq_dist_expr(sl, cent) for cent in cb]).alias(f"__lut{j}")
+        )
+    q = probed.select(*qcols)
+    pairs = (
+        F.broadcast(q)
+        .join(enc, on="__cell")
+        .filter(F.col("__qid") != F.col("__cid"))
+    )
+    adc = F.lit(0.0)
+    for j in range(len(cbs)):
+        adc = adc + F.element_at(
+            F.col(f"__lut{j}"), F.col("__codes").getItem(j).cast("int")
+        )
+    w = Window.partitionBy("__qid").orderBy(F.col("__adc").asc(), F.col("__cid").asc())
+    return (
+        pairs.withColumn("__adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__adc"), 6).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -200,3 +200,83 @@ def kmv_distinct(
         .otherwise(F.count("*").cast("double"))
         .alias("est_distinct"),
     )
+
+
+@register("kmv_intersect_pairs")
+def kmv_intersect_pairs(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_by: str = "grp",
+    hasher: Callable[[Column], Column] = uniform_poly_hash_expr,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between every two groups, estimated
+    ON THE SKETCHES: each group keeps its k smallest distinct hashes
+    (the KMV sketch), then every pair (a < b) merges the two k-sets,
+    re-takes the k smallest, and estimates ``|A ∪ B|`` via the KMV
+    formula and ``|A ∩ B| = ρ·|A ∪ B|`` with ρ the fraction of the
+    merged k-set present in both sides (Beyer et al.'s KMV set
+    algebra). When the merged set holds fewer than k distinct hashes
+    everything degenerates to EXACT counts.
+
+    100 TB shape: the raw data is touched once (per-group distinct +
+    top-k window — the ``kmv_distinct`` scan); the G² pair stage runs
+    entirely on G×k sketch rows, so comparing every pair of sources/
+    days/shards costs nothing no matter how big the underlying corpus.
+
+    Output per pair: ``(grp_a, grp_b, n_kept, n_common, est_union,
+    est_intersection)``.
+    """
+    hashed = df.select(
+        F.col(group_by).alias("grp"),
+        hasher(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    wg = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    topk = (
+        hashed.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    groups = topk.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .join(groups.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    tag_a = pairs.join(
+        topk.withColumnRenamed("grp", "grp_a"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    tag_b = pairs.join(
+        topk.withColumnRenamed("grp", "grp_b"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        tag_a.unionByName(tag_b)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc())
+    kept = merged.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    agg = kept.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("long")).alias("n_common"),
+        F.max("h").alias("__hk"),
+    )
+    at_k = F.col("n_kept") == k
+    est_union = F.when(
+        at_k,
+        (F.lit(float(k - 1)) * F.lit(float(POLY_MOD))) / F.col("__hk").cast("double"),
+    ).otherwise(F.col("n_kept").cast("double"))
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_kept",
+        "n_common",
+        F.round(est_union, 6).alias("est_union"),
+        F.round(
+            F.when(
+                at_k,
+                (F.col("n_common").cast("double") * est_union) / F.lit(float(k)),
+            ).otherwise(F.col("n_common").cast("double")),
+            6,
+        ).alias("est_intersection"),
+    )

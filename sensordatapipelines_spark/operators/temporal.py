@@ -1047,3 +1047,157 @@ def cusum_changepoints(
         .otherwise(F.lit("down"))
         .alias("direction"),
     )
+
+
+@register("rolling_active_users")
+def rolling_active_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives (the DAU/WAU/MAU family): for every day
+    with activity, the count of distinct keys active in the trailing
+    ``window_days`` days, next to that day's exact DAU.
+
+    Distinct-over-sliding-window has no direct window-function form (no
+    ``countDistinct`` over a frame) — the scalable shape is: dedup to
+    per-(day, key) actives FIRST (bounds everything that follows by
+    actives, not events), then explode each active-day into the
+    ``window_days`` calendar days it keeps the key active for, dedup
+    (day, key) again and count. Shuffles carry at most
+    ``actives × window_days`` rows — independent of the raw event
+    volume; the alternative (a range self-join events×events) is
+    quadratic in hot keys. Days with zero activity of their own emit no
+    row (they'd need a calendar spine — compose with ``resample``)."""
+    day = F.to_date(F.col(ts_col))
+    daily = df.select(day.alias("__d"), F.col(key_col).alias("__k")).distinct()
+    covered = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__off"),
+            "__d",
+            "__k",
+        )
+        .select(F.date_add(F.col("__d"), F.col("__off")).alias("__day"), "__k")
+        .distinct()
+    )
+    days = daily.select(F.col("__d").alias("__day")).distinct()
+    rolling = (
+        covered.join(days, "__day")
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).alias("rolling_actives"))
+    )
+    dau = daily.groupBy(F.col("__d").alias("__day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        rolling.join(dau, "__day")
+        .select(
+            F.col("__day").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("rolling_actives").cast("long").alias("rolling_actives"),
+        )
+    )
+
+
+@register("seasonal_decompose")
+def seasonal_decompose(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classic additive seasonal decomposition of a regular series per
+    group: ``value = trend + seasonal + residual``.
+
+    - trend: centered moving average — the classic 2×p MA for even
+      periods (``period+1`` rows, half weight on the two ends, so a
+      pure period-p pattern averages out exactly) and a plain p-row
+      window for odd ones; NULL at the edges where the frame is short;
+    - seasonal: the per-season-position mean of the detrended series
+      (position = row index mod period), centered so the ``period``
+      indices sum to ~0;
+    - residual: what's left.
+
+    Engine shape: ONE ordered window exchange on the group key carries
+    the row numbering, the moving sums and the frame-completeness
+    count; the seasonal table is a ``period``-rows-per-group aggregate
+    joined back by broadcast.
+
+    Determinism contract (subtler than the e9-ln trick): every mean is
+    an EXACT integer numerator (sums of per-row 1e-6-scaled BIGINTs —
+    order-free) over a literal denominator, emitted as the UNROUNDED
+    IEEE division result. No ``round(x, 6)`` is applied to aggregate
+    outputs: /24-style denominators park values exactly on 6-decimal
+    half-way points, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-multiply rounding disagree (observed: 47.752061 vs
+    47.752062). Scale-0 rounds of identical doubles (the per-row e6
+    quantizations) are safe — both engines round half away from zero.
+    Assumes a REGULAR series (compose with ``resample`` first)."""
+    half = period // 2
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    frame = wo.rowsBetween(-half, half)
+    base = df.select(
+        F.col(group_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn("__v6", F.round(F.col("__v") * F.lit(1e6)).cast("long")).withColumn(
+        "__rn", F.row_number().over(wo)
+    )
+    if period % 2 == 0:
+        # 2×p MA: numerator 2·S − (ends) is an exact BIGINT; one division
+        num = (
+            F.lit(2) * F.sum("__v6").over(frame)
+            - (F.lag("__v6", half).over(wo) + F.lead("__v6", half).over(wo))
+        )
+        trend = F.when(
+            F.count(F.lit(1)).over(frame) == period + 1,
+            num.cast("double") / F.lit(float(2 * period) * 1e6),
+        )
+    else:
+        trend = F.when(
+            F.count(F.lit(1)).over(frame) == period,
+            F.sum("__v6").over(frame).cast("double") / F.lit(float(period) * 1e6),
+        )
+    with_trend = base.withColumn("trend", trend).withColumn(
+        "__pos", (F.col("__rn") - 1) % F.lit(period)
+    )
+    det = with_trend.withColumn("__det", F.col("__v") - F.col("trend")).withColumn(
+        "__det6", F.round((F.col("__v") - F.col("trend")) * F.lit(1e6)).cast("long")
+    )
+    seas = (
+        det.filter(F.col("__det").isNotNull())
+        .groupBy(group_col, "__pos")
+        .agg(
+            (
+                F.sum("__det6").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__s_raw")
+        )
+    )
+    wg = Window.partitionBy(group_col)
+    centered = (
+        seas.withColumn("__s6", F.round(F.col("__s_raw") * F.lit(1e6)).cast("long"))
+        .withColumn(
+            "__s_mean",
+            F.sum("__s6").over(wg).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).over(wg).cast("double"),
+        )
+        .select(
+            group_col,
+            "__pos",
+            (F.col("__s_raw") - F.col("__s_mean")).alias("seasonal"),
+        )
+    )
+    out = det.join(F.broadcast(centered), [group_col, "__pos"], "left")
+    return out.select(
+        F.col(group_col),
+        F.col(ts_col),
+        F.col("__v").alias("value"),
+        "trend",
+        "seasonal",
+        (F.col("__v") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )

@@ -1094,3 +1094,96 @@ def paragraph_lang_profile(
         ).alias("top_frac"),
         F.col("n_langs").cast("long").alias("n_langs"),
     )
+
+
+@register("bigram_logprob")
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Corpus-self-trained interpolated bigram LM score per document:
+    mean ln of ``λ·p(w_i|w_{i-1}) + (1−λ)·p(w_i)`` over the document's
+    token transitions — the next step up from ``unigram_logprob``'s
+    perplexity filter (repetitive/templated text scores near zero,
+    incoherent token soup scores very negative even when its unigrams
+    are common).
+
+    Plan shape (100 TB): both count tables are vocabulary-sized
+    aggregates (map-side combined); the bigram vocabulary joins its
+    prev-word and current-word unigram stats vocab-side, and the scored
+    bigram table broadcasts onto the document transition stream (swap to
+    a shuffled equi-join on the bigram key past the broadcast threshold
+    — shape unchanged). Determinism: per-transition log-probs round to
+    1e-9-scaled BIGINTs before summation (the ``unigram_logprob``
+    contract). Docs with < 2 tokens emit ``n_bigrams = 0, NULL``.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    with_t = df.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t")
+    pairs = F.when(
+        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice("__t", 1, n - 1),
+            F.slice("__t", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    stream = with_t.select(
+        F.col(id_col), F.explode(pairs).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+
+    tok_stream = with_t.select(F.explode("__t").alias("__tok"))
+    uni = tok_stream.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = uni.agg(F.sum("__c").alias("__total"))
+    bi = stream.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb"))
+    scored_vocab = (
+        bi.join(F.broadcast(uni.select(F.col("__tok").alias("__w1"), F.col("__c").alias("__cp"))), "__w1")
+        .join(F.broadcast(uni.select(F.col("__tok").alias("__w2"), F.col("__c").alias("__cw"))), "__w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                F.log(
+                    F.lit(float(lam))
+                    * (F.col("__cb").cast("double") / F.col("__cp").cast("double"))
+                    + F.lit(float(1.0 - lam))
+                    * (F.col("__cw").cast("double") / F.col("__total").cast("double"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__lp_e9"),
+        )
+    )
+    per_doc = (
+        stream.join(F.broadcast(scored_vocab), ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lp_e9").alias("__sum_e9"),
+        )
+    )
+    scored = per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            F.col("__sum_e9").cast("double")
+            / F.lit(1e9)
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("avg_logprob"),
+    )
+    empties = df.select(F.col(id_col)).join(
+        scored.select(id_col), id_col, "left_anti"
+    )
+    return scored.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
+    )

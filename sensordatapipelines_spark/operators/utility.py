@@ -1065,3 +1065,62 @@ def dq_report(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register("stratified_sample_alloc")
+def stratified_sample_alloc(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    total_n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Proportional stratified sample of EXACTLY ``total_n`` rows: each
+    stratum's quota is ``total_n · n_h / N`` allocated by the
+    largest-remainder (Hamilton) method — floor quotas first, the
+    leftover seats to the strata with the largest integer remainders
+    (ties → stratum key ascending) — then ``group_sample_k``-style
+    deterministic membership (MD5 rank) fills each quota.
+
+    Everything is INTEGER arithmetic (``total_n·n_h div N`` /
+    ``mod N``), so the allocation is exact and engine-replayable — no
+    float quota ever sits on a rounding boundary. Shapes: one tiny
+    per-stratum count aggregate (broadcast back), one window rank per
+    stratum for membership. A stratum with fewer rows than its quota
+    contributes all its rows (the sample then undershoots ``total_n``
+    — surfaced in the ``alloc`` column, not silently rebalanced)."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__nh"))
+    tot = counts.agg(F.sum("__nh").alias("__n"))
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "__nh",
+        (F.lit(int(total_n)) * F.col("__nh")).alias("__num"),
+        F.col("__n"),
+    )
+    base = quotas.select(
+        stratum_col,
+        "__nh",
+        F.expr(f"__num div __n").alias("__base"),
+        (F.col("__num") % F.col("__n")).alias("__rem"),
+    )
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col(stratum_col).asc())
+    w_all = Window.partitionBy(F.lit(1))
+    alloc = (
+        base.withColumn("__rk", F.row_number().over(w_rem))
+        .withColumn("__extra", F.lit(int(total_n)) - F.sum("__base").over(w_all))
+        .select(
+            stratum_col,
+            (
+                F.col("__base")
+                + (F.col("__rk") <= F.col("__extra")).cast("long")
+            ).alias("alloc"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(alloc), stratum_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("alloc"))
+        .drop("__rk")
+    )

@@ -21,6 +21,10 @@ BNLJ_ALLOWED = {
     "pipeline_curation", "zones_wkb_polygon_agg", "zones_wkb_holes_agg",
     "emb_ann_recall", "q22_global_sales", "emb_cosine_topk",
     "emb_hard_negatives",  # broadcast query side, inequality-only condition
+    "emb_pq_topk",  # broadcast query side (ADC LUTs), inequality-only condition
+    "docs_bigram_logprob",  # broadcast 1-row corpus-total cross join
+    "docs_stratified_sample",  # broadcast 1-row population-total cross join
+    "events_kmv_overlap",  # group-list pair generation: tiny × tiny, a<b filter
     "events_salted_join", "events_runtime_filter_join", "sensors_buffer_agg",
     "sensors_knn_agg", "sensors_zonal_stats", "sensors_idw",
     "events_key_skew", "zones_polygon_agg", "docs_length_filter",

@@ -374,3 +374,36 @@ def test_pq_topk_matches_numpy_adc(spark):
         order = sorted((a, i) for i, a in enumerate(adc) if i != q)[:4]
         for rank, (_, i) in enumerate(order, 1):
             assert got[(q, rank)] == i
+
+
+def test_ivfpq_candidates_are_cell_pruned_subset_of_pq(spark):
+    """IVF-PQ returns the same ADC distances PQ would for the vectors it
+    keeps (same codes, same LUTs) — the cell pruning only shrinks the
+    candidate set, never rescores."""
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((120, 16)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id < 2")
+    full = {
+        (r.query_id, r.vec_id): r.adc_dist
+        for r in pq_topk(df, q, k=120, m=4, k_codes=8, dim=16).collect()
+    }
+    pruned = ivf_pq_topk(
+        df, q, k=10, n_cells=4, dim=16, seed=7, m=4, k_codes=8, nprobe=2
+    ).collect()
+    assert pruned
+    for r in pruned:
+        assert full[(r.query_id, r.vec_id)] == r.adc_dist
+    # ranks are contiguous per query
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -77,3 +77,33 @@ def test_sketch_registry_slots_resolve():
     assert get_operation("cms_sketch").__name__ == "cms_sketch"
     assert get_operation("cms_heavy_hitters").__name__ == "cms_heavy_hitters"
     assert get_operation("kmv_distinct").__name__ == "kmv_distinct"
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    """Small groups (< k distinct) degenerate to exact set counts."""
+    from sensordatapipelines_spark.operators.sketches import kmv_intersect_pairs
+
+    rows = [("A", f"u{i}") for i in range(10)] + [("B", f"u{i}") for i in range(5, 20)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    out = kmv_intersect_pairs(df, "key", k=64, group_by="grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.grp_a == "A" and r.grp_b == "B"
+    assert r.n_kept == 20  # |A ∪ B| exactly
+    assert r.n_common == 5  # u5..u9
+    assert r.est_union == 20.0 and r.est_intersection == 5.0
+
+
+def test_kmv_intersect_estimates_overlap(spark):
+    """At k, the ρ·|A∪B| estimate lands near the true intersection."""
+    from sensordatapipelines_spark.operators.sketches import kmv_intersect_pairs
+
+    n, overlap = 2000, 1000
+    rows = [("A", f"key_{i:05d}") for i in range(n)] + [
+        ("B", f"key_{i:05d}") for i in range(n - overlap, 2 * n - overlap)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    r = kmv_intersect_pairs(df, "key", k=256, group_by="grp").collect()[0]
+    true_union, true_int = 2 * n - overlap, overlap
+    assert abs(r.est_union - true_union) / true_union < 0.3
+    assert abs(r.est_intersection - true_int) / true_int < 0.45

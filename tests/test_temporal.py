@@ -601,3 +601,55 @@ def test_cusum_matches_direct_recursion(spark):
         s = max(0.0, s + ((v - mu) / sd - 0.5))
         if i in by_i:
             assert abs(by_i[i].cusum_up - s) < 1e-5
+
+
+def test_rolling_active_users_window_math(spark):
+    """Hand-checkable WAU: users active on day d count for d..d+6; only
+    days with their own activity emit rows."""
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import rolling_active_users
+
+    d = lambda i: dt.datetime(2024, 3, 1 + i, 12, 0)  # noqa: E731
+    rows = [
+        ("a", d(0)), ("b", d(0)),      # day 0: a, b
+        ("a", d(1)),                   # day 1: a
+        ("c", d(9)),                   # day 9: c (gap — days 2..8 silent)
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id string, ts timestamp"
+    )
+    out = {str(r.day): (r.dau, r.rolling_actives) for r in
+           rolling_active_users(df, "ts", "user_id", window_days=7).collect()}
+    assert out == {
+        "2024-03-01": (2, 2),   # a, b
+        "2024-03-02": (1, 2),   # trailing: a, b
+        "2024-03-10": (1, 1),   # c only — a/b expired after day 7/8
+    }
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    """trend+seasonal+residual == value; a planted period-4 pattern on a
+    linear trend is recovered with small residuals away from the edges."""
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import seasonal_decompose
+
+    pattern = [2.0, -1.0, 0.5, -1.5]
+    rows = [
+        ("g", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+         10.0 + 0.1 * i + pattern[i % 4])
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = seasonal_decompose(df, "g", "ts", "v", period=4).collect()
+    assert len(out) == 48
+    for r in out:
+        if r.trend is None:
+            assert r.residual is None
+            continue
+        assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 1e-5
+        assert abs(r.residual) < 0.2  # MA of a linear trend is exact
+    # the 4 seasonal indices match the centered pattern
+    seas = sorted({round(r.seasonal, 3) for r in out if r.seasonal is not None})
+    assert seas == sorted(round(p - sum(pattern) / 4, 3) for p in pattern)

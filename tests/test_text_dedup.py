@@ -1119,3 +1119,22 @@ def test_hamming_pairs_random_fuzz_matches_bruteforce(spark):
         if ham(hashes[a], hashes[b]) <= 3
     }
     assert got == want and len(want) > 50  # the fuzz actually planted pairs
+
+
+def test_bigram_logprob_repetition_scores_higher(spark):
+    """A perfectly repetitive bigram chain must out-score token soup with
+    the same unigram distribution; < 2 tokens -> NULL row kept."""
+    from sensordatapipelines_spark.operators.text import bigram_logprob
+
+    docs = [
+        (1, "a b a b a b a b a b a b"),
+        (2, "a a b b b a a b a b b a"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[3].n_bigrams == 0 and out[3].avg_logprob is None
+    assert out[4].n_bigrams == 0 and out[4].avg_logprob is None
+    assert out[1].n_bigrams == 11

@@ -37,3 +37,39 @@ def test_dq_report_clean_table_all_zero(spark):
     }
     assert rep["row_count"] == 2
     assert all(v == 0 for k, v in rep.items() if k != "row_count")
+
+
+def test_stratified_sample_exact_allocation(spark):
+    from sensordatapipelines_spark.operators.utility import stratified_sample_alloc
+
+    rows = (
+        [("big", f"k{i}") for i in range(70)]
+        + [("mid", f"m{i}") for i in range(25)]
+        + [("tiny", f"t{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "stratum string, key string")
+    out = stratified_sample_alloc(df, "stratum", "key", total_n=20).collect()
+    assert len(out) == 20
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, 0)
+        by[r.stratum] += 1
+    # quotas: 14.0, 5.0, 1.0 exactly
+    assert by == {"big": 14, "mid": 5, "tiny": 1}
+    # deterministic membership
+    again = {(r.stratum, r.key) for r in
+             stratified_sample_alloc(df, "stratum", "key", total_n=20).collect()}
+    assert again == {(r.stratum, r.key) for r in out}
+
+
+def test_stratified_sample_largest_remainder_seats(spark):
+    from sensordatapipelines_spark.operators.utility import stratified_sample_alloc
+
+    # n_h = 5, 5, 5 with total_n=10: base 3×(50 div 15 = 3) = 9, one
+    # leftover seat goes to the lexicographically first stratum (tie rems)
+    rows = [(s, f"{s}{i}") for s in ("a", "b", "c") for i in range(5)]
+    df = spark.createDataFrame(rows, "stratum string, key string")
+    out = stratified_sample_alloc(df, "stratum", "key", total_n=10).collect()
+    assert len(out) == 10
+    allocs = {r.stratum: r.alloc for r in out}
+    assert allocs == {"a": 4, "b": 3, "c": 3}
