@@ -5182,6 +5182,46 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "alloc")
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers cohorted by first-order month,
+    cumulative revenue and per-customer LTV by cohort age — integer
+    month arithmetic, e6-BIGINT revenue sums, unrounded divisions."""
+    from sensordatapipelines_spark.operators.temporal import cohort_ltv
+
+    _register_views(spark, sf_dir)
+    return cohort_ltv(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto contribution analysis of parts by discounted revenue:
+    one keyed aggregate + one ordered window over the part table."""
+    from sensordatapipelines_spark.operators.utility import abc_classification
+
+    _register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__amt", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return abc_classification(li, "l_partkey", "__amt")
+
+
+def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over order baskets: distinct (order, part)
+    first, pair generation as a self-EQUI-join on the order key (fan-out
+    bounded by basket width), lift from exact integer products."""
+    from sensordatapipelines_spark.operators.joins import market_basket_pairs
+
+    _register_views(spark, sf_dir)
+    return market_basket_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_pair_count=2,
+        top_n=20,
+    )
+
+
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
     unigram backoff): vocabulary-sized count aggregates, scores joined
@@ -6118,6 +6158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_actives": events_rolling_actives,
         "events_seasonal_decompose": events_seasonal_decompose,
         "docs_stratified_sample": docs_stratified_sample,
+        "orders_cohort_ltv": orders_cohort_ltv,
+        "part_abc_classification": part_abc_classification,
+        "lineitem_basket_pairs": lineitem_basket_pairs,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6232,6 +6275,9 @@ _ROUND4_SAMPLE_FIRST = [
     "events_rolling_actives",
     "events_seasonal_decompose",
     "docs_stratified_sample",
+    "orders_cohort_ltv",
+    "part_abc_classification",
+    "lineitem_basket_pairs",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -10804,5 +10850,86 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN alloc a USING (source)
         )
         SELECT doc_id, source, alloc FROM ranked WHERE rk <= alloc
+    """
+    # Cohort LTV: integer month keys (year·12+month), e6-BIGINT revenue
+    # sums, unrounded divisions of exact numerators.
+    oracles["orders_cohort_ltv"] = r"""
+        WITH f AS (
+            SELECT o_custkey AS k,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                   o_totalprice
+            FROM orders
+        ),
+        firsts AS (SELECT k, MIN(m) AS cm FROM f GROUP BY k),
+        sizes AS (SELECT cm, COUNT(*) AS nc FROM firsts GROUP BY cm),
+        tagged AS (
+            SELECT fi.cm, f.m - fi.cm AS age_months,
+                   CAST(round(o_totalprice * 1e6) AS BIGINT) AS a6
+            FROM f JOIN firsts fi USING (k)
+        ),
+        cube AS (
+            SELECT cm, age_months, SUM(a6) AS rev6
+            FROM tagged GROUP BY cm, age_months
+        ),
+        curved AS (
+            SELECT cm, age_months,
+                   CAST(SUM(rev6) OVER (PARTITION BY cm ORDER BY age_months
+                                        ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum6
+            FROM cube
+        )
+        SELECT printf('%04d-%02d', (cm - 1) // 12, ((cm - 1) % 12) + 1)
+                   AS cohort_month,
+               age_months,
+               nc AS n_customers,
+               CAST(cum6 AS DOUBLE) / 1e6 AS cum_revenue,
+               CAST(cum6 AS DOUBLE) / 1e6 / CAST(nc AS DOUBLE)
+                   AS ltv_per_customer
+        FROM curved JOIN sizes USING (cm)
+    """
+    # ABC/Pareto: e6-BIGINT revenue sums, running share as one division.
+    oracles["part_abc_classification"] = r"""
+        WITH rev AS (
+            SELECT l_partkey,
+                   SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1e6)
+                            AS BIGINT)) AS r6
+            FROM lineitem GROUP BY l_partkey
+        ),
+        cum AS (
+            SELECT l_partkey, r6,
+                   CAST(SUM(r6) OVER (ORDER BY r6 DESC, l_partkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c6,
+                   CAST(SUM(r6) OVER () AS BIGINT) AS t6
+            FROM rev
+        )
+        SELECT l_partkey,
+               CAST(r6 AS DOUBLE) / 1e6 AS revenue,
+               CAST(c6 AS DOUBLE) / CAST(t6 AS DOUBLE) AS cum_share,
+               CASE WHEN CAST(c6 AS DOUBLE) / CAST(t6 AS DOUBLE) <= 0.8 THEN 'A'
+                    WHEN CAST(c6 AS DOUBLE) / CAST(t6 AS DOUBLE) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    """
+    # Market basket: distinct (basket, item) first, a<b self equi-join,
+    # lift = (n_ab·n_baskets)/(n_a·n_b) in one division.
+    oracles["lineitem_basket_pairs"] = r"""
+        WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+        supp AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY i),
+        pairs AS (
+            SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_baskets_both
+            FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+            GROUP BY a.i, c.i
+            HAVING COUNT(*) >= 2
+        )
+        SELECT item_a, item_b, n_baskets_both,
+               CAST(n_baskets_both * nb.n AS DOUBLE)
+                   / CAST(sa.ni * sb.ni AS DOUBLE) AS lift
+        FROM pairs
+        JOIN supp sa ON sa.i = pairs.item_a
+        JOIN supp sb ON sb.i = pairs.item_b
+        CROSS JOIN nb
+        ORDER BY lift DESC, item_a, item_b
+        LIMIT 20
     """
     return oracles

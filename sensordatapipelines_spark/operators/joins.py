@@ -371,3 +371,61 @@ def cogroup_asof(
         .cogroup(rb.groupBy("__bkt"))
         .applyInPandas(merge, schema=schema)
     )
+
+
+@register("market_basket_pairs")
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence: item pairs appearing in the same
+    basket, scored by lift = P(a,b) / (P(a)·P(b)) → the top ``top_n``
+    pairs ``(item_a, item_b, n_baskets_both, lift)``.
+
+    Shapes: dedup to distinct (basket, item) FIRST, then the pair
+    generation is a self-EQUI-join on the basket key with ``a < b`` —
+    fan-out bounded by basket width squared, never a corpus cross
+    product; supports are keyed aggregates. Determinism: lift =
+    ``(n_ab · n_baskets) / (n_a · n_b)`` — both sides exact BIGINT
+    products (< 2^63 at any real scale) in ONE IEEE division; ranking
+    ties break on the item pair."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.select("__b").distinct().count()
+    supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = items.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = items.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets_both"))
+        .filter(F.col("n_baskets_both") >= F.lit(int(min_pair_count)))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("__i").alias("item_a"), F.col("__n").alias("__na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("__i").alias("item_b"), F.col("__n").alias("__nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets_both",
+            (
+                (F.col("n_baskets_both") * F.lit(int(n_baskets))).cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(top_n)
+    )

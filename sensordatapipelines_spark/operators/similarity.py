@@ -949,12 +949,46 @@ def pq_seed_codebooks(
     ]
 
 
+def _pq_assign_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ code kernel: for each subspace, vectorized
+    rows × sequential sub-dimensions × first-minimum argmin — the
+    IEEE-identical twin of the ``_sq_dist_expr`` fold + ``array_position``
+    expression (same contract as ``_cell_assign_udf``; the m×k_codes
+    literal expression tree's Catalyst analysis time dominated the
+    encode at bench scale: 4.4 s for 5k vectors)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    sub = CB[0].shape[1]
+
+    @pandas_udf("array<long>")
+    def _codes(v):
+        if not len(v):
+            return pd.Series([], dtype="object")
+        M = np.vstack([np.asarray(x, dtype="float64") for x in v])
+        out = np.zeros((len(v), len(CB)), dtype="int64")
+        for jx, C in enumerate(CB):
+            d = np.zeros((len(v), C.shape[0]), dtype="float64")
+            for ci in range(C.shape[0]):
+                acc = np.zeros(len(v), dtype="float64")
+                for j in range(sub):
+                    diff = M[:, jx * sub + j] - C[ci, j]
+                    acc = acc + diff * diff
+                d[:, ci] = acc
+            out[:, jx] = np.argmin(d, axis=1) + 1
+        return pd.Series(list(out))
+
+    return _codes
+
+
 @register("pq_encode")
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    engine: str = "kernel",
 ) -> DataFrame:
     """Product-quantize vectors: split into ``m`` subspaces, assign each
     slice to its nearest codebook centroid (ties → smallest index) →
@@ -962,6 +996,8 @@ def pq_encode(
     shuffle, no Python): at 100 TB the corpus compresses from
     ``dim`` floats to ``m`` bytes per vector in one codegen'd scan —
     the memory move that makes billion-vector ANN fit a cluster."""
+    if engine == "kernel":
+        return df.withColumn(out_col, _pq_assign_udf(codebooks)(F.col(vec_col)))
     sub = len(codebooks[0][0])
     codes = []
     for j, cb in enumerate(codebooks):
@@ -969,6 +1005,34 @@ def pq_encode(
         dists = F.array(*[_sq_dist_expr(sl, cent) for cent in cb])
         codes.append(F.array_position(dists, F.array_min(dists)))
     return df.withColumn(out_col, F.array(*codes))
+
+
+def _pq_lut_udf(cb: list[list[float]], j: int, sub: int):
+    """Arrow-batched per-query ADC lookup table for subspace ``j``:
+    k_codes sequential-fold squared distances per row, returned as one
+    ``array<double>`` — replaces a k_codes×sub_dim literal expression
+    tree per subspace (Catalyst analysis of those trees, not their
+    execution, dominated pq_topk at bench scale)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cb, dtype="float64")
+
+    @pandas_udf("array<double>")
+    def _lut(v):
+        if not len(v):
+            return pd.Series([], dtype="object")
+        M = np.vstack([np.asarray(x, dtype="float64")[j * sub:(j + 1) * sub] for x in v])
+        d = np.zeros((len(v), C.shape[0]), dtype="float64")
+        for ci in range(C.shape[0]):
+            acc = np.zeros(len(v), dtype="float64")
+            for jj in range(sub):
+                diff = M[:, jj] - C[ci, jj]
+                acc = acc + diff * diff
+            d[:, ci] = acc
+        return pd.Series(list(d))
+
+    return _lut
 
 
 @register("pq_topk")
@@ -1000,8 +1064,7 @@ def pq_topk(
     )
     qcols = [F.col(id_col).alias("__qid")]
     for j, cb in enumerate(cbs):
-        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
-        qcols.append(F.array(*[_sq_dist_expr(sl, cent) for cent in cb]).alias(f"__lut{j}"))
+        qcols.append(_pq_lut_udf(cb, j, sub)(F.col(vec_col)).alias(f"__lut{j}"))
     q = queries.select(*qcols)
     pairs = F.broadcast(q).join(enc, on=F.col("__qid") != F.col("__cid"))
     adc = F.lit(0.0)
@@ -1068,10 +1131,7 @@ def ivf_pq_topk(
     )
     qcols = [F.col("__qid"), F.col("__cell")]
     for j, cb in enumerate(cbs):
-        sl = F.slice(F.col("__qv"), j * sub + 1, sub)
-        qcols.append(
-            F.array(*[_sq_dist_expr(sl, cent) for cent in cb]).alias(f"__lut{j}")
-        )
+        qcols.append(_pq_lut_udf(cb, j, sub)(F.col("__qv")).alias(f"__lut{j}"))
     q = probed.select(*qcols)
     pairs = (
         F.broadcast(q)

@@ -1201,3 +1201,63 @@ def seasonal_decompose(
         "seasonal",
         (F.col("__v") - F.col("trend") - F.col("seasonal")).alias("residual"),
     )
+
+
+@register("cohort_ltv")
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by their first
+    purchase month; for each (cohort, age-in-months) the cumulative
+    revenue and per-customer LTV → ``(cohort_month, age_months,
+    n_customers, cum_revenue, ltv_per_customer)``.
+
+    Shapes: first-month is one keyed aggregate; the (cohort, age) cube
+    is a second aggregate over cohort-tagged facts; the cumulative
+    curve is an ordered window over the tiny cohort×age table.
+    Determinism: revenue sums 1e-6-scaled BIGINTs (order-free) and both
+    reported doubles are single IEEE divisions of exact integer
+    numerators (the unrounded-division contract — see
+    ``seasonal_decompose``). Month arithmetic is ``year·12 + month``
+    integers, portable across engines."""
+    mkey = lambda c: F.year(c) * F.lit(12) + F.month(c)  # noqa: E731
+    firsts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(mkey(F.col(ts_col))).alias("__cm")
+    )
+    sizes = firsts.groupBy("__cm").agg(F.count(F.lit(1)).alias("__nc"))
+    tagged = df.join(
+        F.broadcast(firsts), F.col(key_col) == F.col("__k")
+    ).select(
+        "__cm",
+        (mkey(F.col(ts_col)) - F.col("__cm")).alias("age_months"),
+        F.round(F.col(amount_col).cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("__a6"),
+    )
+    cube = tagged.groupBy("__cm", "age_months").agg(F.sum("__a6").alias("__rev6"))
+    wc = (
+        Window.partitionBy("__cm")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curved = cube.withColumn("__cum6", F.sum("__rev6").over(wc)).join(
+        F.broadcast(sizes), "__cm"
+    )
+    return curved.select(
+        F.concat_ws(
+            "-",
+            F.format_string("%04d", ((F.col("__cm") - 1) / F.lit(12)).cast("int")),
+            F.format_string("%02d", ((F.col("__cm") - 1) % F.lit(12)) + 1),
+        ).alias("cohort_month"),
+        "age_months",
+        F.col("__nc").cast("long").alias("n_customers"),
+        (F.col("__cum6").cast("double") / F.lit(1e6)).alias("cum_revenue"),
+        (
+            F.col("__cum6").cast("double")
+            / F.lit(1e6)
+            / F.col("__nc").cast("double")
+        ).alias("ltv_per_customer"),
+    )

@@ -1124,3 +1124,44 @@ def stratified_sample_alloc(
         .filter(F.col("__rk") <= F.col("alloc"))
         .drop("__rk")
     )
+
+
+@register("abc_classification")
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    amount_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC (Pareto) contribution analysis: rank keys by total amount,
+    classify by cumulative revenue share — A up to ``a_cut``, B to
+    ``b_cut``, C the tail → ``(key, revenue, cum_share, abc_class)``.
+
+    One keyed aggregate (1e-6-scaled BIGINT sums, order-free) + one
+    ordered window over the key table for the running share; both
+    reported doubles are single divisions of exact integer numerators,
+    and the class comparison runs on the identical doubles in both
+    engines."""
+    rev = df.groupBy(key_col).agg(
+        F.sum(
+            F.round(F.col(amount_col).cast("double") * F.lit(1e6)).cast("long")
+        ).alias("__r6")
+    )
+    w = Window.orderBy(F.col("__r6").desc(), F.col(key_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy(F.lit(1))
+    cum = rev.withColumn("__c6", F.sum("__r6").over(w)).withColumn(
+        "__t6", F.sum("__r6").over(wt)
+    )
+    share = F.col("__c6").cast("double") / F.col("__t6").cast("double")
+    return cum.select(
+        key_col,
+        (F.col("__r6").cast("double") / F.lit(1e6)).alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= F.lit(float(a_cut)), "A")
+        .when(share <= F.lit(float(b_cut)), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -246,3 +246,28 @@ def test_cogroup_asof_string_key(spark):
     }
     assert out[10] == ("a", 1.5)
     assert out[11] == ("b", None)
+
+
+def test_market_basket_lift_math(spark):
+    from sensordatapipelines_spark.operators.joins import market_basket_pairs
+
+    # 4 baskets; x and y co-occur in 2 of them, z is everywhere
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): r for r in
+           market_basket_pairs(df, "basket", "item", min_pair_count=2, top_n=10).collect()}
+    # lift(x, y) = (2·4)/(3·2) = 4/3
+    assert abs(out[("x", "y")].lift - 4 / 3) < 1e-12
+    assert out[("x", "y")].n_baskets_both == 2
+    # lift(x, z) = (3·4)/(3·4) = 1
+    assert out[("x", "z")].lift == 1.0
+    # duplicate item rows in one basket must not inflate counts
+    df2 = spark.createDataFrame(rows + [(1, "x"), (1, "x")], "basket long, item string")
+    out2 = {(r.item_a, r.item_b): r.n_baskets_both for r in
+            market_basket_pairs(df2, "basket", "item", min_pair_count=2, top_n=10).collect()}
+    assert out2[("x", "y")] == 2

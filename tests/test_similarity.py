@@ -407,3 +407,22 @@ def test_ivfpq_candidates_are_cell_pruned_subset_of_pq(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_encode_kernel_expr_twins_bit_identical(spark):
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = pq_seed_codebooks(df, m=4, k_codes=8, dim=16)
+    kern = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs, engine="kernel").collect()}
+    expr = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs, engine="expr").collect()}
+    assert kern == expr

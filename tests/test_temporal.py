@@ -653,3 +653,28 @@ def test_seasonal_decompose_recovers_planted_seasonality(spark):
     # the 4 seasonal indices match the centered pattern
     seas = sorted({round(r.seasonal, 3) for r in out if r.seasonal is not None})
     assert seas == sorted(round(p - sum(pattern) / 4, 3) for p in pattern)
+
+
+def test_cohort_ltv_curve_math(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import cohort_ltv
+
+    rows = [
+        # cohort 2024-01: two customers; c1 buys 10 in Jan, 20 in Feb;
+        # c2 buys 30 in Jan
+        (1, dt.datetime(2024, 1, 5), 10.0),
+        (1, dt.datetime(2024, 2, 10), 20.0),
+        (2, dt.datetime(2024, 1, 20), 30.0),
+        # cohort 2024-02: one customer
+        (3, dt.datetime(2024, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, amt double")
+    out = {(r.cohort_month, r.age_months): r for r in
+           cohort_ltv(df, "k", "ts", "amt").collect()}
+    r0 = out[("2024-01", 0)]
+    assert r0.n_customers == 2 and r0.cum_revenue == 40.0 and r0.ltv_per_customer == 20.0
+    r1 = out[("2024-01", 1)]
+    assert r1.cum_revenue == 60.0 and r1.ltv_per_customer == 30.0
+    r2 = out[("2024-02", 0)]
+    assert r2.n_customers == 1 and r2.cum_revenue == 5.0

@@ -73,3 +73,16 @@ def test_stratified_sample_largest_remainder_seats(spark):
     assert len(out) == 10
     allocs = {r.stratum: r.alloc for r in out}
     assert allocs == {"a": 4, "b": 3, "c": 3}
+
+
+def test_abc_classification_pareto_cuts(spark):
+    from sensordatapipelines_spark.operators.utility import abc_classification
+
+    rows = [("p1", 70.0), ("p2", 15.0), ("p3", 10.0), ("p4", 5.0)]
+    df = spark.createDataFrame(rows, "part string, amt double")
+    out = {r.part: r for r in abc_classification(df, "part", "amt").collect()}
+    assert out["p1"].abc_class == "A" and out["p1"].cum_share == 0.70
+    assert out["p2"].abc_class == "B"  # cum 0.85
+    assert out["p3"].abc_class == "B"  # cum 0.95 (<= b_cut)
+    assert out["p4"].abc_class == "C"
+    assert out["p4"].cum_share == 1.0
