@@ -5222,6 +5222,63 @@ def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of its distinct trigrams appearing in
+    no other document — vocabulary-sized shuffle, one division."""
+    from sensordatapipelines_spark.operators.dedup import ngram_novelty
+
+    _register_views(spark, sf_dir)
+    return ngram_novelty(spark.table("documents"), n=3)
+
+
+def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 latest-wins merge: each customer's account balance is
+    upserted from their latest order (date desc, orderkey desc
+    tiebreak) — one union + one keyed window, history never rescanned."""
+    from sensordatapipelines_spark.operators.utility import upsert_merge
+
+    _register_views(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("o_totalprice").alias("c_acctbal"),
+        "c_mktsegment",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return upsert_merge(
+        customer, changes, "c_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
+    )
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of the value series (slope per hour,
+    intercept, r²) from five integer-exact moment sums — ONE map-side
+    combined aggregate, no window, no collect."""
+    from sensordatapipelines_spark.operators.aggregates import grouped_linregress
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # hours since the GLOBAL min timestamp (broadcast 1-row scalar) —
+    # absolute epoch hours squared overflow the int64 moment sums
+    t0 = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__t0")
+    )
+    ev = ev.crossJoin(F.broadcast(t0)).withColumn(
+        "__xh",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.col("__t0")
+        ).cast("double")
+        / F.lit(3600000000.0),
+    )
+    return grouped_linregress(ev, "event_type", "__xh", "value", scale=1e3)
+
+
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
     unigram backoff): vocabulary-sized count aggregates, scores joined
@@ -6161,6 +6218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": orders_cohort_ltv,
         "part_abc_classification": part_abc_classification,
         "lineitem_basket_pairs": lineitem_basket_pairs,
+        "docs_ngram_novelty": docs_ngram_novelty,
+        "customer_upsert_merge": customer_upsert_merge,
+        "events_value_trend": events_value_trend,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6278,6 +6338,9 @@ _ROUND4_SAMPLE_FIRST = [
     "orders_cohort_ltv",
     "part_abc_classification",
     "lineitem_basket_pairs",
+    "docs_ngram_novelty",
+    "customer_upsert_merge",
+    "events_value_trend",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -10931,5 +10994,98 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN nb
         ORDER BY lift DESC, item_a, item_b
         LIMIT 20
+    """
+    # Per-doc trigram novelty: document-frequency == 1 fraction.
+    oracles["docs_ngram_novelty"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        dfreq AS (SELECT s, COUNT(*) AS dfc FROM ex GROUP BY s),
+        per AS (
+            SELECT e.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS n_novel
+            FROM ex e JOIN dfreq USING (s) GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN p.doc_id IS NULL THEN NULL
+                    ELSE CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+               END AS novelty
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    # SCD-1 latest-wins merge: latest order (date desc, key desc) sets
+    # the balance; untouched customers pass through.
+    oracles["customer_upsert_merge"] = r"""
+        WITH latest AS (
+            SELECT o_custkey, o_totalprice FROM (
+                SELECT o_custkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC,
+                                                   o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               COALESCE(l.o_totalprice, c.c_acctbal) AS c_acctbal,
+               c.c_mktsegment,
+               l.o_custkey IS NOT NULL AS updated
+        FROM customer c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """
+    # Grouped OLS from 1e-3-scaled integer moment sums; IEEE arithmetic
+    # on exact sums with the engine's exact expression order.
+    oracles["events_value_trend"] = r"""
+        WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+        b AS (
+            SELECT event_type,
+                   CAST(round((CAST(epoch_us(ts) - t0.t0 AS DOUBLE)
+                               / 3600000000.0) * 1000.0) AS BIGINT) AS x6,
+                   CAST(round(value * 1000.0) AS BIGINT) AS y6
+            FROM events CROSS JOIN t0
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x6) AS BIGINT) AS sx6,
+                   CAST(SUM(y6) AS BIGINT) AS sy6,
+                   CAST(SUM(x6 * x6) AS BIGINT) AS sxx6,
+                   CAST(SUM(y6 * y6) AS BIGINT) AS syy6,
+                   CAST(SUM(x6 * y6) AS BIGINT) AS sxy6
+            FROM b GROUP BY event_type
+        ),
+        st AS (
+            SELECT event_type, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx6 AS DOUBLE) / 1000.0 AS sx,
+                   CAST(sy6 AS DOUBLE) / 1000.0 AS sy,
+                   CAST(sxx6 AS DOUBLE) / 1000000.0 AS sxx,
+                   CAST(syy6 AS DOUBLE) / 1000000.0 AS syy,
+                   CAST(sxy6 AS DOUBLE) / 1000000.0 AS sxy
+            FROM agg
+        )
+        SELECT event_type, n,
+               CASE WHEN n >= 2 AND nd * sxx - sx * sx > 0
+                    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+               END AS slope,
+               CASE WHEN n >= 2 AND nd * sxx - sx * sx > 0
+                    THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+                               * sx) / nd
+               END AS intercept,
+               CASE WHEN n >= 2 AND nd * sxx - sx * sx > 0
+                         AND nd * syy - sy * sy > 0
+                    THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                         / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+               END AS r2
+        FROM st
     """
     return oracles

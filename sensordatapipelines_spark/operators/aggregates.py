@@ -169,3 +169,68 @@ def weighted_percentile(
     return hit.groupBy(F.col(group_col).alias(group_col)).agg(
         F.min(F.col(value_col)).alias(f"p{int(q * 100)}_weighted")
     )
+
+
+@register("grouped_linregress")
+def grouped_linregress(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: float = 1e3,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line: ``slope``, ``intercept``,
+    ``r2`` and ``n`` from the five moment sums — the declarative
+    regression every monitoring pipeline wants (trend per sensor/
+    segment) without ever collecting a group.
+
+    100 TB shape: ONE map-side-combined aggregate; the five sums are
+    the whole shuffle payload per group. Determinism: x and y quantize
+    to 1e-6-scaled BIGINTs per row (engine-identical rounding of
+    identical doubles), the moment sums are exact integer sums
+    (order-free), and every reported statistic is IEEE arithmetic on
+    those exact sums — engine-identical even where not exact-rational.
+    Degenerate groups (n < 2 or zero x-variance) emit NULL slope/
+    intercept/r2.
+
+    Overflow bound: ``|x·scale| · |y·scale| · n_group`` must stay under
+    2^63 — the default 1e3 scale leaves ~6 decimal digits of headroom
+    for x,y up to ~1e4 over ~1e8-row groups; raise ``scale`` for more
+    precision on small well-bounded data, lower it for huge groups."""
+    x6 = F.round(F.col(x_col).cast("double") * F.lit(float(scale))).cast("long")
+    y6 = F.round(F.col(y_col).cast("double") * F.lit(float(scale))).cast("long")
+    base = df.select(F.col(group_col), x6.alias("__x"), y6.alias("__y"))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = float(scale)
+    s2 = float(scale) * float(scale)
+    sx = F.col("__sx").cast("double") / F.lit(s1)
+    sy = F.col("__sy").cast("double") / F.lit(s1)
+    sxx = F.col("__sxx").cast("double") / F.lit(s2)
+    syy = F.col("__syy").cast("double") / F.lit(s2)
+    sxy = F.col("__sxy").cast("double") / F.lit(s2)
+    denx = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    slope = F.when((F.col("n") >= 2) & (denx > 0), num / denx)
+    intercept = F.when(
+        (F.col("n") >= 2) & (denx > 0), (sy - (num / denx) * sx) / nd
+    )
+    r2 = F.when(
+        (F.col("n") >= 2) & (denx > 0) & (deny > 0),
+        (num * num) / (denx * deny),
+    )
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

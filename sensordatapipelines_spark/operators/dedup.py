@@ -1304,3 +1304,53 @@ def contamination_report(
             ),
         ).alias("hit_frac"),
     )
+
+
+@register("ngram_novelty")
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams that appear in no other document → ``(id, n_grams, n_novel,
+    novelty)``. The per-doc complement of the corpus-level
+    decontamination/duplication measures — low novelty flags boilerplate
+    and near-copies, high novelty flags unique content worth keeping.
+
+    Plan shape: one shingle-vocabulary aggregate (document frequency —
+    the shuffle carries distinct shingles, Heaps-law-small), joined back
+    onto the per-doc distinct shingle stream and re-reduced per doc.
+    Novelty = one IEEE division of exact counts. Docs with fewer than
+    ``n`` tokens have no grams and score NULL (kept)."""
+    grams = F.array_distinct(word_ngrams_kernel(n)(F.col(text_col)))
+    stream = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    dfreq = stream.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        stream.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    scored = per_doc.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )
+    empties = df.select(F.col(id_col)).join(
+        scored.select(id_col), id_col, "left_anti"
+    )
+    return scored.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_novel"),
+            F.lit(None).cast("double").alias("novelty"),
+        )
+    )

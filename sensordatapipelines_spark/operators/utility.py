@@ -1165,3 +1165,41 @@ def abc_classification(
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register("upsert_merge")
+def upsert_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD-1 latest-wins merge: apply a change batch onto a snapshot —
+    any change row replaces the snapshot row with its key; among
+    multiple changes per key the LATEST wins (``ts_col`` desc, then
+    ``tiebreak_col`` desc). Output = merged table + ``updated`` flag.
+
+    The batch half of the incremental-maintenance story (the streaming
+    half is ``transformWithStateInPandas``): one union + one keyed
+    window — the merge shuffles each key group once, never rescans
+    history per change. Schemas must align on the snapshot's columns
+    (extra change columns are dropped)."""
+    cols = [c for c in snapshot.columns]
+    order = [F.col("__pri").desc()]
+    if ts_col is not None:
+        order.append(F.col(ts_col).desc())
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    snap = snapshot.select(*cols).withColumn("__pri", F.lit(0))
+    chg = changes.withColumn("__pri", F.lit(1))
+    extra = [c for c in (ts_col, tiebreak_col) if c is not None and c not in cols]
+    snap = snap.select(*cols, "__pri", *[F.lit(None).alias(c) for c in extra])
+    chg = chg.select(*cols, "__pri", *extra)
+    unioned = snap.unionByName(chg)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols, (F.col("__pri") == 1).alias("updated"))
+    )

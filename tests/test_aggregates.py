@@ -372,3 +372,20 @@ def test_token_budget_pack_floor_semantics(spark):
     # doc 1 (9 < 10) kept; doc 2 starts at 9 < 10 -> kept (crosses, floor
     # semantics); doc 3 starts at 14 >= 10 -> cut; group b's first always kept
     assert out == {1: 9, 2: 14, 4: 100}
+
+
+def test_grouped_linregress_recovers_planted_line(spark):
+    from sensordatapipelines_spark.operators.aggregates import grouped_linregress
+
+    rows = [("g", float(x), 2.5 * x + 7.0) for x in range(50)]
+    rows += [("noisy", float(x), 1.0 * x + ((-1) ** x) * 0.5) for x in range(50)]
+    rows += [("flat", 3.0, 9.0), ("flat", 3.0, 11.0)]  # zero x-variance
+    rows += [("single", 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_linregress(df, "g", "x", "y", scale=1e6).collect()}
+    assert abs(out["g"].slope - 2.5) < 1e-6
+    assert abs(out["g"].intercept - 7.0) < 1e-4
+    assert abs(out["g"].r2 - 1.0) < 1e-9
+    assert abs(out["noisy"].slope - 1.0) < 0.01 and out["noisy"].r2 < 1.0
+    assert out["flat"].slope is None and out["flat"].r2 is None
+    assert out["single"].slope is None

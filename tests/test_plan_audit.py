@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "sensors_kriging", "sensors_kriging_tiled", "sensors_kriging_spherical",
     "customer_rfm",  # broadcast 1-row reference-date cross join
     "events_km_survival",  # broadcast 1-row observation-end cross join
+    "events_value_trend",  # broadcast 1-row min-timestamp cross join
     # round-4 file-ingestion twins of already-allowed zonal shapes: the
     # distance/ray-cast join broadcasts the small vector/sensor dim side
     "zones_geojson_ingest", "zones_geojson_holes_agg",

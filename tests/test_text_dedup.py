@@ -1138,3 +1138,20 @@ def test_bigram_logprob_repetition_scores_higher(spark):
     assert out[3].n_bigrams == 0 and out[3].avg_logprob is None
     assert out[4].n_bigrams == 0 and out[4].avg_logprob is None
     assert out[1].n_bigrams == 11
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    from sensordatapipelines_spark.operators.dedup import ngram_novelty
+
+    docs = [
+        (1, "the quick brown fox jumps"),      # shares 'the quick brown' w/ 2
+        (2, "the quick brown cat sleeps"),
+        (3, "completely different unique words here"),
+        (4, "ab"),                              # < 3 tokens → NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[3].novelty == 1.0
+    assert out[1].n_grams == 3 and out[1].n_novel == 2  # 'the quick brown' shared
+    assert abs(out[1].novelty - 2 / 3) < 1e-12
+    assert out[4].n_grams == 0 and out[4].novelty is None

@@ -86,3 +86,29 @@ def test_abc_classification_pareto_cuts(spark):
     assert out["p3"].abc_class == "B"  # cum 0.95 (<= b_cut)
     assert out["p4"].abc_class == "C"
     assert out["p4"].cum_share == 1.0
+
+
+def test_upsert_merge_latest_wins_and_passthrough(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.utility import upsert_merge
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a", 99.0, dt.datetime(2024, 1, 1), 7),
+            (1, "a", 50.0, dt.datetime(2024, 2, 1), 3),   # later ts wins
+            (2, "b", 11.0, dt.datetime(2024, 2, 1), 1),
+            (2, "b", 12.0, dt.datetime(2024, 2, 1), 2),   # ts tie → key desc
+        ],
+        "k long, name string, bal double, ts timestamp, seq long",
+    )
+    out = {r.k: r for r in
+           upsert_merge(snap, chg, "k", ts_col="ts", tiebreak_col="seq").collect()}
+    assert out[1].bal == 50.0 and out[1].updated
+    assert out[2].bal == 12.0 and out[2].updated
+    assert out[3].bal == 30.0 and not out[3].updated
+    assert len(out) == 3
