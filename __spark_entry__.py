@@ -5279,6 +5279,72 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linregress(ev, "event_type", "__xh", "value", scale=1e3)
 
 
+def _events_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours (absolute hour index) whose hourly mean value exceeds the
+    type's overall mean — integer-exact means, shared by the islands
+    gate and the overlap gate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * F.lit(1e6)).cast("long")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+            ).alias("hr"),
+        )
+        .agg(F.sum(v6).alias("__s6"), F.count(F.lit(1)).alias("__n"))
+    )
+    wt = Window.partitionBy("event_type")
+    hm = F.col("__s6").cast("double") / F.lit(1e6) / F.col("__n").cast("double")
+    tm = (
+        F.sum("__s6").over(wt).cast("double")
+        / F.lit(1e6)
+        / F.sum("__n").over(wt).cast("double")
+    )
+    return hourly.withColumn("__hm", hm).withColumn("__tm", tm).filter(
+        F.col("__hm") > F.col("__tm")
+    ).select("event_type", "hr")
+
+
+def events_active_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of above-average hours per
+    event type via the row_number-difference trick — one ordered window
+    + one keyed aggregate, no self-join."""
+    from sensordatapipelines_spark.operators.temporal import gaps_islands
+
+    _register_views(spark, sf_dir)
+    return gaps_islands(_events_hot_hours(spark, sf_dir), "event_type", "hr")
+
+
+def events_island_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join between different types' hot-hour islands:
+    intervals explode to 24h-wide buckets and pair by bucket EQUALITY
+    (the grid-bucketed range-join shape), exact overlap filter after."""
+    from sensordatapipelines_spark.operators.temporal import (
+        gaps_islands,
+        interval_overlap_join,
+    )
+
+    _register_views(spark, sf_dir)
+    islands = gaps_islands(_events_hot_hours(spark, sf_dir), "event_type", "hr")
+    out = interval_overlap_join(
+        islands, islands, ["event_type"], ["event_type"], bucket_size=24
+    ).filter(F.col("l_event_type") < F.col("r_event_type"))
+    return out.select(
+        F.col("l_event_type").alias("type_a"),
+        F.col("r_event_type").alias("type_b"),
+        "l_start",
+        "l_end",
+        "r_start",
+        "r_end",
+        "overlap_start",
+        "overlap_end",
+        "overlap_len",
+    )
+
+
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
     unigram backoff): vocabulary-sized count aggregates, scores joined
@@ -6221,6 +6287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_novelty": docs_ngram_novelty,
         "customer_upsert_merge": customer_upsert_merge,
         "events_value_trend": events_value_trend,
+        "events_active_islands": events_active_islands,
+        "events_island_overlaps": events_island_overlaps,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6341,6 +6409,8 @@ _ROUND4_SAMPLE_FIRST = [
     "docs_ngram_novelty",
     "customer_upsert_merge",
     "events_value_trend",
+    "events_active_islands",
+    "events_island_overlaps",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -11088,4 +11158,57 @@ def oracle_sql() -> dict[str, str]:
                END AS r2
         FROM st
     """
+    # Hot-hour islands: integer-exact hourly/type means, row_number-
+    # difference run compaction.
+    _hot_hours = r"""
+        hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s6,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        hot AS (
+            SELECT event_type, hr
+            FROM (
+                SELECT event_type, hr,
+                       CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS hm,
+                       CAST(SUM(s6) OVER (PARTITION BY event_type) AS DOUBLE)
+                           / 1e6
+                           / CAST(SUM(n) OVER (PARTITION BY event_type)
+                                  AS DOUBLE) AS tm
+                FROM hourly
+            ) WHERE hm > tm
+        ),
+        runs AS (
+            SELECT event_type, hr,
+                   hr - row_number() OVER (PARTITION BY event_type
+                                           ORDER BY hr) AS grp
+            FROM hot
+        ),
+        islands AS (
+            SELECT event_type, MIN(hr) AS start_seq, MAX(hr) AS end_seq,
+                   COUNT(*) AS run_len
+            FROM runs GROUP BY event_type, grp
+        )
+    """
+    oracles["events_active_islands"] = (
+        "WITH " + _hot_hours + """
+        SELECT event_type, start_seq, end_seq, run_len FROM islands
+    """
+    )
+    oracles["events_island_overlaps"] = (
+        "WITH " + _hot_hours + """
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.start_seq AS l_start, a.end_seq AS l_end,
+               b.start_seq AS r_start, b.end_seq AS r_end,
+               greatest(a.start_seq, b.start_seq) AS overlap_start,
+               least(a.end_seq, b.end_seq) AS overlap_end,
+               least(a.end_seq, b.end_seq)
+                   - greatest(a.start_seq, b.start_seq) + 1 AS overlap_len
+        FROM islands a JOIN islands b
+          ON a.event_type < b.event_type
+         AND a.start_seq <= b.end_seq AND b.start_seq <= a.end_seq
+    """
+    )
     return oracles

@@ -1261,3 +1261,124 @@ def cohort_ltv(
             / F.col("__nc").cast("double")
         ).alias("ltv_per_customer"),
     )
+
+
+@register("gaps_islands")
+def gaps_islands(
+    df: DataFrame,
+    group_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Gaps-and-islands compaction: collapse each group's set of INTEGER
+    sequence positions into contiguous runs → ``(group, start_seq,
+    end_seq, run_len)``. The classic warehouse pattern (active streaks,
+    coverage ranges, uptime windows) via the row_number-difference
+    trick: within a group, ``seq − row_number(order by seq)`` is
+    constant exactly along a contiguous run — one ordered window + one
+    keyed aggregate, no self-join, no recursion."""
+    w = Window.partitionBy(group_col).orderBy(F.col("__s").asc())
+    runs = (
+        df.select(F.col(group_col), F.col(seq_col).cast("long").alias("__s"))
+        .distinct()
+        .withColumn("__grp", F.col("__s") - F.row_number().over(w))
+    )
+    return (
+        runs.groupBy(group_col, "__grp")
+        .agg(
+            F.min("__s").alias("start_seq"),
+            F.max("__s").alias("end_seq"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .drop("__grp")
+    )
+
+
+@register("interval_overlap_join")
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    start_col: str = "start_seq",
+    end_col: str = "end_seq",
+    bucket_size: int = 24,
+) -> DataFrame:
+    """Overlap join between two interval tables (inclusive integer
+    endpoints) → pair keys + ``overlap_start/overlap_end/overlap_len``.
+
+    The scalable range-join shape: each interval explodes to the coarse
+    ``bucket_size``-wide buckets it touches, candidates pair by bucket
+    EQUALITY (a shuffle Spark key-partitions — never an O(n²) theta
+    join), the exact overlap predicate filters, and a distinct drops
+    the multi-bucket duplicates. Fan-out is interval_span/bucket_size
+    per row — bounded and tunable; AQE handles bucket skew. This is the
+    temporal twin of the spatial grid-bucketed ``buffer_agg``."""
+    def bucketed(df_, keys, tag):
+        span = F.sequence(
+            F.floor(F.col(start_col) / F.lit(bucket_size)).cast("long"),
+            F.floor(F.col(end_col) / F.lit(bucket_size)).cast("long"),
+        )
+        return df_.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            F.col(start_col).cast("long").alias(f"{tag}_start"),
+            F.col(end_col).cast("long").alias(f"{tag}_end"),
+            F.explode(span).alias("__bucket"),
+        )
+
+    la = bucketed(left, left_keys, "l")
+    rb = bucketed(right, right_keys, "r")
+    pairs = la.join(rb, "__bucket").filter(
+        (F.col("l_start") <= F.col("r_end")) & (F.col("r_start") <= F.col("l_end"))
+    )
+    out_keys = [f"l_{k}" for k in left_keys] + [f"r_{k}" for k in right_keys]
+    return (
+        pairs.select(
+            *out_keys,
+            "l_start",
+            "l_end",
+            "r_start",
+            "r_end",
+            F.greatest("l_start", "r_start").alias("overlap_start"),
+            F.least("l_end", "r_end").alias("overlap_end"),
+        )
+        .distinct()
+        .withColumn(
+            "overlap_len",
+            F.col("overlap_end") - F.col("overlap_start") + F.lit(1),
+        )
+    )
+
+
+@register("seasonal_naive_mape")
+def seasonal_naive_mape(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Seasonal-naive backtest: forecast each point with the value one
+    ``period`` earlier in its group's series and score MAPE per group →
+    ``(group, n_scored, mape)``. The sanity baseline every forecasting
+    pipeline must beat, as one ordered window (the lag) + one keyed
+    aggregate. Determinism: absolute percentage errors are quantized to
+    1e-6 BIGINTs per row (scale-0 round of identical doubles), the mean
+    divides the exact integer sum once; rows with zero actuals or no
+    lag are excluded and counted in ``n_scored``."""
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    v = F.col(value_col).cast("double")
+    lagged = df.withColumn("__f", F.lag(v, period).over(wo))
+    scored = lagged.filter(F.col("__f").isNotNull() & (v != 0))
+    ape6 = F.round(F.abs((v - F.col("__f")) / v) * F.lit(1e6)).cast("long")
+    return (
+        scored.withColumn("__a6", ape6)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            (
+                F.sum("__a6").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mape"),
+        )
+    )

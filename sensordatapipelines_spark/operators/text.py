@@ -1187,3 +1187,78 @@ def bigram_logprob(
             F.lit(None).cast("double").alias("avg_logprob"),
         )
     )
+
+
+@register("rake_keywords")
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 2,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction: candidate phrases are the
+    maximal runs of non-stopword tokens (the gaps-and-islands trick on
+    token positions), word scores are degree/frequency over all phrase
+    occurrences, a phrase scores the sum of its words' scores → the
+    ``top_n`` phrases by (score, count, phrase).
+
+    Plan shape: tokenize+posexplode is map-side; the phrase grouping is
+    one (doc, phrase-run) window; word and phrase aggregates shuffle
+    vocabulary-sized tables only. Determinism: word scores are one IEEE
+    division each, then quantized to 1e-6 BIGINTs (scale-0 round of
+    identical doubles) so the per-phrase SUM is order-free; the final
+    reported score divides once."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__p", "__tok")
+    ).filter(F.length("__tok") > 0)
+    nonstop = pos.filter(~F.col("__tok").isin(*stopwords))
+    w = Window.partitionBy(id_col).orderBy(F.col("__p").asc())
+    runs = nonstop.withColumn("__run", F.col("__p") - F.row_number().over(w))
+    phrases = (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__p", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("phrase"),
+            F.collect_list("__tok").alias("__words"),
+            F.count(F.lit(1)).alias("__len"),
+        )
+    )
+    occ = phrases.select(
+        "phrase", F.explode("__words").alias("__tok"), F.col("__len")
+    )
+    wordstats = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum(F.col("__len") - 1).alias("__deg"),
+    )
+    wscore6 = F.round(
+        (F.col("__deg").cast("double") / F.col("__freq").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    scored_words = wordstats.select("__tok", wscore6.alias("__ws6"))
+    phrase_scores = (
+        occ.join(F.broadcast(scored_words), "__tok")
+        .groupBy("phrase", "__len")
+        .agg(F.sum("__ws6").alias("__ps6_all"), F.count(F.lit(1)).alias("__occ_words"))
+    )
+    # per-OCCURRENCE word-score sum is identical across occurrences of the
+    # same phrase; normalize by occurrence count to get the per-phrase score
+    per_phrase = phrase_scores.select(
+        "phrase",
+        (F.col("__occ_words") / F.col("__len")).cast("long").alias("n_count"),
+        (
+            F.col("__ps6_all").cast("double")
+            / F.lit(1e6)
+            / (F.col("__occ_words") / F.col("__len")).cast("double")
+        ).alias("score"),
+    ).filter(F.col("n_count") >= F.lit(int(min_count)))
+    return per_phrase.orderBy(
+        F.col("score").desc(), F.col("n_count").desc(), F.col("phrase").asc()
+    ).limit(top_n)

@@ -678,3 +678,42 @@ def test_cohort_ltv_curve_math(spark):
     assert r1.cum_revenue == 60.0 and r1.ltv_per_customer == 30.0
     r2 = out[("2024-02", 0)]
     assert r2.n_customers == 1 and r2.cum_revenue == 5.0
+
+
+def test_gaps_islands_run_compaction(spark):
+    from sensordatapipelines_spark.operators.temporal import gaps_islands
+
+    rows = [("a", s) for s in (1, 2, 3, 7, 8, 12)] + [("b", s) for s in (5, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = {(r.g, r.start_seq): (r.end_seq, r.run_len) for r in
+           gaps_islands(df, "g", "s").collect()}
+    assert out == {
+        ("a", 1): (3, 3), ("a", 7): (8, 2), ("a", 12): (12, 1),
+        ("b", 5): (6, 2),  # duplicate 5 deduped
+    }
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    from sensordatapipelines_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("x", 0, 10), ("y", 20, 25), ("z", 100, 100)],
+        "name string, start_seq long, end_seq long",
+    )
+    right = spark.createDataFrame(
+        [("p", 5, 30), ("q", 26, 27), ("r", 99, 120)],
+        "name string, start_seq long, end_seq long",
+    )
+    out = {(r.l_name, r.r_name): (r.overlap_start, r.overlap_end, r.overlap_len)
+           for r in interval_overlap_join(
+               left, right, ["name"], ["name"], bucket_size=7).collect()}
+    # brute-force truth
+    L = [("x", 0, 10), ("y", 20, 25), ("z", 100, 100)]
+    R = [("p", 5, 30), ("q", 26, 27), ("r", 99, 120)]
+    truth = {}
+    for ln, ls, le in L:
+        for rn, rs, re_ in R:
+            if ls <= re_ and rs <= le:
+                truth[(ln, rn)] = (max(ls, rs), min(le, re_),
+                                   min(le, re_) - max(ls, rs) + 1)
+    assert out == truth
