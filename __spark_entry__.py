@@ -846,6 +846,47 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep: recall@k of cosine retrieval using
+    only the first 16/32/64 dims vs the full-dimension exact top-k —
+    measures how much retrieval quality the dimensionality lever costs
+    (64 is the sanity row: recall exactly 1)."""
+    from sensordatapipelines_spark.operators.similarity import (
+        cosine_topk,
+        truncated_cosine_topk,
+    )
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, q, k=KNN_K).select("query_id", "vec_id").cache()
+    n_exact = exact.count()
+    tagged = None
+    for d in (16, 32, 64):
+        part = (
+            truncated_cosine_topk(emb, q, k=KNN_K, use_dims=d)
+            .select("query_id", "vec_id")
+            .withColumn("use_dims", F.lit(d))
+        )
+        tagged = part if tagged is None else tagged.union(part)
+    hits = (
+        tagged.join(exact, ["query_id", "vec_id"], "leftsemi")
+        .groupBy("use_dims")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    dims = spark.createDataFrame([(d,) for d in (16, 32, 64)], "use_dims int")
+    return dims.join(hits, "use_dims", "left").select(
+        "use_dims",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.lit(n_exact).alias("n_exact"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.lit(float(n_exact)),
+            6,
+        ).alias("recall"),
+    )
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining: per query, the 5 most
     cosine-similar vectors with a DIFFERENT label — the negatives that
@@ -5345,6 +5386,43 @@ def events_island_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RAKE keywords: stopword-delimited phrase runs (the
+    gaps-and-islands trick on token positions), degree/frequency word
+    scores, phrase = sum of word scores; top 20."""
+    from sensordatapipelines_spark.operators.text import rake_keywords
+
+    _register_views(spark, sf_dir)
+    return rake_keywords(spark.table("documents"), top_n=20, min_count=2)
+
+
+def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest on the hourly mean series (forecast =
+    value 24 rows earlier): MAPE per type — the baseline every
+    forecaster must beat, as one lag window + one aggregate."""
+    from sensordatapipelines_spark.operators.temporal import seasonal_naive_mape
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * F.lit(1e6)).cast("long")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+            ).alias("hr"),
+        )
+        .agg(
+            (
+                F.sum(v6).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    return seasonal_naive_mape(hourly, "event_type", "hr", "v", period=24)
+
+
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
     unigram backoff): vocabulary-sized count aggregates, scores joined
@@ -6276,6 +6354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_dq_report": orders_dq_report,
         "emb_pq_topk": emb_pq_topk,
         "emb_ivfpq_topk": emb_ivfpq_topk,
+        "emb_matryoshka_recall": emb_matryoshka_recall,
         "docs_bigram_logprob": docs_bigram_logprob,
         "events_kmv_overlap": events_kmv_overlap,
         "events_rolling_actives": events_rolling_actives,
@@ -6289,6 +6368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_trend": events_value_trend,
         "events_active_islands": events_active_islands,
         "events_island_overlaps": events_island_overlaps,
+        "docs_rake_keywords": docs_rake_keywords,
+        "events_seasonal_naive": events_seasonal_naive,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6398,6 +6479,7 @@ _ROUND4_SAMPLE_FIRST = [
     "orders_dq_report",
     "emb_pq_topk",
     "emb_ivfpq_topk",
+    "emb_matryoshka_recall",
     "docs_bigram_logprob",
     "events_kmv_overlap",
     "events_rolling_actives",
@@ -6411,6 +6493,8 @@ _ROUND4_SAMPLE_FIRST = [
     "events_value_trend",
     "events_active_islands",
     "events_island_overlaps",
+    "docs_rake_keywords",
+    "events_seasonal_naive",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -11211,4 +11295,142 @@ def oracle_sql() -> dict[str, str]:
          AND a.start_seq <= b.end_seq AND b.start_seq <= a.end_seq
     """
     )
+    # RAKE: stopword-delimited phrase runs, deg/freq word scores
+    # quantized to e6 ints so the per-phrase sum is order-free.
+    from sensordatapipelines_spark.operators.text import STOPWORDS_EN
+
+    _stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    oracles["docs_rake_keywords"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, s.p AS p, s.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) + 1),
+                              i -> {{'p': i, 'tok': t[i]}})) AS s
+                FROM toks
+            ) WHERE len(s.tok) > 0
+        ),
+        nonstop AS (SELECT * FROM pos WHERE tok NOT IN ({_stop})),
+        runs AS (
+            SELECT doc_id, p, tok,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+            FROM nonstop
+        ),
+        phrases AS (
+            SELECT doc_id, run,
+                   string_agg(tok, ' ' ORDER BY p) AS phrase,
+                   list(tok ORDER BY p) AS words,
+                   COUNT(*) AS plen
+            FROM runs GROUP BY doc_id, run
+        ),
+        occ AS (SELECT phrase, unnest(words) AS tok, plen FROM phrases),
+        wordstats AS (
+            SELECT tok, COUNT(*) AS freq,
+                   CAST(SUM(plen - 1) AS BIGINT) AS deg
+            FROM occ GROUP BY tok
+        ),
+        ws AS (
+            SELECT tok,
+                   CAST(round((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                              * 1e6) AS BIGINT) AS ws6
+            FROM wordstats
+        ),
+        ps AS (
+            SELECT o.phrase, o.plen,
+                   CAST(SUM(ws6) AS BIGINT) AS ps6_all,
+                   COUNT(*) AS occ_words
+            FROM occ o JOIN ws USING (tok)
+            GROUP BY o.phrase, o.plen
+        )
+        SELECT phrase,
+               CAST(occ_words / plen AS BIGINT) AS n_count,
+               CAST(ps6_all AS DOUBLE) / 1e6 / (occ_words / plen) AS score
+        FROM ps
+        WHERE occ_words / plen >= 2
+        ORDER BY score DESC, n_count DESC, phrase ASC
+        LIMIT 20
+    """
+    # Seasonal-naive backtest over the integer-exact hourly means.
+    oracles["events_seasonal_naive"] = r"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+                       / 1e6 / CAST(COUNT(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, hr, v,
+                   lag(v, 24) OVER (PARTITION BY event_type ORDER BY hr) AS f
+            FROM hourly
+        ),
+        scored AS (
+            SELECT event_type,
+                   CAST(round(abs((v - f) / v) * 1e6) AS BIGINT) AS a6
+            FROM lagged WHERE f IS NOT NULL AND v <> 0
+        )
+        SELECT event_type, COUNT(*) AS n_scored,
+               CAST(SUM(a6) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mape
+        FROM scored GROUP BY event_type
+    """
+    # Matryoshka truncation sweep: recall of first-d-dims cosine top-k
+    # vs the full 64-dim exact top-k.
+    def _trunc_cos(d: int, a: str, b: str) -> str:
+        return f"""
+            list_reduce(list_transform(range(1, {d + 1}),
+                i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+            / (SQRT(list_reduce(list_transform(range(1, {d + 1}),
+                i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y))
+             * SQRT(list_reduce(list_transform(range(1, {d + 1}),
+                i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)))
+        """
+
+    def _trunc_topk(d: int) -> str:
+        return f"""
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_trunc_cos(d, "q", "c")} DESC, c.vec_id
+                       ) AS rnk
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+            ) WHERE rnk <= {KNN_K}
+        """
+
+    oracles["emb_matryoshka_recall"] = f"""
+        WITH exact AS ({oracles["emb_cosine_topk"]}),
+        ex AS (SELECT query_id, vec_id FROM exact),
+        t16 AS ({_trunc_topk(16)}),
+        t32 AS ({_trunc_topk(32)}),
+        t64 AS ({_trunc_topk(64)}),
+        stats AS (
+            SELECT 16 AS use_dims,
+                   (SELECT COUNT(*) FROM t16 t
+                    JOIN ex ON t.query_id = ex.query_id
+                           AND t.vec_id = ex.vec_id) AS n_hit
+            UNION ALL
+            SELECT 32, (SELECT COUNT(*) FROM t32 t
+                        JOIN ex ON t.query_id = ex.query_id
+                               AND t.vec_id = ex.vec_id)
+            UNION ALL
+            SELECT 64, (SELECT COUNT(*) FROM t64 t
+                        JOIN ex ON t.query_id = ex.query_id
+                               AND t.vec_id = ex.vec_id)
+        )
+        SELECT use_dims, n_hit,
+               (SELECT COUNT(*) FROM ex) AS n_exact,
+               ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
+                   AS recall
+        FROM stats
+    """
     return oracles

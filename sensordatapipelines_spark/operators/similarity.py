@@ -1155,3 +1155,48 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+@register("truncated_cosine_topk")
+def truncated_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    use_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k using only the FIRST ``use_dims`` dimensions
+    of each vector — the Matryoshka-representation evaluation: how much
+    retrieval quality survives truncating the embedding (the memory/
+    latency lever modern embedding models are trained to support).
+    Same broadcast-query brute-force shape as ``cosine_topk``; the
+    slice happens in the projections, so the pair fold runs over the
+    truncated length only."""
+    sl = lambda c: F.slice(F.col(c), 1, use_dims)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        sl(vec_col).alias("__qv"),
+        norm_expr(sl(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        sl(vec_col).alias("__cv"),
+        norm_expr(sl(vec_col)).alias("__cn"),
+    )
+    pairs = F.broadcast(q).join(c, on=F.col("__qid") != F.col("__cid"))
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -1210,6 +1210,8 @@ def rake_keywords(
     division each, then quantized to 1e-6 BIGINTs (scale-0 round of
     identical doubles) so the per-phrase SUM is order-free; the final
     reported score divides once."""
+    from pyspark.sql import Window
+
     toks = tokens_expr(F.lower(F.col(text_col)))
     pos = df.select(
         F.col(id_col), F.posexplode(toks).alias("__p", "__tok")

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "emb_ann_recall", "q22_global_sales", "emb_cosine_topk",
     "emb_hard_negatives",  # broadcast query side, inequality-only condition
     "emb_pq_topk",  # broadcast query side (ADC LUTs), inequality-only condition
+    "emb_matryoshka_recall",  # broadcast query side, inequality-only condition
     "docs_bigram_logprob",  # broadcast 1-row corpus-total cross join
     "docs_stratified_sample",  # broadcast 1-row population-total cross join
     "events_kmv_overlap",  # group-list pair generation: tiny × tiny, a<b filter

@@ -426,3 +426,28 @@ def test_pq_encode_kernel_expr_twins_bit_identical(spark):
     kern = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs, engine="kernel").collect()}
     expr = {r.vec_id: list(r.pq_code) for r in pq_encode(df, cbs, engine="expr").collect()}
     assert kern == expr
+
+
+def test_truncated_cosine_full_dims_equals_exact(spark):
+    import numpy as np
+    from sensordatapipelines_spark.operators.similarity import (
+        cosine_topk,
+        truncated_cosine_topk,
+    )
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id < 3")
+    full = {(r.query_id, r.rank): r.vec_id for r in cosine_topk(df, q, k=5).collect()}
+    trunc = {(r.query_id, r.rank): r.vec_id
+             for r in truncated_cosine_topk(df, q, k=5, use_dims=16).collect()}
+    assert full == trunc
+    # truncating genuinely changes the ranking somewhere
+    t4 = {(r.query_id, r.rank): r.vec_id
+          for r in truncated_cosine_topk(df, q, k=5, use_dims=4).collect()}
+    assert t4 != full

@@ -717,3 +717,24 @@ def test_interval_overlap_join_matches_theta_join(spark):
                 truth[(ln, rn)] = (max(ls, rs), min(le, re_),
                                    min(le, re_) - max(ls, rs) + 1)
     assert out == truth
+
+
+def test_seasonal_naive_mape_perfect_cycle_scores_zero(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import seasonal_naive_mape
+
+    pattern = [10.0, 20.0, 30.0, 40.0]
+    rows = [
+        ("g", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), pattern[i % 4])
+        for i in range(16)
+    ]
+    # a second group with a drifting series → nonzero MAPE
+    rows += [
+        ("h", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 10.0 + i)
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.g: r for r in seasonal_naive_mape(df, "g", "ts", "v", period=4).collect()}
+    assert out["g"].n_scored == 12 and out["g"].mape == 0.0
+    assert out["h"].n_scored == 12 and out["h"].mape > 0.0

@@ -1155,3 +1155,25 @@ def test_ngram_novelty_shared_vs_unique(spark):
     assert out[1].n_grams == 3 and out[1].n_novel == 2  # 'the quick brown' shared
     assert abs(out[1].novelty - 2 / 3) < 1e-12
     assert out[4].n_grams == 0 and out[4].novelty is None
+
+
+def test_rake_keywords_scores_multiword_phrases(spark):
+    from sensordatapipelines_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "machine learning is the best and machine learning wins"),
+        (2, "machine learning and deep learning for machine learning"),
+        (3, "the and is for on with"),  # all stopwords → no phrases
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keywords(df, top_n=10, min_count=2).collect()
+    phrases = {r.phrase: r for r in out}
+    assert "machine learning" in phrases
+    ml = phrases["machine learning"]
+    # 3 standalone occurrences ('machine learning wins' is its own run)
+    assert ml.n_count == 3
+    # machine: freq 4 (3×ml + 1×mlw), deg 5 → 1.25; learning: freq 5,
+    # deg 6 → 1.2; phrase score = 2.45
+    assert abs(ml.score - 2.45) < 1e-9
+    # no all-stopword phrase leaks through
+    assert all(" the " not in f" {p} " for p in phrases)
