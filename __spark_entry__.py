@@ -5423,6 +5423,43 @@ def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_naive_mape(hourly, "event_type", "hr", "v", period=24)
 
 
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: string-based digit
+    extraction (no cross-engine log ulp), literal expected
+    probabilities, per-digit counts + chi-square."""
+    from sensordatapipelines_spark.operators.utility import benford_audit
+
+    _register_views(spark, sf_dir)
+    return benford_audit(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the hourly mean series per event type at lags 1 and 24 —
+    r = sign(slope)·√r² on the grouped-OLS moment sums; the diagnostic
+    that justifies the period-24 seasonal decomposition."""
+    from sensordatapipelines_spark.operators.temporal import grouped_autocorr
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * F.lit(1e6)).cast("long")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+            ).alias("hr"),
+        )
+        .agg(
+            (
+                F.sum(v6).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    return grouped_autocorr(hourly, "event_type", "hr", "v", lags=(1, 24))
+
+
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM fluency score (λ=0.75 bigram / 0.25
     unigram backoff): vocabulary-sized count aggregates, scores joined
@@ -6370,6 +6407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_island_overlaps": events_island_overlaps,
         "docs_rake_keywords": docs_rake_keywords,
         "events_seasonal_naive": events_seasonal_naive,
+        "orders_benford_audit": orders_benford_audit,
+        "events_autocorrelation": events_autocorrelation,
         "emb_ann_recall": emb_ann_recall,
         "emb_kmeans": emb_kmeans,
         "events_funnel": events_funnel,
@@ -6495,6 +6534,8 @@ _ROUND4_SAMPLE_FIRST = [
     "events_island_overlaps",
     "docs_rake_keywords",
     "events_seasonal_naive",
+    "orders_benford_audit",
+    "events_autocorrelation",
     "docs_media_features",
     "media_wav_frames",
     "docs_containment_pairs",
@@ -11432,5 +11473,89 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
                    AS recall
         FROM stats
+    """
+    # Benford audit: string-based digit, literal probabilities,
+    # e6-quantized chi2 contributions (order-free sum).
+    oracles["orders_benford_audit"] = r"""
+        WITH base AS (
+            SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders WHERE abs(o_totalprice) >= 1
+        ),
+        counts AS (SELECT digit, COUNT(*) AS n_obs FROM base GROUP BY digit),
+        p AS (
+            SELECT * FROM (VALUES
+                (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+                (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+                (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)
+            ) t(digit, p)
+        ),
+        j AS (
+            SELECT c.digit, c.n_obs,
+                   CAST(SUM(c.n_obs) OVER () AS DOUBLE) * p.p AS expected
+            FROM counts c JOIN p USING (digit)
+        ),
+        q AS (
+            SELECT digit, n_obs, expected,
+                   CAST(round((CAST(n_obs AS DOUBLE) - expected)
+                              * (CAST(n_obs AS DOUBLE) - expected)
+                              / expected * 1e6) AS BIGINT) AS c6
+            FROM j
+        )
+        SELECT digit, n_obs, round(expected, 6) AS expected,
+               CAST(SUM(c6) OVER () AS DOUBLE) / 1e6 AS chi2
+        FROM q
+    """
+    # ACF from the grouped-OLS moment sums: r = sign(slope)·sqrt(r2).
+    def _acf_lag(lag: int) -> str:
+        return f"""
+            SELECT event_type, {lag} AS lag, n,
+                   CASE WHEN r2 IS NOT NULL
+                        THEN (CASE WHEN slope > 0 THEN 1.0
+                                   WHEN slope < 0 THEN -1.0
+                                   ELSE 0.0 END) * sqrt(r2)
+                   END AS r
+            FROM (
+                SELECT event_type, n,
+                       CASE WHEN n >= 2 AND nd * sxx - sx * sx > 0
+                            THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+                       END AS slope,
+                       CASE WHEN n >= 2 AND nd * sxx - sx * sx > 0
+                                 AND nd * syy - sy * sy > 0
+                            THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                                 / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                       END AS r2
+                FROM (
+                    SELECT event_type, COUNT(*) AS n,
+                           CAST(COUNT(*) AS DOUBLE) AS nd,
+                           CAST(SUM(x6) AS DOUBLE) / 1000.0 AS sx,
+                           CAST(SUM(y6) AS DOUBLE) / 1000.0 AS sy,
+                           CAST(SUM(x6 * x6) AS DOUBLE) / 1000000.0 AS sxx,
+                           CAST(SUM(y6 * y6) AS DOUBLE) / 1000000.0 AS syy,
+                           CAST(SUM(x6 * y6) AS DOUBLE) / 1000000.0 AS sxy
+                    FROM (
+                        SELECT event_type,
+                               CAST(round(lag(v, {lag}) OVER w * 1000.0)
+                                    AS BIGINT) AS x6,
+                               CAST(round(v * 1000.0) AS BIGINT) AS y6
+                        FROM hourly
+                        WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+                    ) WHERE x6 IS NOT NULL
+                    GROUP BY event_type
+                )
+            )
+        """
+
+    oracles["events_autocorrelation"] = f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+                       / 1e6 / CAST(COUNT(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        )
+        {_acf_lag(1)}
+        UNION ALL
+        {_acf_lag(24)}
     """
     return oracles

@@ -1382,3 +1382,43 @@ def seasonal_naive_mape(
             ).alias("mape"),
         )
     )
+
+
+@register("grouped_autocorr")
+def grouped_autocorr(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 24),
+    scale: float = 1e3,
+) -> DataFrame:
+    """Autocorrelation of a regular series per group at the given lags →
+    ``(group, lag, n, r)``, where ``r`` is the Pearson correlation of
+    ``(v_t, v_{t−lag})`` pairs. Built ON ``grouped_linregress``: each
+    lag is one window-lag projection feeding the same five-moment-sum
+    aggregate, and ``r = sign(slope)·√r²`` — the integer-exact
+    determinism (and the overflow bound) come with the machinery. The
+    periodicity diagnostic to run before ``seasonal_decompose``."""
+    from sensordatapipelines_spark.operators.aggregates import grouped_linregress
+
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    out = None
+    for lag in lags:
+        pairs = (
+            df.withColumn("__x", F.lag(F.col(value_col), lag).over(wo))
+            .filter(F.col("__x").isNotNull())
+            .select(F.col(group_col), F.col("__x"), F.col(value_col).alias("__y"))
+        )
+        reg = grouped_linregress(pairs, group_col, "__x", "__y", scale=scale)
+        part = reg.select(
+            group_col,
+            F.lit(int(lag)).alias("lag"),
+            F.col("n"),
+            F.when(
+                F.col("r2").isNotNull(),
+                F.signum(F.col("slope")) * F.sqrt(F.col("r2")),
+            ).alias("r"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1203,3 +1203,71 @@ def upsert_merge(
         .filter(F.col("__rn") == 1)
         .select(*cols, (F.col("__pri") == 1).alias("updated"))
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), d=1..9, as fixed
+# 12-decimal literals — BOTH engines consume the same constants, so no
+# cross-engine log() ulp difference can enter the expected counts.
+BENFORD_P = (
+    0.301029995664,
+    0.176091259056,
+    0.124938736608,
+    0.096910013008,
+    0.079181246048,
+    0.066946789631,
+    0.057991946978,
+    0.051152522447,
+    0.045757490561,
+)
+
+
+@register("benford_audit")
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benford's-law first-digit audit: observed vs expected counts of
+    the leading digit of ``amount_col`` (rows with |amount| ≥ 1), plus
+    each group's chi-square statistic — the classic fraud /
+    data-fabrication screen. → ``(group?, digit, n_obs, expected,
+    chi2)``.
+
+    Digit extraction is STRING-based (floor → BIGINT → first char), not
+    ``log10`` arithmetic — float logs differ across engines at the ulp
+    and can misclassify values sitting on decade boundaries. One keyed
+    aggregate + one 9-rows-per-group window for n and chi2."""
+    gcols = [group_col] if group_col else []
+    digit = F.substring(
+        F.floor(F.abs(F.col(amount_col).cast("double"))).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    base = df.filter(F.abs(F.col(amount_col).cast("double")) >= 1).select(
+        *gcols, digit.alias("digit")
+    )
+    counts = base.groupBy(*gcols, "digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    n = F.sum("n_obs").over(wg)
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("digit"))
+    expected = n.cast("double") * p
+    contrib = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    # contributions quantize to e6 BIGINTs before the 9-term sum, so the
+    # chi2 total is independent of float summation order (engine-exact)
+    contrib6 = F.round(contrib * F.lit(1e6)).cast("long")
+    return (
+        counts.withColumn("expected", expected)
+        .withColumn("__c6", contrib6)
+        .withColumn(
+            "chi2", F.sum("__c6").over(wg).cast("double") / F.lit(1e6)
+        )
+        .select(
+            *gcols,
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round("expected", 6).alias("expected"),
+            "chi2",
+        )
+    )

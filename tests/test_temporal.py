@@ -738,3 +738,21 @@ def test_seasonal_naive_mape_perfect_cycle_scores_zero(spark):
     out = {r.g: r for r in seasonal_naive_mape(df, "g", "ts", "v", period=4).collect()}
     assert out["g"].n_scored == 12 and out["g"].mape == 0.0
     assert out["h"].n_scored == 12 and out["h"].mape > 0.0
+
+
+def test_autocorr_detects_planted_period(spark):
+    import datetime as dt
+    import math
+
+    from sensordatapipelines_spark.operators.temporal import grouped_autocorr
+
+    rows = [
+        ("g", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+         math.sin(2 * math.pi * i / 8))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.lag: r.r for r in
+           grouped_autocorr(df, "g", "ts", "v", lags=(4, 8), scale=1e6).collect()}
+    assert out[8] > 0.99   # full period → strong positive
+    assert out[4] < -0.99  # half period → strong negative

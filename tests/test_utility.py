@@ -112,3 +112,26 @@ def test_upsert_merge_latest_wins_and_passthrough(spark):
     assert out[2].bal == 12.0 and out[2].updated
     assert out[3].bal == 30.0 and not out[3].updated
     assert len(out) == 3
+
+
+def test_benford_audit_detects_uniform_digits(spark):
+    from sensordatapipelines_spark.operators.utility import BENFORD_P, benford_audit
+
+    # Benford-conforming sample: counts proportional to the law
+    rows = []
+    for d, p in enumerate(BENFORD_P, start=1):
+        rows += [(float(d) * 10 + 0.5,)] * int(round(p * 1000))
+    conforming = spark.createDataFrame(rows, "amt double")
+    out_c = benford_audit(conforming, "amt").collect()
+    assert {r.digit for r in out_c} == set(range(1, 10))
+    assert all(r.chi2 == out_c[0].chi2 for r in out_c)
+    assert out_c[0].chi2 < 5  # near-perfect fit
+
+    # fabricated data: every amount starts with 5 → enormous chi2
+    fake = spark.createDataFrame([(55.0,)] * 900, "amt double")
+    out_f = benford_audit(fake, "amt").collect()
+    assert len(out_f) == 1 and out_f[0].digit == 5
+    assert out_f[0].chi2 > 1000
+    # sub-1 amounts are excluded
+    tiny = spark.createDataFrame([(0.5,), (12.0,)], "amt double")
+    assert benford_audit(tiny, "amt").count() == 1
