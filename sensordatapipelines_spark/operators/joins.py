@@ -397,12 +397,26 @@ def market_basket_pairs(
     ).distinct()
     n_baskets = items.select("__b").distinct().count()
     supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    a = items.select(F.col("__b"), F.col("__i").alias("item_a"))
-    b = items.select(F.col("__b"), F.col("__i").alias("item_b"))
+    # pair generation: collect each basket's sorted item set and explode
+    # the a<b combinations JVM-side — ONE keyed shuffle (by basket) and
+    # fan-out bounded by width²/2, instead of a self-join that shuffles
+    # the item stream twice; A/B-measured equal-output and faster, and
+    # the per-basket state is the basket width (same contract as any
+    # collect_set). Skewed mega-baskets would cap via a width filter.
+    lists = items.groupBy("__b").agg(
+        F.sort_array(F.collect_set("__i")).alias("__xs")
+    )
+    combos = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__xs, (x, k) ->"
+                " transform(slice(__xs, k + 2, size(__xs)),"
+                " y -> struct(x as item_a, y as item_b))))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.item_a"), F.col("__p.item_b"))
     pairs = (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        combos.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets_both"))
         .filter(F.col("n_baskets_both") >= F.lit(int(min_pair_count)))
     )
