@@ -6209,6 +6209,86 @@ def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust per-user value trend: median of pairwise slopes
+    over each user's (capped) time-ordered series — the outlier-proof
+    trend readout for noisy sensor streams (reference trend family,
+    `/root/reference/src/data_preprocessing.py:199` kin). Pair fan-out is
+    bounded at max_points²/2 per user via one keyed list-collect + JVM
+    combination explode; the oracle replays the identical capped pair
+    set with a rank self-join."""
+    from sensordatapipelines_spark.operators.temporal import theil_sen_trend
+
+    _register_views(spark, sf_dir)
+    return theil_sen_trend(
+        spark.table("events"), "user_id", "ts", "value", "event_id",
+        max_points=64, min_points=8,
+    )
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per user: S = Σ sign(Δv) over
+    time-ordered pairs and Kendall's tau — the nonparametric trend
+    detector. S is an exact BIGINT fold (order-independent), tau one
+    exact division; shares the bounded pair machinery with Theil–Sen."""
+    from sensordatapipelines_spark.operators.temporal import mann_kendall
+
+    _register_views(spark, sf_dir)
+    return mann_kendall(
+        spark.table("events"), "user_id", "ts", "value", "event_id",
+        max_points=64, min_points=8,
+    )
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample per event type per hour: open/close via
+    single-pass min_by/max_by over the (epoch-second, event_id) order
+    struct — one hash aggregate, no window, deterministic ties."""
+    from sensordatapipelines_spark.operators.temporal import ohlc_resample
+
+    _register_views(spark, sf_dir)
+    return ohlc_resample(
+        spark.table("events"), "ts", "event_type", "value", "event_id",
+        unit="hour",
+    )
+
+
+def _user_cooccur_edges(spark: SparkSession) -> DataFrame:
+    """Shared edge builder for the graph gates: users co-active in ≥3
+    distinct (event_type, hour) buckets form an undirected edge."""
+    from sensordatapipelines_spark.operators.graph import cooccurrence_edges
+
+    occ = spark.table("events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    return cooccurrence_edges(occ, "user_id", ["event_type", "h"], min_cooccur=3)
+
+
+def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the user co-activity graph: top-5
+    strongest non-edges per user, each shared neighbor weighted
+    1/ln(deg). Ranking happens on an exact 1e-6-quantized BIGINT score
+    (transcendental terms never park on rounding half-way points), so
+    the per-node top-k window is deterministic cross-engine."""
+    from sensordatapipelines_spark.operators.graph import adamic_adar
+
+    _register_views(spark, sf_dir)
+    return adamic_adar(
+        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+    )
+
+
+def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 2-core peeling of the user co-activity graph (4 fixed
+    rounds): the cohesive-subgraph extractor, each round one keyed
+    degree aggregate + two semi-joins, lineage truncated per round. The
+    oracle replays the identical rounds as chained CTEs."""
+    from sensordatapipelines_spark.operators.graph import kcore
+
+    _register_views(spark, sf_dir)
+    return kcore(_user_cooccur_edges(spark), k=2, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -6454,6 +6534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": customer_rfm,
         "events_backtest_folds": events_backtest_folds,
         "events_scd2_lookup": events_scd2_lookup,
+        "events_theilsen_trend": events_theilsen_trend,
+        "events_mann_kendall": events_mann_kendall,
+        "events_ohlc_bars": events_ohlc_bars,
+        "events_adamic_adar": events_adamic_adar,
+        "events_kcore": events_kcore,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6481,6 +6566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "events_theilsen_trend",
+    "events_mann_kendall",
+    "events_ohlc_bars",
+    "events_adamic_adar",
+    "events_kcore",
     "zones_geojson_ingest",
     "zones_geojson_holes_agg",
     "zones_shapefile_ingest",
@@ -11557,5 +11647,122 @@ def oracle_sql() -> dict[str, str]:
         {_acf_lag(1)}
         UNION ALL
         {_acf_lag(24)}
+    """
+    # Pairwise trend statistics: the capped (rn <= 64) rank self-join is
+    # the oracle twin of the Spark sorted-list combination explode — the
+    # ordering convention (floor-epoch-second, event_id, value) matches
+    # the struct sort key exactly.
+    _PAIR_BASE = """
+        WITH p AS (
+            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   value AS v,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY FLOOR(epoch(ts)), event_id, value) AS rn
+            FROM events
+        ),
+        c AS (SELECT * FROM p WHERE rn <= 64),
+        s AS (SELECT user_id, COUNT(*) AS n_points FROM c GROUP BY user_id),
+        pr AS (
+            SELECT a.user_id, b.t - a.t AS dts, b.v - a.v AS dv
+            FROM c a JOIN c b ON a.user_id = b.user_id AND a.rn < b.rn
+        )
+    """
+    oracles["events_theilsen_trend"] = f"""
+        {_PAIR_BASE}
+        SELECT pr.user_id, s.n_points, COUNT(*) AS n_pairs,
+               ROUND(quantile_cont(pr.dv * 3600.0 / CAST(pr.dts AS DOUBLE),
+                                   0.5), 6) AS slope_per_hour
+        FROM pr JOIN s ON pr.user_id = s.user_id
+        WHERE pr.dts > 0
+        GROUP BY pr.user_id, s.n_points
+        HAVING s.n_points >= 8
+    """
+    oracles["events_mann_kendall"] = f"""
+        {_PAIR_BASE}
+        SELECT user_id, n_points, s_stat,
+               ROUND(CAST(s_stat AS DOUBLE)
+                     / (CAST(n_points * (n_points - 1) AS DOUBLE) / 2.0),
+                     6) AS tau
+        FROM (
+            SELECT pr.user_id, s.n_points,
+                   SUM(CAST(SIGN(pr.dv) AS BIGINT)) AS s_stat
+            FROM pr JOIN s ON pr.user_id = s.user_id
+            GROUP BY pr.user_id, s.n_points
+            HAVING s.n_points >= 8
+        )
+    """
+    oracles["events_ohlc_bars"] = """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
+                       AS bucket_epoch,
+                   value AS v, FLOOR(epoch(ts)) AS t, event_id
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, bucket_epoch, v,
+                   row_number() OVER (PARTITION BY event_type, bucket_epoch
+                                      ORDER BY t, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, bucket_epoch
+                                      ORDER BY t DESC, event_id DESC) AS rn_d
+            FROM s
+        )
+        SELECT event_type, bucket_epoch,
+               MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+               MAX(v) AS high, MIN(v) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+               COUNT(*) AS n_obs
+        FROM w GROUP BY event_type, bucket_epoch
+    """
+    # The user co-activity graph shared by the two graph gates.
+    _COOCCUR_EDGES = """
+        occ AS (SELECT DISTINCT user_id, event_type,
+                       date_trunc('hour', ts) AS h
+                FROM events),
+        cp AS (SELECT a.user_id AS u, b.user_id AS w, COUNT(*) AS c
+               FROM occ a JOIN occ b
+                 ON a.event_type = b.event_type AND a.h = b.h
+                AND a.user_id < b.user_id
+               GROUP BY a.user_id, b.user_id),
+        edges AS (SELECT u, w FROM cp WHERE c >= 3),
+        sym AS (SELECT u AS s, w AS d FROM edges
+                UNION ALL SELECT w AS s, u AS d FROM edges)
+    """
+    oracles["events_adamic_adar"] = f"""
+        WITH {_COOCCUR_EDGES},
+        adj AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+        t AS (SELECT s, CAST(ROUND(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+                     AS t6
+              FROM adj WHERE deg >= 2),
+        cand AS (SELECT a.d AS x, b.d AS y, t.t6
+                 FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+                 JOIN t ON t.s = a.s),
+        scored AS (SELECT x AS u, y AS w, COUNT(*) AS n_common,
+                          SUM(t6) AS aa6
+                   FROM cand GROUP BY x, y HAVING COUNT(*) >= 2),
+        newp AS (SELECT sc.* FROM scored sc
+                 LEFT JOIN edges e ON sc.u = e.u AND sc.w = e.w
+                 WHERE e.u IS NULL),
+        r AS (SELECT *, row_number() OVER (PARTITION BY u
+                          ORDER BY aa6 DESC, w ASC) AS rank
+              FROM newp)
+        SELECT u, w, n_common, CAST(aa6 AS DOUBLE) / 1e6 AS aa_score, rank
+        FROM r WHERE rank <= 5
+    """
+    _kcore_rounds = []
+    for _i in range(4):
+        _prev = "sym" if _i == 0 else f"sym{_i}"
+        _kcore_rounds.append(
+            f"a{_i + 1} AS (SELECT s FROM {_prev} GROUP BY s"
+            f" HAVING COUNT(*) >= 2),\n"
+            f"sym{_i + 1} AS (SELECT p.s, p.d FROM {_prev} p"
+            f" JOIN a{_i + 1} x ON p.s = x.s"
+            f" JOIN a{_i + 1} y ON p.d = y.s)"
+        )
+    oracles["events_kcore"] = f"""
+        WITH {_COOCCUR_EDGES},
+        {", ".join(_kcore_rounds)}
+        SELECT s AS node, COUNT(*) AS degree FROM sym4 GROUP BY s
     """
     return oracles

@@ -11,7 +11,7 @@ a 1000-executor cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.registry import register
@@ -122,3 +122,153 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+@register("cooccurrence_edges")
+def cooccurrence_edges(
+    df: DataFrame,
+    actor_col: str,
+    bucket_cols: list[str] | tuple[str, ...],
+    min_cooccur: int = 3,
+) -> DataFrame:
+    """Co-occurrence graph builder: actors sharing at least
+    ``min_cooccur`` distinct context buckets become an undirected edge →
+    ``(u, w, n_cooccur)`` with ``u < w``. The generic entity-graph
+    constructor (users co-active in the same hour, parts co-purchased in
+    the same order, tokens co-occurring in a window).
+
+    Scale shape: ONE keyed shuffle collects each bucket's sorted
+    distinct actor set, pairs explode JVM-side from the sorted list
+    (``market_basket_pairs`` pattern — fan-out bucket_width²/2, never a
+    self-join that reshuffles the occurrence stream), and the pair count
+    aggregates once. Mega-buckets are the skew risk: bound them upstream
+    (a bucket that half the corpus touches carries no signal) — the
+    explode fan-out is the square of the WIDEST bucket, which AQE splits
+    but cannot shrink."""
+    occ = df.select(F.col(actor_col).alias("__a"), *bucket_cols).distinct()
+    lists = occ.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_set("__a")).alias("__xs")
+    )
+    combos = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__xs, (x, k) ->"
+                " transform(slice(__xs, k + 2, size(__xs)),"
+                " y -> struct(x as u, y as w))))"
+            )
+        ).alias("__p")
+    )
+    return (
+        combos.select(F.col("__p.u").alias("u"), F.col("__p.w").alias("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= F.lit(int(min_cooccur)))
+    )
+
+
+@register("adamic_adar")
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "w",
+    min_common: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph → the
+    ``top_k`` strongest NON-edges per node: ``(u, w, n_common, aa_score,
+    rank)``. Each shared neighbor z contributes 1/ln(deg z) — rare
+    mutual contexts weigh more than hubs — the classic
+    common-neighbor heuristic for "users who should meet" /
+    "documents probably from one template family".
+
+    Scale shape: candidate pairs explode per-neighborhood from each
+    node's sorted adjacency list (fan-out deg²/2 per node — bound hubs
+    upstream), existing edges drop via LEFT ANTI on the canonical pair,
+    and ranking happens on an EXACT BIGINT: each 1/ln(deg) term is
+    quantized to 1e-6 before the sum (transcendental values never park
+    on rounding half-way points), so the per-node top-k window is
+    deterministic cross-engine — no float-rank flips."""
+    sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionAll(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    adj = sym.groupBy("s").agg(F.sort_array(F.collect_set("d")).alias("__ns"))
+    term6 = F.round(F.lit(1e6) / F.log(F.size("__ns").cast("double"))).cast("long")
+    cand = adj.filter(F.size("__ns") >= 2).select(
+        term6.alias("__t6"),
+        F.explode(
+            F.expr(
+                "flatten(transform(__ns, (x, k) ->"
+                " transform(slice(__ns, k + 2, size(__ns)),"
+                " y -> struct(x as u, y as w))))"
+            )
+        ).alias("__p"),
+    )
+    scored = (
+        cand.select("__t6", F.col("__p.u").alias("u"), F.col("__p.w").alias("w"))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("__t6").alias("__aa6"),
+        )
+        .filter(F.col("n_common") >= F.lit(int(min_common)))
+    )
+    canon = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("w"),
+    )
+    new_pairs = scored.join(canon, ["u", "w"], "left_anti")
+    wrank = Window.partitionBy("u").orderBy(
+        F.col("__aa6").desc(), F.col("w").asc()
+    )
+    return (
+        new_pairs.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= F.lit(int(top_k)))
+        .select(
+            "u",
+            "w",
+            "n_common",
+            (F.col("__aa6").cast("double") / F.lit(1e6)).alias("aa_score"),
+            "rank",
+        )
+    )
+
+
+@register("kcore")
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src_col: str = "u",
+    dst_col: str = "w",
+) -> DataFrame:
+    """Bounded k-core peeling → the surviving subgraph's
+    ``(node, degree)`` after ``rounds`` rounds of deleting nodes with
+    degree < k. The standard "dense cohesive region" extractor (spam
+    rings, template families, power-user cliques); a FIXED round count
+    (like ``pagerank``'s fixed iterations) keeps the run deterministic
+    and oracle-replayable — each round is one keyed degree aggregate +
+    one semi-join filter, ``localCheckpoint`` truncates the loop
+    lineage so the plan never grows superlinearly."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint()
+    )
+    for _ in range(int(rounds)):
+        alive = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= F.lit(int(k)))
+            .select("s")
+        )
+        sym = (
+            sym.join(alive, "s", "left_semi")
+            .join(alive.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("s").alias("node"), "degree")
+    )

@@ -28,3 +28,59 @@ def test_pagerank_deterministic(spark):
     a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     b = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     assert a == b
+
+
+def test_cooccurrence_edges_counts(spark):
+    from sensordatapipelines_spark.operators.graph import cooccurrence_edges
+
+    # users 1,2 share buckets (a,1),(a,2),(b,1); users 1,3 share only (a,1)
+    rows = [
+        (1, "a", 1), (2, "a", 1), (3, "a", 1),
+        (1, "a", 2), (2, "a", 2),
+        (1, "b", 1), (2, "b", 1),
+        (1, "b", 1),  # duplicate occurrence must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, h long")
+    out = {(r.u, r.w): r.n_cooccur
+           for r in cooccurrence_edges(df, "u", ["t", "h"], min_cooccur=1).collect()}
+    assert out[(1, 2)] == 3
+    assert out[(1, 3)] == 1
+    assert out[(2, 3)] == 1
+    # threshold prunes
+    from sensordatapipelines_spark.operators.graph import cooccurrence_edges as ce
+    out2 = {(r.u, r.w) for r in ce(df, "u", ["t", "h"], min_cooccur=2).collect()}
+    assert out2 == {(1, 2)}
+
+
+def test_adamic_adar_square_plus_hub(spark):
+    import math
+
+    from sensordatapipelines_spark.operators.graph import adamic_adar
+
+    # path graph 1-2-3: the only common-neighbor pair is (1,3) through 2,
+    # but min_common=2 needs two shared neighbors → add 1-4-3.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 3)], "u long, w long"
+    )
+    out = adamic_adar(edges, min_common=2, top_k=5).collect()
+    # both square diagonals are predicted: (1,3) through {2,4} and
+    # (2,4) through {1,3}
+    got = {(r.u, r.w): r for r in out}
+    assert set(got) == {(1, 3), (2, 4)}
+    expected = 2 * round(1e6 / math.log(2.0)) / 1e6
+    for r in got.values():
+        assert (r.n_common, r.rank) == (2, 1)
+        assert abs(r.aa_score - expected) < 1e-9
+    # existing edges are never predicted
+    assert all((o.u, o.w) not in {(1, 2), (2, 3), (1, 4), (3, 4)} for o in out)
+
+
+def test_kcore_peels_tail(spark):
+    from sensordatapipelines_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core keeps the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u long, w long"
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}

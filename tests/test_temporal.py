@@ -756,3 +756,61 @@ def test_autocorr_detects_planted_period(spark):
            grouped_autocorr(df, "g", "ts", "v", lags=(4, 8), scale=1e6).collect()}
     assert out[8] > 0.99   # full period → strong positive
     assert out[4] < -0.99  # half period → strong negative
+
+
+def test_theil_sen_exact_line(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import theil_sen_trend
+
+    # exact line v = 2.5/h with one wild outlier: the median slope holds
+    base = dt.datetime(2024, 1, 1)
+    rows = [("g", base + dt.timedelta(hours=i), 2.5 * i, i) for i in range(10)]
+    rows[5] = ("g", rows[5][1], 1000.0, 5)
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double, i long")
+    out = theil_sen_trend(df, "g", "ts", "v", "i", min_points=5).collect()
+    assert len(out) == 1
+    assert out[0].n_points == 10
+    assert out[0].n_pairs == 45
+    assert abs(out[0].slope_per_hour - 2.5) < 1e-6
+
+    # min_points gate drops short series
+    short = spark.createDataFrame(rows[:4], "g string, ts timestamp, v double, i long")
+    assert theil_sen_trend(short, "g", "ts", "v", "i", min_points=5).count() == 0
+
+
+def test_mann_kendall_monotone(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import mann_kendall
+
+    base = dt.datetime(2024, 1, 1)
+    inc = [("up", base + dt.timedelta(hours=i), float(i), i) for i in range(10)]
+    dec = [("dn", base + dt.timedelta(hours=i), float(-i), i) for i in range(10)]
+    df = spark.createDataFrame(inc + dec, "g string, ts timestamp, v double, i long")
+    out = {r.g: r for r in mann_kendall(df, "g", "ts", "v", "i", min_points=5).collect()}
+    assert out["up"].s_stat == 45 and out["up"].tau == 1.0
+    assert out["dn"].s_stat == -45 and out["dn"].tau == -1.0
+
+
+def test_ohlc_resample_ties(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import ohlc_resample
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("k", t0, 5.0, 2),
+        ("k", t0, 1.0, 1),             # same second: event_id breaks the tie
+        ("k", t0 + dt.timedelta(minutes=30), 9.0, 3),
+        ("k", t0 + dt.timedelta(minutes=59), 4.0, 4),
+        ("k", t0 + dt.timedelta(hours=1), 7.0, 5),   # next bar
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    out = {r.bucket_epoch: r for r in
+           ohlc_resample(df, "ts", "k", "v", "i").collect()}
+    bars = sorted(out)
+    b0 = out[bars[0]]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n_obs) == (1.0, 9.0, 1.0, 4.0, 4)
+    b1 = out[bars[1]]
+    assert (b1.open, b1.close, b1.n_obs) == (7.0, 7.0, 1)
