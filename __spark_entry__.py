@@ -6289,6 +6289,60 @@ def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_user_cooccur_edges(spark), k=2, rounds=4)
 
 
+# Masked sensor grid for the DBSCAN gate: one point per (i, j) cell,
+# 8×8 tiles of 7×7 points separated by removed rows/cols, plus isolated
+# points at the removed-row intersections (guaranteed noise). Valid in
+# BOTH Spark SQL and DuckDB — the oracle inlines the same string.
+DBSCAN_PTS_SQL = """
+SELECT c_custkey AS id,
+       CAST((c_custkey % 64) * 0.005 AS DOUBLE) AS x,
+       CAST((FLOOR(c_custkey / 64) % 64) * 0.005 AS DOUBLE) AS y
+FROM customer
+WHERE c_custkey <= 4096
+  AND (((c_custkey % 64) % 8 <> 7 AND (FLOOR(c_custkey / 64) % 64) % 8 <> 7)
+    OR ((c_custkey % 64) % 8 = 7 AND (FLOOR(c_custkey / 64) % 64) % 8 = 7))
+"""
+
+
+def sensors_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed DBSCAN over the masked sensor grid: 3×3 cell-offset
+    equi-join candidates (never all-pairs), core = ≥3 neighbors within
+    eps, clusters via min-label connected components, border points
+    attach to their smallest core neighbor's cluster. The oracle replays
+    the identical semantics with a recursive-CTE closure."""
+    from sensordatapipelines_spark.operators.spatial import dbscan_grid
+
+    _register_views(spark, sf_dir)
+    pts = spark.sql(DBSCAN_PTS_SQL)
+    out = dbscan_grid(pts, "id", "x", "y", eps=0.0051, min_pts=3)
+    return out.select(F.col("id").alias("sensor_id"), "role", "cluster")
+
+
+def docs_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² class-discriminative terms per language: top-10 tokens by the
+    2×2-contingency statistic over document frequencies — the classic
+    feature-selection signal for curation classifiers. One corpus scan;
+    χ² is a fixed-order double expression over exact integer counts,
+    ranked on an e6-quantized BIGINT with token tiebreak."""
+    from sensordatapipelines_spark.operators.text import chi2_terms
+
+    _register_views(spark, sf_dir)
+    return chi2_terms(
+        spark.table("documents"), class_col="lang", min_doc_freq=5, top_k=10
+    )
+
+
+def docs_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language self-classification → confusion
+    matrix. Training is one (class, token) aggregate; scoring joins the
+    token stream to the broadcast log-prob table once; scores are exact
+    e9-BIGINT sums with class-name tie-break (fully deterministic)."""
+    from sensordatapipelines_spark.operators.text import naive_bayes_classify
+
+    _register_views(spark, sf_dir)
+    return naive_bayes_classify(spark.table("documents"), class_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -6539,6 +6593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
         "events_kcore": events_kcore,
+        "docs_chi2_terms": docs_chi2_terms,
+        "docs_nb_confusion": docs_nb_confusion,
+        "sensors_dbscan": sensors_dbscan,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6566,6 +6623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "sensors_dbscan",
+    "docs_chi2_terms",
+    "docs_nb_confusion",
     "events_theilsen_trend",
     "events_mann_kendall",
     "events_ohlc_bars",
@@ -11764,5 +11824,144 @@ def oracle_sql() -> dict[str, str]:
         WITH {_COOCCUR_EDGES},
         {", ".join(_kcore_rounds)}
         SELECT s AS node, COUNT(*) AS degree FROM sym4 GROUP BY s
+    """
+    # Shared lowercased-whitespace token stream with the class label.
+    _LANG_STREAM = r"""
+        dtoks AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        stream AS (SELECT doc_id, lang, unnest(t) AS tok FROM dtoks)
+    """
+    oracles["docs_chi2_terms"] = f"""
+        WITH {_LANG_STREAM},
+        occ AS (SELECT DISTINCT doc_id, lang, tok FROM stream),
+        ct AS (SELECT lang, tok, COUNT(*) AS a FROM occ GROUP BY lang, tok),
+        cs AS (SELECT lang, COUNT(*) AS nc FROM documents GROUP BY lang),
+        gd AS (SELECT tok, SUM(a) AS gdf FROM ct GROUP BY tok),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        x AS (
+            SELECT ct.lang, ct.tok, ct.a, gd.gdf, cs.nc, nd.n,
+                   CAST(ct.a AS DOUBLE) AS a_,
+                   CAST(gd.gdf - ct.a AS DOUBLE) AS b_,
+                   CAST(cs.nc - ct.a AS DOUBLE) AS c_,
+                   CAST(nd.n - gd.gdf - cs.nc + ct.a AS DOUBLE) AS d_
+            FROM ct JOIN cs USING (lang) JOIN gd USING (tok), nd
+            WHERE gd.gdf >= 5
+        ),
+        scored AS (
+            SELECT lang, tok, a AS df_in, gdf - a AS df_out,
+                   CAST(ROUND(
+                       CASE WHEN c_ + d_ = 0.0 OR b_ + d_ = 0.0 THEN 0.0
+                            ELSE CAST(n AS DOUBLE) * (a_ * d_ - b_ * c_)
+                                 * (a_ * d_ - b_ * c_)
+                                 / ((a_ + b_) * (c_ + d_) * (a_ + c_) * (b_ + d_))
+                       END * 1e6
+                   ) AS BIGINT) AS chi6
+            FROM x
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                          ORDER BY chi6 DESC, tok ASC) AS rank
+            FROM scored
+        )
+        SELECT lang, tok AS token, df_in, df_out,
+               CAST(chi6 AS DOUBLE) / 1e6 AS chi2, rank
+        FROM r WHERE rank <= 10
+    """
+    oracles["docs_nb_confusion"] = f"""
+        WITH {_LANG_STREAM},
+        ct AS (SELECT lang AS cls, tok, COUNT(*) AS c
+               FROM stream GROUP BY lang, tok),
+        tot AS (SELECT cls, SUM(c) AS ns FROM ct GROUP BY cls),
+        v AS (SELECT COUNT(DISTINCT tok) AS vs FROM ct),
+        pri AS (SELECT lang AS cls, COUNT(*) AS ndc FROM documents GROUP BY lang),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        lp AS (
+            SELECT ct.cls, ct.tok,
+                   CAST(ROUND(ln(CAST(ct.c + 1 AS DOUBLE)
+                                 / CAST(tot.ns + v.vs AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS lp9
+            FROM ct JOIN tot USING (cls), v
+        ),
+        clsx AS (
+            SELECT pri.cls,
+                   CAST(ROUND(ln(CAST(pri.ndc AS DOUBLE)
+                                 / CAST(nd.n AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS prior9,
+                   CAST(ROUND(ln(1.0 / CAST(tot.ns + v.vs AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS def9
+            FROM pri JOIN tot ON pri.cls = tot.cls, v, nd
+        ),
+        matched AS (
+            SELECT s.doc_id, s.lang AS true_cls, lp.cls,
+                   COUNT(*) AS nm, SUM(lp9) AS sum9
+            FROM stream s JOIN lp ON s.tok = lp.tok
+            GROUP BY s.doc_id, s.lang, lp.cls
+        ),
+        dt AS (SELECT doc_id, lang AS true_cls, COUNT(*) AS nt
+               FROM stream GROUP BY doc_id, lang),
+        dense AS (
+            SELECT dt.doc_id, dt.true_cls, cx.cls,
+                   cx.prior9 + COALESCE(m.sum9, 0)
+                       + (dt.nt - COALESCE(m.nm, 0)) * cx.def9 AS score9
+            FROM dt CROSS JOIN clsx cx
+            LEFT JOIN matched m ON m.doc_id = dt.doc_id AND m.cls = cx.cls
+        ),
+        best AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score9 DESC, cls ASC) AS rn
+            FROM dense
+        )
+        SELECT true_cls AS lang, cls AS predicted, COUNT(*) AS n_docs
+        FROM best WHERE rn = 1 GROUP BY true_cls, cls
+    """
+    oracles["sensors_dbscan"] = f"""
+        WITH RECURSIVE pts AS ({DBSCAN_PTS_SQL}),
+        cand AS (
+            SELECT a.id, b.id AS idb
+            FROM pts a JOIN pts b
+              ON a.id <> b.id
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= 0.0051 * 0.0051
+        ),
+        neigh AS (SELECT id, COUNT(*) AS n FROM cand GROUP BY id),
+        core AS (SELECT id FROM neigh WHERE n >= 3),
+        ce AS (
+            SELECT c.id AS u, c.idb AS w FROM cand c
+            WHERE c.id < c.idb
+              AND c.id IN (SELECT id FROM core)
+              AND c.idb IN (SELECT id FROM core)
+        ),
+        sym AS (SELECT u AS s, w AS d FROM ce
+                UNION SELECT w AS s, u AS d FROM ce),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        ),
+        comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+                 FROM reach GROUP BY s),
+        corec AS (
+            SELECT c.id, COALESCE(mp.component, c.id) AS cluster
+            FROM core c LEFT JOIN comp mp ON mp.node = c.id
+        ),
+        border AS (
+            SELECT cand.id, MIN(k.cluster) AS cluster
+            FROM cand JOIN corec k ON cand.idb = k.id
+            WHERE cand.id NOT IN (SELECT id FROM core)
+            GROUP BY cand.id
+        )
+        SELECT id AS sensor_id, 'core' AS role, cluster FROM corec
+        UNION ALL
+        SELECT id AS sensor_id, 'border' AS role, cluster FROM border
+        UNION ALL
+        SELECT p.id AS sensor_id, 'noise' AS role, CAST(NULL AS BIGINT)
+        FROM pts p
+        WHERE p.id NOT IN (SELECT id FROM corec)
+          AND p.id NOT IN (SELECT id FROM border)
     """
     return oracles

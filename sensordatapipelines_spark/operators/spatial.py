@@ -1366,3 +1366,118 @@ def ring_centroid_expr(xs: Column, ys: Column) -> Column:
         (cx_sum / safe).alias("cx"),
         (cy_sum / safe).alias("cy"),
     )
+
+
+@register("dbscan_grid")
+def dbscan_grid(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int = 3,
+) -> DataFrame:
+    """Grid-bucketed DBSCAN → ``(id, role, cluster)`` with role ∈
+    {core, border, noise}: the density-based spatial clusterer
+    (station groupings, hot-zone extraction) in its scalable form.
+
+    Scale shape (100 TB): candidate neighbor pairs come from a 3×3
+    CELL-OFFSET EQUI-join on ``floor(coord/eps)`` grid keys — a keyed
+    shuffle with fan-out 9 per point, never an all-pairs theta join;
+    the exact ``dist² ≤ eps²`` predicate filters inside the join stage.
+    Core points (≥ ``min_pts`` neighbors, self excluded) connect into
+    clusters via the engine's min-label ``connected_components`` (keyed
+    rounds, lineage-truncated); border points attach to their SMALLEST
+    core neighbor's cluster (deterministic); everything else is noise.
+    Cluster density is the skew knob: a cell holding k points costs
+    k² pair candidates — shrink ``eps`` or pre-aggregate stacked
+    duplicates if one cell dominates."""
+    from sensordatapipelines_spark.operators.dedup import connected_components
+
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).withColumns(
+        {
+            "__cx": F.floor(F.col("__x") / F.lit(float(eps))).cast("long"),
+            "__cy": F.floor(F.col("__y") / F.lit(float(eps))).cast("long"),
+        }
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        "__id",
+        "__x",
+        "__y",
+        F.explode(offsets).alias("__o"),
+        F.col("__cx"),
+        F.col("__cy"),
+    ).select(
+        "__id",
+        "__x",
+        "__y",
+        (F.col("__cx") + F.col("__o.dx")).alias("__px"),
+        (F.col("__cy") + F.col("__o.dy")).alias("__py"),
+    )
+    right = pts.select(
+        F.col("__id").alias("__idb"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__cx").alias("__px"),
+        F.col("__cy").alias("__py"),
+    )
+    dx = F.col("__x") - F.col("__xb")
+    dy = F.col("__y") - F.col("__yb")
+    cand = (
+        probe.join(right, ["__px", "__py"])
+        .filter(F.col("__id") != F.col("__idb"))
+        .filter(dx * dx + dy * dy <= F.lit(float(eps) * float(eps)))
+        .select("__id", "__idb")
+        # the 3×3 probe can pair two points once per shared cell only when
+        # they sit in the same cell — each ordered pair survives exactly
+        # once because the right side binds to ITS OWN cell
+    )
+    neigh = cand.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    core = neigh.filter(F.col("__n") >= F.lit(int(min_pts))).select("__id")
+    core_b = core.select(F.col("__id").alias("__idb"))
+    core_edges = (
+        cand.join(core, "__id", "left_semi")
+        .join(core_b, "__idb", "left_semi")
+        .filter(F.col("__id") < F.col("__idb"))
+        .select(F.col("__id").alias("id_a"), F.col("__idb").alias("id_b"))
+    )
+    comp = connected_components(core_edges)
+    core_clusters = core.join(
+        comp.select(F.col("node").alias("__id"), "component"), "__id", "left"
+    ).select(
+        "__id",
+        F.coalesce(F.col("component"), F.col("__id")).alias("cluster"),
+    )
+    border = (
+        cand.join(core, "__id", "left_anti")
+        .join(
+            core_clusters.select(
+                F.col("__id").alias("__idb"), F.col("cluster")
+            ),
+            "__idb",
+        )
+        .groupBy("__id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_clusters.select(
+        "__id", F.lit("core").alias("role"), "cluster"
+    ).unionByName(border.select("__id", F.lit("border").alias("role"), "cluster"))
+    noise = pts.select("__id").join(labeled.select("__id"), "__id", "left_anti")
+    return labeled.unionByName(
+        noise.select(
+            "__id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    ).select(F.col("__id").alias(id_col), "role", "cluster")

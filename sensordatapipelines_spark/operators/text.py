@@ -9,7 +9,7 @@ arithmetic, so DuckDB oracles can reproduce results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.registry import register
@@ -1264,3 +1264,198 @@ def rake_keywords(
     return per_phrase.orderBy(
         F.col("score").desc(), F.col("n_count").desc(), F.col("phrase").asc()
     ).limit(top_n)
+
+
+@register("chi2_terms")
+def chi2_terms(
+    df: DataFrame,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """χ²-scored class-discriminative terms → the ``top_k`` tokens most
+    associated with each class value (language, source, quality label)
+    by the classic 2×2-contingency feature-selection statistic over
+    DOCUMENT frequencies: χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+
+    Plan shape (100 TB): the (class, token) doc-frequency table is one
+    word-count-style aggregate (map-side combine; vocabulary-sized
+    shuffle), per-class doc totals and global doc frequencies derive
+    from it with two more vocabulary-sized aggregates — the corpus is
+    scanned ONCE. Determinism: every χ² is a single fixed-order double
+    expression over exact integer counts (bit-identical cross-engine);
+    ranking quantizes to an e6 BIGINT first so the top-k window can
+    never flip on a representation detail, with token as tiebreak."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    # distinct (doc, class, token): document frequency, not term frequency
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(class_col).alias("__cls"),
+        F.explode(toks).alias("__tok"),
+    ).distinct()
+    # per (class, token) doc counts; class sizes; global token doc-freq
+    ct = occ.groupBy("__cls", "__tok").agg(F.count(F.lit(1)).alias("__a"))
+    cls_sizes = df.groupBy(F.col(class_col).alias("__cls")).agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    tok_df = ct.groupBy("__tok").agg(F.sum("__a").alias("__gdf"))
+    n_docs = df.count()
+    j = (
+        ct.join(F.broadcast(cls_sizes), "__cls")
+        .join(tok_df.filter(F.col("__gdf") >= F.lit(int(min_doc_freq))), "__tok")
+    )
+    a = F.col("__a").cast("double")
+    b = (F.col("__gdf") - F.col("__a")).cast("double")
+    c = (F.col("__nc") - F.col("__a")).cast("double")
+    d = (F.lit(int(n_docs)) - F.col("__gdf") - F.col("__nc") + F.col("__a")).cast(
+        "double"
+    )
+    x = a * d - b * c
+    # degenerate margins (a token in EVERY doc, or a single class) carry
+    # no signal: χ² := 0 instead of 0/0
+    chi2 = F.when(
+        ((c + d) == F.lit(0.0)) | ((b + d) == F.lit(0.0)),
+        F.lit(0.0),
+    ).otherwise(
+        (F.lit(float(n_docs)) * x * x) / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    scored = j.select(
+        F.col("__cls"),
+        F.col("__tok"),
+        F.col("__a").alias("df_in"),
+        (F.col("__gdf") - F.col("__a")).alias("df_out"),
+        F.round(chi2 * F.lit(1e6)).cast("long").alias("__chi6"),
+    )
+    w = Window.partitionBy("__cls").orderBy(
+        F.col("__chi6").desc(), F.col("__tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(top_k)))
+        .select(
+            F.col("__cls").alias(class_col),
+            F.col("__tok").alias("token"),
+            "df_in",
+            "df_out",
+            (F.col("__chi6").cast("double") / F.lit(1e6)).alias("chi2"),
+            "rank",
+        )
+    )
+
+
+@register("naive_bayes_classify")
+def naive_bayes_classify(
+    df: DataFrame,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive-Bayes self-classification → the confusion
+    matrix ``(class, predicted, n_docs)`` of the corpus scored under its
+    own per-class unigram model with Laplace smoothing — the standard
+    cheap text classifier for curation signals (language ID, quality
+    buckets, source attribution; the fastText-style filter in DCLM-class
+    pipelines, trained here in-engine with no external model).
+
+    Plan shape (100 TB): training is one (class, token) word-count
+    aggregate (vocabulary-sized shuffle); scoring joins the exploded
+    token stream to the **broadcast** per-class log-prob table once —
+    the n_classes fan-out happens on the vocabulary side, never by
+    re-scanning the corpus per class. Unseen (class, token) combos get
+    the smoothing default via per-class matched-count arithmetic
+    instead of materializing the dense vocab×class matrix.
+
+    Determinism: log-probs and priors quantize to e9 BIGINTs (the
+    ``unigram_logprob`` convention), scores are exact integer sums, and
+    argmax breaks ties on the class name — bit-identical cross-engine."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    stream = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(class_col).alias("__true"),
+        F.explode(toks).alias("__tok"),
+    )
+    # training counts: c_st per (class, token), N_s per class, vocab size V
+    ct = stream.groupBy("__true", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = ct.groupBy("__true").agg(F.sum("__c").alias("__ns"))
+    v_size = ct.select("__tok").distinct().count()
+    priors = df.groupBy(F.col(class_col).alias("__cls")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    n_docs = df.count()
+    lp = (
+        ct.select(F.col("__true").alias("__cls"), "__tok", "__c")
+        .join(F.broadcast(totals.select(F.col("__true").alias("__cls"), "__ns")), "__cls")
+        .select(
+            "__cls",
+            "__tok",
+            F.round(
+                F.log(
+                    (F.col("__c") + F.lit(1)).cast("double")
+                    / (F.col("__ns") + F.lit(int(v_size))).cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__lp_e9"),
+        )
+    )
+    # default (unseen-token) log-prob and prior per class, all e9 BIGINTs
+    cls = (
+        priors.join(totals.select(F.col("__true").alias("__cls"), "__ns"), "__cls")
+        .select(
+            "__cls",
+            F.round(
+                F.log(F.col("__nd").cast("double") / F.lit(float(n_docs))) * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__prior_e9"),
+            F.round(
+                F.log(
+                    F.lit(1.0) / (F.col("__ns") + F.lit(int(v_size))).cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__def_e9"),
+        )
+    )
+    # matched partial scores per (doc, class); docs and token totals
+    matched = (
+        stream.join(F.broadcast(lp), "__tok")
+        .groupBy("__id", "__true", "__cls")
+        .agg(
+            F.count(F.lit(1)).alias("__nm"),
+            F.sum("__lp_e9").alias("__sum_e9"),
+        )
+    )
+    doc_tok = stream.groupBy("__id", "__true").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    dense = (
+        doc_tok.crossJoin(F.broadcast(cls))
+        .join(matched, ["__id", "__true", "__cls"], "left")
+        .select(
+            "__id",
+            "__true",
+            "__cls",
+            (
+                F.col("__prior_e9")
+                + F.coalesce(F.col("__sum_e9"), F.lit(0))
+                + (F.col("__nt") - F.coalesce(F.col("__nm"), F.lit(0)))
+                * F.col("__def_e9")
+            ).alias("__score_e9"),
+        )
+    )
+    wbest = Window.partitionBy("__id").orderBy(
+        F.col("__score_e9").desc(), F.col("__cls").asc()
+    )
+    best = (
+        dense.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        best.groupBy(F.col("__true").alias(class_col), F.col("__cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

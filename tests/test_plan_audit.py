@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
     "docs_dsir_weights",  # broadcast 1-row profile-totals cross join
     "docs_dsir_select",  # same shape (top-k over the weights)
+    "docs_nb_confusion",  # broadcast n_classes-row model cross join (dense scores)
 }
 
 

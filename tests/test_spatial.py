@@ -711,3 +711,41 @@ def test_ring_area_and_centroid_known_shapes(spark):
     assert (out[2]["cx"], out[2]["cy"]) == (pytest.approx(0.5), pytest.approx(0.5))
     assert out[3]["a"] == pytest.approx(2 * 0.2 * 0.2)
     assert (out[3]["cx"], out[3]["cy"]) == (pytest.approx(5.0), pytest.approx(3.0))
+
+
+def test_dbscan_grid_roles_and_clusters(spark):
+    from sensordatapipelines_spark.operators.spatial import dbscan_grid
+
+    # two 2×2 blocks 1 apart internally, 10 apart from each other, plus
+    # one isolated point; eps=1.5 → blocks are 4-cliques (3 neighbors
+    # each → all core), isolate is noise
+    rows = [
+        (1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0), (4, 1.0, 1.0),
+        (11, 20.0, 20.0), (12, 21.0, 20.0), (13, 20.0, 21.0), (14, 21.0, 21.0),
+        (99, 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r for r in dbscan_grid(df, "id", "x", "y", eps=1.5, min_pts=3).collect()}
+    assert all(out[i].role == "core" and out[i].cluster == 1 for i in (1, 2, 3, 4))
+    assert all(out[i].role == "core" and out[i].cluster == 11 for i in (11, 12, 13, 14))
+    assert out[99].role == "noise" and out[99].cluster is None
+
+
+def test_dbscan_grid_border_attachment(spark):
+    from sensordatapipelines_spark.operators.spatial import dbscan_grid
+
+    # a dense 5-point plus shape around (0,0) makes the center core;
+    # a pendant at (2,0) touches only the arm point (1,0) → border iff
+    # the arm is core; with min_pts=3 the arm (neighbors: center, two
+    # diagonal-ish arms? here: center + pendant = 2) is NOT core, so the
+    # pendant is noise while the plus-center clusters
+    rows = [
+        (0, 0.0, 0.0), (1, 1.0, 0.0), (2, -1.0, 0.0), (3, 0.0, 1.0), (4, 0.0, -1.0),
+        (5, 2.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r for r in dbscan_grid(df, "id", "x", "y", eps=1.2, min_pts=3).collect()}
+    assert out[0].role == "core"          # 4 neighbors
+    assert out[1].role == "border"        # neighbors: center + pendant = 2
+    assert out[5].role == "noise"         # only non-core neighbor
+    assert out[1].cluster == out[0].cluster

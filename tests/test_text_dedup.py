@@ -1177,3 +1177,52 @@ def test_rake_keywords_scores_multiword_phrases(spark):
     assert abs(ml.score - 2.45) < 1e-9
     # no all-stopword phrase leaks through
     assert all(" the " not in f" {p} " for p in phrases)
+
+
+def test_chi2_terms_perfect_association(spark):
+    from sensordatapipelines_spark.operators.text import chi2_terms
+
+    # token "aaa" appears in every class-A doc and no class-B doc (and
+    # vice versa for "bbb"); "zzz" is uniform → lowest chi2
+    rows = []
+    for i in range(6):
+        rows.append((i, "aaa zzz", "A"))
+    for i in range(6, 12):
+        rows.append((i, "bbb zzz", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_terms(df, min_doc_freq=2, top_k=2).collect()
+    top = {(r.lang, r.rank): r for r in out}
+    assert top[("A", 1)].token == "aaa"
+    assert top[("B", 1)].token == "bbb"
+    # perfect association: chi2 == N == 12
+    assert abs(top[("A", 1)].chi2 - 12.0) < 1e-6
+    assert (top[("A", 1)].df_in, top[("A", 1)].df_out) == (6, 0)
+    # the uniform token scores zero
+    assert abs(top[("A", 2)].chi2) < 1e-6
+
+
+def test_naive_bayes_separable(spark):
+    from sensordatapipelines_spark.operators.text import naive_bayes_classify
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "alpha beta alpha", "A"))
+    for i in range(8, 16):
+        rows.append((i, "gamma delta gamma", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.lang, r.predicted): r.n_docs
+           for r in naive_bayes_classify(df).collect()}
+    # perfectly separable vocabulary → diagonal confusion matrix
+    assert out == {("A", "A"): 8, ("B", "B"): 8}
+
+
+def test_naive_bayes_prior_tiebreak(spark):
+    from sensordatapipelines_spark.operators.text import naive_bayes_classify
+
+    # identical token distributions: prediction falls to the prior, and
+    # with equal priors to the lexicographically smallest class
+    rows = [(0, "x y", "A"), (1, "x y", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.lang, r.predicted): r.n_docs
+           for r in naive_bayes_classify(df).collect()}
+    assert out == {("A", "A"): 1, ("B", "A"): 1}
