@@ -6289,6 +6289,55 @@ def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_user_cooccur_edges(spark), k=2, rounds=4)
 
 
+def media_ppm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-channel histogram end-to-end: staged 4×2 P6 rasters
+    (md5-digest pixels) → genuine netpbm parse → channel deinterleave →
+    quartile-bin counts. The oracle recomputes every (channel, bin)
+    count from md5 hex pairs — integer-exact."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_ppm(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.ppm")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return media_channel_histogram(media, n_bins=4)
+
+
+def media_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL zero-crossing audio profile end-to-end: staged 8-frame PCM16
+    WAVs (digest bytes as little-endian samples) → genuine RIFF parse →
+    strict sign-product crossings + exact Σ|s|. The oracle rebuilds each
+    int16 sample from md5 hex pairs and replays the identical integer
+    arithmetic."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return audio_zcr(media)
+
+
 # Masked sensor grid for the DBSCAN gate: one point per (i, j) cell,
 # 8×8 tiles of 7×7 points separated by removed rows/cols, plus isolated
 # points at the removed-row intersections (guaranteed noise). Valid in
@@ -6596,6 +6645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chi2_terms": docs_chi2_terms,
         "docs_nb_confusion": docs_nb_confusion,
         "sensors_dbscan": sensors_dbscan,
+        "media_ppm_histogram": media_ppm_histogram,
+        "media_wav_zcr": media_wav_zcr,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6623,6 +6674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "media_ppm_histogram",
+    "media_wav_zcr",
     "sensors_dbscan",
     "docs_chi2_terms",
     "docs_nb_confusion",
@@ -11918,6 +11971,61 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT true_cls AS lang, cls AS predicted, COUNT(*) AS n_docs
         FROM best WHERE rn = 1 GROUP BY true_cls, cls
+    """
+    oracles["media_ppm_histogram"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        px AS (
+            SELECT doc_id, c.c AS channel, k.k AS k,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 1, 1)) - 1)
+                       * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 2, 1)) - 1)
+                       AS v
+            FROM staged,
+                 (SELECT unnest(range(0, 3)) AS c) c,
+                 (SELECT unnest(range(0, 8)) AS k) k
+        )
+        SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+               CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
+        FROM px GROUP BY doc_id, channel, v // 64
+    """
+    oracles["media_wav_zcr"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        samp AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), k ->
+                       CASE WHEN b[2 * k + 1] + 256 * b[2 * k + 2] >= 32768
+                            THEN b[2 * k + 1] + 256 * b[2 * k + 2] - 65536
+                            ELSE b[2 * k + 1] + 256 * b[2 * k + 2]
+                       END) AS s
+            FROM bytes
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 7), k ->
+                   CASE WHEN s[k + 1] * s[k + 2] < 0 THEN 1 ELSE 0 END))
+                   AS BIGINT) AS n_zero_cross,
+               CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS sum_abs
+        FROM samp
     """
     oracles["sensors_dbscan"] = f"""
         WITH RECURSIVE pts AS ({DBSCAN_PTS_SQL}),

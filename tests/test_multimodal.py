@@ -231,3 +231,46 @@ def test_audio_fingerprint_properties(spark):
     assert out[1].fingerprint != out[3].fingerprint
     assert out[1].fingerprint == out[4].fingerprint  # gain-invariant contour
     assert out[1].n_frames == 64
+
+
+def test_media_channel_histogram_known_image(spark):
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+
+    # 2×1 P6: pixel0 = (0, 100, 200), pixel1 = (63, 128, 255)
+    payload = b"P6\n2 1\n255\n" + bytes([0, 100, 200, 63, 128, 255])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    ).select(F.struct("media_id", "kind", "payload").alias("media"))
+    out = {(r.channel, r.bin): r.n_px
+           for r in media_channel_histogram(df, n_bins=4).collect()}
+    # channel 0: 0→bin0, 63→bin0 ; channel 1: 100→bin1, 128→bin2 ;
+    # channel 2: 200→bin3, 255→bin3
+    assert out == {(0, 0): 2, (1, 1): 1, (1, 2): 1, (2, 3): 2}
+
+
+def test_audio_zcr_known_wave(spark):
+    import struct
+
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+
+    samples = [100, -5, 3, 0, -7, -2, 8, 8]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(wav))],
+        "media_id long, kind string, payload binary",
+    ).select(F.struct("media_id", "kind", "payload").alias("media"))
+    r = audio_zcr(df).collect()[0]
+    assert r.n_samples == 8
+    # strict sign products < 0: (100,-5), (-5,3), (-2,8) → 3 crossings
+    # (3,0) and (0,-7) are NOT strict crossings
+    assert r.n_zero_cross == 3
+    assert r.sum_abs == sum(abs(s) for s in samples)
