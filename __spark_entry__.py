@@ -6338,6 +6338,35 @@ def media_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_zcr(media)
 
 
+def sensors_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash grid indexing end-to-end: encode every sensor to its
+    precision-6 base32 cell (Morton shift/mask interleave, pure JVM),
+    aggregate per cell (count + exact integer-cents sum), then decode the
+    grouped cell ids back to cell-center lon/lat. The oracle replays the
+    quantize → Morton spread → base32 pipeline textually in DuckDB and
+    derives the centers from the (bijective at this precision) axis bits
+    — every column strictly value-checked, centers bit-identical doubles.
+    """
+    from sensordatapipelines_spark.operators.geohash import (
+        geohash_decode,
+        geohash_encode,
+    )
+
+    _register_views(spark, sf_dir)
+    enc = geohash_encode(_sensors(spark), precision=6)
+    grouped = (
+        enc.withColumn("__c", F.round(F.col("val") * 100).cast("long"))
+        .groupBy("geohash")
+        .agg(
+            F.count("*").alias("n_sensors"),
+            F.sum("__c").alias("sum_val_c"),
+        )
+    )
+    return geohash_decode(grouped).select(
+        "geohash", "n_sensors", "sum_val_c", "cell_lon", "cell_lat"
+    )
+
+
 # Masked sensor grid for the DBSCAN gate: one point per (i, j) cell,
 # 8×8 tiles of 7×7 points separated by removed rows/cols, plus isolated
 # points at the removed-row intersections (guaranteed noise). Valid in
@@ -6647,6 +6676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_dbscan": sensors_dbscan,
         "media_ppm_histogram": media_ppm_histogram,
         "media_wav_zcr": media_wav_zcr,
+        "sensors_geohash_cells": sensors_geohash_cells,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6674,6 +6704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "sensors_geohash_cells",
     "media_ppm_histogram",
     "media_wav_zcr",
     "sensors_dbscan",
@@ -6848,6 +6879,30 @@ _POLY_SQL = (
     "list_reduce(list_transform(string_split({s}, ''),"
     " c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
 )
+
+
+def _morton_spread_sql(x: str) -> str:
+    """DuckDB mirror of ``operators.geohash.morton spread`` (bit j → 2j):
+    the same 5-step shift-or-mask ladder, built textually. The input must
+    be a bare column reference — each step duplicates it, so the final
+    text stays small only because the leaf is an identifier."""
+    from sensordatapipelines_spark.operators.geohash import MORTON_MASKS
+
+    e = f"({x} & {MORTON_MASKS[0]})"
+    for i, mask in enumerate(MORTON_MASKS[1:]):
+        shift = 16 >> i
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def _geohash_chars_sql(g: str, precision: int) -> str:
+    """Base32 chars of the interleaved integer column ``g``."""
+    parts = [
+        f"substr('{'0123456789bcdefghjkmnpqrstuvwxyz'}',"
+        f" CAST((({g} >> {5 * (precision - 1 - j)}) & 31) AS INT) + 1, 1)"
+        for j in range(precision)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
 
 
 def _minhash_oracle() -> str:
@@ -12026,6 +12081,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
                    AS sum_abs
         FROM samp
+    """
+    oracles["sensors_geohash_cells"] = f"""
+        WITH sensors AS ({SENSORS_SQL}),
+        q AS (
+            SELECT LEAST(CAST(FLOOR((lon - -180.0) / 360.0 * 32768.0)
+                              AS BIGINT), 32767) AS lonb,
+                   LEAST(CAST(FLOOR((lat - -90.0) / 180.0 * 32768.0)
+                              AS BIGINT), 32767) AS latb,
+                   CAST(ROUND(val * 100.0) AS BIGINT) AS val_c
+            FROM sensors
+        ),
+        g AS (
+            SELECT lonb, latb, val_c,
+                   (({_morton_spread_sql("lonb")} << 1)
+                    | {_morton_spread_sql("latb")}) AS gh_int
+            FROM q
+        ),
+        enc AS (
+            SELECT lonb, latb, val_c,
+                   {_geohash_chars_sql("gh_int", 6)} AS geohash
+            FROM g
+        )
+        SELECT geohash,
+               COUNT(*) AS n_sensors,
+               CAST(SUM(val_c) AS BIGINT) AS sum_val_c,
+               (CAST(MIN(lonb) AS DOUBLE) + 0.5) / 32768.0 * 360.0 - 180.0
+                   AS cell_lon,
+               (CAST(MIN(latb) AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0
+                   AS cell_lat
+        FROM enc GROUP BY geohash
     """
     oracles["sensors_dbscan"] = f"""
         WITH RECURSIVE pts AS ({DBSCAN_PTS_SQL}),

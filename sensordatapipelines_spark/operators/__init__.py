@@ -5,6 +5,7 @@ similarity / multimodal, all DataFrame→DataFrame and registry-backed."""
 from sensordatapipelines_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    geohash,
     graph,
     interpolate,
     joins,
