@@ -6367,6 +6367,43 @@ def sensors_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BPE_MERGES = 8
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the first 8 BPE merge rules from the
+    documents corpus (Sennrich et al. 2016 — word-type histogram, then
+    per-round most-frequent adjacent pair with lexicographic ties). The
+    oracle replays all 8 rounds as chained DuckDB CTEs: same pair
+    counting over the double-space symbol representation, same scalar
+    best-pair subqueries, same single-pass ``replace`` merge."""
+    from sensordatapipelines_spark.operators.text import bpe_learn_merges
+
+    _register_views(spark, sf_dir)
+    return bpe_learn_merges(
+        spark.table("documents"), text_col="text", n_merges=N_BPE_MERGES
+    )
+
+
+def docs_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: segment every document with the 8 learned
+    merges and count resulting symbols — the corpus is scanned once and
+    joined to the per-word-TYPE segmentation (never re-segmented per
+    merge). Deterministic integer counts; output limited to doc_id < 64
+    so the gate result stays small while every rule still fires."""
+    from sensordatapipelines_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_segment_counts,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = bpe_learn_merges(docs, text_col="text", n_merges=N_BPE_MERGES)
+    return bpe_segment_counts(
+        docs.filter(F.col("doc_id") < 64), merges, id_col="doc_id", text_col="text"
+    )
+
+
 # Masked sensor grid for the DBSCAN gate: one point per (i, j) cell,
 # 8×8 tiles of 7×7 points separated by removed rows/cols, plus isolated
 # points at the removed-row intersections (guaranteed noise). Valid in
@@ -6677,6 +6714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ppm_histogram": media_ppm_histogram,
         "media_wav_zcr": media_wav_zcr,
         "sensors_geohash_cells": sensors_geohash_cells,
+        "docs_bpe_merges": docs_bpe_merges,
+        "docs_bpe_segments": docs_bpe_segments,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6704,6 +6743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "docs_bpe_merges",
+    "docs_bpe_segments",
     "sensors_geohash_cells",
     "media_ppm_histogram",
     "media_wav_zcr",
@@ -6903,6 +6944,57 @@ def _geohash_chars_sql(g: str, precision: int) -> str:
         for j in range(precision)
     ]
     return "concat(" + ", ".join(parts) + ")"
+
+
+def _bpe_rounds_sql(n_rounds: int) -> str:
+    """DuckDB replay of ``bpe_learn_merges``: the word-type histogram,
+    the double-space symbol representation, then ``n_rounds`` chained
+    (pairs → best → replace) CTE triples. Every ``b{k}``/``r{k}`` is
+    MATERIALIZED — the best-pair scalar subqueries reference each level
+    four times, and without materialization DuckDB could re-evaluate the
+    whole chain per reference (4^rounds blowup)."""
+    parts = [
+        f"""w AS MATERIALIZED (
+            SELECT w, COUNT(*) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(text,
+                         '{_BPE_SQL_PATTERN}')) AS w FROM documents)
+            GROUP BY w
+        ),
+        r0 AS MATERIALIZED (
+            SELECT w,
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  '
+                       AS repr,
+                   cnt
+            FROM w
+        )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+            SELECT struct_extract(p, 'a') AS a, struct_extract(p, 'b') AS b,
+                   SUM(cnt) AS tot
+            FROM (
+                SELECT unnest(list_transform(range(1, len(s)),
+                           i -> struct_pack(a := s[i], b := s[i + 1]))) AS p,
+                       cnt
+                FROM (SELECT string_split(trim(repr), '  ') AS s, cnt
+                      FROM r{k - 1})
+            )
+            GROUP BY a, b
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT a, b, tot FROM p{k} ORDER BY tot DESC, a, b LIMIT 1
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT w,
+                   replace(repr,
+                           ' ' || (SELECT a FROM b{k}) || '  '
+                               || (SELECT b FROM b{k}) || ' ',
+                           ' ' || (SELECT a FROM b{k})
+                               || (SELECT b FROM b{k}) || ' ') AS repr,
+                   cnt
+            FROM r{k - 1}
+        )""")
+    return ",\n        ".join(parts)
 
 
 def _minhash_oracle() -> str:
@@ -12111,6 +12203,31 @@ def oracle_sql() -> dict[str, str]:
                (CAST(MIN(latb) AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0
                    AS cell_lat
         FROM enc GROUP BY geohash
+    """
+    _bpe_bests = "\n            UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\","
+        f" CAST(tot AS BIGINT) AS pair_count, a || b AS token FROM b{k}"
+        for k in range(1, N_BPE_MERGES + 1)
+    )
+    oracles["docs_bpe_merges"] = f"""
+        WITH {_bpe_rounds_sql(N_BPE_MERGES)}
+        {_bpe_bests}
+    """
+    oracles["docs_bpe_segments"] = f"""
+        WITH {_bpe_rounds_sql(N_BPE_MERGES)},
+        seg AS (
+            SELECT w, len(string_split(trim(repr), '  ')) AS n_sym
+            FROM r{N_BPE_MERGES}
+        ),
+        docs AS (
+            SELECT doc_id, unnest(regexp_extract_all(text,
+                       '{_BPE_SQL_PATTERN}')) AS w
+            FROM documents WHERE doc_id < 64
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+        FROM docs JOIN seg USING (w)
+        GROUP BY doc_id
     """
     oracles["sensors_dbscan"] = f"""
         WITH RECURSIVE pts AS ({DBSCAN_PTS_SQL}),

@@ -1459,3 +1459,138 @@ def naive_bayes_classify(
         best.groupBy(F.col("__true").alias(class_col), F.col("__cls").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register("bpe_learn_merges")
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn byte-pair-encoding merge rules from a corpus (tokenizer
+    training — the charter's "token counting" taken to its natural next
+    step; the reference has no tokenizer, its text handling is pandas
+    ``str`` ops at /root/reference/src/data_preprocessing.py:199).
+
+    Algorithm (Sennrich et al. 2016, public): pre-tokenize with
+    ``BPE_PATTERN``, histogram WORD TYPES (one corpus scan — after this
+    the corpus is never touched again; everything operates on the
+    Heaps-law-sized vocabulary), represent each word as space-separated
+    symbols, then per round: count adjacent symbol pairs weighted by word
+    count, pick the most frequent (ties broken lexicographically so the
+    result is deterministic across engines), and merge it everywhere.
+
+    Merge semantics: greedy left-to-right non-overlapping, implemented
+    as a plain string replace over a DOUBLE-SPACE-separated symbol
+    representation: pattern ``' a  b '`` -> ``' ab '``. Each match
+    consumes exactly one of the two boundary spaces on each side and the
+    replacement restores it, so consecutive occurrences never share a
+    separator (the failure mode of single-space separators, where a
+    consumed boundary both skips and MISALIGNS the next match in a run —
+    ``aaaaa`` came out ``[aa,a,aa]`` instead of the greedy
+    ``[aa,aa,a]``). Single pass == textbook greedy, property-tested
+    against a pure-Python reference, and it is the same ``replace``
+    builtin in Spark and DuckDB — no regex, no lookahead (RE2 has none).
+
+    100 TB shape: the driver loop collects ONE (pair, count) row per
+    round (control-plane, like the kriging fit); each round is a
+    vocab-sized explode + groupBy, ``localCheckpoint``-truncated so
+    lineage doesn't stack across rounds. Returns
+    ``(rank, left, right, pair_count, token)``.
+    """
+    words = (
+        df.select(F.explode(bpe_tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(
+                    F.filter(F.split(F.col("w"), ""), lambda c: c != ""), "  "
+                ),
+                F.lit("  "),
+            ).alias("repr"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("repr")), "  ")
+        pairs = F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+            F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+        )
+        best = (
+            words.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("tot"))
+            .orderBy(F.col("tot").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].tot < min_count:
+            break
+        a, b, tot = best[0].a, best[0].b, int(best[0].tot)
+        merges.append((rank, a, b, tot))
+        pat, rep = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        merged = F.replace(F.col("repr"), pat, rep)
+        words = words.select(merged.alias("repr"), "cnt").localCheckpoint()
+    return spark.createDataFrame(
+        [(r, a, b, t, a + b) for r, a, b, t in merges],
+        "rank int, left string, right string, pair_count bigint, token string",
+    )
+
+
+@register("bpe_segment_counts")
+def bpe_segment_counts(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges and count the resulting symbols per
+    document: ``(id, n_words, n_symbols)``.
+
+    The merge table is collected (it is n_merges rows — plan constants,
+    the same control-plane contract as the ANN query side) and applied
+    as a literal two-pass replace chain in rank order over the word-TYPE
+    table, which then joins back onto the exploded corpus (equi-join on
+    the word; AQE broadcasts when the vocab is small, shuffles when a
+    web-scale vocab isn't) — the corpus is scanned once and never
+    re-segmented per merge.
+    """
+    rules = [
+        (r.left, r.right)
+        for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+    ]
+    words = (
+        df.select(F.explode(bpe_tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    repr_col = F.concat(
+        F.lit("  "),
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), "  "),
+        F.lit("  "),
+    )
+    for a, b in rules:
+        pat, rep = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        repr_col = F.replace(repr_col, pat, rep)
+    seg = words.select(
+        "w", F.size(F.split(F.trim(repr_col), "  ")).alias("__n_sym")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(bpe_tokens_expr(F.col(text_col))).alias("w")
+    )
+    return (
+        toks.join(seg, "w")  # vocab-sized right side: let AQE pick the strategy
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sym").alias("n_symbols"),
+        )
+    )
