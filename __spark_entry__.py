@@ -6367,6 +6367,24 @@ def sensors_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HLL distinct-user estimate per event type: the
+    REGISTERS are the contract (low-p-bits bucket, trailing-zero rho —
+    pure int64 arithmetic on the scrambled poly hash), so unlike the
+    Datasketches twin (``events_hll_mergeable``, estimate-tolerance
+    oracle) every register, the exact harmonic numerator, and the final
+    single-division estimate are strictly value-checked in DuckDB."""
+    from sensordatapipelines_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_sketch(ev, "user_id", p=8, group_by="event_type")
+    return hll_estimate(sk, p=8).withColumnRenamed("grp", "event_type")
+
+
 N_BPE_MERGES = 8
 
 
@@ -6716,6 +6734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_geohash_cells": sensors_geohash_cells,
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_segments": docs_bpe_segments,
+        "events_hll_portable": events_hll_portable,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6743,6 +6762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "events_hll_portable",
     "docs_bpe_merges",
     "docs_bpe_segments",
     "sensors_geohash_cells",
@@ -12203,6 +12223,49 @@ def oracle_sql() -> dict[str, str]:
                (CAST(MIN(latb) AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0
                    AS cell_lat
         FROM enc GROUP BY geohash
+    """
+    from sensordatapipelines_spark.operators.sketches import (
+        CMS_A as _HA,
+        CMS_B as _HB,
+        hll_alpha as _hll_alpha,
+    )
+
+    _hll_p, _hll_m = 8, 256
+    _hll_rmax = 31 - _hll_p + 1
+    _hll_num = _hll_alpha(_hll_m) * _hll_m * _hll_m * float(1 << _hll_rmax)
+    _hll_rho = "1 + " + " + ".join(
+        f"(CASE WHEN rest % {1 << t} = 0 THEN 1 ELSE 0 END)"
+        for t in range(1, _hll_rmax)
+    )
+    oracles["events_hll_portable"] = f"""
+        WITH h0 AS (
+            SELECT event_type,
+                   ({_HA[0]} * {_POLY_SQL.format(s="CAST(user_id AS VARCHAR)")}
+                    + {_HB[0]}) % 2147483647 AS h
+            FROM events
+        ),
+        rr AS (
+            SELECT event_type, h & {_hll_m - 1} AS register, h >> {_hll_p} AS rest
+            FROM h0
+        ),
+        regs AS (
+            SELECT event_type, register, MAX({_hll_rho}) AS rho
+            FROM rr GROUP BY event_type, register
+        ),
+        agg AS (
+            SELECT event_type,
+                   COUNT(*) AS n_registers,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({_hll_rmax} - rho)) AS BIGINT)
+                       AS sum_t
+            FROM regs GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_registers AS BIGINT) AS n_registers,
+               CAST(sum_t + ({_hll_m} - n_registers) * {1 << _hll_rmax} AS BIGINT)
+                   AS z_num,
+               {_hll_num!r} / CAST(sum_t + ({_hll_m} - n_registers)
+                                   * {1 << _hll_rmax} AS DOUBLE) AS est_raw
+        FROM agg
     """
     _bpe_bests = "\n            UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\","

@@ -173,6 +173,7 @@ def adamic_adar(
     dst_col: str = "w",
     min_common: int = 2,
     top_k: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected graph → the
     ``top_k`` strongest NON-edges per node: ``(u, w, n_common, aa_score,
@@ -181,30 +182,67 @@ def adamic_adar(
     common-neighbor heuristic for "users who should meet" /
     "documents probably from one template family".
 
-    Scale shape: candidate pairs explode per-neighborhood from each
-    node's sorted adjacency list (fan-out deg²/2 per node — bound hubs
-    upstream), existing edges drop via LEFT ANTI on the canonical pair,
-    and ranking happens on an EXACT BIGINT: each 1/ln(deg) term is
+    Scale shape: candidate pairs stream from a self-equi-join of the
+    neighbor list on the shared neighbor (fan-out deg²/2 per node —
+    bound hubs upstream), existing edges drop via LEFT ANTI on the
+    canonical pair, and ranking happens on an EXACT BIGINT: each
+    1/ln(deg) term is
     quantized to 1e-6 before the sum (transcendental values never park
     on rounding half-way points), so the per-node top-k window is
-    deterministic cross-engine — no float-rank flips."""
+    deterministic cross-engine — no float-rank flips.
+
+    ``materialize`` (default on) ``localCheckpoint``s the edge frame
+    first: it is consumed THREE times (both symmetrization branches +
+    the existing-edge anti-join), the branches are column-swapped so
+    ReuseExchange never fires, and an expensive upstream edge builder
+    (e.g. a co-occurrence explode) would otherwise run 3×. Together with
+    the join-based candidate generation, the probe respread, and the
+    neighbor-list cut below, the co-activity gate went 35.7 s → 5.3 s
+    (identical output hash). Storage cost is O(edges), the same
+    contract as the component-loop checkpoints."""
+    if materialize:
+        edges = edges.localCheckpoint()
     sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionAll(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
     )
-    adj = sym.groupBy("s").agg(F.sort_array(F.collect_set("d")).alias("__ns"))
-    term6 = F.round(F.lit(1e6) / F.log(F.size("__ns").cast("double"))).cast("long")
-    cand = adj.filter(F.size("__ns") >= 2).select(
-        term6.alias("__t6"),
-        F.explode(
-            F.expr(
-                "flatten(transform(__ns, (x, k) ->"
-                " transform(slice(__ns, k + 2, size(__ns)),"
-                " y -> struct(x as u, y as w))))"
-            )
-        ).alias("__p"),
+    # Candidate generation = self-join of the neighbor list on the shared
+    # neighbor z, NOT a per-row combination-array explode: co-activity
+    # graphs are DENSE (the sf0.1 gate averages degree ~184), and
+    # materializing a deg²/2-element struct array per adjacency row
+    # before exploding is GC death — the equi-join streams the exact same
+    # deg²/2 candidates per z through the shuffle without ever holding a
+    # neighborhood's pairs in one buffer. The basket operators keep the
+    # array explode — their widths are bucket-bounded constants;
+    # neighborhoods aren't.
+    nbr = sym.distinct()
+    deg = nbr.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    term6 = F.round(F.lit(1e6) / F.log(F.col("__deg").cast("double"))).cast("long")
+    nbrt = nbr.join(deg.filter(F.col("__deg") >= 2), "s").select(
+        "s", "d", term6.alias("__t6")
     )
+    if materialize:
+        # The weighted neighbor list feeds BOTH self-join sides, and its
+        # own degree join re-evaluates the distinct twice more — without a
+        # cut the (sym → distinct) shuffle runs 4×. O(2·edges) rows, the
+        # same storage contract as the edge checkpoint above.
+        nbrt = nbrt.localCheckpoint()
+    # Re-spread the probe side before the fan-out join: the neighbor list
+    # is small, so AQE coalesces its shuffle to a couple of partitions —
+    # and the deg²/2-amplified join OUTPUT inherits that, serializing the
+    # map-side partial aggregation (measured: the 27M-candidate agg ran
+    # on 2 tasks, 10.4 s; at full width it's ~2 s). A 2*deg-row shuffle
+    # buys parallelism for a deg²/2-row stage. The partition count is
+    # pinned explicitly — an unnumbered repartition is itself fair game
+    # for AQE coalescing, which would undo the spread.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    probe = nbrt.repartition(n_part, F.col("s"))
     scored = (
-        cand.select("__t6", F.col("__p.u").alias("u"), F.col("__p.w").alias("w"))
+        probe.alias("a")
+        .join(nbrt.alias("b"), "s")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .select(
+            F.col("a.d").alias("u"), F.col("b.d").alias("w"), F.col("a.__t6").alias("__t6")
+        )
         .groupBy("u", "w")
         .agg(
             F.count(F.lit(1)).alias("n_common"),

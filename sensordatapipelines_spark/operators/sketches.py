@@ -180,9 +180,10 @@ def kmv_distinct(
     the group, so the shuffle carries at most (distinct keys) rows and the
     state per group is k values — and KMV sketches merge (union the hash
     sets, re-take the k smallest), so per-source/per-day sketches roll up
-    without touching raw data. This is the exact-deterministic counterpart
-    to the HLL gate (``events_hll_mergeable``): HLL is engine-opaque, KMV
-    is replayable in oracle SQL.
+    without touching raw data. KMV and the portable ``hll_sketch`` below
+    are both strictly replayable in oracle SQL; the Datasketches gate
+    (``events_hll_mergeable``) keeps the built-in, engine-opaque path
+    honest alongside them.
     """
     g = F.col(group_by) if group_by else F.lit("__all__")
     hashed = df.select(
@@ -279,4 +280,118 @@ def kmv_intersect_pairs(
             ).otherwise(F.col("n_common").cast("double")),
             6,
         ).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: register-level, strictly oracle-replayable.
+# The Datasketches-backed gate (events_hll_mergeable) proves the built-in
+# path; this one makes the REGISTERS the contract — max-mergeable rows a
+# DuckDB oracle (or any engine) reproduces bit-for-bit, the same
+# determinism promise as the CMS/KMV sketches above. Flajolet et al. 2007
+# (public); rho uses TRAILING zeros of the post-register bits — same
+# distribution as leading zeros under a uniform hash, and exactly
+# computable with integer indicator sums (no libm, no float).
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@register("hll_sketch")
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    group_by: str | None = None,
+    hasher: Callable[[Column], Column] = uniform_poly_hash_expr,
+) -> DataFrame:
+    """Build per-group HLL registers: ``(grp, register, rho)`` with
+    ``register`` = low ``p`` hash bits and ``rho`` = 1 + trailing zeros
+    of the remaining 31-p bits (all-zero rest saturates naturally at
+    ``31 - p + 1`` — no special case).
+
+    100 TB shape: one map-side-combined ``groupBy().max()`` — each task
+    emits at most ``2^p`` rows per group regardless of input size, and
+    sketches from different days/sources merge by ``MAX(rho)`` per
+    register (the HLL guarantee is preserved under max). The hash column
+    is staged ONCE as a projected column: the 23 trailing-zero indicator
+    terms each reference it, and a multi-referenced non-trivial alias
+    blocks CollapseProject from re-inlining the hash fold per term.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rest_bits = 31 - p  # uniform_poly_hash_expr yields h in [0, 2^31 - 1)
+    g = F.col(group_by) if group_by else F.lit("__all__")
+    staged = df.select(
+        g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("__h")
+    )
+    rest = F.shiftright(F.col("__h"), p)
+    rho = F.lit(1)
+    for t in range(1, rest_bits + 1):
+        rho = rho + (rest % F.lit(1 << t) == 0).cast("int")
+    return (
+        staged.withColumn("register", F.col("__h").bitwiseAND(F.lit(m - 1)))
+        .withColumn("rho", rho)
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+@register("hll_merge")
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union per-source/per-day register tables into one sketch:
+    ``MAX(rho)`` per (grp, register). Rows in, rows out — raw data is
+    never revisited, the whole point of a mergeable summary."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "register").agg(F.max("rho").alias("rho"))
+
+
+@register("hll_estimate")
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Estimate distinct counts from a register table: per group emit
+    ``n_registers`` (non-empty), ``z_num`` — the EXACT integer harmonic
+    numerator ``sum(2^(RMAX - rho)) + empty * 2^RMAX`` with
+    ``RMAX = 31 - p + 1`` (so ``Z = z_num / 2^RMAX``) — and ``est_raw =
+    alpha * m^2 / Z``, computed as ONE division of a Python-literal
+    numerator by the exact integer: bit-identical across engines, no
+    accumulation-order float hazard. The small-range linear-counting
+    correction needs ``ln`` (not cross-engine bit-stable); callers apply
+    it from ``n_registers`` when they want it — the raw estimate and its
+    exact inputs are the contract here.
+    """
+    m = 1 << p
+    rmax = 31 - p + 1
+    numerator = hll_alpha(m) * m * m * float(1 << rmax)
+    pow2 = F.array(*[F.lit(1 << k) for k in range(rmax + 1)])
+    term = F.element_at(pow2, (F.lit(rmax) - F.col("rho")) + 1).cast("long")
+    return (
+        sketch.withColumn("__t", term)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.sum("__t").alias("__sum_t"),
+        )
+        .select(
+            "grp",
+            "n_registers",
+            (
+                F.col("__sum_t")
+                + (F.lit(m) - F.col("n_registers")) * F.lit(1 << rmax)
+            ).alias("z_num"),
+            (
+                F.lit(numerator)
+                / (
+                    F.col("__sum_t")
+                    + (F.lit(m) - F.col("n_registers")) * F.lit(1 << rmax)
+                ).cast("double")
+            ).alias("est_raw"),
+        )
     )
