@@ -1442,9 +1442,18 @@ def dbscan_grid(
         # the 3×3 probe can pair two points once per shared cell only when
         # they sit in the same cell — each ordered pair survives exactly
         # once because the right side binds to ITS OWN cell
+        #
+        # Three consumers (degree count, core-core edges, border attach)
+        # would each re-run the exploded cell join — materialize once;
+        # O(neighbor pairs) rows, the adamic_adar/triangle contract.
+        .localCheckpoint()
     )
     neigh = cand.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    core = neigh.filter(F.col("__n") >= F.lit(int(min_pts))).select("__id")
+    core = (
+        neigh.filter(F.col("__n") >= F.lit(int(min_pts)))
+        .select("__id")
+        .localCheckpoint()  # tiny; consumed by three downstream joins
+    )
     core_b = core.select(F.col("__id").alias("__idb"))
     core_edges = (
         cand.join(core, "__id", "left_semi")
