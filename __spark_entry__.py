@@ -6385,6 +6385,28 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, p=8).withColumnRenamed("grp", "event_type")
 
 
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style sequential pattern mining: frequent ordered event-type
+    subsequences (lengths 2 and 3, non-contiguous) over each user's
+    first 12 events, support = users containing the pattern. One keyed
+    shuffle + constant-bounded index-combination explode; the oracle
+    replays the cap window, the same `range`-indexed subsequence
+    generation, and the per-user distinct in DuckDB list algebra."""
+    from sensordatapipelines_spark.operators.sequence import frequent_sequences
+
+    _register_views(spark, sf_dir)
+    return frequent_sequences(
+        load_table(spark, sf_dir, "events"),
+        actor_col="user_id",
+        ts_col="ts",
+        item_col="event_type",
+        tiebreak_col="event_id",
+        lengths=(2, 3),
+        max_events=12,
+        min_support=5,
+    )
+
+
 N_BPE_MERGES = 8
 
 
@@ -6735,6 +6757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_segments": docs_bpe_segments,
         "events_hll_portable": events_hll_portable,
+        "events_frequent_sequences": events_frequent_sequences,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6762,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "events_frequent_sequences",
     "events_hll_portable",
     "docs_bpe_merges",
     "docs_bpe_segments",
@@ -12266,6 +12290,45 @@ def oracle_sql() -> dict[str, str]:
                {_hll_num!r} / CAST(sum_t + ({_hll_m} - n_registers)
                                    * {1 << _hll_rmax} AS DOUBLE) AS est_raw
         FROM agg
+    """
+    oracles["events_frequent_sequences"] = """
+        WITH ev AS (
+            SELECT user_id, event_type AS it,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        lists AS (
+            SELECT user_id, list(it ORDER BY rn) AS xs
+            FROM ev WHERE rn <= 12 GROUP BY user_id
+        ),
+        subs2 AS (
+            SELECT user_id,
+                   unnest(list_distinct(flatten(
+                       list_transform(range(1, len(xs)), i ->
+                           list_transform(range(i + 1, len(xs) + 1), j ->
+                               xs[i] || '>' || xs[j]))))) AS seq
+            FROM lists WHERE len(xs) >= 2
+        ),
+        subs3 AS (
+            SELECT user_id,
+                   unnest(list_distinct(flatten(flatten(
+                       list_transform(range(1, len(xs) - 1), i ->
+                           list_transform(range(i + 1, len(xs)), j ->
+                               list_transform(range(j + 1, len(xs) + 1), k ->
+                                   xs[i] || '>' || xs[j] || '>' || xs[k])))))))
+                       AS seq
+            FROM lists WHERE len(xs) >= 3
+        ),
+        counts AS (
+            SELECT seq, CAST(2 AS INT) AS seq_len, COUNT(*) AS support
+            FROM subs2 GROUP BY seq
+            UNION ALL
+            SELECT seq, CAST(3 AS INT) AS seq_len, COUNT(*) AS support
+            FROM subs3 GROUP BY seq
+        )
+        SELECT seq, seq_len, CAST(support AS BIGINT) AS support
+        FROM counts WHERE support >= 5
     """
     _bpe_bests = "\n            UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\","

@@ -10,6 +10,7 @@ from sensordatapipelines_spark.operators import (  # noqa: F401
     interpolate,
     joins,
     multimodal,
+    sequence,
     similarity,
     sketches,
     spatial,
