@@ -6385,6 +6385,25 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, p=8).withColumnRenamed("grp", "event_type")
 
 
+def emb_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion of the hyperplane-LSH and IVF ANN result
+    lists: rank-only combination (1e9/(60+rank) exact-BIGINT terms), the
+    calibration-free way to merge heterogeneous retrievers. The oracle
+    nests both ANN oracles as subqueries and replays the identical
+    integer fusion."""
+    from sensordatapipelines_spark.operators.similarity import rrf_fuse
+
+    _register_views(spark, sf_dir)
+    return rrf_fuse(
+        [emb_ann_lsh(spark, sf_dir), emb_ann_ivf(spark, sf_dir)],
+        query_col="query_id",
+        id_col="vec_id",
+        rank_col="rank",
+        k=60,
+        top_k=10,
+    )
+
+
 def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSP-style sequential pattern mining: frequent ordered event-type
     subsequences (lengths 2 and 3, non-contiguous) over each user's
@@ -6758,6 +6777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_segments": docs_bpe_segments,
         "events_hll_portable": events_hll_portable,
         "events_frequent_sequences": events_frequent_sequences,
+        "emb_ann_rrf": emb_ann_rrf,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6785,6 +6805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "emb_ann_rrf",
     "events_frequent_sequences",
     "events_hll_portable",
     "docs_bpe_merges",
@@ -12290,6 +12311,30 @@ def oracle_sql() -> dict[str, str]:
                {_hll_num!r} / CAST(sum_t + ({_hll_m} - n_registers)
                                    * {1 << _hll_rmax} AS DOUBLE) AS est_raw
         FROM agg
+    """
+    oracles["emb_ann_rrf"] = f"""
+        WITH unioned AS (
+            SELECT query_id, vec_id,
+                   CAST(ROUND(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT) AS t
+            FROM ({oracles["emb_ann_lsh"]})
+            UNION ALL
+            SELECT query_id, vec_id,
+                   CAST(ROUND(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT) AS t
+            FROM ({oracles["emb_ann_ivf"]})
+        ),
+        fused AS (
+            SELECT query_id, vec_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(SUM(t) AS BIGINT) AS rrf_e9
+            FROM unioned GROUP BY query_id, vec_id
+        )
+        SELECT query_id, vec_id, n_lists, rrf_e9,
+               CAST(fused_rank AS INT) AS fused_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf_e9 DESC, vec_id ASC) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= 10
     """
     oracles["events_frequent_sequences"] = """
         WITH ev AS (

@@ -1200,3 +1200,64 @@ def truncated_cosine_topk(
             "rank",
         )
     )
+
+
+@register("rrf_fuse")
+def rrf_fuse(
+    results: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal rank fusion of N retrieval result lists (Cormack et
+    al. 2009, public): each list contributes ``1/(k + rank)`` per hit,
+    candidates rank by the summed score → ``(query, id, n_lists,
+    rrf_e9, fused_rank)``. The standard way to combine heterogeneous
+    retrievers (hyperplane-LSH + IVF here; BM25 + dense in a text
+    stack) without score calibration — only ranks matter.
+
+    Determinism: each term is ``round(1e9 / (k + rank))`` — ONE double
+    division then one round (no denominator in [k+1, k+top_k] can land
+    on a .5 boundary for k=60 since none divides 2e9 oddly), summed as
+    exact BIGINTs, so the fused ordering never flips on a float ulp and
+    DuckDB replays it bit-for-bit. Ties break on the id ascending.
+
+    Scale shape: a union of the input lists (already top-k-bounded per
+    query by their producers), one keyed groupBy on (query, id), one
+    per-query window — every stage is bounded by N·top_k rows per
+    query, never corpus-shaped.
+    """
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result list")
+    term = F.round(F.lit(1e9) / (F.lit(int(k)) + F.col(rank_col)).cast("double")).cast(
+        "long"
+    )
+    parts = [
+        r.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__id"),
+            term.alias("__t"),
+        )
+        for r in results
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("__q", "__id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("__t").alias("rrf_e9"),
+    )
+    w = Window.partitionBy("__q").orderBy(F.col("rrf_e9").desc(), F.col("__id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= F.lit(int(top_k)))
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias(id_col),
+            "n_lists",
+            "rrf_e9",
+            "fused_rank",
+        )
+    )
