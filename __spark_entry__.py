@@ -6385,6 +6385,35 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, p=8).withColumnRenamed("grp", "event_type")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: per-day event-type count matrix via
+    `pivot_table` (explicit value domain → |values| conditional
+    aggregates inside ONE groupBy, no second shuffle, schema static).
+    Oracle: the same conditional aggregation spelled as CASE WHEN."""
+    from sensordatapipelines_spark.operators.utility import pivot_table
+
+    _register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return pivot_table(ev, ["day"], "event_type", EVENT_TYPES)
+
+
+def events_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long inverse: `unpivot_table` stacks the pivoted day×type
+    matrix back to (day, event_type, n) — including explicit zero rows
+    for absent combinations (the reshape round-trip contract). Map-only
+    stack, no shuffle beyond the pivot's own groupBy."""
+    from sensordatapipelines_spark.operators.utility import unpivot_table
+
+    _register_views(spark, sf_dir)
+    wide = events_pivot_daily(spark, sf_dir)
+    return unpivot_table(wide, ["day"], EVENT_TYPES, "event_type", "n")
+
+
 def events_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE incremental distinct-count maintenance: each streaming
     micro-batch sketches its rows into HLL registers and MAX-merges them
@@ -6831,6 +6860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_frequent_sequences": events_frequent_sequences,
         "emb_ann_rrf": emb_ann_rrf,
         "events_stream_hll_merge": events_stream_hll_merge,
+        "events_pivot_daily": events_pivot_daily,
+        "events_unpivot_roundtrip": events_unpivot_roundtrip,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6858,6 +6889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "events_pivot_daily",
+    "events_unpivot_roundtrip",
     "events_stream_hll_merge",
     "emb_ann_rrf",
     "events_frequent_sequences",
@@ -12365,6 +12398,23 @@ def oracle_sql() -> dict[str, str]:
                {_hll_num!r} / CAST(sum_t + ({_hll_m} - n_registers)
                                    * {1 << _hll_rmax} AS DOUBLE) AS est_raw
         FROM agg
+    """
+    _pvt_cols = ",\n               ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in EVENT_TYPES
+    )
+    oracles["events_pivot_daily"] = f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {_pvt_cols}
+        FROM events GROUP BY day
+    """
+    _unpvt = "\n            UNION ALL ".join(
+        f"SELECT day, '{t}' AS event_type, {t} AS n FROM wide"
+        for t in EVENT_TYPES
+    )
+    oracles["events_unpivot_roundtrip"] = f"""
+        WITH wide AS ({oracles["events_pivot_daily"]})
+        {_unpvt}
     """
     # Register max-merge across micro-batches is associative/commutative:
     # the stream-maintained sketch equals the one-shot batch sketch, so

@@ -1271,3 +1271,63 @@ def benford_audit(
             "chi2",
         )
     )
+
+
+@register("pivot_table")
+def pivot_table(
+    df: DataFrame,
+    index_cols: list[str] | tuple[str, ...],
+    pivot_col: str,
+    values: list[str] | tuple[str, ...],
+    value_col: str | None = None,
+    agg: str = "count",
+    fill_value=None,
+) -> DataFrame:
+    """Long→wide reshape: one output column per entry of ``values``
+    (EXPLICIT list — pivoting on discovered values would make both the
+    schema and the plan data-dependent, an extra pass Catalyst can't
+    prune; production pivots always know their dimension domain).
+    ``agg`` ∈ {count, sum, min, max}; ``sum`` requires ``value_col``.
+    ``fill_value`` (e.g. 0) coalesces empty cells — pass it when the
+    downstream contract wants additive zeros rather than NULL holes.
+
+    100 TB shape: exactly one map-side-combined ``groupBy`` on the index
+    keys; the pivot becomes |values| conditional aggregates inside the
+    SAME aggregate node (no per-value scan, no second shuffle).
+    """
+    if agg not in ("count", "sum", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if agg != "count" and not value_col:
+        raise ValueError(f"agg={agg!r} requires value_col")
+    aggs = []
+    for v in values:
+        cond = F.col(pivot_col) == F.lit(v)
+        if agg == "count":
+            expr = F.count(F.when(cond, F.lit(1)))
+        else:
+            src = F.when(cond, F.col(value_col))
+            expr = {"sum": F.sum, "min": F.min, "max": F.max}[agg](src)
+        if fill_value is not None:
+            expr = F.coalesce(expr, F.lit(fill_value))
+        aggs.append(expr.alias(str(v)))
+    return df.groupBy(*index_cols).agg(*aggs)
+
+
+@register("unpivot_table")
+def unpivot_table(
+    df: DataFrame,
+    index_cols: list[str] | tuple[str, ...],
+    value_cols: list[str] | tuple[str, ...],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (the exact inverse of :func:`pivot_table` for
+    matching column lists): ``stack`` the value columns into
+    ``(index…, var_name, value_name)`` rows. Map-only — ``stack`` is a
+    generator expression inside whole-stage codegen, no shuffle, no
+    explode of manufactured arrays."""
+    quoted = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return df.selectExpr(
+        *(f"`{c}`" for c in index_cols),
+        f"stack({len(value_cols)}, {quoted}) AS (`{var_name}`, `{value_name}`)",
+    )
