@@ -6385,6 +6385,37 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, p=8).withColumnRenamed("grp", "event_type")
 
 
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC merge (insert/update/delete, latest-wins by sequence):
+    a synthetic two-epoch change feed derived from orders hits a partial
+    snapshot — keys divisible by 6 end deleted even though an earlier
+    change updated them, keys missing from the snapshot insert. One
+    change-feed window + one anti-join; state never rewritten row-wise."""
+    from sensordatapipelines_spark.operators.utility import cdc_apply
+
+    _register_views(spark, sf_dir)
+    o = spark.table("orders")
+    state = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("v"),
+    )
+    chg1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("v"),
+    )
+    chg2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 6 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(2).alias("seq"),
+        F.round(F.col("o_totalprice") * 3, 2).alias("v"),
+    )
+    return cdc_apply(state, chg1.unionByName(chg2), ["k"])
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -6862,6 +6893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hll_merge": events_stream_hll_merge,
         "events_pivot_daily": events_pivot_daily,
         "events_unpivot_roundtrip": events_unpivot_roundtrip,
+        "orders_cdc_apply": orders_cdc_apply,
         # rows-only (no oracle):
         "sensors_kriging": sensors_kriging,
         "sensors_kriging_tiled": sensors_kriging_tiled,
@@ -6889,6 +6921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # changed), then the 79 queries never yet driver-checked (r01+r02+r03
 # covered 114 of the prior surface). 50 get sampled per round.
 _ROUND4_SAMPLE_FIRST = [
+    "orders_cdc_apply",
     "events_pivot_daily",
     "events_unpivot_roundtrip",
     "events_stream_hll_merge",
@@ -12398,6 +12431,31 @@ def oracle_sql() -> dict[str, str]:
                {_hll_num!r} / CAST(sum_t + ({_hll_m} - n_registers)
                                    * {1 << _hll_rmax} AS DOUBLE) AS est_raw
         FROM agg
+    """
+    oracles["orders_cdc_apply"] = """
+        WITH state AS (
+            SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS v
+            FROM orders WHERE o_orderkey % 4 != 0
+        ),
+        changes AS (
+            SELECT o_orderkey AS k, 'U' AS op, 1 AS seq,
+                   ROUND(o_totalprice * 2, 2) AS v
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 6 = 0 THEN 'D' ELSE 'U' END AS op,
+                   2 AS seq, ROUND(o_totalprice * 3, 2) AS v
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        latest AS (
+            SELECT k, op, v
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY seq DESC) AS rn FROM changes)
+            WHERE rn = 1
+        )
+        SELECT k, v FROM state WHERE k NOT IN (SELECT k FROM latest)
+        UNION ALL
+        SELECT k, v FROM latest WHERE op != 'D'
     """
     _pvt_cols = ",\n               ".join(
         f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"

@@ -1331,3 +1331,38 @@ def unpivot_table(
         *(f"`{c}`" for c in index_cols),
         f"stack({len(value_cols)}, {quoted}) AS (`{var_name}`, `{value_name}`)",
     )
+
+
+@register("cdc_apply")
+def cdc_apply(
+    state: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change feed to a state table → the new state. Ops:
+    ``I``/``U`` upsert the row's payload, ``D`` deletes the key; only
+    the LATEST change per key (highest ``seq_col`` — must be unique per
+    key, the usual log-offset/LSN contract) takes effect, so a key that
+    was updated then deleted within one feed window ends deleted.
+    Extends ``upsert_merge`` (SCD-1, no deletes) to the full
+    insert/update/delete lakehouse merge.
+
+    100 TB shape: one per-key window over the CHANGE FEED only (feeds
+    are deltas — orders of magnitude smaller than state), one LEFT ANTI
+    join to drop touched keys from state, one union. State is never
+    shuffled beyond the anti-join's own key exchange; history is never
+    rewritten row-by-row.
+    """
+    keys = list(key_cols)
+    payload = [c for c in state.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = state.join(latest.select(*keys), keys, "left_anti")
+    survivors = latest.filter(F.col(op_col) != "D").select(*keys, *payload)
+    return untouched.unionByName(survivors)
