@@ -114,6 +114,25 @@ def _base32_chars(g: Column, precision: int) -> Column:
     ])
 
 
+def encode_bits_staged(
+    df: DataFrame, lonb: Column, latb: Column, precision: int, out_col: str
+) -> DataFrame:
+    """Quantized axis bits → base32 cell id via the staged Morton
+    ladders (shared by :func:`geohash_encode` and
+    :func:`geohash_probe_cells`)."""
+    n = 5 * precision
+    df = _staged_ladder(df, _spread_steps(lonb), "__gh_lon")
+    df = _staged_ladder(df, _spread_steps(latb), "__gh_lat")
+    if n % 2 == 1:  # odd total: the LAST (least significant) bit is lon's
+        g = F.col("__gh_lon").bitwiseOR(F.shiftleft(F.col("__gh_lat"), 1))
+    else:
+        g = F.shiftleft(F.col("__gh_lon"), 1).bitwiseOR(F.col("__gh_lat"))
+    df = df.withColumn("__gh_g", g)
+    return df.withColumn(out_col, _base32_chars(F.col("__gh_g"), precision)).drop(
+        "__gh_lon", "__gh_lat", "__gh_g"
+    )
+
+
 @register("geohash_encode")
 def geohash_encode(
     df: DataFrame,
@@ -135,16 +154,55 @@ def geohash_encode(
     n = 5 * precision
     lonb = _axis_bits(F.col(lon_col), -180.0, 180.0, (n + 1) // 2)
     latb = _axis_bits(F.col(lat_col), -90.0, 90.0, n // 2)
-    df = _staged_ladder(df, _spread_steps(lonb), "__gh_lon")
-    df = _staged_ladder(df, _spread_steps(latb), "__gh_lat")
-    if n % 2 == 1:  # odd total: the LAST (least significant) bit is lon's
-        g = F.col("__gh_lon").bitwiseOR(F.shiftleft(F.col("__gh_lat"), 1))
-    else:
-        g = F.shiftleft(F.col("__gh_lon"), 1).bitwiseOR(F.col("__gh_lat"))
-    df = df.withColumn("__gh_g", g)
-    return df.withColumn(out_col, _base32_chars(F.col("__gh_g"), precision)).drop(
-        "__gh_lon", "__gh_lat", "__gh_g"
+    return encode_bits_staged(df, lonb, latb, precision, out_col)
+
+
+@register("geohash_probe_cells")
+def geohash_probe_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    precision: int = 7,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Explode each point to its own cell PLUS the 8 neighbors (9 rows;
+    fewer at the poles) — the probe side of a geohash radius join: when
+    the cell span is ≥ the search radius, ``probe ⋈ geohash_encode(build)
+    ON geohash`` is a complete candidate set and the exact distance
+    predicate filters inside the join stage. Longitude neighbors WRAP
+    across the antimeridian; latitude neighbors clamp (cells beyond the
+    poles don't exist → those rows drop).
+
+    All integer: quantize once, ±1 on the axis bits, re-encode via the
+    staged ladders — no decode→re-encode float round-trip (and none of
+    its optimizer hazards).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    n = 5 * precision
+    n_lon, n_lat = (n + 1) // 2, n // 2
+    df = df.withColumn(
+        "__gh_lonb0", _axis_bits(F.col(lon_col), -180.0, 180.0, n_lon)
+    ).withColumn("__gh_latb0", _axis_bits(F.col(lat_col), -90.0, 90.0, n_lat))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    df = (
+        df.withColumn("__gh_o", F.explode(offsets))
+        .withColumn(
+            "__gh_lonb",
+            F.pmod(F.col("__gh_lonb0") + F.col("__gh_o.dx"), F.lit(1 << n_lon)),
+        )
+        .withColumn("__gh_latb", F.col("__gh_latb0") + F.col("__gh_o.dy"))
+        .filter(
+            (F.col("__gh_latb") >= 0) & (F.col("__gh_latb") < F.lit(1 << n_lat))
+        )
     )
+    return encode_bits_staged(
+        df, F.col("__gh_lonb"), F.col("__gh_latb"), precision, out_col
+    ).drop("__gh_lonb0", "__gh_latb0", "__gh_o", "__gh_lonb", "__gh_latb")
 
 
 @register("geohash_decode")

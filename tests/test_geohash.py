@@ -80,3 +80,51 @@ def test_registry_and_bad_precision(spark):
     df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
     with pytest.raises(ValueError):
         geohash_encode(df, precision=13)
+
+
+def test_probe_cells_nine_neighbors_and_wrap(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (179.99, 0.0), (0.0, 89.99)], "lon double, lat double"
+    )
+    from sensordatapipelines_spark.operators.geohash import geohash_probe_cells
+
+    out = geohash_probe_cells(df, precision=3)
+    by_pt = {}
+    for r in out.collect():
+        by_pt.setdefault((r.lon, r.lat), set()).add(r.geohash)
+    # interior point: 9 distinct cells, own cell included
+    assert len(by_pt[(0.0, 0.0)]) == 9
+    assert "s00" in by_pt[(0.0, 0.0)]
+    # antimeridian: still 9 (longitude wraps)
+    assert len(by_pt[(179.99, 0.0)]) == 9
+    assert any(g.startswith("x") or g.startswith("8") for g in by_pt[(179.99, 0.0)])
+    # near north pole: top row clamps away -> 6
+    assert len(by_pt[(0.0, 89.99)]) == 6
+
+
+def test_probe_cells_cover_radius_join(spark):
+    # Every point within one cell-span of a center must share a probe cell
+    # with it (the candidate-completeness contract of the radius join).
+    from sensordatapipelines_spark.operators.geohash import (
+        geohash_encode,
+        geohash_probe_cells,
+    )
+
+    import itertools
+    center = [(10.0, 45.0)]
+    span_lon, span_lat = 360.0 / (1 << 8), 180.0 / (1 << 7)  # precision 3
+    pts = [
+        (10.0 + fx * span_lon, 45.0 + fy * span_lat)
+        for fx, fy in itertools.product((-0.9, -0.3, 0.0, 0.4, 0.9), repeat=2)
+    ]
+    probe = {
+        r.geohash
+        for r in geohash_probe_cells(
+            spark.createDataFrame(center, "lon double, lat double"), precision=3
+        ).collect()
+    }
+    enc = geohash_encode(
+        spark.createDataFrame(pts, "lon double, lat double"), precision=3
+    ).collect()
+    for r in enc:
+        assert r.geohash in probe, (r.lon, r.lat, r.geohash)
