@@ -6,14 +6,16 @@ raster model is the exploded cell table ``(band, px, py, x, y, value,
 nodata, grid_file)`` (SURVEY §1.2); ``open_ascii_grid`` covers the text
 grid format, and this module covers the binary one GIS tools actually
 exchange: GeoTIFF — classic TIFF 6.0 with the GeoTIFF georeferencing
-tags. Scope is the UNCOMPRESSED profile (Compression=1, the
-``rasterio ... compress=None``/GDAL default `-co COMPRESS=NONE` output):
-both byte orders, strip- and tile-organized layouts, chunky
+tags. Scope covers the profiles GDAL actually writes: Compression =
+NONE / DEFLATE (8 + legacy 32946, stdlib ``zlib``) / LZW (pure-Python
+TIFF-variant decoder with the early code-width change) / PackBits, with
+the horizontal Predictor (tag 317 = 2) undone as a vectorized modular
+cumsum; both byte orders, strip- and tile-organized layouts, chunky
 (PlanarConfiguration=1) multi-sample files, 8/16/32-bit integer
 (signed/unsigned) and 32/64-bit float samples, ``ModelPixelScaleTag`` +
 ``ModelTiepointTag`` georeferencing, and the GDAL ``GDAL_NODATA`` ASCII
-tag. Compressed profiles raise a typed error naming the compression —
-re-export uncompressed (any GIS tool) rather than silently mis-decoding.
+tag. Exotic codecs (JPEG, Zstd, WebP, CCITT) raise a typed error naming
+the compression rather than silently mis-decoding.
 
 - ``parse_geotiff`` — payload → ``(array (bands, nrows, ncols) float64,
   meta)`` with ``meta = {ncols, nrows, n_bands, sx, sy, ulx, uly,
@@ -39,6 +41,7 @@ converted once to cell-table parquet and consumed from there.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -67,6 +70,7 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
@@ -81,6 +85,175 @@ _COMPRESSION_NAMES = {
     8: "Deflate", 32773: "PackBits", 32946: "Deflate(legacy)",
     34712: "JPEG2000", 50000: "Zstd", 50001: "WebP",
 }
+
+# decodable compression schemes: 1=None, 5=LZW, 8/32946=Deflate,
+# 32773=PackBits — the profiles GDAL's default COMPRESS= options emit
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_PACKBITS = (
+    1, 5, 8, 32946, 32773,
+)
+_DECODABLE = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD,
+              _COMP_PACKBITS}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes grow
+    9→12 bits with the EARLY code-width change (width bumps when the next
+    free code reaches 2^width − 1, one code before the table is actually
+    full — the quirk that distinguishes TIFF LZW from GIF LZW)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, next_code = 9, 258
+    bitbuf = nbits = 0
+    prev: bytes | None = None
+    i, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[i]
+            i += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            del table[258:]
+            width, next_code, prev = 9, 258, None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("corrupt LZW stream: first code not literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (writer + round-trip tests); mirrors
+    ``_lzw_decode``'s early-change width schedule exactly."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width, next_code = 9, 258
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # the encoder sits one table entry AHEAD of the decoder, so its
+        # width bump fires one entry later than the decoder's early-change
+        # check (verified against the JDK ImageIO TIFF codec both ways)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:  # table nearly full: clear, like libtiff
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise ValueError("corrupt PackBits stream: truncated run")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits packer: byte runs become (257−n, byte) pairs, everything
+    else literal spans; inverse of ``_packbits_decode``."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128 and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _inflate_block(raw: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == _COMP_LZW:
+        return _lzw_decode(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_decode(raw)
+    raise ValueError(
+        f"compressed GeoTIFF ({_COMPRESSION_NAMES.get(comp, str(comp))}) "
+        "not supported: re-export as NONE/DEFLATE/LZW/PACKBITS"
+    )
+
+
+def _undo_predictor(block: bytes, rows: int, ncols: int, spp: int,
+                    dt: np.dtype) -> bytes:
+    """Undo horizontal differencing (Predictor=2): within each row, each
+    sample stores the delta vs the same sample one pixel left; the
+    inverse is a modular cumulative sum per (row, sample) lane at the
+    native integer width (int64 cumsum then truncating cast == the
+    spec's modulo-2^bits addition)."""
+    arr = np.frombuffer(block, dtype=dt).reshape(rows, ncols, spp)
+    undone = np.cumsum(arr.astype(np.int64), axis=1).astype(dt)
+    return undone.tobytes()
 
 
 def _read_ifd(payload: bytes, bo: str, off: int) -> dict[int, list]:
@@ -157,14 +330,19 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     tags = _read_ifd(payload, bo, ifd_off)
 
     comp = int(tags.get(_TAG_COMPRESSION, [1])[0])
-    if comp != 1:
+    if comp not in _DECODABLE:
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise ValueError(
             f"compressed GeoTIFF ({name}) not supported: "
-            "re-export uncompressed (COMPRESS=NONE)"
+            "re-export as NONE/DEFLATE/LZW/PACKBITS"
         )
     if int(tags.get(_TAG_PLANAR, [1])[0]) != 1:
         raise ValueError("planar (PlanarConfiguration=2) TIFF not supported")
+    predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"TIFF predictor {predictor} not supported (only none/horizontal)"
+        )
 
     ncols = int(tags[_TAG_WIDTH][0])
     nrows = int(tags[_TAG_HEIGHT][0])
@@ -182,10 +360,38 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     # its canvas would OOM the executor before any strip read could fail
     if ncols <= 0 or nrows <= 0 or spp <= 0:
         raise ValueError("corrupt GeoTIFF: non-positive raster dimensions")
-    if nrows * ncols * spp * (bits // 8) > 2 * len(payload) + 4096:
+    canvas_bytes = nrows * ncols * spp * (bits // 8)
+    if comp == _COMP_NONE and canvas_bytes > 2 * len(payload) + 4096:
         raise ValueError(
             "corrupt GeoTIFF: declared dimensions exceed the payload size"
         )
+    # compressed profiles can legitimately shrink far below the canvas;
+    # bound the canvas absolutely instead so a corrupt header cannot OOM
+    # the executor (512 MB ≈ an 8k×8k 8-band float64 tile — a raster that
+    # should be a directory of tiles, not one task's file, per the module
+    # scale note)
+    if canvas_bytes > 512 << 20:
+        raise ValueError(
+            "GeoTIFF canvas exceeds the 512 MB single-task bound: "
+            "split the raster into tiles-as-files"
+        )
+
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError(
+            "horizontal predictor on float samples not supported "
+            "(use Predictor=1 or 3-as-reexport)"
+        )
+
+    def _block_values(off: int, cnt: int, rows: int, width_px: int) -> np.ndarray:
+        block = _inflate_block(payload[int(off) : int(off) + int(cnt)], comp)
+        want = rows * width_px * spp * dt.itemsize
+        if len(block) < want:
+            # libtiff tolerates short final blocks; zero-fill the tail
+            block = block + b"\x00" * (want - len(block))
+        block = block[:want]
+        if predictor == 2:
+            block = _undo_predictor(block, rows, width_px, spp, dt)
+        return np.frombuffer(block, dtype=dt).reshape(rows, width_px * spp)
 
     flat = np.zeros((nrows, ncols * spp), dtype=np.float64)
     if _TAG_TILE_OFFSETS in tags:
@@ -195,9 +401,7 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         counts = tags.get(_TAG_TILE_COUNTS, [tw * th * spp * (bits // 8)] * len(offsets))
         tiles_across = (ncols + tw - 1) // tw
         for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
-            tile = np.frombuffer(
-                payload, dtype=dt, count=int(tcnt) // dt.itemsize, offset=int(toff)
-            ).reshape(th, tw * spp)
+            tile = _block_values(toff, tcnt, th, tw)
             r0 = (ti // tiles_across) * th
             c0 = (ti % tiles_across) * tw
             rows_take = min(th, nrows - r0)
@@ -214,11 +418,9 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
              for i in range(len(offsets))],
         )
         for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-            n_vals = int(scnt) // dt.itemsize
-            strip = np.frombuffer(
-                payload, dtype=dt, count=n_vals, offset=int(soff)
-            ).reshape(-1, ncols * spp)
             r0 = si * rps
+            rows_here = min(rps, nrows - r0)
+            strip = _block_values(soff, scnt, rows_here, ncols)
             flat[r0 : r0 + strip.shape[0], :] = strip.astype(np.float64)
 
     # chunky layout: row-major (row, col, sample) -> (sample, row, col)
@@ -339,13 +541,18 @@ def write_geotiff(
     upper_left: tuple[float, float] = (0.0, 0.0),
     nodata: float | None = None,
     dtype: str = "f8",
+    compression: str = "none",
+    predictor: bool = False,
 ) -> None:
-    """Minimal uncompressed little-endian GeoTIFF writer (staging +
-    export parity; driver-side, small-raster contract like the GeoJSON
-    sink). ``cube`` is ``(bands, nrows, ncols)`` or ``(nrows, ncols)``;
-    bands interleave chunky (PlanarConfiguration=1) with one strip per
-    row. ``upper_left`` is the model coordinate of the raster's top-left
-    CORNER; ``dtype`` any of u1/i2/i4/f4/f8."""
+    """Minimal little-endian GeoTIFF writer (staging + export parity;
+    driver-side, small-raster contract like the GeoJSON sink). ``cube``
+    is ``(bands, nrows, ncols)`` or ``(nrows, ncols)``; bands interleave
+    chunky (PlanarConfiguration=1) with one strip per row.
+    ``upper_left`` is the model coordinate of the raster's top-left
+    CORNER; ``dtype`` any of u1/i2/i4/f4/f8; ``compression`` one of
+    none/deflate/lzw/packbits (per-strip codecs, the GDAL ``-co
+    COMPRESS=`` profiles); ``predictor=True`` adds horizontal
+    differencing (tag 317 = 2, integer dtypes only)."""
     arr = np.asarray(cube)
     if arr.ndim == 2:
         arr = arr[None, :, :]
@@ -353,8 +560,24 @@ def write_geotiff(
     dt = np.dtype("<" + dtype)
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+    comp_code = {
+        "none": _COMP_NONE, "deflate": _COMP_DEFLATE,
+        "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
+    }.get(compression)
+    if comp_code is None:
+        raise ValueError(
+            f"compression must be none|deflate|lzw|packbits, got {compression!r}"
+        )
+    if predictor and dt.kind == "f":
+        raise ValueError("horizontal predictor requires an integer dtype")
     # chunky interleave rows: (row, col, sample)
     data = np.ascontiguousarray(arr.transpose(1, 2, 0).astype(dt))
+    if predictor:
+        # horizontal differencing: sample minus same sample one pixel
+        # left, modulo 2^bits (int64 diff + truncating cast)
+        wide = data.astype(np.int64)
+        wide[:, 1:, :] -= wide[:, :-1, :].copy()
+        data = np.ascontiguousarray(wide.astype(dt))
     row_bytes = ncols * n_bands * dt.itemsize
 
     tags: list[tuple[int, int, int, object]] = []  # (tag, type, count, values)
@@ -369,9 +592,23 @@ def write_geotiff(
     add(_TAG_WIDTH, 4, ncols)
     add(_TAG_HEIGHT, 4, nrows)
     add(_TAG_BITS, 3, [bits] * n_bands)
-    add(_TAG_COMPRESSION, 3, 1)
+    add(_TAG_COMPRESSION, 3, comp_code)
     add(262, 3, 1)  # PhotometricInterpretation: BlackIsZero
     add(_TAG_SAMPLES_PER_PIXEL, 3, n_bands)
+    # per-strip (one row each) payloads, codec applied independently so
+    # any strip stays independently seekable/decodable
+    raw = data.tobytes()
+    strip_raw = [raw[r * row_bytes : (r + 1) * row_bytes] for r in range(nrows)]
+    if comp_code == _COMP_DEFLATE:
+        strips = [zlib.compress(s) for s in strip_raw]
+    elif comp_code == _COMP_LZW:
+        strips = [_lzw_encode(s) for s in strip_raw]
+    elif comp_code == _COMP_PACKBITS:
+        strips = [_packbits_encode(s) for s in strip_raw]
+    else:
+        strips = strip_raw
+    strip_counts = [len(s) for s in strips]
+
     add(_TAG_ROWS_PER_STRIP, 4, 1)
     add(_TAG_PLANAR, 3, 1)
     add(_TAG_SAMPLE_FORMAT, 3, [sfmt] * n_bands)
@@ -380,9 +617,11 @@ def write_geotiff(
         [0.0, 0.0, 0.0, float(upper_left[0]), float(upper_left[1]), 0.0])
     if nodata_ascii is not None:
         add(_TAG_GDAL_NODATA, 2, nodata_ascii)
-    # strip offsets/counts filled after layout
+    if predictor:
+        add(_TAG_PREDICTOR, 3, 2)
+    # strip offsets filled after layout
     add(_TAG_STRIP_OFFSETS, 4, [0] * nrows)
-    add(_TAG_STRIP_COUNTS, 4, [row_bytes] * nrows)
+    add(_TAG_STRIP_COUNTS, 4, strip_counts)
     tags.sort(key=lambda t: t[0])
 
     n_tags = len(tags)
@@ -406,11 +645,16 @@ def write_geotiff(
         total = sz * count
         sizes.append(total if total > 4 else 0)
     data_off = cur + sum((s + 1) & ~1 for s in sizes)
-    # now fill strip offsets with real positions
+    # now fill strip offsets with real (cumulative, codec-sized) positions
+    strip_offsets = []
+    pos = data_off
+    for c in strip_counts:
+        strip_offsets.append(pos)
+        pos += c
     final_tags = []
     for tag, ftype, count, vals in tags:
         if tag == _TAG_STRIP_OFFSETS:
-            vals = [data_off + r * row_bytes for r in range(nrows)]
+            vals = strip_offsets
         final_tags.append((tag, ftype, count, vals))
 
     out = bytearray()
@@ -430,6 +674,7 @@ def write_geotiff(
     for blob in overflow:
         out += blob
     assert len(out) == data_off, (len(out), data_off)
-    out += data.tobytes()
+    for s in strips:
+        out += s
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SHP_POINT = 1
+SHP_POLYLINE = 3
 SHP_POLYGON = 5
 
 
@@ -78,7 +79,7 @@ def _parse_shp(payload: bytes) -> list[tuple[int, str, list[tuple[list, list]]]]
         if stype == SHP_POINT:
             x, y = struct.unpack_from("<2d", payload, pos + 4)
             out.append((rec_no, "point", [([x], [y])]))
-        elif stype == SHP_POLYGON:
+        elif stype in (SHP_POLYGON, SHP_POLYLINE):
             num_parts, num_points = struct.unpack_from("<2i", payload, pos + 36)
             parts_off = pos + 44
             part_idx = list(
@@ -88,13 +89,23 @@ def _parse_shp(payload: bytes) -> list[tuple[int, str, list[tuple[list, list]]]]
             coords = struct.unpack_from(f"<{2 * num_points}d", payload, pts_off)
             rings = []
             bounds = part_idx + [num_points]
+            closed_ring = stype == SHP_POLYGON
             for i in range(num_parts):
                 xs = list(coords[2 * bounds[i] : 2 * bounds[i + 1] : 2])
                 ys = list(coords[2 * bounds[i] + 1 : 2 * bounds[i + 1] : 2])
-                if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                # polygons drop the explicit closing vertex; polylines are
+                # open paths whose equal endpoints are real geometry
+                if (
+                    closed_ring
+                    and len(xs) > 1
+                    and xs[0] == xs[-1]
+                    and ys[0] == ys[-1]
+                ):
                     xs, ys = xs[:-1], ys[:-1]
                 rings.append((xs, ys))
-            out.append((rec_no, "polygon", rings))
+            out.append(
+                (rec_no, "polygon" if closed_ring else "polyline", rings)
+            )
         else:
             out.append((rec_no, "unsupported", []))
         pos = rec_end
@@ -112,10 +123,13 @@ def parse_dbf(payload: bytes) -> tuple[list[str], list[list[str]]]:
         raise ValueError(f"corrupt dbf structure: {exc!r}") from exc
 
 
-def _parse_dbf(payload: bytes) -> tuple[list[str], list[list[str]]]:
+def _parse_dbf(payload: bytes) -> tuple[list[str], list[list[str] | None]]:
     """Parse a dBASE III .dbf attribute table → ``(field_names, rows)``
     with every value as stripped TEXT (raw-string convention; callers
-    cast). Deleted records (flag ``*``) are skipped."""
+    cast). Deleted records (flag ``*``) yield a ``None`` placeholder —
+    .dbf rows pair POSITIONALLY with .shp records, so dropping them
+    would silently shift every later feature's attributes onto the
+    wrong geometry."""
     if len(payload) < 32:
         raise ValueError("not a dbf: truncated header")
     n_records, header_size, record_size = struct.unpack_from(
@@ -141,6 +155,8 @@ def _parse_dbf(payload: bytes) -> tuple[list[str], list[list[str]]]:
                 )
                 off += length
             rows.append(vals)
+        else:  # deleted: keep the slot so positional pairing holds
+            rows.append(None)
         pos += record_size
     return [f[0] for f in fields], rows
 
@@ -206,7 +222,9 @@ def open_shapefile(
                     names, attrs = parse_dbf(bytes(r["__dbf"]))
                 for idx, (rec_no, kind, rings) in enumerate(shapes):
                     props = (
-                        dict(zip(names, attrs[idx])) if idx < len(attrs) else {}
+                        dict(zip(names, attrs[idx]))
+                        if idx < len(attrs) and attrs[idx] is not None
+                        else {}
                     )
                     if kind == "point" and rings:
                         rows.append(
@@ -223,6 +241,21 @@ def open_shapefile(
                                 ],
                             }
                         )
+                    elif kind == "polyline":
+                        # open paths: one row per part, no hole grouping
+                        for part_no, (xs, ys) in enumerate(rings):
+                            rows.append(
+                                {
+                                    "layer": layer,
+                                    "fid": rec_no,
+                                    "geom_type": kind,
+                                    "properties": props,
+                                    "part": part_no,
+                                    "xs": xs,
+                                    "ys": ys,
+                                    "rings": [{"xs": xs, "ys": ys}],
+                                }
+                            )
                     elif kind == "polygon":
                         # ESRI polygons store all rings flat; outer rings are
                         # clockwise, holes counter-clockwise. Group each outer
@@ -272,9 +305,20 @@ def open_shapefile(
 
     out = paired.mapInPandas(decode, schema=schema)
     if validate:
+        # degeneracy floor per type: polygons need a ring (3+), polylines
+        # a segment (2+), points are 1-vertex by construction
         out = out.filter(
             (F.col("geom_type") == "point")
-            | ((F.col("xs").isNotNull()) & (F.size("xs") >= 3))
+            | (
+                (F.col("geom_type") == "polyline")
+                & F.col("xs").isNotNull()
+                & (F.size("xs") >= 2)
+            )
+            | (
+                (F.col("geom_type") == "polygon")
+                & F.col("xs").isNotNull()
+                & (F.size("xs") >= 3)
+            )
         )
     return out
 
@@ -342,15 +386,86 @@ def write_shp_polygons(
         for xs, ys in closed:
             for x, y in zip(xs, ys):
                 body += struct.pack("<2d", x, y)
-        records.append(struct.pack(">2i", rec_no, len(body) // 2) + body)
-    content = b"".join(records)
+        records.append(body)
+    _write_shp(shp_path, SHP_POLYGON, records, (gxmin, gymin, gxmax, gymax))
+
+
+def _write_shp(shp_path: str, shape_type: int, records: list[bytes],
+               bbox: tuple[float, float, float, float]) -> None:
+    """Frame pre-packed record bodies into a .shp main file (100-byte
+    header + big-endian record headers) — shared by the point/polyline/
+    polygon writers."""
+    framed = [
+        struct.pack(">2i", rec_no, len(body) // 2) + body
+        for rec_no, body in enumerate(records, start=1)
+    ]
+    content = b"".join(framed)
     header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
     header += struct.pack(">i", (100 + len(content)) // 2)
-    header += struct.pack("<2i", 1000, SHP_POLYGON)
-    header += struct.pack("<4d", gxmin, gymin, gxmax, gymax)
+    header += struct.pack("<2i", 1000, shape_type)
+    header += struct.pack("<4d", *bbox)
     header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
     with open(shp_path, "wb") as f:
         f.write(header + content)
+
+
+def write_shp_points(
+    shp_path: str,
+    points: list[tuple[float, float]],
+) -> None:
+    """Write a POINT .shp main file (type 1) — the record type of the
+    reference's DEFAULT export: its sensor GeoDataFrame is point geometry
+    written with the 'ESRI Shapefile' driver
+    (``/root/reference/src/data_preprocessing.py:201-206``). One fixed
+    20-byte record per point; same small-layer driver-side contract as
+    ``write_shp_polygons``."""
+    if not points:
+        raise ValueError("write_shp_points: empty layer")
+    records = [
+        struct.pack("<i2d", SHP_POINT, float(x), float(y)) for x, y in points
+    ]
+    xs = [float(x) for x, _ in points]
+    ys = [float(y) for _, y in points]
+    _write_shp(shp_path, SHP_POINT, records,
+               (min(xs), min(ys), max(xs), max(ys)))
+
+
+def write_shp_polylines(
+    shp_path: str,
+    shapes: list[list[tuple[list, list]]],
+) -> None:
+    """Write a POLYLINE .shp main file (type 3). ``shapes`` is one entry
+    per record: a list of parts, each ``(xs, ys)`` an OPEN path (no
+    closing vertex, no winding normalization — both are polygon-only
+    concepts)."""
+    if not shapes:
+        raise ValueError("write_shp_polylines: empty layer")
+    records = []
+    gxmin = gymin = float("inf")
+    gxmax = gymax = float("-inf")
+    for parts in shapes:
+        if not parts or any(len(xs) < 2 for xs, _ in parts):
+            raise ValueError(
+                "write_shp_polylines: each part needs >= 2 vertices"
+            )
+        num_points = sum(len(xs) for xs, _ in parts)
+        xmin = min(min(xs) for xs, _ in parts)
+        xmax = max(max(xs) for xs, _ in parts)
+        ymin = min(min(ys) for _, ys in parts)
+        ymax = max(max(ys) for _, ys in parts)
+        gxmin, gymin = min(gxmin, xmin), min(gymin, ymin)
+        gxmax, gymax = max(gxmax, xmax), max(gymax, ymax)
+        body = struct.pack("<i4d", SHP_POLYLINE, xmin, ymin, xmax, ymax)
+        body += struct.pack("<2i", len(parts), num_points)
+        off = 0
+        for xs, _ in parts:
+            body += struct.pack("<i", off)
+            off += len(xs)
+        for xs, ys in parts:
+            for x, y in zip(xs, ys):
+                body += struct.pack("<2d", float(x), float(y))
+        records.append(body)
+    _write_shp(shp_path, SHP_POLYLINE, records, (gxmin, gymin, gxmax, gymax))
 
 
 def write_dbf(

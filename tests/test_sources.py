@@ -560,6 +560,87 @@ def test_shapefile_roundtrip_multipart_holes_points(spark, tmp_path):
     assert donut["properties"]["zone_id"] == "2"
 
 
+def test_shapefile_point_polyline_writers_roundtrip(spark, tmp_path):
+    """Type-1 (POINT — the reference's DEFAULT sensor export,
+    data_preprocessing.py:201-206) and type-3 (POLYLINE) writers
+    round-trip bit-exact through open_shapefile, and a deleted .dbf
+    record keeps later attributes aligned to their geometry."""
+    import struct
+
+    from sensordatapipelines_spark.sources.shapefile import (
+        open_shapefile,
+        parse_dbf,
+        parse_shp,
+        write_dbf,
+        write_shp_points,
+        write_shp_polylines,
+    )
+
+    pts = [(0.125, 51.5), (-73.98, 40.75), (139.69, 35.68)]
+    d = tmp_path / "ptlayer"
+    d.mkdir()
+    write_shp_points(str(d / "sensors.shp"), pts)
+    write_dbf(
+        str(d / "sensors.dbf"),
+        ["sensor_id", "val"],
+        [["s1", "1.25"], ["s2", "2.5"], ["s3", "3.75"]],
+    )
+    got = (
+        open_shapefile(spark, str(d))
+        .select("fid", "geom_type", "properties", "xs", "ys")
+        .collect()
+    )
+    assert [(r.fid, r.geom_type) for r in got] == [
+        (1, "point"), (2, "point"), (3, "point")
+    ]
+    assert [(r.xs[0], r.ys[0]) for r in got] == pts  # doubles bit-exact
+    assert got[1].properties == {"sensor_id": "s2", "val": "2.5"}
+
+    # polylines: a 2-part record + a single-part record
+    lines = [
+        [([0.0, 1.0, 2.0], [0.0, 1.0, 0.0]), ([5.0, 6.0], [5.0, 5.0])],
+        [([-1.0, -2.0], [3.0, 4.0])],
+    ]
+    d2 = tmp_path / "lnlayer"
+    d2.mkdir()
+    write_shp_polylines(str(d2 / "roads.shp"), lines)
+    recs = parse_shp((d2 / "roads.shp").read_bytes())
+    assert [(r[0], r[1], len(r[2])) for r in recs] == [
+        (1, "polyline", 2), (2, "polyline", 1)
+    ]
+    assert recs[0][2][0] == ([0.0, 1.0, 2.0], [0.0, 1.0, 0.0])
+    rows = (
+        open_shapefile(spark, str(d2))
+        .select("fid", "part", "geom_type", "xs")
+        .collect()
+    )
+    assert [(r.fid, r.part, r.geom_type) for r in rows] == [
+        (1, 0, "polyline"), (1, 1, "polyline"), (2, 0, "polyline")
+    ]
+    # closed polyline parts keep their repeated endpoint (real geometry)
+    d3 = tmp_path / "looplayer"
+    d3.mkdir()
+    write_shp_polylines(
+        str(d3 / "loop.shp"), [[([0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0])]]
+    )
+    (loop,) = parse_shp((d3 / "loop.shp").read_bytes())
+    assert len(loop[2][0][0]) == 5
+
+    # deleted dbf record: flag row 2 deleted; row 3's attrs must stay on
+    # geometry 3 (positional pairing), not shift onto geometry 2
+    raw = bytearray((d / "sensors.dbf").read_bytes())
+    header_size, record_size = struct.unpack_from("<HH", raw, 8)
+    raw[header_size + record_size] = 0x2A  # b'*'
+    (d / "sensors.dbf").write_bytes(bytes(raw))
+    names, rows2 = parse_dbf((d / "sensors.dbf").read_bytes())
+    assert rows2[1] is None and rows2[2] == ["s3", "3.75"]
+    got2 = {
+        r.fid: r.properties
+        for r in open_shapefile(spark, str(d)).collect()
+    }
+    assert got2[2] == {} and got2[3] == {"sensor_id": "s3", "val": "3.75"}
+
+
 def test_geopackage_roundtrip(spark, tmp_path):
     """GPB wrap/strip symmetry, gpkg_contents discovery, attribute map,
     MultiPolygon part fan-out through the WKB decode."""
@@ -730,17 +811,74 @@ def test_geotiff_rejects_compressed_and_bigtiff(tmp_path):
     p = str(tmp_path / "c.tif")
     write_geotiff(p, np.zeros((2, 2)), dtype="u1")
     raw = bytearray(open(p, "rb").read())
-    # flip the Compression tag value to LZW (5): find tag 259 in the IFD
+    # flip the Compression tag value to JPEG (7): still undecodable
     (n,) = struct.unpack_from("<H", raw, 8)
     for i in range(n):
         base = 10 + 12 * i
         (tag,) = struct.unpack_from("<H", raw, base)
         if tag == 259:
-            struct.pack_into("<I", raw, base + 8, 5)
-    with pytest.raises(ValueError, match="LZW"):
+            struct.pack_into("<I", raw, base + 8, 7)
+    with pytest.raises(ValueError, match="JPEG"):
         parse_geotiff(bytes(raw))
     with pytest.raises(ValueError, match="BigTIFF"):
         parse_geotiff(struct.pack("<2sHH", b"II", 43, 0) + b"\x00" * 8)
+
+
+def test_geotiff_compressed_profiles_roundtrip(tmp_path):
+    """Deflate / TIFF-LZW / PackBits strips (± horizontal predictor)
+    decode value-exact. The LZW width schedule and the predictor math are
+    pinned against the JDK ImageIO TIFF codec (both directions) — see the
+    interop note in sources/geotiff.py."""
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+        _packbits_decode,
+        _packbits_encode,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(7)
+    for style in range(3):
+        n = 5000
+        if style == 0:
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif style == 1:
+            data = bytes(
+                np.repeat(rng.integers(0, 4, n // 7 + 1, dtype=np.uint8), 7)[:n]
+            )
+        else:
+            data = bytes(n)  # all zeroes: max-compression path
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _packbits_decode(_packbits_encode(data)) == data
+    # force the 9->10->11->12-bit width growth and a mid-stream CLEAR
+    big = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(big)) == big
+
+    px = np.arange(64)[None, :]
+    py = np.arange(64)[:, None]
+    cube = np.stack([(px * 31 + py * 17 + b * 7) % 101 for b in (1, 2)]).astype(
+        np.float64
+    )
+    for compression in ("deflate", "lzw", "packbits"):
+        for dtype, pred in (("u1", True), ("i2", True), ("f8", False)):
+            p = str(tmp_path / f"{compression}_{dtype}_{pred}.tif")
+            write_geotiff(
+                p, cube, pixel_scale=(0.005, 0.005), upper_left=(0.0, 0.32),
+                nodata=0, dtype=dtype, compression=compression, predictor=pred,
+            )
+            got, meta = parse_geotiff(open(p, "rb").read())
+            assert np.array_equal(got, cube), (compression, dtype, pred)
+            assert meta["nodata"] == 0.0 and meta["n_bands"] == 2
+    # predictor on float samples is a typed refusal, both ways
+    with pytest.raises(ValueError, match="predictor"):
+        write_geotiff(
+            str(tmp_path / "fp.tif"), cube, dtype="f8",
+            compression="deflate", predictor=True,
+        )
 
 
 def test_geotiff_roundtrip_hypothesis():
