@@ -4140,6 +4140,68 @@ def sensors_zonal_from_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_geotiff_deflate(spark: SparkSession, sf_dir: str) -> str:
+    """The SAME synthetic raster as ``_stage_geotiff``, exported as the
+    profile real-world ``.tif`` files actually use: per-strip DEFLATE
+    with the horizontal predictor (GDAL ``-co COMPRESS=DEFLATE -co
+    PREDICTOR=2``). Identical pixels by construction, so the zonal oracle
+    transfers bit-exactly; what changes is the byte path — ``zlib``
+    inflate + modular-cumsum predictor undo inside the Arrow decode
+    kernel (``sources/geotiff.py``), pinned against the JDK ImageIO TIFF
+    codec both directions."""
+
+    def build(stage: str) -> None:
+        import numpy as np
+
+        from sensordatapipelines_spark.sources.geotiff import write_geotiff
+
+        px = np.arange(64)[None, :]
+        py = np.arange(64)[:, None]
+        cube = np.stack(
+            [(px * 31 + py * 17 + band * 7) % 101 for band in (1, 2)]
+        )
+        write_geotiff(
+            f"{stage}/raster.tif",
+            cube[:, ::-1, :],
+            pixel_scale=(0.005, 0.005),
+            upper_left=(0.0, 64 * 0.005),
+            nodata=0,
+            dtype="u1",
+            compression="deflate",
+            predictor=True,
+        )
+
+    return _staged(spark, sf_dir, "geotiff_deflate_src", build)
+
+
+def sensors_zonal_from_geotiff_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end from a COMPRESSED binary raster: deflate strips +
+    horizontal predictor (the default compressed profile of real ``.tif``
+    interchange; reference ``rasterio.open`` reads any GDAL profile,
+    ``/root/reference/src/data_preprocessing.py:471,515-538``). Pixels
+    equal the uncompressed twin's, so ``sensors_zonal_stats``' oracle is
+    reused verbatim — the gate proves the decompression path, not new
+    math."""
+    from sensordatapipelines_spark.operators.spatial import zonal_stats
+    from sensordatapipelines_spark.sources.geotiff import open_geotiff
+
+    _register_views(spark, sf_dir)
+    stage = _stage_geotiff_deflate(spark, sf_dir)
+    cells = open_geotiff(spark, stage)
+    out = zonal_stats(
+        _sensors(spark),
+        cells,
+        bands=[1, 2],
+        buffer_size=0.0075,
+        funcs=("mean", "max"),
+        source_name="rast",
+    )
+    stat_cols = [c for c in out.columns if "_rast_" in c]
+    return out.select(
+        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+    )
+
+
 def _stage_shapefile(spark: SparkSession, sf_dir: str) -> str:
     """Stage the WKB_ZONES vertices as a REAL ESRI Shapefile layer
     (.shp main file + .dbf attribute table) — the reference's default
@@ -6827,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_shuffle": docs_global_shuffle,
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
+        "sensors_zonal_from_geotiff_deflate": sensors_zonal_from_geotiff_deflate,
         "docs_url_filter": docs_url_filter,
         "docs_term_blocklist": docs_term_blocklist,
         "docs_dsir_weights": docs_dsir_weights,
@@ -7270,7 +7333,7 @@ def _minhash_oracle() -> str:
              AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
-               ROUND(({agree}) / {MINHASH_HASHES}.0, 6) AS minhash_jaccard
+               ({agree}) / {MINHASH_HASHES}.0 AS minhash_jaccard
         FROM cand
         JOIN sig a ON a.doc_id = id_a
         JOIN sig b ON b.doc_id = id_b
@@ -8039,9 +8102,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(t) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
-                   ROUND(CASE WHEN len(t) > 0
-                              THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
-                              ELSE 0.0 END, 6) AS ttr
+                   CASE WHEN len(t) > 0
+                        THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                        ELSE 0.0 END AS ttr
             FROM toks
         """,
         "docs_pii_scrub": """
@@ -8118,7 +8181,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   ROUND(CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter), 6) AS jaccard
+                   CAST(ninter AS DOUBLE)
+                       / CAST(na.n + nb.n - ninter AS DOUBLE) AS jaccard
             FROM inter
             JOIN sizes na ON na.doc_id = id_a
             JOIN sizes nb ON nb.doc_id = id_b
@@ -8147,7 +8211,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes na ON na.doc_id = id_a
                 JOIN sizes nb ON nb.doc_id = id_b
             )
-            SELECT id_sub, id_sup, ROUND(containment, 6) AS containment
+            SELECT id_sub, id_sup, containment
             FROM (
                 SELECT id_a AS id_sub, id_b AS id_sup,
                        CAST(ninter AS DOUBLE) / na AS containment FROM pb
@@ -8665,11 +8729,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT b.doc_id,
                b.n_tokens,
-               ROUND(b.mwl, 6) AS mean_word_len,
-               ROUND(b.dup_uni, 6) AS dup_unigram_frac,
-               ROUND(CASE WHEN b.n_tokens > 0
-                          THEN COALESCE(g.top_bg, 0) * 2.0 / b.n_tokens
-                          ELSE 0.0 END, 6) AS top_bigram_frac,
+               b.mwl AS mean_word_len,
+               b.dup_uni AS dup_unigram_frac,
+               CASE WHEN b.n_tokens > 0
+                    THEN COALESCE(g.top_bg, 0) * 2.0 / b.n_tokens
+                    ELSE 0.0 END AS top_bigram_frac,
                b.n_stop_hits,
                (b.n_tokens >= 20
                 AND b.mwl >= 3.0 AND b.mwl <= 10.0
@@ -8761,8 +8825,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nkeys FROM pk)
         SELECT key, n,
-               ROUND(n / (1.0 * total), 6) AS share,
-               ROUND(n * nkeys / (1.0 * total), 6) AS uniform_ratio
+               n / (1.0 * total) AS share,
+               n * nkeys / (1.0 * total) AS uniform_ratio
         FROM pk, t
         ORDER BY n DESC, key
         LIMIT 10
@@ -9698,6 +9762,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["sensors_zonal_from_grid"] = oracles["sensors_zonal_stats"]
     # the staged GeoTIFF decodes to the same bit-exact cell table
     oracles["sensors_zonal_from_geotiff"] = oracles["sensors_zonal_stats"]
+    # the deflate+predictor staging decodes to the SAME pixels by
+    # construction -> same zonal oracle
+    oracles["sensors_zonal_from_geotiff_deflate"] = oracles["sensors_zonal_stats"]
     # synthetic per-doc URL is a pure function of doc_id; suffix-match via
     # equality-or-dot-suffix (each fixture host matches ≤1 blocklist entry)
     _hosts_sql = "[" + ", ".join(f"'{h}'" for h in URL_HOSTS) + "]"
@@ -9774,7 +9841,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id,
                COALESCE(s.n_feats, 0) AS n_feats,
-               COALESCE(round(s.s / 1e9, 6), 0.0) AS log_weight
+               COALESCE(s.s / 1e9, 0.0) AS log_weight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """
     # Linear attribution: forward as-of window assigns each touch its
@@ -9809,7 +9876,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT touch_id, user_id, conversion_id,
                CAST(touch_rank AS BIGINT) AS touch_rank,
                CAST(n_touches AS BIGINT) AS n_touches,
-               round(1.0 / n_touches, 6) AS credit
+               1.0 / n_touches AS credit
         FROM ranked
     """
     # Kaplan-Meier: same delays as time_to_convert, censoring at the
@@ -9901,11 +9968,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT touch_id, user_id, conversion_id,
                CAST(touch_rank AS BIGINT) AS touch_rank,
                CAST(n_touches AS BIGINT) AS n_touches,
-               round(CASE WHEN n_touches = 1 THEN 1.0
-                          WHEN n_touches = 2 THEN 0.5
-                          WHEN touch_rank = 1 OR touch_rank = n_touches
-                               THEN 0.4
-                          ELSE 0.2 / (n_touches - 2.0) END, 6) AS credit
+               CASE WHEN n_touches = 1 THEN 1.0
+                    WHEN n_touches = 2 THEN 0.5
+                    WHEN touch_rank = 1 OR touch_rank = n_touches
+                         THEN 0.4
+                    ELSE 0.2 / (n_touches - 2.0) END AS credit
         FROM ranked
     """
     # Fake-video frame sampling: payload/meta are pure functions of the
@@ -10022,7 +10089,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.doc_id,
                CAST(p.n_shingles AS BIGINT) AS n_shingles,
                CAST(h.n_hit AS BIGINT) AS n_hit,
-               round(h.n_hit * 1.0 / p.n_shingles, 6) AS hit_frac
+               CAST(h.n_hit AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+                   AS hit_frac
         FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
         WHERE h.n_hit > 0
     """
@@ -10135,7 +10203,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.did,
                CAST(t.n_paras AS BIGINT) AS n_paras,
                r.lang AS top_lang,
-               round(r.c * 1.0 / t.n_paras, 6) AS top_frac,
+               r.c * 1.0 / t.n_paras AS top_frac,
                CAST(t.n_langs AS BIGINT) AS n_langs
         FROM tot t JOIN ranked r ON t.did = r.did AND r.rn = 1
     """
@@ -10166,8 +10234,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         )
         SELECT doc_id, n_tokens, n_banned,
-               round(CASE WHEN n_tokens > 0
-                          THEN n_banned * 1.0 / n_tokens ELSE 0.0 END, 6)
+               CASE WHEN n_tokens > 0
+                    THEN n_banned * 1.0 / n_tokens ELSE 0.0 END
                    AS banned_frac,
                n_banned_distinct,
                (CASE WHEN n_tokens > 0
@@ -10292,10 +10360,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(1.0 AS DOUBLE) AS conversion FROM c
         UNION ALL
         SELECT 2, 'click', n1,
-               CASE WHEN n0 > 0 THEN ROUND(n1 * 1.0 / n0, 6) END FROM c
+               CASE WHEN n0 > 0 THEN n1 * 1.0 / n0 END FROM c
         UNION ALL
         SELECT 3, 'purchase', n2,
-               CASE WHEN n1 > 0 THEN ROUND(n2 * 1.0 / n1, 6) END FROM c
+               CASE WHEN n1 > 0 THEN n2 * 1.0 / n1 END FROM c
     """
     oracles["docs_pagerank"] = _pagerank_cte_sql(
         f"SELECT id_a, id_b FROM ({oracles['docs_jaccard_pairs']})",
@@ -10356,7 +10424,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                CASE WHEN p.doc_id IS NULL THEN NULL
-                    ELSE round(p.sum_e9 * 1.0 / 1e9 / p.n_tokens, 6)
+                    ELSE p.sum_e9 * 1.0 / 1e9 / p.n_tokens
                END AS avg_logprob
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
@@ -10401,11 +10469,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h USING (doc_id)
         )
         SELECT doc_id, n_grams, n_boiler,
-               round(CASE WHEN n_grams > 0
-                          THEN n_boiler * 1.0 / n_grams ELSE 0.0 END, 6)
-                   AS boiler_frac,
-               round(CASE WHEN n_grams > 0
-                          THEN n_boiler * 1.0 / n_grams ELSE 0.0 END, 6) <= 0.3
+               CASE WHEN n_grams > 0
+                    THEN n_boiler * 1.0 / n_grams ELSE 0.0 END AS boiler_frac,
+               (CASE WHEN n_grams > 0
+                     THEN n_boiler * 1.0 / n_grams ELSE 0.0 END) <= 0.3
                    AS keep
         FROM per_doc
     """
@@ -10460,9 +10527,9 @@ def oracle_sql() -> dict[str, str]:
         norm AS (SELECT sum(p_e6) AS z_e6, sum(c) AS total FROM powed)
         SELECT source,
                CAST(c AS BIGINT) AS n_items,
-               round(c / total, 6) AS natural_share,
-               round(p_e6 * 1.0 / z_e6, 6) AS mix_weight,
-               round((p_e6 * 1.0 / z_e6) / (c / total), 6) AS epochs_at_budget
+               c / total AS natural_share,
+               p_e6 * 1.0 / z_e6 AS mix_weight,
+               (p_e6 * 1.0 / z_e6) / (c / total) AS epochs_at_budget
         FROM powed, norm
         ORDER BY source
     """
@@ -10568,7 +10635,7 @@ def oracle_sql() -> dict[str, str]:
                week_offset,
                CAST(n_active AS BIGINT) AS n_active,
                CAST(cohort_size AS BIGINT) AS cohort_size,
-               round(n_active * 1.0 / cohort_size, 6) AS retention
+               n_active * 1.0 / cohort_size AS retention
         FROM cells c JOIN sizes s USING (cohort_week)
     """
     oracles["events_attribution"] = """
@@ -10619,7 +10686,7 @@ def oracle_sql() -> dict[str, str]:
                             0.0) AS before
             FROM per
         )
-        SELECT source, w AS weight, round((before + w) / total, 6) AS cum_share
+        SELECT source, w AS weight, (before + w) / total AS cum_share
         FROM c, t
         WHERE before < 0.8 * total
     """
@@ -10956,9 +11023,9 @@ def oracle_sql() -> dict[str, str]:
         norm AS (SELECT sum(p_e6) AS z_e6, sum(c) AS total FROM powed)
         SELECT source,
                CAST(c AS BIGINT) AS n_items,
-               round(c / total, 6) AS natural_share,
-               round(p_e6 * 1.0 / z_e6, 6) AS mix_weight,
-               round((p_e6 * 1.0 / z_e6) / (c / total), 6) AS epochs_at_budget
+               c / total AS natural_share,
+               p_e6 * 1.0 / z_e6 AS mix_weight,
+               (p_e6 * 1.0 / z_e6) / (c / total) AS epochs_at_budget
         FROM powed, norm
         ORDER BY source
     """
@@ -11137,7 +11204,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         t AS (SELECT from_state, sum(n) AS tt FROM pairs GROUP BY from_state)
         SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
-               round(n * 1.0 / tt, 6) AS p
+               n * 1.0 / tt AS p
         FROM pairs JOIN t USING (from_state)
     """
     oracles["events_time_to_convert"] = """
@@ -11523,7 +11590,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CASE WHEN p.doc_id IS NULL THEN NULL
-                    ELSE round(p.sum_e9 * 1.0 / 1e9 / p.n_bigrams, 6)
+                    ELSE p.sum_e9 * 1.0 / 1e9 / p.n_bigrams
                END AS avg_logprob
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
@@ -11951,7 +12018,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         ws AS (
             SELECT tok,
-                   CAST(round((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                   CAST(floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
                               * 1e6) AS BIGINT) AS ws6
             FROM wordstats
         ),
@@ -11986,7 +12053,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
             SELECT event_type,
-                   CAST(round(abs((v - f) / v) * 1e6) AS BIGINT) AS a6
+                   CAST(floor(abs((v - f) / v) * 1e6) AS BIGINT) AS a6
             FROM lagged WHERE f IS NOT NULL AND v <> 0
         )
         SELECT event_type, COUNT(*) AS n_scored,
@@ -12164,9 +12231,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_mann_kendall"] = f"""
         {_PAIR_BASE}
         SELECT user_id, n_points, s_stat,
-               ROUND(CAST(s_stat AS DOUBLE)
-                     / (CAST(n_points * (n_points - 1) AS DOUBLE) / 2.0),
-                     6) AS tau
+               CAST(s_stat AS DOUBLE)
+                   / CAST(n_points * (n_points - 1) // 2 AS DOUBLE) AS tau
         FROM (
             SELECT pr.user_id, s.n_points,
                    SUM(CAST(SIGN(pr.dv) AS BIGINT)) AS s_stat
@@ -12277,7 +12343,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
             SELECT lang, tok, a AS df_in, gdf - a AS df_out,
-                   CAST(ROUND(
+                   CAST(FLOOR(
                        CASE WHEN c_ + d_ = 0.0 OR b_ + d_ = 0.0 THEN 0.0
                             ELSE CAST(n AS DOUBLE) * (a_ * d_ - b_ * c_)
                                  * (a_ * d_ - b_ * c_)

@@ -238,7 +238,9 @@ def jaccard_pairs(
             / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        # unrounded: one IEEE division of exact ints is bit-deterministic
+        # cross-engine; ROUND(,6) could tie-break on e.g. k/128 rationals
+        .select("id_a", "id_b", "jaccard")
     )
     return out
 
@@ -303,9 +305,7 @@ def containment_pairs(
         both.select(F.explode(F.array(fwd, rev)).alias("__p"))
         .select("__p.*")
         .filter(F.col("containment") >= threshold)
-        .select(
-            "id_sub", "id_sup", F.round("containment", 6).alias("containment")
-        )
+        .select("id_sub", "id_sup", "containment")
     )
 
 
@@ -525,7 +525,9 @@ def minhash_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("minhash_jaccard", F.round(agree.cast("double") / num_hashes, 6))
+        .withColumn(
+            "minhash_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
         .filter(F.col("minhash_jaccard") >= threshold)
         .select("id_a", "id_b", "minhash_jaccard")
     )
@@ -1297,11 +1299,8 @@ def contamination_report(
         F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
         F.when(
             F.coalesce("n_shingles", F.lit(0)) > 0,
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double"),
-                6,
-            ),
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
         ).alias("hit_frac"),
     )
 

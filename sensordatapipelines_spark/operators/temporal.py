@@ -485,11 +485,8 @@ def funnel(
             if i == 0
             else F.when(
                 F.col(f"__n{i - 1}") > 0,
-                F.round(
-                    F.col(f"__n{i}").cast("double")
-                    / F.col(f"__n{i - 1}").cast("double"),
-                    6,
-                ),
+                F.col(f"__n{i}").cast("double")
+                / F.col(f"__n{i - 1}").cast("double"),
             )
         )
         rows.append(
@@ -631,9 +628,9 @@ def retention_cohorts(
             "week_offset",
             F.col("n_active").cast("long").alias("n_active"),
             F.col("cohort_size").cast("long").alias("cohort_size"),
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
-                6,
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
             ).alias("retention"),
         )
     )
@@ -724,7 +721,8 @@ def transition_matrix(
             "from_state",
             "to_state",
             F.col("n").cast("long").alias("n"),
-            F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+            # unrounded exact-int division: tie-free cross-engine
+            (F.col("n") / F.col("__t")).alias("p"),
         )
     )
 
@@ -918,7 +916,8 @@ def linear_attribution(
         "conversion_id",
         F.col("touch_rank").cast("long").alias("touch_rank"),
         F.col("n_touches").cast("long").alias("n_touches"),
-        F.round(credit, 6).alias("credit"),
+        # unrounded: 1/n and 0.2/(n-2) are small-denominator rationals
+        credit.alias("credit"),
     )
 
 
@@ -1369,7 +1368,9 @@ def seasonal_naive_mape(
     v = F.col(value_col).cast("double")
     lagged = df.withColumn("__f", F.lag(v, period).over(wo))
     scored = lagged.filter(F.col("__f").isNotNull() & (v != 0))
-    ape6 = F.round(F.abs((v - F.col("__f")) / v) * F.lit(1e6)).cast("long")
+    # FLOOR: |(v-f)/v| is a rational of round-decimal data values whose
+    # e6 scaling can park exactly on .5; floor is tie-free cross-engine
+    ape6 = F.floor(F.abs((v - F.col("__f")) / v) * F.lit(1e6)).cast("long")
     return (
         scored.withColumn("__a6", ape6)
         .groupBy(group_col)
@@ -1520,8 +1521,10 @@ def mann_kendall(
     ties contribute 0), Kendall's tau = S / (m(m−1)/2). The standard
     nonparametric monotone-trend detector for sensor series — needs no
     distribution assumption and pairs share ``_ordered_pairs``' bounded
-    explode. S is an exact BIGINT sum (order-independent); tau divides
-    it once by the exact pair count — fully deterministic cross-engine."""
+    explode. S is an exact BIGINT sum (order-independent); tau is the
+    single UNROUNDED IEEE division of two exact BIGINTs (s / (m(m−1)/2),
+    the denominator always integral) — bit-deterministic cross-engine
+    with no ROUND tie-break to disagree on (SCALE.md lesson 3)."""
     pairs = _ordered_pairs(df, group_col, ts_col, value_col, tiebreak_col, max_points)
     return (
         pairs.groupBy(group_col)
@@ -1532,14 +1535,10 @@ def mann_kendall(
         .filter(F.col("n_points") >= F.lit(int(min_points)))
         .withColumn(
             "tau",
-            F.round(
-                F.col("s_stat").cast("double")
-                / (
-                    (F.col("n_points") * (F.col("n_points") - 1)).cast("double")
-                    / F.lit(2.0)
-                ),
-                6,
-            ),
+            F.col("s_stat").cast("double")
+            / F.floor(
+                (F.col("n_points") * (F.col("n_points") - 1)) / F.lit(2)
+            ).cast("double"),
         )
     )
 

@@ -361,11 +361,11 @@ def type_token_ratio(
         F.col(id_col),
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
-        F.round(
-            F.when(n > 0, F.size(F.array_distinct(toks)) / n.cast("double"))
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("ttr"),
+        # unrounded int/int division: bit-deterministic cross-engine,
+        # where ROUND(,6) can tie-break on rational values (SCALE lesson 3)
+        F.when(n > 0, F.size(F.array_distinct(toks)) / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
     )
     return out.filter(F.col("ttr") >= min_ttr) if min_ttr > 0 else out
 
@@ -654,9 +654,10 @@ def gopher_quality(
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(dup_uni, 6).alias("dup_unigram_frac"),
-        F.round(top_bg_frac, 6).alias("top_bigram_frac"),
+        # unrounded: all three are rationals of exact ints (tie-free)
+        mwl.alias("mean_word_len"),
+        dup_uni.alias("dup_unigram_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
         stop_hits.cast("long").alias("n_stop_hits"),
         keep.alias("keep"),
     )
@@ -710,11 +711,10 @@ def unigram_logprob(
     scored = per_doc.select(
         F.col(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
+        (
             F.col("__sum_e9").cast("double")
             / F.lit(1e9)
-            / F.col("n_tokens").cast("double"),
-            6,
+            / F.col("n_tokens").cast("double")
         ).alias("avg_logprob"),
     )
     # Docs with zero tokens score NULL avg_logprob (kept, not dropped).
@@ -806,8 +806,8 @@ def boilerplate_ngrams(
         id_col,
         "n_grams",
         "n_boiler",
-        F.round(frac, 6).alias("boiler_frac"),
-        (F.round(frac, 6) <= F.lit(float(max_boiler_frac))).alias("keep"),
+        frac.alias("boiler_frac"),
+        (frac <= F.lit(float(max_boiler_frac))).alias("keep"),
     )
 
 
@@ -977,7 +977,7 @@ def dsir_importance_weights(
         .select(
             F.col("__id").alias(id_col),
             F.col("n_feats").cast("long").alias("n_feats"),
-            F.round(F.col("__sum_e9").cast("double") / F.lit(1e9), 6).alias(
+            (F.col("__sum_e9").cast("double") / F.lit(1e9)).alias(
                 "log_weight"
             ),
         )
@@ -1087,10 +1087,9 @@ def paragraph_lang_profile(
         F.col("__did").alias(id_col),
         F.col("n_paras").cast("long").alias("n_paras"),
         F.col("__top")["l"].alias("top_lang"),
-        F.round(
+        (
             (-F.col("__top")["nc"]).cast("double")
-            / F.col("n_paras").cast("double"),
-            6,
+            / F.col("n_paras").cast("double")
         ).alias("top_frac"),
         F.col("n_langs").cast("long").alias("n_langs"),
     )
@@ -1170,11 +1169,10 @@ def bigram_logprob(
     scored = per_doc.select(
         F.col(id_col),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.round(
+        (
             F.col("__sum_e9").cast("double")
             / F.lit(1e9)
-            / F.col("n_bigrams").cast("double"),
-            6,
+            / F.col("n_bigrams").cast("double")
         ).alias("avg_logprob"),
     )
     empties = df.select(F.col(id_col)).join(
@@ -1240,7 +1238,10 @@ def rake_keywords(
         F.count(F.lit(1)).alias("__freq"),
         F.sum(F.col("__len") - 1).alias("__deg"),
     )
-    wscore6 = F.round(
+    # FLOOR, not ROUND: deg/freq is a small-denominator rational whose
+    # e6 scaling can land exactly on .5 (e.g. freq=128); floor of a
+    # bit-identical double has no tie-break (SCALE lesson 3)
+    wscore6 = F.floor(
         (F.col("__deg").cast("double") / F.col("__freq").cast("double"))
         * F.lit(1e6)
     ).cast("long")
@@ -1326,7 +1327,9 @@ def chi2_terms(
         F.col("__tok"),
         F.col("__a").alias("df_in"),
         (F.col("__gdf") - F.col("__a")).alias("df_out"),
-        F.round(chi2 * F.lit(1e6)).cast("long").alias("__chi6"),
+        # FLOOR, not ROUND: floor of a bit-identical double has no
+        # half-way tie-break for engines to disagree on (SCALE lesson 3)
+        F.floor(chi2 * F.lit(1e6)).cast("long").alias("__chi6"),
     )
     w = Window.partitionBy("__cls").orderBy(
         F.col("__chi6").desc(), F.col("__tok").asc()

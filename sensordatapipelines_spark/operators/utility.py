@@ -278,12 +278,13 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .select(
             "key",
             "n",
-            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
-            # 6 digits, not 2: ratios like 1.275 sit exactly on a 2-digit
-            # rounding tie, where IEEE half-up vs half-even diverge per engine
-            F.round(
-                F.col("n") * F.col("__nkeys") / F.col("__total"), 6
-            ).alias("uniform_ratio"),
+            # unrounded: int/int ratios can park exactly on a 6-decimal
+            # half-way point (e.g. k/128); the raw IEEE division of exact
+            # ints is bit-deterministic cross-engine, ROUND is not
+            (F.col("n") / F.col("__total")).alias("share"),
+            (F.col("n") * F.col("__nkeys") / F.col("__total")).alias(
+                "uniform_ratio"
+            ),
         )
     )
 
@@ -383,14 +384,14 @@ def source_mix_temperature(
         .select(
             "source",
             F.col("__c").cast("long").alias("n_items"),
-            F.round(F.col("__c") / F.col("__total"), 6).alias("natural_share"),
-            F.round(
-                F.col("__p_e6").cast("double") / F.col("__z_e6").cast("double"), 6
+            # unrounded exact-int divisions (tie-free; see SCALE lesson 3)
+            (F.col("__c") / F.col("__total")).alias("natural_share"),
+            (
+                F.col("__p_e6").cast("double") / F.col("__z_e6").cast("double")
             ).alias("mix_weight"),
-            F.round(
+            (
                 (F.col("__p_e6").cast("double") / F.col("__z_e6").cast("double"))
-                / (F.col("__c") / F.col("__total")),
-                6,
+                / (F.col("__c") / F.col("__total"))
             ).alias("epochs_at_budget"),
         )
         .orderBy("source")
@@ -547,7 +548,9 @@ def top_p_by_weight(
         .select(
             key_col,
             F.col(weight_col).alias("weight"),
-            F.round((F.col("__before") + F.col(weight_col)) / F.col("__t"), 6).alias(
+            # unrounded: same-order cumulative sum / exact total is
+            # bit-deterministic; ROUND could tie-break on rational shares
+            ((F.col("__before") + F.col(weight_col)) / F.col("__t")).alias(
                 "cum_share"
             ),
         )

@@ -150,7 +150,7 @@ def term_blocklist_score(
         F.col(id_col),
         n.alias("n_tokens"),
         n_banned.alias("n_banned"),
-        F.round(frac, 6).alias("banned_frac"),
+        frac.alias("banned_frac"),
         F.size(F.array_distinct(banned)).alias("n_banned_distinct"),
         (frac <= F.lit(float(max_banned_frac))).alias("keep"),
     )

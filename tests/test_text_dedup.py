@@ -1039,7 +1039,7 @@ def test_paragraph_lang_profile_mixed_docs(spark):
     expr = {r.doc_id: r for r in paragraph_lang_profile(docs, engine="expr").collect()}
     assert kern == expr  # kernel/expr lang twins agree through the profile
     assert (kern[1].n_paras, kern[1].top_lang, kern[1].n_langs) == (3, "en", 2)
-    assert kern[1].top_frac == round(2 / 3, 6)
+    assert kern[1].top_frac == 2 / 3  # unrounded tie-free division
     assert (kern[2].n_paras, kern[2].top_lang, kern[2].n_langs) == (2, "es", 1)
     assert kern[2].top_frac == 1.0
     # blank paragraphs dropped; marker-less paragraph scores 'und'

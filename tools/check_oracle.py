@@ -27,13 +27,27 @@ import numpy as np
 import pandas as pd
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, strict_float: bool = True) -> pd.DataFrame:
+    """Canonicalize for comparison. ``strict_float=True`` (the default)
+    formats floats at repr level (shortest round-trip — bit-exact), so
+    ULP-level cross-engine divergence can never pass locally and then
+    fail at the driver's tighter hash. Pass ``strict_float=False`` for
+    the legacy 9-significant-digit comparison."""
     df = df.reindex(sorted(df.columns), axis=1)
+
+    def _repr(v):
+        # integral doubles print as ints so a BIGINT column on one engine
+        # matches the same values as DOUBLE on the other (DuckDB widens
+        # some integer aggregates); everything else is repr-level exact
+        f = float(v)
+        return str(int(f)) if f.is_integer() and abs(f) < 1e15 else repr(f)
+
+    fmt = _repr if strict_float else (lambda v: f"{v:.9g}")
     out = {}
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == "f":
-            out[c] = s.map(lambda v: "null" if pd.isna(v) else f"{v:.9g}")
+            out[c] = s.map(lambda v: "null" if pd.isna(v) else fmt(v))
         elif s.dtype.kind in "iu":
             out[c] = s.map(lambda v: str(int(v)))
         else:
