@@ -80,9 +80,17 @@ def main() -> int:
     # so the median reflects the warm plan, which is what plan changes
     # actually move.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    # SPARK_GRAFT_ONLY=a,b,c restricts to named queries — the solo A/B
+    # mode for investigating a single query's regression without the
+    # other 270 sharing the executor (never bench concurrently).
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         samples: list[float] = []
         try:
             for _ in range(repeats):
