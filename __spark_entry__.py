@@ -7011,9 +7011,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is still locally verified every round (LOCAL_ORACLE ledger +
     # tools/check_oracle.py); this ordering only steers which 50 get an
     # independent driver row next.
-    head = [n for n in _ROUND3_SAMPLE_FIRST if n in q]
+    head = [n for n in _ROUND5_SAMPLE_FIRST if n in q]
     rest = [n for n in q if n not in set(head)]
     return {n: q[n] for n in (*head, *rest)}
+
+
+# Round-5 driver-sample rotation: the two r4 hash-red gates (now
+# tie-free -- their green r5 rows are the round's acceptance test)
+# and this round's new deflate-GeoTIFF gate first, then the 107
+# queries that have never appeared in any CORRECTNESS_r* file, so
+# the 50-query sample maximizes fresh independent coverage
+# (cumulative driver-checked after r4: 164 of 271).
+_ROUND5_SAMPLE_FIRST = [
+    "docs_chi2_terms",
+    "events_mann_kendall",
+    "sensors_zonal_from_geotiff_deflate",
+    "docs_containment_pairs",
+    "docs_gopher_quality",
+    "events_time_rollup",
+    "orders_month_spine",
+    "events_safe_math",
+    "events_variant_props",
+    "q17_small_quantity_revenue",
+    "customer_upsert",
+    "events_orc_roundtrip",
+    "events_range_window",
+    "customer_segment_quartiles",
+    "docs_train_split",
+    "docs_decontaminate",
+    "pipeline_training_prep",
+    "events_partitioned_scan",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "emb_ann_lsh_multi",
+    "emb_ann_ivf",
+    "emb_ann_ivf_probe2",
+    "emb_neardup",
+    "docs_token_count",
+    "docs_ttr",
+    "docs_pii_scrub",
+    "docs_pack_sequences",
+    "events_percentiles",
+    "lineitem_rollup",
+    "events_union_dedup",
+    "events_except",
+    "events_daily_profile",
+    "events_bottomk_per_sensor",
+    "docs_quality",
+    "sensors_webmercator",
+    "pipeline_quality_lang",
+    "events_asof_purchase",
+    "events_sessionize",
+    "events_moving_avg",
+    "events_salted_join",
+    "events_runtime_filter_join",
+    "events_quality_audit",
+    "q18_large_orders",
+    "lineitem_cube",
+    "events_approx_distinct",
+    "sensors_morton_order",
+    "orders_semi_join",
+    "customer_anti_join",
+    "events_rms_udaf",
+    "docs_word_udtf",
+    "events_distinct_users",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "events_session_native",
+    "events_robust_stats",
+    "lineitem_grouping_sets",
+    "docs_normalize",
+    "events_resample_ffill",
+    "events_resample_interp",
+    "events_corr_hour",
+    "events_regr_trend",
+    "events_stats_unpivot",
+    "lineitem_moments",
+    "docs_char_entropy",
+    "docs_bigram_topk",
+    "events_position_attribution",
+    "events_km_survival",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "events_cusum_alarms",
+    "orders_dq_report",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_matryoshka_recall",
+    "docs_bigram_logprob",
+    "events_kmv_overlap",
+    "events_rolling_actives",
+    "events_seasonal_decompose",
+    "docs_stratified_sample",
+    "orders_cohort_ltv",
+    "part_abc_classification",
+    "lineitem_basket_pairs",
+    "docs_ngram_novelty",
+    "customer_upsert_merge",
+    "events_value_trend",
+    "events_active_islands",
+    "events_island_overlaps",
+    "docs_rake_keywords",
+    "events_seasonal_naive",
+    "orders_benford_audit",
+    "events_autocorrelation",
+    "emb_kmeans",
+    "events_funnel",
+    "events_scd2",
+    "docs_pagerank",
+    "emb_semantic_dedup",
+    "sensors_kriging",
+    "sensors_kriging_tiled",
+    "docs_media_features",
+    "media_frame_sample",
+    "media_wav_frames",
+    "events_stream_interval",
+    "events_stream_sliding",
+]
 
 
 # Round-4 driver-sample rotation: this round's new/changed-shape queries
