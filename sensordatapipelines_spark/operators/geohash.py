@@ -95,10 +95,15 @@ def _staged_ladder(df: DataFrame, steps, out_col: str) -> DataFrame:
 
 def _axis_bits(coord: Column, lo: float, hi: float, n_bits: int) -> Column:
     """Quantize one axis to ``n_bits``: floor of the normalized fraction
-    scaled by 2^n_bits, clamped so the closed upper bound (lon=180,
-    lat=90) lands in the last cell instead of one past it."""
+    scaled by 2^n_bits, clamped BOTH ways — the closed upper bound
+    (lon=180, lat=90) lands in the last cell instead of one past it, and
+    out-of-range coordinates (lon < −180, lat < −90, or past the upper
+    edge) clamp to the boundary cell instead of producing silently
+    invalid negative axis bits."""
     q = F.floor((coord - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << n_bits)))
-    return F.least(q.cast("long"), F.lit((1 << n_bits) - 1)).cast("long")
+    return F.greatest(
+        F.least(q.cast("long"), F.lit((1 << n_bits) - 1)), F.lit(0)
+    ).cast("long")
 
 
 def _base32_chars(g: Column, precision: int) -> Column:

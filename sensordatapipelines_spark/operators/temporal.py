@@ -755,10 +755,16 @@ def time_to_convert(
         F.col(key_col).alias("key"),
         F.when(F.col(type_col) == convert_type, ts_us).alias("__cts"),
     ).filter(F.col("__cts").isNotNull())
+    # pre-start conversions are NULLED (not filtered): a key whose
+    # conversions ALL predate its first start must still surface as a
+    # right-censored NULL-delay row — a row filter would drop its every
+    # joined row and silently delete the key from the output
     joined = (
         per_key.filter(F.col("__s").isNotNull())
         .join(conv, "key", "left")
-        .filter(F.col("__cts").isNull() | (F.col("__cts") >= F.col("__s")))
+        .withColumn(
+            "__cts", F.when(F.col("__cts") >= F.col("__s"), F.col("__cts"))
+        )
         .groupBy("key", "__s")
         .agg(F.min("__cts").alias("__c"))
     )

@@ -41,6 +41,27 @@ def test_domain_bounds_clamp(spark):
     assert got == ["zzzzz", "00000"]
 
 
+def test_out_of_range_coords_clamp_to_boundary_cells(spark):
+    """Coordinates past either edge clamp to the boundary cell instead of
+    quantizing to negative (invalid) axis bits."""
+    df = spark.createDataFrame(
+        [(-180.5, 0.0), (0.0, -90.5), (181.0, 91.0), (-999.0, -999.0)],
+        "lon double, lat double",
+    )
+    got = [r.geohash for r in geohash_encode(df, precision=5).collect()]
+    ref = [
+        r.geohash
+        for r in geohash_encode(
+            spark.createDataFrame(
+                [(-180.0, 0.0), (0.0, -90.0), (180.0, 90.0), (-180.0, -90.0)],
+                "lon double, lat double",
+            ),
+            precision=5,
+        ).collect()
+    ]
+    assert got == ref
+
+
 def test_decode_center_reencodes_identically(spark):
     # Cell-center decode must be a right inverse of encode at the same
     # precision, for a spread of precisions (odd and even bit totals).

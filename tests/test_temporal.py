@@ -257,7 +257,7 @@ def test_funnel_order_constraint(spark):
     assert out["click"]["n_users"] == 1
     assert out["purchase"]["n_users"] == 1
     assert out["view"]["conversion"] == 1.0
-    assert out["click"]["conversion"] == round(1 / 3, 6)
+    assert out["click"]["conversion"] == 1 / 3  # unrounded tie-free division
     assert out["purchase"]["conversion"] == 1.0
     # same-timestamp stage events are inclusive (ts >= prev)
     df2 = spark.createDataFrame(
@@ -426,6 +426,10 @@ def test_time_to_convert_censoring_and_ordering(spark):
         (3, 1, "purchase", "2024-01-01 01:30:00"),
         (4, 2, "signup", "2024-01-01 00:00:00"),    # never converts
         (5, 3, "view", "2024-01-01 00:00:00"),      # never signs up: absent
+        # user 4: ONLY pre-signup purchases — must still surface as a
+        # right-censored NULL row, not vanish (the filter-vs-null bug)
+        (6, 4, "purchase", "2024-01-01 00:00:00"),
+        (7, 4, "signup", "2024-01-01 02:00:00"),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, ts string"
@@ -434,6 +438,7 @@ def test_time_to_convert_censoring_and_ordering(spark):
     assert out[1]["delay_s"] == 1800.0
     assert out[2]["delay_s"] is None
     assert 3 not in out
+    assert 4 in out and out[4]["delay_s"] is None
 
 
 def test_deseasonalized_anomalies_respects_seasonality(spark):
