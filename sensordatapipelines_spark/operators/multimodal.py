@@ -68,10 +68,12 @@ def attach_fake_media(
 
 def decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL image decode for the uncompressed netpbm formats — P6 (RGB)
-    and P5 (grayscale), maxval ≤ 255: pure struct parsing, no codec
-    library. Returns ``(pixels[h, w, c] uint8, width, height, channels)``.
-    Header is whitespace-separated with ``#`` comments per the spec; the
-    raster follows the single whitespace byte after maxval."""
+    and P5 (grayscale): pure struct parsing, no codec library. Returns
+    ``(pixels[h, w, c], width, height, channels)`` — uint8 for
+    maxval ≤ 255, uint16 (big-endian 2-byte samples per the netpbm spec)
+    for 256 ≤ maxval ≤ 65535. Header is whitespace-separated with ``#``
+    comments per the spec; the raster follows the single whitespace byte
+    after maxval."""
     if payload[:2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
     channels = 3 if payload[:2] == b"P6" else 1
@@ -91,10 +93,13 @@ def decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         tokens.append(payload[start:pos])
     pos += 1  # exactly one whitespace byte separates maxval from the raster
     width, height, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm rasters not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"netpbm maxval out of range: {maxval}")
     n = width * height * channels
-    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    dt = np.uint8 if maxval <= 255 else np.dtype(">u2")
+    raster = np.frombuffer(payload, dtype=dt, count=n, offset=pos)
+    if maxval > 255:
+        raster = raster.astype(np.uint16)  # native order for downstream math
     return raster.reshape(height, width, channels), width, height, channels
 
 
@@ -112,10 +117,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
-    """REAL audio decode for uncompressed RIFF/WAVE PCM (8- or 16-bit):
+    """REAL audio decode for uncompressed RIFF/WAVE — integer PCM
+    (format 1: 8/16/24/32-bit) and IEEE float (format 3: 32/64-bit):
     walks the chunk list (fmt / data; skips LIST etc.), no codec library.
-    Returns ``(frames[n_frames, channels] as int, sample_rate,
-    channels, block_align)``."""
+    Returns ``(frames[n_frames, channels] (int dtype for PCM, float for
+    format 3), sample_rate, channels, block_align)``. Compressed codecs
+    (ADPCM, MP3, a-law/mu-law) stay a typed NotImplementedError."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -133,11 +140,28 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt/data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise NotImplementedError("only uncompressed 8/16-bit PCM supported")
-    dtype = np.int16 if bits == 16 else np.uint8
-    n_frames = len(data) // block_align
-    samples = np.frombuffer(data, dtype=dtype, count=n_frames * channels)
+    n_frames = len(data) // block_align if block_align else 0
+    if audio_format == 1 and bits in (8, 16, 32):
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        samples = np.frombuffer(data, dtype=dtype, count=n_frames * channels)
+    elif audio_format == 1 and bits == 24:
+        # 24-bit little-endian PCM: widen each 3-byte sample to int32 by
+        # splicing a zero low byte, then arithmetic-shift right 8 so the
+        # sign propagates (no per-sample Python loop)
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * channels * 3
+        ).reshape(-1, 3)
+        wide = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        wide[:, 1:] = raw
+        samples = wide.view("<i4").reshape(-1) >> 8
+    elif audio_format == 3 and bits in (32, 64):
+        dtype = np.float32 if bits == 32 else np.float64
+        samples = np.frombuffer(data, dtype=dtype, count=n_frames * channels)
+    else:
+        raise NotImplementedError(
+            f"WAVE format {audio_format}/{bits}-bit not supported "
+            "(integer PCM 8/16/24/32 and IEEE float 32/64 are)"
+        )
     return samples.reshape(n_frames, channels), sample_rate, channels, block_align
 
 

@@ -54,8 +54,18 @@ def test_decode_ppm_p6_p5_and_comments():
 
     with _pt.raises(ValueError):
         decode_ppm(b"JUNK")
-    with _pt.raises(NotImplementedError):
-        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    # 16-bit samples: big-endian 2-byte per the netpbm spec
+    wide = decode_ppm(
+        b"P5\n2 1\n65535\n" + (1000).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    )[0]
+    assert wide.dtype == np.uint16 and wide.ravel().tolist() == [1000, 65535]
+    px16 = decode_ppm(
+        b"P6\n1 1\n65535\n"
+        + b"".join(v.to_bytes(2, "big") for v in (256, 512, 40000))
+    )[0]
+    assert px16[0, 0].tolist() == [256, 512, 40000]
+    with _pt.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n70000\n" + bytes(2))
 
 
 def test_decode_wav_pcm16_and_chunk_walk():
@@ -80,6 +90,47 @@ def test_decode_wav_pcm16_and_chunk_walk():
     assert frames.shape == (3, 2)
     assert frames[:, 0].tolist() == [100, 200, 300]
     assert frames[:, 1].tolist() == [-100, -200, -300]
+
+
+def test_decode_wav_pcm24_pcm32_and_float():
+    """24-bit PCM widens with sign propagation; 32-bit PCM and IEEE
+    float32/float64 (format 3) decode exactly; ADPCM stays typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, channels, bits, data):
+        ba = channels * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt_code, channels, 8000, 8000 * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # 24-bit: +1, -1, max positive, min negative
+    vals = [1, -1, 2**23 - 1, -(2**23)]
+    data24 = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    frames, _, _, _ = decode_wav(wav(1, 1, 24, data24))
+    assert frames.ravel().tolist() == vals
+
+    data32 = struct.pack("<2i", -(2**31), 2**31 - 1)
+    frames32, _, _, _ = decode_wav(wav(1, 1, 32, data32))
+    assert frames32.ravel().tolist() == [-(2**31), 2**31 - 1]
+
+    dataf = struct.pack("<4f", 0.5, -0.25, 1.0, -1.0)
+    ff, _, _, _ = decode_wav(wav(3, 2, 32, dataf))
+    assert ff.dtype == np.float32 and ff.ravel().tolist() == [0.5, -0.25, 1.0, -1.0]
+
+    datad = struct.pack("<2d", 0.125, -0.5)
+    fd, _, _, _ = decode_wav(wav(3, 1, 64, datad))
+    assert fd.dtype == np.float64 and fd.ravel().tolist() == [0.125, -0.5]
+
+    with pytest.raises(NotImplementedError, match="format 2"):
+        decode_wav(wav(2, 1, 4, b"\x00\x00"))
 
 
 def test_media_features_real_ppm_channel_means(spark):
