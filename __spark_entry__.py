@@ -4140,6 +4140,58 @@ def sensors_zonal_from_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_sensor_points(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the sensor layer as a POINT ESRI Shapefile (.shp type 1 +
+    .dbf attributes) — the reference's DEFAULT export: its sensor
+    GeoDataFrame is point geometry written with the 'ESRI Shapefile'
+    driver (``/root/reference/src/data_preprocessing.py:201-206``).
+    Coordinates ride the .shp as binary doubles (bit-exact round-trip);
+    ``val`` rides the .dbf as shortest-round-trip repr text, which both
+    engines' string→double parse recovers exactly."""
+
+    def build(stage: str) -> None:
+        from sensordatapipelines_spark.sources.shapefile import (
+            write_dbf,
+            write_shp_points,
+        )
+
+        _register_views(spark, sf_dir)
+        rows = _sensors(spark).orderBy("sensor_id").collect()
+        write_shp_points(
+            f"{stage}/sensors.shp", [(r.lon, r.lat) for r in rows]
+        )
+        write_dbf(
+            f"{stage}/sensors.dbf",
+            ["sensor_id", "val"],
+            [
+                [str(int(r.sensor_id)),
+                 "" if r.val is None else repr(float(r.val))]
+                for r in rows
+            ],
+        )
+
+    return _staged(spark, sf_dir, "shapefile_pts", build)
+
+
+def sensors_shapefile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 round-trip through the reference's DEFAULT sink format: the
+    sensor layer exported as a POINT Shapefile (type-1 .shp + .dbf) and
+    re-ingested by ``open_shapefile`` must reproduce the source table
+    bit-exactly — the oracle is simply the sensors SQL itself, so any
+    byte-level writer/reader asymmetry is a wrong answer."""
+    from sensordatapipelines_spark.sources.shapefile import open_shapefile
+
+    _register_views(spark, sf_dir)
+    stage = _stage_sensor_points(spark, sf_dir)
+    shp = open_shapefile(spark, stage)
+    return shp.select(
+        F.col("properties")["sensor_id"].cast("long").alias("sensor_id"),
+        F.col("xs")[0].alias("lon"),
+        F.col("ys")[0].alias("lat"),
+        F.nullif(F.col("properties")["val"], F.lit("")).cast("double").alias("val"),
+    )
+
+
 def _stage_geotiff_deflate(spark: SparkSession, sf_dir: str) -> str:
     """The SAME synthetic raster as ``_stage_geotiff``, exported as the
     profile real-world ``.tif`` files actually use: per-strip DEFLATE
@@ -6890,6 +6942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
         "sensors_zonal_from_geotiff_deflate": sensors_zonal_from_geotiff_deflate,
+        "sensors_shapefile_export": sensors_shapefile_export,
         "docs_url_filter": docs_url_filter,
         "docs_term_blocklist": docs_term_blocklist,
         "docs_dsir_weights": docs_dsir_weights,
@@ -7026,6 +7079,7 @@ _ROUND5_SAMPLE_FIRST = [
     "docs_chi2_terms",
     "events_mann_kendall",
     "sensors_zonal_from_geotiff_deflate",
+    "sensors_shapefile_export",
     "docs_containment_pairs",
     "docs_gopher_quality",
     "events_time_rollup",
@@ -9885,6 +9939,8 @@ def oracle_sql() -> dict[str, str]:
     # the deflate+predictor staging decodes to the SAME pixels by
     # construction -> same zonal oracle
     oracles["sensors_zonal_from_geotiff_deflate"] = oracles["sensors_zonal_stats"]
+    # POINT-shapefile export/re-ingest must reproduce the source exactly
+    oracles["sensors_shapefile_export"] = f"SELECT * FROM ({SENSORS_SQL})"
     # synthetic per-doc URL is a pure function of doc_id; suffix-match via
     # equality-or-dot-suffix (each fixture host matches ≤1 blocklist entry)
     _hosts_sql = "[" + ", ".join(f"'{h}'" for h in URL_HOSTS) + "]"
