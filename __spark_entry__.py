@@ -33,7 +33,8 @@ from sensordatapipelines_spark.tables import TABLES, load_table
 SENSORS_SQL = """
 SELECT c_custkey AS sensor_id,
        CAST((c_custkey % 64) * 0.005 AS DOUBLE) AS lon,
-       CAST((FLOOR(c_custkey / 64) % 64) * 0.005 AS DOUBLE) AS lat,
+       CAST((CAST(FLOOR(c_custkey / 64) AS BIGINT) % 64) * 0.005 AS DOUBLE)
+           AS lat,
        c_acctbal AS val
 FROM customer
 """
@@ -41,7 +42,8 @@ FROM customer
 ZONES_SQL = """
 SELECT s_suppkey AS zone_id,
        CAST((s_suppkey % 64) * 0.005 + 0.0013 AS DOUBLE) AS lon,
-       CAST((FLOOR(s_suppkey / 64) % 64) * 0.005 + 0.0017 AS DOUBLE) AS lat,
+       CAST((CAST(FLOOR(s_suppkey / 64) AS BIGINT) % 64) * 0.005 + 0.0017
+            AS DOUBLE) AS lat,
        CAST(0.001 + (s_suppkey % 7) * 0.0005 AS DOUBLE) AS radius,
        s_acctbal AS acctbal
 FROM supplier
@@ -50,12 +52,14 @@ FROM supplier
 # Raster cell table: 2 bands × 64×64 grid aligned with the sensor lattice;
 # value == 0 (multiples of 101) is the nodata convention (SURVEY §2.3 A1).
 _CELLS_BODY = """
-SELECT CAST(1 + FLOOR(id / 4096) AS INT) AS band,
+SELECT CAST(1 + CAST(FLOOR(id / 4096) AS BIGINT) AS INT) AS band,
        CAST((id % 64) AS INT) AS px,
-       CAST((FLOOR(id / 64) % 64) AS INT) AS py,
+       CAST((CAST(FLOOR(id / 64) AS BIGINT) % 64) AS INT) AS py,
        CAST((id % 64) * 0.005 AS DOUBLE) AS x,
-       CAST((FLOOR(id / 64) % 64) * 0.005 AS DOUBLE) AS y,
-       CAST(((id % 64) * 31 + (FLOOR(id / 64) % 64) * 17 + (1 + FLOOR(id / 4096)) * 7) % 101 AS DOUBLE) AS value
+       CAST((CAST(FLOOR(id / 64) AS BIGINT) % 64) * 0.005 AS DOUBLE) AS y,
+       CAST(((id % 64) * 31 + (CAST(FLOOR(id / 64) AS BIGINT) % 64) * 17
+             + (1 + CAST(FLOOR(id / 4096) AS BIGINT)) * 7) % 101 AS DOUBLE)
+           AS value
 FROM {range_src}
 """
 CELLS_SQL_SPARK = _CELLS_BODY.format(range_src="range(0, 8192)")
@@ -6732,11 +6736,14 @@ def docs_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 DBSCAN_PTS_SQL = """
 SELECT c_custkey AS id,
        CAST((c_custkey % 64) * 0.005 AS DOUBLE) AS x,
-       CAST((FLOOR(c_custkey / 64) % 64) * 0.005 AS DOUBLE) AS y
+       CAST((CAST(FLOOR(c_custkey / 64) AS BIGINT) % 64) * 0.005 AS DOUBLE)
+           AS y
 FROM customer
 WHERE c_custkey <= 4096
-  AND (((c_custkey % 64) % 8 <> 7 AND (FLOOR(c_custkey / 64) % 64) % 8 <> 7)
-    OR ((c_custkey % 64) % 8 = 7 AND (FLOOR(c_custkey / 64) % 64) % 8 = 7))
+  AND (((c_custkey % 64) % 8 <> 7
+        AND (CAST(FLOOR(c_custkey / 64) AS BIGINT) % 64) % 8 <> 7)
+    OR ((c_custkey % 64) % 8 = 7
+        AND (CAST(FLOOR(c_custkey / 64) AS BIGINT) % 64) % 8 = 7))
 """
 
 

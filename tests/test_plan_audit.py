@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "zones_shapefile_ingest", "zones_gpkg_ingest",
     "sensors_zonal_from_grid",
     "sensors_zonal_from_geotiff",
+    "sensors_zonal_from_geotiff_deflate",  # same plan as the uncompressed twin
     "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
     "docs_dsir_weights",  # broadcast 1-row profile-totals cross join
     "docs_dsir_select",  # same shape (top-k over the weights)
