@@ -993,6 +993,80 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme, Schleimer et al. 2003) over
+    the corpus: per-doc selected-fingerprint count and Σ-mod-P checksum
+    pin the exact fingerprint SET. One keyed window exchange; the k-gram
+    hash is the engine-portable scrambled poly hash, so DuckDB replays
+    the window-minimum selection bit-exactly."""
+    from sensordatapipelines_spark.operators.dedup import winnowing_fingerprints
+
+    _register_views(spark, sf_dir)
+    return winnowing_fingerprints(
+        spark.table("documents"), id_col="doc_id", text_col="text",
+        k=8, window=4,
+    )
+
+
+def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing GUARANTEE as a gate: a derived plagiarism corpus —
+    every 5th document salted with a doc-unique token after each word
+    (so no two source documents share a word-boundary k-gram), plus a
+    companion doc that copies a 160-char salted passage and appends its
+    own doc-unique tail. Any shared run ≥ k + window − 1 chars must
+    yield a shared fingerprint, so every (2i, 2i+1) pair MUST surface;
+    the max_df noise threshold kills the residual intra-word grams.
+    Candidates come from the fingerprint equi-join — never all-pairs."""
+    from sensordatapipelines_spark.operators.dedup import winnowing_pairs
+
+    _register_views(spark, sf_dir)
+    base = (
+        spark.table("documents")
+        .filter((F.col("doc_id") % 5) == 0)
+        .select(
+            "doc_id",
+            F.replace(
+                F.col("text"),
+                F.lit(" "),
+                F.concat(
+                    F.lit(" s"), F.col("doc_id").cast("string"), F.lit(" ")
+                ),
+            ).alias("__tx"),
+        )
+    )
+    sid = F.col("doc_id").cast("string")
+    corpus = base.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("__tx").alias("text")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.concat(
+                F.col("__tx").substr(F.lit(41), F.lit(160)),
+                F.lit(" q"), sid, F.lit("x q"), sid, F.lit("y q"), sid,
+                F.lit("z"),
+            ).alias("text"),
+        )
+    )
+    return winnowing_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        k=8, window=4, min_shared=3, max_df=4,
+    )
+
+
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("data line"): posting rows per term off
+    one exploded token stream, adjacency via a (doc, pos+1) equi-join —
+    the inverted-index-with-positions primitive; 'data lineage' must not
+    match. Top-20 docs by hit count with (first_pos, doc_id) tiebreak."""
+    from sensordatapipelines_spark.operators.text import phrase_search
+
+    _register_views(spark, sf_dir)
+    return phrase_search(
+        spark.table("documents"), ["data", "line"],
+        id_col="doc_id", text_col="text", top_k=20,
+    )
+
+
 def docs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity (type-token ratio) repetition filter — the
     Gopher-style 'fraction of unique words' quality signal. Narrow map-only
@@ -6877,6 +6951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": emb_neardup,
         "docs_token_count": docs_token_count,
         "docs_ttr": docs_ttr,
+        "docs_winnowing_fps": docs_winnowing_fps,
+        "docs_winnowing_pairs": docs_winnowing_pairs,
+        "docs_phrase_search": docs_phrase_search,
         "docs_pii_scrub": docs_pii_scrub,
         "docs_pack_sequences": docs_pack_sequences,
         "events_percentiles": events_percentiles,
@@ -7087,6 +7164,9 @@ _ROUND5_SAMPLE_FIRST = [
     "events_mann_kendall",
     "sensors_zonal_from_geotiff_deflate",
     "sensors_shapefile_export",
+    "docs_winnowing_fps",
+    "docs_winnowing_pairs",
+    "docs_phrase_search",
     "docs_containment_pairs",
     "docs_gopher_quality",
     "events_time_rollup",
@@ -10610,6 +10690,127 @@ def oracle_sql() -> dict[str, str]:
                     ELSE p.sum_e9 * 1.0 / 1e9 / p.n_tokens
                END AS avg_logprob
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    oracles["docs_winnowing_fps"] = r"""
+        WITH corpus AS (SELECT doc_id AS id, text AS tx FROM documents),
+        norm AS (
+            SELECT id, regexp_replace(lower(trim(tx)), '\s+', ' ', 'g') AS t
+            FROM corpus
+        ),
+        p AS (
+            SELECT id, t, unnest(range(1, length(t) - 6)) AS pos
+            FROM norm WHERE length(t) >= 8
+        ),
+        g AS (
+            SELECT id, pos, (1000000007 * (list_reduce(list_transform(string_split(substr(t, CAST(pos AS INT), 8), ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) + 271) % 2147483647 AS h FROM p
+        ),
+        wm AS (
+            SELECT id, pos,
+                   min(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                   max(pos) OVER (PARTITION BY id) AS npos
+            FROM g
+        ),
+        sel AS (
+            SELECT DISTINCT id, wmin AS fp FROM wm
+            WHERE pos <= npos - 3 OR pos = 1
+        ),
+        per_doc AS (
+            SELECT id, COUNT(*) AS n_fps,
+                   SUM(fp) % 2147483647 AS fp_checksum
+            FROM sel GROUP BY id
+        )
+        SELECT d.doc_id,
+               CAST(greatest(length(regexp_replace(lower(trim(d.text)),
+                                                   '\s+', ' ', 'g')) - 7, 0)
+                    AS BIGINT) AS n_grams,
+               CAST(COALESCE(pd.n_fps, 0) AS BIGINT) AS n_fps,
+               CAST(COALESCE(pd.fp_checksum, 0) AS BIGINT) AS fp_checksum
+        FROM documents d LEFT JOIN per_doc pd ON pd.id = d.doc_id
+    """
+    oracles["docs_winnowing_pairs"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   replace(text, ' ',
+                           ' s' || CAST(doc_id AS VARCHAR) || ' ') AS tx
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        corpus AS (
+            SELECT doc_id * 2 AS id, tx FROM base
+            UNION ALL
+            SELECT doc_id * 2 + 1,
+                   substr(tx, 41, 160)
+                       || ' q' || CAST(doc_id AS VARCHAR) || 'x q'
+                       || CAST(doc_id AS VARCHAR) || 'y q'
+                       || CAST(doc_id AS VARCHAR) || 'z'
+            FROM base
+        ),
+        norm AS (
+            SELECT id, regexp_replace(lower(trim(tx)), '\s+', ' ', 'g') AS t
+            FROM corpus
+        ),
+        p AS (
+            SELECT id, t, unnest(range(1, length(t) - 6)) AS pos
+            FROM norm WHERE length(t) >= 8
+        ),
+        g AS (
+            SELECT id, pos, (1000000007 * (list_reduce(list_transform(string_split(substr(t, CAST(pos AS INT), 8), ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) + 271) % 2147483647 AS h FROM p
+        ),
+        wm AS (
+            SELECT id, pos,
+                   min(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                   max(pos) OVER (PARTITION BY id) AS npos
+            FROM g
+        ),
+        sel AS (
+            SELECT DISTINCT id, wmin AS fp FROM wm
+            WHERE pos <= npos - 3 OR pos = 1
+        ),
+        dfc AS (SELECT fp, COUNT(*) AS c FROM sel GROUP BY fp),
+        rare AS (
+            SELECT s.id, s.fp FROM sel s JOIN dfc USING (fp) WHERE dfc.c <= 4
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM rare GROUP BY id),
+        shared AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+            FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+               CAST(shared_fps AS DOUBLE)
+                   / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS overlap
+        FROM shared
+        JOIN sizes na ON na.id = id_a
+        JOIN sizes nb ON nb.id = id_b
+    """
+    oracles["docs_phrase_search"] = r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS t
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   unnest(range(0, len(t))) AS pos
+            FROM tk
+        ),
+        p0 AS (SELECT doc_id, pos AS p FROM s WHERE tok = 'data'),
+        p1 AS (SELECT doc_id, pos - 1 AS p FROM s WHERE tok = 'line'),
+        m AS (SELECT p0.doc_id, p0.p FROM p0 JOIN p1 USING (doc_id, p)),
+        h AS (
+            SELECT doc_id, COUNT(*) AS n_hits, MIN(p) AS first_pos
+            FROM m GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(first_pos AS BIGINT) AS first_pos
+        FROM h
+        ORDER BY n_hits DESC, first_pos ASC, doc_id ASC
+        LIMIT 20
     """
     oracles["docs_boilerplate"] = r"""
         WITH dtoks AS (

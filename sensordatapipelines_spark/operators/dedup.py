@@ -1373,3 +1373,231 @@ def ngram_novelty(
             F.lit(None).cast("double").alias("novelty"),
         )
     )
+
+
+@register("winnowing_fingerprints")
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    engine: str = "kernel",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS local-fingerprint scheme) → ``(id, n_grams, n_fps,
+    fp_checksum)``: hash every character ``k``-gram of the normalized
+    text, slide a ``window`` of consecutive k-gram hashes, and select
+    each window's MINIMUM hash; the distinct selected hashes are the
+    document's fingerprints. The winnowing guarantee: any shared
+    substring of length ≥ ``k + window − 1`` contributes at least one
+    IDENTICAL fingerprint to both documents — a positional coverage
+    property MinHash (a global sketch) cannot offer, which is why MOSS
+    detects partial overlap, not just whole-document similarity.
+
+    Scale shape (100 TB): normalization and k-gram hashing are map-side;
+    window minima come from ONE keyed window exchange (partition by doc,
+    order by gram position, ``min`` over ``window`` FOLLOWING rows) —
+    the same single-exchange contract as the other per-document
+    operators. The hash is the engine-portable scrambled poly hash
+    (``uniform_poly_hash_expr``'s affine form), so DuckDB replays the
+    selection bit-exactly. ``fp_checksum`` (Σ fp mod P) pins the exact
+    fingerprint SET in the oracle without shipping it; ``n_grams`` is
+    the map-side ``max(len − k + 1, 0)`` — no second scan."""
+    sets = _winnow_fp_sets(df, id_col, text_col, k, window, engine)
+    per_doc = sets.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.sum("fp") % F.lit(POLY_MOD)).alias("fp_checksum"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.greatest(
+            F.length(norm) - F.lit(int(k) - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    return (
+        base.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("fp_checksum", F.lit(0)).cast("long").alias("fp_checksum"),
+        )
+    )
+
+
+def _winnow_kernel(k: int, window: int):
+    """Arrow kernel for the winnowing selection: per doc, codepoint
+    array → all k-gram poly hashes via one (n−k+1, k) @ (k,) int64
+    matmul (fold-with-mod ≡ polynomial-mod-at-end, and the unreduced
+    sum is < 2.4e17 ≪ 2^63 even for astral codepoints, so one final
+    ``% P`` is bit-equal to the expression twin's per-step mod) →
+    affine scramble → sliding-window min → unique. The expression twin
+    (``engine='expr'``) is the oracle-shaped form; the kernel is the
+    hot path (the per-gram ``split``+fold expression costs ~18 s at
+    sf0.1 where this runs in ~1 s — the PQ/DSIR Arrow-kernel lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    from sensordatapipelines_spark.operators.sketches import CMS_A, CMS_B
+
+    m = POLY_MOD
+    a_c, b_c = CMS_A[0], CMS_B[0]
+    pows = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for did, txt in zip(pdf["__id"], pdf["__t"]):
+                if txt is None or len(txt) < k:
+                    continue
+                codes = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                sw = np.lib.stride_tricks.sliding_window_view(codes, k)
+                h = (a_c * ((sw @ pows) % m) + b_c) % m
+                if h.size >= window:
+                    wm = np.lib.stride_tricks.sliding_window_view(
+                        h, window
+                    ).min(axis=1)
+                else:
+                    wm = h.min(keepdims=True)
+                u = np.unique(wm)
+                ids.append(np.full(u.size, did, dtype=np.int64))
+                fps.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {"__id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "__id": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    return fn
+
+
+def _winnow_fp_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    window: int,
+    engine: str = "kernel",
+) -> DataFrame:
+    """Shared fingerprint-set builder: distinct ``(__id, fp)`` rows (the
+    winnowing selection, before per-doc aggregation). ``engine='kernel'``
+    (default) is the Arrow path; ``engine='expr'`` keeps the pure-JVM
+    posexplode + window-min form the DuckDB oracle mirrors — twin-tested
+    bit-equal."""
+    from sensordatapipelines_spark.operators.sketches import CMS_A, CMS_B
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    if engine == "kernel":
+        base = df.select(F.col(id_col).cast("long").alias("__id"), norm.alias("__t"))
+        return base.mapInPandas(
+            _winnow_kernel(int(k), int(window)), schema="__id long, fp long"
+        ).distinct()
+    n = F.length(norm)
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        norm.alias("__t"),
+        F.explode(
+            F.when(
+                n >= F.lit(int(k)), F.sequence(F.lit(1), n - F.lit(int(k) - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__pos"),
+    )
+    gram = F.col("__t").substr(F.col("__pos"), F.lit(int(k)))
+    hashed = grams.select(
+        "__id",
+        "__pos",
+        (
+            (F.lit(CMS_A[0]) * poly_hash_expr(gram) + F.lit(CMS_B[0]))
+            % F.lit(POLY_MOD)
+        ).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, int(window) - 1)
+    )
+    return (
+        hashed.withColumn("__wmin", F.min("__h").over(w))
+        .withColumn("__n", F.max("__pos").over(Window.partitionBy("__id")))
+        .filter(
+            (F.col("__pos") <= F.col("__n") - F.lit(int(window) - 1))
+            | (F.col("__pos") == F.lit(1))
+        )
+        .select("__id", F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
+@register("winnowing_pairs")
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    engine: str = "kernel",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints → ``(id_a, id_b,
+    shared_fps, overlap)`` with ``overlap = shared / min(|A|, |B|)`` —
+    the MOSS-style partial-overlap detector: any shared run of
+    ``k + window − 1`` characters guarantees a shared fingerprint, so
+    copied PASSAGES surface even when the documents are globally
+    dissimilar (the case MinHash similarity misses by design).
+
+    Scale shape: candidates come from the fingerprint equi-join (a keyed
+    shuffle on the fp hash — never all-pairs); per-doc fingerprint
+    counts join back for the overlap denominator. A fingerprint shared
+    by f docs fans out f²/2 pairs — the same hot-shingle consideration
+    as ``jaccard_pairs``; winnowing's density bound (≈ 2/(window+1) of
+    grams selected) keeps f small for natural text, and ``max_df`` is
+    the MOSS noise threshold — fingerprints present in more than
+    ``max_df`` documents are boilerplate, not evidence of copying, and
+    are dropped BEFORE the join (the same ubiquitous-key guard as the
+    boilerplate/stopword filters; also the f² bound for hot keys)."""
+    sets = _winnow_fp_sets(df, id_col, text_col, k, window, engine).localCheckpoint()
+    if max_df is not None:
+        rare = (
+            sets.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= F.lit(int(max_df)))
+            .select("fp")
+        )
+        sets = sets.join(rare, "fp", "left_semi")
+    sizes = sets.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= F.lit(int(min_shared)))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            # unrounded exact-int division: tie-free cross-engine
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("__na", "__nb").cast("double")
+            ).alias("overlap"),
+        )
+    )

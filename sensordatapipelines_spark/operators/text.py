@@ -1597,3 +1597,58 @@ def bpe_segment_counts(
             F.sum("__n_sym").alias("n_symbols"),
         )
     )
+
+
+@register("phrase_search")
+def phrase_search(
+    df: DataFrame,
+    phrase: "Sequence[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Positional phrase search → the ``top_k`` documents containing the
+    exact token sequence ``phrase``, as ``(id, n_hits, first_pos)`` —
+    the inverted-index-with-positions primitive every search engine
+    builds (reference kin: the token-stream analysis family, SURVEY
+    §2.7). A phrase match is adjacency in POSITION space, not substring
+    match: "data line" must not match "data lineage".
+
+    Scale shape (100 TB): the token stream explodes with positions
+    map-side; each phrase term selects its posting rows (a FILTER on the
+    stream — term selectivity does the pruning, no index structure
+    needed because the scan IS the index build), and adjacency is an
+    equi-join on ``(doc, pos + offset)`` — keyed shuffles on (doc, pos),
+    never a cross join. An L-term phrase is L−1 such joins, each
+    shrinking the candidate set monotonically."""
+    terms = [str(t).lower() for t in phrase]
+    if len(terms) < 1:
+        raise ValueError("phrase_search: empty phrase")
+    stream = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_expr(F.lower(F.col(text_col)))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    cur = (
+        stream.filter(F.col("__tok") == F.lit(terms[0]))
+        .select("__id", F.col("__pos").alias("__p0"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = stream.filter(F.col("__tok") == F.lit(term)).select(
+            F.col("__id"), (F.col("__pos") - F.lit(i)).alias("__p0")
+        )
+        cur = cur.join(nxt, ["__id", "__p0"], "left_semi")
+    hits = cur.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("__p0").alias("first_pos"),
+    )
+    return (
+        hits.orderBy(F.desc("n_hits"), F.asc("first_pos"), F.asc("__id"))
+        .limit(int(top_k))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+    )
