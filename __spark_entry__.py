@@ -6153,6 +6153,49 @@ def docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def customer_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate matching: the customer roster against
+    a derived dirty twin (each name with its vowel dropped — the classic
+    data-entry edit) via consonant-skeleton blocking + Levenshtein ≤ 2
+    residual. Blocking keys keep the digits, so every dirty record finds
+    exactly its source through an equi-join — never an n² name cross
+    join. Edit distance is an exact integer: the oracle replays it
+    bit-for-bit."""
+    from sensordatapipelines_spark.operators.utility import blocked_name_matches
+
+    _register_views(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    dirty = spark.table("customer").select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 1), F.substring("c_name", 3, 1000000)
+        ).alias("name"),
+    )
+    return blocked_name_matches(cust, dirty, max_distance=2)
+
+
+def events_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of the event stream on (value,
+    recency): events not dominated in both dimensions — the windowed
+    per-x-max + prefix-max formulation, never the n² dominance
+    anti-join."""
+    from sensordatapipelines_spark.operators.utility import skyline_2d
+
+    _register_views(spark, sf_dir)
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.col("value"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return skyline_2d(pts, "value", "ts_us")
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user behavior: consecutive
     event-type pairs per user with counts and row-normalized
@@ -7099,6 +7142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lateral_topk": orders_lateral_topk,
         "events_contract_checks": events_contract_checks,
         "docs_group_sample": docs_group_sample,
+        "customer_er_matches": customer_er_matches,
+        "events_skyline": events_skyline,
         "events_transitions": events_transitions,
         "events_time_to_convert": events_time_to_convert,
         "docs_incremental_dedup": docs_incremental_dedup,
@@ -7167,6 +7212,8 @@ _ROUND5_SAMPLE_FIRST = [
     "docs_winnowing_fps",
     "docs_winnowing_pairs",
     "docs_phrase_search",
+    "customer_er_matches",
+    "events_skyline",
     "docs_containment_pairs",
     "docs_gopher_quality",
     "events_time_rollup",
@@ -10811,6 +10858,44 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         ORDER BY n_hits DESC, first_pos ASC, doc_id ASC
         LIMIT 20
+    """
+    oracles["customer_er_matches"] = r"""
+        WITH a AS (
+            SELECT c_custkey AS id_a, c_name AS name_a,
+                   upper(substr(lower(trim(c_name)), 1, 1)) || regexp_replace(substr(lower(trim(c_name)), 2), '[aeiou]', '', 'g') AS __blk
+            FROM customer
+        ),
+        braw AS (
+            SELECT c_custkey + 1000000 AS id_b,
+                   substr(c_name, 1, 1) || substr(c_name, 3) AS name_b
+            FROM customer
+        ),
+        b AS (
+            SELECT id_b, name_b,
+                   upper(substr(lower(trim(name_b)), 1, 1)) || regexp_replace(substr(lower(trim(name_b)), 2), '[aeiou]', '', 'g') AS __blk
+            FROM braw
+        )
+        SELECT id_a, id_b, name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+        FROM a JOIN b USING (__blk)
+        WHERE levenshtein(name_a, name_b) <= 2
+    """
+    oracles["events_skyline"] = """
+        WITH pts AS (
+            SELECT event_id, value, epoch_us(ts) AS ts_us
+            FROM events WHERE value IS NOT NULL
+        ),
+        px AS (SELECT value AS v, MAX(ts_us) AS my FROM pts GROUP BY value),
+        pm AS (
+            SELECT v, my,
+                   MAX(my) OVER (ORDER BY v DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+            FROM px
+        ),
+        sky AS (SELECT v, my FROM pm WHERE pmax IS NULL OR my > pmax)
+        SELECT p.event_id, p.value, p.ts_us
+        FROM pts p JOIN sky s ON p.value = s.v AND p.ts_us = s.my
     """
     oracles["docs_boilerplate"] = r"""
         WITH dtoks AS (

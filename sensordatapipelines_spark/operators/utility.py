@@ -1369,3 +1369,94 @@ def cdc_apply(
     untouched = state.join(latest.select(*keys), keys, "left_anti")
     survivors = latest.filter(F.col(op_col) != "D").select(*keys, *payload)
     return untouched.unionByName(survivors)
+
+
+def name_block_key_expr(name: "F.Column") -> "F.Column":
+    """Portable blocking key for entity resolution: first character +
+    the vowel-stripped remainder of the lowercased name (a
+    consonant-skeleton in the Soundex family, kept regex-simple so the
+    DuckDB oracle replays the identical RE2∩Java pattern). Robust to the
+    commonest dirty-data edits — vowel drops/swaps and case noise —
+    while keeping digits, so id-bearing names block tightly."""
+    lower = F.lower(F.trim(name))
+    return F.concat(
+        F.upper(F.substring(lower, 1, 1)),
+        F.regexp_replace(F.substring(lower, 2, 1000000), "[aeiou]", ""),
+    )
+
+
+@register("blocked_name_matches")
+def blocked_name_matches(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate matching → ``(id_a, id_b, name_a,
+    name_b, distance)``: records from ``left`` and ``right`` whose names
+    share a blocking key and sit within ``max_distance`` edits
+    (Levenshtein) — the classic two-stage record-linkage shape
+    (blocking for recall control, edit distance as the precise
+    residual).
+
+    Scale shape (100 TB): candidates come from the block-key EQUI-join —
+    never an all-pairs name cross join (the naive formulation is n² and
+    unrunnable past thousands of rows); Levenshtein runs only inside
+    blocks. A block holding b rows on each side costs b² comparisons —
+    block-key design is the skew knob (append more skeleton characters
+    or a length bucket to split hot blocks; same guard family as the
+    LSH hot-bucket cap). Edit distance is an exact integer under unit
+    costs, so the oracle replays it bit-for-bit."""
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        name_block_key_expr(F.col(name_col)).alias("__blk"),
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        name_block_key_expr(F.col(name_col)).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= F.lit(int(max_distance)))
+        .select("id_a", "id_b", "name_a", "name_b",
+                F.col("distance").cast("long").alias("distance"))
+    )
+
+
+@register("skyline_2d")
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximize both): rows not dominated by
+    any other row (``x' ≥ x``, ``y' ≥ y``, strictly better in one).
+    The multi-objective "best tradeoffs" query — e.g. the (value,
+    recency) frontier of an event stream.
+
+    Scale shape: the classic windowed formulation, not the n² dominance
+    anti-join — aggregate to per-x max(y) (one keyed aggregate), prefix-
+    max over x DESC on that (one window over the DISTINCT-x table, which
+    is orders of magnitude smaller than the data), then one equi-join
+    back to recover the surviving rows (ties on the frontier all
+    survive: equal (x, y) points do not dominate each other)."""
+    per_x = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__my")
+    )
+    w = Window.orderBy(F.desc("__x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        per_x.withColumn("__pmax", F.max("__my").over(w))
+        .filter(F.col("__pmax").isNull() | (F.col("__my") > F.col("__pmax")))
+        .select("__x", "__my")
+    )
+    return df.join(
+        sky,
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__my")),
+        "left_semi",
+    )
