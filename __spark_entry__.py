@@ -6196,6 +6196,21 @@ def events_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, "value", "ts_us")
 
 
+def events_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation per user: PAA over 8 equal-count
+    frames, z-normalized at exact-integer sums, 4-letter Gaussian
+    alphabet. Shape-similarity words for motif mining; the quantized-sum
+    determinism contract makes the word exact cross-engine."""
+    from sensordatapipelines_spark.operators.temporal import sax_words
+
+    _register_views(spark, sf_dir)
+    return sax_words(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "value", "event_id",
+        segments=8, min_points=16,
+    )
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user behavior: consecutive
     event-type pairs per user with counts and row-normalized
@@ -7144,6 +7159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_group_sample": docs_group_sample,
         "customer_er_matches": customer_er_matches,
         "events_skyline": events_skyline,
+        "events_sax_words": events_sax_words,
         "events_transitions": events_transitions,
         "events_time_to_convert": events_time_to_convert,
         "docs_incremental_dedup": docs_incremental_dedup,
@@ -7214,6 +7230,7 @@ _ROUND5_SAMPLE_FIRST = [
     "docs_phrase_search",
     "customer_er_matches",
     "events_skyline",
+    "events_sax_words",
     "docs_containment_pairs",
     "docs_gopher_quality",
     "events_time_rollup",
@@ -10896,6 +10913,49 @@ def oracle_sql() -> dict[str, str]:
         sky AS (SELECT v, my FROM pm WHERE pmax IS NULL OR my > pmax)
         SELECT p.event_id, p.value, p.ts_us
         FROM pts p JOIN sky s ON p.value = s.v AND p.ts_us = s.my
+    """
+    oracles["events_sax_words"] = """
+        WITH rws AS (
+            SELECT user_id AS g,
+                   CAST(round(value * 100) AS BIGINT) AS v2,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        f AS (
+            SELECT g, CAST(FLOOR(rn * 8 / n) AS INT) AS seg,
+                   SUM(v2) AS s1s, COUNT(*) AS cs, MAX(n) AS n
+            FROM rws WHERE n >= 16
+            GROUP BY g, FLOOR(rn * 8 / n)
+        ),
+        t AS (SELECT g, SUM(s1s) AS s1, MAX(n) AS n FROM f GROUP BY g),
+        q AS (
+            SELECT g, SUM(v2 * v2) AS s2 FROM rws WHERE n >= 16 GROUP BY g
+        ),
+        st AS (
+            SELECT t.g, t.n,
+                   CAST(s1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS mu,
+                   sqrt(CAST(s2 * t.n - s1 * s1 AS DOUBLE)
+                        / CAST(t.n * t.n AS DOUBLE)) AS sd
+            FROM t JOIN q USING (g)
+        ),
+        w AS (
+            SELECT f.g, f.n, f.seg,
+                   CASE WHEN sd = 0.0 THEN 'b'
+                        WHEN (CAST(s1s AS DOUBLE) / CAST(cs AS DOUBLE) - mu)
+                             / sd < -0.6744897501960817 THEN 'a'
+                        WHEN (CAST(s1s AS DOUBLE) / CAST(cs AS DOUBLE) - mu)
+                             / sd < 0.0 THEN 'b'
+                        WHEN (CAST(s1s AS DOUBLE) / CAST(cs AS DOUBLE) - mu)
+                             / sd < 0.6744897501960817 THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM f JOIN st ON f.g = st.g
+        )
+        SELECT g AS user_id, CAST(n AS BIGINT) AS n_points,
+               string_agg(sym, '' ORDER BY seg) AS sax_word
+        FROM w GROUP BY g, n
     """
     oracles["docs_boilerplate"] = r"""
         WITH dtoks AS (

@@ -1584,3 +1584,112 @@ def ohlc_resample(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+@register("sax_words")
+def sax_words(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    segments: int = 8,
+    min_points: int = 16,
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin/Keogh et al. 2003) —
+    per group → ``(group, n_points, sax_word)``: the series is PAA-
+    reduced to ``segments`` equal-count frames (frame mean), z-normalized
+    against the SERIES mean/std, and each frame mapped to a 4-letter
+    alphabet at the standard Gaussian breakpoints (−0.6745, 0, 0.6745).
+    The classic symbolic representation for motif/novelty mining — two
+    series with the same word are shape-similar regardless of offset and
+    scale.
+
+    Determinism contract: values quantize to exact 1e-2 BIGINTs, so all
+    sums (series and per-frame) are order-free integers; mean, variance
+    ((S2·n − S1²)/n², exact-integer numerator), σ and each frame z-score
+    are then fixed IEEE expressions over exact ints — breakpoint
+    comparisons can never flip between engines. Degenerate flat series
+    (σ = 0) emit all-'b' words by explicit guard, not NaN accident.
+
+    Scale shape: one window exchange (row_number per group), one keyed
+    aggregate to ``groups × segments`` rows, one ``segments``-wide
+    ordered string_agg — state never exceeds the frame table."""
+    v2 = F.round(F.col(value_col).cast("double") * F.lit(100)).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        v2.alias("__v2"),
+        (F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+            )
+        ) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    seg = F.floor(
+        F.col("__rn") * F.lit(int(segments)) / F.col("__n")
+    ).cast("int")
+    frames = (
+        rows.filter(F.col("__n") >= F.lit(int(min_points)))
+        .withColumn("__seg", seg)
+        .groupBy("__g", "__seg")
+        .agg(
+            F.sum("__v2").alias("__s1s"),
+            F.count(F.lit(1)).alias("__cs"),
+            F.max("__n").alias("__n"),
+        )
+    )
+    tot = frames.groupBy("__g").agg(
+        F.sum("__s1s").alias("__s1"),
+        F.max("__n").alias("__n"),
+    )
+    sq = (
+        rows.filter(F.col("__n") >= F.lit(int(min_points)))
+        .groupBy("__g")
+        .agg(F.sum(F.col("__v2") * F.col("__v2")).alias("__s2"))
+    )
+    stats = tot.join(sq, "__g").select(
+        "__g",
+        "__n",
+        (F.col("__s1").cast("double") / F.col("__n").cast("double")).alias(
+            "__mu"
+        ),
+        F.sqrt(
+            (F.col("__s2") * F.col("__n") - F.col("__s1") * F.col("__s1"))
+            .cast("double")
+            / (F.col("__n") * F.col("__n")).cast("double")
+        ).alias("__sd"),
+    )
+    b1, b2, b3 = -0.6744897501960817, 0.0, 0.6744897501960817
+    z = (
+        F.col("__s1s").cast("double") / F.col("__cs").cast("double")
+        - F.col("__mu")
+    ) / F.col("__sd")
+    sym = (
+        F.when(F.col("__sd") == F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(b1), F.lit("a"))
+        .when(z < F.lit(b2), F.lit("b"))
+        .when(z < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    worded = (
+        frames.join(F.broadcast(stats), ["__g", "__n"])
+        .withColumn("__sym", sym)
+        .groupBy("__g", "__n")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__seg", "__sym"))
+                    ),
+                    lambda s: s["__sym"],
+                ),
+            ).alias("sax_word")
+        )
+    )
+    return worded.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_points"),
+        "sax_word",
+    )

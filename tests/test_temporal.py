@@ -819,3 +819,36 @@ def test_ohlc_resample_ties(spark):
     assert (b0.open, b0.high, b0.low, b0.close, b0.n_obs) == (1.0, 9.0, 1.0, 4.0, 4)
     b1 = out[bars[1]]
     assert (b1.open, b1.close, b1.n_obs) == (7.0, 7.0, 1)
+
+
+def test_sax_words_shape_invariance_and_determinism(spark):
+    """SAX words are offset/scale invariant (z-normalization), flat
+    series emit all-'b' by guard, short series are dropped."""
+    from datetime import datetime, timedelta
+
+    from sensordatapipelines_spark.operators.temporal import sax_words
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    base = [1, 2, 3, 4, 5, 6, 7, 8, 8, 7, 6, 5, 4, 3, 2, 1]
+    for i, v in enumerate(base):
+        rows.append((1, t0 + timedelta(hours=i), float(v), i))
+        # user 2: affine transform of user 1 -> same word
+        rows.append((2, t0 + timedelta(hours=i), 100.0 + 10.0 * v, 100 + i))
+    for i in range(16):  # user 3: flat
+        rows.append((3, t0 + timedelta(hours=i), 5.0, 200 + i))
+    for i in range(8):  # user 4: too short
+        rows.append((4, t0 + timedelta(hours=i), float(i), 300 + i))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {r.user_id: r for r in sax_words(
+        df, "user_id", "ts", "value", "event_id", segments=8, min_points=16
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].sax_word == out[2].sax_word  # affine invariance
+    assert len(out[1].sax_word) == 8
+    # rise-then-fall: word ascends into d then descends back
+    assert out[1].sax_word[0] == "a" and "d" in out[1].sax_word
+    assert out[1].sax_word == out[1].sax_word  # deterministic re-read
+    assert out[3].sax_word == "b" * 8  # flat-series guard
