@@ -1635,20 +1635,18 @@ def sax_words(
         .groupBy("__g", "__seg")
         .agg(
             F.sum("__v2").alias("__s1s"),
+            F.sum(F.col("__v2") * F.col("__v2")).alias("__s2s"),
             F.count(F.lit(1)).alias("__cs"),
             F.max("__n").alias("__n"),
         )
     )
-    tot = frames.groupBy("__g").agg(
+    # series totals roll up from the frame table (segments rows/group) —
+    # no second pass over the raw rows
+    stats = frames.groupBy("__g").agg(
         F.sum("__s1s").alias("__s1"),
+        F.sum("__s2s").alias("__s2"),
         F.max("__n").alias("__n"),
-    )
-    sq = (
-        rows.filter(F.col("__n") >= F.lit(int(min_points)))
-        .groupBy("__g")
-        .agg(F.sum(F.col("__v2") * F.col("__v2")).alias("__s2"))
-    )
-    stats = tot.join(sq, "__g").select(
+    ).select(
         "__g",
         "__n",
         (F.col("__s1").cast("double") / F.col("__n").cast("double")).alias(
