@@ -6528,6 +6528,27 @@ def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from every 50th user over the co-activity
+    graph: minimum hop distance up to 3 — frontier-expansion rounds
+    (frontier joins the edge list, LEFT ANTI against visited), the
+    oracle replays it as a depth-bounded recursive CTE with MIN(depth)
+    collapse."""
+    from sensordatapipelines_spark.operators.graph import bfs_depths
+
+    _register_views(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 50) == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return bfs_depths(
+        _user_cooccur_edges(spark), seeds, max_depth=3,
+        src_col="u", dst_col="w",
+    )
+
+
 def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 2-core peeling of the user co-activity graph (4 fixed
     rounds): the cohesive-subgraph extractor, each round one keyed
@@ -7176,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
         "events_kcore": events_kcore,
+        "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_nb_confusion": docs_nb_confusion,
         "sensors_dbscan": sensors_dbscan,
@@ -7231,6 +7253,7 @@ _ROUND5_SAMPLE_FIRST = [
     "customer_er_matches",
     "events_skyline",
     "events_sax_words",
+    "events_bfs_reach",
     "docs_containment_pairs",
     "docs_gopher_quality",
     "events_time_rollup",
@@ -12838,6 +12861,21 @@ def oracle_sql() -> dict[str, str]:
             f" JOIN a{_i + 1} x ON p.s = x.s"
             f" JOIN a{_i + 1} y ON p.d = y.s)"
         )
+    oracles["events_bfs_reach"] = f"""
+        WITH RECURSIVE {_COOCCUR_EDGES},
+        seeds AS (
+            SELECT DISTINCT user_id AS node FROM events WHERE user_id % 50 = 0
+        ),
+        bfs AS (
+            SELECT node, 0 AS depth FROM seeds
+            UNION
+            SELECT sym.d AS node, bfs.depth + 1 AS depth
+            FROM bfs JOIN sym ON sym.s = bfs.node
+            WHERE bfs.depth < 3
+        )
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM bfs GROUP BY node
+    """
     oracles["events_kcore"] = f"""
         WITH {_COOCCUR_EDGES},
         {", ".join(_kcore_rounds)}

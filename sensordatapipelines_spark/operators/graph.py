@@ -310,3 +310,57 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("s").alias("node"), "degree")
     )
+
+
+@register("bfs_depths")
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    src_col: str = "u",
+    dst_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS over an undirected edge list → ``(node,
+    depth)``: the minimum hop distance from ANY seed, up to
+    ``max_depth`` (unreached nodes are absent). The neighborhood-
+    expansion primitive behind influence radii, blast-radius audits and
+    k-hop feature collection.
+
+    Scale shape (100 TB): classic frontier expansion — each round joins
+    the CURRENT FRONTIER (not the full label table) against the edge
+    list, one keyed shuffle per round, minus already-visited via LEFT
+    ANTI; rounds are bounded by ``max_depth`` by contract (the
+    deterministic-round pattern of ``kcore``/``pagerank``), and
+    ``localCheckpoint`` truncates lineage per round. Frontier size is
+    the skew knob: a dense graph saturates (frontier → whole component)
+    within a few hops, after which anti-joins shrink the work to zero."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for d in range(1, int(max_depth) + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        F.col("node"), F.col("depth").cast("long").alias("depth")
+    )

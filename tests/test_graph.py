@@ -84,3 +84,22 @@ def test_kcore_peels_tail(spark):
     )
     out = {r.node: r.degree for r in kcore(edges, k=2, rounds=4).collect()}
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_bfs_depths_chain_and_saturation(spark):
+    """Min-hop depths on a chain with a branch; nodes beyond max_depth
+    absent; seeds not in the graph still report depth 0; two seeds take
+    the MIN distance."""
+    from sensordatapipelines_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7), (8, 9)],
+        "u long, w long",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r.node: r.depth for r in bfs_depths(edges, seeds, max_depth=3).collect()}
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3, 7: 3}
+    # two seeds: depth is min over seeds; direction is undirected
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r.node: r.depth for r in bfs_depths(edges, seeds2, max_depth=2).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 6: 1, 3: 2}
