@@ -797,6 +797,74 @@ def test_geotiff_big_endian_and_tiled_parse(tmp_path):
             assert np.array_equal(cube[0], expect), (order, tiled)
 
 
+def test_geotiff_tiled_compressed_with_predictor(tmp_path):
+    """Tile-organized layouts share the strip decode path: a hand-built
+    deflate-compressed 2-tile file with horizontal predictor must
+    reconstruct exactly (the writer only emits strips, so this is the
+    one layout x codec combination only a synthetic file can cover)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import parse_geotiff
+
+    ncols, nrows, tw, th = 12, 8, 8, 8
+    data = (np.arange(nrows * ncols, dtype=np.int64) * 7 % 251).reshape(
+        nrows, ncols
+    )
+    tiles = []
+    for c0 in (0, 8):
+        tile = np.zeros((th, tw), dtype=np.uint8)
+        take = min(tw, ncols - c0)
+        tile[:nrows, :take] = data[:, c0 : c0 + take]
+        # horizontal differencing per row, modulo 256
+        wide = tile.astype(np.int64)
+        wide[:, 1:] -= wide[:, :-1].copy()
+        tiles.append(zlib.compress(wide.astype(np.uint8).tobytes()))
+    tags = [
+        (256, 4, [ncols]), (257, 4, [nrows]), (258, 3, [8]),
+        (259, 3, [8]),              # deflate
+        (277, 3, [1]), (317, 3, [2]),  # predictor=2
+        (322, 3, [tw]), (323, 3, [th]),
+        (324, 4, None),             # tile offsets filled below
+        (325, 4, [len(t) for t in tiles]),
+        (339, 3, [1]),
+    ]
+    tags.sort(key=lambda t: t[0])
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    # out-of-line area: tile offsets (2 longs) + tile counts (2 longs)
+    overflow_off = ifd_off + ifd_size
+    data_off = overflow_off + 8 + 8
+    offsets = [data_off, data_off + len(tiles[0])]
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(tags))
+    overflow = b""
+    cur = overflow_off
+    for tag, ftype, vals in tags:
+        if vals is None:
+            vals = offsets
+        fmt = {3: "H", 4: "I"}[ftype]
+        packed = struct.pack("<" + str(len(vals)) + fmt, *vals)
+        if len(packed) <= 4:
+            out += struct.pack("<HHI", tag, ftype, len(vals))
+            out += packed.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<HHII", tag, ftype, len(vals), cur)
+            overflow += packed
+            cur += len(packed)
+    out += struct.pack("<I", 0)
+    out += overflow
+    assert len(out) == data_off
+    for t in tiles:
+        out += t
+    cube, _meta = parse_geotiff(bytes(out))
+    assert cube.shape == (1, nrows, ncols)
+    assert np.array_equal(cube[0], data.astype(np.float64))
+
+
 def test_geotiff_rejects_compressed_and_bigtiff(tmp_path):
     import struct
 
