@@ -3949,7 +3949,7 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END"
     )
     return (
-        d.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        d.select(F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("toks"))
         .select(F.explode(F.expr(bigrams)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -6478,15 +6478,31 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall monotone-trend test per user: S = Σ sign(Δv) over
-    time-ordered pairs and Kendall's tau — the nonparametric trend
-    detector. S is an exact BIGINT fold (order-independent), tau one
-    exact division; shares the bounded pair machinery with Theil–Sen."""
+    time-ordered pairs — the nonparametric trend detector. All-integer
+    output (n_points, s_stat, n_pairs; tau = s_stat/n_pairs is left to
+    consumers): an exact BIGINT fold with NO floating-point surface;
+    shares the bounded pair machinery with Theil–Sen."""
     from sensordatapipelines_spark.operators.temporal import mann_kendall
 
     _register_views(spark, sf_dir)
     return mann_kendall(
         spark.table("events"), "user_id", "ts", "value", "event_id",
         max_points=64, min_points=8,
+    )
+
+
+def events_pair_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-selection bisection probe: per-user capped-pair count,
+    Σ sign(Δv) and Σ Δt over the SAME ordered-pair stream Theil-Sen and
+    Mann-Kendall consume, with no min_points filter — all-integer. Green
+    here proves both engines cap/order identical observation subsets;
+    red localizes a trend-gate divergence to the selection machinery."""
+    from sensordatapipelines_spark.operators.temporal import pair_probe
+
+    _register_views(spark, sf_dir)
+    return pair_probe(
+        spark.table("events"), "user_id", "ts", "value", "event_id",
+        max_points=64,
     )
 
 
@@ -6919,13 +6935,26 @@ def docs_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×2-contingency statistic over document frequencies — the classic
     feature-selection signal for curation classifiers. One corpus scan;
     χ² is a fixed-order double expression over exact integer counts,
-    ranked on an e6-quantized BIGINT with token tiebreak."""
+    ranked AND emitted as the e6-quantized BIGINT chi6 (token tiebreak)
+    — no floating-point column in the gate output."""
     from sensordatapipelines_spark.operators.text import chi2_terms
 
     _register_views(spark, sf_dir)
     return chi2_terms(
         spark.table("documents"), class_col="lang", min_doc_freq=5, top_k=10
     )
+
+
+def docs_token_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization bisection probe: per-language distinct (doc, token)
+    pair count, distinct token count and an order-free Σ-mod-P poly-hash
+    checksum of the token stream — all-integer. Green here proves the
+    engines agree byte-for-byte on the token stream every text gate
+    consumes; red localizes a downstream red to tokenization itself."""
+    from sensordatapipelines_spark.operators.text import token_stream_probe
+
+    _register_views(spark, sf_dir)
+    return token_stream_probe(spark.table("documents"))
 
 
 def docs_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7194,11 +7223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_lookup": events_scd2_lookup,
         "events_theilsen_trend": events_theilsen_trend,
         "events_mann_kendall": events_mann_kendall,
+        "events_pair_probe": events_pair_probe,
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
         "events_kcore": events_kcore,
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
+        "docs_token_stream_probe": docs_token_stream_probe,
         "docs_nb_confusion": docs_nb_confusion,
         "sensors_dbscan": sensors_dbscan,
         "media_ppm_histogram": media_ppm_histogram,
@@ -7542,7 +7573,7 @@ _ROUND3_SAMPLE_FIRST = _ROUND4_SAMPLE_FIRST
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = "string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
 
 _TEXT_CTE = f"""
 toks AS (
@@ -7653,7 +7684,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
         ),
         sh AS (
             SELECT doc_id,
@@ -7701,7 +7732,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS t
             FROM documents WHERE trim(text) <> ''
         ),
         h AS (
@@ -8054,7 +8085,7 @@ def _pq_oracle(m: int = 4, k_codes: int = 16, k: int = 5) -> str:
     """
 
 
-_BPE_SQL_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_SQL_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 def _token_count_oracle() -> str:
@@ -8399,7 +8430,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TEXT_CTE}
             SELECT doc_id,
                    len(t) AS n_tokens,
-                   ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   ROUND(CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE)
                          / len(t), 6) AS mean_token_len,
                    ROUND((length(text) - length(replace(text, '.', ''))
                         + length(text) - length(replace(text, ',', ''))
@@ -8416,18 +8447,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": """
             WITH scored AS (
                 SELECT doc_id,
-                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
-                        / len(string_split_regex(trim(lower(text)), '\\s+')) AS sc_en,
-                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_en,
+                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS DOUBLE)
-                        / len(string_split_regex(trim(lower(text)), '\\s+')) AS sc_de,
-                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_de,
+                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('el','la','de','que','y','en','un','es'))) AS DOUBLE)
-                        / len(string_split_regex(trim(lower(text)), '\\s+')) AS sc_es,
-                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_es,
+                    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('le','la','et','les','des','un','une','est'))) AS DOUBLE)
-                        / len(string_split_regex(trim(lower(text)), '\\s+')) AS sc_fr
+                        / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_fr
                 FROM documents
             )
             SELECT doc_id,
@@ -8443,7 +8474,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(text) = '' THEN []
-                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
                        END AS t
                 FROM documents
             )
@@ -8483,7 +8514,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT source, doc_id,
                        CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
                        END AS n_tokens
                 FROM documents
             ),
@@ -8513,7 +8544,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jaccard_pairs": """
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+                SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
             ),
             sh AS (
                 SELECT doc_id,
@@ -8538,7 +8569,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_containment_pairs": """
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+                SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
             ),
             sh AS (
                 SELECT doc_id,
@@ -8672,7 +8703,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
                        CASE WHEN len({_TOKS}) > 0 THEN
-                           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                           CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE)
                                / len({_TOKS})
                        ELSE 0.0 END AS mtl,
                        CASE WHEN len({_TOKS}) > 0 THEN
@@ -8965,7 +8996,7 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
             SELECT doc_id, source, n_chars,
                    trim(regexp_replace(regexp_replace(lower(text),
-                        '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')) AS canon
+                        '[.,;:!?]', '', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS canon
             FROM documents
         )
         SELECT doc_id, source, n_chars
@@ -8992,7 +9023,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
             SELECT source, lang, n_chars,
                    CASE WHEN trim(text) = '' THEN 0.0
-                        ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
                    END AS ntok
             FROM documents
         )
@@ -9027,7 +9058,7 @@ def oracle_sql() -> dict[str, str]:
         WITH counts AS (
             SELECT doc_id, source, n_chars,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                    END AS n_tok
             FROM documents
         ),
@@ -9044,10 +9075,10 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '\s+')
+                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
                    END AS toks,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS toks_l
             FROM documents
         ),
@@ -9244,7 +9275,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_word_udtf"] = r"""
         SELECT doc_id, COUNT(*) AS n_words, MAX(LENGTH(w)) AS max_word_len,
                MIN(w) AS first_word
-        FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+        FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS w
               FROM documents)
         WHERE LENGTH(w) > 0
         GROUP BY doc_id
@@ -9367,7 +9398,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_tfidf_topk"] = r"""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term
             FROM documents WHERE trim(text) <> ''
         ),
         tf AS (
@@ -9552,7 +9583,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_decontaminate"] = r"""
         WITH toks AS (
             SELECT doc_id, source, n_chars,
-                   string_split_regex(trim(text), '\s+') AS t
+                   string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
             FROM documents
         ),
         sh AS (
@@ -9969,7 +10000,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_bigram_topk"] = """
         WITH toks AS (
-            SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+            SELECT string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
         ), bg AS (
             SELECT unnest(list_transform(
                        generate_series(1, len(t) - 1),
@@ -10058,7 +10089,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '\s+') END AS t
+                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') END AS t
             FROM documents
         ),
         trows AS (
@@ -10140,7 +10171,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (
             SELECT doc_id, lang,
                    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS toks
             FROM documents
         ),
@@ -10351,7 +10382,7 @@ def oracle_sql() -> dict[str, str]:
         WITH counted AS (
             SELECT doc_id, source, n_chars,
                    CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                    END AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -10411,7 +10442,7 @@ def oracle_sql() -> dict[str, str]:
     # xxhash64 key is a size optimization, collision-free at this scale)
     oracles["docs_contamination_report"] = r"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
             FROM documents
         ),
         sh AS (
@@ -10509,7 +10540,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         ),
         paras AS (
-            SELECT did, string_split_regex(trim(lower(p)), '\s+') AS toks
+            SELECT did, string_split_regex(trim(lower(p)), '[ \t\n\x0b\f\r]+') AS toks
             FROM (SELECT did, unnest(string_split(text, chr(10))) AS p
                   FROM grouped)
             WHERE trim(p) != ''
@@ -10569,7 +10600,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
             SELECT doc_id,
                    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
                    END AS toks
             FROM documents
         ),
@@ -10752,7 +10783,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dtoks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -10781,7 +10812,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_winnowing_fps"] = r"""
         WITH corpus AS (SELECT doc_id AS id, text AS tx FROM documents),
         norm AS (
-            SELECT id, regexp_replace(lower(trim(tx)), '\s+', ' ', 'g') AS t
+            SELECT id, regexp_replace(lower(trim(tx)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
             FROM corpus
         ),
         p AS (
@@ -10810,7 +10841,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id,
                CAST(greatest(length(regexp_replace(lower(trim(d.text)),
-                                                   '\s+', ' ', 'g')) - 7, 0)
+                                                   '[ \t\n\x0b\f\r]+', ' ', 'g')) - 7, 0)
                     AS BIGINT) AS n_grams,
                CAST(COALESCE(pd.n_fps, 0) AS BIGINT) AS n_fps,
                CAST(COALESCE(pd.fp_checksum, 0) AS BIGINT) AS fp_checksum
@@ -10834,7 +10865,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         ),
         norm AS (
-            SELECT id, regexp_replace(lower(trim(tx)), '\s+', ' ', 'g') AS t
+            SELECT id, regexp_replace(lower(trim(tx)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
             FROM corpus
         ),
         p AS (
@@ -10877,7 +10908,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tk AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -10984,7 +11015,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dtoks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '\s+')
+                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -11045,7 +11076,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dtoks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -11066,7 +11097,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dtoks AS (
             SELECT source,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                    END AS ntok
             FROM documents
         ),
@@ -11226,7 +11257,7 @@ def oracle_sql() -> dict[str, str]:
         WITH per AS (
             SELECT source,
                    CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                             END) AS BIGINT) AS w
             FROM documents GROUP BY source
         ),
@@ -11553,7 +11584,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         counted AS (
             SELECT *, CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(string_split_regex(trim(text), '\\s+')) * 1.0
+                      ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) * 1.0
                       END AS n_tok
             FROM soft
         ),
@@ -11625,7 +11656,7 @@ def oracle_sql() -> dict[str, str]:
         WITH per AS (
             SELECT source AS key,
                    sum(CASE WHEN trim(text) = '' THEN 0.0
-                       ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                       ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
                        END) AS w
             FROM documents GROUP BY source
         ),
@@ -11795,7 +11826,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
             SELECT source, doc_id, n_chars,
                    CASE WHEN trim(text) = '' THEN 0.0
-                        ELSE len(string_split_regex(trim(text), '\s+')) * 1.0
+                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
                    END AS w
             FROM documents
         ),
@@ -12110,7 +12141,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dtoks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -12387,7 +12418,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '\s+')
+                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -12537,7 +12568,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
                    END AS t
             FROM documents
         ),
@@ -12762,6 +12793,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY FLOOR(epoch(ts)), event_id, value) AS rn
             FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
         ),
         c AS (SELECT * FROM p WHERE rn <= 64),
         s AS (SELECT user_id, COUNT(*) AS n_points FROM c GROUP BY user_id),
@@ -12782,16 +12814,20 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["events_mann_kendall"] = f"""
         {_PAIR_BASE}
-        SELECT user_id, n_points, s_stat,
-               CAST(s_stat AS DOUBLE)
-                   / CAST(n_points * (n_points - 1) // 2 AS DOUBLE) AS tau
-        FROM (
-            SELECT pr.user_id, s.n_points,
-                   SUM(CAST(SIGN(pr.dv) AS BIGINT)) AS s_stat
-            FROM pr JOIN s ON pr.user_id = s.user_id
-            GROUP BY pr.user_id, s.n_points
-            HAVING s.n_points >= 8
-        )
+        SELECT pr.user_id, s.n_points,
+               SUM(CAST(SIGN(pr.dv) AS BIGINT)) AS s_stat,
+               COUNT(*) AS n_pairs
+        FROM pr JOIN s ON pr.user_id = s.user_id
+        GROUP BY pr.user_id, s.n_points
+        HAVING s.n_points >= 8
+    """
+    oracles["events_pair_probe"] = f"""
+        {_PAIR_BASE}
+        SELECT pr.user_id, s.n_points, COUNT(*) AS n_pairs,
+               SUM(CAST(SIGN(pr.dv) AS BIGINT)) AS s_sum,
+               SUM(pr.dts) AS sum_dts
+        FROM pr JOIN s ON pr.user_id = s.user_id
+        GROUP BY pr.user_id, s.n_points
     """
     oracles["events_ohlc_bars"] = """
         WITH s AS (
@@ -12886,7 +12922,7 @@ def oracle_sql() -> dict[str, str]:
         dtoks AS (
             SELECT doc_id, lang,
                    CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                        ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -12924,9 +12960,16 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY chi6 DESC, tok ASC) AS rank
             FROM scored
         )
-        SELECT lang, tok AS token, df_in, df_out,
-               CAST(chi6 AS DOUBLE) / 1e6 AS chi2, rank
+        SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["docs_token_stream_probe"] = f"""
+        WITH {_LANG_STREAM},
+        occ AS (SELECT DISTINCT doc_id, lang, tok FROM stream)
+        SELECT lang, COUNT(*) AS n_doc_tok_pairs,
+               COUNT(DISTINCT tok) AS n_tokens,
+               SUM({_POLY_SQL.format(s="tok")}) % 2147483647 AS hash_mod
+        FROM occ GROUP BY lang
     """
     oracles["docs_nb_confusion"] = f"""
         WITH {_LANG_STREAM},

@@ -80,7 +80,7 @@ def word_ngrams_kernel(n: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
 
     @pandas_udf("array<string>")
     def _grams(texts):
@@ -806,7 +806,7 @@ def canonical_text_expr(text) -> "F.Column":
     pure JVM regex (portable to RE2 for the oracle)."""
     t = F.lower(text)
     t = F.regexp_replace(t, "[.,;:!?]", "")
-    t = F.regexp_replace(t, "\\s+", " ")
+    t = F.regexp_replace(t, "[ \\t\\n\\x0b\\f\\r]+", " ")
     return F.trim(t)
 
 
@@ -1409,7 +1409,7 @@ def winnowing_fingerprints(
         F.count(F.lit(1)).alias("n_fps"),
         (F.sum("fp") % F.lit(POLY_MOD)).alias("fp_checksum"),
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.greatest(
@@ -1497,7 +1497,7 @@ def _winnow_fp_sets(
     bit-equal."""
     from sensordatapipelines_spark.operators.sketches import CMS_A, CMS_B
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
     if engine == "kernel":
         base = df.select(F.col(id_col).cast("long").alias("__id"), norm.alias("__t"))
         return base.mapInPandas(

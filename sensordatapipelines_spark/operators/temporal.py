@@ -1447,7 +1447,16 @@ def _ordered_pairs(
     explicit scale bound; pair fan-out is m²/2 per group, never corpus²),
     then a JVM-side combination explode — the ``market_basket_pairs``
     pattern, no self-join. Ordering is (floor-epoch-second, tiebreak),
-    exactly the convention the SQL oracles replay."""
+    exactly the convention the SQL oracles replay. Rows with a NULL
+    timestamp, value or tiebreak are dropped FIRST: Spark ``sort_array``
+    sorts null struct fields before non-null while SQL ``ORDER BY``
+    defaults nulls last, so letting NULLs into the ``max_points`` cap
+    would let the two engines select different observation subsets."""
+    df = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+    )
     pts = df.select(
         F.col(group_col),
         F.struct(
@@ -1523,29 +1532,57 @@ def mann_kendall(
     min_points: int = 8,
 ) -> DataFrame:
     """Mann–Kendall trend test per group → ``(group, n_points, s_stat,
-    tau)``: S = Σ sign(v_j − v_i) over all time-ordered pairs i<j (value
-    ties contribute 0), Kendall's tau = S / (m(m−1)/2). The standard
-    nonparametric monotone-trend detector for sensor series — needs no
-    distribution assumption and pairs share ``_ordered_pairs``' bounded
-    explode. S is an exact BIGINT sum (order-independent); tau is the
-    single UNROUNDED IEEE division of two exact BIGINTs (s / (m(m−1)/2),
-    the denominator always integral) — bit-deterministic cross-engine
-    with no ROUND tie-break to disagree on (SCALE.md lesson 3)."""
+    n_pairs)``: S = Σ sign(v_j − v_i) over all time-ordered pairs i<j
+    (value ties contribute 0). The standard nonparametric monotone-trend
+    detector for sensor series — needs no distribution assumption and
+    pairs share ``_ordered_pairs``' bounded explode. Every output column
+    is an exact integer (S is an order-independent BIGINT sum of signs;
+    ``n_pairs`` the capped pair count m(m−1)/2): a consumer derives
+    Kendall's tau as ``s_stat / n_pairs`` at whatever precision it wants,
+    and the gate itself has NO floating-point surface left to diverge on
+    cross-engine."""
     pairs = _ordered_pairs(df, group_col, ts_col, value_col, tiebreak_col, max_points)
     return (
         pairs.groupBy(group_col)
         .agg(
             F.max("__m").alias("n_points"),
             F.sum(F.signum("__dv").cast("long")).alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
         )
         .filter(F.col("n_points") >= F.lit(int(min_points)))
-        .withColumn(
-            "tau",
-            F.col("s_stat").cast("double")
-            / F.floor(
-                (F.col("n_points") * (F.col("n_points") - 1)) / F.lit(2)
-            ).cast("double"),
-        )
+    )
+
+
+@register("pair_probe")
+def pair_probe(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    max_points: int = 64,
+) -> DataFrame:
+    """Pair-selection bisection probe → per group ``(group, n_points,
+    n_pairs, s_sum, sum_dts)`` over the SAME capped ordered-pair stream
+    Theil–Sen and Mann–Kendall consume — but with NO ``min_points``
+    filter and all-integer columns (pair count, Σ sign(Δv), Σ Δt
+    seconds).
+
+    Purpose: localize cross-engine divergence in ``_ordered_pairs``'
+    cap-and-order machinery. ``sum_dts`` is sensitive to WHICH
+    ``max_points`` observations the cap selected and their time order;
+    ``s_sum`` to the value deltas. If this gate is green on a dataset,
+    both engines picked identical observation subsets in identical
+    order, so a red Mann–Kendall/Theil–Sen must be in that gate's own
+    aggregation; if red, the selection itself diverges (ordering,
+    NULLs, timestamp parsing). Same single keyed shuffle + bounded
+    m²/2 explode as the trend gates."""
+    pairs = _ordered_pairs(df, group_col, ts_col, value_col, tiebreak_col, max_points)
+    return pairs.groupBy(group_col).agg(
+        F.max("__m").alias("n_points"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.signum("__dv").cast("long")).alias("s_sum"),
+        F.sum("__dts").alias("sum_dts"),
     )
 
 

@@ -28,12 +28,23 @@ STOPWORDS_EN: tuple[str, ...] = LANG_MARKERS["en"] + ("it", "for", "on", "with")
 PUNCT_CHARS = ".,;:!?"
 
 
+#: The ONE whitespace class shared verbatim by every engine that tokenizes:
+#: Java regex (Spark ``F.split``), RE2 (DuckDB oracles via
+#: ``string_split_regex``) and Python ``re`` (Arrow kernels). Java's ``\s``
+#: includes ``\x0B`` (vertical tab) while RE2's does NOT — spelling the class
+#: out removes the only cross-engine divergence whitespace splitting can have.
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization; empty/blank text → empty array (pandas/SQL
-    portable: ``split`` of an empty string yields [''], which we normalize)."""
+    portable: ``split`` of an empty string yields [''], which we normalize).
+    Splits on the explicit ``WS_CLASS`` — identical byte set in Java regex,
+    RE2 and Python ``re`` (Java ``\\s`` alone would include ``\\x0B`` that
+    RE2's does not)."""
     t = F.trim(text)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, WS_CLASS + "+")
     )
 
 
@@ -99,7 +110,7 @@ def _quality_kernel():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
     stop = frozenset(STOPWORDS_EN)
 
     @pandas_udf("double")
@@ -180,7 +191,7 @@ def _lang_id_kernel():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
     langs = sorted(LANG_MARKERS)
     marker_sets = [frozenset(LANG_MARKERS[lang]) for lang in langs]
 
@@ -239,7 +250,7 @@ POLY_MOD = 2147483647  # 2^31 - 1
 # non-alnum-non-space symbols — the coarse shape of GPT-2-style pre-split,
 # restricted to constructs whose semantics are identical in Java regex
 # (Spark) and RE2 (DuckDB) so token counts oracle-match exactly.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 def bpe_tokens_expr(text: Column) -> Column:
@@ -281,6 +292,49 @@ def poly_hash_expr(text: Column, mod: int = POLY_MOD) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + F.ascii(c).cast("long")) % F.lit(mod),
+    )
+
+
+@register("token_stream_probe")
+def token_stream_probe(
+    df: DataFrame,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = POLY_MOD,
+) -> DataFrame:
+    """Tokenization-bisection probe → per class ``(class,
+    n_doc_tok_pairs, n_tokens, hash_mod)``: the distinct (document,
+    token) pair count, the distinct token count, and Σ poly-hash(token)
+    mod P over the distinct pairs — ALL integers, no ranking, no floats.
+
+    Purpose: localize cross-engine divergence in the token stream
+    itself. Every token-derived gate (χ², TF-IDF, Naive Bayes, quality)
+    consumes the same lowered whitespace-split stream; if THIS gate is
+    green on a dataset, the engines agree on every (doc, token) pair
+    byte-for-byte (the checksum is order-free and content-sensitive), so
+    any downstream red must live in that gate's own math — and if this
+    gate is red, tokenization (or text ingestion) diverges upstream.
+    Plan shape: explode → distinct → one vocabulary-scale aggregate; the
+    checksum sum is bounded by pairs·2³¹ (int64-safe through ~4e9 pairs,
+    far past gate scale)."""
+    occ = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(class_col).alias("__cls"),
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .distinct()
+    )
+    return (
+        occ.groupBy(F.col("__cls").alias(class_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_tok_pairs"),
+            F.count_distinct(F.col("__tok")).alias("n_tokens"),
+            (F.sum(poly_hash_expr(F.col("__tok"))) % F.lit(int(mod)))
+            .cast("long")
+            .alias("hash_mod"),
+        )
     )
 
 
@@ -1015,7 +1069,7 @@ def hashed_bucket_kernel(n_buckets: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
     M = POLY_MOD
 
     @pandas_udf("array<long>")
@@ -1288,7 +1342,11 @@ def chi2_terms(
     scanned ONCE. Determinism: every χ² is a single fixed-order double
     expression over exact integer counts (bit-identical cross-engine);
     ranking quantizes to an e6 BIGINT first so the top-k window can
-    never flip on a representation detail, with token as tiebreak."""
+    never flip on a representation detail, with token as tiebreak — and
+    the quantized BIGINT ``chi6`` (χ²·10⁶ floored) IS the emitted score:
+    the output schema is all-integer apart from the token/class strings,
+    so the gate has no floating-point surface at all. Consumers wanting
+    the raw statistic divide by 1e6."""
     toks = tokens_expr(F.lower(F.col(text_col)))
     # distinct (doc, class, token): document frequency, not term frequency
     occ = df.select(
@@ -1342,7 +1400,7 @@ def chi2_terms(
             F.col("__tok").alias("token"),
             "df_in",
             "df_out",
-            (F.col("__chi6").cast("double") / F.lit(1e6)).alias("chi2"),
+            F.col("__chi6").alias("chi6"),
             "rank",
         )
     )

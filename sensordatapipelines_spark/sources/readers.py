@@ -420,7 +420,7 @@ def open_ascii_grid(
         hdr("cellsize").alias("__cs"),
         hdr("NODATA_value").alias("nodata"),
         F.posexplode(data_lines).alias("__row", "__line"),
-    ).select("*", F.posexplode(F.split(F.trim("__line"), r"\s+")).alias("px", "__tok"))
+    ).select("*", F.posexplode(F.split(F.trim("__line"), "[ \\t\\n\\x0b\\f\\r]+")).alias("px", "__tok"))
     py = F.col("__nrows") - 1 - F.col("__row")
     x = F.col("__xll") + F.col("px").cast("double") * F.col("__cs")
     y = F.col("__yll") + py.cast("double") * F.col("__cs")

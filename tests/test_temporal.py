@@ -794,8 +794,8 @@ def test_mann_kendall_monotone(spark):
     dec = [("dn", base + dt.timedelta(hours=i), float(-i), i) for i in range(10)]
     df = spark.createDataFrame(inc + dec, "g string, ts timestamp, v double, i long")
     out = {r.g: r for r in mann_kendall(df, "g", "ts", "v", "i", min_points=5).collect()}
-    assert out["up"].s_stat == 45 and out["up"].tau == 1.0
-    assert out["dn"].s_stat == -45 and out["dn"].tau == -1.0
+    assert out["up"].s_stat == 45 and out["up"].n_pairs == 45
+    assert out["dn"].s_stat == -45 and out["dn"].n_pairs == 45
 
 
 def test_ohlc_resample_ties(spark):

@@ -1194,11 +1194,11 @@ def test_chi2_terms_perfect_association(spark):
     top = {(r.lang, r.rank): r for r in out}
     assert top[("A", 1)].token == "aaa"
     assert top[("B", 1)].token == "bbb"
-    # perfect association: chi2 == N == 12
-    assert abs(top[("A", 1)].chi2 - 12.0) < 1e-6
+    # perfect association: chi2 == N == 12 -> chi6 == 12e6
+    assert top[("A", 1)].chi6 == 12_000_000
     assert (top[("A", 1)].df_in, top[("A", 1)].df_out) == (6, 0)
     # the uniform token scores zero
-    assert abs(top[("A", 2)].chi2) < 1e-6
+    assert top[("A", 2)].chi6 == 0
 
 
 def test_naive_bayes_separable(spark):

@@ -49,7 +49,7 @@ def test_chi2_floor_is_tie_free_on_exact_halfway(spark):
 
     # χ²·1e6 must hit the engineered half-integer exactly: floor -> .5 gone
     zap = spark_pdf[spark_pdf["token"] == "zap"].iloc[0]
-    assert zap["chi2"] == 1195312 / 1e6
+    assert zap["chi6"] == 1195312
 
     import __spark_entry__ as entry
 
@@ -65,9 +65,10 @@ def test_chi2_floor_is_tie_free_on_exact_halfway(spark):
 def test_mann_kendall_tau_bit_equal_duckdb(spark):
     """Constructed series (ties, strictly negative trend, mixed signs,
     and an m=17 group whose pair denominator 136 exercises a non-dyadic
-    rational tau) must produce bit-identical (s_stat, tau) in Spark and
-    the DuckDB oracle replay — tau is one unrounded IEEE division of two
-    exact BIGINTs, so repr-level equality is the contract."""
+    integer stats) must produce bit-identical (s_stat, n_pairs) in Spark
+    and the DuckDB oracle replay — the gate output is all-integer now
+    (tau = s_stat/n_pairs is left to consumers), so exact equality is
+    the contract."""
     from sensordatapipelines_spark.operators.temporal import mann_kendall
 
     from datetime import datetime, timedelta
@@ -93,7 +94,7 @@ def test_mann_kendall_tau_bit_equal_duckdb(spark):
     ).toPandas()
     assert set(got["user_id"]) == {1, 2}
     u2 = got[got["user_id"] == 2].iloc[0]
-    assert (u2["s_stat"], u2["tau"]) == (-36, -1.0)
+    assert (u2["s_stat"], u2["n_pairs"]) == (-36, 36)
 
     import __spark_entry__ as entry
 

@@ -40,7 +40,11 @@ def canon(df: pd.DataFrame, strict_float: bool = True) -> pd.DataFrame:
         # matches the same values as DOUBLE on the other (DuckDB widens
         # some integer aggregates); everything else is repr-level exact
         f = float(v)
-        return str(int(f)) if f.is_integer() and abs(f) < 1e15 else repr(f)
+        # int(f) is exact for ANY finite integral double (no magnitude
+        # cutoff): repr would print >=1e16 integral doubles as '1e+16'
+        # while a true BIGINT column prints digits, falsely mismatching
+        # large integral sums across engines
+        return str(int(f)) if f.is_integer() else repr(f)
 
     fmt = _repr if strict_float else (lambda v: f"{v:.9g}")
     out = {}
