@@ -1429,14 +1429,17 @@ def winnowing_fingerprints(
 
 def _winnow_kernel(k: int, window: int):
     """Arrow kernel for the winnowing selection: per doc, codepoint
-    array → all k-gram poly hashes via one (n−k+1, k) @ (k,) int64
-    matmul (fold-with-mod ≡ polynomial-mod-at-end, and the unreduced
-    sum is < 2.4e17 ≪ 2^63 even for astral codepoints, so one final
-    ``% P`` is bit-equal to the expression twin's per-step mod) →
-    affine scramble → sliding-window min → unique. The expression twin
-    (``engine='expr'``) is the oracle-shaped form; the kernel is the
-    hot path (the per-gram ``split``+fold expression costs ~18 s at
-    sf0.1 where this runs in ~1 s — the PQ/DSIR Arrow-kernel lesson)."""
+    array → all k-gram poly hashes via a k-step vectorized Horner fold
+    with a PER-STEP mod (bit-equal to the expression twin's
+    ``poly_hash_expr`` fold by construction, and overflow-free for ANY
+    ``k``: the intermediate is < 31·2³¹ + 0x10FFFF ≪ 2⁶³ — the earlier
+    one-matmul form silently wrapped int64 at k ≥ 10 on astral text) →
+    affine scramble → sliding-window min → unique. Document ids pass
+    through UNTOUCHED at their native type (string ids must not be
+    coerced). The expression twin (``engine='expr'``) is the
+    oracle-shaped form; the kernel is the hot path (the per-gram
+    ``split``+fold expression costs ~18 s at sf0.1 where this runs in
+    ~1 s — the PQ/DSIR Arrow-kernel lesson)."""
     import numpy as np
     import pandas as pd
 
@@ -1444,7 +1447,6 @@ def _winnow_kernel(k: int, window: int):
 
     m = POLY_MOD
     a_c, b_c = CMS_A[0], CMS_B[0]
-    pows = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.int64)
 
     def fn(batches):
         for pdf in batches:
@@ -1457,7 +1459,10 @@ def _winnow_kernel(k: int, window: int):
                     txt.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
                 sw = np.lib.stride_tricks.sliding_window_view(codes, k)
-                h = (a_c * ((sw @ pows) % m) + b_c) % m
+                h = np.zeros(sw.shape[0], dtype=np.int64)
+                for j in range(k):  # Horner with per-step mod: no overflow
+                    h = (h * 31 + sw[:, j]) % m
+                h = (a_c * h + b_c) % m
                 if h.size >= window:
                     wm = np.lib.stride_tricks.sliding_window_view(
                         h, window
@@ -1465,16 +1470,21 @@ def _winnow_kernel(k: int, window: int):
                 else:
                     wm = h.min(keepdims=True)
                 u = np.unique(wm)
-                ids.append(np.full(u.size, did, dtype=np.int64))
+                ids.append(np.repeat(np.array([did], dtype=object), u.size))
                 fps.append(u)
             if ids:
                 yield pd.DataFrame(
-                    {"__id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                    {
+                        "__id": pd.Series(np.concatenate(ids)),
+                        "fp": pd.Series(
+                            np.concatenate(fps).astype(np.int64), dtype="int64"
+                        ),
+                    }
                 )
             else:
                 yield pd.DataFrame(
                     {
-                        "__id": pd.Series([], dtype="int64"),
+                        "__id": pdf["__id"].iloc[0:0],
                         "fp": pd.Series([], dtype="int64"),
                     }
                 )
@@ -1497,11 +1507,17 @@ def _winnow_fp_sets(
     bit-equal."""
     from sensordatapipelines_spark.operators.sketches import CMS_A, CMS_B
 
+    if int(k) < 1:
+        raise ValueError(f"winnowing k-gram size must be >= 1, got {k}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
     if engine == "kernel":
-        base = df.select(F.col(id_col).cast("long").alias("__id"), norm.alias("__t"))
+        # id passes through at its NATIVE type (string doc ids must not
+        # collapse to NULL under a long cast)
+        id_type = df.schema[id_col].dataType.simpleString()
+        base = df.select(F.col(id_col).alias("__id"), norm.alias("__t"))
         return base.mapInPandas(
-            _winnow_kernel(int(k), int(window)), schema="__id long, fp long"
+            _winnow_kernel(int(k), int(window)),
+            schema=f"__id {id_type}, fp long",
         ).distinct()
     n = F.length(norm)
     grams = df.select(

@@ -181,6 +181,15 @@ def _lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit(table[w], width)
+        # the decoder appends one more table entry when it consumes this
+        # final data code, and ITS early-change check fires before it
+        # reads the next code — if that lands exactly on the boundary
+        # (e.g. 766 data codes -> decoder next_code 1023 at width 10),
+        # EOI must be written at the bumped width or strict readers
+        # misparse the tail.  At this point the encoder's next_code
+        # equals the decoder's (the flush registers no entry).
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -645,12 +654,17 @@ def write_geotiff(
         total = sz * count
         sizes.append(total if total > 4 else 0)
     data_off = cur + sum((s + 1) & ~1 for s in sizes)
-    # now fill strip offsets with real (cumulative, codec-sized) positions
+    # now fill strip offsets with real (cumulative, codec-sized) positions;
+    # each strip is padded to EVEN length on disk (TIFF 6.0 requires all
+    # offset values word-aligned — odd-length compressed strips would
+    # otherwise shift every later offset onto an odd byte and strict
+    # readers may reject the file; StripByteCounts still records the true
+    # unpadded codec size)
     strip_offsets = []
     pos = data_off
     for c in strip_counts:
         strip_offsets.append(pos)
-        pos += c
+        pos += (c + 1) & ~1
     final_tags = []
     for tag, ftype, count, vals in tags:
         if tag == _TAG_STRIP_OFFSETS:
@@ -676,5 +690,7 @@ def write_geotiff(
     assert len(out) == data_off, (len(out), data_off)
     for s in strips:
         out += s
+        if len(s) % 2:
+            out += b"\x00"  # word-align the next strip's offset
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -926,6 +926,28 @@ def test_geotiff_compressed_profiles_roundtrip(tmp_path):
     big = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
     assert _lzw_decode(_lzw_encode(big)) == big
 
+    # EOI-at-width-boundary regression: a stream whose adjacent byte pairs
+    # are ALL distinct emits exactly one data code per input byte, so the
+    # byte length dials in the decoder's table size precisely. At 254/766/
+    # 1790 data codes the decoder's early-change check fires right after
+    # the LAST data code (next_code hits 2^w - 1), so EOI must be written
+    # at the bumped width — the encoder previously flushed it one bit
+    # short and strict readers (and our own decoder, modulo truncation)
+    # misparsed the tail.
+    def unique_pair_stream(n: int) -> bytes:
+        seq = bytearray()
+        sep = 0
+        while len(seq) < n:
+            for k in range(sep + 1, 256):
+                seq += bytes((sep, k))
+            sep += 1
+        return bytes(seq[:n])
+
+    for m in (253, 254, 255, 765, 766, 767, 1789, 1790, 1791):
+        s = unique_pair_stream(m)
+        enc = _lzw_encode(s)
+        assert _lzw_decode(enc) == s, f"LZW round-trip broken at {m} codes"
+
     px = np.arange(64)[None, :]
     py = np.arange(64)[:, None]
     cube = np.stack([(px * 31 + py * 17 + b * 7) % 101 for b in (1, 2)]).astype(

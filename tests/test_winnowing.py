@@ -119,3 +119,39 @@ def test_phrase_search_adjacency_not_substring(spark):
     got = [(r.doc_id, r.n_hits, r.first_pos) for r in out]
     # ordering: n_hits desc, first_pos asc, doc_id asc
     assert got == [(1, 2, 0), (4, 1, 0), (2, 1, 5)]
+
+
+def test_winnowing_string_ids_and_large_k(spark):
+    """ADVICE r5 regressions: (a) string doc ids must pass through the
+    kernel at native type (the old long-cast collapsed them to NULL);
+    (b) k >= 13 with astral codepoints must not wrap int64 — the Horner
+    per-step-mod fold is exact for any k and bit-equal to the expr twin."""
+    from sensordatapipelines_spark.operators.dedup import _winnow_fp_sets
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-alpha", "the quick brown fox jumps over the lazy dog"),
+            ("doc-beta", "astral \U0001F600\U0001F4A9\U0001F680 payload "
+                          "with wide \U0010FFFD codepoints spread through"),
+            ("doc-gamma", "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id string, text string",
+    )
+    for k in (8, 13, 16):
+        kern = {
+            (r["__id"], r["fp"])
+            for r in _winnow_fp_sets(docs, "doc_id", "text", k, 4).collect()
+        }
+        expr = {
+            (r["__id"], r["fp"])
+            for r in _winnow_fp_sets(
+                docs, "doc_id", "text", k, 4, engine="expr"
+            ).collect()
+        }
+        assert kern == expr and kern, f"k={k}"
+        ids = {i for i, _ in kern}
+        assert ids == {"doc-alpha", "doc-beta", "doc-gamma"}, f"k={k}: {ids}"
+    # identical docs share identical fingerprint sets
+    a = {fp for i, fp in kern if i == "doc-alpha"}
+    g = {fp for i, fp in kern if i == "doc-gamma"}
+    assert a == g
