@@ -154,6 +154,8 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_gpkg(spark, sf_dir)
     _stage_ascii_grid(spark, sf_dir)
     _stage_geotiff(spark, sf_dir)
+    _stage_geotiff_deflate(spark, sf_dir)
+    _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
@@ -4332,6 +4334,67 @@ def sensors_zonal_from_geotiff_deflate(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _stage_geotiff_fpred(spark: SparkSession, sf_dir: str) -> str:
+    """The SAME synthetic raster, exported as float32 DEFLATE strips with
+    the FLOATING-POINT predictor (GDAL ``-co COMPRESS=DEFLATE -co
+    PREDICTOR=3`` — the standard float DEM/analysis-raster profile).
+    Values are small integers, exact in float32, so pixels equal the
+    integer twins' and the zonal oracle transfers bit-exactly; what
+    changes is the byte path — byte-plane re-interleave + byte cumsum
+    inside the Arrow decode kernel (``sources/geotiff.py``,
+    ``_undo_fp_predictor``)."""
+
+    def build(stage: str) -> None:
+        import numpy as np
+
+        from sensordatapipelines_spark.sources.geotiff import write_geotiff
+
+        px = np.arange(64)[None, :]
+        py = np.arange(64)[:, None]
+        cube = np.stack(
+            [(px * 31 + py * 17 + band * 7) % 101 for band in (1, 2)]
+        ).astype(np.float32)
+        write_geotiff(
+            f"{stage}/raster.tif",
+            cube[:, ::-1, :],
+            pixel_scale=(0.005, 0.005),
+            upper_left=(0.0, 64 * 0.005),
+            nodata=0,
+            dtype="f4",
+            compression="deflate",
+            predictor=3,
+        )
+
+    return _staged(spark, sf_dir, "geotiff_fpred_src", build)
+
+
+def sensors_zonal_from_geotiff_fpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end from a float32 PREDICTOR=3 deflate GeoTIFF (the
+    profile real float DEMs ship with; reference ``rasterio.open``
+    consumes any GDAL profile, ``/root/reference/src/
+    data_preprocessing.py:471,515-538``). Pixels equal the integer
+    twins', so ``sensors_zonal_stats``' oracle is reused verbatim — the
+    gate proves the floating-point predictor byte path."""
+    from sensordatapipelines_spark.operators.spatial import zonal_stats
+    from sensordatapipelines_spark.sources.geotiff import open_geotiff
+
+    _register_views(spark, sf_dir)
+    stage = _stage_geotiff_fpred(spark, sf_dir)
+    cells = open_geotiff(spark, stage)
+    out = zonal_stats(
+        _sensors(spark),
+        cells,
+        bands=[1, 2],
+        buffer_size=0.0075,
+        funcs=("mean", "max"),
+        source_name="rast",
+    )
+    stat_cols = [c for c in out.columns if "_rast_" in c]
+    return out.select(
+        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+    )
+
+
 def _stage_shapefile(spark: SparkSession, sf_dir: str) -> str:
     """Stage the WKB_ZONES vertices as a REAL ESRI Shapefile layer
     (.shp main file + .dbf attribute table) — the reference's default
@@ -7134,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_zonal_from_grid": sensors_zonal_from_grid,
         "sensors_zonal_from_geotiff": sensors_zonal_from_geotiff,
         "sensors_zonal_from_geotiff_deflate": sensors_zonal_from_geotiff_deflate,
+        "sensors_zonal_from_geotiff_fpred": sensors_zonal_from_geotiff_fpred,
         "sensors_shapefile_export": sensors_shapefile_export,
         "docs_url_filter": docs_url_filter,
         "docs_term_blocklist": docs_term_blocklist,
@@ -10144,6 +10208,7 @@ def oracle_sql() -> dict[str, str]:
     # the deflate+predictor staging decodes to the SAME pixels by
     # construction -> same zonal oracle
     oracles["sensors_zonal_from_geotiff_deflate"] = oracles["sensors_zonal_stats"]
+    oracles["sensors_zonal_from_geotiff_fpred"] = oracles["sensors_zonal_stats"]
     # POINT-shapefile export/re-ingest must reproduce the source exactly
     oracles["sensors_shapefile_export"] = f"SELECT * FROM ({SENSORS_SQL})"
     # synthetic per-doc URL is a pure function of doc_id; suffix-match via

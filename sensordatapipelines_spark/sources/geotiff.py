@@ -265,6 +265,47 @@ def _undo_predictor(block: bytes, rows: int, ncols: int, spp: int,
     return undone.tobytes()
 
 
+def _undo_fp_predictor(block: bytes, rows: int, ncols: int, spp: int,
+                       dt: np.dtype) -> np.ndarray:
+    """Undo the floating-point predictor (tag 317 = 3, TIFF Technical
+    Note 3, the GDAL ``PREDICTOR=3`` float32/64 DEM profile): each row
+    stores its values byte-DEINTERLEAVED into per-significance planes
+    (plane 0 = most-significant byte of every value, MSB-first regardless
+    of file byte order — libtiff ``tif_predict.c`` convention) with
+    byte-wise horizontal differencing on top. The inverse is a modular
+    byte cumsum across the whole row, then plane re-interleave and a
+    big-endian reinterpret. Returns the decoded ``(rows, ncols·spp)``
+    array directly (native float)."""
+    wc = ncols * spp
+    bps = dt.itemsize
+    b = np.frombuffer(block, dtype=np.uint8).reshape(rows, wc * bps)
+    acc = np.cumsum(b.astype(np.int64), axis=1).astype(np.uint8)
+    planes = acc.reshape(rows, bps, wc)
+    be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    out = np.frombuffer(
+        be.tobytes(), dtype=np.dtype(">" + dt.kind + str(bps))
+    ).reshape(rows, wc)
+    return out
+
+
+def _apply_fp_predictor(data: np.ndarray) -> np.ndarray:
+    """Forward floating-point predictor for the writer: ``data`` is the
+    chunky ``(nrows, ncols, spp)`` native-float cube; returns the
+    ``(nrows, row_bytes)`` uint8 rows ready for per-strip compression
+    (inverse of ``_undo_fp_predictor``)."""
+    nrows, ncols, spp = data.shape
+    wc = ncols * spp
+    bps = data.dtype.itemsize
+    be = np.ascontiguousarray(data.astype(data.dtype.newbyteorder(">")))
+    rowb = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(nrows, wc, bps)
+    planes = np.ascontiguousarray(rowb.transpose(0, 2, 1)).reshape(
+        nrows, wc * bps
+    )
+    wide = planes.astype(np.int16)
+    wide[:, 1:] -= wide[:, :-1].copy()
+    return wide.astype(np.uint8)
+
+
 def _read_ifd(payload: bytes, bo: str, off: int) -> dict[int, list]:
     """One IFD → ``{tag: [values...]}`` with out-of-line values followed."""
     (n,) = struct.unpack_from(bo + "H", payload, off)
@@ -348,9 +389,10 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if int(tags.get(_TAG_PLANAR, [1])[0]) != 1:
         raise ValueError("planar (PlanarConfiguration=2) TIFF not supported")
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(
-            f"TIFF predictor {predictor} not supported (only none/horizontal)"
+            f"TIFF predictor {predictor} not supported "
+            "(none/horizontal/floating-point)"
         )
 
     ncols = int(tags[_TAG_WIDTH][0])
@@ -388,7 +430,11 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if predictor == 2 and dt.kind == "f":
         raise ValueError(
             "horizontal predictor on float samples not supported "
-            "(use Predictor=1 or 3-as-reexport)"
+            "(use Predictor=1 or the floating-point Predictor=3)"
+        )
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError(
+            "floating-point predictor (3) requires IEEE float samples"
         )
 
     def _block_values(off: int, cnt: int, rows: int, width_px: int) -> np.ndarray:
@@ -400,6 +446,8 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         block = block[:want]
         if predictor == 2:
             block = _undo_predictor(block, rows, width_px, spp, dt)
+        elif predictor == 3:
+            return _undo_fp_predictor(block, rows, width_px, spp, dt)
         return np.frombuffer(block, dtype=dt).reshape(rows, width_px * spp)
 
     flat = np.zeros((nrows, ncols * spp), dtype=np.float64)
@@ -551,7 +599,7 @@ def write_geotiff(
     nodata: float | None = None,
     dtype: str = "f8",
     compression: str = "none",
-    predictor: bool = False,
+    predictor: bool | int = False,
 ) -> None:
     """Minimal little-endian GeoTIFF writer (staging + export parity;
     driver-side, small-raster contract like the GeoJSON sink). ``cube``
@@ -560,8 +608,10 @@ def write_geotiff(
     ``upper_left`` is the model coordinate of the raster's top-left
     CORNER; ``dtype`` any of u1/i2/i4/f4/f8; ``compression`` one of
     none/deflate/lzw/packbits (per-strip codecs, the GDAL ``-co
-    COMPRESS=`` profiles); ``predictor=True`` adds horizontal
-    differencing (tag 317 = 2, integer dtypes only)."""
+    COMPRESS=`` profiles); ``predictor=True``/``2`` adds horizontal
+    differencing (tag 317 = 2, integer dtypes only) and ``predictor=3``
+    the floating-point byte-plane predictor (float dtypes only — the
+    GDAL ``PREDICTOR=3`` DEM profile)."""
     arr = np.asarray(cube)
     if arr.ndim == 2:
         arr = arr[None, :, :]
@@ -577,16 +627,25 @@ def write_geotiff(
         raise ValueError(
             f"compression must be none|deflate|lzw|packbits, got {compression!r}"
         )
-    if predictor and dt.kind == "f":
+    pred_code = {False: 1, True: 2}[predictor] if isinstance(
+        predictor, bool
+    ) else int(predictor)
+    if pred_code not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1/2/3, got {predictor!r}")
+    if pred_code == 2 and dt.kind == "f":
         raise ValueError("horizontal predictor requires an integer dtype")
+    if pred_code == 3 and dt.kind != "f":
+        raise ValueError("floating-point predictor requires a float dtype")
     # chunky interleave rows: (row, col, sample)
     data = np.ascontiguousarray(arr.transpose(1, 2, 0).astype(dt))
-    if predictor:
+    if pred_code == 2:
         # horizontal differencing: sample minus same sample one pixel
         # left, modulo 2^bits (int64 diff + truncating cast)
         wide = data.astype(np.int64)
         wide[:, 1:, :] -= wide[:, :-1, :].copy()
         data = np.ascontiguousarray(wide.astype(dt))
+    elif pred_code == 3:
+        data = _apply_fp_predictor(data)
     row_bytes = ncols * n_bands * dt.itemsize
 
     tags: list[tuple[int, int, int, object]] = []  # (tag, type, count, values)
@@ -626,8 +685,8 @@ def write_geotiff(
         [0.0, 0.0, 0.0, float(upper_left[0]), float(upper_left[1]), 0.0])
     if nodata_ascii is not None:
         add(_TAG_GDAL_NODATA, 2, nodata_ascii)
-    if predictor:
-        add(_TAG_PREDICTOR, 3, 2)
+    if pred_code != 1:
+        add(_TAG_PREDICTOR, 3, pred_code)
     # strip offsets filled after layout
     add(_TAG_STRIP_OFFSETS, 4, [0] * nrows)
     add(_TAG_STRIP_COUNTS, 4, strip_counts)

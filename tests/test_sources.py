@@ -1088,3 +1088,64 @@ def test_binary_parsers_corrupt_input_typed_errors():
                 fn(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_geotiff_float_predictor3_roundtrip(tmp_path):
+    """Floating-point predictor (tag 317 = 3, TIFF TechNote 3 — the GDAL
+    ``PREDICTOR=3`` float DEM profile): byte-plane deinterleave
+    (MSB-plane first, the libtiff ``tif_predict.c`` convention) +
+    byte-wise horizontal differencing. The JDK TIFF codec rejects
+    predictor 3 outright, so the layout is pinned two ways: value-exact
+    round-trips across dtypes/codecs, and a hand-computed on-disk byte
+    check — [1.0f, -2.5f] is BE ``3F800000 C0200000``, planes
+    ``3F C0 80 20 00 00 00 00``, differenced ``3F 81 C0 A0 E0 00 00 00``."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        _read_ifd,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    tiny = str(tmp_path / "tiny_fp3.tif")
+    write_geotiff(
+        tiny, np.array([[1.0, -2.5]], dtype="<f4"),
+        dtype="f4", compression="none", predictor=3,
+    )
+    payload = open(tiny, "rb").read()
+    (off,) = struct.unpack_from("<I", payload, 4)
+    tags = _read_ifd(payload, "<", off)
+    assert tags[317] == [3]
+    soff, scnt = tags[273][0], tags[279][0]
+    assert payload[soff : soff + scnt] == bytes.fromhex("3f81c0a0e0000000")
+    arr, _meta = parse_geotiff(payload)
+    assert np.array_equal(arr, np.array([[[1.0, -2.5]]]))
+
+    rng = np.random.default_rng(3)
+    for dtype in ("f4", "f8"):
+        for comp in ("none", "deflate", "lzw", "packbits"):
+            cube = rng.normal(size=(2, 37, 53)).astype("<" + dtype)
+            path = str(tmp_path / f"fp3_{dtype}_{comp}.tif")
+            write_geotiff(
+                path, cube, pixel_scale=(0.5, 0.25), upper_left=(10.0, 20.0),
+                nodata=-9999.0, dtype=dtype, compression=comp, predictor=3,
+            )
+            arr, meta = parse_geotiff(open(path, "rb").read())
+            assert arr.shape == (2, 37, 53)
+            assert np.array_equal(arr, cube.astype(np.float64)), (dtype, comp)
+            assert (meta["sx"], meta["sy"]) == (0.5, 0.25)
+
+    # predictor/dtype compatibility is validated both directions
+    with pytest.raises(ValueError, match="float"):
+        write_geotiff(
+            str(tmp_path / "bad.tif"), np.zeros((2, 2)),
+            dtype="i2", compression="deflate", predictor=3,
+        )
+    with pytest.raises(ValueError, match="integer"):
+        write_geotiff(
+            str(tmp_path / "bad2.tif"), np.zeros((2, 2)),
+            dtype="f4", compression="deflate", predictor=2,
+        )
