@@ -7326,10 +7326,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is still locally verified every round (LOCAL_ORACLE ledger +
     # tools/check_oracle.py); this ordering only steers which 50 get an
     # independent driver row next.
-    head = [n for n in _ROUND5_SAMPLE_FIRST if n in q]
+    head = [n for n in _ROUND6_SAMPLE_FIRST if n in q]
     rest = [n for n in q if n not in set(head)]
     return {n: q[n] for n in (*head, *rest)}
 
+
+# Round-6 driver-sample rotation: the two persistent red gates first
+# (now integer-only), immediately followed by their bisection probes so
+# ONE driver run localizes any residual divergence, then this round's
+# new fpred gate, then 44 of the 71 queries that have never appeared in
+# any CORRECTNESS_r* file (cumulative driver-checked after r5: 212 of
+# 280) — the 50-query sample = 2 retests + 2 probes + 1 new + 45 fresh.
+_ROUND6_SAMPLE_FIRST = [
+    "docs_chi2_terms",
+    "events_mann_kendall",
+    "docs_token_stream_probe",
+    "events_pair_probe",
+    "sensors_zonal_from_geotiff_fpred",
+    "events_quality_audit",
+    "q18_large_orders",
+    "lineitem_cube",
+    "events_approx_distinct",
+    "sensors_morton_order",
+    "orders_semi_join",
+    "customer_anti_join",
+    "events_rms_udaf",
+    "docs_word_udtf",
+    "events_distinct_users",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "events_session_native",
+    "events_robust_stats",
+    "lineitem_grouping_sets",
+    "docs_normalize",
+    "events_resample_ffill",
+    "events_resample_interp",
+    "events_corr_hour",
+    "events_regr_trend",
+    "events_stats_unpivot",
+    "lineitem_moments",
+    "docs_char_entropy",
+    "docs_bigram_topk",
+    "events_position_attribution",
+    "events_km_survival",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "events_cusum_alarms",
+    "orders_dq_report",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_matryoshka_recall",
+    "docs_bigram_logprob",
+    "events_kmv_overlap",
+    "events_rolling_actives",
+    "events_seasonal_decompose",
+    "docs_stratified_sample",
+]
 
 # Round-5 driver-sample rotation: the two r4 hash-red gates (now
 # tie-free -- their green r5 rows are the round's acceptance test)
