@@ -158,6 +158,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
+    _stage_wav_g711(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -3137,6 +3138,68 @@ def _stage_wav(spark: SparkSession, sf_dir: str) -> str:
                 f.write(wav)
 
     return _staged(spark, sf_dir, "wav_src", build)
+
+
+def _stage_wav_g711(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL G.711 telephony WAVs: 16 one-byte codes per file (the
+    doc text's MD5 digest), even doc_id → mu-law (format 7), odd →
+    A-law (format 6), mono 8 kHz block_align=1 — byte-for-byte
+    reconstructable in oracle SQL from ``md5(text)`` hex plus the CCITT
+    expansion formulas."""
+    import hashlib
+    import struct as _struct
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            fmt_code = 7 if r["doc_id"] % 2 == 0 else 6
+            wav = (
+                b"RIFF"
+                + _struct.pack("<I", 36 + len(d))
+                + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<I", 16)
+                + _struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+                + b"data"
+                + _struct.pack("<I", len(d))
+                + d
+            )
+            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+                f.write(wav)
+
+    return _staged(spark, sf_dir, "wav_g711_src", build)
+
+
+def media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 telephony decode end-to-end: staged mu-law/A-law WAVs
+    (alternating by doc parity) → genuine RIFF parse + 256-entry CCITT
+    expansion to linear int16 (pinned bit-exact against stdlib
+    ``audioop``) → the same strict integer ZCR/Σ|s| profile as the PCM16
+    gate. The oracle replays the expansion formulas arithmetically in
+    SQL over the md5 hex bytes — every sample value checked."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav_g711(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return audio_zcr(media)
 
 
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7298,6 +7361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_dbscan": sensors_dbscan,
         "media_ppm_histogram": media_ppm_histogram,
         "media_wav_zcr": media_wav_zcr,
+        "media_wav_g711": media_wav_g711,
         "sensors_geohash_cells": sensors_geohash_cells,
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_segments": docs_bpe_segments,
@@ -7343,6 +7407,7 @@ _ROUND6_SAMPLE_FIRST = [
     "docs_token_stream_probe",
     "events_pair_probe",
     "sensors_zonal_from_geotiff_fpred",
+    "media_wav_g711",
     "events_quality_audit",
     "q18_large_orders",
     "lineitem_cube",
@@ -13190,6 +13255,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id,
                CAST(8 AS BIGINT) AS n_samples,
                CAST(list_sum(list_transform(range(0, 7), k ->
+                   CASE WHEN s[k + 1] * s[k + 2] < 0 THEN 1 ELSE 0 END))
+                   AS BIGINT) AS n_zero_cross,
+               CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS sum_abs
+        FROM samp
+    """
+    oracles["media_wav_g711"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h, doc_id % 2 AS law
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id, law,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        aval AS (
+            SELECT doc_id, law,
+                   CASE WHEN law = 0 THEN list_transform(b, c -> 255 - c)
+                        ELSE list_transform(b, c -> xor(c, 85)) END AS a
+            FROM bytes
+        ),
+        samp AS (
+            SELECT doc_id,
+                   CASE WHEN law = 0 THEN
+                       list_transform(a, u ->
+                           CASE WHEN u >= 128
+                                THEN 132 - (((u % 16) * 8 + 132)
+                                            << ((u // 16) % 8))
+                                ELSE (((u % 16) * 8 + 132)
+                                      << ((u // 16) % 8)) - 132 END)
+                   ELSE
+                       list_transform(a, v ->
+                           (CASE WHEN v >= 128 THEN 1 ELSE -1 END) *
+                           (CASE (v // 16) % 8
+                                WHEN 0 THEN (v % 16) * 16 + 8
+                                WHEN 1 THEN (v % 16) * 16 + 264
+                                ELSE ((v % 16) * 16 + 264)
+                                     << ((v // 16) % 8 - 1) END))
+                   END AS s
+            FROM aval
+        )
+        SELECT doc_id AS media_id,
+               CAST(16 AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 15), k ->
                    CASE WHEN s[k + 1] * s[k + 2] < 0 THEN 1 ELSE 0 END))
                    AS BIGINT) AS n_zero_cross,
                CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)

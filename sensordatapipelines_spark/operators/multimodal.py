@@ -103,6 +103,32 @@ def decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return raster.reshape(height, width, channels), width, height, channels
 
 
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law → linear PCM16 expansion, the 256-entry table
+    (CCITT reference ``alaw2linear``): XOR 0x55, 4-bit mantissa, 3-bit
+    segment, sign in bit 7 (set = positive)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law → linear PCM16 expansion (CCITT reference
+    ``ulaw2linear``): complement, 4-bit mantissa + bias 0x84, 3-bit
+    segment shift, sign in bit 7 of the complemented code (set =
+    negative)."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+_ALAW_LUT = _g711_alaw_table()
+_MULAW_LUT = _g711_mulaw_table()
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """Typed-error entry: corrupt/truncated payloads raise ValueError, never
     a raw struct.error out of an executor task (decode contract below)."""
@@ -120,9 +146,12 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL audio decode for uncompressed RIFF/WAVE — integer PCM
     (format 1: 8/16/24/32-bit) and IEEE float (format 3: 32/64-bit):
     walks the chunk list (fmt / data; skips LIST etc.), no codec library.
-    Returns ``(frames[n_frames, channels] (int dtype for PCM, float for
-    format 3), sample_rate, channels, block_align)``. Compressed codecs
-    (ADPCM, MP3, a-law/mu-law) stay a typed NotImplementedError."""
+    plus the G.711 telephony companders — A-law (format 6) and mu-law
+    (format 7), expanded to linear int16 through the 256-entry CCITT
+    tables. Returns ``(frames[n_frames, channels] (int dtype for
+    PCM/G.711, float for format 3), sample_rate, channels,
+    block_align)``. Truly compressed codecs (ADPCM, MP3) stay a typed
+    NotImplementedError."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -157,10 +186,15 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     elif audio_format == 3 and bits in (32, 64):
         dtype = np.float32 if bits == 32 else np.float64
         samples = np.frombuffer(data, dtype=dtype, count=n_frames * channels)
+    elif audio_format in (6, 7) and bits == 8:
+        codes = np.frombuffer(data, dtype=np.uint8, count=n_frames * channels)
+        lut = _ALAW_LUT if audio_format == 6 else _MULAW_LUT
+        samples = lut[codes]
     else:
         raise NotImplementedError(
             f"WAVE format {audio_format}/{bits}-bit not supported "
-            "(integer PCM 8/16/24/32 and IEEE float 32/64 are)"
+            "(integer PCM 8/16/24/32, IEEE float 32/64 and G.711 "
+            "a-law/mu-law are)"
         )
     return samples.reshape(n_frames, channels), sample_rate, channels, block_align
 

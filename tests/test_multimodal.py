@@ -133,6 +133,54 @@ def test_decode_wav_pcm24_pcm32_and_float():
         decode_wav(wav(2, 1, 4, b"\x00\x00"))
 
 
+def test_decode_wav_g711_alaw_mulaw():
+    """G.711 expansion tables bit-match the stdlib ``audioop`` reference
+    (all 256 codes, both laws) and format-6/7 payloads decode through the
+    normal chunk walk."""
+    import struct
+
+    import numpy as np
+
+    from sensordatapipelines_spark.operators.multimodal import (
+        _ALAW_LUT,
+        _MULAW_LUT,
+        decode_wav,
+    )
+
+    try:
+        import audioop  # removed in Python 3.13; tables stay self-pinned
+
+        codes = bytes(range(256))
+        assert np.array_equal(
+            np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"), _MULAW_LUT
+        )
+        assert np.array_equal(
+            np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2"), _ALAW_LUT
+        )
+    except ModuleNotFoundError:
+        pass
+    # self-pinned landmark values (ITU-T G.711 / CCITT reference tables)
+    assert (_MULAW_LUT[0x00], _MULAW_LUT[0x80], _MULAW_LUT[0xFF]) == (
+        -32124, 32124, 0,
+    )
+    assert (_ALAW_LUT[0x55], _ALAW_LUT[0xD5], _ALAW_LUT[0xAA]) == (-8, 8, 32256)
+
+    def wav(fmt_code, data):
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    payload = bytes([0x00, 0x55, 0x80, 0xD5, 0xFF])
+    fu, sr, ch, ba = decode_wav(wav(7, payload))
+    assert (sr, ch, ba) == (8000, 1, 1)
+    assert fu.ravel().tolist() == [_MULAW_LUT[c] for c in payload]
+    fa, _, _, _ = decode_wav(wav(6, payload))
+    assert fa.ravel().tolist() == [_ALAW_LUT[c] for c in payload]
+
+
 def test_media_features_real_ppm_channel_means(spark):
     """fake=False on a staged P6 payload: real decode, per-channel means."""
     from sensordatapipelines_spark.operators.multimodal import media_features
