@@ -4585,6 +4585,40 @@ def zones_gpkg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zones_gpkg_ingest_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage ingestion through the EXECUTOR-side pure-SQLite path:
+    the same staged .gpkg, but parsed from ``binaryFile`` payload bytes
+    by the b-tree/overflow/serial-type reader (``sources/
+    sqlite_reader``) inside an Arrow kernel — the scale path for
+    directories of .gpkg tiles (file-per-task, no driver collect).
+    Identical decoded bytes by the equality contract with the driver
+    reader, so the WKB zonal oracle transfers verbatim."""
+    from sensordatapipelines_spark.operators.spatial import polygon_zonal_aggregate
+    from sensordatapipelines_spark.sources.geopackage import (
+        open_geopackage_distributed,
+    )
+
+    _register_views(spark, sf_dir)
+    stage = _stage_gpkg(spark, sf_dir)
+    zones = open_geopackage_distributed(spark, stage).select(
+        F.col("properties")["zone_id"].cast("long").alias("zone_id"),
+        "part",
+        "xs",
+        "ys",
+    )
+    out = polygon_zonal_aggregate(
+        _sensors(spark),
+        zones,
+        value_cols=["val"],
+        funcs=("mean", "max"),
+        source_name="pts",
+    )
+    return out.groupBy("zone_id").agg(
+        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
+        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+    )
+
+
 def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph (line) dedup — the RefinedWeb/FineWeb pass:
     multi-paragraph documents are derived deterministically (groups of 4
@@ -7247,6 +7281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_geojson_holes_agg": zones_geojson_holes_agg,
         "zones_shapefile_ingest": zones_shapefile_ingest,
         "zones_gpkg_ingest": zones_gpkg_ingest,
+        "zones_gpkg_ingest_dist": zones_gpkg_ingest_dist,
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_substring_dedup": docs_substring_dedup,
         "docs_stream_neardedup": docs_stream_neardedup,
@@ -7408,6 +7443,7 @@ _ROUND6_SAMPLE_FIRST = [
     "events_pair_probe",
     "sensors_zonal_from_geotiff_fpred",
     "media_wav_g711",
+    "zones_gpkg_ingest_dist",
     "events_quality_audit",
     "q18_large_orders",
     "lineitem_cube",
@@ -10232,6 +10268,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["zones_shapefile_ingest"] = oracles["zones_wkb_polygon_agg"]
     # GeoPackage twin: GPB-wrapped WKB decodes to identical bytes
     oracles["zones_gpkg_ingest"] = oracles["zones_wkb_polygon_agg"]
+    oracles["zones_gpkg_ingest_dist"] = oracles["zones_wkb_polygon_agg"]
     # Paragraph dedup: keep-first = min (id, pos) per paragraph; QUALIFY
     # row_number encodes the same rule; reassembly order by position.
     oracles["docs_paragraph_dedup"] = """

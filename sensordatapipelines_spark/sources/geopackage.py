@@ -8,11 +8,15 @@ WKB. ``sqlite3`` ships with CPython and WKB decode already exists
 (``gpd.read_file`` accepts .gpkg, ``/root/reference/src/
 data_preprocessing.py:471-475``) closes with ~100 lines of glue.
 
-Scale contract: the read is DRIVER-side (SQLite files are single-node by
-nature — the same escape-hatch contract as the xlsx fallback reader and
-the GeoJSON sink); the decoded layer lands in a distributed DataFrame and
-everything downstream is the normal broadcast-dim zonal path. A layer too
-big to collect should be exported to WKB parquet once and read natively.
+Two read paths share one output contract:
+
+- ``open_geopackage`` — DRIVER-side via stdlib ``sqlite3`` (needs a local
+  file path; ``max_rows``-guarded) — the quick escape hatch for small
+  layers.
+- ``open_geopackage_distributed`` — EXECUTOR-side via ``binaryFile`` + a
+  pure-Python SQLite b-tree parse (``sources/sqlite_reader``), the scale
+  path: a directory of .gpkg tiles parallelizes file-per-task with no
+  driver collect and no size guard.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from __future__ import annotations
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def strip_gpb_header(blob: bytes) -> bytes:
@@ -119,5 +124,97 @@ def open_geopackage(
     df = spark.createDataFrame(
         rows, "fid long, properties map<string,string>, geometry binary"
     )
+    out = parse_wkb_polygons(df, keep_holes=keep_holes)
+    return out.filter(out["xs"].isNotNull())
+
+
+def open_geopackage_distributed(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    keep_holes: bool = False,
+) -> DataFrame:
+    """EXECUTOR-side GeoPackage read: .gpkg payloads arrive via the
+    built-in ``binaryFile`` source (one row per file, file-parallel —
+    the tiles-as-files layout multi-GB vector corpora ship as) and a
+    pure-Python SQLite parse (``sources/sqlite_reader``: b-tree walk,
+    overflow chains, serial-type codec — no sqlite3 file handle needed)
+    runs inside an Arrow ``mapInPandas`` kernel. Output contract is
+    IDENTICAL to the driver-side ``open_geopackage`` (same fid
+    enumeration in rowid order, same stringified properties, same
+    GPB→WKB→``parse_wkb_polygons`` chain), so the two are
+    interchangeable and share oracles; this is the scale path the
+    driver-side escape hatch documents.
+
+    ``path`` may be one .gpkg or a directory of them; ``table`` defaults
+    to the single feature table registered in ``gpkg_contents`` of each
+    file (ambiguity raises, naming the candidates)."""
+    from sensordatapipelines_spark.operators.spatial import parse_wkb_polygons
+    from sensordatapipelines_spark.runtime import ensure_shipped
+
+    ensure_shipped(spark)  # the decode kernel imports this package on workers
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gpkg")
+        .load(path)
+        .select(F.col("content").alias("__db"))
+    )
+    schema = "fid long, properties map<string,string>, geometry binary"
+
+    def decode(batches):
+        import pandas as pd
+
+        from sensordatapipelines_spark.sources.sqlite_reader import read_table
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf["__db"]:
+                payload = bytes(payload)
+                gcols, git = read_table(payload, "gpkg_geometry_columns")
+                geom_by_table = {}
+                for _rid, vals in git:
+                    d = dict(zip(gcols, vals))
+                    geom_by_table[d["table_name"]] = d["column_name"]
+                tbl = table
+                if tbl is None:
+                    ccols, cit = read_table(payload, "gpkg_contents")
+                    feats = [
+                        dict(zip(ccols, v))["table_name"]
+                        for _r, v in cit
+                        if dict(zip(ccols, v)).get("data_type") == "features"
+                    ]
+                    if len(feats) != 1:
+                        raise ValueError(
+                            f"gpkg has {len(feats)} feature tables {feats}; "
+                            "pass table="
+                        )
+                    tbl = feats[0]
+                gcol = geom_by_table[tbl]
+                cols, it = read_table(payload, tbl)
+                gi = cols.index(gcol)
+                for fid, (_rowid, vals) in enumerate(it):
+                    props = {
+                        n: (None if v is None else str(v))
+                        for i, (n, v) in enumerate(zip(cols, vals))
+                        if i != gi
+                    }
+                    blob = vals[gi]
+                    wkb = (
+                        strip_gpb_header(bytes(blob))
+                        if blob is not None
+                        else None
+                    )
+                    rows.append(
+                        {
+                            "fid": fid,
+                            "properties": props,
+                            "geometry": bytearray(wkb) if wkb else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["fid", "properties", "geometry"]
+            )
+
+    df = raw.mapInPandas(decode, schema=schema)
     out = parse_wkb_polygons(df, keep_holes=keep_holes)
     return out.filter(out["xs"].isNotNull())

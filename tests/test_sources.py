@@ -1149,3 +1149,64 @@ def test_geotiff_float_predictor3_roundtrip(tmp_path):
             str(tmp_path / "bad2.tif"), np.zeros((2, 2)),
             dtype="f4", compression="deflate", predictor=2,
         )
+
+
+def test_geopackage_distributed_matches_driver_side(spark, tmp_path):
+    """The executor-side pure-SQLite path must be row-for-row identical
+    to the sqlite3 driver-side reader on a fixture that exercises the
+    file format's hard parts: multi-page b-trees (interior pages),
+    payload overflow chains (big geometry blobs), INTEGER PRIMARY KEY
+    rowid aliasing (stored as NULL), REAL-affinity integral values
+    (stored as INTEGER on disk), NULL attributes and NULL geometry."""
+    import sqlite3
+
+    from sensordatapipelines_spark.operators.spatial import encode_wkb_polygon
+    from sensordatapipelines_spark.sources.geopackage import (
+        open_geopackage,
+        open_geopackage_distributed,
+        wrap_gpb,
+    )
+
+    p = tmp_path / "big.gpkg"
+    con = sqlite3.connect(str(p))
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('feat', 'features')")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('feat', 'geom')")
+    con.execute(
+        "CREATE TABLE feat (fid INTEGER PRIMARY KEY AUTOINCREMENT, "
+        "name TEXT, score REAL, cnt INTEGER, geom BLOB)"
+    )
+    for i in range(800):  # forces interior b-tree pages
+        # every 7th: a many-vertex ring -> record overflows the page
+        nv = 700 if i % 7 == 0 else 3
+        ring = [
+            (float(i % 50) + 0.001 * k, float(i % 40) + 0.002 * k)
+            for k in range(nv)
+        ]
+        blob = wrap_gpb(encode_wkb_polygon([ring])) if i % 11 else None
+        con.execute(
+            "INSERT INTO feat (name, score, cnt, geom) VALUES (?,?,?,?)",
+            (
+                f"n{i}" * (i % 5 + 1),
+                float(i) if i % 3 else None,  # integral REALs stored as INT
+                i if i % 5 else None,
+                blob,
+            ),
+        )
+    con.commit()
+    con.close()
+
+    key = lambda r: (r["fid"], r["part"])
+    drv = {key(r): r for r in open_geopackage(spark, str(p)).collect()}
+    dst = {
+        key(r): r
+        for r in open_geopackage_distributed(spark, str(tmp_path)).collect()
+    }
+    assert set(drv) == set(dst) and len(drv) > 600
+    for k in drv:
+        a, b = drv[k], dst[k]
+        assert a["properties"] == b["properties"], k
+        assert a["xs"] == b["xs"] and a["ys"] == b["ys"], k
