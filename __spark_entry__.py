@@ -3202,6 +3202,31 @@ def media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_zcr(media)
 
 
+def media_wav_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio feature end-to-end: the staged PCM16
+    WAVs' first 8 samples through an exact 8-point DFT (twiddles only in
+    {0, ±1, ±√½}, fixed-order scalar accumulation) → floored per-bin
+    power. The oracle spells out the identical left-associated sums with
+    the identical sqrt(0.5) constant, so every double is bit-equal and
+    the floors can never disagree — a strict value gate on genuine DSP."""
+    from sensordatapipelines_spark.operators.multimodal import audio_dft8
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return audio_dft8(media)
+
+
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end (no codec library): staged binary P6
     PPM files → binaryFile ingest → Arrow ``mapInPandas`` netpbm parse +
@@ -7105,6 +7130,29 @@ def docs_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per document: shared-tokenizer word
+    count, terminal-punctuation sentence count, vowel-run syllable
+    heuristic and the e3-floored classic score — the readability feature
+    of a curation quality classifier. Map-only; literal character
+    classes behave identically in Java regex and RE2."""
+    from sensordatapipelines_spark.operators.text import readability
+
+    _register_views(spark, sf_dir)
+    return readability(spark.table("documents"))
+
+
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law slope per language over the top-50 token
+    frequencies — the corpus-health diagnostic (natural text ≈ −1).
+    ln values e6-quantize FIRST, the OLS runs in exact integer sums,
+    one final division + e6 floor."""
+    from sensordatapipelines_spark.operators.text import zipf_slope
+
+    _register_views(spark, sf_dir)
+    return zipf_slope(spark.table("documents"), top_k=50)
+
+
 def docs_token_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenization bisection probe: per-language distinct (doc, token)
     pair count, distinct token count and an order-free Σ-mod-P poly-hash
@@ -7392,11 +7440,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "docs_readability": docs_readability,
+        "docs_zipf_slope": docs_zipf_slope,
         "docs_nb_confusion": docs_nb_confusion,
         "sensors_dbscan": sensors_dbscan,
         "media_ppm_histogram": media_ppm_histogram,
         "media_wav_zcr": media_wav_zcr,
         "media_wav_g711": media_wav_g711,
+        "media_wav_dft8": media_wav_dft8,
         "sensors_geohash_cells": sensors_geohash_cells,
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_segments": docs_bpe_segments,
@@ -7444,6 +7495,9 @@ _ROUND6_SAMPLE_FIRST = [
     "sensors_zonal_from_geotiff_fpred",
     "media_wav_g711",
     "zones_gpkg_ingest_dist",
+    "media_wav_dft8",
+    "docs_readability",
+    "docs_zipf_slope",
     "events_quality_audit",
     "q18_large_orders",
     "lineitem_cube",
@@ -13188,6 +13242,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
     """
+    oracles["docs_readability"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text),
+                             '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT)
+                   AS n_words,
+               CAST(GREATEST(
+                   length(text) - length(replace(text, '.', ''))
+                 + length(text) - length(replace(text, '!', ''))
+                 + length(text) - length(replace(text, '?', '')), 1)
+                   AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_vowel_groups,
+               CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                   '[ \\t\\n\\x0b\\f\\r]+')) END) > 0
+                    THEN CAST(FLOOR((206.835
+                        - 1.015 * (CAST(len(string_split_regex(trim(text),
+                              '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE)
+                            / CAST(GREATEST(
+                                  length(text) - length(replace(text, '.', ''))
+                                + length(text) - length(replace(text, '!', ''))
+                                + length(text) - length(replace(text, '?', '')),
+                                  1) AS DOUBLE))
+                        - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                              '[aeiouy]+')) AS DOUBLE)
+                            / CAST(len(string_split_regex(trim(text),
+                              '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE)))
+                        * 1000.0) AS BIGINT)
+               END AS flesch1000
+        FROM documents
+    """
+    oracles["docs_zipf_slope"] = f"""
+        WITH {_LANG_STREAM},
+        freq AS (SELECT lang, tok, COUNT(*) AS f
+                 FROM stream GROUP BY lang, tok),
+        ranked AS (
+            SELECT lang,
+                   CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM (SELECT lang, f, tok,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY f DESC, tok ASC) AS r
+                  FROM freq)
+            WHERE r <= 50
+        ),
+        agg AS (
+            SELECT lang, COUNT(*) AS n_points, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM ranked GROUP BY lang
+        )
+        SELECT lang, n_points,
+               CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+                   CAST(FLOOR((CAST(n_points * sxy - sx * sy AS DOUBLE)
+                               / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                              * 1e6) AS BIGINT)
+               END AS slope_e6
+        FROM agg
+    """
     oracles["docs_token_stream_probe"] = f"""
         WITH {_LANG_STREAM},
         occ AS (SELECT DISTINCT doc_id, lang, tok FROM stream)
@@ -13297,6 +13410,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
                    AS sum_abs
         FROM samp
+    """
+    def _dft8_term(k: int, n: int, table: str) -> str:
+        cyc_c = ["1.0", "sqrt(0.5)", "0.0", "(-sqrt(0.5))",
+                 "(-1.0)", "(-sqrt(0.5))", "0.0", "sqrt(0.5)"]
+        cyc_s = ["0.0", "sqrt(0.5)", "1.0", "sqrt(0.5)",
+                 "0.0", "(-sqrt(0.5))", "(-1.0)", "(-sqrt(0.5))"]
+        cyc = cyc_c if table == "c" else cyc_s
+        return f"s[{n + 1}] * {cyc[(k * n) % 8]}"
+
+    def _dft8_sum(k: int, table: str) -> str:
+        return " + ".join(_dft8_term(k, n, table) for n in range(8))
+
+    _dft8_aliases = ",\n                   ".join(
+        f"{_dft8_sum(k, 'c')} AS r{k},\n                   "
+        f"{_dft8_sum(k, 's')} AS i{k}"
+        for k in range(5)
+    )
+    _dft8_case = " ".join(
+        f"WHEN {k} THEN r{k} * r{k} + i{k} * i{k}" for k in range(5)
+    )
+    oracles["media_wav_dft8"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        samp AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), k ->
+                       CASE WHEN b[2 * k + 1] + 256 * b[2 * k + 2] >= 32768
+                            THEN b[2 * k + 1] + 256 * b[2 * k + 2] - 65536
+                            ELSE b[2 * k + 1] + 256 * b[2 * k + 2]
+                       END) AS s
+            FROM bytes
+        ),
+        powers AS (
+            SELECT doc_id,
+                   {_dft8_aliases}
+            FROM samp
+        )
+        SELECT doc_id AS media_id, CAST(bk.k AS INT) AS bin,
+               CAST(FLOOR(CASE bk.k {_dft8_case} END) AS BIGINT)
+                   AS power_floor
+        FROM powers
+        CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS k) bk
     """
     oracles["media_wav_g711"] = f"""
         WITH staged AS (

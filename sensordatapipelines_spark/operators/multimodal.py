@@ -589,6 +589,69 @@ def media_channel_histogram(
 
 
 @register("audio_zcr")
+def _dft8_tables() -> tuple[list[list[float]], list[list[float]]]:
+    """Exact 8-point DFT twiddle tables: cos/sin of 2πkn/8 take values
+    only in {0, ±1, ±√½}, constructed symbolically (array indexing, NOT
+    ``math.cos``) so both engines use the literally identical constants
+    — ``sqrt(0.5)`` is correctly rounded by IEEE 754 in every libm, so
+    the SQL oracle's ``sqrt(0.5)`` is the same double bit-for-bit."""
+    import math
+
+    r = math.sqrt(0.5)
+    cos_cycle = [1.0, r, 0.0, -r, -1.0, -r, 0.0, r]
+    sin_cycle = [0.0, r, 1.0, r, 0.0, -r, -1.0, -r]
+    cos_t = [[cos_cycle[(k * n) % 8] for n in range(8)] for k in range(5)]
+    sin_t = [[sin_cycle[(k * n) % 8] for n in range(8)] for k in range(5)]
+    return cos_t, sin_t
+
+
+@register("audio_dft8")
+def audio_dft8(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """8-point DFT power spectrum of each clip's first 8 samples →
+    ``(media_id, bin, power_floor)`` for bins 0-4 (DC through Nyquist) —
+    the cheapest genuine frequency-domain audio feature (tone-vs-noise,
+    band energy) computable without an FFT library.
+
+    Determinism contract: twiddles come only from {0, ±1, ±√½}
+    (``_dft8_tables``), re/im accumulate in FIXED n-order with plain
+    scalar adds (numpy pairwise summation is deliberately avoided), and
+    power = re·re + im·im floors to a BIGINT — every arithmetic step has
+    one defined IEEE result, so the SQL oracle that spells out the same
+    left-associated sum is bit-identical. Scale shape: map-only Arrow
+    kernel over file-parallel payloads, no shuffle."""
+    cos_t, sin_t = _dft8_tables()
+    schema = "media_id long, bin int, power_floor long"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m in pdf[media_col]:
+                frames, _sr, _ch, _ba = decode_wav(bytes(m["payload"]))
+                s = [float(v) for v in frames[:8, 0]]
+                if len(s) < 8:
+                    s = s + [0.0] * (8 - len(s))
+                for k in range(5):
+                    re = 0.0
+                    im = 0.0
+                    for n in range(8):
+                        re = re + s[n] * cos_t[k][n]
+                        im = im + s[n] * sin_t[k][n]
+                    rows.append(
+                        {
+                            "media_id": int(m["media_id"]),
+                            "bin": k,
+                            "power_floor": int(math.floor(re * re + im * im)),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(media_col).mapInPandas(extract, schema=schema)
+
+
 def audio_zcr(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL zero-crossing-rate audio profile over decoded RIFF/WAVE PCM
     payloads → ``(media_id, n_samples, n_zero_cross, sum_abs)`` on the

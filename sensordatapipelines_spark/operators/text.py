@@ -295,6 +295,101 @@ def poly_hash_expr(text: Column, mod: int = POLY_MOD) -> Column:
     )
 
 
+@register("readability")
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease profile → ``(id, n_words, n_sentences,
+    n_vowel_groups, flesch1000)``: words from the shared whitespace
+    tokenizer, sentences from terminal-punctuation counts (floored at
+    1), syllables approximated by vowel-run count ([aeiouy]+ matches —
+    the standard heuristic; literal character classes behave identically
+    in Java regex and RE2, so the oracle replays it verbatim) and the
+    classic score 206.835 − 1.015·(W/S) − 84.6·(V/W) floored at e3 to a
+    BIGINT (NULL for empty docs). One map-only pass, no shuffle."""
+    t = F.col(text_col)
+    words = F.size(tokens_expr(t)).cast("long")
+    sentences = F.greatest(
+        sum(char_count_expr(t, ch) for ch in ".!?"), F.lit(1)
+    ).cast("long")
+    vgroups = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    w_d = words.cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w_d / sentences.cast("double"))
+        - F.lit(84.6) * (vgroups.cast("double") / w_d)
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        vgroups.alias("n_vowel_groups"),
+        F.when(words > 0, F.floor(score * F.lit(1000.0)).cast("long"))
+        .alias("flesch1000"),
+    )
+
+
+@register("zipf_slope")
+def zipf_slope(
+    df: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Zipf power-law fit per class → ``(class, n_points, slope_e6)``:
+    OLS slope of ln(frequency) on ln(rank) over the ``top_k``
+    most-frequent tokens — the standard corpus-health diagnostic (natural
+    text sits near −1; template/boilerplate corpora flatten).
+
+    Determinism: ln values quantize to e6 BIGINTs FIRST (the proven
+    nb-confusion pattern), then the whole OLS runs in exact integer sums
+    (n·Σxy − Σx·Σy over n·Σx² − Σx²-of-sums) with one final IEEE
+    division and an e6 floor — no float accumulation order to diverge.
+    Plan shape: one vocabulary-scale aggregate + a top-k window over the
+    per-class token table; the corpus is scanned once."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    freq = (
+        df.select(F.col(class_col).alias("__cls"), F.explode(toks).alias("__tok"))
+        .groupBy("__cls", "__tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    w = Window.partitionBy("__cls").orderBy(F.col("__f").desc(), F.col("__tok").asc())
+    ranked = (
+        freq.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.lit(int(top_k)))
+        .select(
+            "__cls",
+            F.round(F.log(F.col("__r").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("__x"),
+            F.round(F.log(F.col("__f").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("__y"),
+        )
+    )
+    agg = ranked.groupBy(F.col("__cls").alias(class_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = agg["n_points"] * agg["__sxy"] - agg["__sx"] * agg["__sy"]
+    den = agg["n_points"] * agg["__sxx"] - agg["__sx"] * agg["__sx"]
+    return agg.select(
+        class_col,
+        "n_points",
+        F.when(
+            den != 0,
+            F.floor(
+                (num.cast("double") / den.cast("double")) * F.lit(1e6)
+            ).cast("long"),
+        ).alias("slope_e6"),
+    )
+
+
 @register("token_stream_probe")
 def token_stream_probe(
     df: DataFrame,

@@ -1226,3 +1226,76 @@ def test_naive_bayes_prior_tiebreak(spark):
     out = {(r.lang, r.predicted): r.n_docs
            for r in naive_bayes_classify(df).collect()}
     assert out == {("A", "A"): 1, ("B", "A"): 1}
+
+
+def test_readability_known_text(spark):
+    import math
+
+    from sensordatapipelines_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, ""), (3, "no terminal punctuation here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_vowel_groups) == (5, 2, 5)
+    expected = math.floor(
+        (206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)) * 1000.0
+    )
+    assert r1.flesch1000 == expected
+    assert out[2].n_words == 0 and out[2].flesch1000 is None
+    assert out[3].n_sentences == 1  # floored at 1
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    from sensordatapipelines_spark.operators.text import zipf_slope
+
+    # token tN repeated ~ C / N times: a near-exact Zipf corpus
+    words = []
+    for i in range(1, 31):
+        words.extend([f"t{i:02d}"] * (600 // i))
+    df = spark.createDataFrame(
+        [(0, "xx", " ".join(words))], "doc_id long, lang string, text string"
+    )
+    out = zipf_slope(df, top_k=30).collect()
+    assert len(out) == 1 and out[0].n_points == 30
+    slope = out[0].slope_e6 / 1e6
+    assert -1.1 < slope < -0.9, slope
+
+
+def test_audio_dft8_known_tones(spark):
+    """A pure bin-2 cosine concentrates its power in bin 2; a DC signal
+    in bin 0 — the DFT table/order contract on analytically known
+    inputs."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.multimodal import audio_dft8
+
+    def wav(samples):
+        data = struct.pack("<8h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    tone2 = [1000, 0, -1000, 0, 1000, 0, -1000, 0]  # cos(2pi*2n/8)*1000
+    dc = [500] * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(tone2))), (2, bytearray(wav(dc)))],
+        "media_id long, payload binary",
+    )
+    media = df.select(
+        F.struct(
+            F.col("media_id"), F.lit("audio").alias("kind"), F.col("payload")
+        ).alias("media")
+    )
+    got = {(r.media_id, r.bin): r.power_floor for r in audio_dft8(media).collect()}
+    assert got[(1, 2)] == 16_000_000  # |X_2|^2 = (4*1000)^2
+    assert got[(1, 0)] == 0 and got[(1, 1)] == 0 and got[(1, 4)] == 0
+    assert got[(2, 0)] == 16_000_000  # (8*500)^2
+    assert all(got[(2, k)] == 0 for k in (1, 2, 3, 4))
