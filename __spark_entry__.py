@@ -7130,6 +7130,25 @@ def docs_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (prefix filtering, SSJoin/PPJoin
+    family): every doc pair with token-set Jaccard >= 0.6, all-integer
+    output. Candidates come only from each doc's RAREST tokens (the
+    prefix bound), so boilerplate tokens never become join keys — the
+    complete-output exact complement to the MinHash family. The oracle
+    replays the same deterministic algorithm; a pytest proves
+    completeness against brute-force ground truth. The gate runs on the
+    deterministic 1/7 doc sample at t=0.9: the synthetic corpus is so
+    templated that the TRUE >=0.6 pair set is quadratic (73k pairs at
+    sf0.001 ground truth) — correct but not a sane per-round benchmark;
+    the sample keeps the complete-output semantics at gate scale."""
+    from sensordatapipelines_spark.operators.dedup import setsim_join
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") % 7 == 0)
+    return setsim_join(docs, threshold=0.9)
+
+
 def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease profile per document: shared-tokenizer word
     count, terminal-punctuation sentence count, vowel-run syllable
@@ -7440,6 +7459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "docs_setsim_join": docs_setsim_join,
         "docs_readability": docs_readability,
         "docs_zipf_slope": docs_zipf_slope,
         "docs_nb_confusion": docs_nb_confusion,
@@ -7496,6 +7516,7 @@ _ROUND6_SAMPLE_FIRST = [
     "media_wav_g711",
     "zones_gpkg_ingest_dist",
     "media_wav_dft8",
+    "docs_setsim_join",
     "docs_readability",
     "docs_zipf_slope",
     "events_quality_audit",
@@ -13241,6 +13262,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["docs_setsim_join"] = f"""
+        WITH {_LANG_STREAM},
+        occ AS (SELECT DISTINCT doc_id, tok FROM stream
+                WHERE doc_id % 7 = 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY doc_id),
+        tdf AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+        ranked AS (
+            SELECT o.doc_id, o.tok, s.n,
+                   row_number() OVER (PARTITION BY o.doc_id
+                       ORDER BY t.df ASC, o.tok ASC) AS rn
+            FROM occ o
+            JOIN tdf t ON o.tok = t.tok
+            JOIN sizes s ON s.doc_id = o.doc_id
+        ),
+        pref AS (
+            SELECT doc_id, tok FROM ranked
+            WHERE rn <= n - CAST(CEIL(n * 0.9) AS BIGINT) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pref a JOIN pref b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        common AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN occ x ON x.doc_id = c.id_a
+            JOIN occ y ON y.doc_id = c.id_b AND y.tok = x.tok
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT m.id_a, m.id_b, m.n_common,
+               sa.n AS size_a, sb.n AS size_b,
+               m.n_common * 1000000 // (sa.n + sb.n - m.n_common)
+                   AS jaccard_e6
+        FROM common m
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b
+        WHERE m.n_common * 1000000 >= 900000 * (sa.n + sb.n - m.n_common)
     """
     oracles["docs_readability"] = """
         SELECT doc_id,

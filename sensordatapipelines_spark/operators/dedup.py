@@ -533,6 +533,107 @@ def minhash_pairs(
     )
 
 
+@register("setsim_join")
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri 2006 / Xiao 2008) → every pair with
+    set-Jaccard ≥ ``threshold`` as ``(id_a, id_b, n_common, size_a,
+    size_b, jaccard_e6)``, all integers. Complementary to MinHash: no
+    approximation, no signatures — the guarantee is COMPLETE output,
+    which is why the oracle can be brute-force ground truth (any miss
+    fails the gate).
+
+    Plan shape (100 TB): order each doc's distinct tokens rarest-first
+    (global (df, token) sort key — a broadcastable vocabulary-sized
+    table, no global row_number); a pair at Jaccard ≥ t must share a
+    token inside both docs' first ``|T| − ⌈t·|T|⌉ + 1`` tokens, so
+    candidates come from an equi-join on PREFIX tokens only — the rarest
+    of each doc, which is precisely the skew mitigation (the
+    boilerplate token that appears everywhere is never a join key).
+    Verification is one (doc, token) self-join on the candidate set +
+    exact integer Jaccard. Nothing all-pairs, nothing approximate."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    tok_df = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = toks.join(tok_df, "__tok").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("__df").asc(), F.col("__tok").asc()
+            )
+        ),
+    )
+    pref = (
+        ordered.join(sizes, "__id")
+        .filter(
+            F.col("__rn")
+            <= F.col("__n")
+            - F.ceil(F.col("__n") * F.lit(float(threshold))).cast("long")
+            + F.lit(1)
+        )
+        .select("__id", "__tok")
+    )
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "__tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
+        )
+        .distinct()
+    )
+    common = (
+        cands.join(toks.select(F.col("__id").alias("__ida"), "__tok"), "__ida")
+        .join(
+            toks.select(F.col("__id").alias("__idb"), "__tok"),
+            ["__idb", "__tok"],
+        )
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na")),
+            "__ida",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb")),
+            "__idb",
+        )
+        .withColumn("__u", F.col("__na") + F.col("__nb") - F.col("__c"))
+        # integer-exact threshold test: c/u >= t  <=>  c*SCALE >= ceil(t*SCALE*u)
+        # avoided by cross-multiplying with the double only once per row in
+        # a fixed form both engines replay: c * 1e6 >= t*1e6 * u (t given
+        # at e6 resolution keeps this exact in int64)
+        .filter(
+            F.col("__c") * F.lit(1_000_000)
+            >= F.lit(int(round(threshold * 1_000_000))) * F.col("__u")
+        )
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.col("__c").alias("n_common"),
+            F.col("__na").alias("size_a"),
+            F.col("__nb").alias("size_b"),
+            F.expr("__c * 1000000 div (__na + __nb - __c)").alias("jaccard_e6"),
+        )
+    )
+    return out
+
+
 @register("simhash")
 def simhash(
     df: DataFrame,

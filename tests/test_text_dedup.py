@@ -1299,3 +1299,39 @@ def test_audio_dft8_known_tones(spark):
     assert got[(1, 0)] == 0 and got[(1, 1)] == 0 and got[(1, 4)] == 0
     assert got[(2, 0)] == 16_000_000  # (8*500)^2
     assert all(got[(2, k)] == 0 for k in (1, 2, 3, 4))
+
+
+def test_setsim_join_complete_vs_brute_force(spark):
+    """Prefix filtering must be COMPLETE: the operator's output equals
+    brute-force all-pairs exact Jaccard on a corpus with boilerplate
+    overlap, near-dups, exact dups, disjoint docs and an empty doc."""
+    import itertools
+
+    from sensordatapipelines_spark.operators.dedup import setsim_join
+
+    boiler = "common header words shared by every document in this corpus"
+    docs = []
+    for i in range(40):
+        extra = " ".join(f"tok{i}_{j}" for j in range(i % 6))
+        docs.append((i, f"{boiler} {extra}".strip()))
+    docs.append((100, docs[3][1]))   # exact duplicate of doc 3
+    docs.append((101, ""))           # empty: no tokens, no pairs
+    docs.append((102, "totally disjoint vocabulary entirely elsewhere"))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for th in (0.5, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.size_a, r.size_b, r.jaccard_e6)
+            for r in setsim_join(sdf, threshold=th).collect()
+        }
+        sets = {i: set(t.lower().split()) for i, t in docs if t.strip()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if c and c * 1_000_000 >= int(round(th * 1_000_000)) * u:
+                want[(a, b)] = (c, len(sets[a]), len(sets[b]),
+                                c * 1_000_000 // u)
+        assert got == want, f"threshold {th}"
+        if th == 1.0:
+            assert (3, 100) in got  # the planted exact duplicate survives
