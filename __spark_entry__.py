@@ -159,6 +159,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
     _stage_wav_g711(spark, sf_dir)
+    _stage_fragmented_events(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -7130,6 +7131,53 @@ def docs_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table shattered into ~160 tiny parquet files,
+    then COMPACT it in place with the byte-target auto-sizing path
+    (``sinks.compact_dir(target_bytes=...)``) — the streaming-sink
+    small-files problem and its operational fix, exercised for real.
+    The staged result is the compacted directory."""
+
+    def build(stage: str) -> None:
+        import glob
+
+        from sensordatapipelines_spark.sources.sinks import compact_dir
+        from sensordatapipelines_spark.tables import load_table
+
+        out = f"{stage}/events_frag"
+        load_table(spark, sf_dir, "events").repartition(160).write.parquet(out)
+        n_before = len(glob.glob(f"{out}/part-*.parquet"))
+        compact_dir(spark, out, target_files=None, target_bytes=8 << 20)
+        n_after = len(glob.glob(f"{out}/part-*.parquet"))
+        assert n_after < n_before, (n_before, n_after)
+
+    return _staged(spark, sf_dir, "compacted_events", build)
+
+
+def events_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction end-to-end: events shattered into ~160
+    tiny parquet files, compacted in place by ``compact_dir``'s
+    byte-target sizing (crash-safe rename protocol), then scanned and
+    aggregated. The strict oracle aggregates the ORIGINAL events table —
+    any row lost, duplicated or mangled by the rewrite breaks the value
+    hash. Integer-exact columns only (count, distinct users, e6 value
+    sums per type)."""
+    _register_views(spark, sf_dir)
+    stage = _stage_fragmented_events(spark, sf_dir)
+    ev = spark.read.parquet(f"{stage}/events_frag")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.round(F.col("value") * F.lit(1e6)).cast("long")).alias(
+                "value_e6_sum"
+            ),
+            F.sum(F.col("event_id")).alias("id_sum"),
+        )
+    )
+
+
 def docs_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity join (prefix filtering, SSJoin/PPJoin
     family): every doc pair with token-set Jaccard >= 0.6, all-integer
@@ -7459,6 +7507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "events_compacted_scan": events_compacted_scan,
         "docs_setsim_join": docs_setsim_join,
         "docs_readability": docs_readability,
         "docs_zipf_slope": docs_zipf_slope,
@@ -7516,6 +7565,7 @@ _ROUND6_SAMPLE_FIRST = [
     "media_wav_g711",
     "zones_gpkg_ingest_dist",
     "media_wav_dft8",
+    "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
     "docs_zipf_slope",
@@ -13262,6 +13312,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["events_compacted_scan"] = """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS value_e6_sum,
+               SUM(event_id) AS id_sum
+        FROM events
+        GROUP BY event_type
     """
     oracles["docs_setsim_join"] = f"""
         WITH {_LANG_STREAM},

@@ -148,11 +148,15 @@ def write_zordered(
 def compact_dir(
     spark,
     path: str,
-    target_files: int,
+    target_files: int | None = None,
     fmt: str = "parquet",
+    target_bytes: int = 128 << 20,
 ) -> None:
     """Small-files compaction: rewrite a directory into ``target_files``
-    balanced files. The operational fix for streaming/micro-batch sinks that
+    balanced files — or, when ``target_files`` is None, into
+    ``ceil(total_data_bytes / target_bytes)`` files (default 128 MB, the
+    HDFS-block-sized sweet spot where one file ≈ one task ≈ one scan
+    split). The operational fix for streaming/micro-batch sinks that
     accumulate thousands of tiny files (each file costs a task + a footer
     read at every scan; at 100 TB the metadata walk alone dominates).
 
@@ -172,6 +176,18 @@ def compact_dir(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     df = spark.read.format(fmt).load(path)
+    if target_files is None:
+        import math
+        import os
+
+        total = 0
+        for f in df.inputFiles():
+            local = f[7:] if f.startswith("file:") else f
+            try:
+                total += os.path.getsize(local)
+            except OSError:
+                pass  # non-local scheme: fall through with what we have
+        target_files = max(1, math.ceil(total / max(1, int(target_bytes))))
     df.repartition(target_files).write.format(fmt).mode("overwrite").save(tmp)
     shutil.move(path, old)
     shutil.move(tmp, path)
