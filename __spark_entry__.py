@@ -7154,6 +7154,17 @@ def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "compacted_events", build)
 
 
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust 3.5-MAD outlier screen per event type — values e6-quantize
+    first so medians/MADs interpolate only to halves and every
+    comparison is between integer-valued doubles (no rounding boundary
+    exists). Two keyed aggregates + a stats join back; exact MAD."""
+    from sensordatapipelines_spark.operators.temporal import mad_anomaly
+
+    _register_views(spark, sf_dir)
+    return mad_anomaly(spark.table("events"), "event_type", "value")
+
+
 def events_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction end-to-end: events shattered into ~160
     tiny parquet files, compacted in place by ``compact_dir``'s
@@ -7507,6 +7518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "events_mad_anomaly": events_mad_anomaly,
         "events_compacted_scan": events_compacted_scan,
         "docs_setsim_join": docs_setsim_join,
         "docs_readability": docs_readability,
@@ -7565,6 +7577,7 @@ _ROUND6_SAMPLE_FIRST = [
     "media_wav_g711",
     "zones_gpkg_ingest_dist",
     "media_wav_dft8",
+    "events_mad_anomaly",
     "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
@@ -13312,6 +13325,36 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["events_mad_anomaly"] = """
+        WITH base AS (
+            SELECT event_type AS k,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS v6
+            FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2,
+                   COUNT(*) AS n_rows
+            FROM base GROUP BY k
+        ),
+        dev AS (
+            SELECT b.k, med.med2, med.n_rows,
+                   ABS(CAST(b.v6 AS DOUBLE) * 2.0 - med.med2) AS dev2
+            FROM base b JOIN med ON b.k = med.k
+        ),
+        mad AS (
+            SELECT k, med2, n_rows,
+                   quantile_cont(dev2, 0.5) * 2.0 AS mad4
+            FROM dev GROUP BY k, med2, n_rows
+        )
+        SELECT d.k AS event_type,
+               m.n_rows,
+               CAST(m.med2 AS BIGINT) AS med_x2_e6,
+               CAST(m.mad4 AS BIGINT) AS mad_x4_e6,
+               SUM(CASE WHEN d.dev2 * 4.0 > 7.0 * m.mad4
+                        THEN 1 ELSE 0 END) AS n_anomalies
+        FROM dev d JOIN mad m ON d.k = m.k
+        GROUP BY d.k, m.n_rows, m.med2, m.mad4
     """
     oracles["events_compacted_scan"] = """
         SELECT event_type,

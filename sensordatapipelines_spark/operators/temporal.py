@@ -1586,6 +1586,70 @@ def pair_probe(
     )
 
 
+@register("mad_anomaly")
+def mad_anomaly(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k_times_2: int = 7,
+) -> DataFrame:
+    """Robust per-key outlier profile → ``(key, n_rows, med_x2_e6,
+    mad_x4_e6, n_anomalies)``: a row is anomalous iff
+    ``|v − median| > (k_times_2/2) · MAD`` (default 3.5·MAD, the classic
+    robust z-score gate) — the telemetry-health screen that survives the
+    heavy tails a mean/stddev rule drowns in.
+
+    Determinism: values quantize to e6 BIGINTs first; the median and MAD
+    of integers interpolate only to halves, so ``2·median`` and
+    ``4·MAD`` are INTEGER-valued doubles (emitted as the exact BIGINTs
+    ``med_x2_e6`` / ``mad_x4_e6``), and the anomaly test cross-multiplies
+    to ``4·|2v − 2med| > k_times_2 · (4·MAD)`` — every comparison is
+    between integer-valued doubles, nothing can land on a rounding
+    boundary. Plan shape: two keyed aggregates + one stats join back
+    (per-key dim table — broadcast under AQE when small); the fact table
+    is scanned twice, the price of an EXACT MAD (approximate MAD at
+    100 TB would use the quantile sketch instead)."""
+    v6 = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    base = df.select(F.col(key_col).alias("__k"), v6.alias("__v6")).filter(
+        F.col("__v6").isNotNull()
+    )
+    med = base.groupBy("__k").agg(
+        (F.percentile(F.col("__v6"), F.lit(0.5)) * F.lit(2.0)).alias("__med2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = base.join(med, "__k").withColumn(
+        "__dev2",
+        F.abs(
+            F.col("__v6").cast("double") * F.lit(2.0) - F.col("__med2")
+        ),
+    )
+    mad = dev.groupBy("__k", "__med2", "n_rows").agg(
+        (F.percentile(F.col("__dev2"), F.lit(0.5)) * F.lit(2.0)).alias("__mad4"),
+    )
+    flagged = (
+        dev.join(mad.select("__k", "__mad4"), "__k")
+        .withColumn(
+            "__anom",
+            (
+                F.col("__dev2") * F.lit(4.0)
+                > F.lit(float(int(k_times_2))) * F.col("__mad4")
+            ).cast("long"),
+        )
+        .groupBy("__k")
+        .agg(F.sum("__anom").alias("n_anomalies"))
+    )
+    return (
+        mad.join(flagged, "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_rows",
+            F.col("__med2").cast("long").alias("med_x2_e6"),
+            F.col("__mad4").cast("long").alias("mad_x4_e6"),
+            "n_anomalies",
+        )
+    )
+
+
 @register("ohlc_resample")
 def ohlc_resample(
     df: DataFrame,

@@ -852,3 +852,23 @@ def test_sax_words_shape_invariance_and_determinism(spark):
     assert out[1].sax_word[0] == "a" and "d" in out[1].sax_word
     assert out[1].sax_word == out[1].sax_word  # deterministic re-read
     assert out[3].sax_word == "b" * 8  # flat-series guard
+
+
+def test_mad_anomaly_planted_outliers(spark):
+    """A tight cluster plus two planted far-out points: the robust gate
+    flags exactly the planted rows, and the scaled integer encodings
+    carry the exact median/MAD."""
+    from sensordatapipelines_spark.operators.temporal import mad_anomaly
+
+    rows = [("a", 10.0 + 0.01 * i) for i in range(-5, 6)]  # med 10.0, MAD .03
+    rows += [("a", 99.0), ("a", -50.0)]  # planted anomalies
+    rows += [("b", 1.0), ("b", 1.0), ("b", 1.0)]  # zero-MAD group
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r.event_type: r for r in mad_anomaly(df, "event_type", "value").collect()}
+    a = out["a"]
+    assert a.n_rows == 13 and a.n_anomalies == 2
+    assert a.med_x2_e6 == 2 * 10_000_000  # median exactly 10.0
+    # MAD: deviations e6 = [0,1,1,2,2,3,3,4,4,5,5]e4 + two huge -> median dev 3e4
+    assert a.mad_x4_e6 == 4 * 30_000
+    b = out["b"]
+    assert b.n_anomalies == 0 and b.mad_x4_e6 == 0  # zero MAD: no |d|>0 flags? all d=0
