@@ -692,6 +692,25 @@ def docs_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def docs_neardedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus near-dedup under the KEEP-LONGEST representative policy
+    (most tokens wins, id tiebreak) — the curation-realistic keeper, vs
+    the smallest-id twin. Same banded candidates and recursive-CTE
+    clusters in the oracle; the keeper is one window over cluster
+    membership, and only loser ids reach the anti-join."""
+    from sensordatapipelines_spark.operators.dedup import neardedup_keep_longest
+
+    _register_views(spark, sf_dir)
+    out = neardedup_keep_longest(
+        spark.table("documents"),
+        num_hashes=MINHASH_HASHES,
+        band_rows=MINHASH_BAND_ROWS,
+        threshold=MINHASH_THRESHOLD,
+        seed=MINHASH_SEED,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def zones_intersect_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 ``geometries_interesect`` (reference ``:591-600``): layer rows
     within a radius of one point, numeric nulls zero-filled."""
@@ -7280,6 +7299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": docs_containment_pairs,
         "docs_dup_components": docs_dup_components,
         "docs_neardedup_corpus": docs_neardedup_corpus,
+        "docs_neardedup_keep_longest": docs_neardedup_keep_longest,
         "events_key_skew": events_key_skew,
         "sensors_in_polygon": sensors_in_polygon,
         "sensors_haversine_topk": sensors_haversine_topk,
@@ -7578,6 +7598,7 @@ _ROUND6_SAMPLE_FIRST = [
     "zones_gpkg_ingest_dist",
     "media_wav_dft8",
     "events_mad_anomaly",
+    "docs_neardedup_keep_longest",
     "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
@@ -9589,6 +9610,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """
+    oracles["docs_neardedup_keep_longest"] = f"""
+        WITH RECURSIVE cand AS ({_minhash_oracle()}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM cand
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+            SELECT src AS node, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        ),
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text),
+                                 '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tok
+            FROM documents
+        ),
+        mem AS (
+            SELECT c.node, c.component, t.n_tok
+            FROM comp c JOIN tok t ON t.doc_id = c.node
+        ),
+        losers AS (
+            SELECT node FROM (
+                SELECT node, row_number() OVER (PARTITION BY component
+                    ORDER BY n_tok DESC, node ASC) AS rk
+                FROM mem
+            ) WHERE rk > 1
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM losers)
     """
     oracles["events_stream_stream_join"] = """
         SELECT c.user_id AS c_user, COUNT(*) AS n_pairs

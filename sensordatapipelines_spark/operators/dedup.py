@@ -852,6 +852,55 @@ def neardedup_corpus(
     return df.join(losers, on=df[id_col] == F.col("__loser"), how="left_anti")
 
 
+@register("neardedup_keep_longest")
+def neardedup_keep_longest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dedup with the KEEP-LONGEST policy: MinHash+LSH pairs →
+    duplicate clusters → keep the member with the most tokens (ties →
+    smallest id), drop the rest — the curation-realistic representative
+    choice (the longest duplicate usually carries the least-truncated
+    text), vs ``neardedup_corpus``'s keep-smallest-id.
+
+    Plan shape: identical to the corpus op except the keeper step — one
+    window over the CLUSTER MEMBERSHIP table (pair-graph-sized, never
+    corpus-sized; per-partition work bounded by cluster size) picks the
+    argmax, and only loser IDS flow into the final LEFT ANTI join."""
+    from sensordatapipelines_spark.operators.text import token_count_expr
+
+    pairs = minhash_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_rows=band_rows,
+        threshold=threshold,
+        seed=seed,
+    )
+    comps = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    ntok = df.select(
+        F.col(id_col).alias("__nid"),
+        token_count_expr(F.col(text_col)).cast("long").alias("__nt"),
+    )
+    members = comps.join(ntok, comps["node"] == F.col("__nid"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__nt").desc(), F.col("node").asc()
+    )
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("node").alias("__loser"))
+    )
+    return df.join(losers, on=df[id_col] == F.col("__loser"), how="left_anti")
+
+
 @register("decontaminate")
 def decontaminate(
     corpus: DataFrame,

@@ -1335,3 +1335,26 @@ def test_setsim_join_complete_vs_brute_force(spark):
         assert got == want, f"threshold {th}"
         if th == 1.0:
             assert (3, 100) in got  # the planted exact duplicate survives
+
+
+def test_neardedup_keep_longest_policy(spark):
+    """Within a duplicate cluster, the member with the MOST tokens
+    survives (id tiebreak); singletons are untouched."""
+    from sensordatapipelines_spark.operators.dedup import neardedup_keep_longest
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),                       # cluster A: near-identical
+        (2, base + " extended with more trailing tokens here"),  # longest
+        (3, base + " extended"),
+        (10, "completely different content lives here untouched"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id
+        for r in neardedup_keep_longest(
+            df, num_hashes=16, band_rows=2, threshold=0.3, seed=7
+        ).collect()
+    }
+    assert 10 in out and 2 in out
+    assert out & {1, 3} == set()  # shorter cluster members dropped
