@@ -160,6 +160,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_wav(spark, sf_dir)
     _stage_wav_g711(spark, sf_dir)
     _stage_fragmented_events(spark, sf_dir)
+    _stage_gpkg_points(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
     register_sensor_synth(spark)
@@ -4630,6 +4631,70 @@ def zones_gpkg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_gpkg_points(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the sensor layer as a GPKG POINT feature table — the
+    reference's most common vector shape (its sensor GeoDataFrame is
+    point geometry) in its third interchange format. Coordinates ride
+    the GPB-wrapped WKB as binary doubles (bit-exact round-trip); val
+    rides as a REAL attribute."""
+    import sqlite3
+    import struct as _struct
+
+    from sensordatapipelines_spark.sources.geopackage import wrap_gpb
+
+    def build(stage: str) -> None:
+        _register_views(spark, sf_dir)
+        rows = _sensors(spark).orderBy("sensor_id").collect()
+        con = sqlite3.connect(f"{stage}/sensors.gpkg")
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns "
+            "(table_name TEXT, column_name TEXT)"
+        )
+        con.execute("INSERT INTO gpkg_contents VALUES ('sensors', 'features')")
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES ('sensors', 'geom')"
+        )
+        con.execute(
+            "CREATE TABLE sensors (sensor_id INTEGER, val REAL, geom BLOB)"
+        )
+        for r in rows:
+            wkb = b"\x01" + _struct.pack("<I", 1) + _struct.pack(
+                "<dd", r["lon"], r["lat"]
+            )
+            con.execute(
+                "INSERT INTO sensors VALUES (?, ?, ?)",
+                (int(r["sensor_id"]), float(r["val"]), wrap_gpb(wkb)),
+            )
+        con.commit()
+        con.close()
+
+    return _staged(spark, sf_dir, "gpkg_points_src", build)
+
+
+def sensors_gpkg_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPKG POINT-layer round-trip through the EXECUTOR-side pure-SQLite
+    path: the sensor layer staged as a .gpkg point feature table, read
+    back via binaryFile + the b-tree parser + WKB point decode, must
+    reproduce the source table bit-exactly — the oracle is the sensors
+    SQL itself (same identity contract as the shapefile export gate)."""
+    from sensordatapipelines_spark.sources.geopackage import (
+        open_geopackage_distributed,
+    )
+
+    _register_views(spark, sf_dir)
+    stage = _stage_gpkg_points(spark, sf_dir)
+    pts = open_geopackage_distributed(spark, stage, geometry_kind="point")
+    return pts.select(
+        F.col("properties")["sensor_id"].cast("long").alias("sensor_id"),
+        F.col("lon"),
+        F.col("lat"),
+        F.col("properties")["val"].cast("double").alias("val"),
+    )
+
+
 def zones_gpkg_ingest_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoPackage ingestion through the EXECUTOR-side pure-SQLite path:
     the same staged .gpkg, but parsed from ``binaryFile`` payload bytes
@@ -7428,6 +7493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_shapefile_ingest": zones_shapefile_ingest,
         "zones_gpkg_ingest": zones_gpkg_ingest,
         "zones_gpkg_ingest_dist": zones_gpkg_ingest_dist,
+        "sensors_gpkg_points": sensors_gpkg_points,
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_substring_dedup": docs_substring_dedup,
         "docs_stream_neardedup": docs_stream_neardedup,
@@ -7599,6 +7665,7 @@ _ROUND6_SAMPLE_FIRST = [
     "media_wav_dft8",
     "events_mad_anomaly",
     "docs_neardedup_keep_longest",
+    "sensors_gpkg_points",
     "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
@@ -10567,6 +10634,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["sensors_zonal_from_geotiff_fpred"] = oracles["sensors_zonal_stats"]
     # POINT-shapefile export/re-ingest must reproduce the source exactly
     oracles["sensors_shapefile_export"] = f"SELECT * FROM ({SENSORS_SQL})"
+    oracles["sensors_gpkg_points"] = f"SELECT * FROM ({SENSORS_SQL})"
     # synthetic per-doc URL is a pure function of doc_id; suffix-match via
     # equality-or-dot-suffix (each fixture host matches ≤1 blocklist entry)
     _hosts_sql = "[" + ", ".join(f"'{h}'" for h in URL_HOSTS) + "]"

@@ -69,6 +69,7 @@ def open_geopackage(
     table: str | None = None,
     keep_holes: bool = False,
     max_rows: int = 1_000_000,
+    geometry_kind: str = "polygon",
 ) -> DataFrame:
     """Read one feature table of a .gpkg into the engine's ring-format
     vector model — same output contract as ``open_geojson`` /
@@ -83,8 +84,6 @@ def open_geopackage(
     ``list_feature_tables``). ``max_rows`` guards the driver-side SQLite
     read, the same contract as the GeoJSON sink's collect guard."""
     import sqlite3
-
-    from sensordatapipelines_spark.operators.spatial import parse_wkb_polygons
 
     if table is None:
         tables = list_feature_tables(path)
@@ -124,6 +123,29 @@ def open_geopackage(
     df = spark.createDataFrame(
         rows, "fid long, properties map<string,string>, geometry binary"
     )
+    return _decode_gpb_layer(df, geometry_kind, keep_holes)
+
+
+def _decode_gpb_layer(
+    df: DataFrame, geometry_kind: str, keep_holes: bool
+) -> DataFrame:
+    """Shared geometry dispatch for both GPKG read paths: ``polygon``
+    layers decode through ``parse_wkb_polygons`` into the ring-format
+    vector model; ``point`` layers (the reference's sensor-layer case)
+    through ``parse_wkb_points`` into ``(fid, properties, lon, lat)``.
+    Invalid geometries drop, per the S1 validate-on-open contract."""
+    from sensordatapipelines_spark.operators.spatial import (
+        parse_wkb_points,
+        parse_wkb_polygons,
+    )
+
+    if geometry_kind == "point":
+        out = parse_wkb_points(df)
+        return out.filter(out["lon"].isNotNull()).drop("geometry")
+    if geometry_kind != "polygon":
+        raise ValueError(
+            f"geometry_kind must be 'polygon' or 'point', got {geometry_kind!r}"
+        )
     out = parse_wkb_polygons(df, keep_holes=keep_holes)
     return out.filter(out["xs"].isNotNull())
 
@@ -133,6 +155,7 @@ def open_geopackage_distributed(
     path: str,
     table: str | None = None,
     keep_holes: bool = False,
+    geometry_kind: str = "polygon",
 ) -> DataFrame:
     """EXECUTOR-side GeoPackage read: .gpkg payloads arrive via the
     built-in ``binaryFile`` source (one row per file, file-parallel —
@@ -149,7 +172,6 @@ def open_geopackage_distributed(
     ``path`` may be one .gpkg or a directory of them; ``table`` defaults
     to the single feature table registered in ``gpkg_contents`` of each
     file (ambiguity raises, naming the candidates)."""
-    from sensordatapipelines_spark.operators.spatial import parse_wkb_polygons
     from sensordatapipelines_spark.runtime import ensure_shipped
 
     ensure_shipped(spark)  # the decode kernel imports this package on workers
@@ -216,5 +238,4 @@ def open_geopackage_distributed(
             )
 
     df = raw.mapInPandas(decode, schema=schema)
-    out = parse_wkb_polygons(df, keep_holes=keep_holes)
-    return out.filter(out["xs"].isNotNull())
+    return _decode_gpb_layer(df, geometry_kind, keep_holes)

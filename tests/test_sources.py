@@ -1210,3 +1210,53 @@ def test_geopackage_distributed_matches_driver_side(spark, tmp_path):
         a, b = drv[k], dst[k]
         assert a["properties"] == b["properties"], k
         assert a["xs"] == b["xs"] and a["ys"] == b["ys"], k
+
+
+def test_geopackage_point_layer_both_paths(spark, tmp_path):
+    """GPKG point layers decode through both read paths with identical
+    (fid, properties, lon, lat) output; polygon-kind rejects bad kinds."""
+    import sqlite3
+    import struct
+
+    import pytest
+
+    from sensordatapipelines_spark.sources.geopackage import (
+        open_geopackage,
+        open_geopackage_distributed,
+        wrap_gpb,
+    )
+
+    p = tmp_path / "pts.gpkg"
+    con = sqlite3.connect(str(p))
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features')")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom')")
+    con.execute("CREATE TABLE pts (name TEXT, geom BLOB)")
+    coords = [(-122.41, 37.77), (2.3522, 48.8566), (139.69, 35.68)]
+    for i, (x, y) in enumerate(coords):
+        wkb = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
+        con.execute(
+            "INSERT INTO pts VALUES (?, ?)", (f"city{i}", wrap_gpb(wkb))
+        )
+    con.execute("INSERT INTO pts VALUES ('nogeom', NULL)")  # dropped
+    con.commit()
+    con.close()
+
+    drv = {
+        r["properties"]["name"]: (r["lon"], r["lat"])
+        for r in open_geopackage(spark, str(p), geometry_kind="point").collect()
+    }
+    dst = {
+        r["properties"]["name"]: (r["lon"], r["lat"])
+        for r in open_geopackage_distributed(
+            spark, str(tmp_path), geometry_kind="point"
+        ).collect()
+    }
+    want = {f"city{i}": c for i, c in enumerate(coords)}
+    assert drv == want and dst == want
+
+    with pytest.raises(ValueError, match="geometry_kind"):
+        open_geopackage(spark, str(p), geometry_kind="line")
