@@ -7649,11 +7649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-6 driver-sample rotation: the two persistent red gates first
-# (now integer-only), immediately followed by their bisection probes so
-# ONE driver run localizes any residual divergence, then this round's
-# new fpred gate, then 44 of the 71 queries that have never appeared in
-# any CORRECTNESS_r* file (cumulative driver-checked after r5: 212 of
-# 280) — the 50-query sample = 2 retests + 2 probes + 1 new + 45 fresh.
+# (now integer-only), their two bisection probes, this round's 11 new
+# gates, then never-before-sampled queries up to the 50-entry window the
+# external gate samples — 2 retests + 48 queries with no prior
+# CORRECTNESS row (cumulative driver-checked after r5: 212 of 280).
 _ROUND6_SAMPLE_FIRST = [
     "docs_chi2_terms",
     "events_mann_kendall",
@@ -7705,15 +7704,6 @@ _ROUND6_SAMPLE_FIRST = [
     "events_cms_heavy_hitters",
     "events_kmv_distinct",
     "events_cusum_alarms",
-    "orders_dq_report",
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "emb_matryoshka_recall",
-    "docs_bigram_logprob",
-    "events_kmv_overlap",
-    "events_rolling_actives",
-    "events_seasonal_decompose",
-    "docs_stratified_sample",
 ]
 
 # Round-5 driver-sample rotation: the two r4 hash-red gates (now
