@@ -2392,6 +2392,22 @@ def events_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_vector_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark 4 ``mapInArrow`` coverage: per-vector exact energy via an
+    Arrow-native kernel (RecordBatch in/out, no pandas) — components
+    FLOOR-quantize to e6 BIGINTs, the squared sum is exact integer math,
+    and the oracle replays it with list_transform + list_sum."""
+    from sensordatapipelines_spark.operators.similarity import vector_sumsq_arrow
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        F.col("vec_id").alias("emb_id"), F.col("embedding").alias("vec")
+    )
+    return vector_sumsq_arrow(emb).select(
+        F.col("emb_id").alias("vec_id"), "n_dims", "sumsq_e12"
+    )
+
+
 def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over embeddings: higher-order fold
     (``aggregate``) for the L2 norm, ``array_max``/``array_min``, ``size``
@@ -7400,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "events_date_features": events_date_features,
         "emb_vector_stats": emb_vector_stats,
+        "emb_vector_sumsq": emb_vector_sumsq,
         "customer_percent_rank": customer_percent_rank,
         "sensors_custom_source": sensors_custom_source,
         "events_zscore": events_zscore,
@@ -7665,6 +7682,7 @@ _ROUND6_SAMPLE_FIRST = [
     "events_mad_anomaly",
     "docs_neardedup_keep_longest",
     "sensors_gpkg_points",
+    "emb_vector_sumsq",
     "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
@@ -9957,6 +9975,15 @@ def oracle_sql() -> dict[str, str]:
                strftime(last_day(m), '%Y-%m-%d') AS month_end
         FROM base
         GROUP BY m
+    """
+    oracles["emb_vector_sumsq"] = """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(list_sum(list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
+                   AS BIGINT) AS sumsq_e12
+        FROM embeddings
     """
     oracles["emb_vector_stats"] = """
         SELECT vec_id, label, len(embedding) AS dim,

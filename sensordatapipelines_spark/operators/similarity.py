@@ -35,6 +35,50 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+@register("vector_sumsq_arrow")
+def vector_sumsq_arrow(
+    df: DataFrame,
+    id_col: str = "emb_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Per-vector exact energy profile → ``(id, n_dims, sumsq_e12)``
+    computed with ``mapInArrow`` — the PySpark 4 Arrow-native map (the
+    batch arrives as a ``pyarrow.RecordBatch``, zero pandas
+    materialization; the right escape hatch when the kernel is pure
+    columnar math and even a pandas Series wrapper is overhead).
+
+    Determinism: each component quantizes FLOOR(x·1e6) first (floor has
+    no rounding-mode to disagree on; the product is the identical IEEE
+    double in every engine), then Σ of squared BIGINTs is exact integer
+    math — the oracle replays it with ``list_transform`` + ``list_sum``.
+    Map-only, no shuffle; at 100 TB this is a pure scan-side pass."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl[id_col]
+            out_n, out_s = [], []
+            for vec in tbl[vec_col]:
+                arr = np.asarray(vec, dtype=np.float64)
+                q = np.floor(arr * 1e6).astype(np.int64)
+                out_n.append(int(q.size))
+                out_s.append(int((q * q).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    "n_dims": pa.array(out_n, type=pa.int64()),
+                    "sumsq_e12": pa.array(out_s, type=pa.int64()),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(kernel, schema=f"{id_col} long, n_dims long, sumsq_e12 long")
+
+
 @register("cosine_topk")
 def cosine_topk(
     corpus: DataFrame,

@@ -1260,3 +1260,37 @@ def test_geopackage_point_layer_both_paths(spark, tmp_path):
 
     with pytest.raises(ValueError, match="geometry_kind"):
         open_geopackage(spark, str(p), geometry_kind="line")
+
+
+def test_jsonl_sink_datasource_roundtrip(spark, tmp_path):
+    """Custom Python DataSource WRITER (PySpark 4): per-partition part
+    files, two-phase temp+rename commit, overwrite semantics, and a
+    value-exact round-trip through spark.read.json."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    parts = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    assert len(parts) == 4
+    assert not glob.glob(f"{out}/.tmp-*")  # temps renamed away
+    back = spark.read.json(out)
+    assert back.count() == 100
+    got = {(r["id"], r["grp"], r["name"]) for r in back.collect()}
+    want = {(i, i % 7, f"name-{i}") for i in range(100)}
+    assert got == want
+
+    # overwrite mode replaces prior parts instead of accumulating
+    df2 = spark.range(10).select(
+        F.col("id"), F.lit(0).alias("grp"), F.lit("x").alias("name")
+    ).repartition(2)
+    df2.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
+    assert spark.read.json(out).count() == 10
