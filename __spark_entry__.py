@@ -13524,7 +13524,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         pref AS (
             SELECT doc_id, tok FROM ranked
-            WHERE rn <= n - CAST(CEIL(n * 0.9) AS BIGINT) + 1
+            WHERE rn <= n - (n * 900000 + 999999) // 1000000 + 1
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

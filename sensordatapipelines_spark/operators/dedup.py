@@ -576,12 +576,18 @@ def setsim_join(
             )
         ),
     )
+    # integer-exact prefix bound: ceil(n·t) computed as
+    # (n·t_e6 + 999999) div 1e6 with t at e6 resolution — float ceil of
+    # n·t could round above an exact integer product and silently
+    # shorten the prefix by one (a completeness hole); integer math
+    # cannot
+    tq = int(round(threshold * 1_000_000))
     pref = (
         ordered.join(sizes, "__id")
         .filter(
             F.col("__rn")
             <= F.col("__n")
-            - F.ceil(F.col("__n") * F.lit(float(threshold))).cast("long")
+            - F.expr(f"(__n * {tq} + 999999) div 1000000")
             + F.lit(1)
         )
         .select("__id", "__tok")
