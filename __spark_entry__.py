@@ -7254,6 +7254,38 @@ def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "compacted_events", build)
 
 
+def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per event type: bucket = bit length
+    of the exact e6 BIGINT (length(bin(v)) - 1 — no logarithm anywhere),
+    bucket -1 for non-positives. One map-side-combined aggregate."""
+    from sensordatapipelines_spark.operators.utility import log2_histogram
+
+    _register_views(spark, sf_dir)
+    return log2_histogram(spark.table("events"), "event_type", "value")
+
+
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson vocabulary-concentration index per language: Σ f(f−1)
+    and N(N−1) as exact BIGINTs (the repetition complement to TTR) —
+    all-integer output, one corpus scan."""
+    from sensordatapipelines_spark.operators.text import simpson_diversity
+
+    _register_views(spark, sf_dir)
+    return simpson_diversity(spark.table("documents"))
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user sequences
+    (standard (floor-epoch-second, event_id) order): counts + exact e6
+    integer-division probabilities. One keyed window + two aggregates."""
+    from sensordatapipelines_spark.operators.temporal import markov_transitions
+
+    _register_views(spark, sf_dir)
+    return markov_transitions(
+        spark.table("events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
 def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust 3.5-MAD outlier screen per event type — values e6-quantize
     first so medians/MADs interpolate only to halves and every
@@ -7621,6 +7653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "events_log_histogram": events_log_histogram,
+        "docs_simpson_diversity": docs_simpson_diversity,
+        "events_markov_transitions": events_markov_transitions,
         "events_mad_anomaly": events_mad_anomaly,
         "events_compacted_scan": events_compacted_scan,
         "docs_setsim_join": docs_setsim_join,
@@ -7679,6 +7714,9 @@ _ROUND6_SAMPLE_FIRST = [
     "media_wav_g711",
     "zones_gpkg_ingest_dist",
     "media_wav_dft8",
+    "events_log_histogram",
+    "docs_simpson_diversity",
+    "events_markov_transitions",
     "events_mad_anomaly",
     "docs_neardedup_keep_longest",
     "sensors_gpkg_points",
@@ -13468,6 +13506,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["events_log_histogram"] = """
+        SELECT event_type,
+               CAST(CASE WHEN CAST(ROUND(value * 1e6) AS BIGINT) <= 0
+                    THEN -1
+                    ELSE length(bin(CAST(ROUND(value * 1e6) AS BIGINT))) - 1
+               END AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, bucket
+    """
+    oracles["docs_simpson_diversity"] = f"""
+        WITH {_LANG_STREAM},
+        freq AS (SELECT lang, tok, COUNT(*) AS f
+                 FROM stream GROUP BY lang, tok),
+        agg AS (
+            SELECT lang, SUM(f) AS n_tokens, COUNT(*) AS n_distinct,
+                   SUM(f * (f - 1)) AS simpson_num
+            FROM freq GROUP BY lang
+        )
+        SELECT lang, n_tokens, n_distinct, simpson_num,
+               n_tokens * (n_tokens - 1) AS simpson_den
+        FROM agg
+    """
+    oracles["events_markov_transitions"] = """
+        WITH seq AS (
+            SELECT event_type AS to_state,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY FLOOR(epoch(ts)), event_id
+                   ) AS from_state
+            FROM events
+        ),
+        counts AS (
+            SELECT from_state, to_state, COUNT(*) AS n
+            FROM seq WHERE from_state IS NOT NULL
+            GROUP BY from_state, to_state
+        ),
+        totals AS (
+            SELECT from_state, SUM(n) AS tot FROM counts GROUP BY from_state
+        )
+        SELECT c.from_state, c.to_state, c.n,
+               c.n * 1000000 // t.tot AS p_e6
+        FROM counts c JOIN totals t ON c.from_state = t.from_state
     """
     oracles["events_mad_anomaly"] = """
         WITH base AS (

@@ -1586,6 +1586,51 @@ def pair_probe(
     )
 
 
+@register("markov_transitions")
+def markov_transitions(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition profile over per-group event
+    sequences → ``(from_state, to_state, n, p_e6)``: each group's events
+    order by the engine's standard (floor-epoch-second, tiebreak) key,
+    consecutive states pair via one LAG window, and transition
+    probabilities row-normalize as exact e6 integer division — the
+    sequence-model feature (next-event prediction, anomaly scoring) with
+    no float surface. One keyed window + two hash aggregates; the
+    transition matrix is |states|² rows, a broadcastable dim."""
+    from pyspark.sql import Window
+
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(group_col).orderBy(F.col("__t"), F.col("__tb"))
+    pairs = (
+        df.select(
+            F.col(group_col),
+            t.alias("__t"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.col(state_col).alias("to_state"),
+        )
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(totals, "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            F.expr("n * 1000000 div __tot").alias("p_e6"),
+        )
+    )
+
+
 @register("mad_anomaly")
 def mad_anomaly(
     df: DataFrame,

@@ -295,6 +295,39 @@ def poly_hash_expr(text: Column, mod: int = POLY_MOD) -> Column:
     )
 
 
+@register("simpson_diversity")
+def simpson_diversity(
+    df: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Simpson vocabulary-concentration profile per class →
+    ``(class, n_tokens, n_distinct, simpson_num, simpson_den)`` with
+    D = simpson_num / simpson_den = Σ f(f−1) / N(N−1) — the probability
+    two random tokens coincide: the repetition/diversity complement to
+    TTR (boilerplate corpora spike, diverse text stays low). Every
+    column is an exact BIGINT (the division is the consumer's), so the
+    gate has no float surface at all. One vocabulary-scale aggregate +
+    one per-class fold; the corpus scans once."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    freq = (
+        df.select(F.col(class_col).alias("__cls"), F.explode(toks).alias("__tok"))
+        .groupBy("__cls", "__tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    return (
+        freq.groupBy(F.col("__cls").alias(class_col))
+        .agg(
+            F.sum("__f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("__f") * (F.col("__f") - 1)).alias("simpson_num"),
+        )
+        .withColumn(
+            "simpson_den", F.col("n_tokens") * (F.col("n_tokens") - 1)
+        )
+    )
+
+
 @register("readability")
 def readability(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"

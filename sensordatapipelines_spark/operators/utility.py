@@ -41,6 +41,35 @@ def spread_by(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+@register("log2_histogram")
+def log2_histogram(
+    df: "DataFrame",
+    key_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """Log-scale (power-of-two) value histogram per key →
+    ``(key, bucket, n)`` where bucket k holds e6-quantized values in
+    [2^k, 2^(k+1)) and bucket −1 holds non-positive values — the
+    constant-size distribution summary for heavy-tailed telemetry
+    (latencies, sizes) that an equal-width histogram wastes.
+
+    Determinism: the bucket is ``length(bin(v_e6)) − 1`` — the bit
+    length of an exact BIGINT via the binary-string builtin both engines
+    share — so no logarithm is evaluated anywhere. One hash aggregate,
+    map-side combined; output is keys × ~60 rows max."""
+    from pyspark.sql import functions as F
+
+    v6 = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    bucket = F.when(v6 <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(v6)) - F.lit(1)
+    )
+    return (
+        df.select(F.col(key_col), bucket.cast("long").alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("sql_filter")
 def sql_filter(df: DataFrame, predicate: str) -> DataFrame:
     """Row filter by SQL predicate text — the JSON-plan-friendly filter

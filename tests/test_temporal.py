@@ -872,3 +872,24 @@ def test_mad_anomaly_planted_outliers(spark):
     assert a.mad_x4_e6 == 4 * 30_000
     b = out["b"]
     assert b.n_anomalies == 0 and b.mad_x4_e6 == 0  # zero MAD: no |d|>0 flags? all d=0
+
+
+def test_markov_transitions_known_sequence(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "b", "c", "a"]  # a->b x2, b->a, b->c, c->a
+    rows = [(1, t0 + dt.timedelta(hours=i), s, i) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string, event_id long")
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p_e6)
+        for r in markov_transitions(df, "user_id", "ts", "state", "event_id").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1_000_000),
+        ("b", "a"): (1, 500_000),
+        ("b", "c"): (1, 500_000),
+        ("c", "a"): (1, 1_000_000),
+    }

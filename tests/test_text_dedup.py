@@ -1358,3 +1358,17 @@ def test_neardedup_keep_longest_policy(spark):
     }
     assert 10 in out and 2 in out
     assert out & {1, 3} == set()  # shorter cluster members dropped
+
+
+def test_simpson_diversity_exact(spark):
+    from sensordatapipelines_spark.operators.text import simpson_diversity
+
+    df = spark.createDataFrame(
+        [(1, "xx", "a a a b"), (2, "xx", "a b c"), (3, "yy", "z z z z")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in simpson_diversity(df).collect()}
+    xx = out["xx"]  # counts: a=4, b=2, c=1 -> N=7, num=4*3+2*1=14
+    assert (xx.n_tokens, xx.n_distinct, xx.simpson_num, xx.simpson_den) == (7, 3, 14, 42)
+    yy = out["yy"]  # z=4 -> num=12, den=12 -> D=1 (pure repetition)
+    assert (yy.simpson_num, yy.simpson_den) == (12, 12)

@@ -135,3 +135,16 @@ def test_benford_audit_detects_uniform_digits(spark):
     # sub-1 amounts are excluded
     tiny = spark.createDataFrame([(0.5,), (12.0,)], "amt double")
     assert benford_audit(tiny, "amt").count() == 1
+
+
+def test_log2_histogram_buckets(spark):
+    from sensordatapipelines_spark.operators.utility import log2_histogram
+
+    df = spark.createDataFrame(
+        [("k", 0.000001), ("k", 0.000002), ("k", 0.000003), ("k", 0.0),
+         ("k", -5.0), ("k", 4.194304)],  # e6: 1,2,3,0,-5e6, 2^22
+        "key string, v double",
+    )
+    got = {r.bucket: r.n for r in log2_histogram(df, "key", "v").collect()}
+    # e6 values 1 -> bucket 0; 2,3 -> bucket 1; <=0 -> -1; 2^22 -> 22
+    assert got == {0: 1, 1: 2, -1: 2, 22: 1}
