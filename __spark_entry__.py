@@ -7721,6 +7721,9 @@ _ROUND6_SAMPLE_FIRST = [
     "docs_neardedup_keep_longest",
     "sensors_gpkg_points",
     "emb_vector_sumsq",
+    "events_markov_transitions",
+    "docs_simpson_diversity",
+    "events_log_histogram",
     "events_compacted_scan",
     "docs_setsim_join",
     "docs_readability",
@@ -7753,13 +7756,6 @@ _ROUND6_SAMPLE_FIRST = [
     "events_regr_trend",
     "events_stats_unpivot",
     "lineitem_moments",
-    "docs_char_entropy",
-    "docs_bigram_topk",
-    "events_position_attribution",
-    "events_km_survival",
-    "events_cms_heavy_hitters",
-    "events_kmv_distinct",
-    "events_cusum_alarms",
 ]
 
 # Round-5 driver-sample rotation: the two r4 hash-red gates (now
