@@ -7254,6 +7254,46 @@ def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "compacted_events", build)
 
 
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival profile: gaps in whole days
+    between consecutive orders (ordered by date then order key), exact
+    integer min/max/sum/count — the reorder-cadence feature behind
+    churn/LTV models. One keyed LAG window + one aggregate; repeat
+    customers only."""
+    _register_views(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        F.sum("gap_days").cast("long").alias("sum_gap"),
+    )
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs profile per event type: strictly-above/below
+    the exact e6 median (doubled-integer comparison, no rounding
+    boundary; median ties drop), maximal same-side runs counted via one
+    LAG window — the classic sequence-randomness check, all-integer."""
+    from sensordatapipelines_spark.operators.temporal import runs_test
+
+    _register_views(spark, sf_dir)
+    return runs_test(spark.table("events"), "event_type", "ts", "value", "event_id")
+
+
 def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two value histogram per event type: bucket = bit length
     of the exact e6 BIGINT (length(bin(v)) - 1 — no logarithm anywhere),
@@ -7653,6 +7693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "orders_interarrival": orders_interarrival,
+        "events_runs_test": events_runs_test,
         "events_log_histogram": events_log_histogram,
         "docs_simpson_diversity": docs_simpson_diversity,
         "events_markov_transitions": events_markov_transitions,
@@ -13502,6 +13544,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["orders_interarrival"] = """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey AS custkey,
+               COUNT(*) AS n_gaps,
+               CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+               CAST(SUM(gap_days) AS BIGINT) AS sum_gap
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+    """
+    oracles["events_runs_test"] = """
+        WITH base AS (
+            SELECT event_type AS k,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   event_id AS tb,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS v6
+            FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2
+            FROM base GROUP BY k
+        ),
+        sided AS (
+            SELECT b.k, b.t, b.tb,
+                   CASE WHEN CAST(b.v6 AS DOUBLE) * 2.0 > m.med2 THEN 1
+                        WHEN CAST(b.v6 AS DOUBLE) * 2.0 < m.med2 THEN -1
+                   END AS side
+            FROM base b JOIN med m ON b.k = m.k
+        ),
+        runs AS (
+            SELECT k, side,
+                   CASE WHEN LAG(side) OVER (PARTITION BY k ORDER BY t, tb)
+                             IS DISTINCT FROM side THEN 1 ELSE 0 END AS new_run
+            FROM sided WHERE side IS NOT NULL
+        )
+        SELECT k AS event_type,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_above,
+               SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS n_below,
+               SUM(new_run) AS n_runs
+        FROM runs GROUP BY k
     """
     oracles["events_log_histogram"] = """
         SELECT event_type,

@@ -1586,6 +1586,65 @@ def pair_probe(
     )
 
 
+@register("runs_test")
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs profile per key → ``(key, n_above, n_below,
+    n_runs)``: order each key's series by the standard (floor-epoch,
+    tiebreak) key, classify each value strictly above/below the key's
+    exact median (ties AT the median drop, the standard convention), and
+    count the maximal same-side runs — the classic randomness check
+    (trend or oscillation both push n_runs away from its null
+    expectation 2·n_a·n_b/(n_a+n_b)+1, which the consumer derives).
+
+    Determinism: the median comparison happens in the doubled-e6 integer
+    space (2·v6 vs 2·median6 — both integer-valued doubles, no rounding
+    boundary); run boundaries come from one LAG window per key. All
+    output columns exact BIGINTs."""
+    v6 = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        t.alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        v6.alias("__v6"),
+    ).filter(F.col("__v6").isNotNull())
+    med = base.groupBy("__k").agg(
+        (F.percentile(F.col("__v6"), F.lit(0.5)) * F.lit(2.0)).alias("__med2")
+    )
+    sided = (
+        base.join(med, "__k")
+        .withColumn(
+            "__side",
+            F.when(
+                F.col("__v6").cast("double") * F.lit(2.0) > F.col("__med2"), 1
+            ).when(
+                F.col("__v6").cast("double") * F.lit(2.0) < F.col("__med2"), -1
+            ),
+        )
+        .filter(F.col("__side").isNotNull())
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+    runs = sided.withColumn(
+        "__new_run",
+        F.when(
+            F.lag("__side").over(w).isNull()
+            | (F.lag("__side").over(w) != F.col("__side")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy(F.col("__k").alias(key_col)).agg(
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(F.col("__side") == -1, 1).otherwise(0)).alias("n_below"),
+        F.sum("__new_run").alias("n_runs"),
+    )
+
+
 @register("markov_transitions")
 def markov_transitions(
     df: DataFrame,

@@ -893,3 +893,20 @@ def test_markov_transitions_known_sequence(spark):
         ("b", "c"): (1, 500_000),
         ("c", "a"): (1, 1_000_000),
     }
+
+
+def test_runs_test_alternating_and_trending(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import runs_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    # alternating around median -> many runs; trending -> exactly 2 runs
+    alt = [10.0, 20.0] * 5          # median 15: sides -+-+... -> 10 runs
+    trend = [float(i) for i in range(10)]  # median 4.5: 5 below then 5 above
+    rows = [("alt", t0 + dt.timedelta(hours=i), v, i) for i, v in enumerate(alt)]
+    rows += [("tr", t0 + dt.timedelta(hours=i), v, i) for i, v in enumerate(trend)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    out = {r.k: r for r in runs_test(df, "k", "ts", "v", "i").collect()}
+    assert (out["alt"].n_above, out["alt"].n_below, out["alt"].n_runs) == (5, 5, 10)
+    assert (out["tr"].n_above, out["tr"].n_below, out["tr"].n_runs) == (5, 5, 2)
