@@ -7304,6 +7304,16 @@ def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(spark.table("events"), "event_type", "value")
 
 
+def docs_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis-legomena vocabulary profile per language — the
+    vocabulary-growth and dedup-health signal; exact BIGINT counts and
+    e6 integer-division ratio, one corpus scan."""
+    from sensordatapipelines_spark.operators.text import hapax_profile
+
+    _register_views(spark, sf_dir)
+    return hapax_profile(spark.table("documents"))
+
+
 def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson vocabulary-concentration index per language: Σ f(f−1)
     and N(N−1) as exact BIGINTs (the repetition complement to TTR) —
@@ -7697,6 +7707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs_test": events_runs_test,
         "events_log_histogram": events_log_histogram,
         "docs_simpson_diversity": docs_simpson_diversity,
+        "docs_hapax_profile": docs_hapax_profile,
         "events_markov_transitions": events_markov_transitions,
         "events_mad_anomaly": events_mad_anomaly,
         "events_compacted_scan": events_compacted_scan,
@@ -13602,6 +13613,18 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM events
         GROUP BY event_type, bucket
+    """
+    oracles["docs_hapax_profile"] = f"""
+        WITH {_LANG_STREAM},
+        freq AS (SELECT lang, tok, COUNT(*) AS f
+                 FROM stream GROUP BY lang, tok)
+        SELECT lang,
+               COUNT(*) AS n_distinct,
+               SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+               SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n_dis,
+               SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+                   // COUNT(*) AS hapax_ratio_e6
+        FROM freq GROUP BY lang
     """
     oracles["docs_simpson_diversity"] = f"""
         WITH {_LANG_STREAM},

@@ -328,6 +328,40 @@ def simpson_diversity(
     )
 
 
+@register("hapax_profile")
+def hapax_profile(
+    df: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hapax-legomena profile per class → ``(class, n_distinct,
+    n_hapax, n_dis, hapax_ratio_e6)``: counts of once-occurring and
+    twice-occurring vocabulary — the corpus-linguistics vocabulary-growth
+    signal (natural text keeps ~40-60 % hapax; template/duplicated
+    corpora collapse toward 0, the cheap dedup-health check). The ratio
+    is exact e6 integer division; every column is a BIGINT. Same single
+    vocabulary-scale aggregate as the diversity family — the corpus
+    scans once."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    freq = (
+        df.select(F.col(class_col).alias("__cls"), F.explode(toks).alias("__tok"))
+        .groupBy("__cls", "__tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    return (
+        freq.groupBy(F.col("__cls").alias(class_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("__f") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.when(F.col("__f") == 2, 1).otherwise(0)).alias("n_dis"),
+        )
+        .withColumn(
+            "hapax_ratio_e6",
+            F.expr("n_hapax * 1000000 div n_distinct"),
+        )
+    )
+
+
 @register("readability")
 def readability(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"

@@ -1372,3 +1372,17 @@ def test_simpson_diversity_exact(spark):
     assert (xx.n_tokens, xx.n_distinct, xx.simpson_num, xx.simpson_den) == (7, 3, 14, 42)
     yy = out["yy"]  # z=4 -> num=12, den=12 -> D=1 (pure repetition)
     assert (yy.simpson_num, yy.simpson_den) == (12, 12)
+
+
+def test_hapax_profile_exact(spark):
+    from sensordatapipelines_spark.operators.text import hapax_profile
+
+    df = spark.createDataFrame(
+        [(1, "xx", "a b b c c c d"), (2, "yy", "z z")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in hapax_profile(df).collect()}
+    xx = out["xx"]  # a=1 (hapax), b=2 (dis), c=3, d=1 (hapax)
+    assert (xx.n_distinct, xx.n_hapax, xx.n_dis) == (4, 2, 1)
+    assert xx.hapax_ratio_e6 == 2 * 1_000_000 // 4
+    assert (out["yy"].n_hapax, out["yy"].n_dis) == (0, 1)
