@@ -7254,6 +7254,33 @@ def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "compacted_events", build)
 
 
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median of extended price per return
+    flag: integer cumulative-weight selection (2·cumw >= totw) over the
+    exact e2 price order — the size-aware center a plain median
+    mis-states. One keyed window + one aggregate."""
+    from sensordatapipelines_spark.operators.utility import weighted_median
+
+    _register_views(spark, sf_dir)
+    li = spark.table("lineitem").withColumn(
+        "__tb", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
+    )
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "__tb"
+    )
+
+
+def events_peak_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local-extrema counts per event type (peak = greater than
+    BOTH neighbors in (floor-epoch, tiebreak) order, trough symmetric) —
+    the cheap oscillation signal; exact e6 comparisons, one lag+lead
+    window."""
+    from sensordatapipelines_spark.operators.utility import peak_count
+
+    _register_views(spark, sf_dir)
+    return peak_count(spark.table("events"), "event_type", "ts", "value", "event_id")
+
+
 def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order inter-arrival profile: gaps in whole days
     between consecutive orders (ordered by date then order key), exact
@@ -7703,6 +7730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "lineitem_weighted_median": lineitem_weighted_median,
+        "events_peak_count": events_peak_count,
         "orders_interarrival": orders_interarrival,
         "events_runs_test": events_runs_test,
         "events_log_histogram": events_log_histogram,
@@ -13555,6 +13584,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["lineitem_weighted_median"] = """
+        WITH base AS (
+            SELECT l_returnflag AS k,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS v2,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey * 8 + l_linenumber AS tb
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT k, v2,
+                   SUM(w) OVER (PARTITION BY k ORDER BY v2, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumw,
+                   SUM(w) OVER (PARTITION BY k) AS totw
+            FROM base
+        )
+        SELECT k AS l_returnflag,
+               MIN(totw) AS total_weight,
+               MIN(v2) AS wmedian_e2
+        FROM cum WHERE cumw * 2 >= totw
+        GROUP BY k
+    """
+    oracles["events_peak_count"] = """
+        WITH base AS (
+            SELECT event_type AS k,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   event_id AS tb,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS v6
+            FROM events WHERE value IS NOT NULL
+        ),
+        nbrs AS (
+            SELECT k, v6,
+                   LAG(v6) OVER (PARTITION BY k ORDER BY t, tb) AS pv,
+                   LEAD(v6) OVER (PARTITION BY k ORDER BY t, tb) AS nv
+            FROM base
+        )
+        SELECT k AS event_type,
+               COUNT(*) AS n_points,
+               SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        AND v6 > pv AND v6 > nv THEN 1 ELSE 0 END) AS n_peaks,
+               SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        AND v6 < pv AND v6 < nv THEN 1 ELSE 0 END) AS n_troughs
+        FROM nbrs GROUP BY k
     """
     oracles["orders_interarrival"] = """
         WITH gaps AS (

@@ -41,6 +41,102 @@ def spread_by(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+@register("weighted_median")
+def weighted_median(
+    df: "DataFrame",
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+) -> "DataFrame":
+    """Weighted (lower) median per key → ``(key, total_weight,
+    wmedian_e2)``: the smallest value whose cumulative weight reaches
+    half the key's total — the size-aware center (e.g. price per unit
+    weighted by quantity) a plain median mis-states when weights skew.
+
+    Determinism: weights are exact integers; the selection rule
+    ``2·cumw ≥ totw`` is pure integer comparison on a cumulative-sum
+    window ordered by (value_e2, tiebreak), and the value itself is
+    carried as the exact e2 BIGINT. One keyed window + one aggregate
+    (min over qualifying rows) — no sort beyond the keyed window's."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v2 = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    wgt = F.col(weight_col).cast("long")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        v2.alias("__v2"),
+        wgt.alias("__w"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(F.col("__v2").isNotNull() & F.col("__w").isNotNull())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__v2"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("__k")
+    cum = base.withColumn("__cumw", F.sum("__w").over(w)).withColumn(
+        "__totw", F.sum("__w").over(tot)
+    )
+    return (
+        cum.filter(F.col("__cumw") * 2 >= F.col("__totw"))
+        .groupBy(F.col("__k").alias(key_col))
+        .agg(
+            F.min(F.col("__totw")).alias("total_weight"),
+            F.min("__v2").alias("wmedian_e2"),
+        )
+    )
+
+
+@register("peak_count")
+def peak_count(
+    df: "DataFrame",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> "DataFrame":
+    """Strict local-extrema profile per key → ``(key, n_points,
+    n_peaks, n_troughs)``: a point is a peak iff strictly greater than
+    BOTH neighbors in the series' (floor-epoch, tiebreak) order (trough
+    symmetric) — the cheapest oscillation/noise signal for telemetry.
+    Comparisons happen on exact e6 BIGINTs; endpoints are neither. One
+    keyed window (lag + lead), one aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v6 = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        t.alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        v6.alias("__v6"),
+    ).filter(F.col("__v6").isNotNull())
+    w = Window.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+    lagv = F.lag("__v6").over(w)
+    leadv = F.lead("__v6").over(w)
+    marked = base.select(
+        "__k",
+        F.when(
+            lagv.isNotNull() & leadv.isNotNull()
+            & (F.col("__v6") > lagv) & (F.col("__v6") > leadv),
+            1,
+        ).otherwise(0).alias("__peak"),
+        F.when(
+            lagv.isNotNull() & leadv.isNotNull()
+            & (F.col("__v6") < lagv) & (F.col("__v6") < leadv),
+            1,
+        ).otherwise(0).alias("__trough"),
+    )
+    return marked.groupBy(F.col("__k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__peak").alias("n_peaks"),
+        F.sum("__trough").alias("n_troughs"),
+    )
+
+
 @register("log2_histogram")
 def log2_histogram(
     df: "DataFrame",

@@ -148,3 +148,30 @@ def test_log2_histogram_buckets(spark):
     got = {r.bucket: r.n for r in log2_histogram(df, "key", "v").collect()}
     # e6 values 1 -> bucket 0; 2,3 -> bucket 1; <=0 -> -1; 2^22 -> 22
     assert got == {0: 1, 1: 2, -1: 2, 22: 1}
+
+
+def test_weighted_median_known(spark):
+    from sensordatapipelines_spark.operators.utility import weighted_median
+
+    # values 1,2,3 with weights 1,1,10 -> half of 12 is 6: wmedian = 3
+    rows = [("k", 1.0, 1, 1), ("k", 2.0, 1, 2), ("k", 3.0, 10, 3),
+            ("u", 5.0, 2, 1), ("u", 7.0, 2, 2)]  # even split: LOWER median 5
+    df = spark.createDataFrame(rows, "g string, v double, w long, tb long")
+    out = {r.g: r for r in weighted_median(df, "g", "v", "w", "tb").collect()}
+    assert (out["k"].total_weight, out["k"].wmedian_e2) == (12, 300)
+    assert (out["u"].total_weight, out["u"].wmedian_e2) == (4, 500)
+
+
+def test_peak_count_known(spark):
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.utility import peak_count
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 3.0, 2.0, 5.0, 5.0, 1.0, 4.0]  # peaks at 3 and... plateau 5,5 none strict; troughs at 2 and 1
+    rows = [("k", t0 + dt.timedelta(hours=i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double, i long")
+    out = peak_count(df, "g", "ts", "v", "i").collect()[0]
+    # strict peaks: index1 (1<3>2). index3 (2<5 but 5==5 next -> not strict)
+    # troughs: index2 (3>2<5), index5 (5>1<4)
+    assert (out.n_points, out.n_peaks, out.n_troughs) == (7, 1, 2)
