@@ -7331,6 +7331,46 @@ def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(spark.table("events"), "event_type", "value")
 
 
+def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth deciles over BIGRAM types (the
+    synthetic unigram vocabulary is 31 types and saturates instantly;
+    the bigram space keeps growing): each type attributes to the decile
+    of its first-occurrence doc id (pure integer bucket math),
+    cumulative distinct types per decile — sublinear growth is healthy
+    text, a flat tail is saturation/duplication."""
+    from sensordatapipelines_spark.operators.text import heaps_curve
+
+    _register_views(spark, sf_dir)
+    return heaps_curve(spark.table("documents"), n_buckets=10, ngram=2)
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness profile per event type over hourly counts:
+    n·Σx² − (Σx)² and n·Σx as exact BIGINTs (the Fano factor is their
+    ratio, left to the consumer) — Poisson arrivals sit near 1, bursty
+    streams far above. Two keyed aggregates, all-integer."""
+    _register_views(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600)
+            ).alias("__hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("__c").alias("n_events"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("__c") * F.col("__c"))
+            - F.sum("__c") * F.sum("__c")
+        ).alias("fano_num"),
+        (F.count(F.lit(1)) * F.sum("__c")).alias("fano_den"),
+    )
+
+
 def docs_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax/dis-legomena vocabulary profile per language — the
     vocabulary-growth and dedup-health signal; exact BIGINT counts and
@@ -7737,6 +7777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_log_histogram": events_log_histogram,
         "docs_simpson_diversity": docs_simpson_diversity,
         "docs_hapax_profile": docs_hapax_profile,
+        "docs_heaps_curve": docs_heaps_curve,
+        "events_burstiness": events_burstiness,
         "events_markov_transitions": events_markov_transitions,
         "events_mad_anomaly": events_mad_anomaly,
         "events_compacted_scan": events_compacted_scan,
@@ -13686,6 +13728,47 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM events
         GROUP BY event_type, bucket
+    """
+    oracles["docs_heaps_curve"] = f"""
+        WITH {_LANG_STREAM},
+        big AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])
+                   ELSE [] END) AS tok
+            FROM dtoks
+        ),
+        first AS (
+            SELECT tok, MIN(doc_id) AS f FROM big GROUP BY tok
+        ),
+        bounds AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        per AS (
+            SELECT LEAST(9, (f - lo) * 10 // (hi - lo + 1)) AS bucket,
+                   COUNT(*) AS n_new_types
+            FROM first, bounds GROUP BY bucket
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_new_types,
+               CAST(SUM(n_new_types) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_types
+        FROM per
+    """
+    oracles["events_burstiness"] = """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                   COUNT(*) AS c
+            FROM events GROUP BY event_type, hr
+        )
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               SUM(c) AS n_events,
+               COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS fano_num,
+               COUNT(*) * SUM(c) AS fano_den
+        FROM hourly GROUP BY event_type
     """
     oracles["docs_hapax_profile"] = f"""
         WITH {_LANG_STREAM},

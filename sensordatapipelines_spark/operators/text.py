@@ -328,6 +328,71 @@ def simpson_diversity(
     )
 
 
+@register("heaps_curve")
+def heaps_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+    ngram: int = 1,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve → ``(bucket, n_new_types,
+    cum_types)``: documents order by id into ``n_buckets`` equal-width
+    deciles; each token type attributes to the bucket of its FIRST
+    occurrence (min doc id), so the cumulative sum is exactly "distinct
+    vocabulary after the first k/n of the corpus" — sublinear growth is
+    natural text, a flat tail is saturation/duplication, a linear curve
+    is noise. All integers: one explode → min-aggregate per type (the
+    vocabulary-sized shuffle), one ntile-free bucket formula over the
+    [min_id, max_id] span, one tiny window for the cumsum.
+
+    ``ngram=2`` tracks adjacent-token PAIRS instead of unigrams — the
+    right granularity when the unigram vocabulary is tiny/templated (a
+    31-type corpus saturates in the first decile; its bigram space keeps
+    growing and the curve becomes informative)."""
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    if int(ngram) == 2:
+        n = F.size(toks)
+        toks = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    elif int(ngram) != 1:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    first = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("__id").alias("__first"))
+    )
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
+    )
+    # pure integer bucket: (first-lo)*n div (hi-lo+1) — no float division
+    b = F.least(
+        F.lit(int(n_buckets) - 1).cast("long"),
+        F.expr(
+            f"(__first - __lo) * {int(n_buckets)} div (__hi - __lo + 1)"
+        ),
+    ).cast("long")
+    per = (
+        first.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn(
+        "cum_types", F.sum("n_new_types").over(w).cast("long")
+    )
+
+
 @register("hapax_profile")
 def hapax_profile(
     df: DataFrame,

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "sensors_zonal_from_geotiff",
     "sensors_zonal_from_geotiff_deflate",  # same plan as the uncompressed twin
     "sensors_zonal_from_geotiff_fpred",  # same plan (float predictor profile)
+    "docs_heaps_curve",  # 1-row bounds broadcast (scalar-subquery pattern)
     "docs_paragraph_dedup",  # broadcast 1-row seed-paragraph cross join
     "docs_dsir_weights",  # broadcast 1-row profile-totals cross join
     "docs_dsir_select",  # same shape (top-k over the weights)

@@ -910,3 +910,36 @@ def test_runs_test_alternating_and_trending(spark):
     out = {r.k: r for r in runs_test(df, "k", "ts", "v", "i").collect()}
     assert (out["alt"].n_above, out["alt"].n_below, out["alt"].n_runs) == (5, 5, 10)
     assert (out["tr"].n_above, out["tr"].n_below, out["tr"].n_runs) == (5, 5, 2)
+
+
+def test_burstiness_gate_shapes(spark):
+    """Constant hourly rate -> Fano numerator 0; a bursty series -> > 0.
+    (Gate-level aggregates; the operator is inline in the entry file.)"""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(10):
+        for _ in range(3):  # constant 3/hour
+            rows.append(("flat", t0 + dt.timedelta(hours=h, minutes=5)))
+    rows += [("burst", t0 + dt.timedelta(hours=0, minutes=m)) for m in range(20)]
+    rows += [("burst", t0 + dt.timedelta(hours=5, minutes=1))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    hourly = df.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = {
+        r.event_type: r
+        for r in hourly.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
+             - F.sum("c") * F.sum("c")).alias("num"),
+            (F.count(F.lit(1)) * F.sum("c")).alias("den"),
+        )
+        .collect()
+    }
+    assert out["flat"].num == 0
+    assert out["burst"].num > 0

@@ -1386,3 +1386,19 @@ def test_hapax_profile_exact(spark):
     assert (xx.n_distinct, xx.n_hapax, xx.n_dis) == (4, 2, 1)
     assert xx.hapax_ratio_e6 == 2 * 1_000_000 // 4
     assert (out["yy"].n_hapax, out["yy"].n_dis) == (0, 1)
+
+
+def test_heaps_curve_growth_and_buckets(spark):
+    from sensordatapipelines_spark.operators.text import heaps_curve
+
+    # 10 docs; doc i introduces the new token t<i> plus the shared 'base'
+    docs = [(i, f"base t{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.bucket: r for r in heaps_curve(df, n_buckets=5).collect()}
+    # bucket k covers 2 docs: bucket 0 introduces base+t0+t1 = 3 types,
+    # every later bucket exactly 2 new types
+    assert [out[k].n_new_types for k in range(5)] == [3, 2, 2, 2, 2]
+    assert out[4].cum_types == 11
+    # bigram mode: each doc's single bigram 'base t<i>' is unique -> 2/bucket
+    out2 = {r.bucket: r for r in heaps_curve(df, n_buckets=5, ngram=2).collect()}
+    assert [out2[k].n_new_types for k in range(5)] == [2, 2, 2, 2, 2]
