@@ -366,8 +366,15 @@ def heaps_curve(
         ).otherwise(F.array().cast("array<string>"))
     elif int(ngram) != 1:
         raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    # array_distinct BEFORE the explode: templated docs repeat the same
+    # n-gram many times within one document, and only one (doc, type)
+    # witness matters for the min — this shrinks the exploded stream (and
+    # the map-side combine input) by the within-doc repetition factor
     first = (
-        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(toks)).alias("__tok"),
+        )
         .groupBy("__tok")
         .agg(F.min("__id").alias("__first"))
     )
