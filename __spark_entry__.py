@@ -7254,6 +7254,17 @@ def _stage_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "compacted_events", build)
 
 
+def events_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event traffic across users per event type:
+    the sorted-rank formula over exact integer counts (num/den emitted
+    as BIGINTs) — 0 is uniform load, toward 1 one user dominates. One
+    window over the users-per-type table, never raw rows."""
+    from sensordatapipelines_spark.operators.utility import gini_concentration
+
+    _register_views(spark, sf_dir)
+    return gini_concentration(spark.table("events"), "event_type", "user_id")
+
+
 def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted (lower) median of extended price per return
     flag: integer cumulative-weight selection (2·cumw >= totw) over the
@@ -7770,6 +7781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "events_gini_users": events_gini_users,
         "lineitem_weighted_median": lineitem_weighted_median,
         "events_peak_count": events_peak_count,
         "orders_interarrival": orders_interarrival,
@@ -13626,6 +13638,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+    """
+    oracles["events_gini_users"] = """
+        WITH per AS (
+            SELECT event_type AS k, user_id AS e, COUNT(*) AS x
+            FROM events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+            SELECT k, x,
+                   row_number() OVER (PARTITION BY k ORDER BY x ASC, e ASC)
+                       AS i
+            FROM per
+        )
+        SELECT k AS event_type,
+               COUNT(*) AS n_entities,
+               SUM(x) AS total,
+               2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS gini_num,
+               COUNT(*) * SUM(x) AS gini_den
+        FROM ranked GROUP BY k
     """
     oracles["lineitem_weighted_median"] = """
         WITH base AS (

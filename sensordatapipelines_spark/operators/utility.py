@@ -41,6 +41,47 @@ def spread_by(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+@register("gini_concentration")
+def gini_concentration(
+    df: "DataFrame",
+    key_col: str,
+    entity_col: str,
+) -> "DataFrame":
+    """Gini concentration of activity across entities per key →
+    ``(key, n_entities, total, gini_num, gini_den)`` with
+    G = gini_num / gini_den = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    ascending-sorted per-entity counts — the standard inequality index
+    (0 = uniform traffic, →1 = one entity dominates): the skew-health
+    screen for traffic, contributor and sales concentration.
+
+    All-integer: counts are exact, ranks come from one keyed window with
+    (count, entity) tiebreak, and both Gini terms stay BIGINT (n·Σx ≤
+    rows² — int64-safe through ~3e9 rows per key). Two keyed aggregates
+    + one window over the ENTITY table (never raw rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = (
+        df.select(F.col(key_col).alias("__k"), F.col(entity_col).alias("__e"))
+        .groupBy("__k", "__e")
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__x").asc(), F.col("__e").asc())
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("__k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("__x").alias("total"),
+            (
+                F.lit(2) * F.sum(F.col("__i") * F.col("__x"))
+                - (F.count(F.lit(1)) + 1) * F.sum("__x")
+            ).alias("gini_num"),
+            (F.count(F.lit(1)) * F.sum("__x")).alias("gini_den"),
+        )
+    )
+
+
 @register("weighted_median")
 def weighted_median(
     df: "DataFrame",

@@ -175,3 +175,20 @@ def test_peak_count_known(spark):
     # strict peaks: index1 (1<3>2). index3 (2<5 but 5==5 next -> not strict)
     # troughs: index2 (3>2<5), index5 (5>1<4)
     assert (out.n_points, out.n_peaks, out.n_troughs) == (7, 1, 2)
+
+
+def test_gini_concentration_uniform_and_skewed(spark):
+    from sensordatapipelines_spark.operators.utility import gini_concentration
+
+    rows = []
+    for u in range(4):          # uniform: every user 5 events -> G = 0
+        rows += [("flat", u)] * 5
+    rows += [("skew", 0)] * 97  # one user dominates
+    rows += [("skew", 1), ("skew", 2), ("skew", 3)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {r.event_type: r for r in gini_concentration(df, "event_type", "user_id").collect()}
+    f = out["flat"]
+    assert f.gini_num == 0 and f.gini_den == 4 * 20
+    s = out["skew"]
+    # counts sorted asc: [1,1,1,97]; num = 2*(1+2+3+4*97)-5*100 = 288
+    assert (s.n_entities, s.total, s.gini_num, s.gini_den) == (4, 100, 288, 400)
