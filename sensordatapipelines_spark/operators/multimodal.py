@@ -588,7 +588,6 @@ def media_channel_histogram(
     return df.select(media_col).mapInPandas(extract, schema=schema)
 
 
-@register("audio_zcr")
 def _dft8_tables() -> tuple[list[list[float]], list[list[float]]]:
     """Exact 8-point DFT twiddle tables: cos/sin of 2πkn/8 take values
     only in {0, ±1, ±√½}, constructed symbolically (array indexing, NOT
@@ -652,6 +651,7 @@ def audio_dft8(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.select(media_col).mapInPandas(extract, schema=schema)
 
 
+@register("audio_zcr")
 def audio_zcr(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL zero-crossing-rate audio profile over decoded RIFF/WAVE PCM
     payloads → ``(media_id, n_samples, n_zero_cross, sum_abs)`` on the

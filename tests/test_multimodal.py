@@ -148,7 +148,13 @@ def test_decode_wav_g711_alaw_mulaw():
     )
 
     try:
-        import audioop  # removed in Python 3.13; tables stay self-pinned
+        import warnings
+
+        with warnings.catch_warnings():
+            # Removed in Python 3.13; the landmark asserts below self-pin
+            # the tables, so this cross-check is best-effort only.
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
 
         codes = bytes(range(256))
         assert np.array_equal(

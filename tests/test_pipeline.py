@@ -179,3 +179,29 @@ def test_pipeline_json_drives_term_blocklist(spark):
         ).collect()
     }
     assert got == want == {1: True, 2: False}
+
+
+def test_registry_every_operator_takes_dataframe_first():
+    """Registry hygiene (round-6 advice): a misplaced ``@register`` decorator
+    once bound a zero-arg helper under an operator name (``audio_zcr``),
+    breaking JSON-plan resolution for that name while direct imports kept
+    gates green. Pin the contract: every registered name resolves to a
+    callable whose FIRST parameter is the DataFrame (named ``df``), so
+    ``Pipeline.process`` can always fold it."""
+    import inspect
+
+    import sensordatapipelines_spark  # noqa: F401  (populates the registry)
+    from sensordatapipelines_spark.registry import _REGISTRY
+
+    bad = {}
+    for name, fn in _REGISTRY.items():
+        params = list(inspect.signature(fn).parameters.values())
+        if not params:
+            bad[name] = []
+            continue
+        first = params[0]
+        ann = first.annotation
+        ann_ok = ann is inspect.Parameter.empty or "DataFrame" in str(ann)
+        if not ann_ok or first.default is not inspect.Parameter.empty:
+            bad[name] = [f"{p.name}: {p.annotation}" for p in params[:2]]
+    assert not bad, f"registered operators without a DataFrame-first signature: {bad}"
