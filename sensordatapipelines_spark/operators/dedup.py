@@ -15,7 +15,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sensordatapipelines_spark.operators.text import POLY_MOD, poly_hash_expr, tokens_expr
+from sensordatapipelines_spark.operators.text import (
+    POLY_MOD,
+    lower_ascii_expr,
+    poly_hash_expr,
+    tokens_expr,
+)
 from sensordatapipelines_spark.operators.utility import spread_by
 from sensordatapipelines_spark.registry import register
 
@@ -562,7 +567,7 @@ def setsim_join(
     toks = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("__tok"),
+            F.explode(tokens_expr(lower_ascii_expr(F.col(text_col)))).alias("__tok"),
         )
         .distinct()
     )
@@ -960,7 +965,7 @@ def canonical_text_expr(text) -> "F.Column":
     punctuation set, collapse whitespace runs, trim. Catches the
     re-serialized/copy-pasted duplicates exact hashing misses while staying
     pure JVM regex (portable to RE2 for the oracle)."""
-    t = F.lower(text)
+    t = lower_ascii_expr(text)
     t = F.regexp_replace(t, "[.,;:!?]", "")
     t = F.regexp_replace(t, "[ \\t\\n\\x0b\\f\\r]+", " ")
     return F.trim(t)
@@ -1351,7 +1356,7 @@ def hamming_pairs(
     games, any hash width. Hot-band skew (e.g. the all-zero band of
     near-black thumbnails) is bounded by the hash entropy; for
     pathological corpora pre-filter constant hashes first."""
-    h = F.lower(F.col(hash_col))
+    h = lower_ascii_expr(F.col(hash_col))
     # a hash whose hex length doesn't divide into n_bands would band a
     # truncated prefix — a SILENT recall loss; fail loudly per offending
     # row instead (raise_error stays JVM-side, costs one modulo)
@@ -1565,7 +1570,7 @@ def winnowing_fingerprints(
         F.count(F.lit(1)).alias("n_fps"),
         (F.sum("fp") % F.lit(POLY_MOD)).alias("fp_checksum"),
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
+    norm = F.regexp_replace(lower_ascii_expr(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.greatest(
@@ -1665,7 +1670,7 @@ def _winnow_fp_sets(
 
     if int(k) < 1:
         raise ValueError(f"winnowing k-gram size must be >= 1, got {k}")
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
+    norm = F.regexp_replace(lower_ascii_expr(F.trim(F.col(text_col))), "[ \\t\\n\\x0b\\f\\r]+", " ")
     if engine == "kernel":
         # id passes through at its NATIVE type (string doc ids must not
         # collapse to NULL under a long cast)

@@ -1544,9 +1544,14 @@ def name_block_key_expr(name: "F.Column") -> "F.Column":
     DuckDB oracle replays the identical RE2∩Java pattern). Robust to the
     commonest dirty-data edits — vowel drops/swaps and case noise —
     while keeping digits, so id-bearing names block tightly."""
-    lower = F.lower(F.trim(name))
+    from sensordatapipelines_spark.operators.text import (
+        lower_ascii_expr,
+        upper_ascii_expr,
+    )
+
+    lower = lower_ascii_expr(F.trim(name))
     return F.concat(
-        F.upper(F.substring(lower, 1, 1)),
+        upper_ascii_expr(F.substring(lower, 1, 1)),
         F.regexp_replace(F.substring(lower, 2, 1000000), "[aeiou]", ""),
     )
 

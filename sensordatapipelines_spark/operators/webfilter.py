@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.registry import register
-from sensordatapipelines_spark.operators.text import tokens_expr
+from sensordatapipelines_spark.operators.text import (
+    lower_ascii_expr,
+    lower_ascii_py,
+    tokens_expr,
+)
 
 # scheme://host[:port]/…  →  host (lowercased, port and userinfo stripped)
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
@@ -41,7 +45,7 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
 def url_host_expr(url: Column) -> Column:
     """Lowercased host of an absolute URL ('' when no scheme/host —
     callers treat non-URLs as unblockable rather than erroring)."""
-    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return lower_ascii_expr(F.regexp_extract(url, _HOST_RE, 1))
 
 
 def host_suffixes_expr(host: Column, max_labels: int = 5) -> Column:
@@ -95,7 +99,7 @@ def url_host_filter(
         F.explode(host_suffixes_expr(F.col("host"), max_labels)).alias("__sfx"),
     )
     bl = blocklist.select(
-        F.lower(F.trim(F.col(domain_col))).alias("__sfx")
+        lower_ascii_expr(F.trim(F.col(domain_col))).alias("__sfx")
     ).distinct()
     if (
         broadcast_blocklist_limit is not None
@@ -138,8 +142,8 @@ def term_blocklist_score(
     hit — the default 0.0). Pure map-side expressions, zero shuffle; the
     term list enters the plan as one literal array (bounded — real lists
     are a few hundred terms)."""
-    terms_lit = F.array(*[F.lit(t.lower()) for t in terms])
-    toks = tokens_expr(F.lower(F.col(text_col)))
+    terms_lit = F.array(*[F.lit(lower_ascii_py(t)) for t in terms])
+    toks = tokens_expr(lower_ascii_expr(F.col(text_col)))
     n = F.size(toks)
     banned = F.filter(toks, lambda t: F.array_contains(terms_lit, t))
     n_banned = F.size(banned)
@@ -180,7 +184,7 @@ def canonical_url_expr(
     # 2. lowercase scheme://authority, strip default ports
     prefix = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?&#]*", 0)
     rest = F.substring(u, F.length(prefix) + 1, F.length(u))
-    p = F.lower(prefix)
+    p = lower_ascii_expr(prefix)
     p = F.regexp_replace(p, "^(http://[^/:]+):80$", "$1")
     p = F.regexp_replace(p, "^(https://[^/:]+):443$", "$1")
     u = F.concat(p, rest)
