@@ -8940,8 +8940,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_time_profile": """
             SELECT user_id AS sensor_id,
-                   CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS ts_min_epoch,
-                   CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS ts_max_epoch,
+                   (epoch_ns(MIN(ts)) // 1000000000) AS ts_min_epoch,
+                   (epoch_ns(MAX(ts)) // 1000000000) AS ts_max_epoch,
                    COUNT(*) AS n_obs
             FROM events GROUP BY user_id
         """,
@@ -9408,8 +9408,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events,
-                   CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch,
-                   CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_end_epoch
+                   (epoch_ns(MIN(ts)) // 1000000000) AS session_start_epoch,
+                   (epoch_ns(MAX(ts)) // 1000000000) AS session_end_epoch
             FROM sess GROUP BY user_id, session_id
         """,
         "events_moving_avg": """
@@ -9588,7 +9588,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
             SELECT event_type,
                    value - LAG(value) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
                    ) AS delta
             FROM events
         )
@@ -9677,11 +9677,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_twap"] = """
         WITH stepped AS (
             SELECT user_id,
-                   CAST(FLOOR(epoch(ts)) AS DOUBLE) AS t,
+                   CAST(epoch_ns(ts) // 1000000000 AS DOUBLE) AS t,
                    value AS v,
-                   LEAD(CAST(FLOOR(epoch(ts)) AS DOUBLE)) OVER (
+                   LEAD(CAST(epoch_ns(ts) // 1000000000 AS DOUBLE)) OVER (
                        PARTITION BY user_id
-                       ORDER BY FLOOR(epoch(ts)), event_id) AS nt
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id) AS nt
             FROM events
         )
         SELECT user_id, COUNT(*) AS n_obs,
@@ -9806,9 +9806,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_gaps"] = """
         WITH lagd AS (
             SELECT user_id,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS cur,
-                   LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   (epoch_ns(ts) // 1000000000) AS cur,
+                   LAG((epoch_ns(ts) // 1000000000)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
             FROM events
         )
         SELECT user_id, prev AS gap_start_epoch, cur AS gap_end_epoch,
@@ -10057,7 +10057,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     oracles["events_stream_sliding"] = """
-        SELECT CAST(FLOOR(epoch(ts) / 10800) * 10800 - k.k * 10800 AS BIGINT)
+        SELECT CAST((epoch_ns(ts) // 10800000000000) * 10800 - k.k * 10800 AS BIGINT)
                    AS ws_epoch,
                user_id AS sensor_id,
                ROUND(AVG(value), 6) AS mean_value,
@@ -10561,7 +10561,7 @@ def oracle_sql() -> dict[str, str]:
     _resample_core = """
         WITH per AS (
             SELECT event_type,
-                   make_timestamp(CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT)
+                   make_timestamp((epoch_ns(ts) // 900000000000) * 900
                                   * 1000000) AS b,
                    AVG(value) AS v, COUNT(*) AS n
             FROM events GROUP BY 1, 2
@@ -11385,7 +11385,7 @@ def oracle_sql() -> dict[str, str]:
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
                    lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev
+                                         ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
             FROM events
         ),
         chg AS (
@@ -11395,10 +11395,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_type,
                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from_epoch,
                CAST(FLOOR(EPOCH(lead(ts) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id)))
+                                               ORDER BY epoch_ns(ts) // 1000, event_id)))
                     AS BIGINT) AS valid_to_epoch,
                CAST(row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS BIGINT)
+                                       ORDER BY epoch_ns(ts) // 1000, event_id) AS BIGINT)
                    AS version
         FROM chg
     """
@@ -12771,14 +12771,14 @@ def oracle_sql() -> dict[str, str]:
         p AS (
             SELECT *, sum(up_e9) OVER w AS pu, sum(dn_e9) OVER w AS pd
             FROM d
-            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
                          ROWS UNBOUNDED PRECEDING)
         ),
         s AS (
             SELECT *, pu - least(0, min(pu) OVER w) AS su,
                       pd - least(0, min(pd) OVER w) AS sd2
             FROM p
-            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
                          ROWS UNBOUNDED PRECEDING)
         )
         SELECT event_type, event_id,
@@ -13475,11 +13475,11 @@ def oracle_sql() -> dict[str, str]:
     # the struct sort key exactly.
     _PAIR_BASE = """
         WITH p AS (
-            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+            SELECT user_id, (epoch_ns(ts) // 1000000000) AS t,
                    value AS v,
                    row_number() OVER (
                        PARTITION BY user_id
-                       ORDER BY FLOOR(epoch(ts)), event_id, value) AS rn
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id, value) AS rn
             FROM events
             WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
         ),
@@ -13522,7 +13522,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
                        AS bucket_epoch,
-                   value AS v, FLOOR(epoch(ts)) AS t, event_id
+                   value AS v, epoch_ns(ts) // 1000000000 AS t, event_id
             FROM events
         ),
         w AS (
@@ -13694,7 +13694,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_peak_count"] = """
         WITH base AS (
             SELECT event_type AS k,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   (epoch_ns(ts) // 1000000000) AS t,
                    event_id AS tb,
                    CAST(ROUND(value * 1e6) AS BIGINT) AS v6
             FROM events WHERE value IS NOT NULL
@@ -13733,7 +13733,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_runs_test"] = """
         WITH base AS (
             SELECT event_type AS k,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   (epoch_ns(ts) // 1000000000) AS t,
                    event_id AS tb,
                    CAST(ROUND(value * 1e6) AS BIGINT) AS v6
             FROM events WHERE value IS NOT NULL
@@ -13801,7 +13801,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_burstiness"] = """
         WITH hourly AS (
             SELECT event_type,
-                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                   (epoch_ns(ts) // 3600000000000) AS hr,
                    COUNT(*) AS c
             FROM events GROUP BY event_type, hr
         )
@@ -13842,7 +13842,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS to_state,
                    LAG(event_type) OVER (
                        PARTITION BY user_id
-                       ORDER BY FLOOR(epoch(ts)), event_id
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id
                    ) AS from_state
             FROM events
         ),
@@ -14367,7 +14367,7 @@ def oracle_sql() -> dict[str, str]:
         WITH ev AS (
             SELECT user_id, event_type AS it,
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
+                                      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
             FROM events
         ),
         lists AS (

@@ -45,9 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":  # nanosAsLong fired: ns since epoch
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # EXACT integer ns→µs: `/ 1000` would be a DOUBLE division, and
+            # at epoch-ns magnitude (~1.7e18, ULP 256) the rounded quotient
+            # can land one µs off — enough to flip a FLOOR-second near a
+            # boundary and silently reorder (ts, tiebreak) streams vs the
+            # oracle. `DIV` truncates in exact int64 arithmetic, matching
+            # DuckDB's ns→µs truncation for post-epoch data.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":  # naive micros; session TZ is UTC
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
