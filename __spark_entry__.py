@@ -13697,7 +13697,8 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_ns(ts) // 1000000000) AS t,
                    event_id AS tb,
                    CAST(ROUND(value * 1e6) AS BIGINT) AS v6
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL
         ),
         nbrs AS (
             SELECT k, v6,
@@ -13736,7 +13737,8 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_ns(ts) // 1000000000) AS t,
                    event_id AS tb,
                    CAST(ROUND(value * 1e6) AS BIGINT) AS v6
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL
         ),
         med AS (
             SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2
@@ -13842,9 +13844,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS to_state,
                    LAG(event_type) OVER (
                        PARTITION BY user_id
-                       ORDER BY epoch_ns(ts) // 1000000000, event_id
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id,
+                                event_type
                    ) AS from_state
             FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
+              AND event_type IS NOT NULL
         ),
         counts AS (
             SELECT from_state, to_state, COUNT(*) AS n

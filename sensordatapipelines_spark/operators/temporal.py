@@ -1613,7 +1613,11 @@ def runs_test(
         t.alias("__t"),
         F.col(tiebreak_col).alias("__tb"),
         v6.alias("__v6"),
-    ).filter(F.col("__v6").isNotNull())
+    ).filter(
+        F.col("__v6").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__tb").isNotNull()
+    )
     med = base.groupBy("__k").agg(
         (F.percentile(F.col("__v6"), F.lit(0.5)) * F.lit(2.0)).alias("__med2")
     )
@@ -1664,9 +1668,21 @@ def markov_transitions(
     from pyspark.sql import Window
 
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(group_col).orderBy(F.col("__t"), F.col("__tb"))
+    # Total order: (floor-epoch, tiebreak, state) — the state itself is the
+    # third key so LAG stays deterministic even under duplicate
+    # (group, second, tiebreak) rows, matching the pair machinery's
+    # (t, tiebreak, value) convention. NULL ts/tiebreak/state rows drop
+    # FIRST (Spark windows order NULLs first, SQL ORDER BY defaults last).
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__t"), F.col("__tb"), F.col("to_state")
+    )
     pairs = (
-        df.select(
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(tiebreak_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .select(
             F.col(group_col),
             t.alias("__t"),
             F.col(tiebreak_col).alias("__tb"),
@@ -1895,4 +1911,88 @@ def sax_words(
         F.col("__g").alias(group_col),
         F.col("__n").cast("long").alias("n_points"),
         "sax_word",
+    )
+
+
+@register("column_probe")
+def column_probe(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Per-key COLUMN-decomposition probe → one all-integer row per key
+    with independently diagnosable bits: row count, NULL/NaN/Inf tallies
+    per column, exact id/user sums, the exact epoch-second sum, and the
+    value column under BOTH quantizers (Σ FLOOR(v·1e6) and Σ ROUND(v·1e6),
+    finite values only).
+
+    Purpose: when a composite gate goes red cross-engine, each column of
+    this probe isolates ONE mechanism — row-set divergence (n_rows),
+    id/user read (sums), timestamp read/floor (ts_sec_sum), non-finite
+    handling (nan/inf tallies), floor- vs round-quantization of doubles.
+    Plan shape: one hash aggregate, map-side combined, no window/join."""
+    v = F.col(value_col).cast("double")
+    inf = F.lit(float("inf"))
+    is_nan = v.isNotNull() & F.isnan(v)
+    is_inf = v.isNotNull() & ((v == inf) | (v == -inf))
+    finite = v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf)
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(ts_col).isNull(), 1).otherwise(0)).alias("n_null_ts"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null_value"),
+        F.sum(F.when(is_nan, 1).otherwise(0)).alias("n_nan_value"),
+        F.sum(F.when(is_inf, 1).otherwise(0)).alias("n_inf_value"),
+        F.sum(F.col(id_col)).alias("id_sum"),
+        F.sum(F.col(user_col)).alias("user_sum"),
+        F.sum(sec).alias("ts_sec_sum"),
+        F.sum(F.when(finite, F.floor(v * F.lit(1e6)))).alias("vfloor_sum"),
+        F.sum(F.when(finite, F.round(v * F.lit(1e6)).cast("long"))).alias(
+            "vround_sum"
+        ),
+    )
+
+
+@register("order_probe")
+def order_probe(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """ORDER-sensitive probe → per ``user_id mod n_buckets`` bucket: row
+    count plus two position-weighted id checksums over the bucket's rows
+    in (epoch-second, id, user) order — ``Σ rn·(id mod 1000003)`` and
+    ``Σ (rn² mod 1000033)·(id mod 1000033)``, all exact int64 (bounded:
+    rn ≤ bucket rows, each term < 1e12).
+
+    Purpose: a red isolates cross-engine divergence to the ORDERING of
+    the events stream itself (timestamp floor, tie semantics) with no
+    value math involved; swapping any two non-identical rows changes at
+    least one checksum. Rows with NULL ts/id/user are dropped in both
+    engines first (Spark nulls-first vs SQL nulls-last). Plan shape: one
+    keyed window + one hash aggregate over n_buckets groups."""
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(user_col).isNotNull()
+    ).select(
+        (F.col(user_col) % F.lit(int(n_buckets))).alias("bucket"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(id_col).alias("__id"),
+        F.col(user_col).alias("__u"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__t", "__id", "__u")
+    r = base.withColumn("rn", F.row_number().over(w).cast("long"))
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("rn") * (F.col("__id") % F.lit(1000003))).alias("ord_sum1"),
+        F.sum(
+            (F.col("rn") * F.col("rn") % F.lit(1000033))
+            * (F.col("__id") % F.lit(1000033))
+        ).alias("ord_sum2"),
     )

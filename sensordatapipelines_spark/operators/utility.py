@@ -154,7 +154,11 @@ def peak_count(
         t.alias("__t"),
         F.col(tiebreak_col).alias("__tb"),
         v6.alias("__v6"),
-    ).filter(F.col("__v6").isNotNull())
+    ).filter(
+        F.col("__v6").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__tb").isNotNull()
+    )
     w = Window.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
     lagv = F.lag("__v6").over(w)
     leadv = F.lead("__v6").over(w)

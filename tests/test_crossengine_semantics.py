@@ -216,3 +216,33 @@ def test_unicode_chi2_and_simpson_cross_engine(spark):
 
     got = simpson_diversity(sdf).toPandas()
     _match(got, con.sql(entry.oracle_sql()["docs_simpson_diversity"]).df())
+
+
+def test_markov_duplicate_tiebreak_total_order(spark):
+    """Forged duplicate (user, second, event_id) rows (+ NULL carriers):
+    without the third state key LAG pairing would be nondeterministic
+    cross-engine; with it the transition counts are bit-identical."""
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for i in range(12):
+        # every second carries TWO events with the SAME event_id but
+        # different states — the adversarial duplicate
+        rows.append((1, t0 + timedelta(seconds=i), "a" if i % 3 else "b", 7))
+        rows.append((1, t0 + timedelta(seconds=i), "c", 7))
+    rows.append((1, None, "a", 7))        # NULL ts
+    rows.append((1, t0, None, 7))         # NULL state
+    rows.append((1, t0, "a", None))       # NULL tiebreak
+    for i in range(6):
+        rows.append((2, t0 + timedelta(seconds=i), "b", 100 + i))
+    sdf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    from sensordatapipelines_spark.operators.temporal import markov_transitions
+
+    got = markov_transitions(
+        sdf, "user_id", "ts", "event_type", "event_id"
+    ).toPandas()
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"])
+    con.register("events", pdf)
+    _match(got, con.sql(entry.oracle_sql()["events_markov_transitions"]).df())
