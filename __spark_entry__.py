@@ -7438,16 +7438,14 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-files compaction end-to-end: events shattered into ~160
-    tiny parquet files, compacted in place by ``compact_dir``'s
-    byte-target sizing (crash-safe rename protocol), then scanned and
-    aggregated. The strict oracle aggregates the ORIGINAL events table —
-    any row lost, duplicated or mangled by the rewrite breaks the value
-    hash. Integer-exact columns only (count, distinct users, e6 value
-    sums per type)."""
+    """Cross-engine VALUE-SEMANTICS half of the former compaction gate
+    (split per VERDICT r6 #5: compaction losslessness now has its own
+    Spark-internal gate, ``events_compaction_identity``): integer-exact
+    aggregates (count, distinct users, Σ ROUND(value·1e6), Σ id) per
+    event_type over the ORIGINAL events table on both engines — a red
+    here names the events value/row-set read, never compact_dir."""
     _register_views(spark, sf_dir)
-    stage = _stage_fragmented_events(spark, sf_dir)
-    ev = spark.read.parquet(f"{stage}/events_frag")
+    ev = spark.table("events")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -7524,6 +7522,178 @@ def docs_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return naive_bayes_classify(spark.table("documents"), class_col="lang")
+
+
+
+# ---- Round-7 divergence-decomposition probes (VERDICT r6 "Next round" #2/#3/#5)
+
+
+def events_column_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column integer probe over events (VERDICT r6 #2): per event_type,
+    six independent divergence bits — row set (n_rows), NULL/NaN/Inf
+    tallies, id/user reads (exact sums), timestamp read+floor
+    (ts_sec_sum), and the value column under BOTH quantizers
+    (Σ FLOOR(v·1e6) / Σ ROUND(v·1e6)). A red names the diverging column."""
+    from sensordatapipelines_spark.operators.temporal import column_probe
+
+    _register_views(spark, sf_dir)
+    return column_probe(
+        spark.table("events"), "event_type", "ts", "value", "event_id", "user_id"
+    )
+
+
+def events_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive probe (VERDICT r6 #2): per user_id%20 bucket, two
+    position-weighted id checksums over the bucket's rows in
+    (epoch-second, event_id, user_id) order — no value math at all, so a
+    red isolates cross-engine divergence to the events ORDERING itself."""
+    from sensordatapipelines_spark.operators.temporal import order_probe
+
+    _register_views(spark, sf_dir)
+    return order_probe(spark.table("events"), "user_id", "ts", "event_id", 20)
+
+
+def events_ns_residue_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-encoding probe: Spark reads the RAW parquet ns column
+    (nanosAsLong) and reports sub-microsecond residue facts — how many
+    timestamps carry ns precision below the microsecond, and how many sit
+    within 1 µs below a second boundary (the exact set where any lossy
+    epoch arithmetic flips a FLOOR-second). The oracle computes the same
+    from epoch_ns(ts): on a µs-truncating reader it sees residue 0, so a
+    red PROVES the driver's events carry sub-µs precision that one side
+    drops — the one bit that separates reader semantics from data content
+    for the events family. All-integer, one aggregate row."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ns = F.col("ts")
+        sub_us = ns % F.lit(1000)
+        sub_sec = ns % F.lit(1000000000)
+    else:  # µs-encoded generation: no sub-µs residue exists by construction
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        sub_us = F.lit(0)
+        sub_sec = (us % F.lit(1000000)) * F.lit(1000)
+    t = F.col("ts")
+    return raw.agg(
+        F.count(t).alias("n_ts"),
+        F.sum(F.when(t.isNotNull() & (sub_us != 0), 1).otherwise(0)).alias(
+            "n_sub_us"
+        ),
+        F.coalesce(F.max(F.when(t.isNotNull(), sub_us)), F.lit(0))
+        .cast("long")
+        .alias("max_sub_us"),
+        F.sum(
+            F.when(t.isNotNull() & (sub_sec >= 999999000), 1).otherwise(0)
+        ).alias("n_near_boundary"),
+    )
+
+
+def events_compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction losslessness, Spark-internal (VERDICT r6 #5a): exact
+    multiset difference between the original events table and the
+    compacted copy via ``exceptAll`` both ways — immune to cross-engine
+    value semantics by construction. The oracle states the invariant
+    (counts equal, both diffs empty) from the original table alone, so a
+    red here is a REAL compact_dir row-loss/duplication bug."""
+    _register_views(spark, sf_dir)
+    stage = _stage_fragmented_events(spark, sf_dir)
+    orig = spark.table("events").select("event_id", "user_id", "event_type", "value")
+    comp = spark.read.parquet(f"{stage}/events_frag").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_orig = orig.count()
+    n_comp = comp.count()
+    n_missing = orig.exceptAll(comp).count()
+    n_extra = comp.exceptAll(orig).count()
+    return spark.createDataFrame(
+        [(n_orig, n_comp, n_missing, n_extra)],
+        "n_orig long, n_comp long, n_missing long, n_extra long",
+    )
+
+
+_PROBE_STRINGS = [
+    "The İstanbul ÖFFNUNG Straße test",
+    "ΣΑΣ ΟΔΟΣ Σ sigma ΤΕΛΟΣ",
+    "İİİ QUICK brown İstanbul İ",
+    "\u01c5ungla \u01c9ubav MiXeD ẞ",
+    "alpha\x0bbeta\tgamma\ndelta\fepsilon\rzeta",
+    "  spaced   out  ",
+    "",
+    "plain ascii UPPER lower 0123456789",
+]
+
+_PROBE_ROUND0 = [2.5, -2.5, 3.5, -3.5, 0.5, -0.5, 1.5, -1.5,
+                 0.49999999999999994, -0.49999999999999994,
+                 4503599627370495.5, -4503599627370495.5]
+_PROBE_E6 = [8.3555, 1.0000005, 2.0000015, 0.30000000000000004, 1.005,
+             -1.005, 123.4567895, 0.1, 0.2, 2.675, -2.675, 1e-07]
+_PROBE_DIV = [(-7, 2), (7, 2), (-1, 3), (-9, 4), (9, 4), (-10, 5)]
+
+
+def semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTANT-INPUT engine-semantics probe (VERDICT r6 #3): no table
+    reads — every row is a checksum over literals, computed by Spark
+    expressions here and by the same arithmetic in the DuckDB oracle.
+    Data-independent by construction: a red on the driver proves the
+    divergence is ENGINE semantics (e.g. a different DuckDB version than
+    local v1.0.0); a green pins any other red on data content.
+
+    Rows: ASCII-translate token fold over Unicode special-casing strings;
+    ROUND at scale 0 / ROUND·1e6 / FLOOR·1e6 over boundary doubles;
+    integer-division truncation; fractional-timestamp epoch; and a
+    TIMESTAMP_NS parse canary (local DuckDB v1.0 truncates ns text to µs
+    at parse — a red flags an ns-native parser on the driver)."""
+    from sensordatapipelines_spark.operators.text import (
+        lower_ascii_expr,
+        poly_hash_expr,
+        tokens_expr,
+    )
+
+    one = spark.range(1)
+
+    def row(name, expr):
+        return one.select(
+            F.lit(name).alias("probe"), expr.cast("long").alias("val")
+        )
+
+    strs = F.array(*[F.lit(x) for x in _PROBE_STRINGS])
+    tok_fold = F.aggregate(
+        strs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            acc
+            + F.aggregate(
+                tokens_expr(lower_ascii_expr(x)),
+                F.lit(0).cast("long"),
+                lambda a, t: (a + poly_hash_expr(t)) % F.lit(2147483647),
+            )
+        )
+        % F.lit(2147483647),
+    )
+
+    def wsum(ds, fn):
+        tot = F.lit(0).cast("long")
+        for i, d in enumerate(ds):
+            tot = tot + F.lit(i + 1) * fn(F.lit(d)).cast("long")
+        return tot
+
+    r0 = wsum(_PROBE_ROUND0, lambda c: F.round(c, 0))
+    r6 = wsum(_PROBE_E6, lambda c: F.round(c * F.lit(1e6)))
+    f6 = wsum(_PROBE_E6, lambda c: F.floor(c * F.lit(1e6)))
+    dv = F.lit(0).cast("long")
+    for i, (a, b) in enumerate(_PROBE_DIV):
+        dv = dv + F.lit(i + 1) * F.expr(f"CAST({a} AS BIGINT) DIV {b}")
+    ep = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-31 23:59:59.999999")))
+    return (
+        row("ascii_fold_tokens", tok_fold)
+        .unionByName(row("round_scale0", r0))
+        .unionByName(row("round_e6", r6))
+        .unionByName(row("floor_e6", f6))
+        .unionByName(row("int_div_trunc", dv))
+        .unionByName(row("epoch_parse", ep))
+        .unionByName(row("ns_parse_canary", F.lit(0)))
+        .orderBy("probe")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7787,6 +7957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen_trend": events_theilsen_trend,
         "events_mann_kendall": events_mann_kendall,
         "events_pair_probe": events_pair_probe,
+        "events_column_probe": events_column_probe,
+        "events_order_probe": events_order_probe,
+        "events_ns_residue_probe": events_ns_residue_probe,
+        "events_compaction_identity": events_compaction_identity,
+        "semantics_probe": semantics_probe,
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
         "events_kcore": events_kcore,
@@ -7843,10 +8018,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is still locally verified every round (LOCAL_ORACLE ledger +
     # tools/check_oracle.py); this ordering only steers which 50 get an
     # independent driver row next.
-    head = [n for n in _ROUND6_SAMPLE_FIRST if n in q]
+    head = [n for n in _ROUND7_SAMPLE_FIRST if n in q]
+    assert len(set(head)) == len(head), "duplicate entries in sample rotation"
     rest = [n for n in q if n not in set(head)]
     return {n: q[n] for n in (*head, *rest)}
 
+
+# Round-7 driver-sample rotation: the eight r6 hash-red gates first (their
+# r7 colors are the round's acceptance test for the ASCII-lower and exact-
+# epoch fixes), then the five new decomposition probes (column/order/ns-
+# residue/compaction-identity/constant-input semantics — each red/green is
+# one diagnostic bit), then never-before-sampled queries filling the
+# 50-entry window (cumulative driver-checked after r6: 257 of 305; the 11
+# still-unsampled queries roll to r8).
+_ROUND7_SAMPLE_FIRST = [
+    "docs_chi2_terms",
+    "events_mann_kendall",
+    "docs_token_stream_probe",
+    "events_pair_probe",
+    "docs_simpson_diversity",
+    "events_markov_transitions",
+    "events_mad_anomaly",
+    "events_compacted_scan",
+    "semantics_probe",
+    "events_ns_residue_probe",
+    "events_column_probe",
+    "events_order_probe",
+    "events_compaction_identity",
+    "docs_char_entropy",
+    "docs_bigram_topk",
+    "events_position_attribution",
+    "events_km_survival",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "events_cusum_alarms",
+    "orders_dq_report",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_matryoshka_recall",
+    "docs_bigram_logprob",
+    "events_kmv_overlap",
+    "events_rolling_actives",
+    "events_seasonal_decompose",
+    "docs_stratified_sample",
+    "orders_cohort_ltv",
+    "part_abc_classification",
+    "lineitem_basket_pairs",
+    "docs_ngram_novelty",
+    "customer_upsert_merge",
+    "events_value_trend",
+    "events_active_islands",
+    "events_island_overlaps",
+    "docs_rake_keywords",
+    "events_seasonal_naive",
+    "orders_benford_audit",
+    "events_autocorrelation",
+    "emb_kmeans",
+    "events_funnel",
+    "events_scd2",
+    "docs_pagerank",
+    "emb_semantic_dedup",
+    "events_gini_users",
+    "lineitem_weighted_median",
+    "events_peak_count",
+    "orders_interarrival",
+]
 
 # Round-6 driver-sample rotation: the two persistent red gates first
 # (now integer-only), their two bisection probes, this round's 11 new
@@ -8857,6 +9093,56 @@ def _pagerank_cte_sql(edge_sql: str, iters: int, damping: float) -> str:
         + ",\n".join(parts)
         + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
     )
+
+
+def _semantics_probe_oracle() -> str:
+    """DuckDB twin of ``semantics_probe`` — generated from the SAME literal
+    lists the Spark side uses, so the two sides can never drift."""
+    up, lo = "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    strcsv = ", ".join("'" + x + "'" for x in _PROBE_STRINGS)
+    tok = (
+        "CAST(list_reduce(list_transform(list_value(" + strcsv + "), s -> "
+        "CASE WHEN trim(translate(s, '" + up + "', '" + lo + "')) = '' THEN 0 "
+        "ELSE list_reduce(list_transform(string_split_regex("
+        "trim(translate(s, '" + up + "', '" + lo + "')), '[ \t\n\x0b\f\r]+'), "
+        "t -> " + _POLY_SQL.format(s="t") + "), "
+        "(a, b) -> (a + b) % 2147483647) END), "
+        "(a, b) -> (a + b) % 2147483647) AS BIGINT)"
+    )
+    r0 = " + ".join(
+        f"{i + 1} * CAST(ROUND({d!r}) AS BIGINT)"
+        for i, d in enumerate(_PROBE_ROUND0)
+    )
+    r6 = " + ".join(
+        f"{i + 1} * CAST(ROUND({d!r} * 1e6) AS BIGINT)"
+        for i, d in enumerate(_PROBE_E6)
+    )
+    f6 = " + ".join(
+        f"{i + 1} * CAST(FLOOR({d!r} * 1e6) AS BIGINT)"
+        for i, d in enumerate(_PROBE_E6)
+    )
+    dv = " + ".join(
+        f"{i + 1} * (CAST({a} AS BIGINT) // {b})"
+        for i, (a, b) in enumerate(_PROBE_DIV)
+    )
+    ep = "epoch_ns(TIMESTAMP '2024-01-31 23:59:59.999999') // 1000000000"
+    canary = (
+        "epoch_ns(CAST('2024-01-31 23:59:59.123456789' AS TIMESTAMP_NS)) % 1000"
+    )
+    rows = [
+        ("ascii_fold_tokens", tok),
+        ("round_scale0", r0),
+        ("round_e6", r6),
+        ("floor_e6", f6),
+        ("int_div_trunc", dv),
+        ("epoch_parse", ep),
+        ("ns_parse_canary", canary),
+    ]
+    body = " UNION ALL ".join(
+        f"SELECT '{name}' AS probe, CAST({expr} AS BIGINT) AS val"
+        for name, expr in rows
+    )
+    return body + " ORDER BY probe"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14477,4 +14763,60 @@ def oracle_sql() -> dict[str, str]:
         WHERE p.id NOT IN (SELECT id FROM corec)
           AND p.id NOT IN (SELECT id FROM border)
     """
+    oracles["events_column_probe"] = """
+        SELECT event_type AS key,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null_ts,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+               SUM(CASE WHEN value IS NOT NULL AND isnan(value)
+                        THEN 1 ELSE 0 END) AS n_nan_value,
+               SUM(CASE WHEN value IS NOT NULL AND isinf(value)
+                        THEN 1 ELSE 0 END) AS n_inf_value,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum,
+               CAST(SUM(epoch_ns(ts) // 1000000000) AS BIGINT) AS ts_sec_sum,
+               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                             THEN CAST(FLOOR(value * 1e6) AS BIGINT) END)
+                    AS BIGINT) AS vfloor_sum,
+               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                             THEN CAST(ROUND(value * 1e6) AS BIGINT) END)
+                    AS BIGINT) AS vround_sum
+        FROM events GROUP BY event_type
+    """
+    oracles["events_order_probe"] = """
+        WITH base AS (
+            SELECT user_id % 20 AS bucket,
+                   row_number() OVER (
+                       PARTITION BY user_id % 20
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id, user_id
+                   ) AS rn,
+                   event_id
+            FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
+              AND user_id IS NOT NULL
+        )
+        SELECT bucket, COUNT(*) AS n_rows,
+               CAST(SUM(rn * (event_id % 1000003)) AS BIGINT) AS ord_sum1,
+               CAST(SUM((rn * rn % 1000033) * (event_id % 1000033))
+                    AS BIGINT) AS ord_sum2
+        FROM base GROUP BY bucket
+    """
+    oracles["events_ns_residue_probe"] = """
+        SELECT COUNT(ts) AS n_ts,
+               SUM(CASE WHEN ts IS NOT NULL AND epoch_ns(ts) % 1000 != 0
+                        THEN 1 ELSE 0 END) AS n_sub_us,
+               CAST(COALESCE(MAX(CASE WHEN ts IS NOT NULL
+                                      THEN epoch_ns(ts) % 1000 END), 0)
+                    AS BIGINT) AS max_sub_us,
+               SUM(CASE WHEN ts IS NOT NULL
+                         AND epoch_ns(ts) % 1000000000 >= 999999000
+                        THEN 1 ELSE 0 END) AS n_near_boundary
+        FROM events
+    """
+    oracles["events_compaction_identity"] = """
+        SELECT COUNT(*) AS n_orig, COUNT(*) AS n_comp,
+               CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra
+        FROM events
+    """
+    oracles["semantics_probe"] = _semantics_probe_oracle()
     return oracles
