@@ -63,12 +63,22 @@ class JsonlWriter(DataSourceWriter):
             for old in os.listdir(self.path):
                 if old.startswith("part-") and old.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, old))
+        # In append mode the part numbering must CONTINUE past existing
+        # parts: naming by message index alone would os.replace() over a
+        # previous write's part-00000..N files and silently drop them.
+        start = 0
+        for old in os.listdir(self.path):
+            if old.startswith("part-") and old.endswith(".jsonl"):
+                try:
+                    start = max(start, int(old[5:-6]) + 1)
+                except ValueError:
+                    continue
         for i, m in enumerate(messages):
             if m is None:
                 continue
             os.replace(
                 os.path.join(self.path, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(self.path, f"part-{start + i:05d}.jsonl"),
             )
 
     def abort(self, messages) -> None:

@@ -14,6 +14,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 
+from sensordatapipelines_spark.errors import DataIOError
+
 
 def write_table(
     df: DataFrame,
@@ -179,14 +181,33 @@ def compact_dir(
     if target_files is None:
         import math
         import os
+        from urllib.parse import unquote, urlparse
 
         total = 0
+        unmeasurable = []
         for f in df.inputFiles():
-            local = f[7:] if f.startswith("file:") else f
+            # inputFiles() returns URIs; 'file:/p', 'file:///p' and bare
+            # paths all occur — parse properly instead of slicing a fixed
+            # prefix length (which breaks on single-slash URIs).
+            parsed = urlparse(f)
+            if parsed.scheme in ("", "file"):
+                local = unquote(parsed.path) or f
+            else:
+                unmeasurable.append(f)
+                continue
             try:
                 total += os.path.getsize(local)
             except OSError:
-                pass  # non-local scheme: fall through with what we have
+                unmeasurable.append(f)
+        if unmeasurable or total == 0:
+            # Refusing beats silently compacting everything into ONE file
+            # because the sizes could not be read (the old behavior).
+            raise DataIOError(
+                "compact_dir: cannot size "
+                f"{len(unmeasurable) or 'any'} input file(s) "
+                f"(first: {unmeasurable[0] if unmeasurable else path!r}); "
+                "pass target_files explicitly"
+            )
         target_files = max(1, math.ceil(total / max(1, int(target_bytes))))
     df.repartition(target_files).write.format(fmt).mode("overwrite").save(tmp)
     shutil.move(path, old)

@@ -1294,3 +1294,51 @@ def test_jsonl_sink_datasource_roundtrip(spark, tmp_path):
     ).repartition(2)
     df2.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
     assert spark.read.json(out).count() == 10
+
+
+def test_jsonl_sink_append_accumulates(spark, tmp_path):
+    """Round-6 advice: a second append must CONTINUE part numbering, not
+    os.replace() over the first write's files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink_app")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), F.lit("x").alias("name")
+    ).repartition(2)
+    mk(0, 50).write.format("jsonl_sink").option("path", out).mode("append").save()
+    mk(50, 80).write.format("jsonl_sink").option("path", out).mode("append").save()
+    parts = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    assert len(parts) == 4  # 2 + 2, no collisions
+    got = {r["id"] for r in spark.read.json(out).collect()}
+    assert got == set(range(80))
+
+
+def test_compact_dir_refuses_unmeasurable_sizes(spark, tmp_path, monkeypatch):
+    """Round-6 advice: when no input file size can be read, compact_dir
+    must raise instead of silently compacting into ONE file."""
+    import pytest as _pytest
+
+    from sensordatapipelines_spark.errors import DataIOError
+    from sensordatapipelines_spark.sources.sinks import compact_dir
+
+    d = str(tmp_path / "cd")
+    spark.range(100).repartition(5).write.parquet(d)
+    import os as _os
+
+    real_getsize = _os.path.getsize
+
+    def boom(p):
+        raise OSError("unreadable")
+
+    monkeypatch.setattr("os.path.getsize", boom)
+    with _pytest.raises(DataIOError, match="cannot size"):
+        compact_dir(spark, d, target_bytes=1 << 20)
+    monkeypatch.setattr("os.path.getsize", real_getsize)
+    # explicit target_files still works without sizing
+    compact_dir(spark, d, target_files=2)
+    assert spark.read.parquet(d).count() == 100
