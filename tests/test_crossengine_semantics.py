@@ -246,3 +246,62 @@ def test_markov_duplicate_tiebreak_total_order(spark):
     pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"])
     con.register("events", pdf)
     _match(got, con.sql(entry.oracle_sql()["events_markov_transitions"]).df())
+
+
+def test_column_and_order_probe_adversarial_cross_engine(spark):
+    """The round-7 decomposition probes on forged data with NULLs, NaN,
+    ±Inf, duplicate ids and a sub-second boundary cluster: bit-identical
+    frames cross-engine, and the NaN/Inf tallies actually count."""
+    t0 = datetime(2024, 6, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, t0 + timedelta(seconds=i), i % 5, f"t{i % 3}", float(i) / 7))
+    rows.append((100, t0, 1, "t0", float("nan")))
+    rows.append((101, t0, 1, "t0", float("inf")))
+    rows.append((102, t0, 1, "t0", float("-inf")))
+    rows.append((103, None, 1, "t1", 1.0))     # NULL ts
+    rows.append((104, t0, 1, "t1", None))      # NULL value
+    rows.append((7, t0 + timedelta(seconds=7), 2, "t2", 9.5))  # duplicate id
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    con = duckdb.connect()
+    # Register via Arrow, NOT pandas: the pandas bridge coerces NaN to NULL,
+    # which would silently test the wrong thing for the NaN/Inf tallies.
+    import pyarrow as pa
+
+    cols = list(zip(*rows))
+    atbl = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+        }
+    )
+    con.register("events", atbl)
+    from sensordatapipelines_spark.operators.temporal import (
+        column_probe,
+        order_probe,
+    )
+
+    got = column_probe(sdf, "event_type", "ts", "value", "event_id", "user_id").toPandas()
+    _match(got, con.sql(entry.oracle_sql()["events_column_probe"].replace("% 20", "% 20")).df())
+    nan_rows = got.loc[got["key"] == "t0", "n_nan_value"].iloc[0]
+    assert nan_rows == 1 and got.loc[got["key"] == "t0", "n_inf_value"].iloc[0] == 2
+
+    got = order_probe(sdf, "user_id", "ts", "event_id", 20).toPandas()
+    _match(got, con.sql(entry.oracle_sql()["events_order_probe"]).df())
+
+
+def test_semantics_probe_constant_input(spark):
+    """The constant-input probe needs no tables at all and must match the
+    oracle bit-for-bit on this engine pair."""
+    got = entry.semantics_probe(spark, "/nonexistent").toPandas()
+    con = duckdb.connect()
+    _match(got, con.sql(entry.oracle_sql()["semantics_probe"]).df())
+    vals = dict(zip(got["probe"], got["val"]))
+    assert vals["epoch_parse"] == 1706745599
+    assert vals["ns_parse_canary"] == 0  # µs-truncating parse (DuckDB 1.0)
