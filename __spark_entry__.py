@@ -171,6 +171,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_ppm(spark, sf_dir)
     _stage_wav(spark, sf_dir)
     _stage_wav_g711(spark, sf_dir)
+    _stage_wav_adpcm(spark, sf_dir)
     _stage_fragmented_events(spark, sf_dir)
     _stage_gpkg_points(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
@@ -3238,6 +3239,69 @@ def media_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     stage = _stage_wav_g711(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.wav")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return audio_zcr(media)
+
+
+def _stage_wav_adpcm(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL IMA/DVI ADPCM WAVs (format 17): one 20-byte mono block
+    per doc — 4-byte header (predictor 0, step index = first MD5 byte
+    mod 89) + the doc text's 16 MD5 digest bytes as 32 nibbles —
+    byte-for-byte reconstructable in oracle SQL from ``md5(text)``."""
+    import hashlib
+    import struct as _struct
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            block = _struct.pack("<hBB", 0, d[0] % 89, 0) + d
+            wav = (
+                b"RIFF"
+                + _struct.pack("<I", 36 + len(block))
+                + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<I", 16)
+                + _struct.pack("<HHIIHH", 17, 1, 8000, 4000, len(block), 4)
+                + b"data"
+                + _struct.pack("<I", len(block))
+                + block
+            )
+            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+                f.write(wav)
+
+    return _staged(spark, sf_dir, "wav_adpcm_src", build)
+
+
+def media_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM decode end-to-end (format 17, the common telephony/
+    game 4-bit codec): staged single-block WAVs → genuine RIFF parse +
+    stateful step-table expansion to linear int16 → the strict integer
+    ZCR/Σ|s| profile. The oracle REPLAYS the whole decoder in SQL — the
+    89-entry step table, diff shifts, sign, clamps and index adaptation
+    — as a packed-state ``list_reduce`` prefix fold over the md5-derived
+    nibbles, so every decoded sample value is independently checked.
+    Quarantine-safe: media family, no red primitive involved."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_wav_adpcm(spark, sf_dir)
     raw = open_binary_dir(spark, stage, glob="*.wav")
     media = raw.select(
         F.struct(
@@ -7989,6 +8053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ppm_histogram": media_ppm_histogram,
         "media_wav_zcr": media_wav_zcr,
         "media_wav_g711": media_wav_g711,
+        "media_wav_adpcm": media_wav_adpcm,
         "media_wav_dft8": media_wav_dft8,
         "sensors_geohash_cells": sensors_geohash_cells,
         "docs_bpe_merges": docs_bpe_merges,
@@ -9143,6 +9208,66 @@ def _semantics_probe_oracle() -> str:
         for name, expr in rows
     )
     return body + " ORDER BY probe"
+
+
+def _adpcm_oracle() -> str:
+    """DuckDB replay of the IMA ADPCM decoder over the staged nibbles:
+    decode state packs as (predictor+32768)*89 + step_index into one
+    BIGINT; sample k is the predictor component after a ``list_reduce``
+    prefix fold over the first k nibbles (O(n²) folds, n=32 — trivial at
+    gate scale and fully engine-checkable)."""
+    step = "list_extract(list_value(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767), ((a % 89) + 1))"
+    fold = (
+        "(GREATEST(-32768, LEAST(32767, (a // 89 - 32768)"
+        " + (CASE WHEN c >= 8 THEN -1 ELSE 1 END)"
+        f" * ({step} // 8 + ((c // 4) % 2) * {step}"
+        f" + ((c // 2) % 2) * ({step} // 2)"
+        f" + (c % 2) * ({step} // 4)))) + 32768) * 89"
+        " + GREATEST(0, LEAST(88, (a % 89)"
+        " + list_extract(list_value(-1, -1, -1, -1, 2, 4, 6, 8),"
+        " ((c % 8) + 1))))"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        nibs AS (
+            SELECT doc_id,
+                   (32768) * 89 + (b[1] % 89) AS st0,
+                   flatten(list_transform(b, x -> [x % 16, x // 16])) AS nb
+            FROM bytes
+        ),
+        dec AS (
+            SELECT doc_id,
+                   list_concat([CAST(0 AS BIGINT)],
+                       list_transform(range(1, 33), k ->
+                           list_reduce(
+                               list_prepend(CAST(st0 AS BIGINT),
+                                   list_transform(nb[1:k],
+                                                  x -> CAST(x AS BIGINT))),
+                               (a, c) -> {fold}) // 89 - 32768)) AS s
+            FROM nibs
+        )
+        SELECT doc_id AS media_id,
+               CAST(len(s) AS BIGINT) AS n_samples,
+               CAST(len(list_filter(range(1, len(s)),
+                                    k -> s[k] * s[k + 1] < 0))
+                    AS BIGINT) AS n_zero_cross,
+               CAST(list_aggregate(list_transform(s, x -> abs(x)), 'sum')
+                    AS BIGINT) AS sum_abs
+        FROM dec
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14819,4 +14944,5 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
+    oracles["media_wav_adpcm"] = _adpcm_oracle()
     return oracles

@@ -128,6 +128,119 @@ def _g711_mulaw_table() -> np.ndarray:
 _ALAW_LUT = _g711_alaw_table()
 _MULAW_LUT = _g711_mulaw_table()
 
+#: IMA/DVI ADPCM step-size table (89 entries) and index-adaptation table —
+#: the public IMA "Recommended Practices for Enhancing Digital Audio
+#: Compatibility" constants, identical in every implementation.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+#: MS ADPCM coefficient pairs and delta-adaptation table (Microsoft
+#: multimedia-programming-interface WAVE spec, format tag 0x0002).
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _ima_decode_block(block: bytes, channels: int) -> list[list[int]]:
+    """One IMA ADPCM block → per-channel sample lists. Layout: a 4-byte
+    header per channel (predictor int16 LE, step index, reserved), then
+    channel-interleaved 4-byte nibble groups, LOW nibble first. The
+    header predictor IS the block's first output sample per channel."""
+    import struct
+
+    out: list[list[int]] = []
+    pred: list[int] = []
+    idx: list[int] = []
+    for c in range(channels):
+        p, i, _r = struct.unpack_from("<hBB", block, 4 * c)
+        if i > 88:
+            raise ValueError(f"IMA ADPCM step index {i} out of range")
+        pred.append(p)
+        idx.append(i)
+        out.append([p])
+    data = block[4 * channels:]
+    # nibble groups: 4 bytes for ch0, 4 bytes for ch1, ... repeating
+    for g in range(0, len(data), 4 * channels):
+        for c in range(channels):
+            chunk = data[g + 4 * c : g + 4 * c + 4]
+            for byte in chunk:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEPS[idx[c]]
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    p = pred[c] - diff if nib & 8 else pred[c] + diff
+                    pred[c] = _clamp16(p)
+                    i = idx[c] + _IMA_INDEX[nib & 7]
+                    idx[c] = 0 if i < 0 else (88 if i > 88 else i)
+                    out[c].append(pred[c])
+    return out
+
+
+def _ms_decode_block(block: bytes, channels: int) -> list[list[int]]:
+    """One MS ADPCM block → per-channel sample lists. Layout: per-channel
+    predictor-coefficient index bytes, then per-channel delta/sample1/
+    sample2 int16 LE; nibbles HIGH first, channel-interleaved. Output
+    per channel starts with (sample2, sample1)."""
+    import struct
+
+    ci = list(block[:channels])
+    if any(c >= len(_MS_COEFS) for c in ci):
+        raise ValueError(f"MS ADPCM coefficient index {max(ci)} out of range")
+    off = channels
+    delta = [struct.unpack_from("<h", block, off + 2 * c)[0] for c in range(channels)]
+    off += 2 * channels
+    s1 = [struct.unpack_from("<h", block, off + 2 * c)[0] for c in range(channels)]
+    off += 2 * channels
+    s2 = [struct.unpack_from("<h", block, off + 2 * c)[0] for c in range(channels)]
+    off += 2 * channels
+    out = [[s2[c], s1[c]] for c in range(channels)]
+    c = 0
+    for byte in block[off:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            c1, c2 = _MS_COEFS[ci[c]]
+            pred = (s1[c] * c1 + s2[c] * c2) >> 8
+            signed = nib - 16 if nib & 8 else nib
+            new = _clamp16(pred + signed * delta[c])
+            s2[c], s1[c] = s1[c], new
+            delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
+            out[c].append(new)
+            c = (c + 1) % channels
+    return out
+
+
+def _decode_adpcm(data: bytes, block_align: int, channels: int, fmt: int) -> np.ndarray:
+    """All blocks of an ADPCM data chunk → ``frames[n, channels]`` int16."""
+    decode = _ima_decode_block if fmt == 17 else _ms_decode_block
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data) - (4 if fmt == 17 else 7) * channels + 1,
+                    block_align):
+        block = data[b0 : b0 + block_align]
+        for c, samples in enumerate(decode(block, channels)):
+            chans[c].extend(samples)
+    n = min(len(ch) for ch in chans) if chans else 0
+    frames = np.empty((n, channels), dtype=np.int16)
+    for c in range(channels):
+        frames[:, c] = np.asarray(chans[c][:n], dtype=np.int16)
+    return frames
+
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """Typed-error entry: corrupt/truncated payloads raise ValueError, never
@@ -150,8 +263,9 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     (format 7), expanded to linear int16 through the 256-entry CCITT
     tables. Returns ``(frames[n_frames, channels] (int dtype for
     PCM/G.711, float for format 3), sample_rate, channels,
-    block_align)``. Truly compressed codecs (ADPCM, MP3) stay a typed
-    NotImplementedError."""
+    block_align)``, plus the two common ADPCM encodings — IMA/DVI
+    (format 17) and MS (format 2) — via per-block stateful expansion.
+    Perceptual codecs (MP3/AAC) stay a typed NotImplementedError."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -190,11 +304,17 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         codes = np.frombuffer(data, dtype=np.uint8, count=n_frames * channels)
         lut = _ALAW_LUT if audio_format == 6 else _MULAW_LUT
         samples = lut[codes]
+    elif audio_format in (2, 17) and bits == 4:
+        # MS ADPCM (2) / IMA-DVI ADPCM (17): stateful per-block expansion
+        # to linear int16 — frame count comes from the decode, not
+        # len(data)/block_align (a block holds many frames)
+        frames = _decode_adpcm(data, block_align, channels, audio_format)
+        return frames, sample_rate, channels, block_align
     else:
         raise NotImplementedError(
             f"WAVE format {audio_format}/{bits}-bit not supported "
-            "(integer PCM 8/16/24/32, IEEE float 32/64 and G.711 "
-            "a-law/mu-law are)"
+            "(integer PCM 8/16/24/32, IEEE float 32/64, G.711 "
+            "a-law/mu-law and IMA/MS ADPCM are)"
         )
     return samples.reshape(n_frames, channels), sample_rate, channels, block_align
 

@@ -129,8 +129,8 @@ def test_decode_wav_pcm24_pcm32_and_float():
     fd, _, _, _ = decode_wav(wav(3, 1, 64, datad))
     assert fd.dtype == np.float64 and fd.ravel().tolist() == [0.125, -0.5]
 
-    with pytest.raises(NotImplementedError, match="format 2"):
-        decode_wav(wav(2, 1, 4, b"\x00\x00"))
+    with pytest.raises(NotImplementedError, match="format 85"):
+        decode_wav(wav(85, 1, 0, b"\x00\x00"))  # MP3 stays typed
 
 
 def test_decode_wav_g711_alaw_mulaw():
@@ -379,3 +379,72 @@ def test_audio_zcr_known_wave(spark):
     # (3,0) and (0,-7) are NOT strict crossings
     assert r.n_zero_cross == 3
     assert r.sum_abs == sum(abs(s) for s in samples)
+
+
+def test_decode_wav_ima_adpcm_spec_vector():
+    """IMA ADPCM (format 17): hand-computed spec walk from predictor=0,
+    index=0 over nibbles [0,4,8,7,0,0,0,0] — every intermediate step
+    (step table, diff shifts, index adaptation) pinned by hand."""
+    import struct
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    data = bytes([0, 0, 0, 0]) + bytes([0x40, 0x78, 0x00, 0x00])
+    block_align = len(data)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 17, 1, 8000, 4000, block_align, 4)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    frames, sr, ch, ba = decode_wav(wav)
+    assert (sr, ch, ba) == (8000, 1, block_align)
+    # walk: (0) d=0 i->0; (4) d=7 i->2; (8) step9 d=1 sign -> 6, i->1;
+    # (7) step8 d=1+8+4+2=15 -> 21, i->9; (0)x4: steps 17,16,14,13 ->
+    # +2,+2,+1,+1
+    assert frames.ravel().tolist() == [0, 0, 7, 6, 21, 23, 25, 26, 27]
+
+
+def test_decode_wav_ms_adpcm_spec_vector():
+    """MS ADPCM (format 2): coefficient pair (256,0), delta=16,
+    s1=100, s2=50, nibbles (1, 0) — output (s2, s1, 116, 116), with the
+    delta floor at 16 exercised."""
+    import struct
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    block = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x10])
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 2, 1, 8000, 4000, len(block), 4)
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    frames, _, _, _ = decode_wav(wav)
+    assert frames.ravel().tolist() == [50, 100, 116, 116]
+
+
+def test_decode_wav_ima_adpcm_stereo_interleave():
+    """Stereo IMA: per-channel headers then channel-interleaved 4-byte
+    nibble groups; channels decode independently."""
+    import struct
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    hdr = struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 1000, 10, 0)
+    data = hdr + bytes([0x40, 0x78, 0x00, 0x00]) + bytes([0x00] * 4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 17, 2, 8000, 4000, len(data), 4)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    frames, _, ch, _ = decode_wav(wav)
+    assert ch == 2
+    # channel 0: the mono spec vector; channel 1: eight zero nibbles from
+    # predictor 1000 at index 10 (steps 19,17,16,14,13,12,11,10 ->
+    # diffs 2,2,2,1,1,1,1,1), index decaying by 1 each
+    assert frames[:, 0].tolist() == [0, 0, 7, 6, 21, 23, 25, 26, 27]
+    assert frames[:, 1].tolist() == [
+        1000, 1002, 1004, 1006, 1007, 1008, 1009, 1010, 1011,
+    ]
