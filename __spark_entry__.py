@@ -850,6 +850,19 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
+def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-embedding Hamming ANN: the 64-dim float vectors compact
+    to two 32-bit sign-packed words (32× memory reduction) and top-k runs
+    on XOR+popcount — the standard billion-scale binary prefilter stage.
+    All-integer (distance, rank); the oracle replays the identical pack
+    fold and popcount arithmetic. Quarantine-safe: embeddings family."""
+    from sensordatapipelines_spark.operators.similarity import hamming_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, dim=64)
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -7846,6 +7859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_prep": pipeline_training_prep,
         "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_hamming_ann": emb_hamming_ann,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_lsh_multi": emb_ann_lsh_multi,
         "emb_ann_ivf": emb_ann_ivf,
@@ -14945,4 +14959,24 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["emb_hamming_ann"] = f"""
+        WITH packed AS (
+            SELECT vec_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[1:32], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS w0,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[33:64], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS w1
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM packed WHERE vec_id < 8),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+            FROM q JOIN packed c ON q.vec_id != c.vec_id
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+              FROM d)
+        SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {KNN_K}
+    """
     return oracles

@@ -1305,3 +1305,73 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def sign_pack_expr(vec: Column, start: int, n: int) -> Column:
+    """Pack ``n`` sign bits of ``vec[start:start+n]`` (1-indexed) into one
+    BIGINT word, MSB-first: bit = 1 iff the component is strictly > 0.
+    Keep ``n`` ≤ 32 so the fold never touches the int64 sign bit — Spark
+    long arithmetic wraps silently where DuckDB BIGINT overflow ERRORS,
+    so a 64-bit pack could never be oracle-safe."""
+    return F.aggregate(
+        F.slice(vec, start, n),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2)
+        + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+@register("hamming_topk")
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-embedding Hamming ANN → ``(query_id, vec_id, hamming,
+    rank)``: every vector compacts to ``ceil(dim/32)`` sign-packed BIGINT
+    words (a 32× memory reduction — float32[64] → 8 bytes/word), and the
+    per-pair cost is one XOR + popcount per word. The standard first
+    stage of a billion-scale retrieval stack (binary prefilter → exact
+    re-rank); all-integer, so the oracle replays it exactly.
+
+    Scale shape: the pack is a map-only projection over the corpus scan
+    (the 100 TB side never shuffles); the query side broadcasts; ranking
+    is one per-query window on (distance, id) — deterministic ties."""
+    n_words = (dim + 31) // 32
+    sizes = [min(32, dim - 32 * w) for w in range(n_words)]
+
+    def packed(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{prefix}id")]
+        cols += [
+            sign_pack_expr(F.col(vec_col), 32 * w + 1, sizes[w]).alias(
+                f"{prefix}w{w}"
+            )
+            for w in range(n_words)
+        ]
+        return df.select(*cols)
+
+    q = packed(queries, "__q")
+    c = packed(corpus, "__c")
+    dist = sum(
+        (
+            F.bit_count(F.col(f"__qw{w}").bitwiseXOR(F.col(f"__cw{w}")))
+            for w in range(n_words)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    pairs = F.broadcast(q).join(c, on=F.col("__qid") != F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.col("hamming"), F.col("__cid"))
+    return (
+        pairs.withColumn("hamming", dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias(id_col),
+            "hamming",
+            "rank",
+        )
+    )
