@@ -6919,6 +6919,21 @@ def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the user co-activity
+    graph: top-5 strongest non-edges per user ranked on the EXACT
+    integer ``|∩|·1e6 div |∪|`` — the degree-normalized complement to
+    Adamic–Adar, with no float anywhere. Quarantine note: consumes the
+    same hour-bucket co-activity edges as the driver-green
+    events_adamic_adar (no events ordering / value quantization)."""
+    from sensordatapipelines_spark.operators.graph import jaccard_link_pred
+
+    _register_views(spark, sf_dir)
+    return jaccard_link_pred(
+        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+    )
+
+
 def events_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS from every 50th user over the co-activity
     graph: minimum hop distance up to 3 — frontier-expansion rounds
@@ -8042,6 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantics_probe": semantics_probe,
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
+        "events_graph_jaccard": events_graph_jaccard,
         "events_kcore": events_kcore,
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
@@ -14959,6 +14975,35 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["events_graph_jaccard"] = f"""
+        WITH {_COOCCUR_EDGES},
+        deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+        cand AS (SELECT a.d AS x, b.d AS y, COUNT(*) AS n_common
+                 FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+                 GROUP BY a.d, b.d HAVING COUNT(*) >= 2),
+        newp AS (SELECT c.* FROM cand c
+                 LEFT JOIN edges e ON c.x = e.u AND c.y = e.w
+                 WHERE e.u IS NULL),
+        scored AS (
+            SELECT x, y, n_common,
+                   dx.deg + dy.deg - n_common AS n_union,
+                   n_common * 1000000 // (dx.deg + dy.deg - n_common)
+                       AS jaccard_e6
+            FROM newp JOIN deg dx ON dx.s = newp.x
+                      JOIN deg dy ON dy.s = newp.y),
+        pairs2 AS (SELECT x AS u, y AS w, n_common, n_union, jaccard_e6
+                 FROM scored
+                 UNION ALL
+                 SELECT y, x, n_common, n_union, jaccard_e6 FROM scored),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY u ORDER BY jaccard_e6 DESC, w) AS rank
+              FROM pairs2)
+        SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               CAST(jaccard_e6 AS BIGINT) AS jaccard_e6,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """
     oracles["emb_hamming_ann"] = f"""
         WITH packed AS (
             SELECT vec_id,
