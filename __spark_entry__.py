@@ -863,6 +863,91 @@ def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, dim=64)
 
 
+def customer_month_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index aggregation: each customer's active calendar months
+    compress to a 12-bit ``bit_or`` bitmap (the roaring-bitmap technique
+    at its smallest), then popcount histograms per market segment —
+    ``(c_mktsegment, n_months, n_customers, bitmap_sum)``, all-integer.
+    Scale shape: bitmap build is one map-side-combined aggregate over the
+    fact table (fixed 8-byte state per customer — the same mergeability
+    contract as the sketch family); the segment histogram is a second
+    tiny aggregate. Quarantine-safe: TPC-H family."""
+    _register_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_custkey",
+        F.expr("shiftleft(1, CAST(month(o_orderdate) AS INT) - 1)").alias("__b"),
+    )
+    bm = o.groupBy("o_custkey").agg(F.bit_or("__b").alias("__bm"))
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    return (
+        bm.join(cust, bm["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", F.bit_count("__bm").alias("n_months"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__bm").alias("bitmap_sum"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_months").cast("long").alias("n_months"),
+            "n_customers",
+            "bitmap_sum",
+        )
+    )
+
+
+def orders_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced running balance: orders enter the backlog on their
+    order date and leave on the day their LAST lineitem ships; the gate
+    reports the month-end snapshot of (cumulative placed, cumulative
+    fulfilled, open backlog) — the classic inventory/WIP trajectory, all
+    integer counts. Scale shape: two fact-table aggregates collapse to a
+    ~2.5k-row day spine BEFORE the single-partition cumulative window
+    (aggregate-then-window: the global window only ever sees the spine,
+    never the facts). Quarantine-safe: TPC-H family."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    placed = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+    shipped = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    spine = (
+        placed.join(shipped, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        "d",
+        F.sum("p").over(w).alias("placed_cum"),
+        F.sum("s").over(w).alias("shipped_cum"),
+    )
+    wm = Window.partitionBy(F.date_trunc("month", F.col("d")))
+    return (
+        cum.withColumn("__last", F.max("d").over(wm))
+        .filter(F.col("d") == F.col("__last"))
+        .select(
+            F.date_format(F.date_trunc("month", F.col("d")), "yyyy-MM").alias(
+                "month"
+            ),
+            "placed_cum",
+            "shipped_cum",
+            (F.col("placed_cum") - F.col("shipped_cum")).alias("backlog"),
+        )
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -7875,6 +7960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partitioned_scan": events_partitioned_scan,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_hamming_ann": emb_hamming_ann,
+        "customer_month_coverage": customer_month_coverage,
+        "orders_running_backlog": orders_running_backlog,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_lsh_multi": emb_ann_lsh_multi,
         "emb_ann_ivf": emb_ann_ivf,
@@ -14975,6 +15062,53 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["customer_month_coverage"] = """
+        WITH bm AS (
+            SELECT o_custkey,
+                   bit_or(1 << (CAST(month(o_orderdate) AS INTEGER) - 1))
+                       AS b
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment,
+               CAST(bit_count(bm.b) AS BIGINT) AS n_months,
+               COUNT(*) AS n_customers,
+               CAST(SUM(bm.b) AS BIGINT) AS bitmap_sum
+        FROM bm JOIN customer c ON bm.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, bit_count(bm.b)
+    """
+    oracles["orders_running_backlog"] = """
+        WITH placed AS (
+            SELECT o_orderdate AS d, COUNT(*) AS p FROM orders GROUP BY 1
+        ),
+        shipped AS (
+            SELECT d, COUNT(*) AS s FROM (
+                SELECT MAX(l_shipdate) AS d FROM lineitem GROUP BY l_orderkey
+            ) GROUP BY d
+        ),
+        spine AS (
+            SELECT COALESCE(placed.d, shipped.d) AS d,
+                   COALESCE(p, 0) AS p, COALESCE(s, 0) AS s
+            FROM placed FULL OUTER JOIN shipped ON placed.d = shipped.d
+        ),
+        cum AS (
+            SELECT d,
+                   SUM(p) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS placed_cum,
+                   SUM(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS shipped_cum
+            FROM spine
+        ),
+        marked AS (
+            SELECT *, MAX(d) OVER (PARTITION BY date_trunc('month', d))
+                          AS last_d
+            FROM cum
+        )
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(placed_cum AS BIGINT) AS placed_cum,
+               CAST(shipped_cum AS BIGINT) AS shipped_cum,
+               CAST(placed_cum - shipped_cum AS BIGINT) AS backlog
+        FROM marked WHERE d = last_d
+    """
     oracles["events_graph_jaccard"] = f"""
         WITH {_COOCCUR_EDGES},
         deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
