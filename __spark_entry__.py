@@ -948,6 +948,34 @@ def orders_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sensors_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heat-map with 3×3 neighborhood smoothing over the
+    sensor layer: integer counts per FLOOR(coord/cell) grid cell plus the
+    9-cell neighborhood sum — aggregate → offset-explode → re-aggregate,
+    so the plan scales with distinct cells, never points². All-integer;
+    binning doubles computed identically in the oracle. Quarantine-safe:
+    spatial family."""
+    from sensordatapipelines_spark.operators.spatial import density_grid
+
+    _register_views(spark, sf_dir)
+    return density_grid(_sensors(spark), cell_size=0.02)
+
+
+def emb_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production ANN shape): binary-Hamming
+    prefilter to 32 candidates per query, exact cosine re-rank to top-5
+    on only those pairs. The oracle nests the hamming oracle as a CTE
+    and replays the identical dot/norm fold. Quarantine-safe: embeddings
+    family."""
+    from sensordatapipelines_spark.operators.similarity import hamming_rerank_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return hamming_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, k_candidates=32, dim=64
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -7961,6 +7989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_hamming_ann": emb_hamming_ann,
         "customer_month_coverage": customer_month_coverage,
+        "sensors_density_grid": sensors_density_grid,
+        "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_lsh_multi": emb_ann_lsh_multi,
@@ -9384,6 +9414,30 @@ def _adpcm_oracle() -> str:
                CAST(list_aggregate(list_transform(s, x -> abs(x)), 'sum')
                     AS BIGINT) AS sum_abs
         FROM dec
+    """
+
+
+def _hamming_topk_sql(k: int) -> str:
+    """Sign-pack + XOR/popcount top-k as SQL, parameterized by k (used by
+    the emb_hamming_ann oracle and nested by the rerank oracle)."""
+    pack1 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[1:32], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b)"
+    pack2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[33:64], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b)"
+    return f"""
+        SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       CAST(bit_count(xor(q.w0, c.w0))
+                            + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+                FROM (SELECT vec_id, {pack1} AS w0, {pack2} AS w1
+                      FROM embeddings WHERE vec_id < 8) q
+                JOIN (SELECT vec_id, {pack1} AS w0, {pack2} AS w1
+                      FROM embeddings) c
+                  ON q.vec_id != c.vec_id
+            )
+        ) WHERE rank <= {k}
     """
 
 
@@ -15062,6 +15116,59 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["sensors_density_grid"] = f"""
+        WITH s AS ({SENSORS_SQL.strip()}),
+        g AS (
+            SELECT CAST(FLOOR(lon / 0.02) AS BIGINT) AS gx,
+                   CAST(FLOOR(lat / 0.02) AS BIGINT) AS gy,
+                   COUNT(*) AS n
+            FROM s GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT g.gx + o.dx AS tx, g.gy + o.dy AS ty, g.n AS cn
+            FROM g, (SELECT dx.x AS dx, dy.y AS dy
+                     FROM (VALUES (-1), (0), (1)) dx(x),
+                          (VALUES (-1), (0), (1)) dy(y)) o
+        ),
+        smooth AS (
+            SELECT tx AS gx, ty AS gy, SUM(cn) AS n_smooth
+            FROM contrib GROUP BY tx, ty
+        )
+        SELECT g.gx, g.gy, g.n,
+               CAST(smooth.n_smooth AS BIGINT) AS n_smooth
+        FROM g JOIN smooth ON g.gx = smooth.gx AND g.gy = smooth.gy
+    """
+    oracles["emb_hamming_rerank"] = f"""
+        WITH cand AS ({_hamming_topk_sql(32)}),
+        pairs AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_reduce(
+                       list_transform(range(1, 65),
+                           i -> CAST(q.embedding[i] AS DOUBLE)
+                                * CAST(e.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y)
+                   / (SQRT(list_reduce(list_transform(range(1, 65),
+                           i -> CAST(q.embedding[i] AS DOUBLE)
+                                * CAST(q.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y))
+                    * SQRT(list_reduce(list_transform(range(1, 65),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(e.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y))) AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings e ON e.vec_id = cand.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {KNN_K}
+    """
     oracles["customer_month_coverage"] = """
         WITH bm AS (
             SELECT o_custkey,
@@ -15138,24 +15245,5 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 5
     """
-    oracles["emb_hamming_ann"] = f"""
-        WITH packed AS (
-            SELECT vec_id,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[1:32], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS w0,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding[33:64], x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS w1
-            FROM embeddings
-        ),
-        q AS (SELECT * FROM packed WHERE vec_id < 8),
-        d AS (
-            SELECT q.vec_id AS query_id, c.vec_id,
-                   CAST(bit_count(xor(q.w0, c.w0))
-                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
-            FROM q JOIN packed c ON q.vec_id != c.vec_id
-        ),
-        r AS (SELECT *, row_number() OVER (
-                  PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
-              FROM d)
-        SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
-        FROM r WHERE rank <= {KNN_K}
-    """
+    oracles["emb_hamming_ann"] = _hamming_topk_sql(KNN_K)
     return oracles

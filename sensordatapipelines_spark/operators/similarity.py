@@ -1375,3 +1375,57 @@ def hamming_topk(
             "rank",
         )
     )
+
+
+@register("hamming_rerank_topk")
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_candidates: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the production billion-scale shape: a
+    binary-Hamming prefilter (sign-packed words, XOR+popcount) selects
+    ``k_candidates`` per query, then ONLY those pairs pay the exact
+    cosine re-rank → ``(query_id, vec_id, cos_sim, rank)``. The corpus
+    side is touched once by the map-only pack scan; the float math runs
+    on k_candidates rows per query instead of the whole corpus.
+
+    Determinism contract shared with ``cosine_topk``: ranking happens on
+    the UNROUNDED similarity with id tie-break; the dot product is the
+    fold-exact Arrow kernel, bit-identical to the oracle's list fold."""
+    cand = hamming_topk(
+        corpus, queries, k=k_candidates, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("query_id", F.col(id_col).alias("__cid"))
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
+    pairs = (
+        cand.join(F.broadcast(q), cand["query_id"] == q["__qid"])
+        .join(c, "__cid")
+    )
+    sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.col("__cid"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

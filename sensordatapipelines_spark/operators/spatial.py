@@ -1490,3 +1490,45 @@ def dbscan_grid(
             F.lit(None).cast("long").alias("cluster"),
         )
     ).select(F.col("__id").alias(id_col), "role", "cluster")
+
+
+@register("density_grid")
+def density_grid(
+    sensors: DataFrame,
+    cell_size: float = 0.02,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Spatial density heat-map with 3×3 neighborhood smoothing →
+    ``(gx, gy, n, n_smooth)``: points bin to FLOOR(coord/cell) grid
+    cells, and each cell's smoothed count is the sum of its 3×3
+    neighborhood — computed by exploding every cell's count to its nine
+    neighbor keys and re-aggregating (two keyed hash aggregates on
+    grid-cell keys; the fact table never self-joins, so the plan scales
+    with distinct CELLS, not points²). All-integer output; the binning
+    doubles are computed identically in the oracle."""
+    g = sensors.select(
+        F.floor(F.col(lon_col) / F.lit(float(cell_size))).alias("gx"),
+        F.floor(F.col(lat_col) / F.lit(float(cell_size))).alias("gy"),
+    ).groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = g.select(
+        "gx", "gy", "n", F.explode(offs).alias("__o")
+    ).select(
+        (F.col("gx") + F.col("__o.dx")).alias("tx"),
+        (F.col("gy") + F.col("__o.dy")).alias("ty"),
+        F.col("n").alias("cn"),
+    )
+    smooth = contrib.groupBy(
+        F.col("tx").alias("gx"), F.col("ty").alias("gy")
+    ).agg(F.sum("cn").alias("n_smooth"))
+    return (
+        g.join(smooth, ["gx", "gy"])
+        .select("gx", "gy", "n", "n_smooth")
+    )
