@@ -976,6 +976,23 @@ def emb_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact-histogram quantiles over the fact table:
+    l_quantity is integer-valued, so the (value → count) histogram is a
+    tiny fixed-size mergeable state and p25/50/75/90 come from one
+    cumulative pass over it — the sort-free distributed-percentile
+    pattern (sketch-family mergeability contract with an EXACT answer).
+    Type-1 inverted-CDF semantics, all-integer. Quarantine-safe: TPC-H
+    family."""
+    from sensordatapipelines_spark.operators.sketches import histogram_quantiles
+
+    _register_views(spark, sf_dir)
+    return histogram_quantiles(
+        spark.table("lineitem"), "l_returnflag", "l_quantity", scale=1,
+        qs=(25, 50, 75, 90),
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -7990,6 +8007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hamming_ann": emb_hamming_ann,
         "customer_month_coverage": customer_month_coverage,
         "sensors_density_grid": sensors_density_grid,
+        "lineitem_histogram_quantile": lineitem_histogram_quantile,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "emb_ann_lsh": emb_ann_lsh,
@@ -15116,6 +15134,31 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["lineitem_histogram_quantile"] = """
+        WITH hist AS (
+            SELECT l_returnflag AS key,
+                   CAST(ROUND(l_quantity * 1.0) AS BIGINT) AS v,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT key, v, c,
+                   SUM(c) OVER (PARTITION BY key ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY key) AS n_rows
+            FROM hist
+        ),
+        marked AS (
+            SELECT key, v, cum, n_rows, q.q
+            FROM cum, (VALUES (25), (50), (75), (90)) q(q)
+            WHERE cum >= (q.q * n_rows + 99) // 100
+        )
+        SELECT key, CAST(q AS BIGINT) AS q,
+               CAST(MIN(v) AS BIGINT) AS value_at_q,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM marked GROUP BY key, q, n_rows
+    """
     oracles["sensors_density_grid"] = f"""
         WITH s AS ({SENSORS_SQL.strip()}),
         g AS (

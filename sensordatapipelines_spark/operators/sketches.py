@@ -395,3 +395,49 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
             ).alias("est_raw"),
         )
     )
+
+
+@register("histogram_quantiles")
+def histogram_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 1,
+    qs: tuple = (25, 50, 75, 90),
+) -> DataFrame:
+    """MERGEABLE exact-histogram quantiles for integer-valued columns →
+    per key one row per requested percentile ``(key, q, value_at_q,
+    n_rows)``. The state is the (value → count) histogram — a fixed-size
+    mergeable aggregate whenever the value domain is bounded (quantities,
+    ratings, ages, bucketed prices), so partial histograms combine
+    map-side and quantiles come from one cumulative pass over the TINY
+    histogram, never a sort of the fact table. ``value_at_q`` is the
+    standard inverted-CDF (type-1) quantile: the smallest value whose
+    cumulative count reaches ceil(q·n/100) — all-integer, no
+    interpolation, bit-exact cross-engine."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(float(scale))).cast("long")
+    hist = (
+        df.select(F.col(key_col).alias("key"), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("key", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("key").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("key")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n_rows", F.sum("c").over(tot)
+    )
+    qlit = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    marked = cum.select("key", "v", "cum", "n_rows", qlit).filter(
+        # smallest v with cum >= ceil(q*n/100) — exact integer ceil in BOTH
+        # engines ((q*n + 99) DIV 100); a float division here could round a
+        # hair above/below the exact threshold and flip the selected value
+        F.col("cum") >= F.expr("(q * n_rows + 99) DIV 100")
+    )
+    return (
+        marked.groupBy("key", "q", "n_rows")
+        .agg(F.min("v").alias("value_at_q"))
+        .select("key", F.col("q").cast("long").alias("q"), "value_at_q", "n_rows")
+    )

@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "pipeline_curation", "zones_wkb_polygon_agg", "zones_wkb_holes_agg",
     "emb_ann_recall", "q22_global_sales", "emb_cosine_topk",
     "emb_hamming_ann",  # 8-row broadcast query side, inequality self-pair filter
+    "emb_hamming_rerank",  # same hamming prefilter nested as stage 1
     "emb_hard_negatives",  # broadcast query side, inequality-only condition
     "emb_pq_topk",  # broadcast query side (ADC LUTs), inequality-only condition
     "emb_matryoshka_recall",  # broadcast query side, inequality-only condition
