@@ -451,3 +451,41 @@ def test_truncated_cosine_full_dims_equals_exact(spark):
     t4 = {(r.query_id, r.rank): r.vec_id
           for r in truncated_cosine_topk(df, q, k=5, use_dims=4).collect()}
     assert t4 != full
+
+
+def test_sign_pack_and_hamming_topk(spark):
+    """Sign packing is MSB-first over each 32-dim half (strictly-positive
+    test, never touching the int64 sign bit) and hamming_topk ranks by
+    exact popcount with id tie-break."""
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.similarity import (
+        hamming_topk,
+        sign_pack_expr,
+    )
+
+    vecs = [
+        (0, [1.0] * 32 + [-1.0] * 32),          # w0 = 2^32-1, w1 = 0
+        (1, [1.0] * 32 + [-1.0] * 32),          # identical -> distance 0
+        (2, [1.0] * 31 + [-1.0] + [-1.0] * 32), # 1 bit off
+        (3, [-1.0] * 64),                       # 32 bits off
+        (4, [0.0] * 64),                        # zeros pack as 0 (not > 0)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    packed = df.select(
+        "vec_id",
+        sign_pack_expr(F.col("embedding"), 1, 32).alias("w0"),
+        sign_pack_expr(F.col("embedding"), 33, 32).alias("w1"),
+    ).collect()
+    by_id = {r["vec_id"]: (r["w0"], r["w1"]) for r in packed}
+    assert by_id[0] == (2**32 - 1, 0)
+    assert by_id[2] == (2**32 - 2, 0)
+    assert by_id[3] == (0, 0)
+    assert by_id[4] == (0, 0)
+
+    got = hamming_topk(df, df.filter(F.col("vec_id") == 0), k=4, dim=64)
+    rows = {(r["vec_id"]): (r["hamming"], r["rank"]) for r in got.collect()}
+    assert rows[1] == (0, 1)
+    assert rows[2] == (1, 2)
+    # ids 3 and 4 tie at 32 bits -> id tie-break
+    assert rows[3] == (32, 3) and rows[4] == (32, 4)

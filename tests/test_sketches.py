@@ -107,3 +107,30 @@ def test_kmv_intersect_estimates_overlap(spark):
     true_union, true_int = 2 * n - overlap, overlap
     assert abs(r.est_union - true_union) / true_union < 0.3
     assert abs(r.est_intersection - true_int) / true_int < 0.45
+
+
+def test_histogram_quantiles_exact_and_mergeable(spark):
+    """Type-1 inverted-CDF quantiles from the histogram equal the naive
+    sorted-list answer, and the histogram state is mergeable: quantiles
+    over the union of two halves equal quantiles over the whole."""
+    import math
+
+    from sensordatapipelines_spark.operators.sketches import histogram_quantiles
+
+    vals = [1, 1, 2, 2, 2, 3, 5, 5, 8, 13, 13, 13, 21, 34, 34]
+    rows = [("k", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "key string, v double")
+    got = {
+        (r["q"]): r["value_at_q"]
+        for r in histogram_quantiles(df, "key", "v", qs=(25, 50, 75, 90)).collect()
+    }
+    s = sorted(vals)
+    want = {q: s[math.ceil(q * len(s) / 100) - 1] for q in (25, 50, 75, 90)}
+    assert got == want
+    # mergeability: same answer when the rows arrive as two shuffled halves
+    half = spark.createDataFrame(rows[::2] + rows[1::2], "key string, v double")
+    got2 = {
+        (r["q"]): r["value_at_q"]
+        for r in histogram_quantiles(half, "key", "v", qs=(25, 50, 75, 90)).collect()
+    }
+    assert got2 == want
