@@ -7340,6 +7340,80 @@ def events_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(final, p=8).withColumnRenamed("grp", "event_type")
 
 
+def orders_stream_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE incremental bitmap maintenance, the streaming twin of
+    ``customer_month_coverage``: each micro-batch bit_or-folds its
+    orders into a per-customer month-bitmap state table (bit_or is
+    associative+commutative, so merge ≡ one-shot recompute EXACTLY and
+    per-batch work is one map-side-combined aggregate + a state merge —
+    history never rescans). Finalize = the same popcount histogram; the
+    oracle is byte-for-byte the batch gate's oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from sensordatapipelines_spark.streaming import read_events_stream
+
+    _register_views(spark, sf_dir)
+    stage = _staged(
+        spark, sf_dir, "orders_stream_src",
+        lambda d: spark.table("orders")
+        .select("o_custkey", "o_orderdate")
+        .repartition(8)
+        .write.mode("overwrite").parquet(d),
+    )
+    schema = spark.table("orders").select("o_custkey", "o_orderdate").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(stage)
+    statedir = tempfile.mkdtemp(prefix="bm_merge_")
+    state_path = f"{statedir}/state"
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch_bm = bdf.groupBy("o_custkey").agg(
+            F.bit_or(
+                F.expr("shiftleft(1, CAST(month(o_orderdate) AS INT) - 1)")
+            ).alias("bm")
+        )
+        if os.path.exists(state_path):
+            prev = bdf.sparkSession.read.parquet(state_path)
+            merged = (
+                prev.unionByName(batch_bm)
+                .groupBy("o_custkey")
+                .agg(F.bit_or("bm").alias("bm"))
+            )
+        else:
+            merged = batch_bm
+        tmp = f"{statedir}/next"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    bm = spark.read.parquet(state_path)
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    return (
+        bm.join(cust, bm["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", F.bit_count("bm").alias("n_months"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bm").alias("bitmap_sum"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_months").cast("long").alias("n_months"),
+            "n_customers",
+            "bitmap_sum",
+        )
+    )
+
+
 def emb_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal rank fusion of the hyperplane-LSH and IVF ANN result
     lists: rank-only combination (1e9/(60+rank) exact-BIGINT terms), the
@@ -8010,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_histogram_quantile": lineitem_histogram_quantile,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
+        "orders_stream_bitmap_merge": orders_stream_bitmap_merge,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_lsh_multi": emb_ann_lsh_multi,
         "emb_ann_ivf": emb_ann_ivf,
@@ -15289,4 +15364,5 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= 5
     """
     oracles["emb_hamming_ann"] = _hamming_topk_sql(KNN_K)
+    oracles["orders_stream_bitmap_merge"] = oracles["customer_month_coverage"]
     return oracles
