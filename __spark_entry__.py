@@ -993,6 +993,38 @@ def lineitem_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth profile: monthly revenue as EXACT e2-cent
+    BIGINT sums, each month joined to its LAG-12 twin via one window →
+    ``(month, revenue_e2, prev_year_e2, yoy_delta_e2)`` — the standard
+    finance trend surface with no float anywhere (growth RATIOS are the
+    consumer's division to make). Aggregate-then-window: the global
+    window sees ~80 month rows, never the fact table. Quarantine-safe:
+    TPC-H family."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    monthly = (
+        spark.table("orders")
+        .groupBy(F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                               "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100)).cast("long"))
+            .alias("revenue_e2")
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_year_e2", F.lag("revenue_e2", 12).over(w))
+        .select(
+            "month",
+            "revenue_e2",
+            "prev_year_e2",
+            (F.col("revenue_e2") - F.col("prev_year_e2")).alias("yoy_delta_e2"),
+        )
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -8082,6 +8114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_month_coverage": customer_month_coverage,
         "sensors_density_grid": sensors_density_grid,
         "lineitem_histogram_quantile": lineitem_histogram_quantile,
+        "orders_yoy_growth": orders_yoy_growth,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "orders_stream_bitmap_merge": orders_stream_bitmap_merge,
@@ -15209,6 +15242,20 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["orders_yoy_growth"] = """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e2
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_e2,
+               LAG(revenue_e2, 12) OVER (ORDER BY month) AS prev_year_e2,
+               revenue_e2 - LAG(revenue_e2, 12) OVER (ORDER BY month)
+                   AS yoy_delta_e2
+        FROM monthly
+    """
     oracles["lineitem_histogram_quantile"] = """
         WITH hist AS (
             SELECT l_returnflag AS key,
