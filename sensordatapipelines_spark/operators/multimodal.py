@@ -1,8 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Charter extension (SURVEY.md §2.7). Decode is REAL for the uncompressed
-container formats a pure-python executor can parse — netpbm P5/P6 images
-(``decode_ppm``), RIFF/WAVE PCM audio (``decode_wav``) — with genuine
+Charter extension (SURVEY.md §2.7). Decode is REAL for the container
+formats a pure-python executor can parse — netpbm P5/P6 images
+(``decode_ppm``), RIFF/WAVE audio (``decode_wav``: integer PCM, IEEE
+float, G.711 a/mu-law, IMA/MS ADPCM) — with genuine
 feature extraction, frame extraction and nearest-neighbor resize on top,
 all strict-value-oracled. Compressed codecs (JPEG/PNG/MP3/H.264) require
 libraries absent from this container and raise a clearly-marked
