@@ -1025,6 +1025,52 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the standard
+    privacy gate before releasing curated data: customers group by
+    (nation, market segment, account-balance decile) and the audit
+    reports, per k threshold in {2, 5, 10}, how many equivalence classes
+    and how many INDIVIDUALS fall below k (would need suppression or
+    generalization). All-integer; the decile is the exact integer
+    ntile-free bucket FLOOR(rank·10/(n+1)) over the e2 balance order.
+    Scale shape: one QI aggregate (map-side combined) + a threshold
+    explode over the tiny class table. Quarantine-safe: TPC-H family."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir)
+    c = spark.table("customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * F.lit(100)).cast("long").alias("bal_e2"),
+    )
+    n_total = c.count()
+    w = Window.orderBy("bal_e2", "c_custkey")
+    qi = (
+        c.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "decile", F.expr(f"CAST(rank * 10 DIV ({n_total} + 1) AS BIGINT)")
+        )
+    )
+    classes = qi.groupBy("c_nationkey", "c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    ks = F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    return (
+        classes.select("csize", ks)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("csize") < F.col("k"), 1).otherwise(0)).alias(
+                "n_small_classes"
+            ),
+            F.sum(
+                F.when(F.col("csize") < F.col("k"), F.col("csize")).otherwise(0)
+            ).alias("n_exposed_individuals"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_classes",
+                "n_small_classes", "n_exposed_individuals")
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -8115,6 +8161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensors_density_grid": sensors_density_grid,
         "lineitem_histogram_quantile": lineitem_histogram_quantile,
         "orders_yoy_growth": orders_yoy_growth,
+        "customer_kanon_audit": customer_kanon_audit,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "orders_stream_bitmap_merge": orders_stream_bitmap_merge,
@@ -15242,6 +15289,35 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["customer_kanon_audit"] = """
+        WITH c AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2
+            FROM customer
+        ),
+        n AS (SELECT COUNT(*) AS nt FROM c),
+        ranked AS (
+            SELECT c.*, row_number() OVER (ORDER BY bal_e2, c_custkey) AS rank
+            FROM c
+        ),
+        qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(rank * 10 // (n.nt + 1) AS BIGINT) AS decile
+            FROM ranked, n
+        ),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment, decile, COUNT(*) AS csize
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT CAST(k.k AS BIGINT) AS k,
+               COUNT(*) AS n_classes,
+               SUM(CASE WHEN csize < k.k THEN 1 ELSE 0 END)
+                   AS n_small_classes,
+               CAST(SUM(CASE WHEN csize < k.k THEN csize ELSE 0 END)
+                    AS BIGINT) AS n_exposed_individuals
+        FROM classes, (VALUES (2), (5), (10)) k(k)
+        GROUP BY k.k
+    """
     oracles["orders_yoy_growth"] = """
         WITH monthly AS (
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
