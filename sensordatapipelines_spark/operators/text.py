@@ -394,7 +394,16 @@ def heaps_curve(
     growing and the curve becomes informative)."""
     from pyspark.sql import Window
 
-    toks = tokens_expr(lower_ascii_expr(F.col(text_col)))
+    # STAGE the token array as a projected column FIRST: interpreted HOFs
+    # do no common-subexpression elimination, so a bigram lambda that
+    # references the raw tokenize expression via element_at re-runs the
+    # whole trim+translate+split PER SEQUENCE ELEMENT (measured 2× on the
+    # sf0.1 corpus). One projection evaluates it once per document.
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        tokens_expr(lower_ascii_expr(F.col(text_col))).alias("__tk"),
+    )
+    toks = F.col("__tk")
     if int(ngram) == 2:
         n = F.size(toks)
         toks = F.when(
@@ -413,8 +422,8 @@ def heaps_curve(
     # witness matters for the min — this shrinks the exploded stream (and
     # the map-side combine input) by the within-doc repetition factor
     first = (
-        df.select(
-            F.col(id_col).alias("__id"),
+        staged.select(
+            "__id",
             F.explode(F.array_distinct(toks)).alias("__tok"),
         )
         .groupBy("__tok")
