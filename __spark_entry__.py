@@ -1071,6 +1071,34 @@ def customer_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-FREE twin of the driver-red events_markov_transitions:
+    the SAME markov_transitions operator over per-customer order-priority
+    sequences (orders table, DATE-exact ordering, unique o_orderkey
+    tiebreak). A driver green here with a red events twin pins the events
+    divergence on the events DATA READ, not the operator's math."""
+    from sensordatapipelines_spark.operators.temporal import markov_transitions
+
+    _register_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    return markov_transitions(o, "o_custkey", "ots", "o_orderpriority", "o_orderkey")
+
+
+def orders_total_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-FREE twin of the driver-red events_mad_anomaly: the
+    SAME mad_anomaly operator over e2-exact order totals per priority
+    class. Same diagnostic contract as orders_priority_markov."""
+    from sensordatapipelines_spark.operators.temporal import mad_anomaly
+
+    _register_views(spark, sf_dir)
+    return mad_anomaly(spark.table("orders"), "o_orderpriority", "o_totalprice")
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -8162,6 +8190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_histogram_quantile": lineitem_histogram_quantile,
         "orders_yoy_growth": orders_yoy_growth,
         "customer_kanon_audit": customer_kanon_audit,
+        "orders_priority_markov": orders_priority_markov,
+        "orders_total_mad": orders_total_mad,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "orders_stream_bitmap_merge": orders_stream_bitmap_merge,
@@ -8465,8 +8495,8 @@ _ROUND7_SAMPLE_FIRST = [
     "emb_semantic_dedup",
     "events_gini_users",
     "lineitem_weighted_median",
-    "events_peak_count",
-    "orders_interarrival",
+    "orders_priority_markov",
+    "orders_total_mad",
 ]
 
 # Round-6 driver-sample rotation: the two persistent red gates first
@@ -15289,6 +15319,61 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["orders_priority_markov"] = """
+        WITH seq AS (
+            SELECT o_orderpriority AS to_state,
+                   LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY epoch_ns(CAST(o_orderdate AS TIMESTAMP))
+                                    // 1000000000,
+                                o_orderkey, o_orderpriority
+                   ) AS from_state
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+        ),
+        counts AS (
+            SELECT from_state, to_state, COUNT(*) AS n
+            FROM seq WHERE from_state IS NOT NULL
+            GROUP BY from_state, to_state
+        ),
+        totals AS (
+            SELECT from_state, SUM(n) AS tot FROM counts GROUP BY from_state
+        )
+        SELECT c.from_state, c.to_state, c.n,
+               c.n * 1000000 // t.tot AS p_e6
+        FROM counts c JOIN totals t ON c.from_state = t.from_state
+    """
+    oracles["orders_total_mad"] = """
+        WITH base AS (
+            SELECT o_orderpriority AS k,
+                   CAST(ROUND(o_totalprice * 1e6) AS BIGINT) AS v6
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        med AS (
+            SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2,
+                   COUNT(*) AS n_rows
+            FROM base GROUP BY k
+        ),
+        dev AS (
+            SELECT b.k, med.med2, med.n_rows,
+                   ABS(CAST(b.v6 AS DOUBLE) * 2.0 - med.med2) AS dev2
+            FROM base b JOIN med ON b.k = med.k
+        ),
+        mad AS (
+            SELECT k, med2, n_rows,
+                   quantile_cont(dev2, 0.5) * 2.0 AS mad4
+            FROM dev GROUP BY k, med2, n_rows
+        )
+        SELECT d.k AS o_orderpriority,
+               m.n_rows,
+               CAST(m.med2 AS BIGINT) AS med_x2_e6,
+               CAST(m.mad4 AS BIGINT) AS mad_x4_e6,
+               SUM(CASE WHEN d.dev2 * 4.0 > 7.0 * m.mad4
+                        THEN 1 ELSE 0 END) AS n_anomalies
+        FROM dev d JOIN mad m ON d.k = m.k
+        GROUP BY d.k, m.n_rows, m.med2, m.mad4
+    """
     oracles["customer_kanon_audit"] = """
         WITH c AS (
             SELECT c_custkey, c_nationkey, c_mktsegment,
