@@ -1099,6 +1099,69 @@ def orders_total_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_anomaly(spark.table("orders"), "o_orderpriority", "o_totalprice")
 
 
+def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search — how LIKE '%needle%' accelerates
+    at scale: every part name explodes into character trigrams ONCE (the
+    inverted-index build, a map-side explode + equi-join, never a full
+    LIKE scan per query); a candidate must contain ALL query trigrams
+    (count == |q|-2), then only candidates pay the exact containment
+    verify. Output per needle: candidate count, verified count, false
+    positives — all-integer; the oracle replays both the trigram
+    arithmetic and the ground-truth LIKE. Quarantine-safe: TPC-H."""
+    _register_views(spark, sf_dir)
+    needles = ["widget", "gear", "plate"]
+    # ASCII-only names, but use the portable fold anyway for uniformity
+    names = spark.table("part").select(
+        "p_partkey",
+        F.translate(
+            F.col("p_name"),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        ).alias("nm"),
+    )
+    # substring with a dynamic start needs the expr form
+    tri = names.select(
+        "p_partkey",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(nm) - 2, 0)),"
+                    " i -> substr(nm, i, 3))"
+                )
+            )
+        ).alias("__t"),
+    )
+    q = spark.createDataFrame(
+        [
+            (n, n[i : i + 3])
+            for n in needles
+            for i in range(len(n) - 2)
+        ],
+        "needle string, __t string",
+    ).distinct()
+    qn = q.groupBy("needle").agg(F.count(F.lit(1)).alias("n_q"))
+    cand = (
+        tri.join(F.broadcast(q), "__t")
+        .groupBy("needle", "p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(qn), "needle")
+        .filter(F.col("n_hit") == F.col("n_q"))
+    )
+    verified = cand.join(names, "p_partkey").select(
+        "needle",
+        "p_partkey",
+        F.col("nm").contains(F.col("needle")).alias("ok"),
+    )
+    return (
+        verified.groupBy("needle")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_verified"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_false_pos"),
+        )
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: corpus compresses to m=4 one-byte codes
     in a map-only codegen'd scan (data-derived codebooks = sub-vectors of
@@ -8192,6 +8255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_kanon_audit": customer_kanon_audit,
         "orders_priority_markov": orders_priority_markov,
         "orders_total_mad": orders_total_mad,
+        "part_trigram_search": part_trigram_search,
         "emb_hamming_rerank": emb_hamming_rerank,
         "orders_running_backlog": orders_running_backlog,
         "orders_stream_bitmap_merge": orders_stream_bitmap_merge,
@@ -15319,6 +15383,48 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["part_trigram_search"] = """
+        WITH names AS (
+            SELECT p_partkey,
+                   translate(p_name, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz') AS nm
+            FROM part
+        ),
+        needles AS (SELECT * FROM (VALUES ('widget'), ('gear'),
+                                          ('plate')) n(needle)),
+        q AS (
+            SELECT DISTINCT needle,
+                   unnest(list_transform(range(1, length(needle) - 1),
+                                         i -> substr(needle, i, 3))) AS t
+            FROM needles
+        ),
+        qn AS (SELECT needle, COUNT(*) AS n_q FROM q GROUP BY needle),
+        tri AS (
+            SELECT DISTINCT p_partkey,
+                   unnest(list_transform(
+                       range(1, greatest(length(nm) - 1, 1)),
+                       i -> substr(nm, i, 3))) AS t
+            FROM names
+        ),
+        cand AS (
+            SELECT q.needle, tri.p_partkey, COUNT(*) AS n_hit
+            FROM tri JOIN q ON tri.t = q.t
+            GROUP BY q.needle, tri.p_partkey
+        ),
+        full_cand AS (
+            SELECT cand.needle, cand.p_partkey
+            FROM cand JOIN qn ON cand.needle = qn.needle
+            WHERE cand.n_hit = qn.n_q
+        )
+        SELECT fc.needle,
+               COUNT(*) AS n_candidates,
+               SUM(CASE WHEN contains(names.nm, fc.needle)
+                        THEN 1 ELSE 0 END) AS n_verified,
+               SUM(CASE WHEN contains(names.nm, fc.needle)
+                        THEN 0 ELSE 1 END) AS n_false_pos
+        FROM full_cand fc JOIN names ON fc.p_partkey = names.p_partkey
+        GROUP BY fc.needle
+    """
     oracles["orders_priority_markov"] = """
         WITH seq AS (
             SELECT o_orderpriority AS to_state,
