@@ -448,3 +448,40 @@ def test_decode_wav_ima_adpcm_stereo_interleave():
     assert frames[:, 1].tolist() == [
         1000, 1002, 1004, 1006, 1007, 1008, 1009, 1010, 1011,
     ]
+
+
+def test_decode_wav_adpcm_fuzz_typed_errors_only():
+    """Corrupt/truncated ADPCM payloads must raise ValueError (or decode
+    to a shorter frame set), never escape a raw struct/Index error from
+    an executor task — the same contract the GeoTIFF parser carries."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sensordatapipelines_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, channels, block_align, data):
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt_code, channels, 8000, 4000,
+                          block_align, 4)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        fmt=st.sampled_from([2, 17]),
+        channels=st.integers(1, 2),
+        block_align=st.integers(0, 40),
+        data=st.binary(min_size=0, max_size=64),
+    )
+    def run(fmt, channels, block_align, data):
+        try:
+            frames, _, ch, _ = decode_wav(wav(fmt, channels, block_align, data))
+            assert frames.shape[1] == ch
+        except (ValueError, NotImplementedError):
+            pass  # the typed contract
+
+    run()
