@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -99,7 +100,58 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options, schema)
+
 
 def register_jsonl_sink(spark) -> None:
     """Idempotent registration of the custom sink on a session."""
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING side of the custom sink (PySpark 4
+    ``DataSourceStreamWriter``): each micro-batch's tasks write temp
+    files; the driver renames them into ``part-b{batchId}-{i}.jsonl`` in
+    ``commit(messages, batchId)`` — batch-scoped names make replayed
+    batches idempotent (a re-run of batch N replaces exactly batch N's
+    parts, the same exactly-once contract Spark's own file sink keys on
+    batch id)."""
+
+    def __init__(self, options: dict, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires .option('path', <dir>)")
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator: Iterator) -> _PartFile:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".tmp-{uuid.uuid4().hex}.jsonl"
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in iterator:
+                rec = {k: row[k] for k in self.fields}
+                f.write(json.dumps(rec, sort_keys=True, separators=(",", ":")))
+                f.write("\n")
+        return _PartFile(tmp_name=tmp)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        for old in os.listdir(self.path):
+            if old.startswith(f"part-b{batchId:05d}-") and old.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, old))  # replay: replace batch
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass

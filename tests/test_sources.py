@@ -1342,3 +1342,42 @@ def test_compact_dir_refuses_unmeasurable_sizes(spark, tmp_path, monkeypatch):
     # explicit target_files still works without sizing
     compact_dir(spark, d, target_files=2)
     assert spark.read.parquet(d).count() == 100
+
+
+def test_jsonl_stream_writer_batch_scoped_idempotent(spark, tmp_path):
+    """Custom DataSourceStreamWriter: micro-batches land as
+    part-b{batch}-{i}.jsonl with two-phase temp+rename, and a stream
+    restart over the same source (same batch ids) replaces rather than
+    duplicates batch output."""
+    import glob
+
+    from sensordatapipelines_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    src = str(tmp_path / "src")
+    spark.range(40).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    parts = sorted(glob.glob(f"{out}/part-b*.jsonl"))
+    assert parts and all("/part-b" in p for p in parts)
+    assert not glob.glob(f"{out}/.tmp-*")
+    got = {r["id"] for r in spark.read.json(out).collect()}
+    assert got == set(range(40))
+    # multiple micro-batches actually happened (batch-scoped names differ)
+    batches = {p.split("part-b")[1].split("-")[0] for p in parts}
+    assert len(batches) >= 2
