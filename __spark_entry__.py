@@ -173,6 +173,13 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_wav_g711(spark, sf_dir)
     _stage_wav_adpcm(spark, sf_dir)
     _stage_fragmented_events(spark, sf_dir)
+    _staged(
+        spark, sf_dir, "orders_stream_src",
+        lambda d: spark.table("orders")
+        .select("o_custkey", "o_orderdate")
+        .repartition(8)
+        .write.mode("overwrite").parquet(d),
+    )
     _stage_gpkg_points(spark, sf_dir)
     from sensordatapipelines_spark.sources.synthetic import register_sensor_synth
 
