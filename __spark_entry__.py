@@ -8168,6 +8168,33 @@ def semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_byte_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-byte bisection probe for the docs family: per language —
+    row count, Σ character length, and an order-free Σ (mod 2^31−1) of
+    the first-8-hex md5 prefix folded to an integer with the identical
+    hex-ladder arithmetic in both engines. No case fold, no tokenizer: a
+    red here means the engines disagree on the raw DOCUMENT BYTES
+    (parquet string read); green pins any remaining token-probe red on
+    the processing pipeline. Completes the bisection chain
+    bytes → tokens → gate math."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(length(text)) AS len_sum,
+               SUM(aggregate(
+                   filter(split(substring(md5(CAST(text AS BINARY)), 1, 8),
+                                ''), c -> c != ''),
+                   0L,
+                   (a, c) -> a * 16
+                             + CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)
+               )) % 2147483647 AS md5_prefix_sum
+        FROM documents GROUP BY lang
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -8453,6 +8480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bfs_reach": events_bfs_reach,
         "docs_chi2_terms": docs_chi2_terms,
         "docs_token_stream_probe": docs_token_stream_probe,
+        "docs_byte_probe": docs_byte_probe,
         "events_gini_users": events_gini_users,
         "lineitem_weighted_median": lineitem_weighted_median,
         "events_peak_count": events_peak_count,
@@ -15390,6 +15418,18 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
     oracles["media_wav_adpcm"] = _adpcm_oracle()
+    oracles["docs_byte_probe"] = """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+               CAST(SUM(list_reduce(list_transform(
+                        string_split(substr(md5(text), 1, 8), ''),
+                        c -> CAST(strpos('0123456789abcdef', c) - 1
+                                  AS BIGINT)),
+                        (a, c) -> a * 16 + c)) % 2147483647 AS BIGINT)
+                   AS md5_prefix_sum
+        FROM documents GROUP BY lang
+    """
     oracles["part_trigram_search"] = """
         WITH names AS (
             SELECT p_partkey,
