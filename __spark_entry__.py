@@ -8587,7 +8587,7 @@ _ROUND7_SAMPLE_FIRST = [
     "events_seasonal_naive",
     "orders_benford_audit",
     "events_autocorrelation",
-    "emb_kmeans",
+    "docs_byte_probe",
     "events_funnel",
     "events_scd2",
     "docs_pagerank",
