@@ -8163,8 +8163,19 @@ def semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("floor_e6", f6))
         .unionByName(row("int_div_trunc", dv))
         .unionByName(row("epoch_parse", ep))
-        .unionByName(row("ns_parse_canary", F.lit(0)))
         .orderBy("probe")
+    )
+
+
+def semantics_ns_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NS parse canary, split from semantics_probe so its one
+    bit never masks the other semantics rows: local DuckDB v1.0 truncates
+    an ns-precision timestamp STRING to µs at parse (residue 0); an
+    ns-native parser yields 789. The Spark side emits the µs-truncation
+    expectation — a driver red therefore means an ns-native DuckDB."""
+    return spark.range(1).select(
+        F.lit("ns_parse_canary").alias("probe"),
+        F.lit(0).cast("long").alias("val"),
     )
 
 
@@ -8473,6 +8484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ns_residue_probe": events_ns_residue_probe,
         "events_compaction_identity": events_compaction_identity,
         "semantics_probe": semantics_probe,
+        "semantics_ns_canary": semantics_ns_canary,
         "events_ohlc_bars": events_ohlc_bars,
         "events_adamic_adar": events_adamic_adar,
         "events_graph_jaccard": events_graph_jaccard,
@@ -8588,9 +8600,9 @@ _ROUND7_SAMPLE_FIRST = [
     "orders_benford_audit",
     "events_autocorrelation",
     "docs_byte_probe",
+    "semantics_ns_canary",
     "events_funnel",
     "events_scd2",
-    "docs_pagerank",
     "emb_semantic_dedup",
     "events_gini_users",
     "lineitem_weighted_median",
@@ -9640,9 +9652,6 @@ def _semantics_probe_oracle() -> str:
         for i, (a, b) in enumerate(_PROBE_DIV)
     )
     ep = "epoch_ns(TIMESTAMP '2024-01-31 23:59:59.999999') // 1000000000"
-    canary = (
-        "epoch_ns(CAST('2024-01-31 23:59:59.123456789' AS TIMESTAMP_NS)) % 1000"
-    )
     rows = [
         ("ascii_fold_tokens", tok),
         ("round_scale0", r0),
@@ -9650,7 +9659,6 @@ def _semantics_probe_oracle() -> str:
         ("floor_e6", f6),
         ("int_div_trunc", dv),
         ("epoch_parse", ep),
-        ("ns_parse_canary", canary),
     ]
     body = " UNION ALL ".join(
         f"SELECT '{name}' AS probe, CAST({expr} AS BIGINT) AS val"
@@ -15417,6 +15425,11 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     oracles["semantics_probe"] = _semantics_probe_oracle()
+    oracles["semantics_ns_canary"] = (
+        "SELECT 'ns_parse_canary' AS probe, "
+        "CAST(epoch_ns(CAST('2024-01-31 23:59:59.123456789' "
+        "AS TIMESTAMP_NS)) % 1000 AS BIGINT) AS val"
+    )
     oracles["media_wav_adpcm"] = _adpcm_oracle()
     oracles["docs_byte_probe"] = """
         SELECT lang,
