@@ -304,4 +304,8 @@ def test_semantics_probe_constant_input(spark):
     _match(got, con.sql(entry.oracle_sql()["semantics_probe"]).df())
     vals = dict(zip(got["probe"], got["val"]))
     assert vals["epoch_parse"] == 1706745599
-    assert vals["ns_parse_canary"] == 0  # µs-truncating parse (DuckDB 1.0)
+    # the TIMESTAMP_NS parse canary is its own gate now (one bit must not
+    # mask the other semantics rows); µs-truncating parse (DuckDB 1.0) = 0
+    canary = entry.semantics_ns_canary(spark, "/nonexistent").toPandas()
+    _match(canary, con.sql(entry.oracle_sql()["semantics_ns_canary"]).df())
+    assert dict(zip(canary["probe"], canary["val"]))["ns_parse_canary"] == 0
