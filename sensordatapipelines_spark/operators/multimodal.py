@@ -1,15 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Charter extension (SURVEY.md §2.7). Decode is REAL for the container
-formats a pure-python executor can parse — netpbm P5/P6 images
-(``decode_ppm``), RIFF/WAVE audio (``decode_wav``: integer PCM, IEEE
-float, G.711 a/mu-law, IMA/MS ADPCM) — with genuine
-feature extraction, frame extraction and nearest-neighbor resize on top,
-all strict-value-oracled. Compressed codecs (JPEG/PNG/MP3/H.264) require
-libraries absent from this container and raise a clearly-marked
-``NotImplementedError`` (a deterministic fake decoder keeps the plumbing
-testable); swapping in PIL/ffmpeg is a one-function change on the
-executor side.
+Charter extension (SURVEY.md §2.7). Decode is REAL for every format a
+pure-python executor can parse — netpbm P5/P6, PNG, GIF, BMP images
+(``decode_image`` → ``sources/imagecodecs.py``) and RIFF/WAVE audio
+(``decode_wav``: integer PCM, IEEE float, G.711 a/mu-law, IMA/MS
+ADPCM) — with genuine feature extraction, frame extraction and
+nearest-neighbor resize on top, all strict-value-oracled. Lossy
+perceptual codecs (JPEG/MP3/H.264) require libraries absent from this
+container and raise a clearly-marked ``NotImplementedError`` (a
+deterministic fake decoder keeps the plumbing testable); swapping in
+PIL/ffmpeg is a one-function change on the executor side.
 
 Schema convention::
 
@@ -320,24 +320,52 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return samples.reshape(n_frames, channels), sample_rate, channels, block_align
 
 
+def decode_image(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Unified REAL image decode: dispatch on magic bytes to the netpbm
+    (``decode_ppm``), PNG, GIF or BMP decoders — all pure python /
+    stdlib-zlib, so the kernel runs executor-side with no codec
+    library. Returns ``(pixels[h, w, c], width, height, channels)``."""
+    from sensordatapipelines_spark.sources.imagecodecs import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+    )
+
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "image format not recognized: netpbm P5/P6, PNG, GIF and BMP "
+        "decode natively; lossy codecs (JPEG) need PIL/ffmpeg"
+    )
+
+
+_IMAGE_MAGIC = (b"P6", b"P5", b"\x89P", b"GI", b"BM")
+
+
 def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
-    """Decode media bytes to a flat float array. REAL for the uncompressed
-    container formats a pure-python executor can parse (netpbm P5/P6
-    images, RIFF/WAVE PCM audio — ``decode_ppm`` / ``decode_wav``);
-    compressed codecs (JPEG/PNG/MP3/H.264) require libraries not in this
-    environment and stay a clearly-marked stub."""
+    """Decode media bytes to a flat float array. REAL for every format a
+    pure-python executor can parse — netpbm P5/P6, PNG (stdlib-zlib
+    inflate + unfiltering), GIF (LZW), BMP images and RIFF/WAVE audio
+    (integer PCM, IEEE float, G.711, ADPCM); lossy/perceptual codecs
+    (JPEG/MP3/H.264) require libraries not in this environment and stay
+    a clearly-marked stub."""
     if fake:
         # Deterministic fake: interpret the payload bytes directly.
         return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    head = bytes(payload[:4])
-    if head[:2] in (b"P6", b"P5"):
-        return decode_ppm(payload)[0].astype(np.float64).ravel()
-    if head == b"RIFF":
+    if bytes(payload[:2]) in _IMAGE_MAGIC:
+        return decode_image(payload)[0].astype(np.float64).ravel()
+    if bytes(payload[:4]) == b"RIFF":
         return decode_wav(payload)[0].astype(np.float64).ravel()
     raise NotImplementedError(
-        "compressed media decoding requires PIL/soundfile/ffmpeg (not "
-        "installed); uncompressed PPM/PGM/WAV decode natively, or run "
-        "with fake=True for the deterministic test kernel"
+        "lossy media decoding requires PIL/soundfile/ffmpeg (not "
+        "installed); PPM/PGM/PNG/GIF/BMP images and WAV audio decode "
+        "natively, or run with fake=True for the deterministic kernel"
     )
 
 
@@ -368,8 +396,8 @@ def media_features(df: DataFrame, media_col: str = "media", fake: bool = True) -
                 ch_means = [None, None, None]
                 if fake:
                     arr = _decode_kernel(payload, m["kind"], True)
-                elif payload[:2] in (b"P6", b"P5"):
-                    px, width, height, n_channels = decode_ppm(payload)
+                elif bytes(payload[:2]) in _IMAGE_MAGIC:
+                    px, width, height, n_channels = decode_image(payload)
                     arr = px.astype(np.float64).ravel()
                     for c in range(min(n_channels, 3)):
                         ch_means[c] = float(px[:, :, c].astype(np.float64).mean())
@@ -498,7 +526,7 @@ def media_resize(
             rows = []
             for m in pdf[media_col]:
                 payload = bytes(m["payload"])
-                px, _w, _h, channels = decode_ppm(payload)
+                px, _w, _h, channels = decode_image(payload)
                 small = resize_nearest(px, out_w, out_h)
                 magic = b"P6" if channels == 3 else b"P5"
                 out_bytes = (
@@ -603,7 +631,7 @@ def image_dhash(
         for pdf in batches:
             rows = []
             for m in pdf[media_col]:
-                px, _w, _h, _c = decode_ppm(bytes(m["payload"]))
+                px, _w, _h, _c = decode_image(bytes(m["payload"]))
                 gray = px.astype(np.int64).sum(axis=2)
                 g = resize_nearest(gray[:, :, None], hash_w + 1, hash_h)[:, :, 0]
                 bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).reshape(-1)
@@ -690,7 +718,7 @@ def media_channel_histogram(
                 continue
             rows = []
             for m in pdf[media_col]:
-                px, _w, _h, n_ch = decode_ppm(bytes(m["payload"]))
+                px, _w, _h, n_ch = decode_image(bytes(m["payload"]))
                 for c in range(n_ch):
                     vals, counts = np.unique(
                         px[:, :, c].ravel() // width, return_counts=True

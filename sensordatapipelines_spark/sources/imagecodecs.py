@@ -1,0 +1,583 @@
+"""Pure-python image codecs for the multimodal payload path: PNG, GIF, BMP.
+
+Retires the "compressed image codecs need PIL" boundary for the three
+formats a stdlib-only executor CAN decode exactly:
+
+- **PNG** (RFC 2083 / ISO 15948): chunk parse with CRC verification,
+  stdlib ``zlib`` inflate, full scanline unfiltering (None/Sub/Up/
+  Average/Paeth), bit depths 1/2/4/8/16, color types 0/2/3/4/6, and
+  Adam7 deinterlacing. Lossless by spec, so decoded pixels are exact —
+  strict-value-oracle-able like the netpbm path.
+- **GIF** (GIF87a/89a): logical-screen + image-descriptor parse, global/
+  local color tables, variable-width LSB-first LZW (the *standard*
+  code-width change, vs. TIFF's early change in
+  ``sources/geotiff.py:_lzw_decode``), 4-pass row deinterlacing, first
+  frame decoded to RGB.
+- **BMP** (BITMAPINFOHEADER): uncompressed 8-bit palette and 24/32-bit
+  BGR(A), bottom-up or top-down rows, 4-byte row padding.
+
+Matching encoders back every decoder so round-trip tests (and the
+staged-fixture gates, whose oracles replay the pixel math from md5 hex
+in SQL) exercise the real compression paths: the PNG encoder can apply
+any per-row filter schedule, the GIF encoder emits genuine
+growing-dictionary LZW.
+
+Reference parity: the reference consumes arbitrary rasters through
+rasterio/PIL (`/root/reference/src/data_preprocessing.py:471`); here the
+decode itself is executor-side pure python so a binaryFile scan +
+``mapInPandas`` stays the 100 TB shape (file-parallel, no driver
+collect).
+
+Lossy/perceptual codecs (JPEG/MP3/H.264) remain a typed
+``NotImplementedError`` in ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x_off, y_off, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, height: int, rowbytes: int, bpp: int) -> bytes:
+    """Reverse the PNG per-scanline filters. Sequential within a row by
+    spec (each reconstructed byte feeds the next); rows where the filter
+    is None/Up vectorize with numpy."""
+    expect = height * (rowbytes + 1)
+    if len(raw) < expect:
+        raise ValueError(
+            f"PNG IDAT underrun: {len(raw)} bytes for {expect} expected"
+        )
+    out = bytearray(height * rowbytes)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + rowbytes])
+        pos += rowbytes
+        ro = y * rowbytes
+        po = ro - rowbytes
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, rowbytes):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            if y:
+                prev = np.frombuffer(out, np.uint8, rowbytes, po)
+                row = bytearray(
+                    (np.frombuffer(bytes(row), np.uint8) + prev).astype(np.uint8).tobytes()
+                )
+        elif ft == 3:  # Average
+            for x in range(rowbytes):
+                a = row[x - bpp] if x >= bpp else 0
+                b = out[po + x] if y else 0
+                row[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rowbytes):
+                a = row[x - bpp] if x >= bpp else 0
+                b = out[po + x] if y else 0
+                c = out[po + x - bpp] if (y and x >= bpp) else 0
+                row[x] = (row[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} is not in 0..4")
+        out[ro : ro + rowbytes] = row
+    return bytes(out)
+
+
+def _rows_to_samples(
+    data: bytes, width: int, height: int, channels: int, depth: int
+) -> np.ndarray:
+    """Packed scanline bytes → sample array [h, w, c] (uint8/uint16).
+    Sub-byte depths unpack MSB-first within each byte per spec; rows are
+    padded to whole bytes independently."""
+    if depth == 16:
+        arr = np.frombuffer(data, dtype=">u2").astype(np.uint16)
+        return arr.reshape(height, width, channels)
+    if depth == 8:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        return arr.reshape(height, width, channels)
+    # depths 1/2/4: grayscale or palette only (channels == 1 by spec)
+    rowbytes = (width * depth + 7) // 8
+    rows = np.frombuffer(data, np.uint8).reshape(height, rowbytes)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (
+        bits.reshape(height, width, depth) * weights
+    ).sum(axis=2).astype(np.uint8)
+    return samples.reshape(height, width, 1)
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL PNG decode: chunk walk (CRC-verified), zlib inflate of the
+    IDAT stream, filter reconstruction, Adam7 deinterlace, palette
+    expansion. Returns ``(pixels[h, w, c], width, height, channels)``
+    with uint8 samples (uint16 for bit depth 16); palette images come
+    back as RGB (tRNS, if present, appends an alpha channel)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte: bytes | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (pHYs, tEXt, gAMA, ...) are skipped
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_id, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG compression/filter method must be 0")
+    if ctype_id not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype_id} invalid")
+    allowed = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }[ctype_id]
+    if depth not in allowed:
+        raise ValueError(f"PNG bit depth {depth} invalid for color type {ctype_id}")
+    channels = _PNG_CHANNELS[ctype_id]
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, channels * depth // 8)
+
+    def pass_pixels(w: int, h: int, raw_off: bytes) -> tuple[np.ndarray, int]:
+        rowbytes = (w * channels * depth + 7) // 8
+        consumed = h * (rowbytes + 1)
+        flat = _unfilter(raw_off, h, rowbytes, bpp)
+        return _rows_to_samples(flat, w, h, channels, depth), consumed
+
+    if interlace == 0:
+        px, _ = pass_pixels(width, height, raw)
+    elif interlace == 1:
+        dt = np.uint16 if depth == 16 else np.uint8
+        px = np.zeros((height, width, channels), dtype=dt)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, consumed = pass_pixels(pw, ph, raw[off:])
+            off += consumed
+            px[y0::dy, x0::dx, :] = sub
+    else:
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+
+    if ctype_id == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            rgb = np.dstack([rgb, alpha[idx]])
+        px = rgb
+        channels = px.shape[2]
+    return px, width, height, channels
+
+
+def _filter_row(
+    ft: int, row: bytes, prev: bytes | None, bpp: int
+) -> bytes:
+    """Apply PNG filter ``ft`` to a raw scanline (encoder side)."""
+    n = len(row)
+    up = prev if prev is not None else bytes(n)
+    out = bytearray(n)
+    for x in range(n):
+        a = row[x - bpp] if x >= bpp else 0
+        b = up[x]
+        c = up[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            v = row[x]
+        elif ft == 1:
+            v = row[x] - a
+        elif ft == 2:
+            v = row[x] - b
+        elif ft == 3:
+            v = row[x] - ((a + b) >> 1)
+        elif ft == 4:
+            v = row[x] - _paeth(a, b, c)
+        else:
+            raise ValueError(f"PNG filter type {ft} is not in 0..4")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int | None = None,
+    palette: np.ndarray | None = None,
+    filters: tuple[int, ...] = (0,),
+    level: int = 6,
+) -> bytes:
+    """PNG encoder (non-interlaced) backing the decoder's round-trip
+    tests and the staged gates. ``pixels`` is [h, w, c] uint8 or uint16
+    (samples written big-endian for depth 16); ``filters`` is cycled
+    per row so tests can exercise every reconstruction path; with
+    ``palette`` (k×3 uint8) pixels are single-channel indices written as
+    color type 3."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    depth = 16 if pixels.dtype == np.uint16 else 8
+    if palette is not None:
+        ct = 3
+        if c != 1 or depth != 8:
+            raise ValueError("palette PNG needs [h, w, 1] uint8 indices")
+    elif color_type is not None:
+        ct = color_type
+    else:
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if _PNG_CHANNELS[ct] != c:
+        raise ValueError(f"color type {ct} expects {_PNG_CHANNELS[ct]} channels, got {c}")
+    if depth == 16:
+        rows = pixels.astype(">u2").tobytes()
+    else:
+        rows = pixels.astype(np.uint8).tobytes()
+    rowbytes = w * c * depth // 8
+    bpp = max(1, c * depth // 8)
+    filtered = bytearray()
+    prev: bytes | None = None
+    for y in range(h):
+        row = rows[y * rowbytes : (y + 1) * rowbytes]
+        ft = filters[y % len(filters)]
+        filtered.append(ft)
+        filtered += _filter_row(ft, row, prev, bpp)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(filtered), level))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, code width grows at the
+    STANDARD point (table reaches 2^width — one entry later than TIFF's
+    early change, see ``sources/geotiff.py:_lzw_decode``), 12-bit max."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    bitbuf = nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    i, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return bytes(out)
+            bitbuf |= data[i] << nbits  # LSB-first: new byte goes on top
+            i += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == eoi:
+            return bytes(out)
+        if code == clear:
+            table = list(base)
+            width, prev = min_code_size + 1, None
+            continue
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW: first code not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (greedy longest-match). The encoder's
+    counter runs one entry AHEAD of the decoder's, so its width bump
+    fires at 2^width + 1 where the decoder's fires at 2^width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for byte in indices:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == 4097:  # 12-bit table full: reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width, next_code = min_code_size + 1, eoi + 1
+        w = c
+    if w:
+        emit(table[w], width)
+        # the decoder registers one more entry on this final code and
+        # bumps its read width BEFORE consuming EOI if that entry lands
+        # exactly on 2^width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL GIF decode (first frame): header + logical screen descriptor,
+    global/local color table, sub-block reassembly, variable-width
+    LSB-first LZW, 4-pass deinterlace, palette → RGB expansion. Returns
+    ``(pixels[h, w, 3] uint8, width, height, 3)``."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct: np.ndarray | None = None
+    if packed & 0x80:
+        k = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * k], np.uint8).reshape(k, 3)
+        pos += 3 * k
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            k = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(payload[pos : pos + 3 * k], np.uint8).reshape(k, 3)
+            pos += 3 * k
+        if lct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), min_code_size), np.uint8
+        )
+        if idx.size < w * h:
+            raise ValueError(f"GIF pixel underrun: {idx.size} < {w * h}")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows were written in 4 passes
+            rows = np.empty((h, w), np.uint8)
+            src = 0
+            for start, step in _GIF_PASSES:
+                for y in range(start, h, step):
+                    rows[y] = idx[src]
+                    src += 1
+            idx = rows
+        if int(idx.max(initial=0)) >= lct.shape[0]:
+            raise ValueError("GIF color index out of range")
+        return lct[idx], w, h, 3
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Single-frame GIF89a encoder with a real growing-dictionary LZW
+    stream; ``indices`` [h, w] uint8 into ``palette`` (k×3 uint8, k a
+    power of two ≥ 2)."""
+    h, w = indices.shape
+    k = palette.shape[0]
+    if k & (k - 1) or k < 2:
+        raise ValueError("GIF palette size must be a power of two >= 2")
+    size_field = k.bit_length() - 2  # 2^(field+1) == k
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += np.asarray(palette, np.uint8).tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = np.asarray(indices, np.uint8)
+    if interlace:
+        order = [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+        rows = rows[order]
+    min_code_size = max(2, k.bit_length() - 1)
+    out.append(min_code_size)
+    stream = _gif_lzw_encode(rows.tobytes(), min_code_size)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed 8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or
+    top-down rows, 4-byte row padding. Returns RGB(A) uint8."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad signature)")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size} unsupported (BITMAPCOREHEADER)")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    n_colors = struct.unpack("<I", payload[46:50])[0]
+    if planes != 1:
+        raise ValueError("BMP planes must be 1")
+    if compression not in (0, 3):  # BI_RGB; BI_BITFIELDS tolerated for 32-bit
+        raise ValueError(f"BMP compression {compression} unsupported (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP bit depth {bpp} unsupported (8/24/32)")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    rowbytes = (w * bpp // 8 + 3) & ~3
+    px = np.frombuffer(
+        payload, np.uint8, rowbytes * h, data_off
+    ).reshape(h, rowbytes)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        k = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, np.uint8, 4 * k, pal_off).reshape(k, 4)
+        idx = px[:, :w].astype(np.int64)
+        if idx.max(initial=0) >= k:
+            raise ValueError("BMP palette index out of range")
+        rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA table → RGB
+        return np.ascontiguousarray(rgb), w, h, 3
+    c = bpp // 8
+    px = px[:, : w * c].reshape(h, w, c)
+    order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]  # BGR(A) → RGB(A)
+    return np.ascontiguousarray(px[:, :, order]), w, h, c
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit bottom-up BI_RGB BMP encoder ([h, w, 3] uint8 RGB in)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp writes 24-bit RGB only")
+    rowbytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = np.asarray(pixels, np.uint8)[:, :, ::-1]
+    pad = bytes(rowbytes - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + pad
+    hdr = b"BM" + struct.pack(
+        "<IHHI", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + body)
