@@ -169,6 +169,9 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_geotiff_deflate(spark, sf_dir)
     _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
+    _stage_png(spark, sf_dir)
+    _stage_gif(spark, sf_dir)
+    _stage_bmp(spark, sf_dir)
     _stage_wav(spark, sf_dir)
     _stage_wav_g711(spark, sf_dir)
     _stage_wav_adpcm(spark, sf_dir)
@@ -3657,6 +3660,174 @@ def media_wav_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media")
     )
     return audio_dft8(media)
+
+
+def _image_media(raw, ext: str):
+    """binaryFile rows → the media struct convention, id from filename."""
+    return raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), rf"doc_(\d+)\.{ext}$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+
+
+def _stage_png(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL PNG files, 4×2 RGB8, pixels = the doc text's MD5 digest
+    tiled to 24 samples (the ppm fixture's exact pixel function), written
+    through the repo PNG encoder with a Sub/Paeth filter schedule — so a
+    correct decode must run the genuine zlib inflate + filter
+    reconstruction to recover the digest bytes."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.imagecodecs import encode_png
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            px = _np.frombuffer(
+                bytes(d[j % 16] for j in range(24)), _np.uint8
+            ).reshape(2, 4, 3)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.png", "wb") as f:
+                f.write(encode_png(px, filters=(1, 4)))
+
+    return _staged(spark, sf_dir, "png_src", build)
+
+
+def _stage_gif(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL GIF89a files, 4×4 palette-indexed, indices = the 16 MD5
+    digest bytes, palette entry i = (i, 255−i, (3·i) mod 256) — pure
+    integer arithmetic the oracle replays from hex pairs. Even doc_ids
+    are written INTERLACED so the 4-pass row reorder is exercised; the
+    LZW stream is a genuine growing-dictionary encode."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.imagecodecs import encode_gif
+
+    pal = _np.stack(
+        [
+            _np.arange(256, dtype=_np.uint8),
+            255 - _np.arange(256, dtype=_np.uint8),
+            (_np.arange(256) * 3 % 256).astype(_np.uint8),
+        ],
+        axis=1,
+    )
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            idx = _np.frombuffer(d, _np.uint8).reshape(4, 4)
+            gif = encode_gif(idx, pal, interlace=r["doc_id"] % 2 == 0)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.gif", "wb") as f:
+                f.write(gif)
+
+    return _staged(spark, sf_dir, "gif_src", build)
+
+
+def _stage_bmp(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL 24-bit BMP files, 3×2 RGB (9-byte rows → 3 pad bytes,
+    bottom-up), pixels = the MD5 digest tiled to 18 samples — exercises
+    the BGR swizzle, row padding and bottom-up flip against the same
+    hex-ladder oracle arithmetic as the other image fixtures."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.imagecodecs import encode_bmp
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            px = _np.frombuffer(
+                bytes(d[j % 16] for j in range(18)), _np.uint8
+            ).reshape(2, 3, 3)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.bmp", "wb") as f:
+                f.write(encode_bmp(px))
+
+    return _staged(spark, sf_dir, "bmp_src", build)
+
+
+def media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: staged Sub/Paeth-filtered deflate PNGs
+    (md5-digest pixels, the ppm fixture's pixel function) → chunk walk +
+    CRC check + stdlib-zlib inflate + filter reconstruction
+    (``sources/imagecodecs.py:decode_png``) → the same per-channel
+    quartile-bin histogram as ``media_ppm_histogram``, so the oracle
+    recomputes every (channel, bin) count from md5 hex pairs —
+    integer-exact. PNG is lossless by spec: any filter/inflate slip
+    changes pixel bytes and flips the hash. Quarantine-safe: media
+    family, byte-level primitive (driver-green for ppm/wav in r06)."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_png(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.png")
+    return media_channel_histogram(_image_media(raw, "png"), n_bins=4)
+
+
+def media_gif_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: staged palette GIFs (variable-width
+    LSB-first LZW, alternating interlace) → genuine LZW expansion +
+    4-pass deinterlace + palette→RGB (``decode_gif``) → per-channel
+    quartile-bin histogram. The palette is arithmetic (i, 255−i, 3i mod
+    256), so the oracle derives every channel value from md5 hex pairs
+    and re-bins — a strict integer check of a real dictionary codec."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_gif(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.gif")
+    return media_channel_histogram(_image_media(raw, "gif"), n_bins=4)
+
+
+def media_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end: staged 24-bit bottom-up BMPs with row
+    padding → header parse + BGR→RGB swizzle + row flip (``decode_bmp``)
+    → per-channel quartile-bin histogram, oracle-replayed from md5 hex
+    pairs with the 18-sample tiling index arithmetic."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_bmp(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.bmp")
+    return media_channel_histogram(_image_media(raw, "bmp"), n_bins=4)
 
 
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8516,6 +8687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_g711": media_wav_g711,
         "media_wav_adpcm": media_wav_adpcm,
         "media_wav_dft8": media_wav_dft8,
+        "media_png_histogram": media_png_histogram,
+        "media_gif_histogram": media_gif_histogram,
+        "media_bmp_histogram": media_bmp_histogram,
         "sensors_geohash_cells": sensors_geohash_cells,
         "docs_bpe_merges": docs_bpe_merges,
         "docs_bpe_segments": docs_bpe_segments,
@@ -14964,6 +15138,83 @@ def oracle_sql() -> dict[str, str]:
             FROM staged,
                  (SELECT unnest(range(0, 3)) AS c) c,
                  (SELECT unnest(range(0, 8)) AS k) k
+        )
+        SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+               CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
+        FROM px GROUP BY doc_id, channel, v // 64
+    """
+    # PNG fixture shares the ppm fixture's exact pixel function (digest
+    # tiled to 24 samples, 4×2 RGB) — only the container differs, so the
+    # oracle arithmetic is identical; the engine side must additionally
+    # survive zlib + Sub/Paeth reconstruction to produce the same bytes.
+    oracles["media_png_histogram"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        px AS (
+            SELECT doc_id, c.c AS channel, k.k AS k,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 1, 1)) - 1)
+                       * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 2, 1)) - 1)
+                       AS v
+            FROM staged,
+                 (SELECT unnest(range(0, 3)) AS c) c,
+                 (SELECT unnest(range(0, 8)) AS k) k
+        )
+        SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+               CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
+        FROM px GROUP BY doc_id, channel, v // 64
+    """
+    # GIF fixture: 16 digest bytes are palette INDICES; the arithmetic
+    # palette (i, 255-i, 3i mod 256) maps each index to channel values.
+    oracles["media_gif_histogram"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        idx AS (
+            SELECT doc_id, k.k AS k,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 2, 1)) - 1) AS b
+            FROM staged, (SELECT unnest(range(0, 16)) AS k) k
+        ),
+        px AS (
+            SELECT doc_id, c.c AS channel,
+                   CASE c.c WHEN 0 THEN b
+                            WHEN 1 THEN 255 - b
+                            ELSE (3 * b) % 256 END AS v
+            FROM idx, (SELECT unnest(range(0, 3)) AS c) c
+        )
+        SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+               CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
+        FROM px GROUP BY doc_id, channel, v // 64
+    """
+    # BMP fixture: digest tiled to 18 samples, 3×2 RGB (padding and the
+    # bottom-up row order are container details the decode must undo).
+    oracles["media_bmp_histogram"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        px AS (
+            SELECT doc_id, c.c AS channel, k.k AS k,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 1, 1)) - 1)
+                       * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * ((3 * k.k + c.c) % 16) + 2, 1)) - 1)
+                       AS v
+            FROM staged,
+                 (SELECT unnest(range(0, 3)) AS c) c,
+                 (SELECT unnest(range(0, 6)) AS k) k
         )
         SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
                CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
