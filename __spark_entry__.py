@@ -169,6 +169,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_geotiff_deflate(spark, sf_dir)
     _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
+    _stage_jpeg(spark, sf_dir)
     _stage_png(spark, sf_dir)
     _stage_gif(spark, sf_dir)
     _stage_bmp(spark, sf_dir)
@@ -3773,6 +3774,59 @@ def _stage_bmp(spark: SparkSession, sf_dir: str) -> str:
                 f.write(encode_bmp(px))
 
     return _staged(spark, sf_dir, "bmp_src", build)
+
+
+def _stage_jpeg(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL baseline JPEGs, 32×32 grayscale = a 4×4 grid of
+    CONSTANT 8×8 blocks, block i's value = digest byte i, quantizer 1.
+    Constant blocks are DC-only, and an integer DC with quantizer 1
+    survives DCT→quantize→IDCT→round EXACTLY, so the staged file decodes
+    bit-for-bit to the digest bytes — a strict-value gate over a genuine
+    Huffman + IDCT pipeline. Half the files carry restart markers so the
+    RSTn resync path is driver-exercised too."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
+            px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
+            ri = 3 if r["doc_id"] % 2 == 0 else 0
+            with open(f"{stage}/doc_{r['doc_id']:06d}.jpg", "wb") as f:
+                f.write(encode_jpeg(px, restart_interval=ri))
+
+    return _staged(spark, sf_dir, "jpeg_src", build)
+
+
+def media_jpeg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end: staged constant-block
+    grayscale JPEGs (alternating restart intervals) → marker walk +
+    Huffman entropy decode + dequantize + 8×8 IDCT
+    (``sources/jpeg.py:decode_jpeg``) → gray-value quartile histogram.
+    Every digest byte owns one 64-pixel block and quantizer-1 DC-only
+    blocks decode exactly, so the oracle recomputes each (bin) count as
+    64 × the hex-ladder byte count — any slip anywhere in the entropy
+    or transform path flips the hash. Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_jpeg(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.jpg")
+    return media_channel_histogram(_image_media(raw, "jpg"), n_bins=4)
 
 
 def media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8687,6 +8741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_g711": media_wav_g711,
         "media_wav_adpcm": media_wav_adpcm,
         "media_wav_dft8": media_wav_dft8,
+        "media_jpeg_histogram": media_jpeg_histogram,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
         "media_bmp_histogram": media_bmp_histogram,
@@ -15142,6 +15197,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
                CAST(v // 64 AS INT) AS bin, COUNT(*) AS n_px
         FROM px GROUP BY doc_id, channel, v // 64
+    """
+    # JPEG fixture: digest byte i = one constant 8×8 block (64 px), gray
+    # single channel — exact by the quantizer-1 DC-only argument in
+    # _stage_jpeg, so each bin count is 64 × the byte count.
+    oracles["media_jpeg_histogram"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 2, 1)) - 1) AS v
+            FROM staged, (SELECT unnest(range(0, 16)) AS k) k
+        )
+        SELECT doc_id AS media_id, CAST(0 AS INT) AS channel,
+               CAST(v // 64 AS INT) AS bin,
+               64 * COUNT(*) AS n_px
+        FROM bytes GROUP BY doc_id, v // 64
     """
     # PNG fixture shares the ppm fixture's exact pixel function (digest
     # tiled to 24 samples, 4×2 RGB) — only the container differs, so the

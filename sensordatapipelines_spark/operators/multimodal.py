@@ -2,14 +2,16 @@
 
 Charter extension (SURVEY.md §2.7). Decode is REAL for every format a
 pure-python executor can parse — netpbm P5/P6, PNG, GIF, BMP images
-(``decode_image`` → ``sources/imagecodecs.py``) and RIFF/WAVE audio
-(``decode_wav``: integer PCM, IEEE float, G.711 a/mu-law, IMA/MS
-ADPCM) — with genuine feature extraction, frame extraction and
-nearest-neighbor resize on top, all strict-value-oracled. Lossy
-perceptual codecs (JPEG/MP3/H.264) require libraries absent from this
-container and raise a clearly-marked ``NotImplementedError`` (a
-deterministic fake decoder keeps the plumbing testable); swapping in
-PIL/ffmpeg is a one-function change on the executor side.
+(``decode_image`` → ``sources/imagecodecs.py``), baseline JPEG
+(``sources/jpeg.py``: Huffman + dequant + IDCT + chroma upsample) and
+RIFF/WAVE audio (``decode_wav``: integer PCM, IEEE float, G.711
+a/mu-law, IMA/MS ADPCM) — with genuine feature extraction, frame
+extraction and nearest-neighbor resize on top, all strict-value-
+oracled. Progressive JPEG and the perceptual A/V codecs (MP3/H.264)
+require libraries absent from this container and raise a clearly-
+marked ``NotImplementedError`` (a deterministic fake decoder keeps the
+plumbing testable); swapping in PIL/ffmpeg is a one-function change on
+the executor side.
 
 Schema convention::
 
@@ -322,7 +324,8 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 
 def decode_image(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """Unified REAL image decode: dispatch on magic bytes to the netpbm
-    (``decode_ppm``), PNG, GIF or BMP decoders — all pure python /
+    (``decode_ppm``), PNG, GIF, BMP (``sources/imagecodecs.py``) or
+    baseline JPEG (``sources/jpeg.py``) decoders — all pure python /
     stdlib-zlib, so the kernel runs executor-side with no codec
     library. Returns ``(pixels[h, w, c], width, height, channels)``."""
     from sensordatapipelines_spark.sources.imagecodecs import (
@@ -330,6 +333,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         decode_gif,
         decode_png,
     )
+    from sensordatapipelines_spark.sources.jpeg import decode_jpeg
 
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
@@ -339,22 +343,24 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image format not recognized: netpbm P5/P6, PNG, GIF and BMP "
-        "decode natively; lossy codecs (JPEG) need PIL/ffmpeg"
+        "image format not recognized: netpbm P5/P6, PNG, GIF, BMP and "
+        "baseline JPEG decode natively; video frames need ffmpeg"
     )
 
 
-_IMAGE_MAGIC = (b"P6", b"P5", b"\x89P", b"GI", b"BM")
+_IMAGE_MAGIC = (b"P6", b"P5", b"\x89P", b"GI", b"BM", b"\xff\xd8")
 
 
 def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Decode media bytes to a flat float array. REAL for every format a
     pure-python executor can parse — netpbm P5/P6, PNG (stdlib-zlib
-    inflate + unfiltering), GIF (LZW), BMP images and RIFF/WAVE audio
-    (integer PCM, IEEE float, G.711, ADPCM); lossy/perceptual codecs
-    (JPEG/MP3/H.264) require libraries not in this environment and stay
-    a clearly-marked stub."""
+    inflate + unfiltering), GIF (LZW), BMP, baseline JPEG images and
+    RIFF/WAVE audio (integer PCM, IEEE float, G.711, ADPCM); the
+    perceptual A/V codecs (MP3/H.264) require libraries not in this
+    environment and stay a clearly-marked stub."""
     if fake:
         # Deterministic fake: interpret the payload bytes directly.
         return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
@@ -363,9 +369,9 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     if bytes(payload[:4]) == b"RIFF":
         return decode_wav(payload)[0].astype(np.float64).ravel()
     raise NotImplementedError(
-        "lossy media decoding requires PIL/soundfile/ffmpeg (not "
-        "installed); PPM/PGM/PNG/GIF/BMP images and WAV audio decode "
-        "natively, or run with fake=True for the deterministic kernel"
+        "perceptual A/V decoding requires soundfile/ffmpeg (not "
+        "installed); PPM/PGM/PNG/GIF/BMP/JPEG images and WAV audio "
+        "decode natively, or run with fake=True for the test kernel"
     )
 
 
