@@ -170,6 +170,8 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_jpeg(spark, sf_dir)
+    _stage_tiff_jpeg(spark, sf_dir)
+    _stage_avi(spark, sf_dir)
     _stage_png(spark, sf_dir)
     _stage_gif(spark, sf_dir)
     _stage_bmp(spark, sf_dir)
@@ -3827,6 +3829,130 @@ def media_jpeg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_jpeg(spark, sf_dir)
     raw = open_binary_dir(spark, stage, glob="*.jpg")
     return media_channel_histogram(_image_media(raw, "jpg"), n_bins=4)
+
+
+def _stage_tiff_jpeg(spark: SparkSession, sf_dir: str) -> str:
+    """Stage JPEG-compressed GeoTIFFs (TIFF compression 7, TTN2 shared
+    JPEGTables + abbreviated strips — the GDAL COMPRESS=JPEG layout):
+    32×32 grayscale, 4×4 grid of constant 8×8 blocks = the md5 digest
+    bytes, quantizer 1 → DC-only blocks decode exactly (same argument as
+    ``_stage_jpeg``)."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.geotiff import write_geotiff
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
+            px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
+            write_geotiff(
+                f"{stage}/doc_{r['doc_id']:06d}.tif",
+                px.astype(_np.float64),
+                dtype="u1",
+                compression="jpeg",
+            )
+
+    return _staged(spark, sf_dir, "tiff_jpeg_src", build)
+
+
+def media_tiff_jpeg_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG-in-TIFF ingest end-to-end: staged COMPRESS=JPEG
+    GeoTIFFs (abbreviated strips + shared JPEGTables tag) → binaryFile +
+    ``open_geotiff`` (IFD walk, tag-347 splice, per-strip baseline JPEG
+    decode via ``sources/jpeg.py``) → exploded cell table → per-file
+    per-quartile-bin pixel counts and exact value sums. The fixture's
+    constant DC-only blocks decode exactly, so the oracle recomputes
+    both integers from md5 hex pairs (64 px per digest byte).
+    Quarantine-safe: media family."""
+    from sensordatapipelines_spark.sources.geotiff import open_geotiff
+
+    _register_views(spark, sf_dir)
+    stage = _stage_tiff_jpeg(spark, sf_dir)
+    cells = open_geotiff(spark, stage, pattern="*.tif")
+    return (
+        cells.withColumn(
+            "media_id",
+            F.regexp_extract(F.col("grid_file"), r"doc_(\d+)\.tif$", 1).cast(
+                "long"
+            ),
+        )
+        .withColumn("bin", F.floor(F.col("value") / F.lit(64.0)).cast("int"))
+        .groupBy("media_id", "bin")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum(F.col("value").cast("long")).alias("sum_val"),
+        )
+    )
+
+
+def _stage_avi(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL MJPEG AVI videos: 16 frames per doc, frame j an 8×8
+    grayscale baseline JPEG constant at digest byte j (quantizer 1 →
+    exact, same argument as ``_stage_jpeg``) inside the classic RIFF
+    hdrl/movi/idx1 layout."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.avi import write_avi_mjpeg
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            frames = [
+                encode_jpeg(_np.full((8, 8), b, _np.uint8)) for b in d
+            ]
+            with open(f"{stage}/doc_{r['doc_id']:06d}.avi", "wb") as f:
+                f.write(write_avi_mjpeg(frames, 8, 8, fps=10))
+
+    return _staged(spark, sf_dir, "avi_src", build)
+
+
+def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: staged 16-frame MJPEG AVIs → RIFF
+    movi chunk walk (``sources/avi.py``) → every-3rd-frame sampling →
+    per-frame baseline JPEG decode → exact integer frame profile
+    ``(media_id, frame_idx, width, height, n_px, sum_val)``. Frame j is
+    constant at digest byte j, so the oracle recomputes ``sum_val =
+    64 × byte_j`` for j ∈ {0, 3, …, 15} from md5 hex pairs — genuine
+    video-container + codec work under a strict value check.
+    Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        video_frame_profile,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_avi(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.avi")
+    media = raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.avi$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+    return video_frame_profile(media, every_n=3)
 
 
 def media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8742,6 +8868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_adpcm": media_wav_adpcm,
         "media_wav_dft8": media_wav_dft8,
         "media_jpeg_histogram": media_jpeg_histogram,
+        "media_tiff_jpeg_cells": media_tiff_jpeg_cells,
+        "media_avi_frames": media_avi_frames,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
         "media_bmp_histogram": media_bmp_histogram,
@@ -15219,6 +15347,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(v // 64 AS INT) AS bin,
                64 * COUNT(*) AS n_px
         FROM bytes GROUP BY doc_id, v // 64
+    """
+    # TIFF-JPEG fixture: same digest-blocks image as media_jpeg_histogram
+    # but ingested through the GeoTIFF cell-table path; per bin, n_px =
+    # 64 × byte count and sum_val = 64 × Σ byte values.
+    oracles["media_tiff_jpeg_cells"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 2, 1)) - 1) AS v
+            FROM staged, (SELECT unnest(range(0, 16)) AS k) k
+        )
+        SELECT doc_id AS media_id, CAST(v // 64 AS INT) AS bin,
+               64 * COUNT(*) AS n_px,
+               64 * SUM(v) AS sum_val
+        FROM bytes GROUP BY doc_id, v // 64
+    """
+    # AVI fixture: frame j (j = 0, 3, 6, 9, 12, 15 after every-3rd
+    # sampling) is an 8×8 constant at digest byte j → sum_val = 64·byte.
+    oracles["media_avi_frames"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        )
+        SELECT doc_id AS media_id, CAST(k.k AS INT) AS frame_idx,
+               CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+               CAST(64 AS BIGINT) AS n_px,
+               CAST(64 * (
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 2, 1)) - 1)
+               ) AS BIGINT) AS sum_val
+        FROM staged, (SELECT unnest([0, 3, 6, 9, 12, 15]) AS k) k
     """
     # PNG fixture shares the ppm fixture's exact pixel function (digest
     # tiled to 24 samples, 4×2 RGB) — only the container differs, so the

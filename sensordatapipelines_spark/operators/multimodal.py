@@ -440,17 +440,20 @@ def frame_sample(
     df: DataFrame, media_col: str = "media", every_n: int = 10, fake: bool = True
 ) -> DataFrame:
     """Frame/sample extraction plumbing: one output row per sampled frame
-    index ``(media_id, frame_idx, frame_bytes)``. With ``fake=False`` and
-    a RIFF/WAVE payload this is a REAL extraction — the chunk walk finds
-    the data chunk, ``block_align`` defines the frame stride, and
-    ``frame_bytes`` is that PCM frame's raw bytes (so a staged
-    deterministic WAV is value-oracle-able byte for byte). Video frame
-    extraction still requires ffmpeg and raises; fake mode keeps the
-    deterministic payload-slice kernel for plumbing tests."""
+    index ``(media_id, frame_idx, frame_bytes)``. With ``fake=False`` a
+    RIFF payload is a REAL extraction: for WAVE the chunk walk finds the
+    data chunk and ``block_align`` defines the frame stride; for an
+    MJPEG **AVI** the movi chunk walk yields each frame's standalone
+    baseline-JPEG stream (``sources/avi.py``) — genuine video frame
+    extraction, no ffmpeg. Inter-frame codecs (H.264 et al.) still
+    raise; fake mode keeps the deterministic payload-slice kernel for
+    plumbing tests."""
     schema = "media_id long, frame_idx int, frame_bytes binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+
+        from sensordatapipelines_spark.sources.avi import parse_avi_mjpeg
 
         for pdf in batches:
             rows = []
@@ -459,8 +462,20 @@ def frame_sample(
                 if not fake:
                     if payload[:4] != b"RIFF":
                         raise NotImplementedError(
-                            "real frame extraction beyond WAVE requires ffmpeg"
+                            "real frame extraction beyond RIFF (WAVE/AVI) "
+                            "requires ffmpeg"
                         )
+                    if payload[8:12] == b"AVI ":
+                        frames, _meta = parse_avi_mjpeg(payload)
+                        for idx in range(0, len(frames), every_n):
+                            rows.append(
+                                {
+                                    "media_id": int(m["media_id"]),
+                                    "frame_idx": idx,
+                                    "frame_bytes": frames[idx],
+                                }
+                            )
+                        continue
                     # locate the data chunk without copying the samples out
                     pos, block_align, data_off, data_len = 12, None, None, 0
                     while pos + 8 <= len(payload):
@@ -832,6 +847,50 @@ def audio_zcr(df: DataFrame, media_col: str = "media") -> DataFrame:
                         "sum_abs": int(np.abs(s).sum()),
                     }
                 )
+            yield pd.DataFrame(rows)
+
+    return df.select(media_col).mapInPandas(extract, schema=schema)
+
+
+@register("video_frame_profile")
+def video_frame_profile(
+    df: DataFrame, media_col: str = "media", every_n: int = 1
+) -> DataFrame:
+    """REAL video decode profile over MJPEG AVI payloads: walk the movi
+    chunks (``sources/avi.py``), keep every ``every_n``-th frame, decode
+    each baseline-JPEG stream (``sources/jpeg.py``) and emit the exact
+    integer profile ``(media_id, frame_idx, width, height, n_px,
+    sum_val)`` with ``sum_val = Σ`` decoded sample values as BIGINT —
+    strictly value-oracle-able when frames are staged deterministically.
+    Arrow-batched ``mapInPandas``; one file decodes in one task (the
+    binaryFile contract), many files in parallel — the tiles-as-files
+    shape video corpora ship as."""
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "n_px long, sum_val long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sensordatapipelines_spark.sources.avi import parse_avi_mjpeg
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m in pdf[media_col]:
+                frames, _meta = parse_avi_mjpeg(bytes(m["payload"]))
+                for idx in range(0, len(frames), every_n):
+                    px, w, h, _c = decode_image(frames[idx])
+                    rows.append(
+                        {
+                            "media_id": int(m["media_id"]),
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "n_px": int(px.size),
+                            "sum_val": int(px.astype(np.int64).sum()),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return df.select(media_col).mapInPandas(extract, schema=schema)

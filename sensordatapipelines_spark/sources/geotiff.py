@@ -8,14 +8,16 @@ grid format, and this module covers the binary one GIS tools actually
 exchange: GeoTIFF — classic TIFF 6.0 with the GeoTIFF georeferencing
 tags. Scope covers the profiles GDAL actually writes: Compression =
 NONE / DEFLATE (8 + legacy 32946, stdlib ``zlib``) / LZW (pure-Python
-TIFF-variant decoder with the early code-width change) / PackBits, with
+TIFF-variant decoder with the early code-width change) / PackBits /
+new-style JPEG (7: per-strip T.81 baseline streams with the TTN2
+shared-``JPEGTables`` splice, decoded by ``sources/jpeg.py``), with
 the horizontal Predictor (tag 317 = 2) undone as a vectorized modular
 cumsum; both byte orders, strip- and tile-organized layouts, chunky
 (PlanarConfiguration=1) multi-sample files, 8/16/32-bit integer
 (signed/unsigned) and 32/64-bit float samples, ``ModelPixelScaleTag`` +
 ``ModelTiepointTag`` georeferencing, and the GDAL ``GDAL_NODATA`` ASCII
-tag. Exotic codecs (JPEG, Zstd, WebP, CCITT) raise a typed error naming
-the compression rather than silently mis-decoding.
+tag. The remaining exotic codecs (Zstd, WebP, CCITT, JPEG2000) raise a
+typed error naming the compression rather than silently mis-decoding.
 
 - ``parse_geotiff`` — payload → ``(array (bands, nrows, ncols) float64,
   meta)`` with ``meta = {ncols, nrows, n_bands, sx, sy, ulx, uly,
@@ -55,6 +57,7 @@ _TYPE_FMT = {
     3: ("H", 2),  # SHORT
     4: ("I", 4),  # LONG
     6: ("b", 1),  # SBYTE
+    7: ("B", 1),  # UNDEFINED (opaque bytes, e.g. JPEGTables)
     8: ("h", 2),  # SSHORT
     9: ("i", 4),  # SLONG
     11: ("f", 4),  # FLOAT
@@ -87,12 +90,29 @@ _COMPRESSION_NAMES = {
 }
 
 # decodable compression schemes: 1=None, 5=LZW, 8/32946=Deflate,
-# 32773=PackBits — the profiles GDAL's default COMPRESS= options emit
+# 32773=PackBits — the profiles GDAL's default COMPRESS= options emit —
+# plus 7=JPEG (new-style T.81 baseline per strip/tile, TTN2), decoded by
+# the repo's own sources/jpeg.py
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_PACKBITS = (
     1, 5, 8, 32946, 32773,
 )
+_COMP_JPEG = 7
 _DECODABLE = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD,
-              _COMP_PACKBITS}
+              _COMP_PACKBITS, _COMP_JPEG}
+_TAG_JPEG_TABLES = 347
+
+
+def _jpeg_tables_merge(tables: bytes | None, strip: bytes) -> bytes:
+    """TIFF TTN2: a strip may be an ABBREVIATED JPEG stream whose
+    DQT/DHT live once in the JPEGTables tag (an SOI…EOI wrapper);
+    splice them after the strip's SOI to form a standalone stream."""
+    if strip[:2] != b"\xff\xd8":
+        raise ValueError("TIFF-JPEG strip missing SOI")
+    if tables is not None and len(tables) > 4:
+        if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+            raise ValueError("JPEGTables tag is not an SOI…EOI stream")
+        return b"\xff\xd8" + tables[2:-2] + strip[2:]
+    return strip
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -436,8 +456,36 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError(
             "floating-point predictor (3) requires IEEE float samples"
         )
+    jpeg_tables: bytes | None = None
+    if comp == _COMP_JPEG:
+        if bits != 8 or sfmt != 1:
+            raise ValueError("TIFF-JPEG strips are 8-bit unsigned only")
+        if predictor != 1:
+            raise ValueError("TIFF-JPEG does not combine with a predictor")
+        if _TAG_JPEG_TABLES in tags:
+            jpeg_tables = bytes(tags[_TAG_JPEG_TABLES])
 
     def _block_values(off: int, cnt: int, rows: int, width_px: int) -> np.ndarray:
+        if comp == _COMP_JPEG:
+            from sensordatapipelines_spark.sources.jpeg import decode_jpeg
+
+            px, _jw, _jh, jc = decode_jpeg(
+                _jpeg_tables_merge(
+                    jpeg_tables, payload[int(off) : int(off) + int(cnt)]
+                )
+            )
+            if jc != spp:
+                raise ValueError(
+                    f"TIFF-JPEG strip decoded {jc} channels, "
+                    f"SamplesPerPixel says {spp}"
+                )
+            block = px.tobytes()
+            want = rows * width_px * spp
+            if len(block) < want:
+                block = block + b"\x00" * (want - len(block))
+            return np.frombuffer(
+                block[:want], dtype=np.uint8
+            ).reshape(rows, width_px * spp)
         block = _inflate_block(payload[int(off) : int(off) + int(cnt)], comp)
         want = rows * width_px * spp * dt.itemsize
         if len(block) < want:
@@ -622,10 +670,17 @@ def write_geotiff(
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE,
         "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
+        "jpeg": _COMP_JPEG,
     }.get(compression)
     if comp_code is None:
         raise ValueError(
-            f"compression must be none|deflate|lzw|packbits, got {compression!r}"
+            "compression must be none|deflate|lzw|packbits|jpeg, "
+            f"got {compression!r}"
+        )
+    if comp_code == _COMP_JPEG and (dt != np.dtype("<u1") or n_bands != 1):
+        raise ValueError(
+            "TIFF-JPEG write supports single-band u1 rasters "
+            "(baseline grayscale strips)"
         )
     pred_code = {False: 1, True: 2}[predictor] if isinstance(
         predictor, bool
@@ -663,21 +718,43 @@ def write_geotiff(
     add(_TAG_COMPRESSION, 3, comp_code)
     add(262, 3, 1)  # PhotometricInterpretation: BlackIsZero
     add(_TAG_SAMPLES_PER_PIXEL, 3, n_bands)
-    # per-strip (one row each) payloads, codec applied independently so
-    # any strip stays independently seekable/decodable
+    # per-strip payloads (one row each; 8 rows for JPEG so its MCUs are
+    # real 8×8 blocks), codec applied independently so any strip stays
+    # independently seekable/decodable
+    rps = 8 if comp_code == _COMP_JPEG else 1
     raw = data.tobytes()
-    strip_raw = [raw[r * row_bytes : (r + 1) * row_bytes] for r in range(nrows)]
+    strip_raw = [
+        raw[r * row_bytes : min(r + rps, nrows) * row_bytes]
+        for r in range(0, nrows, rps)
+    ]
+    jpeg_tables_blob: bytes | None = None
     if comp_code == _COMP_DEFLATE:
         strips = [zlib.compress(s) for s in strip_raw]
     elif comp_code == _COMP_LZW:
         strips = [_lzw_encode(s) for s in strip_raw]
     elif comp_code == _COMP_PACKBITS:
         strips = [_packbits_encode(s) for s in strip_raw]
+    elif comp_code == _COMP_JPEG:
+        from sensordatapipelines_spark.sources.jpeg import (
+            encode_jpeg,
+            split_tables,
+        )
+
+        # TTN2 shared-tables layout (the GDAL default): DQT/DHT live once
+        # in the JPEGTables tag, each strip is an abbreviated stream
+        full = [
+            encode_jpeg(np.frombuffer(s, np.uint8).reshape(-1, ncols))
+            for s in strip_raw
+        ]
+        jpeg_tables_blob, _ = split_tables(full[0])
+        strips = [split_tables(f)[1] for f in full]
     else:
         strips = strip_raw
     strip_counts = [len(s) for s in strips]
 
-    add(_TAG_ROWS_PER_STRIP, 4, 1)
+    add(_TAG_ROWS_PER_STRIP, 4, rps)
+    if jpeg_tables_blob is not None:
+        add(_TAG_JPEG_TABLES, 7, jpeg_tables_blob)
     add(_TAG_PLANAR, 3, 1)
     add(_TAG_SAMPLE_FORMAT, 3, [sfmt] * n_bands)
     add(_TAG_PIXEL_SCALE, 12, [float(pixel_scale[0]), float(pixel_scale[1]), 0.0])
@@ -688,7 +765,7 @@ def write_geotiff(
     if pred_code != 1:
         add(_TAG_PREDICTOR, 3, pred_code)
     # strip offsets filled after layout
-    add(_TAG_STRIP_OFFSETS, 4, [0] * nrows)
+    add(_TAG_STRIP_OFFSETS, 4, [0] * len(strips))
     add(_TAG_STRIP_COUNTS, 4, strip_counts)
     tags.sort(key=lambda t: t[0])
 

@@ -341,6 +341,34 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 # ---------------------------------------------------------------------------
 
 
+def split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone baseline stream into the TIFF TTN2 pair:
+    ``(JPEGTables stream = SOI + DQT/DHT segments + EOI, abbreviated
+    stream = SOI + everything else)``. ``_jpeg_tables_merge`` in
+    ``sources/geotiff.py`` is the inverse."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    tables = bytearray()
+    rest = bytearray()
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker expected while splitting")
+        m = stream[pos + 1]
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        if m == 0xDA:  # SOS: entropy data runs to EOI — keep the tail
+            rest += stream[pos:]
+            return bytes(b"\xff\xd8" + tables + b"\xff\xd9"), bytes(
+                b"\xff\xd8" + rest
+            )
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if m in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    raise ValueError("JPEG stream has no SOS segment")
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()

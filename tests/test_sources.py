@@ -738,6 +738,85 @@ def test_geotiff_roundtrip_dtypes_and_cell_table(spark, tmp_path):
     assert b2.count() == 4 * 6 and b2.select("band").distinct().collect()[0][0] == 2
 
 
+def test_geotiff_jpeg_compression_roundtrip(tmp_path):
+    """TIFF compression 7 (new-style JPEG, TTN2 shared JPEGTables):
+    constant 8×8 blocks survive the DCT path exactly, the abbreviated
+    strip + tag-347 merge reassembles valid streams, ragged final strips
+    trim, and the other codecs are unaffected by the strip chain."""
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        _TAG_JPEG_TABLES,
+        _read_ifd,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(23)
+    v = rng.randint(0, 256, (4, 4)).astype(np.uint8)
+    px = np.repeat(np.repeat(v, 8, 0), 8, 1)
+    p = str(tmp_path / "jpeg.tif")
+    write_geotiff(p, px.astype(np.float64), dtype="u1", compression="jpeg")
+    payload = open(p, "rb").read()
+    cube, meta = parse_geotiff(payload)
+    assert np.array_equal(cube[0].astype(np.uint8), px)
+    # the shared-tables tag really is present (abbreviated strips)
+    import struct
+
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    tags = _read_ifd(payload, "<", ifd_off)
+    assert _TAG_JPEG_TABLES in tags and tags[_TAG_JPEG_TABLES][:2] == [0xFF, 0xD8]
+
+    # ragged height: strips of 8, 8, 4 rows
+    px2 = np.repeat(np.repeat(rng.randint(0, 256, (3, 2)).astype(np.uint8), 8, 0), 8, 1)[:20]
+    p2 = str(tmp_path / "jpeg20.tif")
+    write_geotiff(p2, px2.astype(np.float64), dtype="u1", compression="jpeg")
+    cube2, meta2 = parse_geotiff(open(p2, "rb").read())
+    assert meta2["nrows"] == 20
+    assert np.array_equal(cube2[0].astype(np.uint8), px2)
+
+    # lossy-but-bounded on arbitrary content (quantizer 1)
+    noisy = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    p3 = str(tmp_path / "jpegnoisy.tif")
+    write_geotiff(p3, noisy.astype(np.float64), dtype="u1", compression="jpeg")
+    cube3, _ = parse_geotiff(open(p3, "rb").read())
+    assert np.abs(cube3[0] - noisy.astype(np.float64)).max() <= 2
+
+    # guard: multi-band / non-u1 refuse the profile
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single-band u1"):
+        write_geotiff(str(tmp_path / "x.tif"), np.zeros((2, 8, 8)),
+                      dtype="u1", compression="jpeg")
+    with _pytest.raises(ValueError, match="single-band u1"):
+        write_geotiff(str(tmp_path / "x.tif"), np.zeros((8, 8)),
+                      dtype="f8", compression="jpeg")
+
+
+def test_jpeg_split_tables_inverse():
+    """sources.jpeg.split_tables ∘ geotiff._jpeg_tables_merge is identity
+    up to decoded pixels."""
+    import numpy as np
+
+    from sensordatapipelines_spark.sources.geotiff import _jpeg_tables_merge
+    from sensordatapipelines_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        split_tables,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    full = encode_jpeg(px)
+    tables, abbrev = split_tables(full)
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xc4" not in abbrev[:20]  # DHT moved out
+    merged = _jpeg_tables_merge(tables, abbrev)
+    a, *_ = decode_jpeg(merged)
+    b, *_ = decode_jpeg(full)
+    assert np.array_equal(a, b)
+
+
 def test_geotiff_big_endian_and_tiled_parse(tmp_path):
     """parse_geotiff handles MM byte order and tile-organized layouts
     (hand-built files — the writer only emits II strips)."""
