@@ -172,6 +172,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_jpeg(spark, sf_dir)
     _stage_tiff_jpeg(spark, sf_dir)
     _stage_avi(spark, sf_dir)
+    _stage_tiff_g4(spark, sf_dir)
     _stage_png(spark, sf_dir)
     _stage_gif(spark, sf_dir)
     _stage_bmp(spark, sf_dir)
@@ -3953,6 +3954,64 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media")
     )
     return video_frame_profile(media, every_n=3)
+
+
+def _stage_tiff_g4(spark: SparkSession, sf_dir: str) -> str:
+    """Stage CCITT Group 4 (T.6 MMR) bilevel GeoTIFFs: 16×8 masks whose
+    128 pixels ARE the md5 digest's 128 bits (MSB-first per byte, bytes
+    2y and 2y+1 on raster row y), WhiteIsZero photometric — the fax
+    layout real scanned-mask TIFFs use."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.geotiff import write_geotiff
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            bits = _np.unpackbits(_np.frombuffer(d, _np.uint8))  # MSB first
+            mask = bits.reshape(8, 16).astype(_np.float64)
+            write_geotiff(
+                f"{stage}/doc_{r['doc_id']:06d}.tif",
+                mask,
+                dtype="u1",
+                compression="ccitt-g4",
+            )
+
+    return _staged(spark, sf_dir, "tiff_g4_src", build)
+
+
+def media_tiff_g4_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CCITT Group 4 fax decode end-to-end: staged T.6-compressed
+    bilevel GeoTIFFs → binaryFile + ``open_geotiff`` (2-D mode coding
+    against the reference line, T.4 run tables — ``sources/ccitt.py``)
+    → cell table → per-(file, raster row) black-pixel counts. The mask
+    bits ARE the digest bits, so the oracle popcounts the two md5 bytes
+    of each row with pure integer arithmetic — a strict value check of
+    a genuine fax codec. Quarantine-safe: media family."""
+    from sensordatapipelines_spark.sources.geotiff import open_geotiff
+
+    _register_views(spark, sf_dir)
+    stage = _stage_tiff_g4(spark, sf_dir)
+    cells = open_geotiff(spark, stage, pattern="*.tif")
+    return (
+        cells.withColumn(
+            "media_id",
+            F.regexp_extract(F.col("grid_file"), r"doc_(\d+)\.tif$", 1).cast(
+                "long"
+            ),
+        )
+        .groupBy("media_id", F.col("py").cast("int").alias("py"))
+        .agg(F.sum(F.col("value").cast("long")).alias("n_black"))
+    )
 
 
 def media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8870,6 +8929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_histogram": media_jpeg_histogram,
         "media_tiff_jpeg_cells": media_tiff_jpeg_cells,
         "media_avi_frames": media_avi_frames,
+        "media_tiff_g4_mask": media_tiff_g4_mask,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
         "media_bmp_histogram": media_bmp_histogram,
@@ -15388,6 +15448,32 @@ def oracle_sql() -> dict[str, str]:
                            substr(h, 2 * k.k + 2, 1)) - 1)
                ) AS BIGINT) AS sum_val
         FROM staged, (SELECT unnest([0, 3, 6, 9, 12, 15]) AS k) k
+    """
+    # G4 fixture: raster row y holds digest bits of bytes 2y and 2y+1;
+    # open_geotiff's py grows UPWARD so py = 7 − y. n_black = popcount
+    # of the two bytes, spelled as Σ (v // 2^k) % 2.
+    _pop = " + ".join(f"(v // {1 << k}) % 2" for k in range(8))
+    oracles["media_tiff_g4_mask"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id, k.k AS k,
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, 2 * k.k + 2, 1)) - 1) AS v
+            FROM staged, (SELECT unnest(range(0, 16)) AS k) k
+        ),
+        rowpop AS (
+            SELECT doc_id, k // 2 AS y, SUM({_pop}) AS pop
+            FROM bytes GROUP BY doc_id, k // 2
+        )
+        SELECT doc_id AS media_id, CAST(7 - y AS INT) AS py,
+               CAST(pop AS BIGINT) AS n_black
+        FROM rowpop
     """
     # PNG fixture shares the ppm fixture's exact pixel function (digest
     # tiled to 24 samples, 4×2 RGB) — only the container differs, so the

@@ -10,13 +10,15 @@ tags. Scope covers the profiles GDAL actually writes: Compression =
 NONE / DEFLATE (8 + legacy 32946, stdlib ``zlib``) / LZW (pure-Python
 TIFF-variant decoder with the early code-width change) / PackBits /
 new-style JPEG (7: per-strip T.81 baseline streams with the TTN2
-shared-``JPEGTables`` splice, decoded by ``sources/jpeg.py``), with
+shared-``JPEGTables`` splice, decoded by ``sources/jpeg.py``) /
+CCITT Group 4 and Group 3-1D fax (4 and 2: T.6 MMR / T.4 MH bilevel,
+``sources/ccitt.py``, WhiteIsZero-aware), with
 the horizontal Predictor (tag 317 = 2) undone as a vectorized modular
 cumsum; both byte orders, strip- and tile-organized layouts, chunky
 (PlanarConfiguration=1) multi-sample files, 8/16/32-bit integer
 (signed/unsigned) and 32/64-bit float samples, ``ModelPixelScaleTag`` +
 ``ModelTiepointTag`` georeferencing, and the GDAL ``GDAL_NODATA`` ASCII
-tag. The remaining exotic codecs (Zstd, WebP, CCITT, JPEG2000) raise a
+tag. The remaining exotic codecs (Zstd, WebP, JPEG2000) raise a
 typed error naming the compression rather than silently mis-decoding.
 
 - ``parse_geotiff`` — payload → ``(array (bands, nrows, ncols) float64,
@@ -97,9 +99,12 @@ _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_PACKBITS = (
     1, 5, 8, 32946, 32773,
 )
 _COMP_JPEG = 7
+_COMP_CCITT_MH, _COMP_CCITT_G3, _COMP_CCITT_G4 = 2, 3, 4
 _DECODABLE = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD,
-              _COMP_PACKBITS, _COMP_JPEG}
+              _COMP_PACKBITS, _COMP_JPEG, _COMP_CCITT_MH, _COMP_CCITT_G4}
 _TAG_JPEG_TABLES = 347
+_TAG_PHOTOMETRIC = 262
+_TAG_T6_OPTIONS = 293
 
 
 def _jpeg_tables_merge(tables: bytes | None, strip: bytes) -> bytes:
@@ -424,7 +429,12 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     bits = int(bits_l[0])
     sfmt_l = tags.get(_TAG_SAMPLE_FORMAT, [1])
     sfmt = int(sfmt_l[0])
-    dt = _sample_dtype(bits, sfmt, bo)
+    # bilevel fax strips decode straight to 0/1 samples — no byte dtype
+    dt = (
+        np.dtype("u1")
+        if comp in (_COMP_CCITT_MH, _COMP_CCITT_G4) and bits == 1
+        else _sample_dtype(bits, sfmt, bo)
+    )
 
     # an UNCOMPRESSED raster's sample bytes cannot exceed the file that
     # holds them — a header claiming otherwise is corrupt, and allocating
@@ -464,8 +474,30 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
             raise ValueError("TIFF-JPEG does not combine with a predictor")
         if _TAG_JPEG_TABLES in tags:
             jpeg_tables = bytes(tags[_TAG_JPEG_TABLES])
+    ccitt = comp in (_COMP_CCITT_MH, _COMP_CCITT_G4)
+    if ccitt:
+        if bits != 1 or spp != 1:
+            raise ValueError("CCITT compression requires 1-bit single-sample")
+        if predictor != 1:
+            raise ValueError("CCITT does not combine with a predictor")
+        if int(tags.get(_TAG_T6_OPTIONS, [0])[0]) & 0x02:
+            raise ValueError("T.6 uncompressed mode (T6Options bit 1) unsupported")
+        # PhotometricInterpretation: 0 = WhiteIsZero (the bilevel fax
+        # default: black flag IS the sample value), 1 = BlackIsZero
+        photometric = int(tags.get(_TAG_PHOTOMETRIC, [0])[0])
+        if photometric not in (0, 1):
+            raise ValueError("CCITT rasters must be bilevel grayscale")
 
     def _block_values(off: int, cnt: int, rows: int, width_px: int) -> np.ndarray:
+        if ccitt:
+            from sensordatapipelines_spark.sources.ccitt import (
+                g4_decode,
+                mh_decode,
+            )
+
+            dec = g4_decode if comp == _COMP_CCITT_G4 else mh_decode
+            black = dec(payload[int(off) : int(off) + int(cnt)], width_px, rows)
+            return black if photometric == 0 else (1 - black)
         if comp == _COMP_JPEG:
             from sensordatapipelines_spark.sources.jpeg import decode_jpeg
 
@@ -671,17 +703,25 @@ def write_geotiff(
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE,
         "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
         "jpeg": _COMP_JPEG,
+        "ccitt-g4": _COMP_CCITT_G4, "ccitt-mh": _COMP_CCITT_MH,
     }.get(compression)
     if comp_code is None:
         raise ValueError(
-            "compression must be none|deflate|lzw|packbits|jpeg, "
-            f"got {compression!r}"
+            "compression must be none|deflate|lzw|packbits|jpeg|"
+            f"ccitt-g4|ccitt-mh, got {compression!r}"
         )
     if comp_code == _COMP_JPEG and (dt != np.dtype("<u1") or n_bands != 1):
         raise ValueError(
             "TIFF-JPEG write supports single-band u1 rasters "
             "(baseline grayscale strips)"
         )
+    ccitt_write = comp_code in (_COMP_CCITT_G4, _COMP_CCITT_MH)
+    if ccitt_write:
+        if dt != np.dtype("<u1") or n_bands != 1:
+            raise ValueError("CCITT write takes a single-band u1 bilevel raster")
+        if not np.isin(arr, (0, 1)).all():
+            raise ValueError("CCITT write requires 0/1 black-flag samples")
+        bits = 1  # bilevel: sample value = black flag (WhiteIsZero)
     pred_code = {False: 1, True: 2}[predictor] if isinstance(
         predictor, bool
     ) else int(predictor)
@@ -716,12 +756,20 @@ def write_geotiff(
     add(_TAG_HEIGHT, 4, nrows)
     add(_TAG_BITS, 3, [bits] * n_bands)
     add(_TAG_COMPRESSION, 3, comp_code)
-    add(262, 3, 1)  # PhotometricInterpretation: BlackIsZero
+    # PhotometricInterpretation: WhiteIsZero for bilevel fax (sample =
+    # black flag), BlackIsZero otherwise
+    add(_TAG_PHOTOMETRIC, 3, 0 if ccitt_write else 1)
     add(_TAG_SAMPLES_PER_PIXEL, 3, n_bands)
     # per-strip payloads (one row each; 8 rows for JPEG so its MCUs are
-    # real 8×8 blocks), codec applied independently so any strip stays
-    # independently seekable/decodable
-    rps = 8 if comp_code == _COMP_JPEG else 1
+    # real 8×8 blocks; ALL rows for CCITT — G4 codes each row against the
+    # previous one, so a strip boundary would reset the reference line),
+    # codec applied independently so any strip stays seekable/decodable
+    if ccitt_write:
+        rps = nrows
+    elif comp_code == _COMP_JPEG:
+        rps = 8
+    else:
+        rps = 1
     raw = data.tobytes()
     strip_raw = [
         raw[r * row_bytes : min(r + rps, nrows) * row_bytes]
@@ -748,6 +796,17 @@ def write_geotiff(
         ]
         jpeg_tables_blob, _ = split_tables(full[0])
         strips = [split_tables(f)[1] for f in full]
+    elif ccitt_write:
+        from sensordatapipelines_spark.sources.ccitt import (
+            g4_encode,
+            mh_encode,
+        )
+
+        enc = g4_encode if comp_code == _COMP_CCITT_G4 else mh_encode
+        strips = [
+            enc(np.frombuffer(s, np.uint8).reshape(-1, ncols))
+            for s in strip_raw
+        ]
     else:
         strips = strip_raw
     strip_counts = [len(s) for s in strips]

@@ -793,6 +793,34 @@ def test_geotiff_jpeg_compression_roundtrip(tmp_path):
                       dtype="f8", compression="jpeg")
 
 
+def test_geotiff_ccitt_bilevel_roundtrip(tmp_path):
+    """TIFF compressions 4 (T.6 G4) and 2 (T.4 MH): bilevel masks
+    round-trip exactly, photometric WhiteIsZero maps black flags to
+    sample values, and non-bilevel input is refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sensordatapipelines_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(31)
+    for compname in ("ccitt-g4", "ccitt-mh"):
+        mask = (rng.rand(12, 37) < 0.4).astype(np.float64)
+        p = str(tmp_path / f"{compname}.tif")
+        write_geotiff(p, mask, dtype="u1", compression=compname)
+        cube, meta = parse_geotiff(open(p, "rb").read())
+        assert (meta["ncols"], meta["nrows"]) == (37, 12)
+        assert np.array_equal(cube[0], mask)
+    with _pytest.raises(ValueError, match="0/1"):
+        write_geotiff(str(tmp_path / "x.tif"), np.full((4, 4), 7.0),
+                      dtype="u1", compression="ccitt-g4")
+    with _pytest.raises(ValueError, match="single-band"):
+        write_geotiff(str(tmp_path / "x.tif"), np.zeros((2, 4, 4)),
+                      dtype="u1", compression="ccitt-g4")
+
+
 def test_jpeg_split_tables_inverse():
     """sources.jpeg.split_tables ∘ geotiff._jpeg_tables_merge is identity
     up to decoded pixels."""
