@@ -173,6 +173,8 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_tiff_jpeg(spark, sf_dir)
     _stage_avi(spark, sf_dir)
     _stage_tiff_g4(spark, sf_dir)
+    _stage_aiff(spark, sf_dir)
+    _stage_au(spark, sf_dir)
     _stage_png(spark, sf_dir)
     _stage_gif(spark, sf_dir)
     _stage_bmp(spark, sf_dir)
@@ -4012,6 +4014,106 @@ def media_tiff_g4_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_id", F.col("py").cast("int").alias("py"))
         .agg(F.sum(F.col("value").cast("long")).alias("n_black"))
     )
+
+
+def _stage_aiff(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL AIFF files (EA IFF 85): COMM with an 80-bit-extended
+    sample rate + SSND holding the doc digest's 8 big-endian PCM16
+    frames — the byte-swapped sibling of the WAV fixture, so a correct
+    decode must honour AIFF's endianness to match the oracle."""
+    import hashlib
+    import struct as _struct
+
+    def _f80(v: int) -> bytes:
+        e = v.bit_length() - 1
+        return _struct.pack(">HQ", 16383 + e, v << (63 - e))
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            comm = _struct.pack(">HIH", 1, 8, 16) + _f80(8000)
+            ssnd = _struct.pack(">II", 0, 0) + d
+            body = (
+                b"AIFF"
+                + b"COMM" + _struct.pack(">I", len(comm)) + comm
+                + b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd
+            )
+            aiff = b"FORM" + _struct.pack(">I", len(body)) + body
+            with open(f"{stage}/doc_{r['doc_id']:06d}.aiff", "wb") as f:
+                f.write(aiff)
+
+    return _staged(spark, sf_dir, "aiff_src", build)
+
+
+def _stage_au(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL Sun/NeXT AU files: 24-byte big-endian header, encoding
+    1 (G.711 mu-law), the 16 digest bytes as codes."""
+    import hashlib
+    import struct as _struct
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            hdr = b".snd" + _struct.pack(">IIIII", 24, len(d), 1, 8000, 1)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.au", "wb") as f:
+                f.write(hdr + d)
+
+    return _staged(spark, sf_dir, "au_src", build)
+
+
+def _audio_media(raw, ext: str):
+    return raw.select(
+        F.struct(
+            F.regexp_extract(F.col("path"), rf"doc_(\d+)\.{ext}$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("content").alias("payload"),
+        ).alias("media")
+    )
+
+
+def media_aiff_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode end-to-end: staged big-endian PCM16 AIFFs (COMM
+    80-bit-extended rate parse + SSND offset) → the strict integer
+    ZCR/Σ|s| profile. The oracle rebuilds each sample as the BIG-endian
+    md5 byte pair — a wrong-endian decode flips the hash on the first
+    file. Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_aiff(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.aiff")
+    return audio_zcr(_audio_media(raw, "aiff"))
+
+
+def media_au_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Sun AU decode end-to-end: staged mu-law '.snd' files →
+    big-endian header parse + CCITT expansion → the strict integer
+    ZCR/Σ|s| profile, oracle-replayed with the same mu-law arithmetic as
+    the G.711 WAV gate. Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_au(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.au")
+    return audio_zcr(_audio_media(raw, "au"))
 
 
 def media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8930,6 +9032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff_jpeg_cells": media_tiff_jpeg_cells,
         "media_avi_frames": media_avi_frames,
         "media_tiff_g4_mask": media_tiff_g4_mask,
+        "media_aiff_zcr": media_aiff_zcr,
+        "media_au_zcr": media_au_zcr,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
         "media_bmp_histogram": media_bmp_histogram,
@@ -15448,6 +15552,76 @@ def oracle_sql() -> dict[str, str]:
                            substr(h, 2 * k.k + 2, 1)) - 1)
                ) AS BIGINT) AS sum_val
         FROM staged, (SELECT unnest([0, 3, 6, 9, 12, 15]) AS k) k
+    """
+    # AIFF fixture: 8 BIG-endian int16 samples from the digest bytes —
+    # the byte order is the entire point vs the (little-endian) WAV gate.
+    oracles["media_aiff_zcr"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        samp AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), k ->
+                       CASE WHEN 256 * b[2 * k + 1] + b[2 * k + 2] >= 32768
+                            THEN 256 * b[2 * k + 1] + b[2 * k + 2] - 65536
+                            ELSE 256 * b[2 * k + 1] + b[2 * k + 2]
+                       END) AS s
+            FROM bytes
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 7), k ->
+                   CASE WHEN s[k + 1] * s[k + 2] < 0 THEN 1 ELSE 0 END))
+                   AS BIGINT) AS n_zero_cross,
+               CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS sum_abs
+        FROM samp
+    """
+    # AU fixture: all-docs mu-law — the G.711 WAV gate's law=0 branch.
+    oracles["media_au_zcr"] = f"""
+        WITH staged AS (
+            SELECT doc_id, md5(text) AS h
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(h, 2 * i + 2, 1)) - 1)) AS b
+            FROM staged
+        ),
+        samp AS (
+            SELECT doc_id,
+                   list_transform(list_transform(b, c -> 255 - c), u ->
+                       CASE WHEN u >= 128
+                            THEN 132 - (((u % 16) * 8 + 132)
+                                        << ((u // 16) % 8))
+                            ELSE (((u % 16) * 8 + 132)
+                                  << ((u // 16) % 8)) - 132 END) AS s
+            FROM bytes
+        )
+        SELECT doc_id AS media_id,
+               CAST(16 AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 15), k ->
+                   CASE WHEN s[k + 1] * s[k + 2] < 0 THEN 1 ELSE 0 END))
+                   AS BIGINT) AS n_zero_cross,
+               CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS sum_abs
+        FROM samp
     """
     # G4 fixture: raster row y holds digest bits of bytes 2y and 2y+1;
     # open_geotiff's py grows UPWARD so py = 7 − y. n_black = popcount

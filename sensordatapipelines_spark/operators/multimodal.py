@@ -258,6 +258,114 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         raise ValueError(f"corrupt WAVE structure: {exc!r}") from exc
 
 
+def _parse_f80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF COMM sample-rate field):
+    1 sign, 15 exponent (bias 16383), 64-bit mantissa with explicit
+    integer bit."""
+    import struct
+
+    (se, mant) = struct.unpack(">HQ", b[:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL AIFF decode (EA IFF 85 'FORM'/'AIFF'): COMM gives channels /
+    frames / bits / 80-bit-extended sample rate, SSND holds big-endian
+    two's-complement PCM (8/16/24/32-bit). Returns the decode_wav tuple
+    ``(frames[n, ch] int, sample_rate, channels, block_align)``."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload (bad FORM type)")
+    pos = 12
+    comm = None
+    data = None
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack_from(">I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"COMM":
+                ch, nframes, bits = struct.unpack_from(">HIH", body)
+                rate = int(round(_parse_f80(body[8:18])))
+                comm = (ch, nframes, bits, rate)
+            elif cid == b"SSND":
+                off, _blk = struct.unpack_from(">II", body)
+                data = body[8 + off :]
+            pos += 8 + csize + (csize & 1)
+    except struct.error as exc:
+        raise ValueError(f"corrupt AIFF structure: {exc!r}") from exc
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, nframes, bits, rate = comm
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"AIFF {bits}-bit samples unsupported")
+    ba = ch * (bits // 8)
+    n = min(nframes, len(data) // ba)
+    if bits == 8:
+        samples = np.frombuffer(data, np.int8, n * ch).astype(np.int16)
+    elif bits == 16:
+        samples = np.frombuffer(data, ">i2", n * ch).astype(np.int16)
+    elif bits == 32:
+        samples = np.frombuffer(data, ">i4", n * ch).astype(np.int32)
+    else:  # 24-bit big-endian: sign-extend via the high-byte trick
+        raw = np.frombuffer(data, np.uint8, n * ch * 3).reshape(-1, 3)
+        wide = np.zeros((raw.shape[0], 4), np.uint8)
+        wide[:, :3] = raw  # occupy the HIGH bytes; arithmetic >>8 extends
+        samples = (wide.view(">i4").reshape(-1) >> 8).astype(np.int32)
+    return samples.reshape(n, ch), rate, ch, ba
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL Sun/NeXT AU ('.snd') decode: big-endian header (offset, size,
+    encoding, rate, channels); encodings 1 (G.711 mu-law), 2 (8-bit
+    linear PCM), 3 (16-bit BE PCM). Same return tuple as decode_wav."""
+    import struct
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload (bad magic)")
+    off, dsize, enc, rate, ch = struct.unpack_from(">IIIII", payload, 4)
+    data = payload[off : off + dsize if dsize != 0xFFFFFFFF else None]
+    if ch < 1:
+        raise ValueError("AU channel count must be >= 1")
+    if enc == 1:
+        codes = np.frombuffer(data, np.uint8)
+        samples = _MULAW_LUT[codes]
+        ba = ch
+    elif enc == 2:
+        samples = np.frombuffer(data, np.int8).astype(np.int16)
+        ba = ch
+    elif enc == 3:
+        samples = np.frombuffer(data, ">i2").astype(np.int16)
+        ba = 2 * ch
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} unsupported (mu-law/PCM8/PCM16 are)"
+        )
+    n = samples.size // ch
+    return samples[: n * ch].reshape(n, ch), rate, ch, ba
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Unified REAL audio decode: RIFF/WAVE (``decode_wav`` — PCM, IEEE
+    float, G.711, ADPCM), AIFF, Sun AU — dispatch on magic bytes."""
+    head = bytes(payload[:4])
+    if head == b"RIFF":
+        return decode_wav(payload)
+    if head == b"FORM":
+        return decode_aiff(payload)
+    if head == b".snd":
+        return decode_au(payload)
+    raise NotImplementedError(
+        "audio format not recognized: WAV, AIFF and AU decode natively; "
+        "perceptual codecs (MP3/AAC) need soundfile/ffmpeg"
+    )
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL audio decode for uncompressed RIFF/WAVE — integer PCM
     (format 1: 8/16/24/32-bit) and IEEE float (format 3: 32/64-bit):
@@ -366,8 +474,8 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if bytes(payload[:2]) in _IMAGE_MAGIC:
         return decode_image(payload)[0].astype(np.float64).ravel()
-    if bytes(payload[:4]) == b"RIFF":
-        return decode_wav(payload)[0].astype(np.float64).ravel()
+    if bytes(payload[:4]) in (b"RIFF", b"FORM", b".snd"):
+        return decode_audio(payload)[0].astype(np.float64).ravel()
     raise NotImplementedError(
         "perceptual A/V decoding requires soundfile/ffmpeg (not "
         "installed); PPM/PGM/PNG/GIF/BMP/JPEG images and WAV audio "
@@ -837,7 +945,7 @@ def audio_zcr(df: DataFrame, media_col: str = "media") -> DataFrame:
                 continue
             rows = []
             for m in pdf[media_col]:
-                frames, _sr, _ch, _ba = decode_wav(bytes(m["payload"]))
+                frames, _sr, _ch, _ba = decode_audio(bytes(m["payload"]))
                 s = frames[:, 0].astype(np.int64)
                 rows.append(
                     {

@@ -485,3 +485,62 @@ def test_decode_wav_adpcm_fuzz_typed_errors_only():
             pass  # the typed contract
 
     run()
+
+
+def test_decode_aiff_and_au():
+    """AIFF (big-endian PCM, 80-bit-extended rate) and Sun AU (mu-law /
+    PCM8 / PCM16BE) decoders."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.operators.multimodal import (
+        _MULAW_LUT,
+        decode_aiff,
+        decode_au,
+        decode_audio,
+    )
+
+    def f80(v):
+        e = v.bit_length() - 1
+        return struct.pack(">HQ", 16383 + e, v << (63 - e))
+
+    # AIFF 16-bit stereo
+    frames = np.array([[100, -200], [32767, -32768], [0, 5]], ">i2")
+    comm = struct.pack(">HIH", 2, 3, 16) + f80(44100)
+    ssnd = struct.pack(">II", 0, 0) + frames.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    out, rate, ch, ba = decode_aiff(payload)
+    assert (rate, ch, ba) == (44100, 2, 4)
+    np.testing.assert_array_equal(out, frames.astype(np.int16))
+
+    # AIFF 24-bit mono incl. negative sign extension
+    vals = np.array([-(1 << 22), 1 << 22, -1], np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in vals)
+    comm = struct.pack(">HIH", 1, 3, 24) + f80(8000)
+    ssnd = struct.pack(">II", 0, 0) + raw
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    out, *_ = decode_aiff(b"FORM" + struct.pack(">I", len(body)) + body)
+    np.testing.assert_array_equal(out[:, 0], vals)
+
+    # AU mu-law + PCM16BE, dispatched through decode_audio
+    codes = bytes(range(16))
+    au = b".snd" + struct.pack(">IIIII", 24, 16, 1, 8000, 1) + codes
+    out, rate, ch, _ = decode_audio(au)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(out[:, 0], _MULAW_LUT[np.frombuffer(codes, np.uint8)])
+    pcm = np.array([1000, -1000], ">i2").tobytes()
+    au16 = b".snd" + struct.pack(">IIIII", 24, 4, 3, 16000, 1) + pcm
+    out, *_ = decode_au(au16)
+    np.testing.assert_array_equal(out[:, 0], [1000, -1000])
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_au(b"nope" + bytes(32))
+    with pytest.raises(ValueError, match="FORM"):
+        decode_aiff(b"RIFF" + bytes(32))
+    with pytest.raises(NotImplementedError, match="encoding"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + bytes(4))
