@@ -426,7 +426,18 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL GIF decode (first frame): header + logical screen descriptor,
     global/local color table, sub-block reassembly, variable-width
     LSB-first LZW, 4-pass deinterlace, palette → RGB expansion. Returns
-    ``(pixels[h, w, 3] uint8, width, height, 3)``."""
+    ``(pixels[h, w, 3] uint8, width, height, 3)``. Typed-error contract:
+    corrupt/truncated payloads raise ValueError, never a raw IndexError
+    out of an executor task."""
+    try:
+        return _decode_gif(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt GIF structure: {exc!r}") from exc
+
+
+def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad signature)")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])

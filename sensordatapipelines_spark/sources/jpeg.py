@@ -191,7 +191,18 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL baseline JPEG decode. Returns ``(pixels[h, w, c] uint8,
-    width, height, channels)`` — grayscale (1) or RGB (3)."""
+    width, height, channels)`` — grayscale (1) or RGB (3). Typed-error
+    contract: corrupt structures raise ValueError, never a raw
+    struct.error/KeyError out of an executor task."""
+    try:
+        return _decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"corrupt JPEG structure: {exc!r}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
