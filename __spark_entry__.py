@@ -170,6 +170,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_geotiff_fpred(spark, sf_dir)
     _stage_ppm(spark, sf_dir)
     _stage_jpeg(spark, sf_dir)
+    _stage_jpeg_progressive(spark, sf_dir)
     _stage_tiff_jpeg(spark, sf_dir)
     _stage_avi(spark, sf_dir)
     _stage_tiff_g4(spark, sf_dir)
@@ -3830,6 +3831,56 @@ def media_jpeg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     stage = _stage_jpeg(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.jpg")
+    return media_channel_histogram(_image_media(raw, "jpg"), n_bins=4)
+
+
+def _stage_jpeg_progressive(spark: SparkSession, sf_dir: str) -> str:
+    """Stage PROGRESSIVE (SOF2) JPEGs of the same constant-block image
+    as ``_stage_jpeg``: interleaved DC-first + refinement scans and
+    per-band AC scans with EOBRUN coding. DC-only blocks survive the
+    successive-approximation ladder exactly, so the decode is
+    bit-exact and shares the baseline gate's oracle arithmetic."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
+            px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.jpg", "wb") as f:
+                f.write(encode_jpeg_progressive(px, dc_al=2))
+
+    return _staged(spark, sf_dir, "jpeg_prog_src", build)
+
+
+def media_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG decode end-to-end: staged SOF2 streams
+    (multi-scan: DC first + two refinement ladders, banded AC scans
+    with EOBRUN coding) → coefficient accumulation across scans + final
+    IDCT (``sources/jpeg.py:_decode_progressive``) → the same gray
+    quartile histogram and md5-hex oracle as the baseline JPEG gate —
+    progressive and baseline streams of the same pixels are
+    coefficient-identical, so the oracle transfers verbatim.
+    Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import (
+        media_channel_histogram,
+    )
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_jpeg_progressive(spark, sf_dir)
     raw = open_binary_dir(spark, stage, glob="*.jpg")
     return media_channel_histogram(_image_media(raw, "jpg"), n_bins=4)
 
@@ -9029,6 +9080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_adpcm": media_wav_adpcm,
         "media_wav_dft8": media_wav_dft8,
         "media_jpeg_histogram": media_jpeg_histogram,
+        "media_jpeg_progressive": media_jpeg_progressive,
         "media_tiff_jpeg_cells": media_tiff_jpeg_cells,
         "media_avi_frames": media_avi_frames,
         "media_tiff_g4_mask": media_tiff_g4_mask,
@@ -15512,6 +15564,8 @@ def oracle_sql() -> dict[str, str]:
                64 * COUNT(*) AS n_px
         FROM bytes GROUP BY doc_id, v // 64
     """
+    # Progressive fixture: coefficient-identical to the baseline one.
+    oracles["media_jpeg_progressive"] = oracles["media_jpeg_histogram"]
     # TIFF-JPEG fixture: same digest-blocks image as media_jpeg_histogram
     # but ingested through the GeoTIFF cell-table path; per bin, n_px =
     # 64 × byte count and sum_val = 64 × Σ byte values.

@@ -7,7 +7,7 @@ pure-python executor can parse — netpbm P5/P6, PNG, GIF, BMP images
 RIFF/WAVE audio (``decode_wav``: integer PCM, IEEE float, G.711
 a/mu-law, IMA/MS ADPCM) — with genuine feature extraction, frame
 extraction and nearest-neighbor resize on top, all strict-value-
-oracled. Progressive JPEG and the perceptual A/V codecs (MP3/H.264)
+oracled. Only the perceptual A/V codecs (MP3/AAC, H.264)
 require libraries absent from this container and raise a clearly-
 marked ``NotImplementedError`` (a deterministic fake decoder keeps the
 plumbing testable); swapping in PIL/ffmpeg is a one-function change on

@@ -108,11 +108,17 @@ def test_restart_with_420_and_ragged_dims():
     assert (w, h, c) == (29, 33, 3)  # dims survive MCU padding
 
 
-def test_progressive_marker_is_typed_boundary():
+def test_mislabeled_progressive_and_lossless_markers_are_typed():
+    # a baseline-coded scan relabeled SOF2 is structurally invalid for
+    # the progressive scan rules (DC scan must have Se=0) → ValueError
     enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(enc))
+    # lossless (SOF3) stays a NotImplementedError boundary
+    enc[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(enc))
 
 
@@ -131,3 +137,85 @@ def test_byte_stuffing_roundtrip():
     px[:, 8:] = 0
     out, *_ = decode_jpeg(encode_jpeg(px))
     np.testing.assert_array_equal(out[:, :, 0], px)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_bit_identical_to_baseline():
+    """A progressive stream carries the same quantized coefficients as
+    the baseline stream of the same pixels, so both must decode
+    bit-for-bit identically — grayscale and RGB, ragged dims."""
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    for shape in [(32, 32), (24, 17), (8, 24), (15, 37), (19, 13, 3)]:
+        px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px))[0]
+        prog = decode_jpeg(encode_jpeg_progressive(px))[0]
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_approximation_ladders_and_bands():
+    """Deeper successive-approximation ladders and arbitrary spectral
+    band splits (incl. the single full band that exercises refinement
+    ZRL runs) all reconstruct exactly."""
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    px = RNG.integers(0, 256, size=(41, 14), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px))[0]
+    for dc_al, ac_al, bands in [
+        (0, 0, ((1, 63),)),
+        (3, 1, ((1, 63),)),            # the refinement-ZRL regression case
+        (2, 2, ((1, 2), (3, 9), (10, 63))),
+        (1, 2, ((1, 31), (32, 63))),
+    ]:
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, dc_al=dc_al, ac_al=ac_al, bands=bands)
+        )[0]
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_rgb_with_quant_table():
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    q = np.clip(np.arange(64).reshape(8, 8) + 1, 1, 48)
+    px = RNG.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, qtable=q))[0]
+    prog = decode_jpeg(encode_jpeg_progressive(px, qtable=q))[0]
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_constant_blocks_exact():
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    v = RNG.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    px = np.repeat(np.repeat(v, 8, 0), 8, 1)
+    out, w, h, c = decode_jpeg(encode_jpeg_progressive(px))
+    assert (w, h, c) == (32, 32, 1)
+    np.testing.assert_array_equal(out[:, :, 0], px)
+
+
+def test_progressive_randomized_sweep():
+    from sensordatapipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(4242)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        nc = int(rng.choice([1, 3]))
+        px = rng.integers(0, 256, (h, w, nc) if nc == 3 else (h, w), dtype=np.uint8)
+        dc_al = int(rng.integers(0, 4))
+        ac_al = int(rng.integers(0, 3))
+        nb = int(rng.integers(1, 4))
+        cuts = (
+            sorted(rng.choice(np.arange(2, 63), size=nb - 1, replace=False).tolist())
+            if nb > 1 else []
+        )
+        edges = [1] + cuts + [64]
+        bands = tuple((edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1))
+        base = decode_jpeg(encode_jpeg(px))[0]
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, dc_al=dc_al, ac_al=ac_al, bands=bands)
+        )[0]
+        np.testing.assert_array_equal(base, prog)
