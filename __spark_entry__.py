@@ -176,6 +176,7 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     _stage_tiff_g4(spark, sf_dir)
     _stage_aiff(spark, sf_dir)
     _stage_au(spark, sf_dir)
+    _stage_flac(spark, sf_dir)
     _stage_png(spark, sf_dir)
     _stage_gif(spark, sf_dir)
     _stage_bmp(spark, sf_dir)
@@ -4124,6 +4125,50 @@ def _stage_au(spark: SparkSession, sf_dir: str) -> str:
                 f.write(hdr + d)
 
     return _staged(spark, sf_dir, "au_src", build)
+
+
+def _stage_flac(spark: SparkSession, sf_dir: str) -> str:
+    """Stage REAL FLAC files: the doc digest's 8 little-endian int16
+    samples (the WAV fixture's exact sample function) through the repo
+    FLAC encoder — fixed-predictor subframes + Rice residuals; FLAC is
+    lossless, so the WAV gate's oracle transfers verbatim while the
+    engine must run a genuine entropy decode to recover the samples."""
+    import hashlib
+
+    import numpy as _np
+
+    from sensordatapipelines_spark.sources.flac import encode_flac
+
+    def build(stage: str) -> None:
+        rows = (
+            spark.table("documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(N_BINARY_STAGE)
+            .collect()
+        )
+        for r in rows:
+            d = hashlib.md5(r["text"].encode("utf-8")).digest()
+            samples = _np.frombuffer(d, "<i2").astype(_np.int64)
+            with open(f"{stage}/doc_{r['doc_id']:06d}.flac", "wb") as f:
+                f.write(encode_flac(samples, sample_rate=8000, block_size=8))
+
+    return _staged(spark, sf_dir, "flac_src", build)
+
+
+def media_flac_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode end-to-end: staged Rice-coded fixed-predictor
+    FLAC streams (CRC-8/CRC-16-checked frames) → lossless sample
+    recovery → the strict integer ZCR/Σ|s| profile, sharing
+    ``media_wav_zcr``'s oracle arithmetic exactly (same digest-derived
+    int16 samples). Quarantine-safe: media family."""
+    from sensordatapipelines_spark.operators.multimodal import audio_zcr
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stage = _stage_flac(spark, sf_dir)
+    raw = open_binary_dir(spark, stage, glob="*.flac")
+    return audio_zcr(_audio_media(raw, "flac"))
 
 
 def _audio_media(raw, ext: str):
@@ -9085,6 +9130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avi_frames": media_avi_frames,
         "media_tiff_g4_mask": media_tiff_g4_mask,
         "media_aiff_zcr": media_aiff_zcr,
+        "media_flac_zcr": media_flac_zcr,
         "media_au_zcr": media_au_zcr,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
@@ -15813,6 +15859,10 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_abs
         FROM samp
     """
+    # FLAC fixture: lossless, same little-endian int16 samples as the
+    # WAV fixture — the oracle is the WAV gate's verbatim.
+    oracles["media_flac_zcr"] = oracles["media_wav_zcr"]
+
     def _dft8_term(k: int, n: int, table: str) -> str:
         cyc_c = ["1.0", "sqrt(0.5)", "0.0", "(-sqrt(0.5))",
                  "(-1.0)", "(-sqrt(0.5))", "0.0", "sqrt(0.5)"]

@@ -352,7 +352,9 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """Unified REAL audio decode: RIFF/WAVE (``decode_wav`` — PCM, IEEE
-    float, G.711, ADPCM), AIFF, Sun AU — dispatch on magic bytes."""
+    float, G.711, ADPCM), AIFF, Sun AU, FLAC (``sources/flac.py`` —
+    lossless, so decoded samples stay strictly oracle-able) — dispatch
+    on magic bytes."""
     head = bytes(payload[:4])
     if head == b"RIFF":
         return decode_wav(payload)
@@ -360,9 +362,13 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         return decode_aiff(payload)
     if head == b".snd":
         return decode_au(payload)
+    if head == b"fLaC":
+        from sensordatapipelines_spark.sources.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "audio format not recognized: WAV, AIFF and AU decode natively; "
-        "perceptual codecs (MP3/AAC) need soundfile/ffmpeg"
+        "audio format not recognized: WAV, AIFF, AU and FLAC decode "
+        "natively; perceptual codecs (MP3/AAC) need soundfile/ffmpeg"
     )
 
 
