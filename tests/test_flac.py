@@ -244,3 +244,15 @@ def test_corruption_is_typed():
             decode_flac(bytes(buf))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_many_frames_multibyte_frame_numbers():
+    """>127 frames per file exercises the multi-byte UTF-8 frame-number
+    coding on both sides."""
+    rng = np.random.default_rng(2)
+    x = np.clip(
+        np.cumsum(rng.integers(-40, 41, size=20000)).astype(np.int64),
+        -32768, 32767,
+    )
+    out, *_ = decode_flac(encode_flac(x, block_size=128))  # 157 frames
+    np.testing.assert_array_equal(out[:, 0], x)
