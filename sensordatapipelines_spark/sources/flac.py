@@ -159,8 +159,6 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     po = bits.read(4)
     nparts = 1 << po
-    if blocksize % nparts or blocksize >> po <= order and nparts > 1:
-        pass  # tolerated; per-spec encoders keep partitions valid
     out: list[int] = []
     for p in range(nparts):
         cnt = (blocksize >> po) - (order if p == 0 else 0)
@@ -297,11 +295,9 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         crc8 = bits.read(8)
         if _crc8(payload[frame_start:hdr_end]) != crc8:
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        frame_bps = _SAMPLE_SIZES.get(size_code, bps)
-        if size_code in (0,):
-            frame_bps = bps
         if size_code == 3:
             raise ValueError("FLAC sample size code 3 reserved")
+        frame_bps = _SAMPLE_SIZES.get(size_code, bps)  # 0 → STREAMINFO
         if chan_code <= 7:
             n_ch = chan_code + 1
             subs = [
