@@ -521,8 +521,8 @@ def media_features(df: DataFrame, media_col: str = "media", fake: bool = True) -
                     arr = px.astype(np.float64).ravel()
                     for c in range(min(n_channels, 3)):
                         ch_means[c] = float(px[:, :, c].astype(np.float64).mean())
-                elif payload[:4] == b"RIFF":
-                    frames, sample_rate, n_channels, _ = decode_wav(payload)
+                elif payload[:4] in (b"RIFF", b"FORM", b".snd", b"fLaC"):
+                    frames, sample_rate, n_channels, _ = decode_audio(payload)
                     arr = frames.astype(np.float64).ravel()
                     for c in range(min(n_channels, 3)):
                         ch_means[c] = float(frames[:, c].astype(np.float64).mean())

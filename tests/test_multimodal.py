@@ -544,3 +544,36 @@ def test_decode_aiff_and_au():
         decode_aiff(b"RIFF" + bytes(32))
     with pytest.raises(NotImplementedError, match="encoding"):
         decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + bytes(4))
+
+
+def test_media_features_real_decodes_aiff_au_flac(spark):
+    """media_features(fake=False) fills sample_rate / channel means for
+    every audio container, not just RIFF/WAVE."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.multimodal import media_features
+    from sensordatapipelines_spark.sources.flac import encode_flac
+
+    def f80(v):
+        e = v.bit_length() - 1
+        return struct.pack(">HQ", 16383 + e, v << (63 - e))
+
+    pcm = np.array([100, -100, 50, -50], ">i2")
+    comm = struct.pack(">HIH", 1, 4, 16) + f80(8000)
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    aiff = b"FORM" + struct.pack(">I", len(body)) + body
+    au = b".snd" + struct.pack(">IIIII", 24, 4, 3, 16000, 1) + pcm.tobytes()
+    flac = encode_flac(pcm.astype(np.int64), sample_rate=22050)
+    rows = [(1, "audio", bytearray(aiff)), (2, "audio", bytearray(au)),
+            (3, "audio", bytearray(flac))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    media = df.select(F.struct("media_id", "kind", "payload").alias("media"))
+    got = {r.media_id: r for r in media_features(media, fake=False).collect()}
+    assert got[1].sample_rate == 8000 and got[1].mean_c0 == 0.0
+    assert got[2].sample_rate == 16000
+    assert got[3].sample_rate == 22050 and got[3].n_channels == 1
