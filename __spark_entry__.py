@@ -4171,6 +4171,56 @@ def media_flac_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_zcr(_audio_media(raw, "flac"))
 
 
+def media_probe_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus triage end-to-end: one binaryFile scan over EVERY staged
+    media layout (netpbm, PNG, GIF, BMP, baseline + progressive JPEG,
+    TIFF-JPEG, TIFF-G4, MJPEG AVI, three WAV profiles, AIFF, AU, FLAC)
+    → header-only ``media_probe`` (no pixel/sample decode — the
+    O(header) first pass a 100 TB mixed-media corpus gets) → the
+    manifest ``(format, width, height, channels, sample_rate, n_frames,
+    n_files)``. Every fixture shape is fixed and each stage holds
+    exactly N_BINARY_STAGE files, so the oracle is a data-independent
+    VALUES table — a strict check that every container's header parse
+    reports the right facts. Quarantine-safe: media family."""
+    from functools import reduce
+
+    from sensordatapipelines_spark.operators.multimodal import media_probe
+    from sensordatapipelines_spark.sources.readers import open_binary_dir
+
+    _register_views(spark, sf_dir)
+    stages = [
+        (_stage_ppm(spark, sf_dir), "*.ppm"),
+        (_stage_png(spark, sf_dir), "*.png"),
+        (_stage_gif(spark, sf_dir), "*.gif"),
+        (_stage_bmp(spark, sf_dir), "*.bmp"),
+        (_stage_jpeg(spark, sf_dir), "*.jpg"),
+        (_stage_jpeg_progressive(spark, sf_dir), "*.jpg"),
+        (_stage_tiff_jpeg(spark, sf_dir), "*.tif"),
+        (_stage_tiff_g4(spark, sf_dir), "*.tif"),
+        (_stage_avi(spark, sf_dir), "*.avi"),
+        (_stage_wav(spark, sf_dir), "*.wav"),
+        (_stage_wav_g711(spark, sf_dir), "*.wav"),
+        (_stage_wav_adpcm(spark, sf_dir), "*.wav"),
+        (_stage_aiff(spark, sf_dir), "*.aiff"),
+        (_stage_au(spark, sf_dir), "*.au"),
+        (_stage_flac(spark, sf_dir), "*.flac"),
+    ]
+    raws = [
+        open_binary_dir(spark, stage, glob=g).select(
+            F.struct(
+                F.monotonically_increasing_id().alias("media_id"),
+                F.lit("media").alias("kind"),
+                F.col("content").alias("payload"),
+            ).alias("media")
+        )
+        for stage, g in stages
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), raws)
+    return media_probe(union).groupBy(
+        "format", "width", "height", "channels", "sample_rate", "n_frames"
+    ).agg(F.count("*").alias("n_files"))
+
+
 def _audio_media(raw, ext: str):
     return raw.select(
         F.struct(
@@ -9131,6 +9181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff_g4_mask": media_tiff_g4_mask,
         "media_aiff_zcr": media_aiff_zcr,
         "media_flac_zcr": media_flac_zcr,
+        "media_probe_manifest": media_probe_manifest,
         "media_au_zcr": media_au_zcr,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
@@ -15858,6 +15909,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
                    AS sum_abs
         FROM samp
+    """
+    # Probe manifest: every fixture's shape is fixed and every stage has
+    # exactly N_BINARY_STAGE files -> a data-independent VALUES oracle.
+    oracles["media_probe_manifest"] = f"""
+        SELECT * FROM (VALUES
+            ('netpbm',           4,    2,    3,    NULL, 1,    CAST({N_BINARY_STAGE} AS BIGINT)),
+            ('png',              4,    2,    3,    NULL, 1,    {N_BINARY_STAGE}),
+            ('gif',              4,    4,    3,    NULL, 1,    {N_BINARY_STAGE}),
+            ('bmp',              3,    2,    3,    NULL, 1,    {N_BINARY_STAGE}),
+            ('jpeg',             32,   32,   1,    NULL, 1,    {N_BINARY_STAGE}),
+            ('jpeg-progressive', 32,   32,   1,    NULL, 1,    {N_BINARY_STAGE}),
+            ('tiff',             32,   32,   1,    NULL, 1,    {N_BINARY_STAGE}),
+            ('tiff',             16,   8,    1,    NULL, 1,    {N_BINARY_STAGE}),
+            ('avi',              8,    8,    NULL, NULL, 16,   {N_BINARY_STAGE}),
+            ('wav',              NULL, NULL, 1,    8000, NULL, 3 * {N_BINARY_STAGE}),
+            ('aiff',             NULL, NULL, 1,    8000, 8,    {N_BINARY_STAGE}),
+            ('au',               NULL, NULL, 1,    8000, 16,   {N_BINARY_STAGE}),
+            ('flac',             NULL, NULL, 1,    8000, 8,    {N_BINARY_STAGE})
+        ) AS t(format, width, height, channels, sample_rate, n_frames,
+               n_files)
     """
     # FLAC fixture: lossless, same little-endian int16 samples as the
     # WAV fixture — the oracle is the WAV gate's verbatim.

@@ -1008,3 +1008,153 @@ def video_frame_profile(
             yield pd.DataFrame(rows)
 
     return df.select(media_col).mapInPandas(extract, schema=schema)
+
+
+def probe_media(payload: bytes) -> dict:
+    """Header-only metadata probe (the ffprobe-style triage pass): parse
+    just enough of the container to report ``format, width, height,
+    channels, sample_rate, n_frames`` WITHOUT decoding pixel/sample
+    data — the cheap first scan a petabyte media corpus gets before any
+    decode is scheduled. Pure struct parsing for every container the
+    real decoders support; unknown magic raises ValueError."""
+    import struct as _s
+
+    out = {"format": None, "width": None, "height": None,
+           "channels": None, "sample_rate": None, "n_frames": None}
+    head = bytes(payload[:12])
+    if head[:2] in (b"P6", b"P5"):
+        # header tokens only; the raster is never touched
+        tokens = []
+        pos = 2
+        while len(tokens) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+        out.update(format="netpbm", width=int(tokens[0]), height=int(tokens[1]),
+                   channels=3 if head[:2] == b"P6" else 1, n_frames=1)
+    elif head[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _s.unpack(">II", payload[16:24])
+        ctype = payload[25]
+        out.update(format="png", width=w, height=h, n_frames=1,
+                   channels={0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype))
+    elif head[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _s.unpack("<HH", payload[6:10])
+        out.update(format="gif", width=w, height=h, channels=3, n_frames=1)
+    elif head[:2] == b"BM":
+        w, h = _s.unpack("<ii", payload[18:26])
+        bpp = _s.unpack("<H", payload[28:30])[0]
+        out.update(format="bmp", width=w, height=abs(h), n_frames=1,
+                   channels=3 if bpp != 32 else 4)
+    elif head[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker expected while probing")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = _s.unpack(">H", payload[pos : pos + 2])
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = _s.unpack(">HH", payload[pos + 3 : pos + 7])
+                out.update(
+                    format="jpeg-progressive" if marker == 0xC2 else "jpeg",
+                    width=w, height=h, channels=int(payload[pos + 7]),
+                    n_frames=1,
+                )
+                break
+            pos += seglen
+        else:
+            raise ValueError("JPEG probe found no SOF")
+    elif head[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        from sensordatapipelines_spark.sources.geotiff import _read_ifd
+
+        bo = "<" if head[:2] == b"II" else ">"
+        (ifd_off,) = _s.unpack_from(bo + "I", payload, 4)
+        tags = _read_ifd(payload, bo, ifd_off)
+        out.update(format="tiff", width=int(tags[256][0]),
+                   height=int(tags[257][0]),
+                   channels=int(tags.get(277, [1])[0]), n_frames=1)
+    elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (csize,) = _s.unpack_from("<I", payload, pos + 4)
+            if cid == b"fmt ":
+                _f, ch, rate = _s.unpack_from("<HHI", payload, pos + 8)
+                out.update(format="wav", channels=ch, sample_rate=rate)
+            pos += 8 + csize + (csize & 1)
+        if out["format"] is None:
+            raise ValueError("WAVE probe found no fmt chunk")
+    elif head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        from sensordatapipelines_spark.sources.avi import parse_avi_mjpeg
+
+        # avih sits at a fixed early offset; reuse the tolerant walker's
+        # meta but without keeping frames (cheap for probe-sized files)
+        _frames, meta = parse_avi_mjpeg(payload)
+        out.update(format="avi", width=meta["width"], height=meta["height"],
+                   n_frames=meta["n_frames"])
+    elif head[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (csize,) = _s.unpack_from(">I", payload, pos + 4)
+            if cid == b"COMM":
+                ch, nframes, _bits = _s.unpack_from(">HIH", payload, pos + 8)
+                out.update(format="aiff", channels=ch, n_frames=nframes,
+                           sample_rate=int(round(_parse_f80(
+                               payload[pos + 16 : pos + 26]))))
+                break
+            pos += 8 + csize + (csize & 1)
+        if out["format"] is None:
+            raise ValueError("AIFF probe found no COMM chunk")
+    elif head[:4] == b".snd":
+        off, dsize, enc, rate, ch = _s.unpack_from(">IIIII", payload, 4)
+        per = {1: 1, 2: 1, 3: 2}.get(enc)
+        out.update(format="au", channels=ch, sample_rate=rate,
+                   n_frames=None if per is None or dsize == 0xFFFFFFFF
+                   else dsize // (per * ch))
+    elif head[:4] == b"fLaC":
+        body = payload[8:]
+        # STREAMINFO is mandatory first: rate(20) ch(3) bps(5) total(36)
+        v = int.from_bytes(body[10:18], "big")
+        out.update(format="flac",
+                   sample_rate=(v >> 44) & 0xFFFFF,
+                   channels=((v >> 41) & 0x7) + 1,
+                   n_frames=v & ((1 << 36) - 1))
+    else:
+        raise ValueError("unrecognized media container magic")
+    return out
+
+
+@register("media_probe")
+def media_probe(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Corpus triage manifest: header-only ``probe_media`` over every
+    payload → ``(media_id, format, width, height, channels,
+    sample_rate, n_frames)``. No pixel/sample decode happens, so the
+    probe cost is O(header) per file — the scan you run over 100 TB of
+    mixed media BEFORE deciding what to decode, partition or drop."""
+    schema = (
+        "media_id long, format string, width int, height int, "
+        "channels int, sample_rate int, n_frames long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for m in pdf[media_col]:
+                info = probe_media(bytes(m["payload"]))
+                info["media_id"] = int(m["media_id"])
+                rows.append(info)
+            yield pd.DataFrame(rows)
+
+    return df.select(media_col).mapInPandas(extract, schema=schema)

@@ -577,3 +577,61 @@ def test_media_features_real_decodes_aiff_au_flac(spark):
     assert got[1].sample_rate == 8000 and got[1].mean_c0 == 0.0
     assert got[2].sample_rate == 16000
     assert got[3].sample_rate == 22050 and got[3].n_channels == 1
+
+
+def test_probe_media_all_containers():
+    """Header-only probe reports format/dims/rate for every container
+    without touching pixel or sample data."""
+    import struct
+    import tempfile, os
+
+    import numpy as np
+    import pytest
+
+    from sensordatapipelines_spark.operators.multimodal import probe_media
+    from sensordatapipelines_spark.sources.avi import write_avi_mjpeg
+    from sensordatapipelines_spark.sources.flac import encode_flac
+    from sensordatapipelines_spark.sources.geotiff import write_geotiff
+    from sensordatapipelines_spark.sources.imagecodecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from sensordatapipelines_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+    def chk(payload, **want):
+        got = probe_media(payload)
+        for k, v in want.items():
+            assert got[k] == v, (k, got)
+
+    chk(encode_png(px), format="png", width=4, height=2, channels=3)
+    chk(encode_gif(rng.integers(0, 16, (4, 4), dtype=np.uint8), pal),
+        format="gif", width=4, height=4)
+    chk(encode_bmp(px), format="bmp", width=4, height=2)
+    chk(encode_jpeg(gray), format="jpeg", width=32, height=32, channels=1)
+    chk(encode_jpeg_progressive(gray), format="jpeg-progressive", width=32)
+    chk(write_avi_mjpeg([encode_jpeg(np.full((8, 8), 5, np.uint8))] * 3, 8, 8),
+        format="avi", width=8, height=8, n_frames=3)
+    chk(encode_flac(np.arange(16, dtype=np.int64), sample_rate=44100),
+        format="flac", sample_rate=44100, n_frames=16, channels=1)
+    chk(b"P6\n4 2\n255\n" + bytes(24), format="netpbm", width=4, height=2)
+    d = tempfile.mkdtemp()
+    write_geotiff(os.path.join(d, "t.tif"), np.zeros((8, 16)), dtype="u1")
+    chk(open(os.path.join(d, "t.tif"), "rb").read(),
+        format="tiff", width=16, height=8)
+    wav = (b"RIFF" + struct.pack("<I", 52) + b"WAVE" + b"fmt "
+           + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 48000, 0, 4, 16)
+           + b"data" + struct.pack("<I", 16) + bytes(16))
+    chk(wav, format="wav", channels=2, sample_rate=48000)
+    chk(b".snd" + struct.pack(">IIIII", 24, 16, 1, 8000, 1) + bytes(16),
+        format="au", sample_rate=8000, n_frames=16)
+    with pytest.raises(ValueError, match="magic"):
+        probe_media(b"????" + bytes(32))
