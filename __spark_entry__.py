@@ -4182,40 +4182,40 @@ def media_probe_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly N_BINARY_STAGE files, so the oracle is a data-independent
     VALUES table — a strict check that every container's header parse
     reports the right facts. Quarantine-safe: media family."""
-    from functools import reduce
-
     from sensordatapipelines_spark.operators.multimodal import media_probe
-    from sensordatapipelines_spark.sources.readers import open_binary_dir
 
     _register_views(spark, sf_dir)
-    stages = [
-        (_stage_ppm(spark, sf_dir), "*.ppm"),
-        (_stage_png(spark, sf_dir), "*.png"),
-        (_stage_gif(spark, sf_dir), "*.gif"),
-        (_stage_bmp(spark, sf_dir), "*.bmp"),
-        (_stage_jpeg(spark, sf_dir), "*.jpg"),
-        (_stage_jpeg_progressive(spark, sf_dir), "*.jpg"),
-        (_stage_tiff_jpeg(spark, sf_dir), "*.tif"),
-        (_stage_tiff_g4(spark, sf_dir), "*.tif"),
-        (_stage_avi(spark, sf_dir), "*.avi"),
-        (_stage_wav(spark, sf_dir), "*.wav"),
-        (_stage_wav_g711(spark, sf_dir), "*.wav"),
-        (_stage_wav_adpcm(spark, sf_dir), "*.wav"),
-        (_stage_aiff(spark, sf_dir), "*.aiff"),
-        (_stage_au(spark, sf_dir), "*.au"),
-        (_stage_flac(spark, sf_dir), "*.flac"),
+    stage_dirs = [
+        _stage_ppm(spark, sf_dir),
+        _stage_png(spark, sf_dir),
+        _stage_gif(spark, sf_dir),
+        _stage_bmp(spark, sf_dir),
+        _stage_jpeg(spark, sf_dir),
+        _stage_jpeg_progressive(spark, sf_dir),
+        _stage_tiff_jpeg(spark, sf_dir),
+        _stage_tiff_g4(spark, sf_dir),
+        _stage_avi(spark, sf_dir),
+        _stage_wav(spark, sf_dir),
+        _stage_wav_g711(spark, sf_dir),
+        _stage_wav_adpcm(spark, sf_dir),
+        _stage_aiff(spark, sf_dir),
+        _stage_au(spark, sf_dir),
+        _stage_flac(spark, sf_dir),
     ]
-    raws = [
-        open_binary_dir(spark, stage, glob=g).select(
+    # ONE multi-path binaryFile scan: the source packs the small files
+    # into few partitions (vs 15 separate scans = 15 plans + one task
+    # per file), which is also the right 100 TB listing shape
+    union = (
+        spark.read.format("binaryFile")
+        .load(stage_dirs)
+        .select(
             F.struct(
                 F.monotonically_increasing_id().alias("media_id"),
                 F.lit("media").alias("kind"),
                 F.col("content").alias("payload"),
             ).alias("media")
         )
-        for stage, g in stages
-    ]
-    union = reduce(lambda a, b: a.unionByName(b), raws)
+    )
     return media_probe(union).groupBy(
         "format", "width", "height", "channels", "sample_rate", "n_frames"
     ).agg(F.count("*").alias("n_files"))
