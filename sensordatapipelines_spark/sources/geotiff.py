@@ -274,7 +274,8 @@ def _inflate_block(raw: bytes, comp: int) -> bytes:
         return _packbits_decode(raw)
     raise ValueError(
         f"compressed GeoTIFF ({_COMPRESSION_NAMES.get(comp, str(comp))}) "
-        "not supported: re-export as NONE/DEFLATE/LZW/PACKBITS"
+        "not supported: re-export as NONE/DEFLATE/LZW/PACKBITS/"
+        "JPEG/CCITT-G4"
     )
 
 
@@ -409,7 +410,7 @@ def _parse_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise ValueError(
             f"compressed GeoTIFF ({name}) not supported: "
-            "re-export as NONE/DEFLATE/LZW/PACKBITS"
+            "re-export as NONE/DEFLATE/LZW/PACKBITS/JPEG/CCITT-G4"
         )
     if int(tags.get(_TAG_PLANAR, [1])[0]) != 1:
         raise ValueError("planar (PlanarConfiguration=2) TIFF not supported")
