@@ -4171,6 +4171,33 @@ def media_flac_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_zcr(_audio_media(raw, "flac"))
 
 
+def sensors_kriging_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT kriging solve — the strict-oracle twin the float
+    kriging path can't have: the sensor lattice's coordinates are pure
+    integer arithmetic on ``c_custkey``, and under the power-2
+    variogram γ(h) = h² the 3-NN ordinary-kriging system is all-integer,
+    so Cramer's rule gives the exact rational weights as BIGINTs
+    (``operators/interpolate.py:kriging_exact3`` — the shared
+    ``KRIGING3_DET_SQL`` polynomials are evaluated verbatim by BOTH
+    engines). Every 97th sensor is a target, the rest are samples;
+    singular stencils (D = 0, the γ = h² degeneracy) are filtered
+    identically. Quarantine-safe: customer-lattice family."""
+    from sensordatapipelines_spark.operators.interpolate import (
+        kriging_exact3,
+    )
+
+    _register_views(spark, sf_dir)
+    base = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("sensor_id"),
+        (F.col("c_custkey").cast("long") % 64).alias("qx"),
+        F.expr("(CAST(c_custkey AS BIGINT) DIV 64) % 64").alias("qy"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("zc"),
+    )
+    targets = base.filter(F.col("sensor_id") % 97 == 0)
+    samples = base.filter(F.col("sensor_id") % 97 != 0)
+    return kriging_exact3(samples, targets)
+
+
 def media_probe_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus triage end-to-end: one binaryFile scan over EVERY staged
     media layout (netpbm, PNG, GIF, BMP, baseline + progressive JPEG,
@@ -9182,6 +9209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aiff_zcr": media_aiff_zcr,
         "media_flac_zcr": media_flac_zcr,
         "media_probe_manifest": media_probe_manifest,
+        "sensors_kriging_exact3": sensors_kriging_exact3,
         "media_au_zcr": media_au_zcr,
         "media_png_histogram": media_png_histogram,
         "media_gif_histogram": media_gif_histogram,
@@ -15909,6 +15937,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT)
                    AS sum_abs
         FROM samp
+    """
+    # Integer-exact 3-NN kriging: the Cramer polynomials are shared
+    # strings (operators/interpolate.py:KRIGING3_DET_SQL) evaluated
+    # verbatim here — all-BIGINT arithmetic, no float anywhere.
+    from sensordatapipelines_spark.operators.interpolate import (
+        KRIGING3_DET_SQL as _K3,
+    )
+
+    oracles["sensors_kriging_exact3"] = f"""
+        WITH s AS (
+            SELECT CAST(c_custkey AS BIGINT) AS id,
+                   CAST(c_custkey AS BIGINT) % 64 AS qx,
+                   (CAST(c_custkey AS BIGINT) // 64) % 64 AS qy,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS zc
+            FROM customer
+        ),
+        t AS (SELECT * FROM s WHERE id % 97 = 0),
+        k AS (SELECT * FROM s WHERE id % 97 <> 0),
+        pairs AS (
+            SELECT t.id AS tid, k.id AS kid, k.qx, k.qy, k.zc,
+                   (k.qx - t.qx)*(k.qx - t.qx)
+                 + (k.qy - t.qy)*(k.qy - t.qy) AS g,
+                   ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+                       (k.qx - t.qx)*(k.qx - t.qx)
+                     + (k.qy - t.qy)*(k.qy - t.qy), k.id) AS rn
+            FROM k, t WHERE k.id <> t.id
+        ),
+        piv AS (
+            SELECT tid,
+                   MAX(CASE WHEN rn = 1 THEN qx END) AS qx1,
+                   MAX(CASE WHEN rn = 1 THEN qy END) AS qy1,
+                   MAX(CASE WHEN rn = 1 THEN zc END) AS zc1,
+                   MAX(CASE WHEN rn = 1 THEN g  END) AS g1,
+                   MAX(CASE WHEN rn = 2 THEN qx END) AS qx2,
+                   MAX(CASE WHEN rn = 2 THEN qy END) AS qy2,
+                   MAX(CASE WHEN rn = 2 THEN zc END) AS zc2,
+                   MAX(CASE WHEN rn = 2 THEN g  END) AS g2,
+                   MAX(CASE WHEN rn = 3 THEN qx END) AS qx3,
+                   MAX(CASE WHEN rn = 3 THEN qy END) AS qy3,
+                   MAX(CASE WHEN rn = 3 THEN zc END) AS zc3,
+                   MAX(CASE WHEN rn = 3 THEN g  END) AS g3
+            FROM pairs WHERE rn <= 3 GROUP BY tid
+        ),
+        gam AS (
+            SELECT tid, zc1, zc2, zc3, g1, g2, g3,
+                   (qx1-qx2)*(qx1-qx2) + (qy1-qy2)*(qy1-qy2) AS a,
+                   (qx1-qx3)*(qx1-qx3) + (qy1-qy3)*(qy1-qy3) AS b,
+                   (qx2-qx3)*(qx2-qx3) + (qy2-qy3)*(qy2-qy3) AS c
+            FROM piv
+        ),
+        dets AS (
+            SELECT tid, zc1, zc2, zc3,
+                   {_K3["d"]} AS dd, {_K3["d1"]} AS dd1,
+                   {_K3["d2"]} AS dd2, {_K3["d3"]} AS dd3
+            FROM gam
+        )
+        SELECT tid AS sensor_id,
+               sg * dd  AS den,
+               sg * dd1 AS w1,
+               sg * dd2 AS w2,
+               sg * dd3 AS w3,
+               sg * (dd1 * zc1 + dd2 * zc2 + dd3 * zc3) AS pred_num
+        FROM (SELECT *, CASE WHEN dd < 0 THEN -1 ELSE 1 END AS sg
+              FROM dets WHERE dd <> 0)
     """
     # Probe manifest: every fixture's shape is fixed and every stage has
     # exactly N_BINARY_STAGE files -> a data-independent VALUES oracle.

@@ -448,3 +448,110 @@ def kriging_tiled(
         .groupBy("__tx", "__ty")
         .applyInPandas(krige_tile, schema=schema)
     )
+
+
+#: Cramer polynomials for the 3-point ordinary-kriging bordered system
+#: [[0,a,b,1],[a,0,c,1],[b,c,0,1],[1,1,1,0]] · [w1,w2,w3,μ] = [g1,g2,g3,1]
+#: with a/b/c the pairwise and g1..g3 the target variogram values —
+#: derived by symbolic cofactor expansion (tests re-verify vs numpy
+#: solve) and spelled as one shared SQL string per determinant so Spark
+#: (F.expr) and the DuckDB oracle evaluate the IDENTICAL integer
+#: arithmetic. D1 + D2 + D3 == D (partition of unity) by construction.
+KRIGING3_DET_SQL = {
+    "d": "a*a - 2*a*b - 2*a*c + b*b - 2*b*c + c*c",
+    "d1": "-a*c + a*g2 - a*g3 - b*c - b*g2 + b*g3 + c*c"
+          " + 2*c*g1 - c*g2 - c*g3",
+    "d2": "-a*b + a*g1 - a*g3 + b*b - b*c - b*g1 + 2*b*g2"
+          " - b*g3 - c*g1 + c*g3",
+    "d3": "a*a - a*b - a*c - a*g1 - a*g2 + 2*a*g3 + b*g1"
+          " - b*g2 - c*g1 + c*g2",
+}
+
+
+@register("kriging_exact3")
+def kriging_exact3(
+    samples: DataFrame,
+    targets: DataFrame,
+) -> DataFrame:
+    """INTEGER-EXACT ordinary-kriging solve for the 3-nearest-neighbor
+    stencil under the power-2 variogram γ(h) = h² on integer
+    coordinates: every system entry is an integer, so Cramer's rule
+    yields the exact rational solution (w_i = D_i / D) with pure BIGINT
+    arithmetic — the strictly-oracle-able twin of the float kriging
+    path (``ordinary_kriging`` fits/solves in doubles, which no SQL
+    engine replays bit-exactly; this gate proves the SOLVE machinery on
+    a case where exactness is possible). γ = h² is the degenerate
+    boundary of the power family, so singular stencils (D = 0 —
+    e.g. equally-spaced collinear triples) are filtered identically in
+    both engines.
+
+    Inputs: ``samples``/``targets`` with integer ``qx, qy`` coords,
+    ``zc`` integer value (samples) and ``sensor_id``. Output per
+    target: ``(sensor_id, den = D, w1..w3 = D_i numerators, pred_num =
+    Σ D_i·zc_i)`` with the sign normalized so ``den > 0``; the exact
+    prediction is ``pred_num / den`` cents.
+
+    Scale shape: broadcast the (small) target set, inequality BNLJ for
+    candidate distances, one keyed window for the 3-NN stencil, then a
+    map-side pivot — no all-pairs shuffle on the sample side."""
+    t = targets.select(
+        F.col("sensor_id").alias("tid"),
+        F.col("qx").alias("tx"),
+        F.col("qy").alias("ty"),
+    )
+    k = samples.select(
+        F.col("sensor_id").alias("kid"), "qx", "qy", "zc"
+    )
+    from pyspark.sql import Window
+
+    pairs = k.join(
+        F.broadcast(t), F.col("kid") != F.col("tid"), "inner"
+    ).withColumn(
+        "g",
+        (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
+        + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty")),
+    )
+    w = Window.partitionBy("tid").orderBy("g", "kid")
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    piv = nn.groupBy("tid").agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2, 3)
+            for c in ("qx", "qy", "zc", "g")
+        ]
+    )
+    gam = piv.select(
+        "tid",
+        "zc1", "zc2", "zc3",
+        F.col("g1").alias("g1"), F.col("g2").alias("g2"),
+        F.col("g3").alias("g3"),
+        ((F.col("qx1") - F.col("qx2")) * (F.col("qx1") - F.col("qx2"))
+         + (F.col("qy1") - F.col("qy2")) * (F.col("qy1") - F.col("qy2"))
+         ).alias("a"),
+        ((F.col("qx1") - F.col("qx3")) * (F.col("qx1") - F.col("qx3"))
+         + (F.col("qy1") - F.col("qy3")) * (F.col("qy1") - F.col("qy3"))
+         ).alias("b"),
+        ((F.col("qx2") - F.col("qx3")) * (F.col("qx2") - F.col("qx3"))
+         + (F.col("qy2") - F.col("qy3")) * (F.col("qy2") - F.col("qy3"))
+         ).alias("c"),
+    )
+    dets = gam.select(
+        "tid", "zc1", "zc2", "zc3",
+        F.expr(KRIGING3_DET_SQL["d"]).alias("dd"),
+        F.expr(KRIGING3_DET_SQL["d1"]).alias("dd1"),
+        F.expr(KRIGING3_DET_SQL["d2"]).alias("dd2"),
+        F.expr(KRIGING3_DET_SQL["d3"]).alias("dd3"),
+    ).filter(F.col("dd") != 0)
+    sgn = F.when(F.col("dd") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return dets.select(
+        F.col("tid").alias("sensor_id"),
+        (sgn * F.col("dd")).alias("den"),
+        (sgn * F.col("dd1")).alias("w1"),
+        (sgn * F.col("dd2")).alias("w2"),
+        (sgn * F.col("dd3")).alias("w3"),
+        (sgn * (
+            F.col("dd1") * F.col("zc1")
+            + F.col("dd2") * F.col("zc2")
+            + F.col("dd3") * F.col("zc3")
+        )).alias("pred_num"),
+    )

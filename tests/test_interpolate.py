@@ -210,3 +210,60 @@ def test_kriging_tiled_bounded_model_matches_global(spark):
     assert set(tiled) == set(glob)
     for k in glob:
         assert tiled[k] == pytest.approx(glob[k], abs=1e-8)
+
+
+def test_kriging_exact3_matches_numpy_solve(spark):
+    """The integer Cramer solution equals numpy's float solve of the
+    same bordered system (w_i = D_i / D), and the weights always sum to
+    1 exactly (D1 + D2 + D3 == D, the partition-of-unity identity)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sensordatapipelines_spark.operators.interpolate import (
+        kriging_exact3,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(40):
+        rows.append((i, int(rng.integers(0, 40)), int(rng.integers(0, 40)),
+                     int(rng.integers(-5000, 5000))))
+    samples = spark.createDataFrame(
+        rows, "sensor_id long, qx long, qy long, zc long"
+    )
+    targets = spark.createDataFrame(
+        [(1000, 7, 9), (1001, 22, 31), (1002, 0, 39)],
+        "sensor_id long, qx long, qy long",
+    ).withColumn("zc", F.lit(0))
+    got = {r.sensor_id: r for r in
+           kriging_exact3(samples, targets).collect()}
+    pts = {r[0]: r[1:] for r in rows}
+    for tid, (tx, ty) in [(1000, (7, 9)), (1001, (22, 31)), (1002, (0, 39))]:
+        # independent 3-NN + float solve
+        cand = sorted(
+            ((px - tx) ** 2 + (py - ty) ** 2, sid)
+            for sid, (px, py, _z) in pts.items()
+        )[:3]
+        ids = [sid for _g, sid in cand]
+        P = [pts[s][:2] for s in ids]
+        gvec = [g for g, _s in cand]
+
+        def gam(p, q):
+            return float((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2)
+
+        M = np.array(
+            [[gam(P[i], P[j]) for j in range(3)] + [1.0] for i in range(3)]
+            + [[1.0, 1.0, 1.0, 0.0]]
+        )
+        if abs(np.linalg.det(M)) < 1e-9:
+            assert tid not in got  # singular stencils are filtered
+            continue
+        w = np.linalg.solve(M, np.array([*map(float, gvec), 1.0]))
+        r = got[tid]
+        assert r.den > 0
+        assert r.w1 + r.w2 + r.w3 == r.den  # exact partition of unity
+        np.testing.assert_allclose(
+            [r.w1 / r.den, r.w2 / r.den, r.w3 / r.den], w[:3], atol=1e-9
+        )
+        pred = sum(wi * pts[s][2] for wi, s in zip(w[:3], ids))
+        np.testing.assert_allclose(r.pred_num / r.den, pred, atol=1e-6)

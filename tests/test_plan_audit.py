@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     "events_key_skew", "zones_polygon_agg", "docs_length_filter",
     "events_winsorized_stats", "sensors_buffer_sweep", "docs_tfidf_topk",
     "sensors_kriging", "sensors_kriging_tiled", "sensors_kriging_spherical",
+    # broadcast target side, inequality-only 3-NN candidate generation —
+    # the same stencil shape as sensors_knn_agg
+    "sensors_kriging_exact3",
     "customer_rfm",  # broadcast 1-row reference-date cross join
     "events_km_survival",  # broadcast 1-row observation-end cross join
     "events_value_trend",  # broadcast 1-row min-timestamp cross join
