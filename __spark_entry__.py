@@ -118,6 +118,9 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Non-ANSI value semantics (overflow wraps, x/0 → NULL) to match the
+    # DuckDB oracle's non-raising behavior; Spark 4 defaults ANSI on.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     from sensordatapipelines_spark.runtime import ensure_shipped
 
     ensure_shipped(spark)  # mapInPandas closures must import the package on workers
@@ -145,6 +148,31 @@ def _staged(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
         build(stage)
         _STAGE_CACHE[key] = stage
     return _STAGE_CACHE[key]
+
+
+def _emb(spark: SparkSession) -> DataFrame:
+    """Canonical embeddings ingestion: NULL vectors and NULL ids carry no
+    geometry — every similarity operator drops them at the scan (mirrored
+    verbatim as a WHERE in every emb oracle), so adversarial NULL rows
+    can never reach an Arrow kernel as ragged input."""
+    return spark.table("embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+
+
+def _staged_docs(spark: SparkSession) -> DataFrame:
+    """Canonical document selection for media staging: drop NULL ids and
+    NULL texts, collapse duplicate ids to MAX(text) (binary-collation max
+    — identical in Spark and DuckDB), order by id. Every media oracle
+    mirrors this exact subquery, so staging stays a pure deterministic
+    function of ``documents`` even on adversarial data."""
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+        .orderBy("doc_id")
+    )
 
 
 def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
@@ -864,7 +892,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import cosine_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
@@ -877,7 +905,7 @@ def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import hamming_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, dim=64)
 
 
@@ -988,7 +1016,7 @@ def emb_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import hamming_rerank_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return hamming_rerank_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, k_candidates=32, dim=64
     )
@@ -1190,7 +1218,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import pq_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=KNN_K, m=4, k_codes=16, dim=ANN_DIM
     )
@@ -1203,7 +1231,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import ivf_pq_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return ivf_pq_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1228,7 +1256,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     q = emb.filter(F.col("vec_id") < 8)
     exact = cosine_topk(emb, q, k=KNN_K).select("query_id", "vec_id").cache()
     n_exact = exact.count()
@@ -1266,7 +1294,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import hard_negatives
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=KNN_K)
 
 
@@ -1277,7 +1305,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import ann_lsh_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return ann_lsh_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1299,7 +1327,7 @@ def emb_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import ann_lsh_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return ann_lsh_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1318,7 +1346,7 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return ann_ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1337,7 +1365,7 @@ def emb_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import ann_ivf_topk
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return ann_ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1500,7 +1528,7 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return embedding_neardup(
-        spark.table("embeddings"),
+        _emb(spark),
         threshold=NEARDUP_COS,
         n_planes=ANN_PLANES,
         dim=ANN_DIM,
@@ -1963,7 +1991,7 @@ def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register_views(spark, sf_dir)
-    q = dequantize_embeddings(quantize_embeddings(spark.table("embeddings")))
+    q = dequantize_embeddings(quantize_embeddings(_emb(spark)))
     err = F.array_max(
         F.zip_with(
             F.col("embedding"),
@@ -2743,7 +2771,7 @@ def emb_vector_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.similarity import vector_sumsq_arrow
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings").select(
+    emb = _emb(spark).select(
         F.col("vec_id").alias("emb_id"), F.col("embedding").alias("vec")
     )
     return vector_sumsq_arrow(emb).select(
@@ -2761,7 +2789,7 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
-    return spark.table("embeddings").select(
+    return _emb(spark).select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
@@ -3471,9 +3499,7 @@ def _stage_ppm(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3495,9 +3521,7 @@ def _stage_wav(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3531,9 +3555,7 @@ def _stage_wav_g711(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3592,9 +3614,7 @@ def _stage_wav_adpcm(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3697,9 +3717,7 @@ def _stage_png(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3737,9 +3755,7 @@ def _stage_gif(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3766,9 +3782,7 @@ def _stage_bmp(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3799,9 +3813,7 @@ def _stage_jpeg(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3850,9 +3862,7 @@ def _stage_jpeg_progressive(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3900,9 +3910,7 @@ def _stage_tiff_jpeg(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -3964,9 +3972,7 @@ def _stage_avi(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -4023,9 +4029,7 @@ def _stage_tiff_g4(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -4082,9 +4086,7 @@ def _stage_aiff(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -4112,9 +4114,7 @@ def _stage_au(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -4141,9 +4141,7 @@ def _stage_flac(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -6244,7 +6242,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     q = emb.filter(F.col("vec_id") < 8)
     # ground truth is computed ONCE (cached): it feeds every method's hit
     # join plus the denominator — 4 recomputations of the brute-force
@@ -6386,7 +6384,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     out = kmeans_assign(
-        spark.table("embeddings"), k=KMEANS_K, iters=KMEANS_ITERS, dim=ANN_DIM
+        _emb(spark), k=KMEANS_K, iters=KMEANS_ITERS, dim=ANN_DIM
     )
     return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
@@ -6401,7 +6399,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     out = semantic_dedup(
-        spark.table("embeddings"),
+        _emb(spark),
         k=KMEANS_K,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_T,
@@ -6497,7 +6495,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return random_projection(
-        spark.table("embeddings"), out_dim=RP_OUT_DIM, seed=RP_SEED
+        _emb(spark), out_dim=RP_OUT_DIM, seed=RP_SEED
     )
 
 
@@ -6513,7 +6511,7 @@ def emb_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return cluster_coverage_sample(
-        spark.table("embeddings"),
+        _emb(spark),
         m=COVERAGE_M,
         k=KMEANS_K,
         iters=KMEANS_ITERS,
@@ -7079,9 +7077,7 @@ def _stage_binary(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         rows = (
-            spark.table("documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
+            _staged_docs(spark)
             .limit(N_BINARY_STAGE)
             .collect()
         )
@@ -7689,7 +7685,7 @@ def _stage_ann_index(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         write_ann_index(
-            spark.table("embeddings"),
+            _emb(spark),
             f"{stage}/index",
             n_cells=IVF_CELLS,
             dim=ANN_DIM,
@@ -7711,7 +7707,7 @@ def emb_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     stage = _stage_ann_index(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark)
     return query_ann_index(
         spark,
         f"{stage}/index",
@@ -9901,7 +9897,7 @@ def _ann_lsh_multi_oracle(n_tables: int) -> str:
     signatures union, candidates dedupe on (query, id), exact re-rank."""
     sig_union = "\n            UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {_lsh_sig_sql('embedding', t)} AS sig"
-        f" FROM embeddings"
+        f" FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings"
         for t in range(n_tables)
     )
     return f"""
@@ -9917,8 +9913,8 @@ def _ann_lsh_multi_oracle(n_tables: int) -> str:
             SELECT cm.query_id, cm.vec_id,
                    {_COS_SQL.format(a="q", b="c")} AS sim
             FROM candm cm
-            JOIN embeddings q ON q.vec_id = cm.query_id
-            JOIN embeddings c ON c.vec_id = cm.vec_id
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) q ON q.vec_id = cm.query_id
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) c ON c.vec_id = cm.vec_id
         ),
         ranked AS (
             SELECT query_id, vec_id, sim,
@@ -9948,7 +9944,7 @@ def _ann_lsh_oracle() -> str:
     return f"""
         WITH sig AS (
             SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
         ),
         pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id,
@@ -10009,7 +10005,7 @@ def _ivf_oracle(nprobe: int = 1) -> str:
         WITH dl AS (
             SELECT vec_id, embedding,
                [{dists}] AS dists
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
         ),
         cells AS (
             SELECT vec_id, embedding,
@@ -10061,7 +10057,7 @@ def _ivfpq_oracle(m: int = 4, k_codes: int = 16, k: int = 5, nprobe: int = 2) ->
         WITH dl AS (
             SELECT vec_id, embedding,
                [{dists}] AS dists
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
         ),
         cells AS (
             SELECT vec_id, list_position(dists, list_min(dists)) AS cell
@@ -10081,14 +10077,14 @@ def _ivfpq_oracle(m: int = 4, k_codes: int = 16, k: int = 5, nprobe: int = 2) ->
         ),
         cb AS (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, embedding AS cbv
-            FROM (SELECT vec_id, embedding FROM embeddings
+            FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
                   ORDER BY vec_id LIMIT {k_codes})
         ),
         cd AS (
             SELECT e.vec_id, p.j, cb.c,
                    list_reduce(list_transform(range(1, {sub + 1}),
                        i -> {term} * {term}), (x, y) -> x + y) AS dist
-            FROM embeddings e
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e
             CROSS JOIN cb
             CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) p
         ),
@@ -10145,14 +10141,14 @@ def _pq_oracle(m: int = 4, k_codes: int = 16, k: int = 5) -> str:
     return f"""
         WITH cb AS (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, embedding AS cbv
-            FROM (SELECT vec_id, embedding FROM embeddings
+            FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
                   ORDER BY vec_id LIMIT {k_codes})
         ),
         cd AS (
             SELECT e.vec_id, p.j, cb.c,
                    list_reduce(list_transform(range(1, {sub + 1}),
                        i -> {term} * {term}), (x, y) -> x + y) AS dist
-            FROM embeddings e
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e
             CROSS JOIN cb
             CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) p
         ),
@@ -10210,7 +10206,7 @@ def _emb_neardup_oracle() -> str:
     return f"""
         WITH sig AS (
             SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({_COS_SQL.format(a="a", b="b")}, 6) AS cos_sim
@@ -10248,7 +10244,7 @@ def _kmeans_cte_sql(k: int, iters: int, dim: int) -> str:
                 SELECT e.vec_id, e.embedding, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                                           ORDER BY {d2}, c.cid) AS rn
-                FROM embeddings e CROSS JOIN {cent} c
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e CROSS JOIN {cent} c
             ) WHERE rn = 1
         )"""
 
@@ -10256,7 +10252,7 @@ def _kmeans_cte_sql(k: int, iters: int, dim: int) -> str:
         f"""cent0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS cid,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-            FROM (SELECT vec_id, embedding FROM embeddings
+            FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
                   ORDER BY vec_id LIMIT {k})
         )"""
     ]
@@ -10385,8 +10381,9 @@ def _adpcm_oracle() -> str:
     return f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -10440,9 +10437,9 @@ def _hamming_topk_sql(k: int) -> str:
                        CAST(bit_count(xor(q.w0, c.w0))
                             + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
                 FROM (SELECT vec_id, {pack1} AS w0, {pack2} AS w1
-                      FROM embeddings WHERE vec_id < 8) q
+                      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings WHERE vec_id < 8) q
                 JOIN (SELECT vec_id, {pack1} AS w0, {pack2} AS w1
-                      FROM embeddings) c
+                      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings) c
                   ON q.vec_id != c.vec_id
             )
         ) WHERE rank <= {k}
@@ -10537,8 +10534,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_props": """
             SELECT event_type,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+                   ROUND(AVG(TRY_CAST(json_extract_string(
+                       TRY_CAST(props AS JSON), '$.k') AS INT)), 6) AS avg_k,
+                   MAX(TRY_CAST(json_extract_string(
+                       TRY_CAST(props AS JSON), '$.k') AS INT)) AS max_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -10842,7 +10841,7 @@ def oracle_sql() -> dict[str, str]:
                         * SQRT(list_reduce(list_transform(range(1, 65),
                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
                                (x, y) -> x + y))) AS sim
-                FROM embeddings q CROSS JOIN embeddings e
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) q CROSS JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e
                 WHERE q.vec_id < 8 AND q.vec_id <> e.vec_id
             ),
             ranked AS (
@@ -10868,7 +10867,7 @@ def oracle_sql() -> dict[str, str]:
                         * SQRT(list_reduce(list_transform(range(1, 65),
                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
                                (x, y) -> x + y))) AS sim
-                FROM embeddings q CROSS JOIN embeddings e
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) q CROSS JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e
                 WHERE q.vec_id < 8 AND q.vec_id <> e.vec_id
                   AND q.label <> e.label
             ),
@@ -11357,7 +11356,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
         )
         SELECT vec_id, ROUND(scale, 6) AS q_scale, TRUE AS within_bound
         FROM s
@@ -11755,7 +11754,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
                    * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
                    AS BIGINT) AS sumsq_e12
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
     """
     oracles["emb_vector_stats"] = """
         SELECT vec_id, label, len(embedding) AS dim,
@@ -11765,7 +11764,7 @@ def oracle_sql() -> dict[str, str]:
                    (a, b) -> a + b)), 6) AS l2_norm,
                ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
                ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings
     """
     oracles["customer_percent_rank"] = """
         SELECT c_custkey, c_mktsegment,
@@ -12638,7 +12637,9 @@ def oracle_sql() -> dict[str, str]:
     # documents table, so every sampled frame's hex is reproducible —
     # idx 0 = the full 16-byte digest; idx 25 wraps to bytes 9..15
     oracles["media_frame_sample"] = r"""
-        WITH staged AS (SELECT doc_id, md5(text) AS h FROM documents)
+        WITH staged AS (SELECT doc_id, md5(MAX(text)) AS h FROM documents
+                        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                        GROUP BY doc_id)
         SELECT doc_id AS media_id, CAST(0 AS INT) AS frame_idx,
                UPPER(h) AS frame_hex
         FROM staged
@@ -13405,7 +13406,7 @@ def oracle_sql() -> dict[str, str]:
             f" (x, y) -> x + y) / sqrt({float(RP_OUT_DIM)}), 6) AS p{j:02d}"
         )
     oracles["emb_random_projection"] = (
-        "SELECT vec_id, " + ", ".join(rp_cols) + " FROM embeddings"
+        "SELECT vec_id, " + ", ".join(rp_cols) + " FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) embeddings"
     )
     d2_final = (
         f"list_reduce(list_transform(range(1, {ANN_DIM + 1}),"
@@ -13417,7 +13418,7 @@ def oracle_sql() -> dict[str, str]:
         {kmeans_cte},
         dists AS (
             SELECT e.vec_id, c.cid, {d2_final} AS d2
-            FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e CROSS JOIN cent{KMEANS_ITERS} c
         ),
         best AS (
             SELECT vec_id, cid, round(d2, 6) AS dist2 FROM (
@@ -13562,8 +13563,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_payload_features"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -13590,8 +13592,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_media_features"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -13627,8 +13630,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_ppm_resize"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         )
         SELECT doc_id AS media_id,
                CAST(2 AS INT) AS width,
@@ -13643,8 +13647,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_image_dhash"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -13683,8 +13688,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_dhash_pairs"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -13725,8 +13731,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_audio_fingerprint"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -13768,8 +13775,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_wav_resample"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         )
         SELECT doc_id AS media_id,
                CAST(4000 AS INT) AS sample_rate,
@@ -13784,8 +13792,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_wav_frames"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         )
         SELECT doc_id AS media_id,
                CAST(i.frame_idx AS INT) AS frame_idx,
@@ -14944,7 +14953,7 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY q.vec_id
                            ORDER BY {_trunc_cos(d, "q", "c")} DESC, c.vec_id
                        ) AS rnk
-                FROM embeddings q JOIN embeddings c
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) c
                   ON q.vec_id < 8 AND q.vec_id <> c.vec_id
             ) WHERE rnk <= {KNN_K}
         """
@@ -15648,8 +15657,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_ppm_histogram"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         px AS (
             SELECT doc_id, c.c AS channel, k.k AS k,
@@ -15673,8 +15683,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_jpeg_histogram"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -15697,8 +15708,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_tiff_jpeg_cells"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -15718,8 +15730,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_avi_frames"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         )
         SELECT doc_id AS media_id, CAST(k.k AS INT) AS frame_idx,
                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
@@ -15737,8 +15750,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_aiff_zcr"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -15771,8 +15785,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_au_zcr"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -15809,8 +15824,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_tiff_g4_mask"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id, k.k AS k,
@@ -15835,8 +15851,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_png_histogram"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         px AS (
             SELECT doc_id, c.c AS channel, k.k AS k,
@@ -15859,8 +15876,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_gif_histogram"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         idx AS (
             SELECT doc_id, k.k AS k,
@@ -15886,8 +15904,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_bmp_histogram"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         px AS (
             SELECT doc_id, c.c AS channel, k.k AS k,
@@ -15908,8 +15927,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_wav_zcr"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -16048,8 +16068,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_wav_dft8"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id,
@@ -16083,8 +16104,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["media_wav_g711"] = f"""
         WITH staged AS (
             SELECT doc_id, md5(text) AS h, doc_id % 2 AS law
-            FROM (SELECT doc_id, text FROM documents
-                  ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
         ),
         bytes AS (
             SELECT doc_id, law,
@@ -16672,8 +16694,8 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(e.embedding[i] AS DOUBLE)),
                            (x, y) -> x + y))) AS sim
             FROM cand
-            JOIN embeddings q ON q.vec_id = cand.query_id
-            JOIN embeddings e ON e.vec_id = cand.vec_id
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) q ON q.vec_id = cand.query_id
+            JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) e ON e.vec_id = cand.vec_id
         ),
         ranked AS (
             SELECT query_id, vec_id, sim,

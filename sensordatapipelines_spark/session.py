@@ -23,6 +23,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Cross-engine value semantics: Spark 4 defaults to ANSI mode, where
+    # int64 overflow and division-by-zero RAISE. The DuckDB oracle widens
+    # sums to HUGEINT and yields NULL on x/0 — and the engine's own
+    # contract (quantize-and-clamp guards, explicit NULL propagation)
+    # assumes the pre-4.0 non-ANSI semantics. Pinned here AND in
+    # ``__spark_entry__._register_views`` (the driver brings its own
+    # session, which this conf must follow).
+    "spark.sql.ansi.enabled": "false",
     # Sensors/dim tables are small relative to fact tables: give broadcast
     # joins room. At 100 TB the fact side never broadcasts; dims still do.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
