@@ -171,7 +171,7 @@ def _staged_docs(spark: SparkSession) -> DataFrame:
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .groupBy("doc_id")
         .agg(F.max("text").alias("text"))
-        .orderBy("doc_id")
+        .orderBy(F.asc_nulls_last("doc_id"))
     )
 
 
@@ -413,7 +413,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
         )
     )
-    return rev.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
+    return rev.orderBy(F.desc("revenue"), F.asc_nulls_last(F.col("o_orderkey"))).limit(10)
 
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +444,7 @@ def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc_nulls_last(F.col("o_orderkey")))
     return (
         spark.table("orders")
         .withColumn("rk", F.row_number().over(w))
@@ -973,7 +973,7 @@ def orders_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s"), F.lit(0)).alias("s"),
         )
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy(F.asc_nulls_last("d")).rowsBetween(Window.unboundedPreceding, 0)
     cum = spine.select(
         "d",
         F.sum("p").over(w).alias("placed_cum"),
@@ -1059,7 +1059,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_e2")
         )
     )
-    w = Window.orderBy("month")
+    w = Window.orderBy(F.asc_nulls_last("month"))
     return (
         monthly.withColumn("prev_year_e2", F.lag("revenue_e2", 12).over(w))
         .select(
@@ -1089,7 +1089,7 @@ def customer_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * F.lit(100)).cast("long").alias("bal_e2"),
     )
     n_total = c.count()
-    w = Window.orderBy("bal_e2", "c_custkey")
+    w = Window.orderBy(F.asc_nulls_last("bal_e2"), F.asc_nulls_last("c_custkey"))
     qi = (
         c.withColumn("rank", F.row_number().over(w))
         .withColumn(
@@ -1613,7 +1613,7 @@ def events_bottomk_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("value"), F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last(F.col("value")), F.asc_nulls_last(F.col("event_id")))
     return (
         spark.table("events")
         .withColumn("rk", F.row_number().over(w))
@@ -1819,7 +1819,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .orderBy(F.desc("revenue"), F.asc_nulls_last(F.col("c_custkey")))
         .limit(20)
     )
 
@@ -2070,7 +2070,7 @@ def sensors_morton_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             iy.alias("iy"),
             morton_key_expr(ix, iy, bits=6).alias("zkey"),
         )
-        .orderBy("zkey", "sensor_id")
+        .orderBy(F.asc_nulls_last("zkey"), F.asc_nulls_last("sensor_id"))
         .limit(20)
     )
 
@@ -2447,7 +2447,7 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     ev = spark.table("events").withColumn(
         "delta", F.col("value") - F.lag("value").over(w)
     )
@@ -2528,7 +2528,7 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.asc_nulls_last(F.unix_micros(F.col("ts"))))
         .rangeBetween(-hour_us, 0)
     )
     return spark.table("events").select(
@@ -2548,7 +2548,7 @@ def customer_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey"))
     return (
         spark.table("customer")
         .withColumn("quartile", F.ntile(4).over(w))
@@ -2806,7 +2806,7 @@ def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc_nulls_last("c_acctbal"))
     return spark.table("customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -3308,7 +3308,7 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("lang") == "en"), n_buckets=10_000
     )
     return (
-        out.orderBy(F.desc("log_weight"), "doc_id")
+        out.orderBy(F.desc("log_weight"), F.asc_nulls_last("doc_id"))
         .limit(100)
         .select("doc_id", "log_weight")
     )
@@ -3473,7 +3473,7 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.orderBy(F.md5(F.concat_ws(":", F.lit("epoch0"), F.col("doc_id"))))
+    w = Window.orderBy(F.asc_nulls_last(F.md5(F.concat_ws(":", F.lit("epoch0"), F.col("doc_id")))))
     return (
         spark.table("documents")
         .select("doc_id")
@@ -4476,7 +4476,7 @@ def q2_min_acct_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name", "p_partkey"
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), F.asc_nulls_last("n_name"), F.asc_nulls_last("s_name"), F.asc_nulls_last("p_partkey"))
         .limit(100)
     )
 
@@ -4767,7 +4767,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
-        .orderBy("s_name")
+        .orderBy(F.asc_nulls_last("s_name"))
     )
 
 
@@ -4803,7 +4803,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
+        .orderBy(F.desc("numwait"), F.asc_nulls_last("s_name"))
         .limit(100)
     )
 
@@ -5158,7 +5158,7 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(bigrams)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc_nulls_last())
         .limit(20)
     )
 
@@ -5439,7 +5439,7 @@ def _stage_sensor_points(spark: SparkSession, sf_dir: str) -> str:
         )
 
         _register_views(spark, sf_dir)
-        rows = _sensors(spark).orderBy("sensor_id").collect()
+        rows = _sensors(spark).orderBy(F.asc_nulls_last("sensor_id")).collect()
         write_shp_points(
             f"{stage}/sensors.shp", [(r.lon, r.lat) for r in rows]
         )
@@ -5738,7 +5738,7 @@ def _stage_gpkg_points(spark: SparkSession, sf_dir: str) -> str:
 
     def build(stage: str) -> None:
         _register_views(spark, sf_dir)
-        rows = _sensors(spark).orderBy("sensor_id").collect()
+        rows = _sensors(spark).orderBy(F.asc_nulls_last("sensor_id")).collect()
         con = sqlite3.connect(f"{stage}/sensors.gpkg")
         con.execute(
             "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
@@ -8466,7 +8466,7 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
     gaps = (
         spark.table("orders")
         .select(
@@ -8844,7 +8844,7 @@ def semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("floor_e6", f6))
         .unionByName(row("int_div_trunc", dv))
         .unionByName(row("epoch_parse", ep))
-        .orderBy("probe")
+        .orderBy(F.asc_nulls_last("probe"))
     )
 
 
@@ -10443,6 +10443,62 @@ def _hamming_topk_sql(k: int) -> str:
                   ON q.vec_id != c.vec_id
             )
         ) WHERE rank <= {k}
+    """
+
+
+def _mad_oracle_sql(tbl: str, key: str, val: str, key_out: str) -> str:
+    """Exact-integer MAD oracle (VERDICT r7 #5): the clamped e6 quantizer
+    feeds 2·median / 4·MAD as BIGINT sums of the two middle order
+    statistics — zero float surface, mirroring operators.temporal
+    ``mad_anomaly``/``quantize_e6`` term for term."""
+    return f"""
+        WITH base AS (
+            SELECT {key} AS k,
+                   CAST(ROUND(LEAST(GREATEST({val}, -1e10), 1e10) * 1e6)
+                        AS BIGINT) AS v6
+            FROM {tbl}
+            WHERE {val} IS NOT NULL AND NOT isnan({val})
+        ),
+        r1 AS (
+            SELECT k, v6,
+                   row_number() OVER (PARTITION BY k ORDER BY v6) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS n
+            FROM base
+        ),
+        med AS (
+            SELECT lo.k, lo.v6 + hi.v6 AS med2
+            FROM (SELECT k, v6 FROM r1 WHERE rn = (n + 1) // 2) lo
+            JOIN (SELECT k, v6 FROM r1 WHERE rn = (n + 2) // 2) hi USING (k)
+        ),
+        nr AS (SELECT k, COUNT(*) AS n_rows FROM base GROUP BY k),
+        dev AS (
+            SELECT b.k, ABS(b.v6 * 2 - m.med2) AS dev2
+            FROM base b JOIN med m ON b.k = m.k
+        ),
+        r2 AS (
+            SELECT k, dev2,
+                   row_number() OVER (PARTITION BY k ORDER BY dev2) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT lo.k, lo.dev2 + hi.dev2 AS mad4
+            FROM (SELECT k, dev2 FROM r2 WHERE rn = (n + 1) // 2) lo
+            JOIN (SELECT k, dev2 FROM r2 WHERE rn = (n + 2) // 2) hi USING (k)
+        ),
+        fl AS (
+            SELECT d.k,
+                   SUM(CASE WHEN d.dev2 * 4 > 7 * a.mad4
+                            THEN 1 ELSE 0 END) AS n_anomalies
+            FROM dev d JOIN mad a ON d.k = a.k GROUP BY d.k
+        )
+        SELECT m.k AS {key_out}, nr.n_rows, m.med2 AS med_x2_e6,
+               a.mad4 AS mad_x4_e6, fl.n_anomalies
+        FROM med m
+        JOIN mad a ON m.k = a.k
+        JOIN nr ON m.k = nr.k
+        JOIN fl ON m.k = fl.k
+        ORDER BY {key_out}
     """
 
 
@@ -15080,7 +15136,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_ns(ts) // 1000000000, event_id, value) AS rn
             FROM events
-            WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL AND event_id IS NOT NULL
         ),
         c AS (SELECT * FROM p WHERE rn <= 64),
         s AS (SELECT user_id, COUNT(*) AS n_points FROM c GROUP BY user_id),
@@ -15271,10 +15328,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["lineitem_weighted_median"] = """
         WITH base AS (
             SELECT l_returnflag AS k,
-                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS v2,
-                   CAST(l_quantity AS BIGINT) AS w,
+                   CAST(ROUND(LEAST(GREATEST(l_extendedprice, -1e10), 1e10)
+                              * 100.0) AS BIGINT) AS v2,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS w,
                    l_orderkey * 8 + l_linenumber AS tb
             FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+              AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
         ),
         cum AS (
             SELECT k, v2,
@@ -15462,36 +15522,9 @@ def oracle_sql() -> dict[str, str]:
                c.n * 1000000 // t.tot AS p_e6
         FROM counts c JOIN totals t ON c.from_state = t.from_state
     """
-    oracles["events_mad_anomaly"] = """
-        WITH base AS (
-            SELECT event_type AS k,
-                   CAST(ROUND(value * 1e6) AS BIGINT) AS v6
-            FROM events WHERE value IS NOT NULL
-        ),
-        med AS (
-            SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2,
-                   COUNT(*) AS n_rows
-            FROM base GROUP BY k
-        ),
-        dev AS (
-            SELECT b.k, med.med2, med.n_rows,
-                   ABS(CAST(b.v6 AS DOUBLE) * 2.0 - med.med2) AS dev2
-            FROM base b JOIN med ON b.k = med.k
-        ),
-        mad AS (
-            SELECT k, med2, n_rows,
-                   quantile_cont(dev2, 0.5) * 2.0 AS mad4
-            FROM dev GROUP BY k, med2, n_rows
-        )
-        SELECT d.k AS event_type,
-               m.n_rows,
-               CAST(m.med2 AS BIGINT) AS med_x2_e6,
-               CAST(m.mad4 AS BIGINT) AS mad_x4_e6,
-               SUM(CASE WHEN d.dev2 * 4.0 > 7.0 * m.mad4
-                        THEN 1 ELSE 0 END) AS n_anomalies
-        FROM dev d JOIN mad m ON d.k = m.k
-        GROUP BY d.k, m.n_rows, m.med2, m.mad4
-    """
+    oracles["events_mad_anomaly"] = _mad_oracle_sql(
+        tbl="events", key="event_type", val="value", key_out="event_type"
+    )
     oracles["events_compacted_scan"] = """
         SELECT event_type,
                COUNT(*) AS n_rows,
@@ -16556,36 +16589,10 @@ def oracle_sql() -> dict[str, str]:
                c.n * 1000000 // t.tot AS p_e6
         FROM counts c JOIN totals t ON c.from_state = t.from_state
     """
-    oracles["orders_total_mad"] = """
-        WITH base AS (
-            SELECT o_orderpriority AS k,
-                   CAST(ROUND(o_totalprice * 1e6) AS BIGINT) AS v6
-            FROM orders WHERE o_totalprice IS NOT NULL
-        ),
-        med AS (
-            SELECT k, quantile_cont(v6, 0.5) * 2.0 AS med2,
-                   COUNT(*) AS n_rows
-            FROM base GROUP BY k
-        ),
-        dev AS (
-            SELECT b.k, med.med2, med.n_rows,
-                   ABS(CAST(b.v6 AS DOUBLE) * 2.0 - med.med2) AS dev2
-            FROM base b JOIN med ON b.k = med.k
-        ),
-        mad AS (
-            SELECT k, med2, n_rows,
-                   quantile_cont(dev2, 0.5) * 2.0 AS mad4
-            FROM dev GROUP BY k, med2, n_rows
-        )
-        SELECT d.k AS o_orderpriority,
-               m.n_rows,
-               CAST(m.med2 AS BIGINT) AS med_x2_e6,
-               CAST(m.mad4 AS BIGINT) AS mad_x4_e6,
-               SUM(CASE WHEN d.dev2 * 4.0 > 7.0 * m.mad4
-                        THEN 1 ELSE 0 END) AS n_anomalies
-        FROM dev d JOIN mad m ON d.k = m.k
-        GROUP BY d.k, m.n_rows, m.med2, m.mad4
-    """
+    oracles["orders_total_mad"] = _mad_oracle_sql(
+        tbl="orders", key="o_orderpriority", val="o_totalprice",
+        key_out="o_orderpriority"
+    )
     oracles["customer_kanon_audit"] = """
         WITH c AS (
             SELECT c_custkey, c_nationkey, c_mktsegment,

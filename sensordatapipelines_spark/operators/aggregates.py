@@ -151,9 +151,9 @@ def weighted_percentile(
     zero-total groups are OMITTED from the output (no row emitted — a
     NULL percentile row would claim a quantile no weight supports)."""
     w = F.col(weight_col).cast("double")
-    order = [F.col(value_col).asc()]
+    order = [F.col(value_col).asc_nulls_last()]
     if tiebreak_col:
-        order.append(F.col(tiebreak_col).asc())
+        order.append(F.col(tiebreak_col).asc_nulls_last())
     win = (
         Window.partitionBy(group_col)
         .orderBy(*order)

@@ -33,7 +33,7 @@ def exact_dedup(
     key (deterministic keep-first; reference ``drop_index_duplicates``
     ``/root/reference/src/data_preprocessing.py:643-647`` keeps first by row
     order — Spark has none, so order is made explicit)."""
-    w = Window.partitionBy(*subset).orderBy(F.col(id_col))
+    w = Window.partitionBy(*subset).orderBy(F.asc_nulls_last(F.col(id_col)))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -577,7 +577,7 @@ def setsim_join(
         "__rn",
         F.row_number().over(
             Window.partitionBy("__id").orderBy(
-                F.col("__df").asc(), F.col("__tok").asc()
+                F.col("__df").asc_nulls_last(), F.col("__tok").asc_nulls_last()
             )
         ),
     )
@@ -902,7 +902,7 @@ def neardedup_keep_longest(
     )
     members = comps.join(ntok, comps["node"] == F.col("__nid"))
     w = Window.partitionBy("component").orderBy(
-        F.col("__nt").desc(), F.col("node").asc()
+        F.col("__nt").desc(), F.col("node").asc_nulls_last()
     )
     losers = (
         members.withColumn("__rk", F.row_number().over(w))
@@ -982,7 +982,7 @@ def canonical_dedup(
     the hash drives the exchange cheaply while the full canonical form in
     the key rules out collision-merges of distinct documents."""
     canon = canonical_text_expr(F.col(text_col))
-    w = Window.partitionBy(F.xxhash64(canon), canon).orderBy(F.col(id_col))
+    w = Window.partitionBy(F.xxhash64(canon), canon).orderBy(F.asc_nulls_last(F.col(id_col)))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -1701,7 +1701,7 @@ def _winnow_fp_sets(
     )
     w = (
         Window.partitionBy("__id")
-        .orderBy("__pos")
+        .orderBy(F.asc_nulls_last("__pos"))
         .rowsBetween(Window.currentRow, int(window) - 1)
     )
     return (

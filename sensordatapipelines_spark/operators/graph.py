@@ -256,7 +256,7 @@ def adamic_adar(
     )
     new_pairs = scored.join(canon, ["u", "w"], "left_anti")
     wrank = Window.partitionBy("u").orderBy(
-        F.col("__aa6").desc(), F.col("w").asc()
+        F.col("__aa6").desc(), F.col("w").asc_nulls_last()
     )
     return (
         new_pairs.withColumn("rank", F.row_number().over(wrank))
@@ -427,7 +427,7 @@ def jaccard_link_pred(
             "n_common", "n_union", "jaccard_e6",
         )
     )
-    win = Window.partitionBy("u").orderBy(F.desc("jaccard_e6"), F.col("w"))
+    win = Window.partitionBy("u").orderBy(F.desc("jaccard_e6"), F.asc_nulls_last(F.col("w")))
     return (
         both.withColumn("rank", F.row_number().over(win).cast("long"))
         .filter(F.col("rank") <= int(top_k))

@@ -263,7 +263,7 @@ def ordinary_kriging(
     )
     n_total = sel.count()
     if n_total > max_points:
-        sel = sel.orderBy("x", "y", "v").limit(max_points)
+        sel = sel.orderBy(F.asc_nulls_last("x"), F.asc_nulls_last("y"), F.asc_nulls_last("v")).limit(max_points)
     pts = sel.toPandas().to_numpy(dtype="float64")
     coords, values = pts[:, :2], pts[:, 2]
     if variogram is None:
@@ -511,7 +511,7 @@ def kriging_exact3(
         (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
         + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty")),
     )
-    w = Window.partitionBy("tid").orderBy("g", "kid")
+    w = Window.partitionBy("tid").orderBy(F.asc_nulls_last("g"), F.asc_nulls_last("kid"))
     nn = pairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
     piv = nn.groupBy("tid").agg(
         *[

@@ -76,7 +76,7 @@ def asof_join(
     # the last one the running last() sees).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts), F.col("__is_left"), F.col("__tb"))
+        .orderBy(F.asc_nulls_last(F.col(left_ts)), F.asc_nulls_last(F.col("__is_left")), F.asc_nulls_last(F.col("__tb")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = u
@@ -440,6 +440,6 @@ def market_basket_pairs(
         )
     )
     return (
-        scored.orderBy(F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        scored.orderBy(F.col("lift").desc(), F.col("item_a").asc_nulls_last(), F.col("item_b").asc_nulls_last())
         .limit(top_n)
     )

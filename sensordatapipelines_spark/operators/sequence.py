@@ -74,7 +74,7 @@ def frequent_sequences(
         if length not in (2, 3):
             raise ValueError("only lengths 2 and 3 are supported")
     w = Window.partitionBy("__a").orderBy(
-        F.col("__ts").asc(), F.col("__tb").asc()
+        F.col("__ts").asc_nulls_last(), F.col("__tb").asc_nulls_last()
     )
     capped = (
         df.select(

@@ -112,7 +112,7 @@ def cosine_topk(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -245,7 +245,7 @@ def ann_lsh_topk(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -334,7 +334,7 @@ def ann_ivf_topk(
             F.col(vec_col).alias("__qv"),
             F.posexplode(ivf_dists_expr(F.col(vec_col), cents)).alias("__pos", "__d"),
         )
-        wq = Window.partitionBy("__qid").orderBy("__d", "__pos")
+        wq = Window.partitionBy("__qid").orderBy(F.asc_nulls_last("__d"), F.asc_nulls_last("__pos"))
         q = (
             exploded.withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") <= nprobe)
@@ -346,7 +346,7 @@ def ann_ivf_topk(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -550,7 +550,7 @@ def kmeans_fit(
     literal-centroid expressions without re-fitting."""
     init = (
         df.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.asc_nulls_last(id_col))
         .limit(k)
         .collect()
     )
@@ -773,7 +773,7 @@ def cluster_coverage_sample(
         F.col("__cd.cell").alias("cluster"),
         F.round(F.col("__cd.d2"), 6).alias("dist2"),
     )
-    w = Window.partitionBy("cluster").orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+    w = Window.partitionBy("cluster").orderBy(F.col("dist2").asc_nulls_last(), F.col(id_col).asc_nulls_last())
     return (
         assigned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= m)
@@ -887,7 +887,7 @@ def query_ann_index(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -942,7 +942,7 @@ def hard_negatives(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -986,7 +986,7 @@ def pq_seed_codebooks(
     the encode/score plan shape is unchanged. Code indices are 1-based
     (matches ``array_position``/DuckDB ``list_position``)."""
     sub = dim // m
-    rows = df.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    rows = df.orderBy(F.asc_nulls_last(id_col)).limit(k_codes).select(vec_col).collect()
     return [
         [[float(x) for x in r[vec_col][j * sub:(j + 1) * sub]] for r in rows]
         for j in range(m)
@@ -1114,7 +1114,7 @@ def pq_topk(
     adc = F.lit(0.0)
     for j in range(len(cbs)):
         adc = adc + F.element_at(F.col(f"__lut{j}"), F.col("__codes").getItem(j).cast("int"))
-    w = Window.partitionBy("__qid").orderBy(F.col("__adc").asc(), F.col("__cid").asc())
+    w = Window.partitionBy("__qid").orderBy(F.col("__adc").asc_nulls_last(), F.col("__cid").asc_nulls_last())
     return (
         pairs.withColumn("__adc", adc)
         .withColumn("rank", F.row_number().over(w))
@@ -1167,7 +1167,7 @@ def ivf_pq_topk(
         F.col(vec_col).alias("__qv"),
         F.posexplode(ivf_dists_expr(F.col(vec_col), cents)).alias("__pos", "__d"),
     )
-    wq = Window.partitionBy("__qid").orderBy("__d", "__pos")
+    wq = Window.partitionBy("__qid").orderBy(F.asc_nulls_last("__d"), F.asc_nulls_last("__pos"))
     probed = (
         exploded.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
@@ -1187,7 +1187,7 @@ def ivf_pq_topk(
         adc = adc + F.element_at(
             F.col(f"__lut{j}"), F.col("__codes").getItem(j).cast("int")
         )
-    w = Window.partitionBy("__qid").orderBy(F.col("__adc").asc(), F.col("__cid").asc())
+    w = Window.partitionBy("__qid").orderBy(F.col("__adc").asc_nulls_last(), F.col("__cid").asc_nulls_last())
     return (
         pairs.withColumn("__adc", adc)
         .withColumn("rank", F.row_number().over(w))
@@ -1232,7 +1232,7 @@ def truncated_cosine_topk(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -1293,7 +1293,7 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
         F.sum("__t").alias("rrf_e9"),
     )
-    w = Window.partitionBy("__q").orderBy(F.col("rrf_e9").desc(), F.col("__id").asc())
+    w = Window.partitionBy("__q").orderBy(F.col("rrf_e9").desc(), F.col("__id").asc_nulls_last())
     return (
         fused.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= F.lit(int(top_k)))
@@ -1363,7 +1363,7 @@ def hamming_topk(
         start=F.lit(0),
     ).cast("long")
     pairs = F.broadcast(q).join(c, on=F.col("__qid") != F.col("__cid"))
-    w = Window.partitionBy("__qid").orderBy(F.col("hamming"), F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.asc_nulls_last(F.col("hamming")), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("hamming", dist)
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1417,7 +1417,7 @@ def hamming_rerank_topk(
     sim = _pair_dot_udf()(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.col("__cid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc_nulls_last(F.col("__cid")))
     return (
         pairs.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w).cast("long"))

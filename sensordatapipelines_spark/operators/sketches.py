@@ -189,7 +189,7 @@ def kmv_distinct(
     hashed = df.select(
         g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc_nulls_last())
     topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return topk.groupBy("grp").agg(
         F.count("*").alias("n_kept"),
@@ -232,7 +232,7 @@ def kmv_intersect_pairs(
         F.col(group_by).alias("grp"),
         hasher(F.col(key_col).cast("string")).alias("h"),
     ).distinct()
-    wg = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    wg = Window.partitionBy("grp").orderBy(F.col("h").asc_nulls_last())
     topk = (
         hashed.withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") <= k)
@@ -255,7 +255,7 @@ def kmv_intersect_pairs(
         .groupBy("grp_a", "grp_b", "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    wp = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc())
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc_nulls_last())
     kept = merged.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
     agg = kept.groupBy("grp_a", "grp_b").agg(
         F.count("*").alias("n_kept"),
@@ -422,7 +422,7 @@ def histogram_quantiles(
         .groupBy("key", "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("key").orderBy("v").rowsBetween(
+    w = Window.partitionBy("key").orderBy(F.asc_nulls_last("v")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     tot = Window.partitionBy("key")

@@ -475,9 +475,9 @@ def knn_aggregate(
     if current < floor:
         layer = layer.repartition(floor)
     pairs = F.broadcast(s).join(layer, on=cond, how="inner").withColumn("__dist", d)
-    order = [F.col("__dist")]
+    order = [F.col("__dist").asc_nulls_last()]
     if layer_id_col:
-        order.append(F.col(layer_id_col))
+        order.append(F.col(layer_id_col).asc_nulls_last())
     w = Window.partitionBy("__sid").orderBy(*order)
     topk = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     stats = topk.groupBy("__sid").agg(*build_agg_exprs(cols, funcs, source_name))
@@ -521,7 +521,7 @@ def zonal_stats(
     """
     cells = _resolve_crs_pair(sensors, cells, crs, sensor_lon, cell_x, cell_y)
     if bands is None:
-        bands = [r[0] for r in cells.select(band_col).distinct().orderBy(band_col).collect()]
+        bands = [r[0] for r in cells.select(band_col).distinct().orderBy(F.asc_nulls_last(band_col)).collect()]
     cells = cells.filter(F.col(band_col).isin([int(b) for b in bands]))
     if nodata is not None:
         cells = cells.filter(F.col(value_col) != F.lit(nodata))

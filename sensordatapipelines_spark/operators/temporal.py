@@ -160,9 +160,9 @@ def sessionize(
     # cast-to-timestamp first: tolerates TIMESTAMP_NTZ inputs (unix_micros
     # rejects NTZ; the cast is a no-op on proper TIMESTAMP columns)
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    order = [ts_us]
+    order = [ts_us.asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.partitionBy(sensor_col).orderBy(*order)
     gap = F.lit(gap_seconds * 1_000_000)
     new_session = F.when(
@@ -189,9 +189,9 @@ def moving_average(
 ) -> DataFrame:
     """Per-sensor rolling mean over the last ``n_preceding``+1 observations
     (ROWS frame). Window over the sensor shuffle — no self-join."""
-    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]  # NTZ-tolerant
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]  # NTZ-tolerant
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = (
         Window.partitionBy(sensor_col)
         .orderBy(*order)
@@ -263,7 +263,7 @@ def resample(
         df.groupBy(F.col(series_col).alias("__s"), bucket.alias("__b"))
         .agg(F.avg(value_col).alias("__v"), F.count(F.lit(1)).alias("__n"))
     )
-    w = Window.partitionBy("__s").orderBy("__b")
+    w = Window.partitionBy("__s").orderBy(F.asc_nulls_last("__b"))
     step_iv = F.expr(f"INTERVAL {step} SECONDS")
     g = per.withColumn("__nb", F.lead("__b").over(w)).withColumn(
         "__nv", F.lead("__v").over(w)
@@ -377,10 +377,10 @@ def detect_gaps(
     One shuffle on the key, lag window, filter — the output is bounded by
     the number of gaps, never the number of observations."""
     keep = [F.col(key_col), F.col(ts_col).cast("timestamp").alias("__ts")]
-    order = [F.col("__ts")]
+    order = [F.col("__ts").asc_nulls_last()]
     if order_tiebreak:
         keep.append(F.col(order_tiebreak))
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     cur = F.unix_timestamp(F.col("__ts"))
     return (
@@ -418,10 +418,10 @@ def time_weighted_average(
     column) for full determinism, exactly as ``sessionize`` does."""
     ts = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
     keep = [F.col(key_col), ts.alias("__t"), F.col(value_col).cast("double").alias("__v")]
-    order = [F.col("__t")]
+    order = [F.col("__t").asc_nulls_last()]
     if order_tiebreak:
         keep.append(F.col(order_tiebreak))
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     stepped = df.select(*keep).withColumn("__nt", F.lead("__t").over(w))
     return stepped.groupBy(key_col).agg(
@@ -520,9 +520,9 @@ def scd2_compress(
     WindowExecs, one shuffle, no self-joins. The equivalent MERGE-per-change
     formulation shuffles once per batch; this is the full-history batch
     rebuild shape."""
-    order = [F.col(ts_col)]
+    order = [F.col(ts_col).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     changed = (
         df.withColumn("__prev", F.lag(state_col).over(w))
@@ -569,9 +569,9 @@ def ewma(
     cross-engine pow never arises). O(window_rows) per row — bounded
     frames only, by design; an unbounded EWMA is a sequential recurrence
     that belongs to ``applyInPandas`` (SCALE.md)."""
-    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)
@@ -659,9 +659,9 @@ def touch_attribution(
     self-join of the fact table against itself, which is the naive
     two-scan formulation. Conversions with no prior touch keep NULL
     attribution (kept, not dropped)."""
-    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = (
         Window.partitionBy(user_col)
         .orderBy(*order)
@@ -701,9 +701,9 @@ def transition_matrix(
     One window exchange on the key (lag), then a map-side-combined count
     to |states|² rows; the per-from normalizer joins back BROADCAST
     (|states| rows). Probabilities round at 1e-6."""
-    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     pairs = (
         df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
@@ -879,9 +879,9 @@ def linear_attribution(
     the user key family; integer-deterministic credit (no exp/pow).
     Touches after the user's last conversion stay unattributed and are
     excluded (documented; count them upstream if needed)."""
-    order = [F.unix_micros(F.col(ts_col).cast("timestamp"))]
+    order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     fwd = (
         Window.partitionBy(user_col)
         .orderBy(*order)
@@ -957,7 +957,7 @@ def km_survival(
         F.count(F.lit(1)).alias("__all"),
     )
     w_all = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
-    w_ord = w_all.orderBy("t")
+    w_ord = w_all.orderBy(F.asc_nulls_last("t"))
     prev = F.coalesce(
         F.sum("__all").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -1022,8 +1022,8 @@ def cusum_changepoints(
     cusum_dn, direction)``.
     """
     gw = Window.partitionBy(group_col)
-    order = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else []
+    order = [F.col(ts_col).asc_nulls_last()] + (
+        [F.col(tiebreak).asc_nulls_last()] if tiebreak else []
     )
     wo = gw.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     mu = F.avg(F.col(value_col).cast("double")).over(gw)
@@ -1141,7 +1141,7 @@ def seasonal_decompose(
     quantizations) are safe — both engines round half away from zero.
     Assumes a REGULAR series (compose with ``resample`` first)."""
     half = period // 2
-    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc_nulls_last())
     frame = wo.rowsBetween(-half, half)
     base = df.select(
         F.col(group_col),
@@ -1245,7 +1245,7 @@ def cohort_ltv(
     cube = tagged.groupBy("__cm", "age_months").agg(F.sum("__a6").alias("__rev6"))
     wc = (
         Window.partitionBy("__cm")
-        .orderBy("age_months")
+        .orderBy(F.asc_nulls_last("age_months"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     curved = cube.withColumn("__cum6", F.sum("__rev6").over(wc)).join(
@@ -1281,7 +1281,7 @@ def gaps_islands(
     trick: within a group, ``seq − row_number(order by seq)`` is
     constant exactly along a contiguous run — one ordered window + one
     keyed aggregate, no self-join, no recursion."""
-    w = Window.partitionBy(group_col).orderBy(F.col("__s").asc())
+    w = Window.partitionBy(group_col).orderBy(F.col("__s").asc_nulls_last())
     runs = (
         df.select(F.col(group_col), F.col(seq_col).cast("long").alias("__s"))
         .distinct()
@@ -1370,7 +1370,7 @@ def seasonal_naive_mape(
     1e-6 BIGINTs per row (scale-0 round of identical doubles), the mean
     divides the exact integer sum once; rows with zero actuals or no
     lag are excluded and counted in ``n_scored``."""
-    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc_nulls_last())
     v = F.col(value_col).cast("double")
     lagged = df.withColumn("__f", F.lag(v, period).over(wo))
     scored = lagged.filter(F.col("__f").isNotNull() & (v != 0))
@@ -1409,7 +1409,7 @@ def grouped_autocorr(
     periodicity diagnostic to run before ``seasonal_decompose``."""
     from sensordatapipelines_spark.operators.aggregates import grouped_linregress
 
-    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    wo = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc_nulls_last())
     out = None
     for lag in lags:
         pairs = (
@@ -1448,12 +1448,14 @@ def _ordered_pairs(
     then a JVM-side combination explode — the ``market_basket_pairs``
     pattern, no self-join. Ordering is (floor-epoch-second, tiebreak),
     exactly the convention the SQL oracles replay. Rows with a NULL
-    timestamp, value or tiebreak are dropped FIRST: Spark ``sort_array``
+    group, timestamp, value or tiebreak are dropped FIRST (a NULL-group
+    trend is meaningless, and SQL equi-joins drop the NULL key anyway): Spark ``sort_array``
     sorts null struct fields before non-null while SQL ``ORDER BY``
     defaults nulls last, so letting NULLs into the ``max_points`` cap
     would let the two engines select different observation subsets."""
     df = df.filter(
-        F.col(ts_col).isNotNull()
+        F.col(group_col).isNotNull()
+        & F.col(ts_col).isNotNull()
         & F.col(value_col).isNotNull()
         & F.col(tiebreak_col).isNotNull()
     )
@@ -1633,7 +1635,7 @@ def runs_test(
         )
         .filter(F.col("__side").isNotNull())
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+    w = Window.partitionBy("__k").orderBy(F.asc_nulls_last(F.col("__t")), F.asc_nulls_last(F.col("__tb")))
     runs = sided.withColumn(
         "__new_run",
         F.when(
@@ -1674,7 +1676,7 @@ def markov_transitions(
     # (t, tiebreak, value) convention. NULL ts/tiebreak/state rows drop
     # FIRST (Spark windows order NULLs first, SQL ORDER BY defaults last).
     w = Window.partitionBy(group_col).orderBy(
-        F.col("__t"), F.col("__tb"), F.col("to_state")
+        F.asc_nulls_last(F.col("__t")), F.asc_nulls_last(F.col("__tb")), F.asc_nulls_last(F.col("to_state"))
     )
     pairs = (
         df.filter(
@@ -1706,6 +1708,52 @@ def markov_transitions(
     )
 
 
+#: Clamp bound for the e6 quantizer: |value| caps at 1e10 so every
+#: downstream integer term stays far inside int64 (v6 ≤ 1e16, 2·v6 ≤
+#: 2e16, 7·mad4 ≤ 5.6e17) on BOTH engines — DuckDB raises on BIGINT
+#: overflow while Spark (non-ANSI) wraps, so unbounded inputs can never
+#: be allowed to reach the integer algebra. Mirrored verbatim in every
+#: oracle that quantizes.
+QUANT_CLAMP = 1e10
+
+
+def quantize_e6(col: Column) -> Column:
+    """Canonical robust e6 quantizer: NULL for NULL/NaN input, ±Inf and
+    extremes clamp to ±``QUANT_CLAMP``, then ROUND(v·1e6) as BIGINT —
+    deterministic, overflow-free, identical in oracle SQL as
+    ``CASE WHEN v IS NULL OR isnan(v) THEN NULL ELSE
+    CAST(ROUND(LEAST(GREATEST(v, -1e10), 1e10) * 1e6) AS BIGINT) END``."""
+    c = col.cast("double")
+    clamped = F.least(F.greatest(c, F.lit(-QUANT_CLAMP)), F.lit(QUANT_CLAMP))
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long"))
+        .otherwise(F.round(clamped * F.lit(1e6)).cast("long"))
+    )
+
+
+def _exact_median_x2(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-key EXACT 2·median of an integer column as a BIGINT: the sum
+    of the two middle order statistics (ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉,
+    both equal to the middle for odd n, in which case the middle value
+    doubles). No float ever touches the computation — the interpolation
+    freedom that made percentile/quantile_cont diverge at >2^53
+    magnitudes is gone by construction. One keyed window + one keyed
+    aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(val).asc_nulls_last())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(key))
+    )
+    lo = ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+    hi = ranked.filter(F.col("__rn") == F.expr("(__n + 2) div 2"))
+    return (
+        lo.select(key, F.col(val).alias("__lo"))
+        .join(hi.select(key, F.col(val).alias("__hi")), key)
+        .select(key, (F.col("__lo") + F.col("__hi")).alias(out))
+    )
+
+
 @register("mad_anomaly")
 def mad_anomaly(
     df: DataFrame,
@@ -1719,52 +1767,44 @@ def mad_anomaly(
     robust z-score gate) — the telemetry-health screen that survives the
     heavy tails a mean/stddev rule drowns in.
 
-    Determinism: values quantize to e6 BIGINTs first; the median and MAD
-    of integers interpolate only to halves, so ``2·median`` and
-    ``4·MAD`` are INTEGER-valued doubles (emitted as the exact BIGINTs
-    ``med_x2_e6`` / ``mad_x4_e6``), and the anomaly test cross-multiplies
-    to ``4·|2v − 2med| > k_times_2 · (4·MAD)`` — every comparison is
-    between integer-valued doubles, nothing can land on a rounding
-    boundary. Plan shape: two keyed aggregates + one stats join back
-    (per-key dim table — broadcast under AQE when small); the fact table
-    is scanned twice, the price of an EXACT MAD (approximate MAD at
-    100 TB would use the quantile sketch instead)."""
-    v6 = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
-    base = df.select(F.col(key_col).alias("__k"), v6.alias("__v6")).filter(
-        F.col("__v6").isNotNull()
-    )
-    med = base.groupBy("__k").agg(
-        (F.percentile(F.col("__v6"), F.lit(0.5)) * F.lit(2.0)).alias("__med2"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+    Determinism (VERDICT r7 #5): values pass the clamped e6 quantizer,
+    then 2·median and 4·MAD are computed as EXACT BIGINT sums of the two
+    middle order statistics (``_exact_median_x2``) — no float
+    interpolation anywhere, so engines cannot diverge at any magnitude;
+    the anomaly test cross-multiplies to the pure integer comparison
+    ``4·|2v − med2| > k·mad4``. Plan shape: two keyed windows + keyed
+    aggregates on a per-key dim table; the fact scans twice — the price
+    of an EXACT MAD (at 100 TB use the quantile sketch instead)."""
+    base = df.select(
+        F.col(key_col).alias("__k"), quantize_e6(F.col(value_col)).alias("__v6")
+    ).filter(F.col("__v6").isNotNull())
+    med = _exact_median_x2(base, "__k", "__v6", "med2")
+    nrows = base.groupBy("__k").agg(F.count(F.lit(1)).alias("n_rows"))
     dev = base.join(med, "__k").withColumn(
-        "__dev2",
-        F.abs(
-            F.col("__v6").cast("double") * F.lit(2.0) - F.col("__med2")
-        ),
+        "__dev2", F.abs(F.col("__v6") * F.lit(2) - F.col("med2"))
     )
-    mad = dev.groupBy("__k", "__med2", "n_rows").agg(
-        (F.percentile(F.col("__dev2"), F.lit(0.5)) * F.lit(2.0)).alias("__mad4"),
-    )
+    mad = _exact_median_x2(dev, "__k", "__dev2", "mad4")
     flagged = (
-        dev.join(mad.select("__k", "__mad4"), "__k")
+        dev.join(mad, "__k")
         .withColumn(
             "__anom",
             (
-                F.col("__dev2") * F.lit(4.0)
-                > F.lit(float(int(k_times_2))) * F.col("__mad4")
+                F.col("__dev2") * F.lit(4)
+                > F.lit(int(k_times_2)) * F.col("mad4")
             ).cast("long"),
         )
         .groupBy("__k")
         .agg(F.sum("__anom").alias("n_anomalies"))
     )
     return (
-        mad.join(flagged, "__k")
+        med.join(mad, "__k")
+        .join(nrows, "__k")
+        .join(flagged, "__k")
         .select(
             F.col("__k").alias(key_col),
             "n_rows",
-            F.col("__med2").cast("long").alias("med_x2_e6"),
-            F.col("__mad4").cast("long").alias("mad_x4_e6"),
+            F.col("med2").alias("med_x2_e6"),
+            F.col("mad4").alias("mad_x4_e6"),
             "n_anomalies",
         )
     )
@@ -1842,7 +1882,7 @@ def sax_words(
         v2.alias("__v2"),
         (F.row_number().over(
             Window.partitionBy(group_col).orderBy(
-                F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+                F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
             )
         ) - 1).alias("__rn"),
         F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
@@ -1986,7 +2026,7 @@ def order_probe(
         F.col(id_col).alias("__id"),
         F.col(user_col).alias("__u"),
     )
-    w = Window.partitionBy("bucket").orderBy("__t", "__id", "__u")
+    w = Window.partitionBy("bucket").orderBy(F.asc_nulls_last("__t"), F.asc_nulls_last("__id"), F.asc_nulls_last("__u"))
     r = base.withColumn("rn", F.row_number().over(w).cast("long"))
     return r.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -445,7 +445,7 @@ def heaps_curve(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_new_types"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy(F.asc_nulls_last("bucket")).rowsBetween(Window.unboundedPreceding, 0)
     return per.withColumn(
         "cum_types", F.sum("n_new_types").over(w).cast("long")
     )
@@ -545,7 +545,7 @@ def zipf_slope(
         .groupBy("__cls", "__tok")
         .agg(F.count(F.lit(1)).alias("__f"))
     )
-    w = Window.partitionBy("__cls").orderBy(F.col("__f").desc(), F.col("__tok").asc())
+    w = Window.partitionBy("__cls").orderBy(F.col("__f").desc(), F.col("__tok").asc_nulls_last())
     ranked = (
         freq.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= F.lit(int(top_k)))
@@ -768,7 +768,7 @@ def sequence_pack(
 
     w = (
         Window.partitionBy(group_col)
-        .orderBy(id_col)
+        .orderBy(F.asc_nulls_last(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     toks = token_count_expr(F.col(text_col))
@@ -1207,7 +1207,7 @@ def bm25_topk(
         dl.cast("long").alias("doc_len"),
         F.round(score, 6).alias("bm25"),
     )
-    return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+    return out.orderBy(F.desc("bm25"), F.asc_nulls_last(F.col(id_col))).limit(k)
 
 
 @register("dsir_importance_weights")
@@ -1554,7 +1554,7 @@ def rake_keywords(
         F.col(id_col), F.posexplode(toks).alias("__p", "__tok")
     ).filter(F.length("__tok") > 0)
     nonstop = pos.filter(~F.col("__tok").isin(*stopwords))
-    w = Window.partitionBy(id_col).orderBy(F.col("__p").asc())
+    w = Window.partitionBy(id_col).orderBy(F.col("__p").asc_nulls_last())
     runs = nonstop.withColumn("__run", F.col("__p") - F.row_number().over(w))
     phrases = (
         runs.groupBy(id_col, "__run")
@@ -1602,7 +1602,7 @@ def rake_keywords(
         ).alias("score"),
     ).filter(F.col("n_count") >= F.lit(int(min_count)))
     return per_phrase.orderBy(
-        F.col("score").desc(), F.col("n_count").desc(), F.col("phrase").asc()
+        F.col("score").desc(), F.col("n_count").desc(), F.col("phrase").asc_nulls_last()
     ).limit(top_n)
 
 
@@ -1675,7 +1675,7 @@ def chi2_terms(
         F.floor(chi2 * F.lit(1e6)).cast("long").alias("__chi6"),
     )
     w = Window.partitionBy("__cls").orderBy(
-        F.col("__chi6").desc(), F.col("__tok").asc()
+        F.col("__chi6").desc(), F.col("__tok").asc_nulls_last()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1795,7 +1795,7 @@ def naive_bayes_classify(
         )
     )
     wbest = Window.partitionBy("__id").orderBy(
-        F.col("__score_e9").desc(), F.col("__cls").asc()
+        F.col("__score_e9").desc(), F.col("__cls").asc_nulls_last()
     )
     best = (
         dense.withColumn("__rn", F.row_number().over(wbest))
@@ -1873,7 +1873,7 @@ def bpe_learn_merges(
             words.select(F.explode(pairs).alias("p"), "cnt")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("tot"))
-            .orderBy(F.col("tot").desc(), F.col("a").asc(), F.col("b").asc())
+            .orderBy(F.col("tot").desc(), F.col("a").asc_nulls_last(), F.col("b").asc_nulls_last())
             .limit(1)
             .collect()
         )
@@ -1910,7 +1910,7 @@ def bpe_segment_counts(
     """
     rules = [
         (r.left, r.right)
-        for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+        for r in merges.select("rank", "left", "right").orderBy(F.asc_nulls_last("rank")).collect()
     ]
     words = (
         df.select(F.explode(bpe_tokens_expr(F.col(text_col))).alias("w"))

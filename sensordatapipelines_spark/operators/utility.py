@@ -66,7 +66,7 @@ def gini_concentration(
         .groupBy("__k", "__e")
         .agg(F.count(F.lit(1)).alias("__x"))
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__x").asc(), F.col("__e").asc())
+    w = Window.partitionBy("__k").orderBy(F.col("__x").asc_nulls_last(), F.col("__e").asc_nulls_last())
     ranked = per.withColumn("__i", F.row_number().over(w))
     return (
         ranked.groupBy(F.col("__k").alias(key_col))
@@ -103,8 +103,21 @@ def weighted_median(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    v2 = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
-    wgt = F.col(weight_col).cast("long")
+    # Robust e2 quantizer: NULL/NaN → NULL, extremes clamp to ±1e10 (e2
+    # BIGINT ≤ 1e12, every cumulative sum overflow-free); integer weights
+    # via FLOOR (explicit — Spark CAST truncates while DuckDB CAST
+    # rounds, so neither engine's bare cast may appear). Both mirrored
+    # verbatim in the oracle.
+    vc = F.col(value_col).cast("double")
+    v2 = F.when(vc.isNull() | F.isnan(vc), F.lit(None).cast("long")).otherwise(
+        F.round(
+            F.least(F.greatest(vc, F.lit(-1e10)), F.lit(1e10)) * F.lit(100.0)
+        ).cast("long")
+    )
+    wc = F.col(weight_col).cast("double")
+    wgt = F.when(wc.isNull() | F.isnan(wc), F.lit(None).cast("long")).otherwise(
+        F.floor(wc).cast("long")
+    )
     base = df.select(
         F.col(key_col).alias("__k"),
         v2.alias("__v2"),
@@ -113,7 +126,7 @@ def weighted_median(
     ).filter(F.col("__v2").isNotNull() & F.col("__w").isNotNull())
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__v2"), F.col("__tb"))
+        .orderBy(F.asc_nulls_last(F.col("__v2")), F.asc_nulls_last(F.col("__tb")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot = Window.partitionBy("__k")
@@ -159,7 +172,7 @@ def peak_count(
         & F.col("__t").isNotNull()
         & F.col("__tb").isNotNull()
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__t"), F.col("__tb"))
+    w = Window.partitionBy("__k").orderBy(F.asc_nulls_last(F.col("__t")), F.asc_nulls_last(F.col("__tb")))
     lagv = F.lag("__v6").over(w)
     leadv = F.lead("__v6").over(w)
     marked = base.select(
@@ -228,7 +241,7 @@ def dedup_keep_first(
     Spark's ``dropDuplicates`` keeps an arbitrary row (documented)."""
     if order_col is None:
         return df.dropDuplicates(list(subset))
-    w = Window.partitionBy(*subset).orderBy(F.col(order_col))
+    w = Window.partitionBy(*subset).orderBy(F.asc_nulls_last(F.col(order_col)))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -443,7 +456,7 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     )
     return (
         per_key.join(F.broadcast(totals))
-        .orderBy(F.desc("n"), "key")
+        .orderBy(F.desc("n"), F.asc_nulls_last("key"))
         .limit(top_n)
         .select(
             "key",
@@ -564,7 +577,7 @@ def source_mix_temperature(
                 / (F.col("__c") / F.col("__total"))
             ).alias("epochs_at_budget"),
         )
-        .orderBy("source")
+        .orderBy(F.asc_nulls_last("source"))
     )
 
 
@@ -707,7 +720,7 @@ def top_p_by_weight(
     Ordering ties break on the key for a total, engine-portable order."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(weight_col).desc(), F.col(key_col)).rowsBetween(
+    w = Window.orderBy(F.col(weight_col).desc(), F.asc_nulls_last(F.col(key_col))).rowsBetween(
         Window.unboundedPreceding, -1
     )
     total = df.agg(F.sum(F.col(weight_col).cast("double")).alias("__t"))
@@ -789,7 +802,7 @@ def psi_drift(
             F.col("__nc").cast("long").alias("n_cur"),
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
-        .orderBy("bin")
+        .orderBy(F.asc_nulls_last("bin"))
     )
 
 
@@ -814,9 +827,9 @@ def equal_depth_binning(
     just the per-bin counts — deterministic and engine-portable."""
     from pyspark.sql import Window
 
-    order = [F.col(value_col).asc()]
+    order = [F.col(value_col).asc_nulls_last()]
     if order_tiebreak:
-        order.append(F.col(order_tiebreak).asc())
+        order.append(F.col(order_tiebreak).asc_nulls_last())
     w = Window.orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
 
@@ -845,7 +858,7 @@ def topn_with_others(
     per_key = df.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(w_expr).alias("__w")
     )
-    rk = F.row_number().over(Window.orderBy(F.col("__w").desc(), F.col("key")))
+    rk = F.row_number().over(Window.orderBy(F.col("__w").desc(), F.asc_nulls_last(F.col("key"))))
     labeled = per_key.withColumn(
         "key_or_other",
         F.when(rk <= n, F.col("key").cast("string")).otherwise(
@@ -858,7 +871,7 @@ def topn_with_others(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.round(F.sum("__w"), 6).alias("weight"),
         )
-        .orderBy(F.desc("weight"), F.col("key_or_other"))
+        .orderBy(F.desc("weight"), F.asc_nulls_last(F.col("key_or_other")))
     )
 
 
@@ -945,7 +958,7 @@ def group_sample_k(
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(group_col).orderBy(h.asc_nulls_last(), F.col(key_col).asc_nulls_last())
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -986,9 +999,9 @@ def rfm_segments(
     )
     # recency: SMALLER is better → order desc so recent keys land in the
     # top tile; frequency/monetary: larger is better
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("key"))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("key"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("key"))
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.asc_nulls_last(F.col("key")))
+    w_f = Window.orderBy(F.col("frequency").asc_nulls_last(), F.asc_nulls_last(F.col("key")))
+    w_m = Window.orderBy(F.col("monetary").asc_nulls_last(), F.asc_nulls_last(F.col("key")))
     out = (
         scored.withColumn("r_score", F.ntile(n_tiles).over(w_r))
         .withColumn("f_score", F.ntile(n_tiles).over(w_f))
@@ -1149,7 +1162,9 @@ def token_budget_pack(
     the cumulative sum uses the standard running-total frame. Emits the
     kept rows plus ``cum_tokens``."""
     order = (
-        [F.desc(priority_col), F.col(id_col)] if priority_col else [F.col(id_col)]
+        [F.desc(priority_col), F.col(id_col).asc_nulls_last()]
+        if priority_col
+        else [F.col(id_col).asc_nulls_last()]
     )
     w = (
         Window.partitionBy(group_col)
@@ -1276,7 +1291,7 @@ def stratified_sample_alloc(
         F.expr(f"__num div __n").alias("__base"),
         (F.col("__num") % F.col("__n")).alias("__rem"),
     )
-    w_rem = Window.orderBy(F.col("__rem").desc(), F.col(stratum_col).asc())
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col(stratum_col).asc_nulls_last())
     w_all = Window.partitionBy(F.lit(1))
     alloc = (
         base.withColumn("__rk", F.row_number().over(w_rem))
@@ -1290,7 +1305,7 @@ def stratified_sample_alloc(
         )
     )
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(stratum_col).orderBy(h.asc_nulls_last(), F.col(key_col).asc_nulls_last())
     return (
         df.join(F.broadcast(alloc), stratum_col)
         .withColumn("__rk", F.row_number().over(w))
@@ -1321,7 +1336,7 @@ def abc_classification(
             F.round(F.col(amount_col).cast("double") * F.lit(1e6)).cast("long")
         ).alias("__r6")
     )
-    w = Window.orderBy(F.col("__r6").desc(), F.col(key_col).asc()).rowsBetween(
+    w = Window.orderBy(F.col("__r6").desc(), F.col(key_col).asc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     wt = Window.partitionBy(F.lit(1))
