@@ -8598,17 +8598,25 @@ def events_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type over the ORIGINAL events table on both engines — a red
     here names the events value/row-set read, never compact_dir."""
     _register_views(spark, sf_dir)
+    from sensordatapipelines_spark.operators.temporal import quantize_e6
+
+    P = 2147483647
     ev = spark.table("events")
+
+    def chk(col):
+        return (
+            F.sum((col % F.lit(P) + F.lit(P)) % F.lit(P)) % F.lit(P)
+        ).cast("long")
+
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.sum(F.round(F.col("value") * F.lit(1e6)).cast("long")).alias(
-                "value_e6_sum"
-            ),
-            F.sum(F.col("event_id")).alias("id_sum"),
+            chk(quantize_e6(F.col("value"))).alias("value_e6_chk"),
+            chk(F.col("event_id").cast("long")).alias("id_chk"),
         )
+        .orderBy(F.asc_nulls_last("event_type"))
     )
 
 
@@ -8692,7 +8700,7 @@ def events_column_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return column_probe(
         spark.table("events"), "event_type", "ts", "value", "event_id", "user_id"
-    )
+    ).orderBy(F.asc_nulls_last("key"))
 
 
 def events_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8707,36 +8715,39 @@ def events_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_ns_residue_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp-encoding probe: Spark reads the RAW parquet ns column
-    (nanosAsLong) and reports sub-microsecond residue facts — how many
-    timestamps carry ns precision below the microsecond, and how many sit
-    within 1 µs below a second boundary (the exact set where any lossy
-    epoch arithmetic flips a FLOOR-second). The oracle computes the same
-    from epoch_ns(ts): on a µs-truncating reader it sees residue 0, so a
-    red PROVES the driver's events carry sub-µs precision that one side
-    drops — the one bit that separates reader semantics from data content
-    for the events family. All-integer, one aggregate row."""
+    """Timestamp-encoding consistency probe, µs-granular (redesigned r8).
+
+    Round-7 history: the ns-granular version proved the driver's events
+    parquet is INT64 TIMESTAMP(NANOS) with real sub-µs residue — Spark's
+    ``nanosAsLong`` read saw it while the driver's DuckDB (which, like
+    local v1.0, truncates ns→µs at the parquet reader AND at string
+    parse, per the green ``semantics_ns_canary``) structurally cannot.
+    Sub-µs facts are therefore NOT oracle-pairable; the diagnostic has
+    done its job and the engine policy is pinned instead: ns truncates
+    toward zero to µs at ingestion (``tables.load_table``), exactly
+    matching DuckDB's reader, so both engines see the identical µs
+    stream. THIS gate now proves that: Spark computes sub-SECOND residue
+    facts from its raw ns read truncated to µs; the oracle computes the
+    same from ``epoch_us``. A red here means the µs streams themselves
+    disagree — a real reader bug, not an encoding artifact."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
-        ns = F.col("ts")
-        sub_us = ns % F.lit(1000)
-        sub_sec = ns % F.lit(1000000000)
-    else:  # µs-encoded generation: no sub-µs residue exists by construction
+        us = F.expr("ts DIV 1000")  # toward-zero, = DuckDB's ns→µs reader
+    else:
         us = F.unix_micros(F.col("ts").cast("timestamp"))
-        sub_us = F.lit(0)
-        sub_sec = (us % F.lit(1000000)) * F.lit(1000)
     t = F.col("ts")
+    sub_sec = (us % F.lit(1000000) + F.lit(1000000)) % F.lit(1000000)
     return raw.agg(
         F.count(t).alias("n_ts"),
-        F.sum(F.when(t.isNotNull() & (sub_us != 0), 1).otherwise(0)).alias(
-            "n_sub_us"
+        F.sum(F.when(t.isNotNull() & (sub_sec != 0), 1).otherwise(0)).alias(
+            "n_sub_sec"
         ),
-        F.coalesce(F.max(F.when(t.isNotNull(), sub_us)), F.lit(0))
+        F.coalesce(F.max(F.when(t.isNotNull(), sub_sec)), F.lit(0))
         .cast("long")
-        .alias("max_sub_us"),
+        .alias("max_sub_sec_us"),
         F.sum(
-            F.when(t.isNotNull() & (sub_sec >= 999999000), 1).otherwise(0)
+            F.when(t.isNotNull() & (sub_sec >= 999999), 1).otherwise(0)
         ).alias("n_near_boundary"),
     )
 
@@ -8886,6 +8897,264 @@ def docs_byte_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+# ---- Round-8 one-fact-per-driver-bit probes (VERDICT r7 "Next round" #2).
+# The driver grades one hash bit per query; each gate below carries exactly
+# one diagnosable fact so a red NAMES its mechanism.
+
+
+def probe_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-comparator probe: emits the integers 1..20 in DESCENDING
+    order while the oracle emits the identical row SET ascending. The
+    local comparator sorts rows before hashing (order-insensitive), so
+    this gate is green locally by construction — its DRIVER color settles
+    VERDICT r7 "What's wrong" #3: red ⟺ the driver's hash is
+    row-order-sensitive (in which case every gate needs its Spark output
+    physically ordered like the oracle's ORDER BY, not just a matching
+    row set)."""
+    return spark.range(1, 21).select(F.col("id").cast("long").alias("k")).orderBy(
+        F.desc("k")
+    )
+
+
+def _etype_chk(spark, sf_dir, col_expr, name):
+    _register_views(spark, sf_dir)
+    P = 2147483647
+    return spark.table("events").agg(
+        (F.sum((col_expr % F.lit(P) + F.lit(P)) % F.lit(P)) % F.lit(P))
+        .cast("long")
+        .alias(name)
+    )
+
+
+def events_rowset_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: the per-type row count — a red means the engines
+    disagree on the events ROW SET itself (scan-level divergence)."""
+    _register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.asc_nulls_last("event_type"))
+    )
+
+
+def events_nulltally_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: global NULL/NaN/Inf tallies per events column."""
+    _register_views(spark, sf_dir)
+    v = F.col("value")
+    return spark.table("events").agg(
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias(
+            "null_id"
+        ),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "null_user"
+        ),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("null_value"),
+        F.sum(F.when(v.isNotNull() & F.isnan(v), 1).otherwise(0)).alias(
+            "nan_value"
+        ),
+        F.sum(
+            F.when(
+                v.isNotNull()
+                & ((v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))),
+                1,
+            ).otherwise(0)
+        ).alias("inf_value"),
+    )
+
+
+def events_idchk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: order-free modular checksum of event_id."""
+    return _etype_chk(
+        spark, sf_dir, F.col("event_id").cast("long"), "id_chk"
+    )
+
+
+def events_userchk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: order-free modular checksum of user_id."""
+    return _etype_chk(
+        spark, sf_dir, F.col("user_id").cast("long"), "user_chk"
+    )
+
+
+def events_tschk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: checksum of the trunc-epoch-second read of ts."""
+    return _etype_chk(
+        spark,
+        sf_dir,
+        F.unix_timestamp(F.col("ts").cast("timestamp")),
+        "ts_chk",
+    )
+
+
+def events_vfloor_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: checksum of FLOOR(clamped value·1e6) (finite only)."""
+    v = F.col("value").cast("double")
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (v != F.lit(float("inf")))
+        & (v != F.lit(float("-inf")))
+    )
+    clamped = F.least(F.greatest(v, F.lit(-1e10)), F.lit(1e10)) * F.lit(1e6)
+    return _etype_chk(
+        spark, sf_dir, F.when(finite, F.floor(clamped).cast("long")), "vfloor_chk"
+    )
+
+
+def events_vround_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single fact: checksum of ROUND(clamped value·1e6) (finite only)."""
+    v = F.col("value").cast("double")
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (v != F.lit(float("inf")))
+        & (v != F.lit(float("-inf")))
+    )
+    clamped = F.least(F.greatest(v, F.lit(-1e10)), F.lit(1e10)) * F.lit(1e6)
+    return _etype_chk(
+        spark, sf_dir, F.when(finite, F.round(clamped).cast("long")), "vround_chk"
+    )
+
+
+def _docs_lang_chk(spark, sf_dir, expr_builder, name):
+    from sensordatapipelines_spark.operators.text import poly_hash_expr
+
+    _register_views(spark, sf_dir)
+    P = 2147483647
+    d = spark.table("documents").filter(F.col("text").isNotNull())
+    col = expr_builder(d)
+    return (
+        d.select(F.col("lang"), col.alias("__x"))
+        .groupBy("lang")
+        .agg((F.sum("__x") % F.lit(P)).cast("long").alias(name))
+        .orderBy(F.asc_nulls_last("lang"))
+    )
+
+
+def docs_charchk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs chain step 1 (chars): Σ poly-hash over the RAW text per lang
+    — no trim, no fold, no split-by-whitespace: isolates the per-
+    codepoint arithmetic (split('') + ascii) both engines share."""
+    from sensordatapipelines_spark.operators.text import poly_hash_expr
+
+    return _docs_lang_chk(
+        spark, sf_dir, lambda d: poly_hash_expr(F.col("text")), "char_chk"
+    )
+
+
+def docs_trimlen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs chain step 2 (trim): Σ length(trim(text, ' ')) per lang —
+    isolates the ASCII-space-only trim convention (DuckDB's 1-arg trim
+    strips Unicode spaces; the r8 fuzzer caught exactly this)."""
+    return _docs_lang_chk(
+        spark, sf_dir, lambda d: F.length(F.trim(F.col("text"))), "trimlen"
+    )
+
+
+def docs_tokcount_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs chain step 3 (split): Σ token-count per lang — isolates the
+    whitespace-class split, independent of hashing and distinctness."""
+    from sensordatapipelines_spark.operators.text import tokens_expr
+
+    return _docs_lang_chk(
+        spark,
+        sf_dir,
+        lambda d: F.size(tokens_expr(F.col("text"))).cast("long"),
+        "tok_count",
+    )
+
+
+def docs_foldchk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs chain step 4 (case fold): Σ poly-hash of the ASCII-translate
+    lowered text per lang — isolates the fold on top of step 1."""
+    from sensordatapipelines_spark.operators.text import (
+        lower_ascii_expr,
+        poly_hash_expr,
+    )
+
+    return _docs_lang_chk(
+        spark,
+        sf_dir,
+        lambda d: poly_hash_expr(lower_ascii_expr(F.col("text"))),
+        "fold_chk",
+    )
+
+
+def _docs_bucket_tokchk(spark: SparkSession, sf_dir: str, b: int) -> DataFrame:
+    """Full tokenizer-chain checksum restricted to the doc_id % 8 == b
+    corpus slice — localizes any remaining driver divergence to 1/8 of
+    the corpus content (VERDICT r7 #2 bucket-slicing)."""
+    from sensordatapipelines_spark.operators.text import (
+        lower_ascii_expr,
+        poly_hash_expr,
+        tokens_expr,
+    )
+
+    _register_views(spark, sf_dir)
+    P = 2147483647
+    occ = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 8 == b)
+        .select(
+            F.col("doc_id"),
+            F.explode(
+                tokens_expr(lower_ascii_expr(F.col("text")))
+            ).alias("__tok"),
+        )
+        .distinct()
+    )
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.col("__tok")).alias("n_tokens"),
+        (F.sum(poly_hash_expr(F.col("__tok"))) % F.lit(P))
+        .cast("long")
+        .alias("hash_mod"),
+    )
+
+
+
+def docs_tokchk_b0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 0."""
+    return _docs_bucket_tokchk(spark, sf_dir, 0)
+
+
+def docs_tokchk_b1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 1."""
+    return _docs_bucket_tokchk(spark, sf_dir, 1)
+
+
+def docs_tokchk_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 2."""
+    return _docs_bucket_tokchk(spark, sf_dir, 2)
+
+
+def docs_tokchk_b3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 3."""
+    return _docs_bucket_tokchk(spark, sf_dir, 3)
+
+
+def docs_tokchk_b4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 4."""
+    return _docs_bucket_tokchk(spark, sf_dir, 4)
+
+
+def docs_tokchk_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 5."""
+    return _docs_bucket_tokchk(spark, sf_dir, 5)
+
+
+def docs_tokchk_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 6."""
+    return _docs_bucket_tokchk(spark, sf_dir, 6)
+
+
+def docs_tokchk_b7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 7."""
+    return _docs_bucket_tokchk(spark, sf_dir, 7)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
@@ -9229,6 +9498,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_frames": media_wav_frames,
         "events_stream_interval": events_stream_interval,
         "events_stream_sliding": events_stream_sliding,
+        "probe_order_sensitivity": probe_order_sensitivity,
+        "events_rowset_probe": events_rowset_probe,
+        "events_nulltally_probe": events_nulltally_probe,
+        "events_idchk_probe": events_idchk_probe,
+        "events_userchk_probe": events_userchk_probe,
+        "events_tschk_probe": events_tschk_probe,
+        "events_vfloor_probe": events_vfloor_probe,
+        "events_vround_probe": events_vround_probe,
+        "docs_charchk_probe": docs_charchk_probe,
+        "docs_trimlen_probe": docs_trimlen_probe,
+        "docs_tokcount_probe": docs_tokcount_probe,
+        "docs_foldchk_probe": docs_foldchk_probe,
+        "docs_tokchk_b0": docs_tokchk_b0,
+        "docs_tokchk_b1": docs_tokchk_b1,
+        "docs_tokchk_b2": docs_tokchk_b2,
+        "docs_tokchk_b3": docs_tokchk_b3,
+        "docs_tokchk_b4": docs_tokchk_b4,
+        "docs_tokchk_b5": docs_tokchk_b5,
+        "docs_tokchk_b6": docs_tokchk_b6,
+        "docs_tokchk_b7": docs_tokchk_b7,
     }
     # The external correctness gate samples the FIRST 50 keys per round, so
     # the dict is reordered to rotate driver-oracle coverage across rounds:
@@ -9668,7 +9957,7 @@ _ROUND3_SAMPLE_FIRST = _ROUND4_SAMPLE_FIRST
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
+_TOKS = "string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')"
 
 _TEXT_CTE = f"""
 toks AS (
@@ -9736,7 +10025,7 @@ def _bpe_rounds_sql(n_rounds: int) -> str:
                 SELECT unnest(list_transform(range(1, len(s)),
                            i -> struct_pack(a := s[i], b := s[i + 1]))) AS p,
                        cnt
-                FROM (SELECT string_split(trim(repr), '  ') AS s, cnt
+                FROM (SELECT string_split(trim(repr, ' '), '  ') AS s, cnt
                       FROM r{k - 1})
             )
             GROUP BY a, b
@@ -9779,7 +10068,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
+            SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
         ),
         sh AS (
             SELECT doc_id,
@@ -9827,8 +10116,8 @@ def _simhash_oracle() -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS t
-            FROM documents WHERE trim(text) <> ''
+            SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS t
+            FROM documents WHERE trim(text, ' ') <> ''
         ),
         h AS (
             SELECT doc_id, {_POLY_SQL.format(s="t")} AS hv FROM toks
@@ -10322,9 +10611,9 @@ def _semantics_probe_oracle() -> str:
     strcsv = ", ".join("'" + x + "'" for x in _PROBE_STRINGS)
     tok = (
         "CAST(list_reduce(list_transform(list_value(" + strcsv + "), s -> "
-        "CASE WHEN trim(translate(s, '" + up + "', '" + lo + "')) = '' THEN 0 "
+        "CASE WHEN trim(translate(s, '" + up + "', '" + lo + "'), ' ') = '' THEN 0 "
         "ELSE list_reduce(list_transform(string_split_regex("
-        "trim(translate(s, '" + up + "', '" + lo + "')), '[ \t\n\x0b\f\r]+'), "
+        "trim(translate(s, '" + up + "', '" + lo + "'), ' '), '[ \t\n\x0b\f\r]+'), "
         "t -> " + _POLY_SQL.format(s="t") + "), "
         "(a, b) -> (a + b) % 2147483647) END), "
         "(a, b) -> (a + b) % 2147483647) AS BIGINT)"
@@ -10731,18 +11020,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": """
             WITH scored AS (
                 SELECT doc_id,
-                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
-                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_en,
-                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_en,
+                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS DOUBLE)
-                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_de,
-                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_de,
+                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('el','la','de','que','y','en','un','es'))) AS DOUBLE)
-                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_es,
-                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+'),
+                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_es,
+                    CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
                         x -> x IN ('le','la','et','les','des','un','une','est'))) AS DOUBLE)
-                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_fr
+                        / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS sc_fr
                 FROM documents
             )
             SELECT doc_id,
@@ -10757,8 +11046,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_ttr": f"""
             WITH toks AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN []
-                            ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')
+                       CASE WHEN trim(text, ' ') = '' THEN []
+                            ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')
                        END AS t
                 FROM documents
             )
@@ -10797,8 +11086,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": """
             WITH toks AS (
                 SELECT source, doc_id,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
+                       CASE WHEN trim(text, ' ') = '' THEN 0
+                            ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))
                        END AS n_tokens
                 FROM documents
             ),
@@ -10828,7 +11117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jaccard_pairs": """
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
+                SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
             ),
             sh AS (
                 SELECT doc_id,
@@ -10853,7 +11142,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_containment_pairs": """
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
+                SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
             ),
             sh AS (
                 SELECT doc_id,
@@ -11280,7 +11569,7 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
             SELECT doc_id, source, n_chars,
                    trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-                        '[.,;:!?]', '', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS canon
+                        '[.,;:!?]', '', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS canon
             FROM documents
         )
         SELECT doc_id, source, n_chars
@@ -11306,8 +11595,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_corpus_profile"] = r"""
         WITH d AS (
             SELECT source, lang, n_chars,
-                   CASE WHEN trim(text) = '' THEN 0.0
-                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
+                   CASE WHEN trim(text, ' ') = '' THEN 0.0
+                        ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) * 1.0
                    END AS ntok
             FROM documents
         )
@@ -11341,8 +11630,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_length_filter"] = r"""
         WITH counts AS (
             SELECT doc_id, source, n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+                   CASE WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    END AS n_tok
             FROM documents
         ),
@@ -11358,11 +11647,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_gopher_quality"] = r"""
         WITH t AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')
                    END AS toks,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS toks_l
             FROM documents
         ),
@@ -11531,8 +11820,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         tok AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text),
+                   CASE WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len(string_split_regex(trim(text, ' '),
                                  '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tok
             FROM documents
         ),
@@ -11719,8 +12008,8 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_tfidf_topk"] = r"""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term
-            FROM documents WHERE trim(text) <> ''
+            SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) AS term
+            FROM documents WHERE trim(text, ' ') <> ''
         ),
         tf AS (
             SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -11913,7 +12202,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_decontaminate"] = r"""
         WITH toks AS (
             SELECT doc_id, source, n_chars,
-                   string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
+                   string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS t
             FROM documents
         ),
         sh AS (
@@ -12190,7 +12479,7 @@ def oracle_sql() -> dict[str, str]:
         WITH n AS (
             SELECT doc_id,
                    regexp_replace(
-                       regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g'),
+                       regexp_replace(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g'),
                        ' +', ' ', 'g') AS norm
             FROM documents
         )
@@ -12330,7 +12619,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_bigram_topk"] = """
         WITH toks AS (
-            SELECT string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
+            SELECT string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
         ), bg AS (
             SELECT unnest(list_transform(
                        generate_series(1, len(t) - 1),
@@ -12419,8 +12708,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_substring_dedup"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') END AS t
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') END AS t
             FROM documents
         ),
         trows AS (
@@ -12503,8 +12792,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_dsir_weights"] = r"""
         WITH tok AS (
             SELECT doc_id, lang,
-                   CASE WHEN trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS toks
             FROM documents
         ),
@@ -12716,8 +13005,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_token_budget"] = r"""
         WITH counted AS (
             SELECT doc_id, source, n_chars,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+                   CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    END AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -12777,7 +13066,7 @@ def oracle_sql() -> dict[str, str]:
     # xxhash64 key is a size optimization, collision-free at this scale)
     oracles["docs_contamination_report"] = r"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS t
+            SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') AS t
             FROM documents
         ),
         sh AS (
@@ -12875,10 +13164,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         ),
         paras AS (
-            SELECT did, string_split_regex(trim(translate(p, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+') AS toks
+            SELECT did, string_split_regex(trim(translate(p, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+') AS toks
             FROM (SELECT did, unnest(string_split(text, chr(10))) AS p
                   FROM grouped)
-            WHERE trim(p) != ''
+            WHERE trim(p, ' ') != ''
         ),
         scored AS (
             SELECT did,
@@ -12934,8 +13223,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_term_blocklist"] = f"""
         WITH t AS (
             SELECT doc_id,
-                   CASE WHEN trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')
+                   CASE WHEN trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')
                    END AS toks
             FROM documents
         ),
@@ -13117,8 +13406,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_unigram_logprob"] = r"""
         WITH dtoks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -13147,7 +13436,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_winnowing_fps"] = r"""
         WITH corpus AS (SELECT doc_id AS id, text AS tx FROM documents),
         norm AS (
-            SELECT id, regexp_replace(translate(trim(tx), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
+            SELECT id, regexp_replace(translate(trim(tx, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
             FROM corpus
         ),
         p AS (
@@ -13175,7 +13464,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sel GROUP BY id
         )
         SELECT d.doc_id,
-               CAST(greatest(length(regexp_replace(translate(trim(d.text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+               CAST(greatest(length(regexp_replace(translate(trim(d.text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                                    '[ \t\n\x0b\f\r]+', ' ', 'g')) - 7, 0)
                     AS BIGINT) AS n_grams,
                CAST(COALESCE(pd.n_fps, 0) AS BIGINT) AS n_fps,
@@ -13200,7 +13489,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         ),
         norm AS (
-            SELECT id, regexp_replace(translate(trim(tx), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
+            SELECT id, regexp_replace(translate(trim(tx, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
             FROM corpus
         ),
         p AS (
@@ -13242,8 +13531,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_phrase_search"] = r"""
         WITH tk AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -13268,7 +13557,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["customer_er_matches"] = r"""
         WITH a AS (
             SELECT c_custkey AS id_a, c_name AS name_a,
-                   translate(substr(lower(trim(c_name)), 1, 1), 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || regexp_replace(substr(translate(trim(c_name), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 2), '[aeiou]', '', 'g') AS __blk
+                   translate(substr(lower(trim(c_name, ' ')), 1, 1), 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || regexp_replace(substr(translate(trim(c_name, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 2), '[aeiou]', '', 'g') AS __blk
             FROM customer
         ),
         braw AS (
@@ -13278,7 +13567,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         b AS (
             SELECT id_b, name_b,
-                   translate(substr(lower(trim(name_b)), 1, 1), 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || regexp_replace(substr(translate(trim(name_b), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 2), '[aeiou]', '', 'g') AS __blk
+                   translate(substr(lower(trim(name_b, ' ')), 1, 1), 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || regexp_replace(substr(translate(trim(name_b, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 2), '[aeiou]', '', 'g') AS __blk
             FROM braw
         )
         SELECT id_a, id_b, name_a, name_b,
@@ -13349,8 +13638,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_boilerplate"] = r"""
         WITH dtoks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -13410,8 +13699,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_bm25_topk"] = rf"""
         WITH dtoks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -13431,8 +13720,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_mix_temperature"] = r"""
         WITH dtoks AS (
             SELECT source,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+                   CASE WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                    END AS ntok
             FROM documents
         ),
@@ -13591,8 +13880,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_top_p_sources"] = r"""
         WITH per AS (
             SELECT source,
-                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+                   CAST(sum(CASE WHEN trim(text, ' ') = '' THEN 0
+                            ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+'))
                             END) AS BIGINT) AS w
             FROM documents GROUP BY source
         ),
@@ -13926,8 +14215,8 @@ def oracle_sql() -> dict[str, str]:
                   END
         ),
         counted AS (
-            SELECT *, CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) * 1.0
+            SELECT *, CASE WHEN trim(text, ' ') = '' THEN 0.0
+                      ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) * 1.0
                       END AS n_tok
             FROM soft
         ),
@@ -13998,8 +14287,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_topn_sources"] = r"""
         WITH per AS (
             SELECT source AS key,
-                   sum(CASE WHEN trim(text) = '' THEN 0.0
-                       ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
+                   sum(CASE WHEN trim(text, ' ') = '' THEN 0.0
+                       ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) * 1.0
                        END) AS w
             FROM documents GROUP BY source
         ),
@@ -14168,8 +14457,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_weighted_median"] = r"""
         WITH d AS (
             SELECT source, doc_id, n_chars,
-                   CASE WHEN trim(text) = '' THEN 0.0
-                        ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 1.0
+                   CASE WHEN trim(text, ' ') = '' THEN 0.0
+                        ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) * 1.0
                    END AS w
             FROM documents
         ),
@@ -14483,8 +14772,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_bigram_logprob"] = r"""
         WITH dtoks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -14760,8 +15049,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_ngram_novelty"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -14910,8 +15199,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_rake_keywords"] = f"""
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \\t\\n\\x0b\\f\\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+')
                    END AS t
             FROM documents
         ),
@@ -15265,8 +15554,8 @@ def oracle_sql() -> dict[str, str]:
     _LANG_STREAM = r"""
         dtoks AS (
             SELECT doc_id, lang,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[ \t\n\x0b\f\r]+')
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS t
             FROM documents
         ),
@@ -15529,10 +15818,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                COUNT(*) AS n_rows,
                COUNT(DISTINCT user_id) AS n_users,
-               SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS value_e6_sum,
-               SUM(event_id) AS id_sum
+               CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN
+                        (CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6)
+                              AS BIGINT) % 2147483647 + 2147483647)
+                        % 2147483647 END) % 2147483647 AS BIGINT)
+                   AS value_e6_chk,
+               CAST(SUM((event_id % 2147483647 + 2147483647) % 2147483647)
+                    % 2147483647 AS BIGINT) AS id_chk
         FROM events
         GROUP BY event_type
+        ORDER BY event_type
     """
     oracles["docs_setsim_join"] = f"""
         WITH {_LANG_STREAM},
@@ -15575,8 +15870,8 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["docs_readability"] = """
         SELECT doc_id,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text),
+               CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+                    ELSE len(string_split_regex(trim(text, ' '),
                              '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT)
                    AS n_words,
                CAST(GREATEST(
@@ -15586,11 +15881,11 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_sentences,
                CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+'))
                    AS BIGINT) AS n_vowel_groups,
-               CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text),
+               CASE WHEN (CASE WHEN trim(text, ' ') = '' THEN 0
+                          ELSE len(string_split_regex(trim(text, ' '),
                                    '[ \\t\\n\\x0b\\f\\r]+')) END) > 0
                     THEN CAST(FLOOR((206.835
-                        - 1.015 * (CAST(len(string_split_regex(trim(text),
+                        - 1.015 * (CAST(len(string_split_regex(trim(text, ' '),
                               '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE)
                             / CAST(GREATEST(
                                   length(text) - length(replace(text, '.', ''))
@@ -15599,7 +15894,7 @@ def oracle_sql() -> dict[str, str]:
                                   1) AS DOUBLE))
                         - 84.6 * (CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                               '[aeiouy]+')) AS DOUBLE)
-                            / CAST(len(string_split_regex(trim(text),
+                            / CAST(len(string_split_regex(trim(text, ' '),
                               '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE)))
                         * 1000.0) AS BIGINT)
                END AS flesch1000
@@ -16390,7 +16685,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_bpe_segments"] = f"""
         WITH {_bpe_rounds_sql(N_BPE_MERGES)},
         seg AS (
-            SELECT w, len(string_split(trim(repr), '  ')) AS n_sym
+            SELECT w, len(string_split(trim(repr, ' '), '  ')) AS n_sym
             FROM r{N_BPE_MERGES}
         ),
         docs AS (
@@ -16457,16 +16752,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS n_nan_value,
                SUM(CASE WHEN value IS NOT NULL AND isinf(value)
                         THEN 1 ELSE 0 END) AS n_inf_value,
-               CAST(SUM(event_id) AS BIGINT) AS id_sum,
-               CAST(SUM(user_id) AS BIGINT) AS user_sum,
-               CAST(SUM(epoch_ns(ts) // 1000000000) AS BIGINT) AS ts_sec_sum,
-               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
-                             THEN CAST(FLOOR(value * 1e6) AS BIGINT) END)
-                    AS BIGINT) AS vfloor_sum,
-               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
-                             THEN CAST(ROUND(value * 1e6) AS BIGINT) END)
-                    AS BIGINT) AS vround_sum
+               CAST(SUM((event_id % 2147483647 + 2147483647) % 2147483647)
+                    % 2147483647 AS BIGINT) AS id_chk,
+               CAST(SUM((user_id % 2147483647 + 2147483647) % 2147483647)
+                    % 2147483647 AS BIGINT) AS user_chk,
+               CAST(SUM(((epoch_ns(ts) // 1000000000) % 2147483647
+                         + 2147483647) % 2147483647) % 2147483647
+                    AS BIGINT) AS ts_sec_chk,
+               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value) THEN
+                        (CAST(FLOOR(LEAST(GREATEST(value, -1e10), 1e10) * 1e6)
+                              AS BIGINT) % 2147483647 + 2147483647)
+                        % 2147483647 END) % 2147483647 AS BIGINT) AS vfloor_chk,
+               CAST(SUM(CASE WHEN value IS NOT NULL AND isfinite(value) THEN
+                        (CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6)
+                              AS BIGINT) % 2147483647 + 2147483647)
+                        % 2147483647 END) % 2147483647 AS BIGINT) AS vround_chk
         FROM events GROUP BY event_type
+        ORDER BY key
     """
     oracles["events_order_probe"] = """
         WITH base AS (
@@ -16488,13 +16790,16 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["events_ns_residue_probe"] = """
         SELECT COUNT(ts) AS n_ts,
-               SUM(CASE WHEN ts IS NOT NULL AND epoch_ns(ts) % 1000 != 0
-                        THEN 1 ELSE 0 END) AS n_sub_us,
-               CAST(COALESCE(MAX(CASE WHEN ts IS NOT NULL
-                                      THEN epoch_ns(ts) % 1000 END), 0)
-                    AS BIGINT) AS max_sub_us,
                SUM(CASE WHEN ts IS NOT NULL
-                         AND epoch_ns(ts) % 1000000000 >= 999999000
+                         AND ((epoch_us(ts) % 1000000 + 1000000) % 1000000)
+                             != 0
+                        THEN 1 ELSE 0 END) AS n_sub_sec,
+               CAST(COALESCE(MAX(CASE WHEN ts IS NOT NULL THEN
+                        ((epoch_us(ts) % 1000000 + 1000000) % 1000000) END),
+                    0) AS BIGINT) AS max_sub_sec_us,
+               SUM(CASE WHEN ts IS NOT NULL
+                         AND ((epoch_us(ts) % 1000000 + 1000000) % 1000000)
+                             >= 999999
                         THEN 1 ELSE 0 END) AS n_near_boundary
         FROM events
     """
@@ -16792,4 +17097,26 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["emb_hamming_ann"] = _hamming_topk_sql(KNN_K)
     oracles["orders_stream_bitmap_merge"] = oracles["customer_month_coverage"]
+
+    # ---- round-8 probe battery oracles
+    oracles['probe_order_sensitivity'] = 'SELECT CAST(range AS BIGINT) AS k FROM range(1, 21) ORDER BY k'
+    oracles['events_rowset_probe'] = '\n    SELECT event_type, COUNT(*) AS n_rows FROM events\n    GROUP BY event_type ORDER BY event_type'
+    oracles['events_nulltally_probe'] = '\n    SELECT SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,\n           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,\n           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,\n           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,\n           SUM(CASE WHEN value IS NOT NULL AND isnan(value)\n                    THEN 1 ELSE 0 END) AS nan_value,\n           SUM(CASE WHEN value IS NOT NULL AND isinf(value)\n                    THEN 1 ELSE 0 END) AS inf_value\n    FROM events'
+    oracles['events_idchk_probe'] = 'SELECT CAST(SUM(((event_id) % 2147483647 + 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS id_chk FROM events'
+    oracles['events_userchk_probe'] = 'SELECT CAST(SUM(((user_id) % 2147483647 + 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS user_chk FROM events'
+    oracles['events_tschk_probe'] = 'SELECT CAST(SUM(((epoch_ns(ts) // 1000000000) % 2147483647 + 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS ts_chk FROM events'
+    oracles['events_vfloor_probe'] = 'SELECT CAST(SUM(((CASE WHEN value IS NOT NULL AND isfinite(value) THEN CAST(FLOOR(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) % 2147483647 + 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS vfloor_chk FROM events'
+    oracles['events_vround_probe'] = 'SELECT CAST(SUM(((CASE WHEN value IS NOT NULL AND isfinite(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) % 2147483647 + 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS vround_chk FROM events'
+    oracles['docs_charchk_probe'] = "\n    SELECT lang, CAST(SUM(list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS char_chk\n    FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
+    oracles['docs_trimlen_probe'] = "\n    SELECT lang, CAST(SUM(length(trim(text, ' '))) % 2147483647 AS BIGINT) AS trimlen\n    FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
+    oracles['docs_tokcount_probe'] = "\n    SELECT lang,\n           CAST(SUM(CASE WHEN trim(text, ' ') = '' THEN 0\n                         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) END) % 2147483647 AS BIGINT) AS tok_count\n    FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
+    oracles['docs_foldchk_probe'] = "\n    SELECT lang, CAST(SUM(list_reduce(list_transform(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS fold_chk\n    FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang"
+    oracles['docs_tokchk_b0'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 0 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b1'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 1 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b2'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 2 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b3'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 3 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b4'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 4 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b5'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 5 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b6'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 6 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    oracles['docs_tokchk_b7'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 7 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
     return oracles

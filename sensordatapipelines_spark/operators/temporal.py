@@ -1971,28 +1971,39 @@ def column_probe(
 
     Purpose: when a composite gate goes red cross-engine, each column of
     this probe isolates ONE mechanism — row-set divergence (n_rows),
-    id/user read (sums), timestamp read/floor (ts_sec_sum), non-finite
+    id/user read (checksums), timestamp read (ts_sec_chk), non-finite
     handling (nan/inf tallies), floor- vs round-quantization of doubles.
-    Plan shape: one hash aggregate, map-side combined, no window/join."""
+    Every non-count column is an order-free MODULAR checksum (Σ of
+    non-negative residues mod 2³¹−1): adversarial id/value magnitudes
+    can never overflow int64 — Spark (non-ANSI) would wrap where DuckDB
+    widens to HUGEINT, a silent cross-engine split. Quantizers go through
+    the clamped ``quantize_e6`` family. Plan shape: one hash aggregate,
+    map-side combined, no window/join."""
+    P = 2147483647
     v = F.col(value_col).cast("double")
     inf = F.lit(float("inf"))
     is_nan = v.isNotNull() & F.isnan(v)
     is_inf = v.isNotNull() & ((v == inf) | (v == -inf))
     finite = v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf)
     sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    clamped = F.least(F.greatest(v, F.lit(-1e10)), F.lit(1e10)) * F.lit(1e6)
+
+    def chk(col):
+        return (F.sum((col % F.lit(P) + F.lit(P)) % F.lit(P)) % F.lit(P)).cast(
+            "long"
+        )
+
     return df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col(ts_col).isNull(), 1).otherwise(0)).alias("n_null_ts"),
         F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null_value"),
         F.sum(F.when(is_nan, 1).otherwise(0)).alias("n_nan_value"),
         F.sum(F.when(is_inf, 1).otherwise(0)).alias("n_inf_value"),
-        F.sum(F.col(id_col)).alias("id_sum"),
-        F.sum(F.col(user_col)).alias("user_sum"),
-        F.sum(sec).alias("ts_sec_sum"),
-        F.sum(F.when(finite, F.floor(v * F.lit(1e6)))).alias("vfloor_sum"),
-        F.sum(F.when(finite, F.round(v * F.lit(1e6)).cast("long"))).alias(
-            "vround_sum"
-        ),
+        chk(F.col(id_col).cast("long")).alias("id_chk"),
+        chk(F.col(user_col).cast("long")).alias("user_chk"),
+        chk(sec).alias("ts_sec_chk"),
+        chk(F.when(finite, F.floor(clamped).cast("long"))).alias("vfloor_chk"),
+        chk(F.when(finite, F.round(clamped).cast("long"))).alias("vround_chk"),
     )
 
 

@@ -80,6 +80,17 @@ HOSTILE_TEXTS = [
     "ｆｕｌｌｗｉｄｔｈ ｌａｔｉｎ",
     "mixed123 numbers456 789tokens",
     "punct!!! ??? ... ,,, ;;;",
+    # Unicode spaces at token/text EDGES: DuckDB's 1-arg trim() strips
+    # these while Spark's trim() is ASCII-space-only -- the divergence the
+    # round-8 fuzzer found (fixed by trim(text, ' ') in every oracle).
+    "\u2008leading punctuation space",
+    "trailing hair space\u200a",
+    "\u00a0nbsp both ends\u00a0",
+    "\u3000ideographic\u3000space\u3000",
+    "\u1680ogham marks\u1680",
+    "\u2028line sep\u2029para sep\u0085nel",
+    "\ufeffbom prefix token",
+    "\u205fmath space\u180emongolian",
 ]
 
 # |value| <= 9e12 keeps CAST(ROUND(v*1e6) AS BIGINT) in int64 on both
