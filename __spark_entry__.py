@@ -49,6 +49,7 @@ SELECT c_custkey AS sensor_id,
            AS lat,
        c_acctbal AS val
 FROM customer
+WHERE c_custkey IS NOT NULL
 """
 
 ZONES_SQL = """
@@ -59,6 +60,7 @@ SELECT s_suppkey AS zone_id,
        CAST(0.001 + (s_suppkey % 7) * 0.0005 AS DOUBLE) AS radius,
        s_acctbal AS acctbal
 FROM supplier
+WHERE s_suppkey IS NOT NULL
 """
 
 # Raster cell table: 2 bands × 64×64 grid aligned with the sensor lattice;
@@ -121,6 +123,8 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # Non-ANSI value semantics (overflow wraps, x/0 → NULL) to match the
     # DuckDB oracle's non-raising behavior; Spark 4 defaults ANSI on.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # ansi=false flips size(NULL) to legacy -1; pin NULL = DuckDB len(NULL)
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     from sensordatapipelines_spark.runtime import ensure_shipped
 
     ensure_shipped(spark)  # mapInPandas closures must import the package on workers
@@ -3397,7 +3401,10 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.utility import snapshot_diff
 
     _register_views(spark, sf_dir)
-    bal = F.col("c_acctbal").cast("decimal(12,2)").cast("string")
+    # e2-BIGINT rendering: double→DECIMAL casts round by SHORTEST-REPR
+    # half-up in Spark but by binary value in DuckDB (2.675 → 2.68 vs
+    # 2.67); ROUND(x·100) agrees bit-for-bit on both engines.
+    bal = F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long").cast("string")
     old_p = spark.table("customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment", bal.alias("bal")
     )
@@ -3409,9 +3416,13 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.when(
             F.col("c_custkey") % 7 == 0,
-            (F.col("c_acctbal") + F.lit(10.0)).cast("decimal(12,2)").cast("string"),
+            F.round((F.col("c_acctbal") + F.lit(10.0)) * F.lit(100.0))
+            .cast("long")
+            .cast("string"),
         )
-        .otherwise(F.col("c_acctbal").cast("decimal(12,2)").cast("string"))
+        .otherwise(
+            F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long").cast("string")
+        )
         .alias("bal"),
     )
     clones = mutated.filter(F.col("c_custkey") % 11 == 0).withColumn(
@@ -5760,7 +5771,11 @@ def _stage_gpkg_points(spark: SparkSession, sf_dir: str) -> str:
             )
             con.execute(
                 "INSERT INTO sensors VALUES (?, ?, ?)",
-                (int(r["sensor_id"]), float(r["val"]), wrap_gpb(wkb)),
+                (
+                    int(r["sensor_id"]),
+                    None if r["val"] is None else float(r["val"]),
+                    wrap_gpb(wkb),
+                ),
             )
         con.commit()
         con.close()
@@ -10477,7 +10492,8 @@ def _token_count_oracle() -> str:
     return f"""
         WITH feats AS (
             SELECT doc_id,
-                   len({_TOKS}) AS n_tokens_ws,
+                   CASE WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len({_TOKS}) END AS n_tokens_ws,
                    len({ext}) AS n_tokens_bpe,
                    len(list_filter({ext},
                        x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_words,
@@ -13026,17 +13042,22 @@ def oracle_sql() -> dict[str, str]:
     oracles["customer_snapshot_diff"] = r"""
         WITH old_p AS (
             SELECT c_custkey,
-                   md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
-                       c_mktsegment,
-                       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)))
+                   md5(concat_ws('|',
+                       COALESCE(c_name, chr(1) || 'NULL'),
+                       COALESCE(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL'),
+                       COALESCE(c_mktsegment, chr(1) || 'NULL'),
+                       COALESCE(CAST(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+                                     AS VARCHAR), chr(1) || 'NULL')))
                        AS old_hash
             FROM customer
         ),
         mutated AS (
             SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
                    CASE WHEN c_custkey % 7 = 0
-                        THEN CAST(CAST(c_acctbal + 10.0 AS DECIMAL(12,2)) AS VARCHAR)
-                        ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                        THEN CAST(CAST(ROUND((c_acctbal + 10.0) * 100.0)
+                                       AS BIGINT) AS VARCHAR)
+                        ELSE CAST(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+                                  AS VARCHAR)
                    END AS bal
             FROM customer WHERE c_custkey % 13 <> 0
         ),
@@ -13048,8 +13069,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         new_p AS (
             SELECT c_custkey,
-                   md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
-                       c_mktsegment, bal)) AS new_hash
+                   md5(concat_ws('|',
+                       COALESCE(c_name, chr(1) || 'NULL'),
+                       COALESCE(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL'),
+                       COALESCE(c_mktsegment, chr(1) || 'NULL'),
+                       COALESCE(bal, chr(1) || 'NULL'))) AS new_hash
             FROM new_rows
         )
         SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,

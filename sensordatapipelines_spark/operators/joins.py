@@ -321,8 +321,40 @@ def cogroup_asof(
     def merge(l_pdf: "pd.DataFrame", r_pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(l_pdf) == 0:
             return pd.DataFrame(columns=[on] + lc + [f"r_{c}" for c in rc])
+        # NULL-aware split (adversarial data): a left row with a NULL ts
+        # or NULL key can never match (SQL: NULL <= x / NULL = x is
+        # false) but must SURVIVE with NULL right columns — merge_asof
+        # would instead raise on unsorted/NaT keys. Right rows with NULL
+        # ts/key can never be matched and drop.
+        l_bad = l_pdf[l_pdf[left_ts].isna() | l_pdf[on].isna()]
+        l_pdf = l_pdf[~(l_pdf[left_ts].isna() | l_pdf[on].isna())]
+        r_pdf = r_pdf[~(r_pdf[right_ts].isna() | r_pdf["__ron"].isna())]
+        if len(l_pdf) == 0 and len(l_bad) == 0:
+            return pd.DataFrame(columns=[on] + lc + [f"r_{c}" for c in rc])
+
+        def with_null_right(frame):
+            out = frame[[on] + lc].copy()
+            for c in rc:
+                out[f"r_{c}"] = None
+            return out
+
+        if len(l_pdf) == 0:
+            return with_null_right(l_bad)
+        # Arrow delivers int64-with-NULLs as float64; a bucket whose other
+        # side had no NULLs stays int64 — merge_asof requires matching
+        # key dtypes, so promote both sides of each numeric key together.
+        for lcol, rcol in ((on, "__ron"), (left_ts, right_ts)):
+            lk, rk = l_pdf[lcol].dtype.kind, r_pdf[rcol].dtype.kind
+            if {lk, rk} == {"i", "f"}:
+                l_pdf = l_pdf.assign(**{lcol: l_pdf[lcol].astype("float64")})
+                r_pdf = r_pdf.assign(**{rcol: r_pdf[rcol].astype("float64")})
         l_sorted = l_pdf.sort_values([left_ts, on], kind="mergesort")
         if len(r_pdf) == 0:
+            if len(l_bad):
+                return pd.concat(
+                    [with_null_right(l_sorted), with_null_right(l_bad)],
+                    ignore_index=True,
+                )
             out = l_sorted[[on] + lc].copy()
             for c in rc:
                 out[f"r_{c}"] = None
@@ -353,7 +385,12 @@ def cogroup_asof(
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged[[on] + lc + [f"r_{c}" for c in rc]]
+        merged = merged[[on] + lc + [f"r_{c}" for c in rc]]
+        if len(l_bad):
+            merged = pd.concat(
+                [merged, with_null_right(l_bad)], ignore_index=True
+            )
+        return merged
 
     lb = left.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets))

@@ -31,6 +31,9 @@ DEFAULT_CONF: dict[str, str] = {
     # ``__spark_entry__._register_views`` (the driver brings its own
     # session, which this conf must follow).
     "spark.sql.ansi.enabled": "false",
+    # ansi=false flips size(NULL) to the legacy -1; pin the modern NULL
+    # so F.size over a NULL array matches DuckDB len(NULL) = NULL.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Sensors/dim tables are small relative to fact tables: give broadcast
     # joins room. At 100 TB the fact side never broadcasts; dims still do.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
