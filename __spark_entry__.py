@@ -1136,7 +1136,9 @@ def orders_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderkey",
     )
-    return markov_transitions(o, "o_custkey", "ots", "o_orderpriority", "o_orderkey")
+    return markov_transitions(
+        o, "o_custkey", "ots", "o_orderpriority", "o_orderkey"
+    ).orderBy(F.asc_nulls_last("from_state"), F.asc_nulls_last("to_state"))
 
 
 def orders_total_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,7 +1148,9 @@ def orders_total_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.temporal import mad_anomaly
 
     _register_views(spark, sf_dir)
-    return mad_anomaly(spark.table("orders"), "o_orderpriority", "o_totalprice")
+    return mad_anomaly(
+        spark.table("orders"), "o_orderpriority", "o_totalprice"
+    ).orderBy(F.asc_nulls_last("o_orderpriority"))
 
 
 def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6728,7 +6732,9 @@ def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fks=[("l_orderkey", orders, "o_orderkey")],
         broadcast_dims=False,
     ).withColumn("tbl", F.lit("lineitem"))
-    return a.unionByName(b)
+    return a.unionByName(b).orderBy(
+        F.asc_nulls_last("tbl"), F.asc_nulls_last("check")
+    )
 
 
 def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6791,7 +6797,9 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stratified_sample_alloc(
         spark.table("documents"), "source", "doc_id", total_n=100
     )
-    return out.select("doc_id", "source", "alloc")
+    return out.select("doc_id", "source", "alloc").orderBy(
+        F.asc_nulls_last("source"), F.asc_nulls_last("doc_id")
+    )
 
 
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7865,7 +7873,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(
         spark.table("events"), "user_id", "ts", "value", "event_id",
         max_points=64, min_points=8,
-    )
+    ).orderBy(F.asc_nulls_last("user_id"))
 
 
 def events_pair_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7880,7 +7888,7 @@ def events_pair_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_probe(
         spark.table("events"), "user_id", "ts", "value", "event_id",
         max_points=64,
-    )
+    ).orderBy(F.asc_nulls_last("user_id"))
 
 
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8442,7 +8450,9 @@ def events_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.utility import gini_concentration
 
     _register_views(spark, sf_dir)
-    return gini_concentration(spark.table("events"), "event_type", "user_id")
+    return gini_concentration(spark.table("events"), "event_type", "user_id").orderBy(
+        F.asc_nulls_last("event_type")
+    )
 
 
 def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8458,7 +8468,7 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity", "__tb"
-    )
+    ).orderBy(F.asc_nulls_last("l_returnflag"))
 
 
 def events_peak_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8579,7 +8589,9 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.text import simpson_diversity
 
     _register_views(spark, sf_dir)
-    return simpson_diversity(spark.table("documents"))
+    return simpson_diversity(spark.table("documents")).orderBy(
+        F.asc_nulls_last("lang")
+    )
 
 
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8591,6 +8603,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return markov_transitions(
         spark.table("events"), "user_id", "ts", "event_type", "event_id"
+    ).orderBy(
+        F.asc_nulls_last("from_state"), F.asc_nulls_last("to_state")
     )
 
 
@@ -8602,7 +8616,7 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.temporal import mad_anomaly
 
     _register_views(spark, sf_dir)
-    return mad_anomaly(spark.table("events"), "event_type", "value")
+    return mad_anomaly(spark.table("events"), "event_type", "value").orderBy(F.asc_nulls_last("event_type"))
 
 
 def events_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8686,7 +8700,9 @@ def docs_token_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.text import token_stream_probe
 
     _register_views(spark, sf_dir)
-    return token_stream_probe(spark.table("documents"))
+    return token_stream_probe(spark.table("documents")).orderBy(
+        F.asc_nulls_last("lang")
+    )
 
 
 def docs_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14759,6 +14775,7 @@ def oracle_sql() -> dict[str, str]:
     # DQ audit: every check is a COUNT under a predicate; the long-format
     # union mirrors dq_report's check naming exactly.
     oracles["orders_dq_report"] = r"""
+        SELECT * FROM (
         SELECT 'row_count' AS check, COUNT(*) AS value, 'orders' AS tbl FROM orders
         UNION ALL
         SELECT 'null_o_custkey', COUNT(*) FILTER (o_custkey IS NULL), 'orders' FROM orders
@@ -14790,6 +14807,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'orphan_l_orderkey', COUNT(*), 'lineitem'
         FROM lineitem l WHERE l.l_orderkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        ) u
+        ORDER BY tbl, "check"
     """
     # Interpolated bigram LM (λ=0.75): same e9-integer contract as the
     # unigram oracle; multiple unnest()s in one SELECT zip positionally.
@@ -14987,6 +15006,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN alloc a USING (source)
         )
         SELECT doc_id, source, alloc FROM ranked WHERE rk <= alloc
+        ORDER BY source, doc_id
     """
     # Cohort LTV: integer month keys (year·12+month), e6-BIGINT revenue
     # sums, unrounded divisions of exact numerators.
@@ -15468,6 +15488,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE pr.dts > 0
         GROUP BY pr.user_id, s.n_points
         HAVING s.n_points >= 8
+        ORDER BY pr.user_id
     """
     oracles["events_mann_kendall"] = f"""
         {_PAIR_BASE}
@@ -15477,6 +15498,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pr JOIN s ON pr.user_id = s.user_id
         GROUP BY pr.user_id, s.n_points
         HAVING s.n_points >= 8
+        ORDER BY pr.user_id
     """
     oracles["events_pair_probe"] = f"""
         {_PAIR_BASE}
@@ -15485,6 +15507,7 @@ def oracle_sql() -> dict[str, str]:
                SUM(pr.dts) AS sum_dts
         FROM pr JOIN s ON pr.user_id = s.user_id
         GROUP BY pr.user_id, s.n_points
+        ORDER BY pr.user_id
     """
     oracles["events_ohlc_bars"] = """
         WITH s AS (
@@ -15619,6 +15642,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, tok AS token, df_in, df_out, chi6, rank
         FROM r WHERE rank <= 10
+        ORDER BY lang, rank
     """
     oracles["events_gini_users"] = """
         WITH per AS (
@@ -15637,6 +15661,7 @@ def oracle_sql() -> dict[str, str]:
                2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS gini_num,
                COUNT(*) * SUM(x) AS gini_den
         FROM ranked GROUP BY k
+        ORDER BY event_type
     """
     oracles["lineitem_weighted_median"] = """
         WITH base AS (
@@ -15662,6 +15687,7 @@ def oracle_sql() -> dict[str, str]:
                MIN(v2) AS wmedian_e2
         FROM cum WHERE cumw * 2 >= totw
         GROUP BY k
+        ORDER BY l_returnflag
     """
     oracles["events_peak_count"] = """
         WITH base AS (
@@ -15810,6 +15836,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, n_tokens, n_distinct, simpson_num,
                n_tokens * (n_tokens - 1) AS simpson_den
         FROM agg
+        ORDER BY lang
     """
     oracles["events_markov_transitions"] = """
         WITH seq AS (
@@ -15834,6 +15861,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_state, c.to_state, c.n,
                c.n * 1000000 // t.tot AS p_e6
         FROM counts c JOIN totals t ON c.from_state = t.from_state
+        ORDER BY c.from_state, c.to_state
     """
     oracles["events_mad_anomaly"] = _mad_oracle_sql(
         tbl="events", key="event_type", val="value", key_out="event_type"
@@ -15958,6 +15986,7 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT tok) AS n_tokens,
                SUM({_POLY_SQL.format(s="tok")}) % 2147483647 AS hash_mod
         FROM occ GROUP BY lang
+        ORDER BY lang
     """
     oracles["docs_nb_confusion"] = f"""
         WITH {_LANG_STREAM},
@@ -16917,6 +16946,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_state, c.to_state, c.n,
                c.n * 1000000 // t.tot AS p_e6
         FROM counts c JOIN totals t ON c.from_state = t.from_state
+        ORDER BY c.from_state, c.to_state
     """
     oracles["orders_total_mad"] = _mad_oracle_sql(
         tbl="orders", key="o_orderpriority", val="o_totalprice",
