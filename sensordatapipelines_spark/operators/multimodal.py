@@ -1011,6 +1011,18 @@ def video_frame_profile(
 
 
 def probe_media(payload: bytes) -> dict:
+    """Typed-error facade over :func:`_probe_media`: any malformed
+    known-magic header surfaces as ``ValueError`` (never a raw
+    ``struct.error``/``IndexError`` out of an executor task)."""
+    import struct as _s
+
+    try:
+        return _probe_media(payload)
+    except (_s.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed media header: {exc}") from exc
+
+
+def _probe_media(payload: bytes) -> dict:
     """Header-only metadata probe (the ffprobe-style triage pass): parse
     just enough of the container to report ``format, width, height,
     channels, sample_rate, n_frames`` WITHOUT decoding pixel/sample
@@ -1026,16 +1038,25 @@ def probe_media(payload: bytes) -> dict:
         # header tokens only; the raster is never touched
         tokens = []
         pos = 2
+        # every scan is bounded: past-the-end means a truncated header
+        # (b""[0:1].isspace() is False, so the unbounded form spins
+        # forever on corrupt input — ADVICE r7)
         while len(tokens) < 3:
             while payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= len(payload):
+                raise ValueError("netpbm header truncated")
             if payload[pos : pos + 1] == b"#":
-                while payload[pos] != 0x0A:
+                while pos < len(payload) and payload[pos] != 0x0A:
                     pos += 1
+                if pos >= len(payload):
+                    raise ValueError("netpbm header truncated")
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= len(payload):
+                raise ValueError("netpbm header truncated")
             tokens.append(payload[start:pos])
         out.update(format="netpbm", width=int(tokens[0]), height=int(tokens[1]),
                    channels=3 if head[:2] == b"P6" else 1, n_frames=1)

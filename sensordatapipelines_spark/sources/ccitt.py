@@ -293,6 +293,8 @@ def g4_decode(data: bytes, width: int, nrows: int) -> np.ndarray:
                 continue
             if bits.read(1):  # 01x → VR1 / VL1
                 a1 = b1 + 1 if bits.read(1) else b1 - 1
+                if a1 < 0:
+                    raise ValueError("CCITT G4 negative changing element")
                 cur.append(a1)
                 a0, color = a1, color ^ 1
                 continue
@@ -315,6 +317,11 @@ def g4_decode(data: bytes, width: int, nrows: int) -> np.ndarray:
             else:
                 # 0000000...: EOL/EOFB inside G4 means end of data
                 return out
+            if a1 < 0:
+                # corrupt stream: a vertical-mode delta near the left edge
+                # produced a negative position — Python slicing would wrap
+                # it silently into wrong pixels (typed-error contract)
+                raise ValueError("CCITT G4 negative changing element")
             cur.append(a1)
             a0, color = a1, color ^ 1
         if cur and cur[-1] > width:

@@ -133,6 +133,20 @@ def _rows_to_samples(
 
 
 def decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Typed-error facade (module contract, mirrors decode_gif): corrupt
+    or truncated payloads raise ValueError, never a raw struct/zlib/
+    index error out of an executor task."""
+    import zlib as _z
+
+    try:
+        return _decode_png(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, _z.error) as exc:
+        raise ValueError(f"corrupt PNG structure: {exc!r}") from exc
+
+
+def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL PNG decode: chunk walk (CRC-verified), zlib inflate of the
     IDAT stream, filter reconstruction, Adam7 deinterlace, palette
     expansion. Returns ``(pixels[h, w, c], width, height, channels)``
@@ -535,6 +549,20 @@ def encode_gif(
 
 
 def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Typed-error facade (module contract, mirrors decode_gif): corrupt
+    or truncated payloads raise ValueError, never a raw struct/zlib/
+    index error out of an executor task."""
+    import zlib as _z
+
+    try:
+        return _decode_bmp(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, _z.error) as exc:
+        raise ValueError(f"corrupt BMP structure: {exc!r}") from exc
+
+
+def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER,
     uncompressed 8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or
     top-down rows, 4-byte row padding. Returns RGB(A) uint8."""

@@ -284,6 +284,15 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         raise ValueError("JPEG missing SOF/SOS")
     w, h, comps = frame
     sel, data_pos = scan
+    if len(sel) != len(comps):
+        # spec-legal non-interleaved multi-scan baseline (one SOS per
+        # component, Ns < Nf): this decoder reads only the FIRST scan as
+        # an interleaved pass, which would silently leave the other
+        # planes zero (and mis-walk MCU geometry on subsampled frames).
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG (Ns < Nf) is not "
+            "supported; re-encode interleaved or use the progressive path"
+        )
     by_id = {c["id"]: c for c in comps}
     order = []
     for cs, td, ta in sel:
