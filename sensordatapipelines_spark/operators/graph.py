@@ -130,6 +130,8 @@ def cooccurrence_edges(
     actor_col: str,
     bucket_cols: list[str] | tuple[str, ...],
     min_cooccur: int = 3,
+    max_bucket_width: int = 10000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Co-occurrence graph builder: actors sharing at least
     ``min_cooccur`` distinct context buckets become an undirected edge →
@@ -149,6 +151,22 @@ def cooccurrence_edges(
     lists = occ.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_set("__a")).alias("__xs")
     )
+    # Mega-bucket cap (the documented-but-unenforced skew risk, now
+    # enforced): a bucket touched by half the corpus emits width²/2
+    # pairs and carries no signal; buckets wider than
+    # ``max_bucket_width`` are dropped whole (the ``max_band_df``
+    # contract — pairs inside a dropped bucket are not listed). Pass
+    # ``metrics`` to observe ``n_hot_buckets`` / ``n_buckets``.
+    if metrics is not None:
+        row = lists.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.size("__xs") > int(max_bucket_width)).cast("long")
+            ).alias("h"),
+        ).collect()[0]
+        metrics["n_buckets"] = row["n"]
+        metrics["n_hot_buckets"] = row["h"] or 0
+    lists = lists.filter(F.size("__xs") <= int(max_bucket_width))
     combos = lists.select(
         F.explode(
             F.expr(
@@ -174,6 +192,8 @@ def adamic_adar(
     min_common: int = 2,
     top_k: int = 5,
     materialize: bool = True,
+    max_degree: int = 10000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected graph → the
     ``top_k`` strongest NON-edges per node: ``(u, w, n_common, aa_score,
@@ -217,9 +237,23 @@ def adamic_adar(
     nbr = sym.distinct()
     deg = nbr.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
     term6 = F.round(F.lit(1e6) / F.log(F.col("__deg").cast("double"))).cast("long")
-    nbrt = nbr.join(deg.filter(F.col("__deg") >= 2), "s").select(
-        "s", "d", term6.alias("__t6")
+    # Hub cut (the minhash ``max_band_df`` pattern): a shared neighbor z
+    # fans out deg(z)²/2 candidates, so ONE celebrity node on a power-law
+    # graph is quadratic death no AQE split can shrink. Nodes with
+    # deg > max_degree are excluded from MEDIATING candidates (they carry
+    # ~no Adamic-Adar weight anyway: 1/ln(deg) → 0); pass ``metrics`` to
+    # observe ``n_hub_nodes`` / ``n_nodes``.
+    keep = deg.filter(
+        (F.col("__deg") >= 2) & (F.col("__deg") <= int(max_degree))
     )
+    if metrics is not None:
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__deg") > int(max_degree)).cast("long")).alias("h"),
+        ).collect()[0]
+        metrics["n_nodes"] = row["n"]
+        metrics["n_hub_nodes"] = row["h"] or 0
+    nbrt = nbr.join(keep, "s").select("s", "d", term6.alias("__t6"))
     if materialize:
         # The weighted neighbor list feeds BOTH self-join sides, and its
         # own degree join re-evaluates the distinct twice more — without a
@@ -374,6 +408,8 @@ def jaccard_link_pred(
     min_common: int = 2,
     top_k: int = 5,
     materialize: bool = True,
+    max_degree: int = 10000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction over an undirected graph →
     the ``top_k`` strongest NON-edges per node: ``(u, w, n_common,
@@ -395,8 +431,20 @@ def jaccard_link_pred(
     if materialize:
         sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    a = sym.select(F.col("s").alias("z"), F.col("d").alias("x"))
-    b = sym.select(F.col("s").alias("z"), F.col("d").alias("y"))
+    # Hub cut (see adamic_adar): mediators with deg > max_degree are
+    # excluded from candidate generation — deg(z)²/2 fan-out through one
+    # celebrity node is the only quadratic term left in this plan.
+    ok = deg.filter(F.col("deg") <= int(max_degree)).select("s")
+    if metrics is not None:
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("deg") > int(max_degree)).cast("long")).alias("h"),
+        ).collect()[0]
+        metrics["n_nodes"] = row["n"]
+        metrics["n_hub_nodes"] = row["h"] or 0
+    med = sym.join(ok, "s")
+    a = med.select(F.col("s").alias("z"), F.col("d").alias("x"))
+    b = med.select(F.col("s").alias("z"), F.col("d").alias("y"))
     common = (
         a.join(b, "z")
         .filter(F.col("x") < F.col("y"))

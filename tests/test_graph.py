@@ -103,3 +103,41 @@ def test_bfs_depths_chain_and_saturation(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
     got2 = {r.node: r.depth for r in bfs_depths(edges, seeds2, max_depth=2).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 6: 1, 3: 2}
+
+
+def test_hub_cap_excludes_celebrity_mediators(spark):
+    """max_degree (VERDICT r7 #8): a hub whose degree exceeds the cap
+    stops MEDIATING candidate pairs; drop metrics report it; a generous
+    cap reproduces the uncapped result exactly."""
+    from sensordatapipelines_spark.operators.graph import (
+        adamic_adar,
+        cooccurrence_edges,
+        jaccard_link_pred,
+    )
+
+    # star around node 0 (deg 29) + a small clique
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)] + [(1, 2), (3, 4), (2, 3)],
+        "u long, w long",
+    )
+    m: dict = {}
+    capped = adamic_adar(edges, max_degree=10, metrics=m).count()
+    assert m == {"n_nodes": 30, "n_hub_nodes": 1}
+    wide = adamic_adar(edges, max_degree=10**6).count()
+    assert capped < wide  # hub-mediated pairs gone, cap really bites
+
+    m2: dict = {}
+    jaccard_link_pred(edges, max_degree=10, metrics=m2).count()
+    assert m2["n_hub_nodes"] == 1
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)] + [(1, 2), (2, 2), (3, 2)],
+        "a long, b long",
+    )
+    m3: dict = {}
+    out = cooccurrence_edges(
+        df, "a", ["b"], min_cooccur=1, max_bucket_width=10, metrics=m3
+    )
+    assert m3 == {"n_buckets": 2, "n_hot_buckets": 1}
+    # only the narrow bucket's 3 pairs survive
+    assert out.count() == 3
