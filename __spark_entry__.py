@@ -154,6 +154,20 @@ def _staged(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     return _STAGE_CACHE[key]
 
 
+def _docs_canon(spark: SparkSession) -> DataFrame:
+    """Canonical one-text-per-id view of documents for the near-dup graph
+    gates: duplicate-id rows collapse to MAX(text), NULL ids drop —
+    mirrored verbatim as the `canon` CTE in the jaccard oracle (per-row
+    semantics under duplicate ids would emit conflicting jaccards for
+    the same pair)."""
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+    )
+
+
 def _emb(spark: SparkSession) -> DataFrame:
     """Canonical embeddings ingestion: NULL vectors and NULL ids carry no
     geometry — every similarity operator drops them at the scan (mirrored
@@ -694,7 +708,7 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return jaccard_pairs(
-        spark.table("documents"),
+        _docs_canon(spark),
         id_col="doc_id",
         text_col="text",
         n=3,
@@ -733,7 +747,7 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     edges = jaccard_pairs(
-        spark.table("documents"), id_col="doc_id", text_col="text", n=3, threshold=0.1
+        _docs_canon(spark), id_col="doc_id", text_col="text", n=3, threshold=0.1
     )
     return connected_components(edges, "id_a", "id_b")
 
@@ -3332,7 +3346,9 @@ def docs_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.text import paragraph_lang_profile
 
     _register_views(spark, sf_dir)
-    docs = spark.table("documents")
+    # NULL-id docs belong to no 4-doc group (the oracle's did joins drop
+    # the NULL key anyway — make both engines drop it at the source)
+    docs = spark.table("documents").filter(F.col("doc_id").isNotNull())
     grouped = docs.groupBy(
         F.floor(F.col("doc_id") / 4).cast("long").alias("did")
     ).agg(
@@ -5868,8 +5884,11 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text")
         )
     )
-    seed = docs.filter(F.col("doc_id") == 0).select(
-        F.col("text").alias("__seed")
+    # aggregate to a guaranteed single row: an id-0-less (or duplicate
+    # id-0) corpus must yield one NULL/max seed, not an empty/multi-row
+    # cross join — mirrors the oracle's scalar MAX subquery
+    seed = docs.filter(F.col("doc_id") == 0).agg(
+        F.max("text").alias("__seed")
     )
     staged = grouped.join(F.broadcast(seed)).select(
         "did",
@@ -6355,7 +6374,7 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     edges = jaccard_pairs(
-        spark.table("documents"),
+        _docs_canon(spark),
         id_col="doc_id",
         text_col="text",
         n=3,
@@ -7212,7 +7231,7 @@ def docs_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     edges = jaccard_pairs(
-        spark.table("documents"), id_col="doc_id", text_col="text", n=3, threshold=0.1
+        _docs_canon(spark), id_col="doc_id", text_col="text", n=3, threshold=0.1
     )
     comp = connected_components(edges, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -7445,7 +7464,7 @@ def docs_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     edges = jaccard_pairs(
-        spark.table("documents"), id_col="doc_id", text_col="text", n=3,
+        _docs_canon(spark), id_col="doc_id", text_col="text", n=3,
         threshold=0.1, max_shingle_df=1000,
     )
     return triangle_count(edges, "id_a", "id_b")
@@ -11148,8 +11167,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_jaccard_pairs": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
+            WITH canon AS (
+                SELECT doc_id, MAX(text) AS text FROM documents
+                WHERE doc_id IS NOT NULL GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM canon
             ),
             sh AS (
                 SELECT doc_id,
@@ -12702,14 +12725,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_paragraph_dedup"] = """
         WITH grouped AS (
             SELECT CAST(FLOOR(doc_id / 4) AS BIGINT) AS did,
-                   string_agg(text, chr(10) ORDER BY doc_id) AS text
+                   string_agg(text, chr(10) ORDER BY doc_id, text) AS text
             FROM documents GROUP BY FLOOR(doc_id / 4)
         ),
         staged AS (
             SELECT did,
                    CASE WHEN did % 3 = 0
-                        THEN text || chr(10) ||
-                             (SELECT text FROM documents WHERE doc_id = 0)
+                        THEN concat_ws(chr(10), text,
+                             (SELECT MAX(text) FROM documents
+                              WHERE doc_id = 0))
                         ELSE text END AS text
             FROM grouped
         ),
@@ -13200,8 +13224,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_paragraph_langs"] = r"""
         WITH grouped AS (
             SELECT CAST(floor(doc_id / 4) AS BIGINT) AS did,
-                   string_agg(text, chr(10) ORDER BY doc_id) AS text
-            FROM documents GROUP BY 1
+                   string_agg(text, chr(10) ORDER BY doc_id, text) AS text
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
         ),
         paras AS (
             SELECT did, string_split_regex(trim(translate(p, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+') AS toks

@@ -136,7 +136,11 @@ def _shingle_postings(
     # the dominant shuffle cost at scale (collision odds ~n²/2⁶⁴).
     exploded = shingled.select(
         "__id", F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s")
-    )
+    ).distinct()
+    # ^ distinct at the (id, shingle) level, not just within each row's
+    # array: duplicate-id input rows must MERGE into one shingle set (the
+    # set semantics every oracle states) — without it, shared shingles
+    # double into the posting lists, inflating sizes and intersections.
     if max_shingle_df is not None:
         freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         if metrics is not None:
@@ -163,7 +167,9 @@ def _shingle_postings(
         sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     else:
         exploded = exploded.cache()
-        sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+        # sizes from the DISTINCT postings (per-row array sizes would
+        # double-count duplicate-id rows' shared shingles)
+        sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     return exploded, sizes
 
 
@@ -1523,16 +1529,14 @@ def ngram_novelty(
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
-    empties = df.select(F.col(id_col)).join(
-        scored.select(id_col), id_col, "left_anti"
-    )
-    return scored.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_grams"),
-            F.lit(0).cast("long").alias("n_novel"),
-            F.lit(None).cast("double").alias("novelty"),
-        )
+    # One row per INPUT ROW (left-join-back): under duplicate or NULL ids
+    # the oracle's LEFT JOIN semantics reproduce exactly — a left_anti
+    # "empties" union under-counts duplicates and NULL-id rows.
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.col("novelty"),
     )
 
 

@@ -1057,15 +1057,13 @@ def unigram_logprob(
         ).alias("avg_logprob"),
     )
     # Docs with zero tokens score NULL avg_logprob (kept, not dropped).
-    empties = df.select(F.col(id_col)).join(
-        scored.select(id_col), id_col, "left_anti"
-    )
-    return scored.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(None).cast("double").alias("avg_logprob"),
-        )
+    # One row per INPUT ROW (left-join-back): under duplicate or NULL ids
+    # the oracle's LEFT JOIN semantics reproduce exactly — a left_anti
+    # "empties" union under-counts duplicates and NULL-id rows.
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.col("avg_logprob"),
     )
 
 
@@ -1321,15 +1319,13 @@ def dsir_importance_weights(
             ),
         )
     )
-    empties = df.select(F.col(id_col)).join(
-        scored.select(id_col), id_col, "left_anti"
-    )
-    return scored.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_feats"),
-            F.lit(0.0).alias("log_weight"),
-        )
+    # One row per INPUT ROW (left-join-back): under duplicate or NULL ids
+    # the oracle's LEFT JOIN semantics reproduce exactly — a left_anti
+    # "empties" union under-counts duplicates and NULL-id rows.
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
     )
 
 
@@ -1514,15 +1510,13 @@ def bigram_logprob(
             / F.col("n_bigrams").cast("double")
         ).alias("avg_logprob"),
     )
-    empties = df.select(F.col(id_col)).join(
-        scored.select(id_col), id_col, "left_anti"
-    )
-    return scored.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(None).cast("double").alias("avg_logprob"),
-        )
+    # One row per INPUT ROW (left-join-back): under duplicate or NULL ids
+    # the oracle's LEFT JOIN semantics reproduce exactly — a left_anti
+    # "empties" union under-counts duplicates and NULL-id rows.
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.col("avg_logprob"),
     )
 
 
