@@ -642,7 +642,13 @@ def customer_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.utility import equal_width_binning
 
     _register_views(spark, sf_dir)
-    binned = equal_width_binning(spark.table("customer"), "c_acctbal", 10)
+    # NULL balances carry no bin on either engine (DuckDB's GREATEST
+    # would otherwise silently fold NULL into bin 1)
+    binned = equal_width_binning(
+        spark.table("customer").filter(F.col("c_acctbal").isNotNull()),
+        "c_acctbal",
+        10,
+    )
     return binned.groupBy(F.col("c_acctbal_bin").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
@@ -1680,7 +1686,10 @@ def pipeline_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]}
     """
     pipe = Pipeline.from_json(plan)
-    out = pipe.process(spark.table("documents"))
+    # canonical one-text-per-id input: the oracle composes two per-doc
+    # sub-oracles via a doc_id join, which cannot express per-ROW results
+    # under duplicate ids
+    out = pipe.process(_docs_canon(spark))
     return out.select("doc_id", "quality", "lang_pred")
 
 
@@ -3387,7 +3396,12 @@ def docs_url_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(variant == 2, F.concat(F.lit("https://"), _upper_ascii(host), F.lit("/p/"), page, F.lit("/")))
         .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), page, F.lit("?a=1")))
     )
-    docs = spark.table("documents").select("doc_id", url.alias("url"))
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", url.alias("url"))
+        .distinct()
+    )
     canon = canonicalize_url(docs)
     kept = dedup_keep_first(canon, ["url_canon"], order_col="doc_id")
     return kept.select("doc_id", "url_canon")
@@ -6877,7 +6891,23 @@ def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.utility import upsert_merge
 
     _register_views(spark, sf_dir)
-    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    # canonical snapshot: ONE row per customer key (duplicate-key rows
+    # pick the deterministic (name, nation, segment, e2-balance) minimum;
+    # NULL keys form one partition) — mirrored in the oracle's canon CTE
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.asc_nulls_last("c_name"),
+        F.asc_nulls_last("c_nationkey"),
+        F.asc_nulls_last("c_mktsegment"),
+        F.asc_nulls_last(F.round(F.col("c_acctbal") * 100).cast("long")),
+    )
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     orders = load_table(spark, sf_dir, "orders")
     changes = orders.join(
         customer, orders["o_custkey"] == customer["c_custkey"]
@@ -7252,13 +7282,18 @@ def _stage_logs(spark: SparkSession, sf_dir: str) -> str:
             .select(
                 F.concat(
                     F.lit("evt="),
-                    F.col("event_id"),
+                    F.coalesce(F.col("event_id").cast("string"), F.lit("NA")),
                     F.lit(" ts_us="),
-                    F.unix_micros(F.col("ts").cast("timestamp")),
+                    F.coalesce(
+                        F.unix_micros(F.col("ts").cast("timestamp")).cast(
+                            "string"
+                        ),
+                        F.lit("NA"),
+                    ),
                     F.lit(" user="),
-                    F.col("user_id"),
+                    F.coalesce(F.col("user_id").cast("string"), F.lit("NA")),
                     F.lit(" type="),
-                    F.col("event_type"),
+                    F.coalesce(F.col("event_type"), F.lit("NA")),
                 ).alias("value")
             )
             .coalesce(4)
@@ -7269,7 +7304,8 @@ def _stage_logs(spark: SparkSession, sf_dir: str) -> str:
     return _staged(spark, sf_dir, "log_src", build)
 
 
-LOG_PATTERN = r"^evt=(\d+) ts_us=(-?\d+) user=(\d+) type=(\w+)$"
+# NULL fields ride as the NA sentinel; negative ids are legal
+LOG_PATTERN = r"^evt=(-?\d+|NA) ts_us=(-?\d+|NA) user=(-?\d+|NA) type=(\w+)$"
 
 
 def events_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7322,7 +7358,17 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
        "kwargs": {"source_col": "source", "alpha": 0.5}}
     ]}
     """
-    return Pipeline.from_json(plan).process(spark.table("documents"))
+    # canonical one-text-per-id input (see pipeline_quality_lang): the
+    # oracle joins per-doc CTEs on doc_id, which multiplies duplicate ids
+    return Pipeline.from_json(plan).process(
+        _docs_canon(spark).join(
+            spark.table("documents")
+            .filter(F.col("doc_id").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.max("source").alias("source")),
+            "doc_id",
+        )
+    )
 
 
 def events_stream_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7651,8 +7697,12 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     # the 30-char prefix key (same as docs_dedup_exact) so the gate
     # exercises real duplicate suppression at every scale factor
-    docs = spark.table("documents").withColumn(
-        "key", F.substring("text", 1, 30)
+    # NULL text has no dedup key: excluded on both engines (a SQL
+    # equi-join can never match a NULL key anyway)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("key", F.substring("text", 1, 30))
     )
     day1 = docs.filter(F.col("doc_id") % 2 == 0)
     day2 = docs.filter(F.col("doc_id") % 2 == 1)
@@ -11025,13 +11075,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gx, gy
         """,
         "customer_bins": """
-            WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+            WITH cust AS (SELECT c_acctbal FROM customer
+                          WHERE c_acctbal IS NOT NULL),
+            b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM cust),
             binned AS (
                 SELECT c_acctbal,
                        GREATEST(1, LEAST(10,
                            CAST(FLOOR((c_acctbal - b.lo) / ((b.hi - b.lo) / 10)) AS INT) + 1
                        )) AS bin
-                FROM customer, b
+                FROM cust, b
             )
             SELECT bin, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
             FROM binned GROUP BY bin
@@ -11329,7 +11381,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": f"""
             WITH feats AS (
                 SELECT doc_id,
-                       CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                       CASE WHEN text IS NULL OR trim(text, ' ') = ''
+                            THEN 0.0
+                            ELSE CAST(len({_TOKS}) AS DOUBLE) END AS n_tok,
                        CASE WHEN len({_TOKS}) > 0 THEN
                            CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE)
                                / len({_TOKS})
@@ -11450,8 +11504,16 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # The pipeline round-trip query composes two already-oracled ops.
+    _canon_docs = (
+        "SELECT doc_id, MAX(text) AS text FROM documents "
+        "WHERE doc_id IS NOT NULL GROUP BY doc_id"
+    )
     oracles["pipeline_quality_lang"] = f"""
-        WITH q AS ({oracles["docs_quality"]}), l AS ({oracles["docs_lang_id"]})
+        WITH canon_docs AS ({_canon_docs}),
+        q AS ({oracles["docs_quality"].replace("FROM documents",
+                                               "FROM canon_docs")}),
+        l AS ({oracles["docs_lang_id"].replace("FROM documents",
+                                               "FROM canon_docs")})
         SELECT q.doc_id, q.quality, l.lang_pred
         FROM q JOIN l ON q.doc_id = l.doc_id
     """
@@ -11854,8 +11916,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS node, LEAST(src, MIN(dst)) AS component
             FROM reach GROUP BY src
         )
-        SELECT doc_id, source, n_chars FROM documents
-        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.node <> c.component
+                            AND c.node = d.doc_id)
     """
     oracles["docs_neardedup_keep_longest"] = f"""
         WITH RECURSIVE cand AS ({_minhash_oracle()}),
@@ -11891,8 +11955,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM mem
             ) WHERE rk > 1
         )
-        SELECT doc_id, source, n_chars FROM documents
-        WHERE doc_id NOT IN (SELECT node FROM losers)
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
     """
     oracles["events_stream_stream_join"] = """
         SELECT c.user_id AS c_user, COUNT(*) AS n_pairs
@@ -12279,8 +12343,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, COUNT(*) AS n_clean,
                ROUND(AVG(n_chars), 6) AS avg_chars
-        FROM corpus
-        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        FROM corpus c
+        WHERE NOT EXISTS (SELECT 1 FROM contaminated x
+                          WHERE x.doc_id = c.doc_id)
         GROUP BY source
     """
     oracles["q2_min_acct_supplier"] = """
@@ -13172,7 +13237,8 @@ def oracle_sql() -> dict[str, str]:
                        AS host,
                    CAST(doc_id // 4 AS VARCHAR) AS page,
                    CAST(doc_id % 4 AS INT) AS variant
-            FROM documents
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id IS NOT NULL) d
         ),
         urls AS (
             SELECT doc_id,
@@ -14265,10 +14331,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY event_type
     """
     oracles["pipeline_curation"] = f"""
-        WITH q AS ({oracles["docs_quality"]}),
+        WITH canon_docs AS (
+            SELECT doc_id, MAX(text) AS text, MAX(source) AS source
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id
+        ),
+        q AS ({oracles["docs_quality"].replace("FROM documents",
+                                               "FROM canon_docs")}),
         scored AS (
             SELECT d.doc_id, d.source, d.text, q.quality
-            FROM documents d JOIN q USING (doc_id)
+            FROM canon_docs d JOIN q USING (doc_id)
         ),
         soft AS (
             SELECT * FROM scored
@@ -14512,10 +14583,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT substring(text, 1, 30) AS k,
                    COALESCE(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
                             min(doc_id)) AS keep_id
-            FROM documents GROUP BY substring(text, 1, 30)
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY substring(text, 1, 30)
         )
         SELECT d.doc_id, d.source
-        FROM documents d JOIN pick p
+        FROM (SELECT * FROM documents WHERE text IS NOT NULL) d JOIN pick p
           ON substring(d.text, 1, 30) = p.k AND d.doc_id = p.keep_id
     """
     oracles["docs_weighted_median"] = r"""
@@ -15155,11 +15227,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rn = 1
         )
+        , canon AS (
+            SELECT * FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY c_custkey
+                    ORDER BY c_name, c_nationkey, c_mktsegment,
+                             CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS rn
+                FROM customer c
+            ) WHERE rn = 1
+        )
         SELECT c.c_custkey, c.c_name, c.c_nationkey,
-               COALESCE(l.o_totalprice, c.c_acctbal) AS c_acctbal,
+               CASE WHEN l.o_custkey IS NOT NULL THEN l.o_totalprice
+                    ELSE c.c_acctbal END AS c_acctbal,
                c.c_mktsegment,
                l.o_custkey IS NOT NULL AS updated
-        FROM customer c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+        FROM canon c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
     """
     # Grouped OLS from 1e-3-scaled integer moment sums; IEEE arithmetic
     # on exact sums with the engine's exact expression order.
