@@ -2478,14 +2478,26 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
-    ev = spark.table("events").withColumn(
-        "delta", F.col("value") - F.lag("value").over(w)
+    from sensordatapipelines_spark.operators.temporal import quantize_e6
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
-    return ev.filter(F.col("delta").isNotNull()).groupBy("event_type").agg(
+    # integer-exact deltas: the raw-double AVG is summation-order-
+    # dependent; e6-quantized values subtract and sum exactly
+    ev = spark.table("events").withColumn("__v6", quantize_e6(F.col("value")))
+    ev = ev.withColumn("delta6", F.col("__v6") - F.lag("__v6").over(w))
+    return ev.filter(F.col("delta6").isNotNull()).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_deltas"),
-        F.round(F.avg("delta"), 6).alias("avg_delta"),
-        F.round(F.max("delta"), 6).alias("max_delta"),
+        F.round(
+            F.sum("delta6").cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_delta"),
+        F.round(F.max("delta6").cast("double") / F.lit(1e6), 6).alias(
+            "max_delta"
+        ),
     )
 
 
@@ -7114,8 +7126,19 @@ def events_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     ev = spark.table("events")
-    even = aggregate_state(ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value")
-    odd = aggregate_state(ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "value")
+    # exhaustive split: pmod handles negative ids, and NULL-id rows ride
+    # the odd half — the oracle aggregates the WHOLE table, so no row may
+    # fall out of both halves
+    even = aggregate_state(
+        ev.filter(F.pmod(F.col("event_id"), 2) == 0), ["event_type"], "value"
+    )
+    odd = aggregate_state(
+        ev.filter(
+            F.coalesce(F.pmod(F.col("event_id"), 2) != 0, F.lit(True))
+        ),
+        ["event_type"],
+        "value",
+    )
     merged = merge_aggregate_states(even, odd, ["event_type"])
     return finalize_aggregate_state(merged, ["event_type"])
 
@@ -11636,17 +11659,25 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
     oracles["events_lag_delta"] = """
-        WITH d AS (
-            SELECT event_type,
-                   value - LAG(value) OVER (
-                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
-                   ) AS delta
+        WITH q AS (
+            SELECT event_type, user_id, event_id, ts,
+                   CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                        ELSE CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10)
+                                        * 1e6) AS BIGINT) END AS v6
             FROM events
+        ),
+        d AS (
+            SELECT event_type,
+                   v6 - LAG(v6) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                   ) AS delta6
+            FROM q
         )
         SELECT event_type, COUNT(*) AS n_deltas,
-               ROUND(AVG(delta), 6) AS avg_delta,
-               ROUND(MAX(delta), 6) AS max_delta
-        FROM d WHERE delta IS NOT NULL
+               ROUND(CAST(SUM(delta6) AS DOUBLE) / 1e6 / COUNT(*), 6)
+                   AS avg_delta,
+               ROUND(CAST(MAX(delta6) AS DOUBLE) / 1e6, 6) AS max_delta
+        FROM d WHERE delta6 IS NOT NULL
         GROUP BY event_type
     """
     oracles["events_stream_dedup"] = """
@@ -13930,10 +13961,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         arr AS (
             SELECT event_id, user_id,
-                   list(v) OVER (PARTITION BY user_id
-                                 ORDER BY tus, event_id
-                                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
-                       AS l
+                   list_filter(
+                       list(v) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id
+                                     ROWS BETWEEN 20 PRECEDING
+                                              AND CURRENT ROW),
+                       x -> x IS NOT NULL) AS l
             FROM e
         )
         SELECT event_id, user_id,
@@ -13997,14 +14030,25 @@ def oracle_sql() -> dict[str, str]:
         FROM wins WHERE event_type = 'purchase'
     """
     oracles["events_state_merge"] = """
+        WITH q AS (
+            SELECT event_type, value,
+                   CAST(LEAST(GREATEST(ROUND(value * 1e6), -1e13), 1e13)
+                        AS BIGINT) AS v1,
+                   CAST(LEAST(GREATEST(ROUND(value * 100.0), -3e6), 3e6)
+                        AS BIGINT) AS v2
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        )
         SELECT event_type,
                count(*) AS n,
-               round(sum(value) / count(*), 6) AS mean,
-               round((sum(value * value) - sum(value) * sum(value) / count(*))
+               round(CAST(SUM(v1) AS DOUBLE) / 1e6 / count(*), 6) AS mean,
+               round((CAST(SUM(v2 * v2) AS DOUBLE) / 1e4
+                      - (CAST(SUM(v1) AS DOUBLE) / 1e6)
+                        * (CAST(SUM(v1) AS DOUBLE) / 1e6) / count(*))
                      / (count(*) - 1), 4) AS var_samp,
                round(min(value), 6) AS vmin,
                round(max(value), 6) AS vmax
-        FROM events
+        FROM q
         GROUP BY event_type
     """
     oracles["docs_top_p_sources"] = r"""
@@ -15249,10 +15293,15 @@ def oracle_sql() -> dict[str, str]:
         WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
         b AS (
             SELECT event_type,
-                   CAST(round((CAST(epoch_us(ts) - t0.t0 AS DOUBLE)
-                               / 3600000000.0) * 1000.0) AS BIGINT) AS x6,
-                   CAST(round(value * 1000.0) AS BIGINT) AS y6
+                   CAST(LEAST(GREATEST(
+                       round((CAST(epoch_us(ts) - t0.t0 AS DOUBLE)
+                              / 3600000000.0) * 1000.0),
+                       -3e6), 3e6) AS BIGINT) AS x6,
+                   CAST(LEAST(GREATEST(round(value * 1000.0), -3e6), 3e6)
+                        AS BIGINT) AS y6
             FROM events CROSS JOIN t0
+            WHERE ts IS NOT NULL
+              AND value IS NOT NULL AND NOT isnan(value)
         ),
         agg AS (
             SELECT event_type, COUNT(*) AS n,

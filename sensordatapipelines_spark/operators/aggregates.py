@@ -193,13 +193,30 @@ def grouped_linregress(
     Degenerate groups (n < 2 or zero x-variance) emit NULL slope/
     intercept/r2.
 
-    Overflow bound: ``|x·scale| · |y·scale| · n_group`` must stay under
-    2^63 — the default 1e3 scale leaves ~6 decimal digits of headroom
-    for x,y up to ~1e4 over ~1e8-row groups; raise ``scale`` for more
-    precision on small well-bounded data, lower it for huge groups."""
-    x6 = F.round(F.col(x_col).cast("double") * F.lit(float(scale))).cast("long")
-    y6 = F.round(F.col(y_col).cast("double") * F.lit(float(scale))).cast("long")
-    base = df.select(F.col(group_col), x6.alias("__x"), y6.alias("__y"))
+    Overflow bound, now ENFORCED: quantized values clamp to ±3e6, so a
+    squared term is ≤ 9e12 and the sums stay exact int64 through ~1e6
+    rows per group (beyond that, use the sketch/double path). The clamp
+    is part of the operator contract and every oracle mirrors it —
+    without it, adversarial magnitudes silently wrap Spark's sums while
+    DuckDB widens to HUGEINT (found by the round-8 adversarial twin)."""
+    qb = F.lit(3e6)
+
+    def q(col):
+        c = F.col(col).cast("double")
+        return (
+            F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long"))
+            .otherwise(
+                F.least(
+                    F.greatest(F.round(c * F.lit(float(scale))), -qb), qb
+                ).cast("long")
+            )
+        )
+
+    x6 = q(x_col)
+    y6 = q(y_col)
+    base = df.select(
+        F.col(group_col), x6.alias("__x"), y6.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     agg = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("__sx"),

@@ -345,7 +345,9 @@ def grouped_zscore(
     keys = list(group_cols)
 
     def fn(pdf):
-        g = pdf.groupby(keys, sort=False)[value_col]
+        # dropna=False: a NULL group key is still a group (SQL window
+        # PARTITION BY semantics) — pandas'' default silently drops it
+        g = pdf.groupby(keys, sort=False, dropna=False)[value_col]
         pdf[out_col] = (pdf[value_col] - g.transform("mean")) / g.transform("std")
         return pdf.drop(columns="__bkt")
 
@@ -630,12 +632,28 @@ def aggregate_state(
     process each new partition/day once, merge its state into the stored
     state, finalize on read.
 
-    One map-side-combined aggregate; state size is O(|keys|)."""
+    One map-side-combined aggregate; state size is O(|keys|).
+
+    NULL/NaN values carry no state: rows drop BEFORE aggregation so ``n``
+    counts exactly the observations inside the power sums (a COUNT(*)
+    over rows with NULL values would silently skew mean/variance)."""
     v = F.col(value_col).cast("double")
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
+    # Exact-integer power sums (cross-engine determinism): double sums
+    # are summation-order-dependent and the variance finalization
+    # catastrophically cancels — so s1 quantizes at e6 (clamp ±1e13/row)
+    # and the squared term at e2 with |v2| ≤ 3e6 (square ≤ 9e12, exact
+    # int64 through ~1e6 rows/key). Mirrored in every state oracle.
+    v1 = F.least(
+        F.greatest(F.round(v * F.lit(1e6)), F.lit(-1e13)), F.lit(1e13)
+    ).cast("long")
+    v2 = F.least(
+        F.greatest(F.round(v * F.lit(100.0)), F.lit(-3e6)), F.lit(3e6)
+    ).cast("long")
     return df.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
+        F.sum(v1).alias("s1"),
+        F.sum(v2 * v2).alias("s2"),
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
     )
@@ -665,8 +683,10 @@ def merge_aggregate_states(
     return j.select(
         *key_cols,
         (F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))).alias("n"),
-        (F.coalesce(F.col("a.s1"), F.lit(0.0)) + F.coalesce(F.col("b.s1"), F.lit(0.0))).alias("s1"),
-        (F.coalesce(F.col("a.s2"), F.lit(0.0)) + F.coalesce(F.col("b.s2"), F.lit(0.0))).alias("s2"),
+        (F.coalesce(F.col("a.s1"), F.lit(0).cast("long"))
+         + F.coalesce(F.col("b.s1"), F.lit(0).cast("long"))).alias("s1"),
+        (F.coalesce(F.col("a.s2"), F.lit(0).cast("long"))
+         + F.coalesce(F.col("b.s2"), F.lit(0).cast("long"))).alias("s2"),
         F.least(
             F.coalesce(F.col("a.vmin"), F.col("b.vmin")),
             F.coalesce(F.col("b.vmin"), F.col("a.vmin")),
@@ -684,10 +704,13 @@ def finalize_aggregate_state(state: DataFrame, keys: "Sequence[str]") -> DataFra
     sample variance (from power sums), min, max. Pure projection — zero
     shuffle over the already-reduced state."""
     n = F.col("n").cast("double")
-    mean = F.col("s1") / n
+    # s1 carries e6-scaled integers, s2 carries e4-scaled squares
+    s1 = F.col("s1").cast("double") / F.lit(1e6)
+    s2 = F.col("s2").cast("double") / F.lit(1e4)
+    mean = s1 / n
     var = F.when(
         F.col("n") > 1,
-        (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0)),
+        (s2 - s1 * s1 / n) / (n - F.lit(1.0)),
     )
     return state.select(
         *[F.col(k) for k in keys],
