@@ -168,6 +168,26 @@ def _docs_canon(spark: SparkSession) -> DataFrame:
     )
 
 
+def _sum_value_2dp(col: str = "value"):
+    """Order-independent 2-dp sum of a double column: Σ of e6-quantized
+    BIGINTs (NULL/NaN skipped) divided back and rounded at 2 — the
+    deterministic replacement for ROUND(SUM(double), 2), whose raw double
+    sum is summation-order-dependent. Mirrored in oracles as
+    ``_SQL_SUM_VALUE_2DP``."""
+    from sensordatapipelines_spark.operators.temporal import quantize_e6
+
+    return F.round(
+        F.sum(quantize_e6(F.col(col))).cast("double") / F.lit(1e4)
+    ) / F.lit(1e2)
+
+
+_SQL_SUM_VALUE_2DP = (
+    "ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN "
+    "CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) "
+    "AS DOUBLE) / 1e4) / 1e2"
+)
+
+
 def _emb(spark: SparkSession) -> DataFrame:
     """Canonical embeddings ingestion: NULL vectors and NULL ids carry no
     geometry — every similarity operator drops them at the scan (mirrored
@@ -379,18 +399,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(
-            F.sum(
+        (F.round((F.sum("l_quantity")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_qty"),
+        (F.round((F.sum("l_extendedprice")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_base_price"),
+        (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias("sum_disc_price"),
+        (F.round((F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            )) * F.lit(1e2)) / F.lit(1e2)).alias("sum_charge"),
+        (F.round((F.avg("l_quantity")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_qty"),
+        (F.round((F.avg("l_extendedprice")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_price"),
+        (F.round((F.avg("l_discount")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -409,7 +426,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            (F.round((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * F.lit(1e2)) / F.lit(1e2)).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -428,7 +445,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias("revenue")
         )
     )
     return rev.orderBy(F.desc("revenue"), F.asc_nulls_last(F.col("o_orderkey"))).limit(10)
@@ -451,7 +468,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -467,7 +484,7 @@ def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("orders")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+        .select("o_custkey", "o_orderkey", (F.round((F.col("o_totalprice")) * F.lit(1e2)) / F.lit(1e2)).alias("totalprice"), "rk")
     )
 
 
@@ -493,7 +510,7 @@ def events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stat_cols = [c for c in out.columns if c.startswith(("mean_", "max_"))]
     return out.select(
-        "sensor_id", "name", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", "name", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -518,7 +535,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.get_json_object("props", "$.k").cast("int")
     )
     return ev.groupBy("event_type").agg(
-        F.round(F.avg("k"), 6).alias("avg_k"),
+        (F.round((F.avg("k")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_k"),
         F.max("k").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -540,8 +557,8 @@ def sensors_buffer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "sensor_id",
-        F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
-        F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+        (F.round((F.col("mean_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_zones_acctbal"),
+        (F.round((F.col("max_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("max_zones_acctbal"),
     )
 
 
@@ -566,8 +583,8 @@ def sensors_buffer_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "sensor_id",
-        F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
-        F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+        (F.round((F.col("mean_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_zones_acctbal"),
+        (F.round((F.col("max_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("max_zones_acctbal"),
     )
 
 
@@ -587,8 +604,8 @@ def sensors_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "sensor_id",
-        F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
-        F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+        (F.round((F.col("mean_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_zones_acctbal"),
+        (F.round((F.col("max_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("max_zones_acctbal"),
     )
 
 
@@ -607,7 +624,7 @@ def sensors_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stat_cols = [c for c in out.columns if "_rast_" in c]
     return out.select(
-        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -617,7 +634,7 @@ def sensors_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return bbox_filter(_sensors(spark), 0.05, 0.15, 0.05, 0.15).select(
-        "sensor_id", "lon", "lat", F.round("val", 2).alias("val")
+        "sensor_id", "lon", "lat", (F.round((F.col("val")) * F.lit(1e2)) / F.lit(1e2)).alias("val")
     )
 
 
@@ -634,7 +651,7 @@ def sensors_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat_step=IDW_STEP,
         extent=IDW_EXTENT,
     )
-    return out.select("gx", "gy", F.round("val_idw", 6).alias("val_idw"))
+    return out.select("gx", "gy", (F.round((F.col("val_idw")) * F.lit(1e6)) / F.lit(1e6)).alias("val_idw"))
 
 
 def customer_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,7 +668,7 @@ def customer_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binned.groupBy(F.col("c_acctbal_bin").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        (F.round((F.avg("c_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_bal"),
     )
 
 
@@ -682,9 +699,9 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_tokens",
-        F.round("mean_token_len", 6).alias("mean_token_len"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        (F.round((F.col("mean_token_len")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_token_len"),
+        (F.round((F.col("punct_ratio")) * F.lit(1e6)) / F.lit(1e6)).alias("punct_ratio"),
+        (F.round((F.col("stopword_ratio")) * F.lit(1e6)) / F.lit(1e6)).alias("stopword_ratio"),
     )
 
 
@@ -806,8 +823,8 @@ def zones_intersect_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zone_id",
         "lon",
         "lat",
-        F.round("radius", 6).alias("radius"),
-        F.round("acctbal", 2).alias("acctbal"),
+        (F.round((F.col("radius")) * F.lit(1e6)) / F.lit(1e6)).alias("radius"),
+        (F.round((F.col("acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("acctbal"),
     )
 
 
@@ -900,8 +917,8 @@ def sensors_buffer_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             "sensor_id",
             F.lit(float(size)).alias("buffer_size"),
-            F.round("mean_zones_acctbal", 6).alias("mean_zones_acctbal"),
-            F.round("max_zones_acctbal", 6).alias("max_zones_acctbal"),
+            (F.round((F.col("mean_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_zones_acctbal"),
+            (F.round((F.col("max_zones_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("max_zones_acctbal"),
         )
         for size, out in runs.items()
     ]
@@ -1306,11 +1323,8 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "use_dims",
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
         F.lit(n_exact).alias("n_exact"),
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.lit(float(n_exact)),
-            6,
-        ).alias("recall"),
+        (F.round((F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.lit(float(n_exact))) * F.lit(1e6)) / F.lit(1e6)).alias("recall"),
     )
 
 
@@ -1572,9 +1586,9 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events")
         .groupBy("event_type")
         .agg(
-            F.round(p[0], 6).alias("p25"),
-            F.round(p[1], 6).alias("p50"),
-            F.round(p[2], 6).alias("p75"),
+            (F.round((p[0]) * F.lit(1e6)) / F.lit(1e6)).alias("p25"),
+            (F.round((p[1]) * F.lit(1e6)) / F.lit(1e6)).alias("p50"),
+            (F.round((p[2]) * F.lit(1e6)) / F.lit(1e6)).alias("p75"),
         )
     )
 
@@ -1586,7 +1600,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.round((F.sum("l_quantity")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -1604,11 +1618,14 @@ def events_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events").select("event_id", "event_type", "value")
     a = ev.filter(F.col("event_type").isin("click", "view"))
     b = ev.filter(F.col("value") > 50.0)
+    # full-row distinct (SQL UNION semantics): an id-keyed dropDuplicates
+    # picks an arbitrary winner among duplicate ids with different
+    # payloads — nondeterministic on either engine
     return (
         a.unionByName(b)
-        .dropDuplicates(["event_id"])
+        .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_value_2dp().alias("sum_value"))
     )
 
 
@@ -1629,8 +1646,8 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
     return ev.groupBy("day", "user_id").agg(
-        F.round(F.avg("value"), 6).alias("avg_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        (F.round((F.avg("value")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_value"),
+        (F.round((F.max("value")) * F.lit(1e6)) / F.lit(1e6)).alias("max_value"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1646,7 +1663,7 @@ def events_bottomk_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rk")
+        .select("user_id", "event_id", (F.round((F.col("value")) * F.lit(1e6)) / F.lit(1e6)).alias("value"), "rk")
     )
 
 
@@ -1668,8 +1685,8 @@ def sensors_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "+ 0.0" normalizes IEEE negative zero (lat=0 → ln(tan(π/4)) = ±0).
     return out.select(
         "sensor_id",
-        (F.round("lon", 2) + F.lit(0.0)).alias("x_merc"),
-        (F.round("lat", 2) + F.lit(0.0)).alias("y_merc"),
+        ((F.round((F.col("lon")) * F.lit(1e2)) / F.lit(1e2)) + F.lit(0.0)).alias("x_merc"),
+        ((F.round((F.col("lat")) * F.lit(1e2)) / F.lit(1e2)) + F.lit(0.0)).alias("y_merc"),
     )
 
 
@@ -1742,7 +1759,7 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round("value_asof", 6).alias("last_purchase_value"),
+        (F.round((F.col("value_asof")) * F.lit(1e6)) / F.lit(1e6)).alias("last_purchase_value"),
         F.col("event_id_asof").alias("last_purchase_id"),
     )
 
@@ -1779,7 +1796,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_preceding=3,
         order_tiebreak="event_id",
     )
-    return out.select("event_id", "user_id", F.round("value_ma", 6).alias("value_ma"))
+    return out.select("event_id", "user_id", (F.round((F.col("value_ma")) * F.lit(1e6)) / F.lit(1e6)).alias("value_ma"))
 
 
 def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,7 +1813,7 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, cust, on="user_id", salt=8)
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -1818,7 +1835,7 @@ def events_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -1846,9 +1863,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc_nulls_last(F.col("c_custkey")))
         .limit(20)
@@ -1864,7 +1879,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("tot_qty"))
+        .agg((F.round((F.sum("l_quantity")) * F.lit(1e2)) / F.lit(1e2)).alias("tot_qty"))
         .filter(F.col("tot_qty") >= 120)
     )
     o = spark.table("orders")
@@ -1875,7 +1890,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "c_custkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            (F.round((F.col("o_totalprice")) * F.lit(1e2)) / F.lit(1e2)).alias("totalprice"),
             "tot_qty",
         )
     )
@@ -1891,7 +1906,7 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.round((F.sum("l_quantity")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_qty"),
         )
     )
 
@@ -1935,9 +1950,9 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = winsorize(spark.table("events"), "value", lo=0.01, hi=0.99)
     return w.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value_w"), 6).alias("mean_w"),
-        F.round(F.min("value_w"), 6).alias("min_w"),
-        F.round(F.max("value_w"), 6).alias("max_w"),
+        (F.round((F.avg("value_w")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_w"),
+        (F.round((F.min("value_w")) * F.lit(1e6)) / F.lit(1e6)).alias("min_w"),
+        (F.round((F.max("value_w")) * F.lit(1e6)) / F.lit(1e6)).alias("max_w"),
     )
 
 
@@ -1959,7 +1974,7 @@ def docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.rollup("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("__ntok"), 6).alias("mean_tokens"),
+        (F.round((F.avg("__ntok")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_tokens"),
     )
     return g.select(
         F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
@@ -2032,7 +2047,7 @@ def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        F.round("q_scale", 6).alias("q_scale"),
+        (F.round((F.col("q_scale")) * F.lit(1e6)) / F.lit(1e6)).alias("q_scale"),
         (err <= F.col("q_scale") * 0.5 + F.lit(1e-9)).alias("within_bound"),
     )
 
@@ -2138,7 +2153,7 @@ def customer_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            (F.round((F.sum("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_acctbal"),
         )
     )
 
@@ -2168,8 +2183,8 @@ def events_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        F.round("mean_events_value", 6).alias("mean_value"),
-        F.round("rms_events_value", 6).alias("rms_value"),
+        (F.round((F.col("mean_events_value")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_value"),
+        (F.round((F.col("rms_events_value")) * F.lit(1e6)) / F.lit(1e6)).alias("rms_value"),
     )
 
 
@@ -2214,7 +2229,7 @@ def sensors_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside = polygon_filter(_sensors(spark), SENSOR_POLY)
     return inside.groupBy().agg(
         F.count(F.lit(1)).alias("n_inside"),
-        F.round(F.sum("val"), 2).alias("sum_val"),
+        (F.round((F.sum("val")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_val"),
         F.min("sensor_id").alias("min_id"),
         F.max("sensor_id").alias("max_id"),
     )
@@ -2285,8 +2300,8 @@ def zones_polygon_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "zone_id",
-        F.round("mean_pts_val", 6).alias("mean_pts_val"),
-        F.round("max_pts_val", 6).alias("max_pts_val"),
+        (F.round((F.col("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.col("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -2335,7 +2350,7 @@ def events_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         F.col("user_id").alias("sensor_id"),
-        *[F.round(F.col(c), 6).alias(c) for c in stat_cols],
+        *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols],
     )
 
 
@@ -2375,7 +2390,7 @@ def events_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_value_2dp().alias("sum_value"),
         )
     )
     return _run_stream(spark, out, "stream_dim_join_result", "complete")
@@ -2430,7 +2445,7 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return part.groupBy(F.hour("ts").alias("hour")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -2466,7 +2481,7 @@ def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_value_2dp().alias("sum_value"),
         )
     )
 
@@ -2489,13 +2504,10 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("delta6", F.col("__v6") - F.lag("__v6").over(w))
     return ev.filter(F.col("delta6").isNotNull()).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_deltas"),
-        F.round(
-            F.sum("delta6").cast("double")
+        (F.round((F.sum("delta6").cast("double")
             / F.lit(1e6)
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_delta"),
-        F.round(F.max("delta6").cast("double") / F.lit(1e6), 6).alias(
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_delta"),
+        (F.round((F.max("delta6").cast("double") / F.lit(1e6)) * F.lit(1e6)) / F.lit(1e6)).alias(
             "max_delta"
         ),
     )
@@ -2533,7 +2545,7 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        F.round(F.col("__p")[1], 6).alias("exact_p50"),
+        (F.round((F.col("__p")[1]) * F.lit(1e6)) / F.lit(1e6)).alias("exact_p50"),
         (
             (F.col("__apx") >= F.col("__p")[0]) & (F.col("__apx") <= F.col("__p")[2])
         ).alias("sketch_ok"),
@@ -2550,7 +2562,7 @@ def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         o.groupBy("o_year")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg((F.round((F.sum("o_totalprice")) * F.lit(1e2)) / F.lit(1e2)))
     )
     return wide.select(
         "o_year",
@@ -2577,7 +2589,7 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events").select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("trail_avg_1h"),
+        (F.round((F.avg("value").over(w)) * F.lit(1e6)) / F.lit(1e6)).alias("trail_avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
 
@@ -2598,8 +2610,8 @@ def customer_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            (F.round((F.avg("c_acctbal")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_bal"),
+            (F.round((F.max("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("max_bal"),
         )
     )
 
@@ -2619,7 +2631,7 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            (F.round((F.avg("n_chars")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_chars"),
         )
     )
 
@@ -2638,7 +2650,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = decontaminate(corpus, bench, id_col="doc_id", text_col="text", n=8)
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_clean"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        (F.round((F.avg("n_chars")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_chars"),
     )
 
 
@@ -2654,12 +2666,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
+            (F.round((F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                6,
-            ).alias("promo_revenue_pct"),
+                / F.sum(rev)) * F.lit(1e6)) / F.lit(1e6)).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2681,7 +2690,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            (F.round((F.sum("l_extendedprice") / 7.0) * F.lit(1e2)) / F.lit(1e2)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -2702,7 +2711,7 @@ def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(cust, updates, on="c_custkey")
     return merged.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        (F.round((F.sum("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_bal"),
     )
 
 
@@ -2717,7 +2726,7 @@ def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("sum_user"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -2751,7 +2760,7 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("sum_user"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -2779,7 +2788,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("__r", 2).alias("total_revenue"),
+            (F.round((F.col("__r")) * F.lit(1e2)) / F.lit(1e2)).alias("total_revenue"),
         )
     )
 
@@ -2836,9 +2845,9 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(F.sqrt(sq), 6).alias("l2_norm"),
-        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
-        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        (F.round((F.sqrt(sq)) * F.lit(1e6)) / F.lit(1e6)).alias("l2_norm"),
+        (F.round((F.array_max("embedding").cast("double")) * F.lit(1e6)) / F.lit(1e6)).alias("max_val"),
+        (F.round((F.array_min("embedding").cast("double")) * F.lit(1e6)) / F.lit(1e6)).alias("min_val"),
     )
 
 
@@ -2853,8 +2862,8 @@ def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        (F.round((F.percent_rank().over(w)) * F.lit(1e6)) / F.lit(1e6)).alias("pct_rank"),
+        (F.round((F.cume_dist().over(w)) * F.lit(1e6)) / F.lit(1e6)).alias("cume_dist"),
     )
 
 
@@ -2877,8 +2886,8 @@ def sensors_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("sensor_id").agg(
         F.count(F.lit(1)).alias("n_readings"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
+        _sum_value_2dp().alias("sum_value"),
+        (F.round((F.max("value")) * F.lit(1e2)) / F.lit(1e2)).alias("max_value"),
     )
 
 
@@ -2892,7 +2901,7 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     ev = spark.table("events").select("event_id", "user_id", "value")
     out = grouped_zscore(ev, group_cols=["user_id"], value_col="value")
-    return out.select("event_id", "user_id", F.round("z", 6).alias("z"))
+    return out.select("event_id", "user_id", (F.round((F.col("z")) * F.lit(1e6)) / F.lit(1e6)).alias("z"))
 
 
 def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2905,7 +2914,7 @@ def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_value_2dp().alias("sum_value"),
         )
     )
     return g.select(
@@ -2926,7 +2935,7 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     out = tfidf_topk(spark.table("documents"), id_col="doc_id", text_col="text", k=3)
     return out.select(
-        "doc_id", "term", "tf", "df_docs", F.round("score", 6).alias("score"), "rnk"
+        "doc_id", "term", "tf", "df_docs", (F.round((F.col("score")) * F.lit(1e6)) / F.lit(1e6)).alias("score"), "rnk"
     )
 
 
@@ -2946,7 +2955,7 @@ def events_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count("ratio").alias("n_divisible"),
-        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        (F.round((F.avg("ratio")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_ratio"),
         F.count("bad_cast").alias("n_cast_ok"),
     )
 
@@ -2987,7 +2996,7 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("k"), 6).alias("avg_k"),
+        (F.round((F.avg("k")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
@@ -3007,8 +3016,8 @@ def events_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("v").alias("n_nonnull"),
-            F.round(F.avg("v"), 6).alias("avg_v"),
-            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2).alias("sum_filled"),
+            (F.round((F.avg("v")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_v"),
+            (F.round((F.sum(F.coalesce(F.col("v"), F.lit(0.0)))) * F.lit(1e2)) / F.lit(1e2)).alias("sum_filled"),
         )
     )
 
@@ -3081,7 +3090,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("win_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
 
 
@@ -3184,8 +3193,14 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_windowed_aggregate,
     )
 
+    from sensordatapipelines_spark.operators.temporal import quantize_e6
+
     _register_views(spark, sf_dir)
     stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    # aggregate over the e6-quantized BIGINT: Spark's avg over longs sums
+    # exactly (no float-order freedom), so mean/max divide back to
+    # deterministic doubles on both engines
+    stream = stream.withColumn("value", quantize_e6(F.col("value")))
     out = stream_windowed_aggregate(
         stream,
         window_duration="6 hours",
@@ -3197,8 +3212,12 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.unix_timestamp("window_start").alias("ws_epoch"),
         F.col("user_id").alias("sensor_id"),
-        F.round("mean_value", 6).alias("mean_value"),
-        F.round("max_value", 6).alias("max_value"),
+        (F.round(F.col("mean_value") / F.lit(1e6) * F.lit(1e6)) / F.lit(1e6)).alias(
+            "mean_value"
+        ),
+        (F.round(F.col("max_value") / F.lit(1e6) * F.lit(1e6)) / F.lit(1e6)).alias(
+            "max_value"
+        ),
         F.col("count_value").alias("n"),
     )
 
@@ -3216,7 +3235,7 @@ def sensors_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
         extent=IDW_EXTENT,
         variogram=(0.0, 1.0),  # fixed for determinism
     )
-    return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
+    return out.select("gx", "gy", (F.round((F.col("val_krig")) * F.lit(1e6)) / F.lit(1e6)).alias("val_krig"))
 
 
 def sensors_kriging_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3238,7 +3257,7 @@ def sensors_kriging_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         halo=0.04,
         variogram=(0.0, 1.0),  # fixed for determinism
     )
-    return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
+    return out.select("gx", "gy", (F.round((F.col("val_krig")) * F.lit(1e6)) / F.lit(1e6)).alias("val_krig"))
 
 
 def sensors_kriging_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3260,7 +3279,7 @@ def sensors_kriging_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         variogram=(0.0, 2.0, 0.3),
         variogram_model="spherical",
     )
-    return out.select("gx", "gy", F.round("val_krig", 6).alias("val_krig"))
+    return out.select("gx", "gy", (F.round((F.col("val_krig")) * F.lit(1e6)) / F.lit(1e6)).alias("val_krig"))
 
 
 # One synthetic URL per document, derived from doc_id alone so the DuckDB
@@ -4429,11 +4448,11 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "n_channels",
-        F.round("mean_val", 6).alias("mean_val"),
-        F.round("std_val", 6).alias("std_val"),
-        F.round("mean_c0", 6).alias("mean_c0"),
-        F.round("mean_c1", 6).alias("mean_c1"),
-        F.round("mean_c2", 6).alias("mean_c2"),
+        (F.round((F.col("mean_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_val"),
+        (F.round((F.col("std_val")) * F.lit(1e6)) / F.lit(1e6)).alias("std_val"),
+        (F.round((F.col("mean_c0")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_c0"),
+        (F.round((F.col("mean_c1")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_c1"),
+        (F.round((F.col("mean_c2")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_c2"),
     )
 
 
@@ -4531,7 +4550,7 @@ def q2_min_acct_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name", "p_partkey"
+            (F.round((F.col("s_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("s_acctbal"), "s_name", "n_name", "p_partkey"
         )
         .orderBy(F.desc("s_acctbal"), F.asc_nulls_last("n_name"), F.asc_nulls_last("s_name"), F.asc_nulls_last("p_partkey"))
         .limit(100)
@@ -4595,9 +4614,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias("revenue")
     )
 
 
@@ -4640,7 +4657,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(F.col("_nat") / F.col("_tot"), 6).alias("mkt_share"),
+            (F.round((F.col("_nat") / F.col("_tot")) * F.lit(1e6)) / F.lit(1e6)).alias("mkt_share"),
         )
     )
 
@@ -4662,7 +4679,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.round((F.sum(amount)) * F.lit(1e2)) / F.lit(1e2)).alias("sum_profit"))
     )
 
 
@@ -4692,7 +4709,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.withColumn("_total", F.sum("_value").over(total))
         .filter(F.col("_value") > F.col("_total") * 0.001)
-        .select("l_partkey", F.round("_value", 2).alias("part_value"))
+        .select("l_partkey", (F.round((F.col("_value")) * F.lit(1e2)) / F.lit(1e2)).alias("part_value"))
     )
 
 
@@ -4791,7 +4808,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * F.lit(1e2)) / F.lit(1e2)).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_items"),
@@ -4889,7 +4906,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (F.round((F.sum("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("totacctbal"),
         )
     )
 
@@ -4906,7 +4923,7 @@ def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_value_2dp().alias("sum_value"),
     )
     return g.select(
         "user_id",
@@ -4929,13 +4946,9 @@ def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = e.join(F.broadcast(med), "event_type")
     return j.groupBy("event_type").agg(
-        F.round(F.min("_med"), 6).alias("median_value"),
-        F.round(
-            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)), 6
-        ).alias("iqr"),
-        F.round(
-            F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
-        ).alias("mad"),
+        (F.round((F.min("_med")) * F.lit(1e6)) / F.lit(1e6)).alias("median_value"),
+        (F.round((F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25))) * F.lit(1e6)) / F.lit(1e6)).alias("iqr"),
+        (F.round((F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5))) * F.lit(1e6)) / F.lit(1e6)).alias("mad"),
     )
 
 
@@ -4953,7 +4966,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.round((F.sum("l_quantity")) * F.lit(1e2)) / F.lit(1e2)).alias("sum_qty"),
     )
 
 
@@ -4994,7 +5007,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("grid_ts").cast("string").alias("grid_ts"),
-        F.round("value_rs", 6).alias("value_rs"),
+        (F.round((F.col("value_rs")) * F.lit(1e6)) / F.lit(1e6)).alias("value_rs"),
         "n_obs",
     )
 
@@ -5039,9 +5052,9 @@ def events_corr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("value", "hr"), 6).alias("corr_value_hour"),
-        F.round(F.covar_samp("value", "hr"), 6).alias("covar_samp_vh"),
-        F.round(F.covar_pop("value", "hr"), 6).alias("covar_pop_vh"),
+        (F.round((F.corr("value", "hr")) * F.lit(1e6)) / F.lit(1e6)).alias("corr_value_hour"),
+        (F.round((F.covar_samp("value", "hr")) * F.lit(1e6)) / F.lit(1e6)).alias("covar_samp_vh"),
+        (F.round((F.covar_pop("value", "hr")) * F.lit(1e6)) / F.lit(1e6)).alias("covar_pop_vh"),
     )
 
 
@@ -5065,9 +5078,9 @@ def events_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type").agg(
         F.regr_count("value", "xday").alias("n"),
-        F.round(F.regr_slope("value", "xday"), 4).alias("slope_per_day"),
-        F.round(F.regr_intercept("value", "xday"), 4).alias("intercept"),
-        F.round(F.regr_r2("value", "xday"), 6).alias("r2"),
+        (F.round((F.regr_slope("value", "xday")) * F.lit(1e4)) / F.lit(1e4)).alias("slope_per_day"),
+        (F.round((F.regr_intercept("value", "xday")) * F.lit(1e4)) / F.lit(1e4)).alias("intercept"),
+        (F.round((F.regr_r2("value", "xday")) * F.lit(1e6)) / F.lit(1e6)).alias("r2"),
     )
 
 
@@ -5081,9 +5094,9 @@ def events_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events")
         .groupBy("event_type")
         .agg(
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            (F.round((F.min("value")) * F.lit(1e6)) / F.lit(1e6)).alias("min_value"),
+            (F.round((F.avg("value")) * F.lit(1e6)) / F.lit(1e6)).alias("avg_value"),
+            (F.round((F.max("value")) * F.lit(1e6)) / F.lit(1e6)).alias("max_value"),
         )
     )
     return wide.unpivot(
@@ -5124,9 +5137,9 @@ def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.round(mu, 6).alias("mean_qty"),
-        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness_pop"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis_pop"),
+        (F.round((mu) * F.lit(1e6)) / F.lit(1e6)).alias("mean_qty"),
+        (F.round((m3 / F.pow(m2, F.lit(1.5))) * F.lit(1e6)) / F.lit(1e6)).alias("skewness_pop"),
+        (F.round((m4 / (m2 * m2) - F.lit(3.0)) * F.lit(1e6)) / F.lit(1e6)).alias("excess_kurtosis_pop"),
     )
 
 
@@ -5167,7 +5180,7 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.length(_lower_ascii("text")).alias("n_chars"),
-        F.round(_ent(_lower_ascii("text")), 6).alias("char_entropy_bits"),
+        (F.round((_ent(_lower_ascii("text"))) * F.lit(1e6)) / F.lit(1e6)).alias("char_entropy_bits"),
     )
 
 
@@ -5190,7 +5203,7 @@ def _char_entropy_expr_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.length(_lower_ascii("text")).alias("n_chars"),
-        F.round(F.expr(expr), 6).alias("char_entropy_bits"),
+        (F.round((F.expr(expr)) * F.lit(1e6)) / F.lit(1e6)).alias("char_entropy_bits"),
     )
 
 
@@ -5268,8 +5281,8 @@ def zones_wkb_polygon_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a MultiPolygon zone has one ring row per part — stats are grouped per
     # zone already, so collapse the part fan-out with first()
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -5325,8 +5338,8 @@ def zones_wkb_holes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         poly_rings="rings",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -5358,8 +5371,8 @@ def zones_wkb_polygon_agg_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         engine="kernel",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -5419,7 +5432,7 @@ def sensors_zonal_from_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stat_cols = [c for c in out.columns if "_rast_" in c]
     return out.select(
-        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -5476,7 +5489,7 @@ def sensors_zonal_from_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stat_cols = [c for c in out.columns if "_rast_" in c]
     return out.select(
-        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -5590,7 +5603,7 @@ def sensors_zonal_from_geotiff_deflate(spark: SparkSession, sf_dir: str) -> Data
     )
     stat_cols = [c for c in out.columns if "_rast_" in c]
     return out.select(
-        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -5651,7 +5664,7 @@ def sensors_zonal_from_geotiff_fpred(spark: SparkSession, sf_dir: str) -> DataFr
     )
     stat_cols = [c for c in out.columns if "_rast_" in c]
     return out.select(
-        "sensor_id", *[F.round(F.col(c), 6).alias(c) for c in stat_cols]
+        "sensor_id", *[(F.round((F.col(c)) * F.lit(1e6)) / F.lit(1e6)).alias(c) for c in stat_cols]
     )
 
 
@@ -5711,8 +5724,8 @@ def zones_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_name="pts",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -5777,8 +5790,8 @@ def zones_gpkg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_name="pts",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -5879,8 +5892,8 @@ def zones_gpkg_ingest_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_name="pts",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -6253,8 +6266,8 @@ def zones_geojson_holes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         poly_rings="rings",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -6286,8 +6299,8 @@ def zones_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_name="pts",
     )
     return out.groupBy("zone_id").agg(
-        F.round(F.first("mean_pts_val"), 6).alias("mean_pts_val"),
-        F.round(F.first("max_pts_val"), 6).alias("max_pts_val"),
+        (F.round((F.first("mean_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_pts_val"),
+        (F.round((F.first("max_pts_val")) * F.lit(1e6)) / F.lit(1e6)).alias("max_pts_val"),
     )
 
 
@@ -6362,9 +6375,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method",
             F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
             F.lit(n_exact).alias("n_exact"),
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(n_exact), 6
-            ).alias("recall"),
+            (F.round((F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(n_exact)) * F.lit(1e6)) / F.lit(1e6)).alias("recall"),
         )
     )
 
@@ -6410,7 +6421,7 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         edges, iters=PAGERANK_ITERS, damping=PAGERANK_D, undirected=True
     )
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return pr.select("node", (F.round((F.col("rank")) * F.lit(1e6)) / F.lit(1e6)).alias("rank"))
 
 
 def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6690,7 +6701,7 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     subj = ttc.crossJoin(F.broadcast(end_us)).select(
         F.coalesce(
             F.col("delay_s"),
-            F.round((F.col("__end") - F.col("start_us")) / F.lit(1e6), 6),
+            (F.round(((F.col("__end") - F.col("start_us")) / F.lit(1e6)) * F.lit(1e6)) / F.lit(1e6)),
         ).alias("duration_s"),
         F.when(F.col("delay_s").isNotNull(), 1).otherwise(0).alias("converted"),
     )
@@ -7230,8 +7241,8 @@ def media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        F.round("mean_val", 6).alias("mean_val"),
-        F.round("std_val", 6).alias("std_val"),
+        (F.round((F.col("mean_val")) * F.lit(1e6)) / F.lit(1e6)).alias("mean_val"),
+        (F.round((F.col("std_val")) * F.lit(1e6)) / F.lit(1e6)).alias("std_val"),
     )
 
 
@@ -7266,8 +7277,8 @@ def customer_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b.groupBy(F.col("depth_bin").cast("long").alias("depth_bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
-        F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+        (F.round((F.min("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("lo_bal"),
+        (F.round((F.max("c_acctbal")) * F.lit(1e2)) / F.lit(1e2)).alias("hi_bal"),
     )
 
 
@@ -7467,9 +7478,9 @@ def zones_ring_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ring_centroid_expr(F.col("xs"), F.col("ys"))
     return rings.select(
         "zone_id",
-        F.round(ring_area_expr(F.col("xs"), F.col("ys")), 12).alias("ring_area"),
-        F.round(cent["cx"], 9).alias("cx"),
-        F.round(cent["cy"], 9).alias("cy"),
+        (F.round((ring_area_expr(F.col("xs"), F.col("ys"))) * F.lit(1e12)) / F.lit(1e12)).alias("ring_area"),
+        (F.round((cent["cx"]) * F.lit(1e9)) / F.lit(1e9)).alias("cx"),
+        (F.round((cent["cy"]) * F.lit(1e9)) / F.lit(1e9)).alias("cy"),
     )
 
 
@@ -7789,7 +7800,7 @@ def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "tus",
-        F.round("r_value", 6).alias("r_value"),
+        (F.round((F.col("r_value")) * F.lit(1e6)) / F.lit(1e6)).alias("r_value"),
         F.col("r_p_id").cast("long").alias("r_p_id"),
     )
 
@@ -8212,13 +8223,13 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     state = o.filter(F.col("o_orderkey") % 4 != 0).select(
         F.col("o_orderkey").alias("k"),
-        F.round("o_totalprice", 2).alias("v"),
+        (F.round((F.col("o_totalprice")) * F.lit(1e2)) / F.lit(1e2)).alias("v"),
     )
     chg1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("k"),
         F.lit("U").alias("op"),
         F.lit(1).alias("seq"),
-        F.round(F.col("o_totalprice") * 2, 2).alias("v"),
+        (F.round((F.col("o_totalprice") * 2) * F.lit(1e2)) / F.lit(1e2)).alias("v"),
     )
     chg2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         F.col("o_orderkey").alias("k"),
@@ -8226,7 +8237,7 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("op"),
         F.lit(2).alias("seq"),
-        F.round(F.col("o_totalprice") * 3, 2).alias("v"),
+        (F.round((F.col("o_totalprice") * 3) * F.lit(1e2)) / F.lit(1e2)).alias("v"),
     )
     return cdc_apply(state, chg1.unionByName(chg2), ["k"])
 
@@ -8647,8 +8658,10 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events")
         .groupBy(
             "event_type",
-            F.floor(
-                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600)
+            # DIV (trunc), not FLOOR of a double division: matches the
+            # oracle's epoch_ns // 3.6e12 for pre-1970 timestamps
+            F.expr(
+                "unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 3600"
             ).alias("__hr"),
         )
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -11377,7 +11390,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT event_id, event_type, value FROM events WHERE value > 50.0
             )
-            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
             FROM u GROUP BY event_type
         """,
         "events_except": """
@@ -11460,6 +11473,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH e AS (
                 SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events
+                WHERE ts IS NOT NULL
             ),
             lagd AS (
                 SELECT *, lag(tus) OVER (PARTITION BY user_id
@@ -11494,7 +11508,7 @@ def oracle_sql() -> dict[str, str]:
         "events_runtime_filter_join": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-                   ROUND(SUM(value), 2) AS sum_value
+                   ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
             FROM events
             WHERE user_id IN (
                 SELECT c_custkey FROM customer WHERE c_nationkey < 5
@@ -11521,7 +11535,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_salted_join": """
             SELECT c_nationkey, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
+                   ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_nationkey
         """,
@@ -11650,12 +11664,12 @@ def oracle_sql() -> dict[str, str]:
     # Stream–static join and stream dedup run availableNow over a static
     # staging dir, so their results equal the batch equivalents exactly.
     oracles["events_stream_dim_join"] = """
-        SELECT c_nationkey, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        SELECT c_nationkey, COUNT(*) AS n_events, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_nationkey
     """
     oracles["events_stream_foreach_batch"] = """
-        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events GROUP BY event_type
     """
     oracles["events_lag_delta"] = """
@@ -12027,7 +12041,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["events_partitioned_scan"] = """
         SELECT EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n,
-               ROUND(SUM(value), 2) AS sum_value
+               ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events
         WHERE CAST(ts AS DATE) = (SELECT CAST(MIN(ts) AS DATE) FROM events)
         GROUP BY hour
@@ -12106,17 +12120,17 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_time_rollup"] = """
         SELECT 'minute' AS resolution, event_type,
                CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_epoch,
-               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS n, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events GROUP BY event_type, bucket_epoch
         UNION ALL
         SELECT 'hour', event_type,
                CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
-               COUNT(*), ROUND(SUM(value), 2)
+               COUNT(*), ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2
         FROM events GROUP BY 2, 3
         UNION ALL
         SELECT 'day', event_type,
                CAST(epoch(date_trunc('day', ts)) AS BIGINT),
-               COUNT(*), ROUND(SUM(value), 2)
+               COUNT(*), ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2
         FROM events GROUP BY 2, 3
     """
     # Streaming windowed aggs in COMPLETE mode over static staging retain
@@ -12125,7 +12139,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tod AS (
             SELECT user_id, value, ts,
                    hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS s
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                user_id AS sensor_id,
@@ -12141,13 +12155,21 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     oracles["events_stream_sliding"] = """
-        SELECT CAST((epoch_ns(ts) // 10800000000000) * 10800 - k.k * 10800 AS BIGINT)
+        SELECT CAST(CAST(epoch(time_bucket(INTERVAL '3 hours', ts))
+                         AS BIGINT) - k.k * 10800 AS BIGINT)
                    AS ws_epoch,
                user_id AS sensor_id,
-               ROUND(AVG(value), 6) AS mean_value,
-               ROUND(MAX(value), 6) AS max_value,
-               COUNT(*) AS n
+               ROUND(AVG(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                          THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10)
+                                          * 1e6) AS BIGINT) END) / 1e6 * 1e6)
+                   / 1e6 AS mean_value,
+               ROUND(MAX(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                          THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10)
+                                          * 1e6) AS BIGINT) END) / 1e6 * 1e6)
+                   / 1e6 AS max_value,
+               COUNT(value) AS n
         FROM events, (SELECT UNNEST([0, 1]) AS k) k
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """
     oracles["events_stream_update_counts"] = """
@@ -12188,7 +12210,7 @@ def oracle_sql() -> dict[str, str]:
                        + INTERVAL '16 hours' * i + INTERVAL '20 hours' AS we
             FROM (SELECT unnest(range(0, 45)) AS i)
         )
-        SELECT win_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        SELECT win_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM w2 JOIN events e ON e.ts >= ws AND e.ts < we
         GROUP BY win_id
     """
@@ -12200,7 +12222,7 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(0, 200)) AS i) r
         )
         SELECT sensor_id, COUNT(*) AS n_readings,
-               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value,
                ROUND(MAX(value), 2) AS max_value
         FROM g GROUP BY sensor_id
     """
@@ -12214,8 +12236,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_tumbling_batch"] = """
         SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
                         '%Y-%m-%d %H:%M:%S') AS win_start,
-               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+               event_type, COUNT(*) AS n, ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """
     oracles["q15_top_supplier"] = """
@@ -12303,7 +12326,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_orc_roundtrip"] = """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(user_id) AS BIGINT) AS sum_user,
-               ROUND(SUM(value), 2) AS sum_value
+               ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM events
         GROUP BY event_type
     """
@@ -12585,6 +12608,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_session_native"] = """
         WITH e AS (
             SELECT user_id, value, epoch_us(ts) AS tus FROM events
+            WHERE ts IS NOT NULL
         ),
         lagd AS (
             SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
@@ -12598,11 +12622,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lagd
         )
         SELECT user_id,
-               CAST(FLOOR(MIN(tus) / 1000000) AS BIGINT) AS session_start_epoch,
-               CAST(FLOOR((MAX(tus) + 1800000000) / 1000000) AS BIGINT)
+               CAST(MIN(tus) // 1000000 AS BIGINT) AS session_start_epoch,
+               CAST((MAX(tus) + 1800000000) // 1000000 AS BIGINT)
                    AS session_end_epoch,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               ROUND(CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10) * 1e6) AS BIGINT) END) AS DOUBLE) / 1e4) / 1e2 AS sum_value
         FROM sess GROUP BY user_id, sid
     """
     oracles["events_robust_stats"] = """
@@ -15675,9 +15699,12 @@ def oracle_sql() -> dict[str, str]:
         w AS (
             SELECT event_type, bucket_epoch, v,
                    row_number() OVER (PARTITION BY event_type, bucket_epoch
-                                      ORDER BY t, event_id) AS rn_a,
+                                      ORDER BY t, event_id,
+                                               COALESCE(v, CAST('inf' AS DOUBLE))) AS rn_a,
                    row_number() OVER (PARTITION BY event_type, bucket_epoch
-                                      ORDER BY t DESC, event_id DESC) AS rn_d
+                                      ORDER BY t DESC, event_id DESC,
+                                               COALESCE(v, CAST('-inf' AS DOUBLE)) DESC)
+                       AS rn_d
             FROM s
         )
         SELECT event_type, bucket_epoch,

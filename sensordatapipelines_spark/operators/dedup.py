@@ -375,7 +375,7 @@ def minhash_dedup_pairs(
         .select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
-            F.round(F.lit(1.0) - F.col("jdist"), 6).alias("minhash_jaccard"),
+            (F.round((F.lit(1.0) - F.col("jdist")) * F.lit(1e6)) / F.lit(1e6)).alias("minhash_jaccard"),
         )
     )
 

@@ -120,7 +120,7 @@ def cosine_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -253,7 +253,7 @@ def ann_lsh_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -354,7 +354,7 @@ def ann_ivf_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -386,11 +386,8 @@ def embedding_neardup(
         b,
         on=(F.col("a.__sig") == F.col("b.__sig")) & (F.col("a.__id") < F.col("b.__id")),
     )
-    sim = F.round(
-        _pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
-        / (F.col("a.__n") * F.col("b.__n")),
-        6,
-    )
+    sim = (F.round((_pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__n") * F.col("b.__n"))) * F.lit(1e6)) / F.lit(1e6))
     return (
         pairs.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
@@ -723,7 +720,7 @@ def random_projection(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols[f"p{j:02d}"] = F.round(dot / F.lit(scale), 6)
+        cols[f"p{j:02d}"] = (F.round((dot / F.lit(scale)) * F.lit(1e6)) / F.lit(1e6))
     return df.select(F.col(id_col), *[cols[c].alias(c) for c in sorted(cols)])
 
 
@@ -771,7 +768,7 @@ def cluster_coverage_sample(
     assigned = df.withColumn("__cd", cd).select(
         F.col(id_col),
         F.col("__cd.cell").alias("cluster"),
-        F.round(F.col("__cd.d2"), 6).alias("dist2"),
+        (F.round((F.col("__cd.d2")) * F.lit(1e6)) / F.lit(1e6)).alias("dist2"),
     )
     w = Window.partitionBy("cluster").orderBy(F.col("dist2").asc_nulls_last(), F.col(id_col).asc_nulls_last())
     return (
@@ -895,7 +892,7 @@ def query_ann_index(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -951,7 +948,7 @@ def hard_negatives(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
             F.col("__clab").alias("neg_label"),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -1122,7 +1119,7 @@ def pq_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__adc"), 6).alias("adc_dist"),
+            (F.round((F.col("__adc")) * F.lit(1e6)) / F.lit(1e6)).alias("adc_dist"),
             "rank",
         )
     )
@@ -1195,7 +1192,7 @@ def ivf_pq_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__adc"), 6).alias("adc_dist"),
+            (F.round((F.col("__adc")) * F.lit(1e6)) / F.lit(1e6)).alias("adc_dist"),
             "rank",
         )
     )
@@ -1240,7 +1237,7 @@ def truncated_cosine_topk(
         .select(
             F.col("__qid").alias("query_id"),
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )
@@ -1425,7 +1422,7 @@ def hamming_rerank_topk(
         .select(
             "query_id",
             F.col("__cid").alias(id_col),
-            F.round(F.col("__sim"), 6).alias("cos_sim"),
+            (F.round((F.col("__sim")) * F.lit(1e6)) / F.lit(1e6)).alias("cos_sim"),
             "rank",
         )
     )

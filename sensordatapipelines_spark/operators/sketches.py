@@ -272,14 +272,11 @@ def kmv_intersect_pairs(
         "grp_b",
         "n_kept",
         "n_common",
-        F.round(est_union, 6).alias("est_union"),
-        F.round(
-            F.when(
+        (F.round((est_union) * F.lit(1e6)) / F.lit(1e6)).alias("est_union"),
+        (F.round((F.when(
                 at_k,
                 (F.col("n_common").cast("double") * est_union) / F.lit(float(k)),
-            ).otherwise(F.col("n_common").cast("double")),
-            6,
-        ).alias("est_intersection"),
+            ).otherwise(F.col("n_common").cast("double"))) * F.lit(1e6)) / F.lit(1e6)).alias("est_intersection"),
     )
 
 

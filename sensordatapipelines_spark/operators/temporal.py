@@ -159,6 +159,9 @@ def sessionize(
     explicit operator so the oracle can replay it.)"""
     # cast-to-timestamp first: tolerates TIMESTAMP_NTZ inputs (unix_micros
     # rejects NTZ; the cast is a no-op on proper TIMESTAMP columns)
+    # NULL event times cannot be sessionized: dropped on both engines
+    # (and in the streaming twin) rather than glued to the last session
+    df = df.filter(F.col(ts_col).isNotNull())
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = [ts_us.asc_nulls_last()]
     if order_tiebreak:
@@ -256,8 +259,13 @@ def resample(
     if how not in ("ffill", "linear"):
         raise ValueError(f"unknown resample mode {how!r}")
     step = int(step_seconds)
+    # DIV (trunc toward zero), matching the oracle's epoch_ns // (step·1e9)
+    # on pre-1970 timestamps; FLOOR of a double division diverges there
     bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step
+        F.expr(
+            f"unix_timestamp(CAST({ts_col} AS TIMESTAMP)) DIV {step}"
+        )
+        * step
     )
     per = (
         df.groupBy(F.col(series_col).alias("__s"), bucket.alias("__b"))
@@ -334,7 +342,16 @@ def time_rollup(
         .rollup(key_col, *bcols)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), round_digits).alias("sum_value"),
+            # order-independent sum: e6-quantized BIGINTs, divided back and
+            # rounded at round_digits (raw double sums are summation-order-
+            # dependent across engines)
+            (
+                F.round(
+                    F.sum(quantize_e6(F.col(value_col))).cast("double")
+                    / F.lit(10.0 ** (6 - round_digits))
+                )
+                / F.lit(10.0 ** round_digits)
+            ).alias("sum_value"),
             F.grouping_id().alias("__gid"),
         )
     )
@@ -426,14 +443,11 @@ def time_weighted_average(
     stepped = df.select(*keep).withColumn("__nt", F.lead("__t").over(w))
     return stepped.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.round(
-            F.when(
+        (F.round((F.when(
                 F.max("__t") > F.min("__t"),
                 F.sum(F.when(F.col("__nt").isNotNull(), F.col("__v") * (F.col("__nt") - F.col("__t"))))
                 / (F.max("__t") - F.min("__t")),
-            ).otherwise(F.avg("__v")),
-            6,
-        ).alias("twap"),
+            ).otherwise(F.avg("__v"))) * F.lit(1e6)) / F.lit(1e6)).alias("twap"),
     )
 
 
@@ -585,7 +599,7 @@ def ewma(
     den = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc * F.lit(decay) + F.lit(1.0)
     )
-    return df.withColumn(out_col or f"{value_col}_ewma", F.round(num / den, 6))
+    return df.withColumn(out_col or f"{value_col}_ewma", (F.round((num / den) * F.lit(1e6)) / F.lit(1e6)))
 
 
 @register("retention_cohorts")
@@ -771,7 +785,7 @@ def time_to_convert(
     return joined.select(
         "key",
         F.col("__s").alias("start_us"),
-        F.round((F.col("__c") - F.col("__s")) / F.lit(1e6), 6).alias("delay_s"),
+        (F.round(((F.col("__c") - F.col("__s")) / F.lit(1e6)) * F.lit(1e6)) / F.lit(1e6)).alias("delay_s"),
     )
 
 
@@ -810,9 +824,9 @@ def deseasonalized_anomalies(
     scored = df.join(
         F.broadcast(cells),
         on=(F.col(key_col) == F.col("__k")) & (hour == F.col("__h")),
-    ).withColumn("z", F.round((v - F.col("__mu")) / F.col("__sd"), 6))
+    ).withColumn("z", (F.round(((v - F.col("__mu")) / F.col("__sd")) * F.lit(1e6)) / F.lit(1e6)))
     return scored.filter(F.abs(F.col("z")) > F.lit(float(z_threshold))).select(
-        id_col, key_col, F.round(v, 6).alias("value"), "z"
+        id_col, key_col, (F.round((v) * F.lit(1e6)) / F.lit(1e6)).alias("value"), "z"
     )
 
 
@@ -984,7 +998,7 @@ def km_survival(
             F.col("n_risk"),
             F.col("n_events").cast("long").alias("n_events"),
             F.when(F.col("__z") == 1, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.col("__cum").cast("double") / F.lit(1e9)), 6))
+            .otherwise((F.round((F.exp(F.col("__cum").cast("double") / F.lit(1e9))) * F.lit(1e6)) / F.lit(1e6)))
             .alias("survival"),
         )
     )
@@ -1046,8 +1060,8 @@ def cusum_changepoints(
     key_cols = [group_col] + ([tiebreak] if tiebreak else [ts_col])
     return scored.select(
         *key_cols,
-        F.round(F.col("__su").cast("double") / F.lit(1e9), 6).alias("cusum_up"),
-        F.round(F.col("__sd").cast("double") / F.lit(1e9), 6).alias("cusum_dn"),
+        (F.round((F.col("__su").cast("double") / F.lit(1e9)) * F.lit(1e6)) / F.lit(1e6)).alias("cusum_up"),
+        (F.round((F.col("__sd").cast("double") / F.lit(1e9)) * F.lit(1e6)) / F.lit(1e6)).alias("cusum_dn"),
         F.when(F.col("__su") > h_e9, F.lit("up"))
         .otherwise(F.lit("down"))
         .alias("direction"),
@@ -1517,7 +1531,7 @@ def theil_sen_trend(
         .agg(
             F.max("__m").alias("n_points"),
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.expr("percentile(__slope, 0.5)"), 6).alias("slope_per_hour"),
+            (F.round((F.expr("percentile(__slope, 0.5)")) * F.lit(1e6)) / F.lit(1e6)).alias("slope_per_hour"),
         )
         .filter(F.col("n_points") >= F.lit(int(min_points)))
     )
@@ -1828,20 +1842,38 @@ def ohlc_resample(
     order statistics with the same deterministic tie convention the
     oracles replay; high/low/n fold in the same pass."""
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    order = F.struct(t.alias("t"), F.col(tiebreak_col).alias("tb"))
+    # value rides as the LAST order key: duplicate (t, tiebreak) rows
+    # (adversarial ties) would otherwise make open/close arbitrary. The
+    # min_by and max_by sides each get their OWN struct with NULL v
+    # coalesced to the LOSING infinity — Spark struct comparison sorts a
+    # NULL field first (min_by would pick it) while the SQL oracle's
+    # NULLS LAST makes it lose.
+    v = F.col(value_col).cast("double")
+    tb = F.col(tiebreak_col).cast("long")
+    omin = F.struct(
+        t.alias("t"),
+        F.coalesce(tb, F.lit(2**63 - 1)).alias("tb"),
+        F.coalesce(v, F.lit(float("inf"))).alias("v"),
+    )
+    omax = F.struct(
+        t.alias("t"),
+        F.coalesce(tb, F.lit(-(2**63))).alias("tb"),
+        F.coalesce(v, F.lit(float("-inf"))).alias("v"),
+    )
     return (
         df.select(
             F.col(key_col),
             F.unix_timestamp(F.date_trunc(unit, F.col(ts_col))).alias("bucket_epoch"),
-            F.col(value_col).cast("double").alias("__v"),
-            order.alias("__o"),
+            v.alias("__v"),
+            omin.alias("__omin"),
+            omax.alias("__omax"),
         )
         .groupBy(key_col, "bucket_epoch")
         .agg(
-            F.expr("min_by(__v, __o)").alias("open"),
+            F.expr("min_by(__v, __omin)").alias("open"),
             F.max("__v").alias("high"),
             F.min("__v").alias("low"),
-            F.expr("max_by(__v, __o)").alias("close"),
+            F.expr("max_by(__v, __omax)").alias("close"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )

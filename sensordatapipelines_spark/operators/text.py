@@ -201,7 +201,7 @@ def quality_score(
     t = F.col(text_col)
     if engine == "kernel":
         return df.withColumn(
-            out_col, F.round(_quality_kernel()(t.cast("string")), 6)
+            out_col, (F.round((_quality_kernel()(t.cast("string"))) * F.lit(1e6)) / F.lit(1e6))
         )
     n_tok = token_count_expr(t).cast("double")
     len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
@@ -210,7 +210,7 @@ def quality_score(
     stop_score = F.least(stopword_ratio_expr(t) * F.lit(4.0), F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_expr(t) * F.lit(4.0))
     score = (len_score + tok_score + stop_score + punct_pen) / F.lit(4.0)
-    return df.withColumn(out_col, F.round(score, 6))
+    return df.withColumn(out_col, (F.round((score) * F.lit(1e6)) / F.lit(1e6)))
 
 
 def lang_score_expr(text: Column, lang: str) -> Column:
@@ -1203,7 +1203,7 @@ def bm25_topk(
     out = scored.select(
         F.col(id_col),
         dl.cast("long").alias("doc_len"),
-        F.round(score, 6).alias("bm25"),
+        (F.round((score) * F.lit(1e6)) / F.lit(1e6)).alias("bm25"),
     )
     return out.orderBy(F.desc("bm25"), F.asc_nulls_last(F.col(id_col))).limit(k)
 

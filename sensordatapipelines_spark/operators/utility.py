@@ -715,10 +715,10 @@ def finalize_aggregate_state(state: DataFrame, keys: "Sequence[str]") -> DataFra
     return state.select(
         *[F.col(k) for k in keys],
         F.col("n").cast("long").alias("n"),
-        F.round(mean, 6).alias("mean"),
-        F.round(var, 4).alias("var_samp"),
-        F.round(F.col("vmin"), 6).alias("vmin"),
-        F.round(F.col("vmax"), 6).alias("vmax"),
+        (F.round((mean) * F.lit(1e6)) / F.lit(1e6)).alias("mean"),
+        (F.round((var) * F.lit(1e4)) / F.lit(1e4)).alias("var_samp"),
+        (F.round((F.col("vmin")) * F.lit(1e6)) / F.lit(1e6)).alias("vmin"),
+        (F.round((F.col("vmax")) * F.lit(1e6)) / F.lit(1e6)).alias("vmax"),
     )
 
 
@@ -823,7 +823,7 @@ def psi_drift(
             F.col("bin").cast("long").alias("bin"),
             F.col("__nr").cast("long").alias("n_ref"),
             F.col("__nc").cast("long").alias("n_cur"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            (F.round(((p - q) * F.log(p / q)) * F.lit(1e6)) / F.lit(1e6)).alias("psi_term"),
         )
         .orderBy(F.asc_nulls_last("bin"))
     )
@@ -892,7 +892,7 @@ def topn_with_others(
         labeled.groupBy("key_or_other")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.round(F.sum("__w"), 6).alias("weight"),
+            (F.round((F.sum("__w")) * F.lit(1e6)) / F.lit(1e6)).alias("weight"),
         )
         .orderBy(F.desc("weight"), F.asc_nulls_last(F.col("key_or_other")))
     )
@@ -1013,7 +1013,7 @@ def rfm_segments(
     per_key = df.groupBy(F.col(key_col).alias("key")).agg(
         F.max(ts).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum(F.col(amount_col).cast("double")), 2).alias("monetary"),
+        (F.round((F.sum(F.col(amount_col).cast("double"))) * F.lit(1e2)) / F.lit(1e2)).alias("monetary"),
     )
     ref = df.agg(F.max(ts).alias("__ref"))
     scored = per_key.crossJoin(F.broadcast(ref)).withColumn(
@@ -1478,7 +1478,7 @@ def benford_audit(
             *gcols,
             "digit",
             F.col("n_obs").cast("long").alias("n_obs"),
-            F.round("expected", 6).alias("expected"),
+            (F.round((F.col("expected")) * F.lit(1e6)) / F.lit(1e6)).alias("expected"),
             "chi2",
         )
     )

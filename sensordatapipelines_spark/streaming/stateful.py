@@ -62,6 +62,16 @@ def ensure_streaming_protobuf() -> bool:
     return True
 
 
+def _trunc_sec(ns):
+    """ns → seconds truncated toward ZERO (matches Spark unix_timestamp
+    and DuckDB //); Python's // floors, off by one for pre-1970 values."""
+    import numpy as np
+
+    if isinstance(ns, np.ndarray):
+        return (np.abs(ns) // 10**9) * np.sign(ns)
+    return -((-ns) // 10**9) if ns < 0 else ns // 10**9
+
+
 def stream_sessionize(
     events: DataFrame,
     ts_col: str = "ts",
@@ -108,12 +118,26 @@ def stream_sessionize(
         if not parts:
             if last_ns >= 0:  # re-emit the open tail unchanged
                 yield pd.DataFrame(
-                    [(uid, sid, n, start_ns // 10**9, last_ns // 10**9)], columns=cols
+                    [(uid, sid, n, _trunc_sec(start_ns), _trunc_sec(last_ns))], columns=cols
                 )
             else:
                 yield pd.DataFrame([], columns=cols)
             return
-        batch = pd.concat(parts).sort_values([ts_col, order_tiebreak])
+        batch = pd.concat(parts)
+        # NULL event times cannot be sessionized (batch twin + oracle drop
+        # them too); NaT would otherwise cast to INT64_MIN and fabricate
+        # phantom sessions at the sorted tail
+        batch = batch[batch[ts_col].notna()]
+        if not len(batch):
+            if last_ns >= 0:
+                yield pd.DataFrame(
+                    [(uid, sid, n, _trunc_sec(start_ns), _trunc_sec(last_ns))],
+                    columns=cols,
+                )
+            else:
+                yield pd.DataFrame([], columns=cols)
+            return
+        batch = batch.sort_values([ts_col, order_tiebreak])
         t = batch[ts_col].values.astype("datetime64[ns]").astype("int64")
         # Vectorized segmentation: a new session starts wherever the gap to
         # the previous event exceeds gap_ns (no per-event Python loop).
@@ -134,11 +158,13 @@ def stream_sessionize(
         session_ids = np.arange(base, base + len(starts), dtype="int64")
         out = pd.DataFrame(
             {
-                sensor_col: np.full(len(starts), uid, dtype="int64"),
+                # object dtype: a NULL group key must emit NULL, not the
+                # INT64_MIN that np.full(int64) silently casts None into
+                sensor_col: np.full(len(starts), uid, dtype=object),
                 "session_id": session_ids,
                 "n_events": counts,
-                "session_start_epoch": starts // 10**9,
-                "session_end_epoch": ends // 10**9,
+                "session_start_epoch": _trunc_sec(starts),
+                "session_end_epoch": _trunc_sec(ends),
             }
         )
         if last_ns >= 0 and not continues:
@@ -147,7 +173,7 @@ def stream_sessionize(
             out = pd.concat(
                 [
                     pd.DataFrame(
-                        [(uid, sid, n, start_ns // 10**9, last_ns // 10**9)],
+                        [(uid, sid, n, _trunc_sec(start_ns), _trunc_sec(last_ns))],
                         columns=cols,
                     ),
                     out,
