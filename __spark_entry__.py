@@ -1744,8 +1744,17 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     ev = spark.table("events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
+    # duplicate (user, ts, id) purchase rows collapse to MAX(value):
+    # DuckDB's native ASOF JOIN has no tiebreak among equal timestamps,
+    # so the input itself must be unambiguous
+    purchases = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy("user_id", "ts", "event_id")
+        .agg(F.max("value").alias("value"))
     )
     out = asof_join(
         clicks,
@@ -11460,15 +11469,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'click'
             ),
             purchases AS (
-                SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+                SELECT user_id, event_id, MAX(value) AS value,
+                       epoch_us(ts) AS tus
+                FROM events
                 WHERE event_type = 'purchase'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id, event_id, epoch_us(ts)
             )
             SELECT c.event_id, c.user_id,
-                   ROUND(p.value, 6) AS last_purchase_value,
-                   p.event_id AS last_purchase_id
-            FROM clicks c
-            ASOF LEFT JOIN purchases p
-              ON c.user_id = p.user_id AND c.tus >= p.tus
+                   ROUND(t.value, 6) AS last_purchase_value,
+                   t.event_id AS last_purchase_id
+            FROM clicks c LEFT JOIN LATERAL (
+                SELECT p.value, p.event_id FROM purchases p
+                WHERE p.user_id = c.user_id AND p.tus <= c.tus
+                ORDER BY p.tus DESC, p.event_id DESC LIMIT 1
+            ) t ON TRUE
         """,
         "events_sessionize": """
             WITH e AS (
@@ -13514,10 +13529,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE prev IS NULL OR event_type <> prev
         )
         SELECT user_id, event_type,
-               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from_epoch,
-               CAST(FLOOR(EPOCH(lead(ts) OVER (PARTITION BY user_id
-                                               ORDER BY epoch_ns(ts) // 1000, event_id)))
-                    AS BIGINT) AS valid_to_epoch,
+               CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS valid_from_epoch,
+               CAST(epoch_ns(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_ns(ts) // 1000,
+                                                     event_id))
+                    // 1000000000 AS BIGINT) AS valid_to_epoch,
                CAST(row_number() OVER (PARTITION BY user_id
                                        ORDER BY epoch_ns(ts) // 1000, event_id) AS BIGINT)
                    AS version

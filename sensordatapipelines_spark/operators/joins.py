@@ -50,22 +50,29 @@ def asof_join(
     pass a unique column for full determinism.
     """
     lcols = left.columns
-    l = left.select(
-        "*",
-        F.lit(1).alias("__is_left"),
-        F.lit(0).cast("long").alias("__tb"),
-        *[F.lit(None).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast("long").alias("__r_ts_match"),
-    )
+    # The right payload rides as ONE struct: per-column last(ignorenulls)
+    # would TEAR columns apart when the latest right row carries a NULL in
+    # one of them (value from an older row, id from the newest — found by
+    # the round-8 adversarial twin). A right row's struct is always
+    # non-null, so one last(ignorenulls) carries the whole row atomically.
     r = right.select(
         F.col(on),
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias("__is_left"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        # timestamp→timestamp cast is a no-op; NTZ→timestamp makes the long
-        # cast legal (NTZ→long is CAST_WITHOUT_SUGGESTION)
-        F.col(right_ts).cast("timestamp").cast("long").alias("__r_ts_match"),
+        F.struct(
+            *[F.col(c).alias(f"r_{c}") for c in right_cols],
+            # timestamp→timestamp cast is a no-op; NTZ→timestamp makes the
+            # long cast legal (NTZ→long is CAST_WITHOUT_SUGGESTION)
+            F.col(right_ts).cast("timestamp").cast("long").alias("r_ts_match"),
+        ).alias("__rrow"),
+    )
+    rrow_type = r.schema["__rrow"].dataType
+    l = left.select(
+        "*",
+        F.lit(1).alias("__is_left"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     for c in lcols:  # left-only columns ride along as NULL on right rows
         if c not in (on, left_ts):
@@ -79,12 +86,10 @@ def asof_join(
         .orderBy(F.asc_nulls_last(F.col(left_ts)), F.asc_nulls_last(F.col("__is_left")), F.asc_nulls_last(F.col("__tb")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
+    out = u.withColumn("__lastrow", F.last("__rrow", ignorenulls=True).over(w))
     for c in right_cols:
-        out = out.withColumn(f"__last_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    out = out.withColumn(
-        "__last_ts", F.last("__r_ts_match", ignorenulls=True).over(w)
-    )
+        out = out.withColumn(f"__last_{c}", F.col("__lastrow")[f"r_{c}"])
+    out = out.withColumn("__last_ts", F.col("__lastrow")["r_ts_match"])
     out = out.filter(F.col("__is_left") == 1)
     if tolerance is not None:
         in_tol = F.col("__last_ts") >= (
@@ -94,8 +99,16 @@ def asof_join(
             out = out.withColumn(
                 f"__last_{c}", F.when(in_tol, F.col(f"__last_{c}"))
             )
+    # a left row with NULL ts has no as-of position: SQL's p.ts <= NULL
+    # matches nothing, while the union window would have handed it every
+    # right row (NULLs order last)
     return out.select(
-        *lcols, *[F.col(f"__last_{c}").alias(f"{c}_asof") for c in right_cols]
+        *lcols,
+        *[
+            F.when(F.col(left_ts).isNotNull(), F.col(f"__last_{c}"))
+            .alias(f"{c}_asof")
+            for c in right_cols
+        ],
     )
 
 
