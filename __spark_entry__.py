@@ -2180,7 +2180,11 @@ def events_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rms(s):
         import numpy as np
 
-        v = s.to_numpy(dtype="float64")
+        # NULLs arrive as NaN in the pandas series: drop them like every
+        # SQL aggregate does (one NaN would poison the whole mean)
+        v = s.dropna().to_numpy(dtype="float64")
+        if not len(v):
+            return None
         return float(np.sqrt((v * v).mean()))
 
     out = grouped_aggregate(
@@ -13796,12 +13800,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_sax_words"] = """
         WITH rws AS (
             SELECT user_id AS g,
-                   CAST(round(value * 100) AS BIGINT) AS v2,
+                   CAST(LEAST(GREATEST(round(value * 100), -3e6), 3e6)
+                        AS BIGINT) AS v2,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY epoch_us(ts), event_id) - 1
                        AS rn,
                    COUNT(*) OVER (PARTITION BY user_id) AS n
             FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         f AS (
             SELECT g, CAST(FLOOR(rn * 8 / n) AS INT) AS seg,
@@ -13816,8 +13822,9 @@ def oracle_sql() -> dict[str, str]:
         st AS (
             SELECT t.g, t.n,
                    CAST(s1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS mu,
-                   sqrt(CAST(s2 * t.n - s1 * s1 AS DOUBLE)
-                        / CAST(t.n * t.n AS DOUBLE)) AS sd
+                   sqrt((CAST(s2 AS DOUBLE) * CAST(t.n AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))) AS sd
             FROM t JOIN q USING (g)
         ),
         w AS (
@@ -15629,12 +15636,18 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(x6 * y6) AS DOUBLE) / 1000000.0 AS sxy
                     FROM (
                         SELECT event_type,
-                               CAST(round(lag(v, {lag}) OVER w * 1000.0)
-                                    AS BIGINT) AS x6,
-                               CAST(round(v * 1000.0) AS BIGINT) AS y6
+                               CASE WHEN lag(v, {lag}) OVER w IS NULL
+                                    THEN NULL
+                                    ELSE CAST(LEAST(GREATEST(
+                                        round(lag(v, {lag}) OVER w * 1000.0),
+                                        -3e6), 3e6) AS BIGINT) END AS x6,
+                               CASE WHEN v IS NULL THEN NULL
+                                    ELSE CAST(LEAST(GREATEST(
+                                        round(v * 1000.0),
+                                        -3e6), 3e6) AS BIGINT) END AS y6
                         FROM hourly
                         WINDOW w AS (PARTITION BY event_type ORDER BY hr)
-                    ) WHERE x6 IS NOT NULL
+                    ) WHERE x6 IS NOT NULL AND y6 IS NOT NULL
                     GROUP BY event_type
                 )
             )
@@ -15941,7 +15954,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY k
         ),
         sided AS (
-            SELECT b.k, b.t, b.tb,
+            SELECT b.k, b.t, b.tb, b.v6,
                    CASE WHEN CAST(b.v6 AS DOUBLE) * 2.0 > m.med2 THEN 1
                         WHEN CAST(b.v6 AS DOUBLE) * 2.0 < m.med2 THEN -1
                    END AS side
@@ -15949,7 +15962,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         runs AS (
             SELECT k, side,
-                   CASE WHEN LAG(side) OVER (PARTITION BY k ORDER BY t, tb)
+                   CASE WHEN LAG(side) OVER (PARTITION BY k
+                                             ORDER BY t, tb, v6)
                              IS DISTINCT FROM side THEN 1 ELSE 0 END AS new_run
             FROM sided WHERE side IS NOT NULL
         )
@@ -16779,7 +16793,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    ({_HA[0]} * {_POLY_SQL.format(s="CAST(user_id AS VARCHAR)")}
                     + {_HB[0]}) % 2147483647 AS h
-            FROM events
+            FROM events WHERE user_id IS NOT NULL
         ),
         rr AS (
             SELECT event_type, h & {_hll_m - 1} AS register, h >> {_hll_p} AS rest

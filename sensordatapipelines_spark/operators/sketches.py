@@ -323,7 +323,9 @@ def hll_sketch(
     m = 1 << p
     rest_bits = 31 - p  # uniform_poly_hash_expr yields h in [0, 2^31 - 1)
     g = F.col(group_by) if group_by else F.lit("__all__")
-    staged = df.select(
+    # NULL keys carry no distinct value: dropped (a NULL hash would ride
+    # as a NULL register with engine-dependent rho arithmetic)
+    staged = df.filter(F.col(key_col).isNotNull()).select(
         g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("__h")
     )
     rest = F.shiftright(F.col("__h"), p)

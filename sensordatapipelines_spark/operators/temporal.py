@@ -1649,7 +1649,13 @@ def runs_test(
         )
         .filter(F.col("__side").isNotNull())
     )
-    w = Window.partitionBy("__k").orderBy(F.asc_nulls_last(F.col("__t")), F.asc_nulls_last(F.col("__tb")))
+    # v6 as the third key: duplicate (t, tiebreak) rows with different
+    # values would otherwise order arbitrarily and shift run boundaries
+    w = Window.partitionBy("__k").orderBy(
+        F.asc_nulls_last(F.col("__t")),
+        F.asc_nulls_last(F.col("__tb")),
+        F.asc_nulls_last(F.col("__v6")),
+    )
     runs = sided.withColumn(
         "__new_run",
         F.when(
@@ -1908,7 +1914,14 @@ def sax_words(
     Scale shape: one window exchange (row_number per group), one keyed
     aggregate to ``groups × segments`` rows, one ``segments``-wide
     ordered string_agg — state never exceeds the frame table."""
-    v2 = F.round(F.col(value_col).cast("double") * F.lit(100)).cast("long")
+    vc = F.col(value_col).cast("double")
+    # clamped e2 quantizer (|v2| ≤ 3e6 → squares ≤ 9e12, exact int64
+    # through ~1e6 rows/group) with NULL/NaN rows dropped — unbounded
+    # squares wrapped int64 on adversarial magnitudes
+    v2 = F.least(
+        F.greatest(F.round(vc * F.lit(100)), F.lit(-3e6)), F.lit(3e6)
+    ).cast("long")
+    df = df.filter(vc.isNotNull() & ~F.isnan(vc))
     rows = df.select(
         F.col(group_col).alias("__g"),
         v2.alias("__v2"),
@@ -1945,10 +1958,15 @@ def sax_words(
         (F.col("__s1").cast("double") / F.col("__n").cast("double")).alias(
             "__mu"
         ),
+        # variance numerator in DOUBLE of the exact int sums: S1² and
+        # S2·n overflow int64 on large groups (same double conversion on
+        # both engines → deterministic)
         F.sqrt(
-            (F.col("__s2") * F.col("__n") - F.col("__s1") * F.col("__s1"))
-            .cast("double")
-            / (F.col("__n") * F.col("__n")).cast("double")
+            (
+                F.col("__s2").cast("double") * F.col("__n").cast("double")
+                - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            )
+            / (F.col("__n").cast("double") * F.col("__n").cast("double"))
         ).alias("__sd"),
     )
     b1, b2, b3 = -0.6744897501960817, 0.0, 0.6744897501960817
