@@ -9676,10 +9676,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is still locally verified every round (LOCAL_ORACLE ledger +
     # tools/check_oracle.py); this ordering only steers which 50 get an
     # independent driver row next.
-    head = [n for n in _ROUND7_SAMPLE_FIRST if n in q]
+    head = [n for n in _ROUND8_SAMPLE_FIRST if n in q]
     assert len(set(head)) == len(head), "duplicate entries in sample rotation"
     rest = [n for n in q if n not in set(head)]
     return {n: q[n] for n in (*head, *rest)}
+
+
+
+# Round-8 driver-sample rotation (VERDICT r7 #2/#9): the 16 r7 hash-red
+# gates FIRST — every one has a round-8 fix behind it (NULL ordering,
+# exact-integer median/MAD, trim/tokenizer portability, modular
+# checksums, paired ORDER BYs) and their colors are the round's
+# acceptance test — then the 20 one-fact probes (each red names a single
+# mechanism; probe_order_sensitivity settles whether the driver hash is
+# row-order-sensitive), then 14 gates whose SEMANTICS changed this round
+# (scaled-rounding codemod, quantized sums, asof struct fix) so the
+# driver independently re-verifies them.
+_ROUND8_SAMPLE_FIRST = [
+    # r7 reds (retest)
+    "docs_chi2_terms",
+    "events_mann_kendall",
+    "docs_token_stream_probe",
+    "events_pair_probe",
+    "docs_simpson_diversity",
+    "events_markov_transitions",
+    "events_mad_anomaly",
+    "events_compacted_scan",
+    "events_ns_residue_probe",
+    "events_column_probe",
+    "orders_dq_report",
+    "docs_stratified_sample",
+    "events_gini_users",
+    "lineitem_weighted_median",
+    "orders_priority_markov",
+    "orders_total_mad",
+    # one-fact probes
+    "probe_order_sensitivity",
+    "events_rowset_probe",
+    "events_nulltally_probe",
+    "events_idchk_probe",
+    "events_userchk_probe",
+    "events_tschk_probe",
+    "events_vfloor_probe",
+    "events_vround_probe",
+    "docs_charchk_probe",
+    "docs_trimlen_probe",
+    "docs_tokcount_probe",
+    "docs_foldchk_probe",
+    "docs_tokchk_b0",
+    "docs_tokchk_b1",
+    "docs_tokchk_b2",
+    "docs_tokchk_b3",
+    "docs_tokchk_b4",
+    "docs_tokchk_b5",
+    "docs_tokchk_b6",
+    "docs_tokchk_b7",
+    # changed-semantics regressions
+    "semantics_probe",
+    "events_asof_purchase",
+    "events_ohlc_bars",
+    "events_state_merge",
+    "events_lag_delta",
+    "events_scd2",
+    "events_sessionize",
+    "customer_snapshot_diff",
+    "docs_unigram_logprob",
+    "docs_jaccard_pairs",
+    "customer_upsert_merge",
+    "events_time_rollup",
+    "events_sax_words",
+    "events_hll_portable",
+]
 
 
 # Round-7 driver-sample rotation: the eight r6 hash-red gates first (their
