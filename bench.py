@@ -120,11 +120,25 @@ def main() -> int:
     # a consumer that tail-captures stdout always gets parseable JSON —
     # the full 195-query dict was long enough to be truncated by such
     # capture windows.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-        "w",
-    ) as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as f:
         f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    # Per-round archive (VERDICT r7 #10): keep each round's per-query JSON
+    # so regressions stay attributable across rounds. Round number comes
+    # from the last PROGRESS.jsonl entry when present.
+    try:
+        rnd = None
+        with open(os.path.join(here, "PROGRESS.jsonl")) as pf:
+            for line in pf:
+                rec = json.loads(line)
+                rnd = rec.get("round", rnd)
+        if rnd is not None:
+            with open(
+                os.path.join(here, f"bench_out_r{int(rnd):02d}.json"), "w"
+            ) as f:
+                f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    except Exception:
+        pass  # archive is best-effort; the canonical output above stands
     summary = {
         "metric": "total_runtime_all_queries",
         "value": total,
