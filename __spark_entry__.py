@@ -1440,7 +1440,7 @@ def docs_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return winnowing_fingerprints(
-        spark.table("documents"), id_col="doc_id", text_col="text",
+        _docs_canon(spark), id_col="doc_id", text_col="text",
         k=8, window=4,
     )
 
@@ -1458,7 +1458,7 @@ def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     base = (
-        spark.table("documents")
+        _docs_canon(spark)
         .filter((F.col("doc_id") % 5) == 0)
         .select(
             "doc_id",
@@ -2032,7 +2032,7 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.text import gopher_quality
 
     _register_views(spark, sf_dir)
-    return gopher_quality(spark.table("documents"))
+    return gopher_quality(_docs_canon(spark))
 
 
 def emb_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,6 +2421,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _stage_events(spark, sf_dir))
     out = (
         stream.select("user_id", "event_type")
+        # a NULL user is not a user: COUNT(DISTINCT) skips it, so must we
+        .filter(F.col("user_id").isNotNull())
         .dropDuplicates(["user_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -2535,10 +2537,22 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     from sensordatapipelines_spark.streaming import read_events_stream
 
     _register_views(spark, sf_dir)
-    stream = read_events_stream(spark, _stage_events(spark, sf_dir))
+    # one micro-batch: across batches the advancing watermark would
+    # drop late (pre-1970) rows — real semantics, but then no batch
+    # oracle can state the result
+    stream = read_events_stream(
+        spark, _stage_events(spark, sf_dir), max_files_per_trigger=1_000_000
+    )
+    # dropDuplicatesWithinWatermark silently discards rows below the
+    # zero-epoch initial watermark — pre-1970 event times never reach the
+    # dedup state. Filter them explicitly (mirrored in the oracle) so the
+    # gate states a reproducible result instead of an engine internal.
+    stream = stream.filter(F.col("ts") >= F.lit("1970-01-01 00:00:00"))
     out = (
         stream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        # (id, type) pair: an id-only dedup picks an arbitrary type among
+        # duplicate ids — not oracle-expressible
+        .dropDuplicatesWithinWatermark(["event_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -3005,7 +3019,9 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     ev = spark.table("events").select(
         "event_type",
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        # try_parse_json: malformed props must yield NULL, not a thrown
+        # VariantBuilder error out of the scan stage
+        F.expr("variant_get(try_parse_json(props), '$.k', 'int')").alias("k"),
     )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -11221,19 +11237,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_stats": f"""
             WITH {_TEXT_CTE}
             SELECT doc_id,
-                   len(t) AS n_tokens,
-                   ROUND(CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE)
-                         / len(t), 6) AS mean_token_len,
-                   ROUND((length(text) - length(replace(text, '.', ''))
-                        + length(text) - length(replace(text, ',', ''))
-                        + length(text) - length(replace(text, ';', ''))
-                        + length(text) - length(replace(text, ':', ''))
-                        + length(text) - length(replace(text, '!', ''))
-                        + length(text) - length(replace(text, '?', ''))
-                       ) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-                   ROUND(CAST(len(list_filter({_TOKS.replace('text', "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')")},
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN trim(text, ' ') = '' THEN 0
+                        ELSE len(t) END AS n_tokens,
+                   CASE WHEN text IS NOT NULL AND trim(text, ' ') != ''
+                             AND len(t) > 0 THEN
+                       ROUND(CAST(length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE)
+                             / len(t), 6)
+                   ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN length(text) > 0 THEN
+                       ROUND((length(text) - length(replace(text, '.', ''))
+                            + length(text) - length(replace(text, ',', ''))
+                            + length(text) - length(replace(text, ';', ''))
+                            + length(text) - length(replace(text, ':', ''))
+                            + length(text) - length(replace(text, '!', ''))
+                            + length(text) - length(replace(text, '?', ''))
+                           ) / CAST(length(text) AS DOUBLE), 6)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN text IS NOT NULL AND trim(text, ' ') != ''
+                             AND len(t) > 0 THEN
+                       ROUND(CAST(len(list_filter(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+'),
                               x -> x IN ('the','and','of','to','a','in','is','that','it','for','on','with'))) AS DOUBLE)
-                         / len(t), 6) AS stopword_ratio
+                             / len(t), 6)
+                   ELSE 0.0 END AS stopword_ratio
             FROM toks
         """,
         "docs_lang_id": """
@@ -11786,7 +11812,8 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["events_stream_dedup_watermark"] = """
         SELECT event_type, COUNT(*) AS n_events
-        FROM (SELECT DISTINCT event_id, event_type FROM events)
+        FROM (SELECT DISTINCT event_id, event_type FROM events
+              WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00')
         GROUP BY event_type
     """
     oracles["docs_dup_components"] = f"""
@@ -11901,7 +11928,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text, ' ') = '' THEN []
                         ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
                    END AS toks_l
-            FROM documents
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) documents
         ),
         base AS (
             SELECT doc_id,
@@ -12164,9 +12191,12 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["events_variant_props"] = """
         SELECT event_type, COUNT(*) AS n,
-               ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
-               MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-               MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+               ROUND(AVG(TRY_CAST(json_extract_string(
+                   TRY_CAST(props AS JSON), '$.k') AS INTEGER)), 6) AS avg_k,
+               MIN(TRY_CAST(json_extract_string(
+                   TRY_CAST(props AS JSON), '$.k') AS INTEGER)) AS min_k,
+               MAX(TRY_CAST(json_extract_string(
+                   TRY_CAST(props AS JSON), '$.k') AS INTEGER)) AS max_k
         FROM events
         GROUP BY event_type
     """
@@ -13706,7 +13736,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
     oracles["docs_winnowing_fps"] = r"""
-        WITH corpus AS (SELECT doc_id AS id, text AS tx FROM documents),
+        WITH corpus AS (SELECT doc_id AS id, text AS tx FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) documents),
         norm AS (
             SELECT id, regexp_replace(translate(trim(tx, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
             FROM corpus
@@ -13741,14 +13771,14 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_grams,
                CAST(COALESCE(pd.n_fps, 0) AS BIGINT) AS n_fps,
                CAST(COALESCE(pd.fp_checksum, 0) AS BIGINT) AS fp_checksum
-        FROM documents d LEFT JOIN per_doc pd ON pd.id = d.doc_id
+        FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) d LEFT JOIN per_doc pd ON pd.id = d.doc_id
     """
     oracles["docs_winnowing_pairs"] = r"""
         WITH base AS (
             SELECT doc_id,
                    replace(text, ' ',
                            ' s' || CAST(doc_id AS VARCHAR) || ' ') AS tx
-            FROM documents WHERE doc_id % 5 = 0
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) documents WHERE doc_id % 5 = 0
         ),
         corpus AS (
             SELECT doc_id * 2 AS id, tx FROM base

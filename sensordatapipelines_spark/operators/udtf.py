@@ -18,21 +18,29 @@ boundary, not the plan shape.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+import re
+
 from pyspark.sql.functions import udtf
+
+#: the engine's explicit ASCII whitespace class (see operators/text.py)
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="word string, wlen int")
 class WordExplode:
     """One output row per whitespace-delimited token: ``(word, wlen)``.
 
-    Mirrors Python ``str.split()`` semantics (runs of whitespace collapse,
-    leading/trailing whitespace ignored) — the oracle side reproduces this
-    with ``regexp_split_to_array(text, '\\s+')`` + empty-token filter.
+    Tokenizes on the ENGINE'S explicit ASCII whitespace class (runs
+    collapse, edge whitespace ignored) — Python ``str.split()`` would
+    also split Unicode whitespace (U+2028, NBSP, ideographic space...)
+    that neither the Spark expression tokenizer nor the RE2 oracle
+    splits, silently diverging on such content.
     """
 
     def eval(self, text: str):
-        for w in (text or "").split():
-            yield w, len(w)
+        for w in _WS_RE.split((text or "").strip(" ")):
+            if w:
+                yield w, len(w)
 
 
 def register_udtfs(spark: SparkSession) -> None:

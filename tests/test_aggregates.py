@@ -382,10 +382,12 @@ def test_grouped_linregress_recovers_planted_line(spark):
     rows += [("flat", 3.0, 9.0), ("flat", 3.0, 11.0)]  # zero x-variance
     rows += [("single", 1.0, 1.0)]
     df = spark.createDataFrame(rows, "g string, x double, y double")
-    out = {r.g: r for r in grouped_linregress(df, "g", "x", "y", scale=1e6).collect()}
-    assert abs(out["g"].slope - 2.5) < 1e-6
-    assert abs(out["g"].intercept - 7.0) < 1e-4
-    assert abs(out["g"].r2 - 1.0) < 1e-9
+    # scale chosen INSIDE the enforced overflow contract (|x·scale| ≤ 3e6
+    # clamp; x ≤ 124 here → quantized ≤ 1.24e6); scale=1e6 would clamp
+    out = {r.g: r for r in grouped_linregress(df, "g", "x", "y", scale=1e4).collect()}
+    assert abs(out["g"].slope - 2.5) < 1e-3
+    assert abs(out["g"].intercept - 7.0) < 1e-2
+    assert abs(out["g"].r2 - 1.0) < 1e-6
     assert abs(out["noisy"].slope - 1.0) < 0.01 and out["noisy"].r2 < 1.0
     assert out["flat"].slope is None and out["flat"].r2 is None
     assert out["single"].slope is None
