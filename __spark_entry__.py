@@ -3181,8 +3181,11 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     stage = _stage_events(spark, sf_dir)
+    # single micro-batch + zero-epoch floor: across batches the advancing
+    # watermark drops late/pre-1970 rows no batch oracle can state
     clicks = (
-        read_events_stream(spark, stage)
+        read_events_stream(spark, stage, max_files_per_trigger=1_000_000)
+        .filter(F.col("ts") >= F.lit("1970-01-01 00:00:00"))
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -3192,7 +3195,8 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        read_events_stream(spark, stage)
+        read_events_stream(spark, stage, max_files_per_trigger=1_000_000)
+        .filter(F.col("ts") >= F.lit("1970-01-01 00:00:00"))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -4524,7 +4528,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.multimodal import frame_sample
 
     _register_views(spark, sf_dir)
-    media = spark.table("documents").select(
+    media = _docs_canon(spark).select(
         F.struct(
             F.col("doc_id").cast("long").alias("media_id"),
             F.lit("video").alias("kind"),
@@ -7590,14 +7594,36 @@ def events_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate_series with scalar-subquery bounds."""
     _register_views(spark, sf_dir)
     row = spark.sql(
-        "SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events"
+        "SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi, "
+        "datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE)) AS span "
+        "FROM events"
     ).first()
+    # Recursion depth = YEARS, not days: a per-day recursion builds one
+    # plan level per row (a 50-year adversarial span stack-overflows the
+    # JVM); the recursive CTE walks year starts and a bounded
+    # explode(sequence(...)) fills each year's days — same spine, depth
+    # ≤ span/365 + 2.
+    levels = (int(row["span"] or 0) // 365) + 10
     return spark.sql(
         f"""
-        WITH RECURSIVE days(d) AS (
+        WITH RECURSIVE ystart(y) MAX RECURSION LEVEL {levels} AS (
             SELECT DATE '{row["lo"]}'
             UNION ALL
-            SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '{row["hi"]}'
+            SELECT CAST(add_months(trunc(y, 'YEAR'), 12) AS DATE)
+            FROM ystart
+            WHERE CAST(add_months(trunc(y, 'YEAR'), 12) AS DATE)
+                  <= DATE '{row["hi"]}'
+        ),
+        days AS (
+            SELECT explode(sequence(
+                y,
+                least(
+                    CAST(add_months(trunc(y, 'YEAR'), 12) AS DATE)
+                        - INTERVAL 1 DAY,
+                    DATE '{row["hi"]}'
+                ),
+                INTERVAL 1 DAY)) AS d
+            FROM ystart
         ),
         daily AS (
             SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
@@ -8041,8 +8067,13 @@ def _user_cooccur_edges(spark: SparkSession) -> DataFrame:
     distinct (event_type, hour) buckets form an undirected edge."""
     from sensordatapipelines_spark.operators.graph import cooccurrence_edges
 
-    occ = spark.table("events").select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    # NULL hour buckets pair nobody in SQL (a.h = b.h is never true on
+    # NULL) — drop NULL-ts rows so the grouped-explode path agrees; NULL
+    # users already vanish in collect_set
+    occ = (
+        spark.table("events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
     )
     return cooccurrence_edges(occ, "user_id", ["event_type", "h"], min_cooccur=3)
 
@@ -12124,6 +12155,8 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts
          AND p.ts <= c.ts + INTERVAL 1 HOUR
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND p.ts >= TIMESTAMP '1970-01-01 00:00:00'
         GROUP BY c.user_id
     """
     oracles["events_approx_quantiles"] = """

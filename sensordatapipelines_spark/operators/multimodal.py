@@ -572,6 +572,8 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for m in pdf[media_col]:
+                if m is None or m["payload"] is None:
+                    continue  # NULL media/payload carries no frames
                 payload = bytes(m["payload"])
                 if not fake:
                     if payload[:4] != b"RIFF":
