@@ -3582,7 +3582,13 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _register_views(spark, sf_dir)
-    w = Window.orderBy(F.asc_nulls_last(F.md5(F.concat_ws(":", F.lit("epoch0"), F.col("doc_id")))))
+    # NULL-PROPAGATING concat (concat_ws would silently skip a NULL id
+    # while the oracle's || yields NULL): NULL ids rank last on both
+    w = Window.orderBy(
+        F.asc_nulls_last(
+            F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+        )
+    )
     return (
         spark.table("documents")
         .select("doc_id")
@@ -5197,6 +5203,9 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = np.zeros(len(texts), dtype="float64")
         for i, t in enumerate(texts):
+            if t is None or not isinstance(t, str):
+                out[i] = np.nan  # NULL text → NULL bits (oracle parity)
+                continue
             if not t:
                 continue
             n = float(len(t))
@@ -6191,7 +6200,7 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.dedup import substring_dedup
 
     _register_views(spark, sf_dir)
-    out = substring_dedup(spark.table("documents"), span_tokens=8)
+    out = substring_dedup(_docs_canon(spark), span_tokens=8)
     return out.select(
         "doc_id",
         F.md5(F.col("text")).alias("clean_md5"),
@@ -8878,7 +8887,15 @@ def docs_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.text import naive_bayes_classify
 
     _register_views(spark, sf_dir)
-    return naive_bayes_classify(spark.table("documents"), class_col="lang")
+    # canonical (doc_id, lang, text): duplicate ids multiply through the
+    # oracle's per-doc joins — same convention as the other canon gates
+    canon = (
+        spark.table("documents")
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"), F.max("lang").alias("lang"))
+    )
+    return naive_bayes_classify(canon, class_col="lang")
 
 
 
@@ -12928,7 +12945,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                LENGTH(lt) AS n_chars,
-               ROUND(
+               CASE WHEN lt IS NULL THEN NULL
+                    WHEN lt = '' THEN 0.0
+                    ELSE ROUND(
                    list_reduce(
                        list_prepend(CAST(0.0 AS DOUBLE),
                            list_transform(
@@ -12938,7 +12957,8 @@ def oracle_sql() -> dict[str, str]:
                                      * log2(CAST(len(list_filter(chars, c -> c = ch))
                                                  AS DOUBLE) / LENGTH(lt)))),
                        (acc, x) -> acc + x),
-                   6) AS char_entropy_bits
+                   6)
+               END AS char_entropy_bits
         FROM cs
     """
     oracles["docs_bigram_topk"] = """
@@ -13033,9 +13053,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_substring_dedup"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN trim(text, ' ') = '' THEN []
+                   CASE WHEN text IS NULL OR trim(text, ' ') = '' THEN []
                         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+') END AS t
-            FROM documents
+            FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) documents
         ),
         trows AS (
             SELECT doc_id, u.pos AS pos, u.tok AS tok
@@ -15387,7 +15407,10 @@ def oracle_sql() -> dict[str, str]:
     # Market basket: distinct (basket, item) first, a<b self equi-join,
     # lift = (n_ab·n_baskets)/(n_a·n_b) in one division.
     oracles["lineitem_basket_pairs"] = r"""
-        WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                       FROM lineitem
+                       WHERE l_orderkey IS NOT NULL
+                         AND l_partkey IS NOT NULL),
         nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
         supp AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY i),
         pairs AS (
@@ -15949,6 +15972,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         stream AS (SELECT doc_id, lang, unnest(t) AS tok FROM dtoks)
     """
+    _LANG_STREAM_CANON = r"""
+        canon_docs AS (
+            SELECT doc_id, MAX(text) AS text, MAX(lang) AS lang
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id
+        ),
+        dtoks AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text, ' ') = '' THEN []
+                        ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \t\n\x0b\f\r]+')
+                   END AS t
+            FROM canon_docs
+        ),
+        stream AS (SELECT doc_id, lang, unnest(t) AS tok FROM dtoks)
+    """
     oracles["docs_chi2_terms"] = f"""
         WITH {_LANG_STREAM},
         occ AS (SELECT DISTINCT doc_id, lang, tok FROM stream),
@@ -16331,13 +16368,13 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY lang
     """
     oracles["docs_nb_confusion"] = f"""
-        WITH {_LANG_STREAM},
+        WITH {_LANG_STREAM_CANON},
         ct AS (SELECT lang AS cls, tok, COUNT(*) AS c
                FROM stream GROUP BY lang, tok),
         tot AS (SELECT cls, SUM(c) AS ns FROM ct GROUP BY cls),
         v AS (SELECT COUNT(DISTINCT tok) AS vs FROM ct),
-        pri AS (SELECT lang AS cls, COUNT(*) AS ndc FROM documents GROUP BY lang),
-        nd AS (SELECT COUNT(*) AS n FROM documents),
+        pri AS (SELECT lang AS cls, COUNT(*) AS ndc FROM canon_docs GROUP BY lang),
+        nd AS (SELECT COUNT(*) AS n FROM canon_docs),
         lp AS (
             SELECT ct.cls, ct.tok,
                    CAST(ROUND(ln(CAST(ct.c + 1 AS DOUBLE)
@@ -17342,7 +17379,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag AS key,
                    CAST(ROUND(l_quantity * 1.0) AS BIGINT) AS v,
                    COUNT(*) AS c
-            FROM lineitem GROUP BY 1, 2
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+            GROUP BY 1, 2
         ),
         cum AS (
             SELECT key, v, c,

@@ -442,9 +442,15 @@ def market_basket_pairs(
     ``(n_ab · n_baskets) / (n_a · n_b)`` — both sides exact BIGINT
     products (< 2^63 at any real scale) in ONE IEEE division; ranking
     ties break on the item pair."""
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # NULL basket or item keys pair nothing in a SQL equi-join and count
+    # in no support — dropped on both engines
+    items = (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
     n_baskets = items.select("__b").distinct().count()
     supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     # pair generation: collect each basket's sorted item set and explode

@@ -414,7 +414,10 @@ def histogram_quantiles(
     standard inverted-CDF (type-1) quantile: the smallest value whose
     cumulative count reaches ceil(q·n/100) — all-integer, no
     interpolation, bit-exact cross-engine."""
-    v = F.round(F.col(value_col).cast("double") * F.lit(float(scale))).cast("long")
+    vc = F.col(value_col).cast("double")
+    v = F.when(vc.isNull() | F.isnan(vc), F.lit(None).cast("long")).otherwise(
+        F.round(vc * F.lit(float(scale))).cast("long")
+    )
     hist = (
         df.select(F.col(key_col).alias("key"), v.alias("v"))
         .filter(F.col("v").isNotNull())
