@@ -6872,6 +6872,9 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract for why no round(x, 6) may touch aggregate outputs here
     hourly = (
         load_table(spark, sf_dir, "events")
+        # NULL hours leave the series (and dodge a DuckDB 1.0 window-sort
+        # quirk where NULL timestamps order as epoch 0 on large inputs)
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
         .agg(
             (
@@ -15277,7 +15280,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hr,
                    CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
                        / 1e6 / CAST(COUNT(*) AS DOUBLE) AS v
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)
         ),
         hv AS (SELECT *, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM hourly),
         b AS (
