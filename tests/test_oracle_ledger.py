@@ -2,7 +2,7 @@
 
 Two layers:
 
-1. The COMMITTED ledger (LOCAL_ORACLE_r7.json, built by
+1. The COMMITTED ledger (LOCAL_ORACLE_r8.json, built by
    tools/build_oracle_ledger.py) must cover every ``queries()`` entry at
    sf0.01 AND sf0.1 with zero failures — the standing evidence that the
    full surface (not just the externally-sampled 50) hash-matches its
@@ -20,7 +20,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-LEDGER = "/root/repo/LOCAL_ORACLE_r7.json"
+LEDGER = "/root/repo/LOCAL_ORACLE_r8.json"
 
 
 def _entry_queries():
