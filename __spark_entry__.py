@@ -2510,12 +2510,16 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     from sensordatapipelines_spark.operators.temporal import quantize_e6
 
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
-    )
     # integer-exact deltas: the raw-double AVG is summation-order-
-    # dependent; e6-quantized values subtract and sum exactly
+    # dependent; e6-quantized values subtract and sum exactly. __v6 rides
+    # as the FINAL order key: duplicate (ts, event_id) rows would
+    # otherwise pair arbitrarily (seed-2 adversarial twin)
     ev = spark.table("events").withColumn("__v6", quantize_e6(F.col("value")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"),
+        F.asc_nulls_last("event_id"),
+        F.asc_nulls_last("__v6"),
+    )
     ev = ev.withColumn("delta6", F.col("__v6") - F.lag("__v6").over(w))
     return ev.filter(F.col("delta6").isNotNull()).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_deltas"),
@@ -5952,7 +5956,10 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.dedup import paragraph_dedup
 
     _register_views(spark, sf_dir)
-    docs = spark.table("documents")
+    # NULL-id docs belong to no group — and a NULL did would sort FIRST
+    # in Spark's min-struct winner (stealing paragraphs) while DuckDB's
+    # MIN(ROW(NULL,...)) ignores it
+    docs = spark.table("documents").filter(F.col("doc_id").isNotNull())
     grouped = (
         docs.groupBy(F.floor(F.col("doc_id") / 4).cast("long").alias("did"))
         .agg(
@@ -11658,7 +11665,8 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": """
             SELECT event_id, user_id,
                    ROUND(AVG(value) OVER (PARTITION BY user_id
-                                          ORDER BY epoch_us(ts), event_id
+                                          ORDER BY epoch_us(ts), event_id,
+                                                   value
                                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
                          6) AS value_ma
             FROM events
@@ -11846,7 +11854,8 @@ def oracle_sql() -> dict[str, str]:
         d AS (
             SELECT event_type,
                    v6 - LAG(v6) OVER (
-                       PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) // 1000, event_id, v6
                    ) AS delta6
             FROM q
         )
@@ -13018,7 +13027,8 @@ def oracle_sql() -> dict[str, str]:
         WITH grouped AS (
             SELECT CAST(FLOOR(doc_id / 4) AS BIGINT) AS did,
                    string_agg(text, chr(10) ORDER BY doc_id, text) AS text
-            FROM documents GROUP BY FLOOR(doc_id / 4)
+            FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY FLOOR(doc_id / 4)
         ),
         staged AS (
             SELECT did,
@@ -14786,7 +14796,8 @@ def oracle_sql() -> dict[str, str]:
         WITH ordered AS (
             SELECT user_id, event_type,
                    lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY epoch_us(ts), event_id)
+                                         ORDER BY epoch_us(ts), event_id,
+                                                  event_type)
                        AS prev
             FROM events
         ),

@@ -195,6 +195,9 @@ def moving_average(
     order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]  # NTZ-tolerant
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc_nulls_last())
+    # the value itself is the FINAL key: duplicate (ts, tiebreak) rows
+    # would otherwise order arbitrarily and shift the ROWS frame
+    order.append(F.col(value_col).asc_nulls_last())
     w = (
         Window.partitionBy(sensor_col)
         .orderBy(*order)
@@ -718,6 +721,9 @@ def transition_matrix(
     order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc_nulls_last())
+    # the state itself is the final key (markov_transitions convention):
+    # duplicate (ts, tiebreak) rows pair deterministically
+    order.append(F.col(state_col).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     pairs = (
         df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
