@@ -3007,7 +3007,7 @@ def orders_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(m AS STRING) AS month,
                COUNT(o_orderkey) AS n_orders,
-               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+               ROUND(COALESCE(SUM(CAST(o_totalprice AS DOUBLE)), 0.0), 2) AS revenue
         FROM months LEFT JOIN orders
           ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
         GROUP BY m
@@ -12246,7 +12246,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT strftime(m, '%Y-%m-%d') AS month,
                COUNT(o_orderkey) AS n_orders,
-               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+               ROUND(COALESCE(SUM(CAST(o_totalprice AS DOUBLE)), 0.0), 2) AS revenue
         FROM months LEFT JOIN orders
           ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
         GROUP BY m
