@@ -17,14 +17,12 @@ local clean tables never exercise:
   (event_type, o_orderpriority, l_returnflag, lang) stay NULL-free: the
   driver's red gates all ROW-MATCHED at 5/5/3/5 groups, so its data has
   clean group keys.
-- Extreme-but-castable doubles (|x| <= 9e12 so CAST(ROUND(x*1e6) AS
-  BIGINT) never errors in DuckDB — the driver's unguarded oracles ran
-  err-free, proving its data casts too), -0.0, denormals, e6-half
-  boundaries, magnitudes past 2^53 where float interpolation formulas
-  disagree between engines.
-- Per-group Σ(value_e6) and Σ(event_id) that OVERFLOW int64 (Spark sum
-  wraps, DuckDB widens to HUGEINT — the suspected events_compacted_scan
-  mechanism).
+- Hostile-but-tame doubles: -0.0, denormals, e6-half/shortest-repr
+  boundary values. Magnitudes stay <= ~9e5 — every driver double-sum
+  gate is green, so its data cannot make double summation order-visible
+  (and that class is unfixable for plain SUM(double) anyway); overflow
+  robustness is enforced in the OPERATORS (clamped quantizers, modular
+  checksums) rather than provoked here.
 - Exact ties: duplicate keys, duplicate (group, ts, tiebreak) rows,
   tied group counts for largest-remainder allocation, l_linenumber > 7
   so the *8 tiebreak collides.
