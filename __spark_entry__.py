@@ -13688,7 +13688,7 @@ def oracle_sql() -> dict[str, str]:
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
                    lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+                                         ORDER BY epoch_ns(ts) // 1000, event_id, event_type) AS prev
             FROM events
         ),
         chg AS (
@@ -13699,10 +13699,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS valid_from_epoch,
                CAST(epoch_ns(lead(ts) OVER (PARTITION BY user_id
                                             ORDER BY epoch_ns(ts) // 1000,
-                                                     event_id))
+                                                     event_id, event_type))
                     // 1000000000 AS BIGINT) AS valid_to_epoch,
                CAST(row_number() OVER (PARTITION BY user_id
-                                       ORDER BY epoch_ns(ts) // 1000, event_id) AS BIGINT)
+                                       ORDER BY epoch_ns(ts) // 1000, event_id, event_type) AS BIGINT)
                    AS version
         FROM chg
     """

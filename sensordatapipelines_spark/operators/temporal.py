@@ -540,6 +540,9 @@ def scd2_compress(
     order = [F.col(ts_col).asc_nulls_last()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc_nulls_last())
+    # state as the final key: duplicate (ts, tiebreak) rows — incl. the
+    # NULL-ts tail — must version deterministically
+    order.append(F.col(state_col).asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     changed = (
         df.withColumn("__prev", F.lag(state_col).over(w))
