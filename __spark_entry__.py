@@ -8945,18 +8945,23 @@ def events_ns_residue_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nanosAsLong`` read saw it while the driver's DuckDB (which, like
     local v1.0, truncates ns→µs at the parquet reader AND at string
     parse, per the green ``semantics_ns_canary``) structurally cannot.
-    Sub-µs facts are therefore NOT oracle-pairable; the diagnostic has
-    done its job and the engine policy is pinned instead: ns truncates
-    toward zero to µs at ingestion (``tables.load_table``), exactly
-    matching DuckDB's reader, so both engines see the identical µs
-    stream. THIS gate now proves that: Spark computes sub-SECOND residue
-    facts from its raw ns read truncated to µs; the oracle computes the
-    same from ``epoch_us``. A red here means the µs streams themselves
-    disagree — a real reader bug, not an encoding artifact."""
+    Sub-µs facts are therefore NOT oracle-pairable; the engine policy is
+    pinned instead. r8 shipped toward-zero (`DIV`, = DuckDB 1.0's
+    parquet-reader truncation) and the driver kept this gate RED while
+    every second-level ts gate stayed green — seconds are invariant
+    between the policies, so the red isolates the sub-second policy: a
+    ns-native DuckDB's ``epoch_us()`` FLOORS. Since r9 ingestion floors
+    (``tables.load_table``), and THIS gate proves it: Spark computes
+    sub-SECOND residue facts from its raw ns read floored to µs; the
+    oracle computes the same from ``epoch_us``. A red here means the µs
+    streams still disagree (then the r9 exfil probes name the policy
+    numerically)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
-        us = F.expr("ts DIV 1000")  # toward-zero, = DuckDB's ns→µs reader
+        # FLOOR ns→µs (engine policy since r9, = a ns-native DuckDB's
+        # epoch_us); r8's toward-zero `DIV` stayed driver-red.
+        us = F.expr("(ts - (((ts % 1000) + 1000) % 1000)) DIV 1000")
     else:
         us = F.unix_micros(F.col("ts").cast("timestamp"))
     t = F.col("ts")
