@@ -9384,6 +9384,452 @@ def docs_tokchk_b7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-chain checksum, corpus slice doc_id %% 8 == 7."""
     return _docs_bucket_tokchk(spark, sf_dir, 7)
 
+
+
+# ---- Round-9 exfiltration probes (`xfil_*`).
+#
+# The r8 one-fact probes returned one BIT each (green/red). This family
+# widens the channel: the correctness artifact records ``spark_rows`` and
+# ``oracle_rows`` VERBATIM for every gate, so a probe that materializes a
+# driver-side integer fact AS ITS ROW COUNT reports that fact from BOTH
+# engines as plain numbers — the counts are the measurement, cross-engine
+# hash equality is NOT the contract (a count mismatch here is a successful
+# measurement of a read divergence, not a defect). Each probe returns
+# ``range(n)`` where n = one fact: a class tally (NULL/NaN/±Inf per
+# column), a dtype descriptor code, a residue of a value-stream checksum,
+# or an engine version. The Spark side reads the RAW parquet (bypassing
+# ``load_table``'s NaN≙NULL and ns→µs normalizations) so the file's
+# ground truth stays observable after the r9 ingestion policy change.
+# Excluded from the strict local ledger (tools/check_oracle.py marks
+# ``xfil_*`` as "diag"): several are EXPECTED to disagree locally (e.g.
+# version codes) — the payload is the number pair, not the color.
+
+
+_XFIL_CAP = 1_000_000
+_XFIL_M = 99991  # residue modulus for value-stream checksums
+
+
+def _xfil(spark: SparkSession, n) -> DataFrame:
+    """Emit integer fact ``n`` as a row count (see family comment)."""
+    n = 0 if n is None else int(n)
+    n = max(0, min(n, _XFIL_CAP))
+    return spark.range(n).select(F.col("id").alias("i"))
+
+
+def _xfil_oracle(count_expr: str) -> str:
+    """Oracle twin of ``_xfil``: UNNEST(range(clamped scalar))."""
+    return (
+        "SELECT UNNEST(range(LEAST(GREATEST(CAST((" + count_expr + ") AS BIGINT)"
+        ", 0), " + str(_XFIL_CAP) + "))) AS i"
+    )
+
+
+def _raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """RAW table read for probes: no NaN≙NULL rewrite, no ns→µs floor —
+    only the unavoidable nanosAsLong switch so TIMESTAMP(NANOS) events
+    load at all (ts then surfaces as BIGINT ns). Pins the session confs
+    the probes' expressions rely on (UTC, non-ANSI) because probe order
+    within the driver's run is not guaranteed."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _is_float(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) in ("double", "float")
+
+
+def _count_where(df: DataFrame, cond) -> int:
+    return df.filter(cond).count()
+
+
+def _nan_count(df: DataFrame, col: str) -> int:
+    if not _is_float(df, col):
+        return 0
+    c = F.col(col)
+    return _count_where(df, c.isNotNull() & F.isnan(c))
+
+
+def _inf_count(df: DataFrame, col: str) -> int:
+    if not _is_float(df, col):
+        return 0
+    c = F.col(col)
+    return _count_where(
+        df,
+        c.isNotNull()
+        & ((c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))),
+    )
+
+
+def xfil_env_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark_rows = the driver's PySpark version as digits (4.1.2→412);
+    oracle_rows = the driver's DuckDB version as digits (v1.3.2→132).
+    Settles VERDICT r8's reopened version-skew question numerically."""
+    import pyspark
+
+    digits = "".join(ch for ch in pyspark.__version__ if ch.isdigit())[:4]
+    return _xfil(spark, int(digits or 0))
+
+
+def _xfil_events_fact(spark, sf_dir, fact) -> DataFrame:
+    return _xfil(spark, fact(_raw(spark, sf_dir, "events")))
+
+
+def xfil_events_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of events, per engine."""
+    return _xfil_events_fact(spark, sf_dir, lambda d: d.count())
+
+
+def xfil_events_null_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ts tally per engine (raw read)."""
+    return _xfil_events_fact(
+        spark, sf_dir, lambda d: _count_where(d, F.col("ts").isNull())
+    )
+
+
+def xfil_events_null_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-user_id tally per engine (raw read)."""
+    return _xfil_events_fact(
+        spark, sf_dir, lambda d: _count_where(d, F.col("user_id").isNull())
+    )
+
+
+def xfil_events_nan_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-user_id tally per engine (raw read; 0 when user_id is not a
+    float type on the Spark side) — the direct test of the r9 theory
+    that the four user-grouped events reds come from a NaN-vs-NULL
+    missing-cohort split."""
+    return _xfil_events_fact(spark, sf_dir, lambda d: _nan_count(d, "user_id"))
+
+
+def xfil_events_null_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-value tally per engine (raw read)."""
+    return _xfil_events_fact(
+        spark, sf_dir, lambda d: _count_where(d, F.col("value").isNull())
+    )
+
+
+def xfil_events_nan_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-value tally per engine (raw read)."""
+    return _xfil_events_fact(spark, sf_dir, lambda d: _nan_count(d, "value"))
+
+
+def xfil_events_inf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±Inf-value tally per engine (raw read)."""
+    return _xfil_events_fact(spark, sf_dir, lambda d: _inf_count(d, "value"))
+
+
+def xfil_events_zero_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value == 0 tally per engine — the Σ-checksum blind spot: a row
+    that is 0.0 in one engine and NULL/NaN in the other shifts every
+    rank/median/count while leaving the r8 vfloor/vround checksums
+    green. This tally sees it."""
+    return _xfil_events_fact(
+        spark, sf_dir, lambda d: _count_where(d, F.col("value") == F.lit(0.0))
+    )
+
+
+def xfil_events_distinct_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT user_id) per engine (raw read)."""
+    return _xfil_events_fact(
+        spark,
+        sf_dir,
+        lambda d: d.select("user_id").filter(F.col("user_id").isNotNull())
+        .distinct()
+        .count(),
+    )
+
+
+def xfil_events_type_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (event_type, user_id) pair count per engine, NULL-safe
+    via string canonicalization on BOTH sides — the direct input-size
+    fact of the red gini/markov/mann-kendall family. A Spark count one
+    higher than the oracle's is the NaN-vs-NULL cohort split measured."""
+    return _xfil_events_fact(
+        spark,
+        sf_dir,
+        lambda d: d.select(
+            F.coalesce(F.col("event_type").cast("string"), F.lit("\x00")).alias("a"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("\x00")).alias("b"),
+        )
+        .distinct()
+        .count(),
+    )
+
+
+def xfil_events_ns_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of ts rows with nonzero sub-µs (ns) residue per engine.
+    oracle_rows > 0 ⟺ the driver's DuckDB sees exact nanoseconds (a
+    ns-native reader); spark_rows > 0 ⟺ the parquet itself carries
+    sub-µs residue. The king probe for the ns policy question."""
+
+    def fact(d: DataFrame) -> int:
+        if dict(d.dtypes).get("ts") != "bigint":
+            return 0
+        res = ((F.col("ts") % 1000) + 1000) % 1000
+        return _count_where(d, F.col("ts").isNotNull() & (res != 0))
+
+    return _xfil_events_fact(spark, sf_dir, fact)
+
+
+def xfil_events_pre1970(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of pre-epoch ts rows per engine (raw read)."""
+
+    def fact(d: DataFrame) -> int:
+        if dict(d.dtypes).get("ts") == "bigint":
+            return _count_where(d, F.col("ts") < 0)
+        return _count_where(
+            d,
+            F.unix_micros(F.col("ts").cast("timestamp")) < 0,
+        )
+
+    return _xfil_events_fact(spark, sf_dir, fact)
+
+
+#: Engine-local dtype descriptor codes for the xfil dtype probes. The two
+#: sides report through the SAME semantic code space (1 = the type the
+#: schema contract expects, higher = a drifted physical type), so the
+#: (spark_rows, oracle_rows) pair reads as "what each engine actually sees".
+_XFIL_TS_CODES = {"bigint": 1, "timestamp": 2, "timestamp_ntz": 3, "date": 4}
+_XFIL_INT_CODES = {"bigint": 1, "double": 2, "int": 3, "float": 4}
+_XFIL_VAL_CODES = {"double": 1, "float": 2}
+
+
+def _dtype_code(df: DataFrame, col: str, table) -> int:
+    t = dict(df.dtypes).get(col, "")
+    if table.get(t):
+        return table[t]
+    if t.startswith("decimal"):
+        return 5
+    return 9
+
+
+def xfil_events_dtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed physical-type descriptor of events per engine:
+    code = ts + 10·user_id + 100·value. ts: 1=ns 2=µs-instant 3=µs-naive
+    4=date; user_id: 1=bigint 2=double 3=int32 4=float 5=decimal;
+    value: 1=double 2=float 5=decimal; 9=other."""
+
+    def fact(d: DataFrame) -> int:
+        return (
+            _dtype_code(d, "ts", _XFIL_TS_CODES)
+            + 10 * _dtype_code(d, "user_id", _XFIL_INT_CODES)
+            + 100 * _dtype_code(d, "value", _XFIL_VAL_CODES)
+        )
+
+    return _xfil_events_fact(spark, sf_dir, fact)
+
+
+def _chk_e2_residue(df: DataFrame, col: str) -> int:
+    """Residue mod _XFIL_M of the Σ-pmod e2-quantized finite stream of
+    ``col`` — the multiset fingerprint the median/MAD gates consume."""
+    c = F.col(col).cast("double")
+    finite = c.isNotNull()
+    if _is_float(df, col):
+        finite = (
+            finite
+            & ~F.isnan(c)
+            & (c != F.lit(float("inf")))
+            & (c != F.lit(float("-inf")))
+        )
+    v2 = F.round(
+        F.least(F.greatest(c, F.lit(-1e10)), F.lit(1e10)) * F.lit(100.0)
+    ).cast("long")
+    pm = ((v2 % _XFIL_M) + _XFIL_M) % _XFIL_M
+    row = (
+        df.filter(finite)
+        .agg((F.sum(pm) % F.lit(_XFIL_M)).cast("long").alias("r"))
+        .collect()
+    )
+    return int(row[0]["r"] or 0)
+
+
+_XFIL_CHK_SQL = (
+    "SELECT (SUM(((CAST(ROUND(LEAST(GREATEST(CAST({col} AS DOUBLE), -1e10),"
+    " 1e10) * 100.0) AS BIGINT) % {m}) + {m}) % {m}) % {m})"
+    " FROM {tbl} WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))"
+    " AND NOT isinf(CAST({col} AS DOUBLE))"
+)
+
+
+def xfil_orders_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of orders, per engine."""
+    return _xfil(spark, _raw(spark, sf_dir, "orders").count())
+
+
+def xfil_orders_null_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL o_custkey tally per engine (raw read)."""
+    return _xfil(
+        spark,
+        _count_where(_raw(spark, sf_dir, "orders"), F.col("o_custkey").isNull()),
+    )
+
+
+def xfil_orders_nan_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN o_custkey tally per engine (raw read) — the priority-markov
+    grouping-cohort test, twin of xfil_events_nan_user."""
+    return _xfil(spark, _nan_count(_raw(spark, sf_dir, "orders"), "o_custkey"))
+
+
+def xfil_orders_tp_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o_totalprice missing tally (NULL-or-NaN, each engine's own view)
+    — exactly the rows orders_total_mad drops."""
+    d = _raw(spark, sf_dir, "orders")
+    c = F.col("o_totalprice")
+    cond = c.isNull()
+    if _is_float(d, "o_totalprice"):
+        cond = cond | F.isnan(c)
+    return _xfil(spark, _count_where(d, cond))
+
+
+def xfil_orders_tp_chk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residue mod 99991 of the e2-quantized finite o_totalprice stream
+    per engine — if these numbers agree while orders_total_mad stays
+    red, the divergence is in rank selection, not the value read."""
+    return _xfil(
+        spark, _chk_e2_residue(_raw(spark, sf_dir, "orders"), "o_totalprice")
+    )
+
+
+def xfil_orders_med2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmod(med2, 99991) of the UNGROUPED e2 o_totalprice stream per
+    engine (med2 = sum of the two middle order statistics, the exact
+    machinery orders_total_mad uses) — a direct bisect of the median
+    rank-select across engines."""
+    from pyspark.sql import Window
+
+    d = _raw(spark, sf_dir, "orders")
+    c = F.col("o_totalprice").cast("double")
+    finite = c.isNotNull()
+    if _is_float(d, "o_totalprice"):
+        finite = finite & ~F.isnan(c)
+    v2 = F.round(
+        F.least(F.greatest(c, F.lit(-1e10)), F.lit(1e10)) * F.lit(100.0)
+    ).cast("long")
+    base = d.filter(finite).select(v2.alias("__v2"))
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("__v2").asc_nulls_last())
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    )
+    lo = ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2")).select(
+        F.col("__v2").alias("__lo")
+    )
+    hi = ranked.filter(F.col("__rn") == F.expr("(__n + 2) div 2")).select(
+        F.col("__v2").alias("__hi")
+    )
+    rows = lo.crossJoin(hi).collect()
+    if not rows:
+        return _xfil(spark, 0)
+    med2 = int(rows[0]["__lo"]) + int(rows[0]["__hi"])
+    return _xfil(spark, ((med2 % _XFIL_M) + _XFIL_M) % _XFIL_M)
+
+
+def xfil_orders_dtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed physical-type descriptor of orders per engine:
+    code = o_totalprice + 10·o_orderdate + 100·o_custkey (same code
+    spaces as xfil_events_dtypes)."""
+    d = _raw(spark, sf_dir, "orders")
+    return _xfil(
+        spark,
+        _dtype_code(d, "o_totalprice", _XFIL_VAL_CODES)
+        + 10 * _dtype_code(d, "o_orderdate", _XFIL_TS_CODES)
+        + 100 * _dtype_code(d, "o_custkey", _XFIL_INT_CODES),
+    )
+
+
+def xfil_li_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of lineitem, per engine."""
+    return _xfil(spark, _raw(spark, sf_dir, "lineitem").count())
+
+
+def xfil_li_q_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_quantity missing tally (NULL-or-NaN) per engine — half the
+    filter of the red lineitem_weighted_median."""
+    d = _raw(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity")
+    cond = c.isNull()
+    if _is_float(d, "l_quantity"):
+        cond = cond | F.isnan(c)
+    return _xfil(spark, _count_where(d, cond))
+
+
+def xfil_li_q_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of FINITE l_quantity rows with a fractional part per engine
+    — weighted_median FLOORs weights; a fractional-quantity read skew
+    would shift cumulative weights silently."""
+    d = _raw(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity").cast("double")
+    cond = c.isNotNull() & (F.floor(c) != c)
+    if _is_float(d, "l_quantity"):
+        cond = (
+            c.isNotNull()
+            & ~F.isnan(c)
+            & (c != F.lit(float("inf")))
+            & (c != F.lit(float("-inf")))
+            & (F.floor(c) != c)
+        )
+    return _xfil(spark, _count_where(d, cond))
+
+
+def xfil_li_ep_chk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residue mod 99991 of the e2-quantized finite l_extendedprice
+    stream per engine — the other half of weighted_median's input."""
+    return _xfil(
+        spark, _chk_e2_residue(_raw(spark, sf_dir, "lineitem"), "l_extendedprice")
+    )
+
+
+def xfil_docs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of documents, per engine."""
+    return _xfil(spark, _raw(spark, sf_dir, "documents").count())
+
+
+def xfil_docs_null_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL doc_id tally per engine (raw read) — the slice-complement
+    cohort VERDICT r8 pinned for the docs reds."""
+    return _xfil(
+        spark,
+        _count_where(_raw(spark, sf_dir, "documents"), F.col("doc_id").isNull()),
+    )
+
+
+def xfil_docs_nan_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN doc_id tally per engine (raw read; nonzero spark_rows with
+    zero oracle_rows is the NaN≙NULL collapse measured on doc_id)."""
+    return _xfil(spark, _nan_count(_raw(spark, sf_dir, "documents"), "doc_id"))
+
+
+def xfil_docs_neg_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative doc_id tally per engine (raw read) — the other
+    slice-complement candidate."""
+    return _xfil(
+        spark,
+        _count_where(_raw(spark, sf_dir, "documents"), F.col("doc_id") < 0),
+    )
+
+
+def xfil_docs_dup_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate non-NULL doc_id row surplus (rows − distinct ids) per
+    engine."""
+    d = _raw(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return _xfil(
+        spark, d.count() - d.select("doc_id").distinct().count()
+    )
+
+
+def xfil_docs_null_lst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed NULL tallies of (lang, source, text) per engine, each
+    capped at 30: code = min(null_lang,30) + 31·min(null_source,30)
+    + 961·min(null_text,30)."""
+    d = _raw(spark, sf_dir, "documents")
+    nl = min(_count_where(d, F.col("lang").isNull()), 30)
+    ns = min(_count_where(d, F.col("source").isNull()), 30)
+    nt = min(_count_where(d, F.col("text").isNull()), 30)
+    return _xfil(spark, nl + 31 * ns + 961 * nt)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -9746,6 +10192,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokchk_b5": docs_tokchk_b5,
         "docs_tokchk_b6": docs_tokchk_b6,
         "docs_tokchk_b7": docs_tokchk_b7,
+        "xfil_env_versions": xfil_env_versions,
+        "xfil_events_rows": xfil_events_rows,
+        "xfil_events_null_ts": xfil_events_null_ts,
+        "xfil_events_null_user": xfil_events_null_user,
+        "xfil_events_nan_user": xfil_events_nan_user,
+        "xfil_events_null_value": xfil_events_null_value,
+        "xfil_events_nan_value": xfil_events_nan_value,
+        "xfil_events_inf_value": xfil_events_inf_value,
+        "xfil_events_zero_value": xfil_events_zero_value,
+        "xfil_events_distinct_user": xfil_events_distinct_user,
+        "xfil_events_type_user_pairs": xfil_events_type_user_pairs,
+        "xfil_events_ns_residue": xfil_events_ns_residue,
+        "xfil_events_pre1970": xfil_events_pre1970,
+        "xfil_events_dtypes": xfil_events_dtypes,
+        "xfil_orders_rows": xfil_orders_rows,
+        "xfil_orders_null_custkey": xfil_orders_null_custkey,
+        "xfil_orders_nan_custkey": xfil_orders_nan_custkey,
+        "xfil_orders_tp_missing": xfil_orders_tp_missing,
+        "xfil_orders_tp_chk": xfil_orders_tp_chk,
+        "xfil_orders_med2": xfil_orders_med2,
+        "xfil_orders_dtypes": xfil_orders_dtypes,
+        "xfil_li_rows": xfil_li_rows,
+        "xfil_li_q_missing": xfil_li_q_missing,
+        "xfil_li_q_frac": xfil_li_q_frac,
+        "xfil_li_ep_chk": xfil_li_ep_chk,
+        "xfil_docs_rows": xfil_docs_rows,
+        "xfil_docs_null_id": xfil_docs_null_id,
+        "xfil_docs_nan_id": xfil_docs_nan_id,
+        "xfil_docs_neg_id": xfil_docs_neg_id,
+        "xfil_docs_dup_id": xfil_docs_dup_id,
+        "xfil_docs_null_lst": xfil_docs_null_lst,
     }
     # The external correctness gate samples the FIRST 50 keys per round, so
     # the dict is reordered to rotate driver-oracle coverage across rounds:
@@ -9755,11 +10232,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is still locally verified every round (LOCAL_ORACLE ledger +
     # tools/check_oracle.py); this ordering only steers which 50 get an
     # independent driver row next.
-    head = [n for n in _ROUND8_SAMPLE_FIRST if n in q]
+    head = [n for n in _ROUND9_SAMPLE_FIRST if n in q]
     assert len(set(head)) == len(head), "duplicate entries in sample rotation"
     rest = [n for n in q if n not in set(head)]
     return {n: q[n] for n in (*head, *rest)}
 
+
+
+# Round-9 driver-sample rotation: the 16 r8 hash-red gates FIRST — this
+# round's ingestion-policy fixes (NaN≙NULL missing-value normalization,
+# FLOOR ns→µs) sit behind the user_id/doc_id-grouped family, so their
+# colors are the round's acceptance test — then the 31 `xfil_*`
+# exfiltration probes (each reports a driver-side integer fact as its row
+# count; see the family comment), then 3 ingestion-regression slots: the
+# µs-consuming gates most exposed to the new float/ts normalizations.
+_ROUND9_SAMPLE_FIRST = [
+    # r8 reds (retest after the r9 ingestion fixes)
+    "docs_chi2_terms",
+    "events_mann_kendall",
+    "docs_token_stream_probe",
+    "events_pair_probe",
+    "docs_simpson_diversity",
+    "events_markov_transitions",
+    "events_mad_anomaly",
+    "events_ns_residue_probe",
+    "events_column_probe",
+    "orders_dq_report",
+    "docs_stratified_sample",
+    "events_gini_users",
+    "lineitem_weighted_median",
+    "orders_priority_markov",
+    "orders_total_mad",
+    "events_nulltally_probe",
+    # exfiltration probes (row counts ARE the measurement)
+    "xfil_env_versions",
+    "xfil_events_rows",
+    "xfil_events_null_ts",
+    "xfil_events_null_user",
+    "xfil_events_nan_user",
+    "xfil_events_null_value",
+    "xfil_events_nan_value",
+    "xfil_events_inf_value",
+    "xfil_events_zero_value",
+    "xfil_events_distinct_user",
+    "xfil_events_type_user_pairs",
+    "xfil_events_ns_residue",
+    "xfil_events_pre1970",
+    "xfil_events_dtypes",
+    "xfil_orders_rows",
+    "xfil_orders_null_custkey",
+    "xfil_orders_nan_custkey",
+    "xfil_orders_tp_missing",
+    "xfil_orders_tp_chk",
+    "xfil_orders_med2",
+    "xfil_orders_dtypes",
+    "xfil_li_rows",
+    "xfil_li_q_missing",
+    "xfil_li_q_frac",
+    "xfil_li_ep_chk",
+    "xfil_docs_rows",
+    "xfil_docs_null_id",
+    "xfil_docs_nan_id",
+    "xfil_docs_neg_id",
+    "xfil_docs_dup_id",
+    "xfil_docs_null_lst",
+    # ingestion-regression slots
+    "events_asof_purchase",
+    "events_ohlc_bars",
+    "events_sessionize",
+]
 
 
 # Round-8 driver-sample rotation (VERDICT r7 #2/#9): the 16 r7 hash-red
@@ -17574,4 +18115,155 @@ def oracle_sql() -> dict[str, str]:
     oracles['docs_tokchk_b5'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 5 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
     oracles['docs_tokchk_b6'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 6 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
     oracles['docs_tokchk_b7'] = "\n    WITH stream AS (\n        SELECT doc_id, unnest(CASE WHEN trim(text, ' ') = '' THEN []\n                                   ELSE string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\x0b\\f\\r]+') END) AS tok\n        FROM documents\n        WHERE doc_id % 8 = 7 AND text IS NOT NULL\n    ),\n    occ AS (SELECT DISTINCT doc_id, tok FROM stream)\n    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT tok) AS n_tokens,\n           CAST(SUM(list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)) % 2147483647 AS BIGINT) AS hash_mod\n    FROM occ"
+    # ---- Round-9 exfiltration probes: the oracle mirrors each Spark-side
+    # integer fact as UNNEST(range(n)) so the correctness artifact records
+    # both engines' numbers verbatim (see the `xfil_*` family comment).
+    _xm = str(_XFIL_M)
+    _chk = (
+        "SELECT (SUM(((CAST(ROUND(LEAST(GREATEST(CAST({col} AS DOUBLE), -1e10),"
+        " 1e10) * 100.0) AS BIGINT) % " + _xm + ") + " + _xm + ") % " + _xm + ")"
+        " % " + _xm + ") FROM {tbl}"
+        " WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))"
+        " AND NOT isinf(CAST({col} AS DOUBLE))"
+    )
+    _ts_code = (
+        "(CASE {t} WHEN 'TIMESTAMP_NS' THEN 1"
+        " WHEN 'TIMESTAMP WITH TIME ZONE' THEN 2 WHEN 'TIMESTAMP' THEN 3"
+        " WHEN 'DATE' THEN 4 WHEN 'BIGINT' THEN 6 ELSE 9 END)"
+    )
+    _int_code = (
+        "(CASE WHEN {t} = 'BIGINT' THEN 1 WHEN {t} = 'DOUBLE' THEN 2"
+        " WHEN {t} = 'INTEGER' THEN 3 WHEN {t} = 'FLOAT' THEN 4"
+        " WHEN {t} LIKE 'DECIMAL%' THEN 5 ELSE 9 END)"
+    )
+    _val_code = (
+        "(CASE WHEN {t} = 'DOUBLE' THEN 1 WHEN {t} = 'FLOAT' THEN 2"
+        " WHEN {t} LIKE 'DECIMAL%' THEN 5 ELSE 9 END)"
+    )
+    xfil_counts = {
+        "xfil_env_versions": (
+            "SELECT CAST(replace(substr(version(), 2, 10), '.', '') AS BIGINT)"
+        ),
+        "xfil_events_rows": "SELECT COUNT(*) FROM events",
+        "xfil_events_null_ts": "SELECT COUNT(*) FROM events WHERE ts IS NULL",
+        "xfil_events_null_user": (
+            "SELECT COUNT(*) FROM events WHERE user_id IS NULL"
+        ),
+        "xfil_events_nan_user": (
+            "SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL"
+            " AND isnan(CAST(user_id AS DOUBLE))"
+        ),
+        "xfil_events_null_value": (
+            "SELECT COUNT(*) FROM events WHERE value IS NULL"
+        ),
+        "xfil_events_nan_value": (
+            "SELECT COUNT(*) FROM events WHERE value IS NOT NULL"
+            " AND isnan(CAST(value AS DOUBLE))"
+        ),
+        "xfil_events_inf_value": (
+            "SELECT COUNT(*) FROM events WHERE value IS NOT NULL"
+            " AND isinf(CAST(value AS DOUBLE))"
+        ),
+        "xfil_events_zero_value": (
+            "SELECT COUNT(*) FROM events WHERE value = 0"
+        ),
+        "xfil_events_distinct_user": (
+            "SELECT COUNT(DISTINCT user_id) FROM events"
+        ),
+        "xfil_events_type_user_pairs": (
+            "SELECT COUNT(*) FROM (SELECT DISTINCT"
+            " COALESCE(CAST(event_type AS VARCHAR), chr(1)) AS a,"
+            " COALESCE(CAST(user_id AS VARCHAR), chr(1)) AS b FROM events)"
+        ),
+        "xfil_events_ns_residue": (
+            "SELECT COUNT(*) FROM events WHERE ts IS NOT NULL"
+            " AND ((epoch_ns(ts) % 1000) + 1000) % 1000 != 0"
+        ),
+        "xfil_events_pre1970": (
+            "SELECT COUNT(*) FROM events WHERE ts IS NOT NULL"
+            " AND epoch_ns(ts) < 0"
+        ),
+        "xfil_events_dtypes": (
+            "WITH t AS (SELECT typeof(ts) AS ts, typeof(user_id) AS u,"
+            " typeof(value) AS v FROM events LIMIT 1)"
+            " SELECT " + _ts_code.format(t="ts")
+            + " + 10 * " + _int_code.format(t="u")
+            + " + 100 * " + _val_code.format(t="v") + " FROM t"
+        ),
+        "xfil_orders_rows": "SELECT COUNT(*) FROM orders",
+        "xfil_orders_null_custkey": (
+            "SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL"
+        ),
+        "xfil_orders_nan_custkey": (
+            "SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL"
+            " AND isnan(CAST(o_custkey AS DOUBLE))"
+        ),
+        "xfil_orders_tp_missing": (
+            "SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL"
+            " OR isnan(CAST(o_totalprice AS DOUBLE))"
+        ),
+        "xfil_orders_tp_chk": (
+            "SELECT COALESCE((" + _chk.format(col="o_totalprice", tbl="orders")
+            + "), 0)"
+        ),
+        "xfil_orders_med2": (
+            "WITH base AS (SELECT CAST(ROUND(LEAST(GREATEST("
+            "CAST(o_totalprice AS DOUBLE), -1e10), 1e10) * 100.0) AS BIGINT)"
+            " AS v2 FROM orders WHERE o_totalprice IS NOT NULL"
+            " AND NOT isnan(CAST(o_totalprice AS DOUBLE))),"
+            " r AS (SELECT v2, row_number() OVER (ORDER BY v2) AS rn,"
+            " COUNT(*) OVER () AS n FROM base),"
+            " m AS (SELECT (SELECT v2 FROM r WHERE rn = (n + 1) // 2 LIMIT 1)"
+            " + (SELECT v2 FROM r WHERE rn = (n + 2) // 2 LIMIT 1) AS med2)"
+            " SELECT COALESCE(((med2 % " + _xm + ") + " + _xm + ") % " + _xm
+            + ", 0) FROM m"
+        ),
+        "xfil_orders_dtypes": (
+            "WITH t AS (SELECT typeof(o_totalprice) AS tp,"
+            " typeof(o_orderdate) AS dt, typeof(o_custkey) AS ck"
+            " FROM orders LIMIT 1)"
+            " SELECT " + _val_code.format(t="tp")
+            + " + 10 * " + _ts_code.format(t="dt")
+            + " + 100 * " + _int_code.format(t="ck") + " FROM t"
+        ),
+        "xfil_li_rows": "SELECT COUNT(*) FROM lineitem",
+        "xfil_li_q_missing": (
+            "SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL"
+            " OR isnan(CAST(l_quantity AS DOUBLE))"
+        ),
+        "xfil_li_q_frac": (
+            "SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL"
+            " AND NOT isnan(CAST(l_quantity AS DOUBLE))"
+            " AND NOT isinf(CAST(l_quantity AS DOUBLE))"
+            " AND FLOOR(CAST(l_quantity AS DOUBLE))"
+            " != CAST(l_quantity AS DOUBLE)"
+        ),
+        "xfil_li_ep_chk": (
+            "SELECT COALESCE(("
+            + _chk.format(col="l_extendedprice", tbl="lineitem") + "), 0)"
+        ),
+        "xfil_docs_rows": "SELECT COUNT(*) FROM documents",
+        "xfil_docs_null_id": (
+            "SELECT COUNT(*) FROM documents WHERE doc_id IS NULL"
+        ),
+        "xfil_docs_nan_id": (
+            "SELECT COUNT(*) FROM documents WHERE doc_id IS NOT NULL"
+            " AND isnan(CAST(doc_id AS DOUBLE))"
+        ),
+        "xfil_docs_neg_id": (
+            "SELECT COUNT(*) FROM documents WHERE doc_id < 0"
+        ),
+        "xfil_docs_dup_id": (
+            "SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents"
+            " WHERE doc_id IS NOT NULL"
+        ),
+        "xfil_docs_null_lst": (
+            "SELECT LEAST((SELECT COUNT(*) FROM documents WHERE lang IS NULL),"
+            " 30) + 31 * LEAST((SELECT COUNT(*) FROM documents"
+            " WHERE source IS NULL), 30) + 961 * LEAST((SELECT COUNT(*)"
+            " FROM documents WHERE text IS NULL), 30)"
+        ),
+    }
+    for _name, _cnt in xfil_counts.items():
+        oracles[_name] = _xfil_oracle(_cnt)
     return oracles
