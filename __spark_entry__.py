@@ -8094,7 +8094,9 @@ def _user_cooccur_edges(spark: SparkSession) -> DataFrame:
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
     )
-    return cooccurrence_edges(occ, "user_id", ["event_type", "h"], min_cooccur=3)
+    return cooccurrence_edges(
+        occ, "user_id", ["event_type", "h"], min_cooccur=3, metrics={}
+    )
 
 
 def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8107,7 +8109,7 @@ def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return adamic_adar(
-        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5, metrics={}
     )
 
 
@@ -8122,7 +8124,7 @@ def events_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return jaccard_link_pred(
-        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5, metrics={}
     )
 
 
@@ -16059,7 +16061,11 @@ def oracle_sql() -> dict[str, str]:
                               / 3600000000.0) * 1000.0),
                        -3e6), 3e6) AS BIGINT) AS x6,
                    CAST(LEAST(GREATEST(round(value * 1000.0), -3e6), 3e6)
-                        AS BIGINT) AS y6
+                        AS BIGINT) AS y6,
+                   CASE WHEN ABS(round((CAST(epoch_us(ts) - t0.t0 AS DOUBLE)
+                                        / 3600000000.0) * 1000.0)) > 3e6
+                             OR ABS(round(value * 1000.0)) > 3e6
+                        THEN 1 ELSE 0 END AS cl
             FROM events CROSS JOIN t0
             WHERE ts IS NOT NULL
               AND value IS NOT NULL AND NOT isnan(value)
@@ -16070,7 +16076,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(y6) AS BIGINT) AS sy6,
                    CAST(SUM(x6 * x6) AS BIGINT) AS sxx6,
                    CAST(SUM(y6 * y6) AS BIGINT) AS syy6,
-                   CAST(SUM(x6 * y6) AS BIGINT) AS sxy6
+                   CAST(SUM(x6 * y6) AS BIGINT) AS sxy6,
+                   CAST(SUM(cl) AS BIGINT) AS n_clamped
             FROM b GROUP BY event_type
         ),
         st AS (
@@ -16080,7 +16087,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sy6 AS DOUBLE) / 1000.0 AS sy,
                    CAST(sxx6 AS DOUBLE) / 1000000.0 AS sxx,
                    CAST(syy6 AS DOUBLE) / 1000000.0 AS syy,
-                   CAST(sxy6 AS DOUBLE) / 1000000.0 AS sxy
+                   CAST(sxy6 AS DOUBLE) / 1000000.0 AS sxy,
+                   n_clamped
             FROM agg
         )
         SELECT event_type, n,
@@ -16095,7 +16103,8 @@ def oracle_sql() -> dict[str, str]:
                          AND nd * syy - sy * sy > 0
                     THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
                          / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
-               END AS r2
+               END AS r2,
+               n_clamped
         FROM st
     """
     # Hot-hour islands: integer-exact hourly/type means, row_number-

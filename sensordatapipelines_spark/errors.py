@@ -56,6 +56,16 @@ class CRSUnitMismatch(EngineError):
     sensors' CRS units (or pre-reproject the layer and recompute radii)."""
 
 
+class StateSchemaMismatch(EngineError):
+    """Raised when a persisted mergeable-aggregation state does not match
+    the current state contract (ADVICE r8): ``aggregate_state`` switched
+    s1/s2 from raw double sums to e6/e2-scaled BIGINTs, so merging or
+    finalizing state written by the old format would be silently off by
+    ~1e6/1e4. ``merge_aggregate_states``/``finalize_aggregate_state``
+    assert the integer-typed contract and raise this instead of
+    producing wrong numbers."""
+
+
 class UnknownOperation(EngineError):
     """Raised at plan load ("analysis") time for an op name absent from the
     registry — fixing the reference's broken ``from_json`` round-trip

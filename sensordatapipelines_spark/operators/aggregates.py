@@ -178,6 +178,7 @@ def grouped_linregress(
     x_col: str,
     y_col: str,
     scale: float = 1e3,
+    max_rows_per_group: int = 1_000_000,
 ) -> DataFrame:
     """Per-group ordinary-least-squares line: ``slope``, ``intercept``,
     ``r2`` and ``n`` from the five moment sums — the declarative
@@ -193,30 +194,41 @@ def grouped_linregress(
     Degenerate groups (n < 2 or zero x-variance) emit NULL slope/
     intercept/r2.
 
-    Overflow bound, now ENFORCED: quantized values clamp to ±3e6, so a
-    squared term is ≤ 9e12 and the sums stay exact int64 through ~1e6
-    rows per group (beyond that, use the sketch/double path). The clamp
-    is part of the operator contract and every oracle mirrors it —
-    without it, adversarial magnitudes silently wrap Spark's sums while
-    DuckDB widens to HUGEINT (found by the round-8 adversarial twin)."""
-    qb = F.lit(3e6)
+    Overflow bound, now ENFORCED and ROW-BUDGETED (ADVICE r8): quantized
+    values clamp to ±⌊√(9e18 / max_rows_per_group)⌋ (±3e6 at the default
+    1e6-row budget), so every squared moment sum stays exact int64
+    through the declared budget — and clamping is never silent: the
+    ``n_clamped`` output column counts rows whose |round(v·scale)|
+    exceeded the bound, so a degraded fit is detectable instead of
+    quietly wrong. The clamp is part of the operator contract and every
+    oracle mirrors it — without it, adversarial magnitudes silently wrap
+    Spark's sums while DuckDB widens to HUGEINT (found by the round-8
+    adversarial twin)."""
+    import math
 
-    def q(col):
+    qb_val = float(math.isqrt(int(9e18) // int(max_rows_per_group)))
+    qb = F.lit(qb_val)
+
+    def rq(col):
         c = F.col(col).cast("double")
-        return (
-            F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long"))
-            .otherwise(
-                F.least(
-                    F.greatest(F.round(c * F.lit(float(scale))), -qb), qb
-                ).cast("long")
-            )
-        )
+        return F.when(
+            c.isNull() | F.isnan(c), F.lit(None).cast("double")
+        ).otherwise(F.round(c * F.lit(float(scale))))
 
-    x6 = q(x_col)
-    y6 = q(y_col)
+    rx = rq(x_col)
+    ry = rq(y_col)
     base = df.select(
-        F.col(group_col), x6.alias("__x"), y6.alias("__y")
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        F.col(group_col), rx.alias("__rx"), ry.alias("__ry")
+    ).filter(F.col("__rx").isNotNull() & F.col("__ry").isNotNull())
+    clamp = lambda c: F.least(F.greatest(c, -qb), qb).cast("long")  # noqa: E731
+    base = base.select(
+        group_col,
+        clamp(F.col("__rx")).alias("__x"),
+        clamp(F.col("__ry")).alias("__y"),
+        (
+            (F.abs(F.col("__rx")) > qb) | (F.abs(F.col("__ry")) > qb)
+        ).cast("long").alias("__cl"),
+    )
     agg = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("__sx"),
@@ -224,6 +236,7 @@ def grouped_linregress(
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
         F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum("__cl").alias("n_clamped"),
     )
     nd = F.col("n").cast("double")
     s1 = float(scale)
@@ -250,4 +263,5 @@ def grouped_linregress(
         slope.alias("slope"),
         intercept.alias("intercept"),
         r2.alias("r2"),
+        F.col("n_clamped").cast("long").alias("n_clamped"),
     )

@@ -1207,8 +1207,19 @@ def paragraph_dedup(
             "__pos", "__para"
         ),
     )
+    # NULL-safe winner key (ADVICE r8): Spark's struct MIN sorts a NULL
+    # field FIRST, so a NULL-id document would win every paragraph it
+    # contains and hollow out the rest of the corpus. The leading
+    # null-flag field sends NULL ids to the LOSING end instead; among
+    # NULL-id rows the position still breaks ties deterministically.
     winners = paras.groupBy("__para").agg(
-        F.min(F.struct("__id", "__pos")).alias("__w")
+        F.min(
+            F.struct(
+                F.col("__id").isNull().cast("int").alias("__nl"),
+                "__id",
+                "__pos",
+            )
+        ).alias("__w")
     )
     kept = winners.select(
         F.col("__w.__id").alias("__id"),

@@ -11,10 +11,33 @@ a 1000-executor cluster.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.registry import register
+
+
+class GraphCapAdvisory(UserWarning):
+    """Advisory that a skew cap (``max_degree``/``max_bucket_width``) is
+    active while no ``metrics`` dict was supplied (ADVICE r8): candidates
+    beyond the cap are dropped by design, and without ``metrics`` the
+    drop counts are unobserved. Filterable:
+    ``warnings.filterwarnings('ignore', category=GraphCapAdvisory)``."""
+
+
+def _warn_unobserved_cap(op: str, cap_name: str, cap: int) -> None:
+    """One advisory per call site when a cap runs unobserved. Counting
+    the actual drops would cost an extra pass over the reduced frame on
+    the default path, so the advisory is static: pass ``metrics={}`` to
+    pay that pass and observe ``n_hub_nodes``/``n_hot_buckets``."""
+    warnings.warn(
+        f"{op}: {cap_name}={cap} is active and drops candidates beyond the "
+        "cap; pass metrics={} to observe drop counts (or raise the cap)",
+        GraphCapAdvisory,
+        stacklevel=3,
+    )
 
 
 @register("pagerank")
@@ -166,6 +189,8 @@ def cooccurrence_edges(
         ).collect()[0]
         metrics["n_buckets"] = row["n"]
         metrics["n_hot_buckets"] = row["h"] or 0
+    else:
+        _warn_unobserved_cap("cooccurrence_edges", "max_bucket_width", int(max_bucket_width))
     lists = lists.filter(F.size("__xs") <= int(max_bucket_width))
     combos = lists.select(
         F.explode(
@@ -253,6 +278,8 @@ def adamic_adar(
         ).collect()[0]
         metrics["n_nodes"] = row["n"]
         metrics["n_hub_nodes"] = row["h"] or 0
+    else:
+        _warn_unobserved_cap("adamic_adar", "max_degree", int(max_degree))
     nbrt = nbr.join(keep, "s").select("s", "d", term6.alias("__t6"))
     if materialize:
         # The weighted neighbor list feeds BOTH self-join sides, and its
@@ -442,6 +469,8 @@ def jaccard_link_pred(
         ).collect()[0]
         metrics["n_nodes"] = row["n"]
         metrics["n_hub_nodes"] = row["h"] or 0
+    else:
+        _warn_unobserved_cap("jaccard_link_pred", "max_degree", int(max_degree))
     med = sym.join(ok, "s")
     a = med.select(F.col("s").alias("z"), F.col("d").alias("x"))
     b = med.select(F.col("s").alias("z"), F.col("d").alias("y"))

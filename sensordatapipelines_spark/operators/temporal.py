@@ -347,10 +347,16 @@ def time_rollup(
             F.count(F.lit(1)).alias("n"),
             # order-independent sum: e6-quantized BIGINTs, divided back and
             # rounded at round_digits (raw double sums are summation-order-
-            # dependent across engines)
+            # dependent across engines). The sum accumulates in
+            # DECIMAL(38,0): per-row terms reach 1e16 at QUANT_CLAMP, so an
+            # int64 accumulator would wrap silently after ~923 clamped rows
+            # under the session's non-ANSI mode (the DuckDB oracle already
+            # sums BIGINT into HUGEINT; this matches that headroom).
             (
                 F.round(
-                    F.sum(quantize_e6(F.col(value_col))).cast("double")
+                    F.sum(
+                        quantize_e6(F.col(value_col)).cast("decimal(38,0)")
+                    ).cast("double")
                     / F.lit(10.0 ** (6 - round_digits))
                 )
                 / F.lit(10.0 ** round_digits)

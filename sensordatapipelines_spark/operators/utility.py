@@ -616,6 +616,39 @@ def quality_weighted_sample(
 
 STATE_COLS = ("n", "s1", "s2", "vmin", "vmax")
 
+#: Clamp windows of the state quantizers (documented contract): s1 is
+#: accurate for |v| ≤ 1e7 (e6 quantizer, per-row clamp ±1e13) while s2's
+#: e2 square clamps at |v| ≤ 3e4 — a value in (3e4, 1e7] yields a correct
+#: mean but a CLAMPED (under-stated) variance. Callers needing variance
+#: fidelity beyond |v| = 3e4 must pre-scale values into the window.
+STATE_S1_ABS_MAX = 1e7
+STATE_S2_ABS_MAX = 3e4
+
+
+def _assert_state_schema(state: DataFrame, who: str) -> None:
+    """Enforce the v2 state contract (e6/e2-scaled BIGINT power sums).
+
+    The r8 rewrite changed s1/s2 from raw double sums to scaled BIGINTs
+    with no version marker in the persisted rows; a state table written
+    by the old format merged into the new math would be silently off by
+    ~1e6/1e4. The integer dtype IS the version marker: double-typed
+    s1/s2 can only be the old format (or foreign data) and raises
+    ``StateSchemaMismatch`` instead of producing wrong numbers."""
+    from sensordatapipelines_spark.errors import StateSchemaMismatch
+
+    dt = dict(state.dtypes)
+    missing = [c for c in STATE_COLS if c not in dt]
+    if missing:
+        raise StateSchemaMismatch(f"{who}: state columns missing: {missing}")
+    for c in ("n", "s1", "s2"):
+        if dt[c] not in ("bigint", "int"):
+            raise StateSchemaMismatch(
+                f"{who}: state column {c!r} is {dt[c]}, expected an integer "
+                "type — s1/s2 are e6/e2-scaled BIGINT power sums since the "
+                "v2 contract; a double-typed column is v1-format (or "
+                "foreign) state and cannot be merged without rescaling"
+            )
+
 
 @register("aggregate_state")
 def aggregate_state(
@@ -669,7 +702,10 @@ def merge_aggregate_states(
     contributes the identity): counts and power sums ADD, extremes
     MIN/MAX — the algebra that makes incremental maintenance exact for
     these metrics. Both inputs are already key-reduced, so the merge
-    shuffles state rows only, never raw data."""
+    shuffles state rows only, never raw data. Asserts the v2 integer
+    state contract on BOTH inputs (``_assert_state_schema``)."""
+    _assert_state_schema(a, "merge_aggregate_states(a)")
+    _assert_state_schema(b, "merge_aggregate_states(b)")
     ka = [F.col(f"a.{k}") for k in keys]
     kb = [F.col(f"b.{k}") for k in keys]
     cond = None
@@ -702,7 +738,10 @@ def merge_aggregate_states(
 def finalize_aggregate_state(state: DataFrame, keys: "Sequence[str]") -> DataFrame:
     """Finalize mergeable state into the user-facing metrics: count, mean,
     sample variance (from power sums), min, max. Pure projection — zero
-    shuffle over the already-reduced state."""
+    shuffle over the already-reduced state. Asserts the v2 integer state
+    contract; see ``STATE_S1_ABS_MAX``/``STATE_S2_ABS_MAX`` for the
+    documented mean-vs-variance fidelity windows."""
+    _assert_state_schema(state, "finalize_aggregate_state")
     n = F.col("n").cast("double")
     # s1 carries e6-scaled integers, s2 carries e4-scaled squares
     s1 = F.col("s1").cast("double") / F.lit(1e6)

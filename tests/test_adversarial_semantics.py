@@ -93,17 +93,21 @@ def test_window_value_tiebreak_duplicate_ts_id(spark):
 
 def test_paragraph_dedup_null_id_cannot_steal_winners(spark):
     """A NULL-id document must not become the corpus-wide keep-first
-    winner (Spark's min-struct sorts NULL first; SQL MIN ignores it)."""
+    winner (Spark's min-struct sorts NULL first; the operator's winner
+    key carries a null-flag so NULL ids lose instead — ADVICE r8). The
+    UNFILTERED frame goes in: the fix must live inside the operator, not
+    at the call site."""
     from sensordatapipelines_spark.operators.dedup import paragraph_dedup
 
     df = spark.createDataFrame(
         [(None, "dup"), (5, "dup\nunique")], "doc_id long, text string"
     )
-    out = {r["doc_id"]: r for r in
-           paragraph_dedup(
-               df.filter(F.col("doc_id").isNotNull()), id_col="doc_id"
-           ).collect()}
-    assert out[5]["n_kept"] == 2  # doc 5 keeps both paragraphs
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, id_col="doc_id").collect()}
+    # doc 5 keeps both paragraphs: the NULL-id doc cannot win "dup"
+    assert out[5]["n_kept"] == 2
+    assert out[5]["text"] == "dup\nunique"
+    # the NULL-id doc loses its only paragraph but does not disappear
+    assert out[None]["n_kept"] == 0
 
 
 def test_quantize_e6_clamp_and_nan(spark):

@@ -391,3 +391,56 @@ def test_grouped_linregress_recovers_planted_line(spark):
     assert abs(out["noisy"].slope - 1.0) < 0.01 and out["noisy"].r2 < 1.0
     assert out["flat"].slope is None and out["flat"].r2 is None
     assert out["single"].slope is None
+    # inside the clamp window nothing clamps, and it says so
+    assert all(r.n_clamped == 0 for r in out.values())
+
+
+def test_grouped_linregress_clamping_is_not_silent(spark):
+    """ADVICE r8: values beyond the quantizer clamp degrade the fit —
+    the n_clamped column must report every clamped row instead of
+    silently emitting a wrong line; a wider row budget raises the bound
+    and un-clamps the same data."""
+    from sensordatapipelines_spark.operators.aggregates import grouped_linregress
+
+    rows = [("g", float(x), 5e3 * x) for x in range(10)]  # y up to 4.5e4
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    # scale=1e3 → |y·scale| up to 4.5e7 > 3e6 default bound: clamps, reported
+    out = grouped_linregress(df, "g", "x", "y", scale=1e3).collect()[0]
+    assert out.n_clamped > 0
+    # shrinking the row budget to 100 raises the bound to √(9e18/100) ≈
+    # 9.5e8 — same data no longer clamps and the planted slope returns
+    out2 = grouped_linregress(
+        df, "g", "x", "y", scale=1e3, max_rows_per_group=100
+    ).collect()[0]
+    assert out2.n_clamped == 0
+    assert abs(out2.slope - 5e3) < 1.0
+
+
+def test_aggregate_state_schema_contract_enforced(spark):
+    """ADVICE r8: v1-format state (raw double power sums) merged into the
+    v2 math would be silently off by ~1e6/1e4 — the integer dtype is the
+    version marker and mismatches must raise, not compute."""
+    import pytest
+
+    from sensordatapipelines_spark.errors import StateSchemaMismatch
+    from sensordatapipelines_spark.operators.utility import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+
+    good = aggregate_state(
+        spark.createDataFrame([("a", 1.0)], "k string, v double"), ["k"], "v"
+    )
+    legacy = spark.createDataFrame(
+        [("a", 1, 1.0, 1.0, 1.0, 1.0)],
+        "k string, n long, s1 double, s2 double, vmin double, vmax double",
+    )
+    with pytest.raises(StateSchemaMismatch):
+        merge_aggregate_states(good, legacy, ["k"])
+    with pytest.raises(StateSchemaMismatch):
+        finalize_aggregate_state(legacy, ["k"])
+    # the happy path still merges/finalizes
+    assert finalize_aggregate_state(
+        merge_aggregate_states(good, good, ["k"]), ["k"]
+    ).collect()[0]["n"] == 2

@@ -943,3 +943,25 @@ def test_burstiness_gate_shapes(spark):
     }
     assert out["flat"].num == 0
     assert out["burst"].num > 0
+
+
+def test_time_rollup_sum_survives_clamped_magnitudes(spark):
+    """ADVICE r8: the rollup sum accumulates e6-quantized BIGINTs whose
+    per-row terms reach 1e16 at QUANT_CLAMP; 2000 such rows overflow an
+    int64 accumulator (~923-row headroom) under non-ANSI mode. The
+    DECIMAL(38,0) accumulator must return the exact total instead of a
+    silently wrapped one."""
+    import datetime as dt
+
+    from sensordatapipelines_spark.operators.temporal import time_rollup
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, i % 60), 1e10) for i in range(2000)],
+        "sensor_id long, ts timestamp, value double",
+    )
+    out = {
+        r["resolution"]: r["sum_value"]
+        for r in time_rollup(df, resolutions=("day",)).collect()
+    }
+    assert out["day"] == 2000 * 1e10
