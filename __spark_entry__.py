@@ -1466,12 +1466,12 @@ def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"),
                 F.lit(" "),
                 F.concat(
-                    F.lit(" s"), F.col("doc_id").cast("string"), F.lit(" ")
+                    F.lit(" s"), F.col("doc_id").cast("long").cast("string"), F.lit(" ")
                 ),
             ).alias("__tx"),
         )
     )
-    sid = F.col("doc_id").cast("string")
+    sid = F.col("doc_id").cast("long").cast("string")
     corpus = base.select(
         (F.col("doc_id") * 2).alias("doc_id"), F.col("__tx").alias("text")
     ).unionByName(
@@ -1533,9 +1533,9 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
+            F.col("doc_id").cast("long").cast("string"),
             F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lpad((F.col("doc_id").cast("long") % 1000).cast("string"), 3, "0"),
             F.lit("-0000"),
         ).alias("text"),
     )
@@ -2654,7 +2654,7 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hex prefix < 'f0' ⇒ ~93.75% train."""
     _register_views(spark, sf_dir)
     split = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "f0", "train"
+        F.substring(F.md5(F.col("doc_id").cast("long").cast("string")), 1, 2) < "f0", "train"
     ).otherwise("heldout")
     return (
         spark.table("documents")
@@ -3349,7 +3349,7 @@ def docs_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://"),
             F.element_at(hosts, (F.col("doc_id") % len(URL_HOSTS) + 1).cast("int")),
             F.lit("/p/"),
-            F.col("doc_id").cast("string"),
+            F.col("doc_id").cast("long").cast("string"),
         ).alias("url"),
     )
     bl = spark.createDataFrame([(d,) for d in URL_BLOCKLIST], "domain string")
@@ -3590,7 +3590,7 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the oracle's || yields NULL): NULL ids rank last on both
     w = Window.orderBy(
         F.asc_nulls_last(
-            F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+            F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("long").cast("string")))
         )
     )
     return (
@@ -3625,7 +3625,7 @@ def _stage_ppm(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             d = hashlib.md5(r["text"].encode("utf-8")).digest()
             raster = bytes(d[j % 16] for j in range(24))
-            with open(f"{stage}/doc_{r['doc_id']:06d}.ppm", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.ppm", "wb") as f:
                 f.write(b"P6\n4 2\n255\n" + raster)
 
     return _staged(spark, sf_dir, "ppm_src", build)
@@ -3657,7 +3657,7 @@ def _stage_wav(spark: SparkSession, sf_dir: str) -> str:
                 + _struct.pack("<I", len(d))
                 + d
             )
-            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.wav", "wb") as f:
                 f.write(wav)
 
     return _staged(spark, sf_dir, "wav_src", build)
@@ -3692,7 +3692,7 @@ def _stage_wav_g711(spark: SparkSession, sf_dir: str) -> str:
                 + _struct.pack("<I", len(d))
                 + d
             )
-            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.wav", "wb") as f:
                 f.write(wav)
 
     return _staged(spark, sf_dir, "wav_g711_src", build)
@@ -3751,7 +3751,7 @@ def _stage_wav_adpcm(spark: SparkSession, sf_dir: str) -> str:
                 + _struct.pack("<I", len(block))
                 + block
             )
-            with open(f"{stage}/doc_{r['doc_id']:06d}.wav", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.wav", "wb") as f:
                 f.write(wav)
 
     return _staged(spark, sf_dir, "wav_adpcm_src", build)
@@ -3845,7 +3845,7 @@ def _stage_png(spark: SparkSession, sf_dir: str) -> str:
             px = _np.frombuffer(
                 bytes(d[j % 16] for j in range(24)), _np.uint8
             ).reshape(2, 4, 3)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.png", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.png", "wb") as f:
                 f.write(encode_png(px, filters=(1, 4)))
 
     return _staged(spark, sf_dir, "png_src", build)
@@ -3882,7 +3882,7 @@ def _stage_gif(spark: SparkSession, sf_dir: str) -> str:
             d = hashlib.md5(r["text"].encode("utf-8")).digest()
             idx = _np.frombuffer(d, _np.uint8).reshape(4, 4)
             gif = encode_gif(idx, pal, interlace=r["doc_id"] % 2 == 0)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.gif", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.gif", "wb") as f:
                 f.write(gif)
 
     return _staged(spark, sf_dir, "gif_src", build)
@@ -3910,7 +3910,7 @@ def _stage_bmp(spark: SparkSession, sf_dir: str) -> str:
             px = _np.frombuffer(
                 bytes(d[j % 16] for j in range(18)), _np.uint8
             ).reshape(2, 3, 3)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.bmp", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.bmp", "wb") as f:
                 f.write(encode_bmp(px))
 
     return _staged(spark, sf_dir, "bmp_src", build)
@@ -3941,7 +3941,7 @@ def _stage_jpeg(spark: SparkSession, sf_dir: str) -> str:
             blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
             px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
             ri = 3 if r["doc_id"] % 2 == 0 else 0
-            with open(f"{stage}/doc_{r['doc_id']:06d}.jpg", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.jpg", "wb") as f:
                 f.write(encode_jpeg(px, restart_interval=ri))
 
     return _staged(spark, sf_dir, "jpeg_src", build)
@@ -3989,7 +3989,7 @@ def _stage_jpeg_progressive(spark: SparkSession, sf_dir: str) -> str:
             d = hashlib.md5(r["text"].encode("utf-8")).digest()
             blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
             px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.jpg", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.jpg", "wb") as f:
                 f.write(encode_jpeg_progressive(px, dc_al=2))
 
     return _staged(spark, sf_dir, "jpeg_prog_src", build)
@@ -4038,7 +4038,7 @@ def _stage_tiff_jpeg(spark: SparkSession, sf_dir: str) -> str:
             blocks = _np.frombuffer(d, _np.uint8).reshape(4, 4)
             px = _np.repeat(_np.repeat(blocks, 8, 0), 8, 1)
             write_geotiff(
-                f"{stage}/doc_{r['doc_id']:06d}.tif",
+                f"{stage}/doc_{int(r['doc_id']):06d}.tif",
                 px.astype(_np.float64),
                 dtype="u1",
                 compression="jpeg",
@@ -4100,7 +4100,7 @@ def _stage_avi(spark: SparkSession, sf_dir: str) -> str:
             frames = [
                 encode_jpeg(_np.full((8, 8), b, _np.uint8)) for b in d
             ]
-            with open(f"{stage}/doc_{r['doc_id']:06d}.avi", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.avi", "wb") as f:
                 f.write(write_avi_mjpeg(frames, 8, 8, fps=10))
 
     return _staged(spark, sf_dir, "avi_src", build)
@@ -4157,7 +4157,7 @@ def _stage_tiff_g4(spark: SparkSession, sf_dir: str) -> str:
             bits = _np.unpackbits(_np.frombuffer(d, _np.uint8))  # MSB first
             mask = bits.reshape(8, 16).astype(_np.float64)
             write_geotiff(
-                f"{stage}/doc_{r['doc_id']:06d}.tif",
+                f"{stage}/doc_{int(r['doc_id']):06d}.tif",
                 mask,
                 dtype="u1",
                 compression="ccitt-g4",
@@ -4219,7 +4219,7 @@ def _stage_aiff(spark: SparkSession, sf_dir: str) -> str:
                 + b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd
             )
             aiff = b"FORM" + _struct.pack(">I", len(body)) + body
-            with open(f"{stage}/doc_{r['doc_id']:06d}.aiff", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.aiff", "wb") as f:
                 f.write(aiff)
 
     return _staged(spark, sf_dir, "aiff_src", build)
@@ -4240,7 +4240,7 @@ def _stage_au(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             d = hashlib.md5(r["text"].encode("utf-8")).digest()
             hdr = b".snd" + _struct.pack(">IIIII", 24, len(d), 1, 8000, 1)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.au", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.au", "wb") as f:
                 f.write(hdr + d)
 
     return _staged(spark, sf_dir, "au_src", build)
@@ -4267,7 +4267,7 @@ def _stage_flac(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             d = hashlib.md5(r["text"].encode("utf-8")).digest()
             samples = _np.frombuffer(d, "<i2").astype(_np.int64)
-            with open(f"{stage}/doc_{r['doc_id']:06d}.flac", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.flac", "wb") as f:
                 f.write(encode_flac(samples, sample_rate=8000, block_size=8))
 
     return _staged(spark, sf_dir, "flac_src", build)
@@ -7241,7 +7241,7 @@ def _stage_binary(spark: SparkSession, sf_dir: str) -> str:
         )
         for r in rows:
             payload = hashlib.md5(r["text"].encode("utf-8")).digest()
-            with open(f"{stage}/doc_{r['doc_id']:06d}.bin", "wb") as f:
+            with open(f"{stage}/doc_{int(r['doc_id']):06d}.bin", "wb") as f:
                 f.write(payload)
 
     return _staged(spark, sf_dir, "binary_src", build)
@@ -7377,7 +7377,7 @@ def _stage_logs(spark: SparkSession, sf_dir: str) -> str:
                         F.lit("NA"),
                     ),
                     F.lit(" user="),
-                    F.coalesce(F.col("user_id").cast("string"), F.lit("NA")),
+                    F.coalesce(F.col("user_id").cast("long").cast("string"), F.lit("NA")),
                     F.lit(" type="),
                     F.coalesce(F.col("event_type"), F.lit("NA")),
                 ).alias("value")
@@ -11913,9 +11913,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": """
             WITH aug AS (
                 SELECT doc_id,
-                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       text || ' contact user' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)
                             || '@example.com or +1-555-'
-                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || lpad(CAST(TRY_CAST(doc_id AS BIGINT) % 1000 AS VARCHAR), 3, '0')
                             || '-0000' AS text
                 FROM documents
             )
@@ -12756,7 +12756,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, quality, lang_pred, fp FROM ranked
         WHERE rn = 1
-          AND substring(md5('prep' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+          AND substring(md5('prep' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < 'cccccccc'
     """.format(
         DOCS_QUALITY=oracles["docs_quality"],
         DOCS_LANG=oracles["docs_lang_id"],
@@ -12832,7 +12832,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, COUNT(*) AS n_kept,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
-        WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        WHERE substring(md5('mix1' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) <
               CASE source
                   WHEN 'src0' THEN 'g'
                   WHEN 'src1' THEN 'c0000000'
@@ -13091,7 +13091,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_mktsegment, quartile
     """
     oracles["docs_train_split"] = """
-        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+        SELECT CASE WHEN substring(md5(CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 2) < 'f0'
                     THEN 'train' ELSE 'heldout' END AS split,
                COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 6) AS avg_chars
@@ -13934,7 +13934,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    md5(concat_ws('|',
                        COALESCE(c_name, chr(1) || 'NULL'),
-                       COALESCE(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL'),
+                       COALESCE(CAST(TRY_CAST(c_nationkey AS BIGINT) AS VARCHAR), chr(1) || 'NULL'),
                        COALESCE(c_mktsegment, chr(1) || 'NULL'),
                        COALESCE(CAST(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
                                      AS VARCHAR), chr(1) || 'NULL')))
@@ -13961,7 +13961,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    md5(concat_ws('|',
                        COALESCE(c_name, chr(1) || 'NULL'),
-                       COALESCE(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL'),
+                       COALESCE(CAST(TRY_CAST(c_nationkey AS BIGINT) AS VARCHAR), chr(1) || 'NULL'),
                        COALESCE(c_mktsegment, chr(1) || 'NULL'),
                        COALESCE(bal, chr(1) || 'NULL'))) AS new_hash
             FROM new_rows
@@ -14018,9 +14018,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_url_canon_dedup"] = f"""
         WITH raw AS (
             SELECT doc_id,
-                   {_hosts_sql}[CAST((doc_id // 4) % {len(URL_HOSTS)} AS INT) + 1]
+                   {_hosts_sql}[CAST((TRY_CAST(doc_id AS BIGINT) // 4) % {len(URL_HOSTS)} AS INT) + 1]
                        AS host,
-                   CAST(doc_id // 4 AS VARCHAR) AS page,
+                   CAST(TRY_CAST(doc_id AS BIGINT) // 4 AS VARCHAR) AS page,
                    CAST(doc_id % 4 AS INT) AS variant
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id IS NOT NULL) d
@@ -14391,7 +14391,7 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
             SELECT doc_id,
                    replace(text, ' ',
-                           ' s' || CAST(doc_id AS VARCHAR) || ' ') AS tx
+                           ' s' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR) || ' ') AS tx
             FROM (SELECT doc_id, MAX(text) AS text FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id) documents WHERE doc_id % 5 = 0
         ),
         corpus AS (
@@ -14399,9 +14399,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id * 2 + 1,
                    substr(tx, 41, 160)
-                       || ' q' || CAST(doc_id AS VARCHAR) || 'x q'
-                       || CAST(doc_id AS VARCHAR) || 'y q'
-                       || CAST(doc_id AS VARCHAR) || 'z'
+                       || ' q' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR) || 'x q'
+                       || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR) || 'y q'
+                       || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR) || 'z'
             FROM base
         ),
         norm AS (
@@ -14705,7 +14705,7 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS ({oracles["docs_quality"]})
         SELECT doc_id, quality
         FROM q
-        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        WHERE substring(md5(CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) <
               CASE WHEN quality >= 1.0 THEN 'g'
                    ELSE printf('%08x',
                         CAST(floor(quality * 4294967296.0) AS BIGINT))
@@ -14830,7 +14830,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE before < 0.8 * total
     """
     oracles["media_binary_ingest"] = f"""
-        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin'
+        SELECT 'doc_' || lpad(CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR), 6, '0') || '.bin'
                    AS file_name,
                CAST(16 AS BIGINT) AS n_bytes,
                upper(md5(text)) AS content_hex
@@ -15145,7 +15145,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         soft AS (
             SELECT * FROM scored
-            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            WHERE substring(md5(CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) <
                   CASE WHEN quality >= 1.0 THEN 'g'
                        ELSE printf('%08x',
                             CAST(floor(quality * 4294967296.0) AS BIGINT))
@@ -15335,7 +15335,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    row_number() OVER (
                        PARTITION BY source
-                       ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id
+                       ORDER BY md5('bal' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR)), doc_id
                    ) AS rk
             FROM documents
         ) WHERE rk <= 5
@@ -15470,7 +15470,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["docs_global_shuffle"] = """
         SELECT doc_id,
                CAST(row_number() OVER (
-                   ORDER BY md5('epoch0' || ':' || doc_id)) AS INT) AS rank
+                   ORDER BY md5('epoch0' || ':' || CAST(TRY_CAST(doc_id AS BIGINT) AS VARCHAR))) AS INT) AS rank
         FROM documents
     """
 
@@ -15580,7 +15580,7 @@ def oracle_sql() -> dict[str, str]:
         hashed AS (
             SELECT user_id, exact_cnt,
                    list_reduce(
-                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                       list_transform(string_split(CAST(TRY_CAST(user_id AS BIGINT) AS VARCHAR), ''),
                                       c -> CAST(ascii(c) AS BIGINT)),
                        (a, c) -> (a * 31 + c) % 2147483647
                    ) AS h
@@ -15615,7 +15615,7 @@ def oracle_sql() -> dict[str, str]:
         WITH hashed AS (
             SELECT DISTINCT event_type,
                    (1000000007 * list_reduce(
-                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                       list_transform(string_split(CAST(TRY_CAST(user_id AS BIGINT) AS VARCHAR), ''),
                                       c -> CAST(ascii(c) AS BIGINT)),
                        (a, c) -> (a * 31 + c) % 2147483647
                    ) + 271) % 2147483647 AS h
@@ -15758,7 +15758,7 @@ def oracle_sql() -> dict[str, str]:
         WITH hashed AS (
             SELECT DISTINCT event_type AS grp,
                    (1000000007 * list_reduce(
-                       list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                       list_transform(string_split(CAST(TRY_CAST(user_id AS BIGINT) AS VARCHAR), ''),
                                       c -> CAST(ascii(c) AS BIGINT)),
                        (a, c) -> (a * 31 + c) % 2147483647
                    ) + 271) % 2147483647 AS h
@@ -15901,7 +15901,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, a.alloc,
                    row_number() OVER (
                        PARTITION BY d.source
-                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                       ORDER BY md5(CAST(TRY_CAST(d.doc_id AS BIGINT) AS VARCHAR)), d.doc_id
                    ) AS rk
             FROM documents d JOIN alloc a USING (source)
         )
@@ -17528,7 +17528,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["events_hll_portable"] = f"""
         WITH h0 AS (
             SELECT event_type,
-                   ({_HA[0]} * {_POLY_SQL.format(s="CAST(user_id AS VARCHAR)")}
+                   ({_HA[0]} * {_POLY_SQL.format(s="CAST(TRY_CAST(user_id AS BIGINT) AS VARCHAR)")}
                     + {_HB[0]}) % 2147483647 AS h
             FROM events WHERE user_id IS NOT NULL
         ),

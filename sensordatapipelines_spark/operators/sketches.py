@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.operators.text import POLY_MOD, poly_hash_expr
+from sensordatapipelines_spark.operators.utility import canon_key_str
 from sensordatapipelines_spark.registry import register
 
 # Fixed hash rows for CMS: cell_j(h) = ((A[j]*h + B[j]) mod P) mod width.
@@ -85,7 +86,7 @@ def cms_sketch(
     """
     if depth > len(CMS_A):
         raise ValueError(f"depth <= {len(CMS_A)} supported, got {depth}")
-    h = hasher(F.col(key_col).cast("string"))
+    h = hasher(canon_key_str(df, key_col))
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"), _cms_cell(h, j, width).alias("cell"))
@@ -117,7 +118,7 @@ def cms_estimate(
     equi-join the (tiny, ≤ depth×width-row) sketch — Spark broadcasts the
     sketch side; the min-fold is a key-local groupBy.
     """
-    h = hasher(F.col(key_col).cast("string"))
+    h = hasher(canon_key_str(keys, key_col))
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"), _cms_cell(h, j, width).alias("cell"))
         for j in range(depth)
@@ -187,7 +188,7 @@ def kmv_distinct(
     """
     g = F.col(group_by) if group_by else F.lit("__all__")
     hashed = df.select(
-        g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("h")
+        g.alias("grp"), hasher(canon_key_str(df, key_col)).alias("h")
     ).distinct()
     w = Window.partitionBy("grp").orderBy(F.col("h").asc_nulls_last())
     topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -230,7 +231,7 @@ def kmv_intersect_pairs(
     """
     hashed = df.select(
         F.col(group_by).alias("grp"),
-        hasher(F.col(key_col).cast("string")).alias("h"),
+        hasher(canon_key_str(df, key_col)).alias("h"),
     ).distinct()
     wg = Window.partitionBy("grp").orderBy(F.col("h").asc_nulls_last())
     topk = (
@@ -326,7 +327,7 @@ def hll_sketch(
     # NULL keys carry no distinct value: dropped (a NULL hash would ride
     # as a NULL register with engine-dependent rho arithmetic)
     staged = df.filter(F.col(key_col).isNotNull()).select(
-        g.alias("grp"), hasher(F.col(key_col).cast("string")).alias("__h")
+        g.alias("grp"), hasher(canon_key_str(df, key_col)).alias("__h")
     )
     rest = F.shiftright(F.col("__h"), p)
     rho = F.lit(1)

@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 from sensordatapipelines_spark.registry import register
 
 
+_NUMERIC_KEY_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+
+
+def canon_key_str(df: DataFrame, key_col: str):
+    """Physical-type-drift-proof string rendering of a key column for
+    hash/membership purposes (md5 sampling, sketch hashing).
+
+    An integral id column that drifts to DOUBLE in one engine's read
+    path (the classic pandas int64-with-NULLs round-trip) renders
+    '123.0' there and '123' where it stayed BIGINT — which permutes
+    every MD5 membership rank and every sketch register even though the
+    VALUES are identical. Numeric keys therefore render through BIGINT
+    first (Spark's cast truncates, DuckDB's rounds — identical on
+    integral ids), so both engines emit '123' whatever the physical
+    type; non-numeric keys render as-is. Oracle mirror:
+    ``CAST(CAST(x AS BIGINT) AS VARCHAR)``. On already-BIGINT local
+    data the extra cast is a no-op (every committed ledger hash is
+    unchanged)."""
+    c = F.col(key_col)
+    dt = dict(df.dtypes).get(key_col, "")
+    if dt in _NUMERIC_KEY_TYPES or dt.startswith("decimal"):
+        return c.cast("long").cast("string")
+    return c.cast("string")
+
+
 def spread_by(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition by ``key`` before CPU-heavy per-row work.
 
@@ -387,7 +414,7 @@ def hash_sample(
     literal CASE expression, evaluated map-side.
     """
     prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(salt), canon_key_str(df, key_col))), 1, 8
     )
     if isinstance(rate, dict):
         if stratum_col is None:
@@ -606,7 +633,7 @@ def quality_weighted_sample(
     crosses the engine boundary."""
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(salt), canon_key_str(df, key_col))), 1, 8
     )
     thr = F.when(w >= 1.0, F.lit("g")).otherwise(
         F.format_string("%08x", F.floor(w * F.lit(4294967296.0)).cast("long"))
@@ -1019,7 +1046,7 @@ def group_sample_k(
     exactly. Hash ties are broken by the key itself (total order)."""
     from pyspark.sql import Window
 
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h = F.md5(F.concat(F.lit(salt), canon_key_str(df, key_col)))
     w = Window.partitionBy(group_col).orderBy(h.asc_nulls_last(), F.col(key_col).asc_nulls_last())
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -1156,8 +1183,22 @@ def snapshot_diff(
     ]
 
     def row_hash(df: DataFrame) -> Column:
+        # integer-typed columns render through LONG (drift-proof: an
+        # int column that one engine reads as DOUBLE would render
+        # '7.0' there and '7' here, flagging every row as 'changed';
+        # see canon_key_str). Doubles render as-is — a LONG cast would
+        # lose precision.
+        dts = dict(df.dtypes)
         rendered = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL")) for c in vcols
+            F.coalesce(
+                (
+                    F.col(c).cast("long")
+                    if dts.get(c) in ("tinyint", "smallint", "int", "bigint")
+                    else F.col(c)
+                ).cast("string"),
+                F.lit("\x01NULL"),
+            )
+            for c in vcols
         ]
         return F.md5(F.concat_ws("|", *rendered))
 
@@ -1194,7 +1235,7 @@ def group_disjoint_split(
     (salt, group key) — MD5-prefix threshold, zero state, zero shuffle,
     stable across re-runs and cluster sizes."""
     prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(salt), canon_key_str(df, group_col))), 1, 8
     )
     return df.withColumn(
         out_col,
@@ -1366,7 +1407,7 @@ def stratified_sample_alloc(
             ).alias("alloc"),
         )
     )
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h = F.md5(F.concat(F.lit(salt), canon_key_str(df, key_col)))
     w = Window.partitionBy(stratum_col).orderBy(h.asc_nulls_last(), F.col(key_col).asc_nulls_last())
     return (
         df.join(F.broadcast(alloc), stratum_col)

@@ -124,13 +124,22 @@ def gen_events(rng, n=12000):
     for i in range(n):
         r = rng.random()
         if r < 0.04:
-            # pre-1970 cluster with fractional seconds: floor != trunc
+            # pre-1970 cluster with fractional SECONDS at whole-µs
+            # granularity (floor != trunc at the seconds level). Sub-µs
+            # residue is deliberately zero on negative ts: the engine
+            # floors ns→µs (r9 policy, = a ns-native DuckDB's epoch_us)
+            # while the LOCAL v1.0 parquet reader truncates toward zero —
+            # a 1µs skew on negative residues that no oracle formulation
+            # can reconcile locally and that does not exist on the
+            # driver's ns-native reader. Positive-residue bands below
+            # still exercise the sub-µs path (floor = trunc there).
             ts[i] = -int(rng.integers(1, 3 * 86400)) * NS + int(
-                rng.integers(0, NS)
-            )
+                rng.integers(0, 1_000_000)
+            ) * 1000
         elif r < 0.08:
-            # straddle the epoch: trunc maps [-1s, 1s) onto second 0
-            ts[i] = int(rng.integers(-2 * NS, 2 * NS))
+            # straddle the epoch at whole µs: trunc maps [-1s, 1s) onto
+            # second 0 (sub-µs zeroed for the same reader-skew reason)
+            ts[i] = (int(rng.integers(-2 * NS, 2 * NS)) // 1000) * 1000
         elif r < 0.12:
             # within 1 µs below a second boundary
             base = 1_700_000_000 + int(rng.integers(0, 86400))
@@ -505,8 +514,8 @@ def gen_embeddings(rng, n=500, dim=64):
     )
 
 
-def main(outdir="advdata/sf_adv"):
-    rng = np.random.default_rng(SEED)
+def main(outdir="advdata/sf_adv", seed=None):
+    rng = np.random.default_rng(int(seed) if seed is not None else SEED)
     os.makedirs(outdir, exist_ok=True)
     tables = {
         "events": gen_events(rng),

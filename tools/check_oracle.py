@@ -68,21 +68,39 @@ def value_hash(cdf: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def _connect_duck(sf_dir: str, tables) -> duckdb.DuckDBPyConnection:
+def _connect_duck(
+    sf_dir: str, tables, pandas_views: bool = False
+) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with one view per driver table.
+
+    ``pandas_views=True`` registers ``pandas.read_parquet`` frames
+    instead of ``read_parquet`` views — reproducing the registration
+    path the r9 probe analysis infers for the external driver's oracle:
+    pandas collapses NaN into the missing class, int64-with-NULL
+    columns drift to float64, and datetime64[ns] rides through the
+    pandas scanner instead of the parquet reader. Running the ledger in
+    this mode locally reproduces driver-side read divergences that the
+    parquet-view mode structurally cannot show."""
     con = duckdb.connect()
     for t in tables:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if pandas_views:
+            frame = pd.read_parquet(f"{sf_dir}/{t}.parquet")
+            con.register(t, frame)
+        else:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con
 
 
-def run_checks(spark, sf_dir: str, names=None, verbose: bool = True) -> dict:
+def run_checks(
+    spark, sf_dir: str, names=None, verbose: bool = True, pandas_views: bool = False
+) -> dict:
     """Run the strict Spark-vs-DuckDB comparison; return per-query records."""
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
-    con = _connect_duck(sf_dir, entrymod.TABLES)
+    con = _connect_duck(sf_dir, entrymod.TABLES, pandas_views=pandas_views)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
@@ -163,6 +181,10 @@ def run_checks(spark, sf_dir: str, names=None, verbose: bool = True) -> dict:
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
+    pandas_views = False
+    if args and args[0] == "--pandas-views":
+        pandas_views = True
+        args = args[1:]
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
@@ -173,7 +195,7 @@ def main() -> int:
 
     spark = get_spark(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    results = run_checks(spark, sf_dir, names=only or None)
+    results = run_checks(spark, sf_dir, names=only or None, pandas_views=pandas_views)
     failures = [n for n, r in results.items() if r["status"] == "fail"]
     if json_out:
         with open(json_out, "w") as f:
