@@ -42,11 +42,16 @@ def _upper_ascii(c):
 # rounds on double→int casts while Spark truncates).
 # --------------------------------------------------------------------------
 
+# Key arithmetic is anchored to BIGINT via TRY_CAST (both engines parse
+# the 0.005-style literals as DECIMAL, so BIGINT·DECIMAL is exact —
+# 0.175 — while a physically-drifted DOUBLE key would flip the product
+# to float math — 0.17500000000000002 — and shear every derived
+# coordinate; caught by the pandas-views twin run, r9).
 SENSORS_SQL = """
 SELECT c_custkey AS sensor_id,
-       CAST((c_custkey % 64) * 0.005 AS DOUBLE) AS lon,
-       CAST((CAST(FLOOR(c_custkey / 64) AS BIGINT) % 64) * 0.005 AS DOUBLE)
-           AS lat,
+       CAST((TRY_CAST(c_custkey AS BIGINT) % 64) * 0.005 AS DOUBLE) AS lon,
+       CAST((CAST(FLOOR(TRY_CAST(c_custkey AS BIGINT) / 64) AS BIGINT) % 64)
+            * 0.005 AS DOUBLE) AS lat,
        c_acctbal AS val
 FROM customer
 WHERE c_custkey IS NOT NULL
@@ -54,10 +59,12 @@ WHERE c_custkey IS NOT NULL
 
 ZONES_SQL = """
 SELECT s_suppkey AS zone_id,
-       CAST((s_suppkey % 64) * 0.005 + 0.0013 AS DOUBLE) AS lon,
-       CAST((CAST(FLOOR(s_suppkey / 64) AS BIGINT) % 64) * 0.005 + 0.0017
-            AS DOUBLE) AS lat,
-       CAST(0.001 + (s_suppkey % 7) * 0.0005 AS DOUBLE) AS radius,
+       CAST((TRY_CAST(s_suppkey AS BIGINT) % 64) * 0.005 + 0.0013 AS DOUBLE)
+           AS lon,
+       CAST((CAST(FLOOR(TRY_CAST(s_suppkey AS BIGINT) / 64) AS BIGINT) % 64)
+            * 0.005 + 0.0017 AS DOUBLE) AS lat,
+       CAST(0.001 + (TRY_CAST(s_suppkey AS BIGINT) % 7) * 0.0005 AS DOUBLE)
+           AS radius,
        s_acctbal AS acctbal
 FROM supplier
 WHERE s_suppkey IS NOT NULL
@@ -8094,9 +8101,16 @@ def _user_cooccur_edges(spark: SparkSession) -> DataFrame:
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
     )
-    return cooccurrence_edges(
-        occ, "user_id", ["event_type", "h"], min_cooccur=3, metrics={}
-    )
+    # cap advisory suppressed: the gate-scale graph was verified far
+    # under the default caps (max degree ~184 at sf0.1); counting drops
+    # would add a full extra pass over the bucket table per run
+    import warnings
+
+    from sensordatapipelines_spark.operators.graph import GraphCapAdvisory
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", GraphCapAdvisory)
+        return cooccurrence_edges(occ, "user_id", ["event_type", "h"], min_cooccur=3)
 
 
 def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8108,9 +8122,15 @@ def events_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.graph import adamic_adar
 
     _register_views(spark, sf_dir)
-    return adamic_adar(
-        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5, metrics={}
-    )
+    import warnings
+
+    from sensordatapipelines_spark.operators.graph import GraphCapAdvisory
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", GraphCapAdvisory)
+        return adamic_adar(
+            _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+        )
 
 
 def events_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8123,9 +8143,15 @@ def events_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensordatapipelines_spark.operators.graph import jaccard_link_pred
 
     _register_views(spark, sf_dir)
-    return jaccard_link_pred(
-        _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5, metrics={}
-    )
+    import warnings
+
+    from sensordatapipelines_spark.operators.graph import GraphCapAdvisory
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", GraphCapAdvisory)
+        return jaccard_link_pred(
+            _user_cooccur_edges(spark), "u", "w", min_common=2, top_k=5
+        )
 
 
 def events_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13074,8 +13100,15 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(value) OVER w, 6) AS trail_avg_1h,
                COUNT(*) OVER w AS n_in_window
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        -- integer-microsecond RANGE frame (floor ns->us, pmod form),
+        -- mirroring Spark's rangeBetween over unix_micros exactly:
+        -- INTERVAL-over-TIMESTAMP_NS arithmetic is reader-dependent
+        -- (DuckDB 1.0 drops an in-frame row; r9 pandas-views finding)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY (epoch_ns(ts)
+                               - ((epoch_ns(ts) % 1000) + 1000) % 1000)
+                              // 1000
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """
     oracles["customer_segment_quartiles"] = """
         WITH ranked AS (
@@ -15637,31 +15670,62 @@ def oracle_sql() -> dict[str, str]:
     # CUSUM closed form: S_i = P_i - min(0, min_{j<=i} P_j) over
     # 1e-9-integer deviations (k=0.5, h=5.0) — integer-exact accumulators.
     oracles["events_cusum_alarms"] = r"""
-        WITH base AS (
-            SELECT event_type, event_id, ts, value,
-                   avg(value) OVER (PARTITION BY event_type) AS mu,
-                   stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+        WITH q AS (
+            SELECT event_type, event_id, ts,
+                   CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                        ELSE CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10)
+                                        * 1e6) AS BIGINT) END AS v6
             FROM events
+        ),
+        base AS (
+            -- mean/stddev from EXACT integer power sums in a fixed float
+            -- expression order (raw double window-AVG is summation-order
+            -- dependent; r9)
+            SELECT event_type, event_id, ts, v6,
+                   CAST(SUM(v6) OVER (PARTITION BY event_type) AS DOUBLE)
+                       / CAST(COUNT(v6) OVER (PARTITION BY event_type)
+                              AS DOUBLE) AS mu6,
+                   sqrt(CAST(SUM(CAST(v6 AS HUGEINT) * v6)
+                                 OVER (PARTITION BY event_type) AS DOUBLE)
+                        / CAST(COUNT(v6) OVER (PARTITION BY event_type)
+                               AS DOUBLE)
+                        - (CAST(SUM(v6) OVER (PARTITION BY event_type)
+                                AS DOUBLE)
+                           / CAST(COUNT(v6) OVER (PARTITION BY event_type)
+                                  AS DOUBLE))
+                          * (CAST(SUM(v6) OVER (PARTITION BY event_type)
+                                  AS DOUBLE)
+                             / CAST(COUNT(v6) OVER (PARTITION BY event_type)
+                                    AS DOUBLE))) AS sd6
+            FROM q
         ),
         d AS (
             SELECT *,
-                   CAST(round(((CASE WHEN sd > 0 THEN (value - mu) / sd
+                   CAST(round(((CASE WHEN sd6 > 0
+                                     THEN (CAST(v6 AS DOUBLE) - mu6) / sd6
                                      ELSE 0 END) - 0.5) * 1e9) AS BIGINT) AS up_e9,
-                   CAST(round((-(CASE WHEN sd > 0 THEN (value - mu) / sd
+                   CAST(round((-(CASE WHEN sd6 > 0
+                                      THEN (CAST(v6 AS DOUBLE) - mu6) / sd6
                                       ELSE 0 END) - 0.5) * 1e9) AS BIGINT) AS dn_e9
             FROM base
         ),
         p AS (
             SELECT *, sum(up_e9) OVER w AS pu, sum(dn_e9) OVER w AS pd
             FROM d
-            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY (epoch_ns(ts)
+                                   - ((epoch_ns(ts) % 1000) + 1000) % 1000)
+                                  // 1000, event_id, v6
                          ROWS UNBOUNDED PRECEDING)
         ),
         s AS (
             SELECT *, pu - least(0, min(pu) OVER w) AS su,
                       pd - least(0, min(pd) OVER w) AS sd2
             FROM p
-            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY (epoch_ns(ts)
+                                   - ((epoch_ns(ts) % 1000) + 1000) % 1000)
+                                  // 1000, event_id, v6
                          ROWS UNBOUNDED PRECEDING)
         )
         SELECT event_type, event_id,
@@ -16731,10 +16795,12 @@ def oracle_sql() -> dict[str, str]:
             FROM dtoks
         ),
         first AS (
-            SELECT tok, MIN(doc_id) AS f FROM big GROUP BY tok
+            SELECT tok, MIN(TRY_CAST(doc_id AS BIGINT)) AS f
+            FROM big GROUP BY tok
         ),
         bounds AS (
-            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+            SELECT MIN(TRY_CAST(doc_id AS BIGINT)) AS lo,
+                   MAX(TRY_CAST(doc_id AS BIGINT)) AS hi FROM documents
         ),
         per AS (
             SELECT LEAST(9, (f - lo) * 10 // (hi - lo + 1)) AS bucket,

@@ -1043,23 +1043,42 @@ def cusum_changepoints(
     Determinism: deviations are rounded to 1e-9-scaled BIGINTs before
     the prefix sums (the ``km_survival``/``unigram_logprob`` contract),
     making the accumulators and the ``> h`` comparison integer-exact
-    across engines; only the group mean/stddev carry float summation
-    order, absorbed by the e9 rounding. Zero-variance groups emit no
-    alarms (z pinned to 0).
+    across engines; and since r9 the group mean/stddev themselves derive
+    from EXACT integer power sums of the e6-quantized values (Σv6 as
+    BIGINT, Σv6² as DECIMAL(38,0)) in a fixed float expression order —
+    the raw double window-AVG they replaced was summation-ORDER-
+    dependent, and a scan-order change flipped a z within 5e-10 of its
+    e9 rounding boundary (caught by the r9 pandas-views twin run).
+    Zero-variance groups emit no alarms (z pinned to 0).
 
     Output: alarm rows only — ``(group, tiebreak/ts, cusum_up,
     cusum_dn, direction)``.
     """
     gw = Window.partitionBy(group_col)
+    df = df.withColumn("__v6", quantize_e6(F.col(value_col)))
+    # __v6 as the FINAL order key: duplicate (ts, tiebreak) rows with
+    # different values would otherwise order arbitrarily and shift the
+    # prefix sums (the r8 state-as-final-order-key convention; the r9
+    # pandas-views twin caught exactly this via a scan-order change)
     order = [F.col(ts_col).asc_nulls_last()] + (
         [F.col(tiebreak).asc_nulls_last()] if tiebreak else []
-    )
+    ) + [F.col("__v6").asc_nulls_last()]
     wo = gw.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    mu = F.avg(F.col(value_col).cast("double")).over(gw)
-    sd = F.stddev_pop(F.col(value_col).cast("double")).over(gw)
-    z = F.when(sd > 0, (F.col(value_col).cast("double") - mu) / sd).otherwise(
-        F.lit(0.0)
+    n = F.count("__v6").over(gw).cast("double")
+    # Σv6 as DECIMAL(38,0): clamped rows contribute 1e16 each, so an
+    # int64 accumulator wraps after ~922 of them (DuckDB widens to
+    # HUGEINT — the same silent split the rollup fix closed)
+    sum1 = F.sum(F.col("__v6").cast("decimal(38,0)")).over(gw).cast("double")
+    s2 = (
+        F.sum(F.col("__v6").cast("decimal(38,0)") * F.col("__v6"))
+        .over(gw)
+        .cast("double")
     )
+    mu6 = sum1 / n
+    sd6 = F.sqrt(s2 / n - mu6 * mu6)
+    z = F.when(
+        sd6 > 0, (F.col("__v6").cast("double") - mu6) / sd6
+    ).otherwise(F.lit(0.0))
     up_e9 = F.round((z - F.lit(slack_k)) * F.lit(1e9)).cast("long")
     dn_e9 = F.round((-z - F.lit(slack_k)) * F.lit(1e9)).cast("long")
     with_d = df.withColumn("__up", up_e9).withColumn("__dn", dn_e9)

@@ -399,8 +399,11 @@ def heaps_curve(
     # references the raw tokenize expression via element_at re-runs the
     # whole trim+translate+split PER SEQUENCE ELEMENT (measured 2× on the
     # sf0.1 corpus). One projection evaluates it once per document.
+    # id anchored to BIGINT: the bucket formula is integer math, and a
+    # physically double-typed id column would flip `//` to float division
+    # (pandas-views twin finding, r9)
     staged = df.select(
-        F.col(id_col).alias("__id"),
+        F.expr(f"TRY_CAST({id_col} AS BIGINT)").alias("__id"),
         tokens_expr(lower_ascii_expr(F.col(text_col))).alias("__tk"),
     )
     toks = F.col("__tk")
