@@ -8284,22 +8284,26 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zones_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash radius join: zone centers explode to their 3×3 probe
-    cells (`geohash_probe_cells`, integer bit ±1 — no float round-trip),
-    sensors encode once, candidates come from the cell EQUI-join and the
-    exact distance predicate filters inside the join stage — the
-    geohash-flavored sibling of the grid-bucketed buffer join, complete
-    because every zone radius (≤0.004°) is under the precision-5 cell
-    span (0.0439°). Oracle: the plain distance predicate — candidate
-    generation must not change the answer."""
+    cells (integer bit ±1 — no float round-trip), sensors encode once,
+    candidates come from the cell EQUI-join and the exact distance
+    predicate filters inside the join stage — the geohash-flavored
+    sibling of the grid-bucketed buffer join, complete because every
+    zone radius (≤0.004°) is under the precision-5 cell span (0.0439°).
+    The key is the INT64 Morton cell id, not the base32 string: the
+    string render tree, re-inlined by whole-stage codegen into the
+    join+filter+agg stage, blew Janino's 64 KB method limit (BENCH r8
+    tail) and dropped the stage to interpreted mode. Oracle: the plain
+    distance predicate — candidate generation must not change the
+    answer."""
     from sensordatapipelines_spark.operators.geohash import (
-        geohash_encode,
-        geohash_probe_cells,
+        geohash_cell_id,
+        geohash_probe_cell_ids,
     )
 
     _register_views(spark, sf_dir)
-    probe = geohash_probe_cells(_zones(spark), precision=5)
-    build = geohash_encode(_sensors(spark), precision=5).select(
-        "geohash",
+    probe = geohash_probe_cell_ids(_zones(spark), precision=5)
+    build = geohash_cell_id(_sensors(spark), precision=5).select(
+        "cell_id",
         F.col("lon").alias("s_lon"),
         F.col("lat").alias("s_lat"),
         F.round(F.col("val") * 100).cast("long").alias("__c"),
@@ -8308,7 +8312,7 @@ def zones_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_lat") - F.col("lat")
     ) * (F.col("s_lat") - F.col("lat"))
     return (
-        probe.join(build, "geohash")
+        probe.join(build, "cell_id")
         .filter(F.sqrt(d2) <= F.col("radius"))
         .groupBy("zone_id")
         .agg(
@@ -10270,10 +10274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-9 driver-sample rotation: the 16 r8 hash-red gates FIRST — this
 # round's ingestion-policy fixes (NaN≙NULL missing-value normalization,
 # FLOOR ns→µs) sit behind the user_id/doc_id-grouped family, so their
-# colors are the round's acceptance test — then the 31 `xfil_*`
+# colors are the round's acceptance test — then 27 `xfil_*`
 # exfiltration probes (each reports a driver-side integer fact as its row
-# count; see the family comment), then 3 ingestion-regression slots: the
-# µs-consuming gates most exposed to the new float/ts normalizations.
+# count; see the family comment; the 4 lowest-marginal-information probes
+# — zero_value, orders_nan_custkey, docs_nan_id, li_rows — yielded their
+# slots), then 5 never-driver-sampled gates (VERDICT r8 #5: kriging's
+# first-ever driver value bit via the integer-exact Cramer twin, one
+# media codec, one graph, emb_kmeans, orders_yoy_growth), then 2
+# ingestion-regression slots: the µs/value-consuming gates most exposed
+# to the new float/ts normalizations.
 _ROUND9_SAMPLE_FIRST = [
     # r8 reds (retest after the r9 ingestion fixes)
     "docs_chi2_terms",
@@ -10301,7 +10310,6 @@ _ROUND9_SAMPLE_FIRST = [
     "xfil_events_null_value",
     "xfil_events_nan_value",
     "xfil_events_inf_value",
-    "xfil_events_zero_value",
     "xfil_events_distinct_user",
     "xfil_events_type_user_pairs",
     "xfil_events_ns_residue",
@@ -10309,25 +10317,27 @@ _ROUND9_SAMPLE_FIRST = [
     "xfil_events_dtypes",
     "xfil_orders_rows",
     "xfil_orders_null_custkey",
-    "xfil_orders_nan_custkey",
     "xfil_orders_tp_missing",
     "xfil_orders_tp_chk",
     "xfil_orders_med2",
     "xfil_orders_dtypes",
-    "xfil_li_rows",
     "xfil_li_q_missing",
     "xfil_li_q_frac",
     "xfil_li_ep_chk",
     "xfil_docs_rows",
     "xfil_docs_null_id",
-    "xfil_docs_nan_id",
     "xfil_docs_neg_id",
     "xfil_docs_dup_id",
     "xfil_docs_null_lst",
+    # never-driver-sampled gates (first driver value-bits)
+    "sensors_kriging_exact3",
+    "emb_kmeans",
+    "media_png_histogram",
+    "events_graph_jaccard",
+    "orders_yoy_growth",
     # ingestion-regression slots
     "events_asof_purchase",
     "events_ohlc_bars",
-    "events_sessionize",
 ]
 
 

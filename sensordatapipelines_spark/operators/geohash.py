@@ -119,12 +119,16 @@ def _base32_chars(g: Column, precision: int) -> Column:
     ])
 
 
-def encode_bits_staged(
+def interleave_staged(
     df: DataFrame, lonb: Column, latb: Column, precision: int, out_col: str
 ) -> DataFrame:
-    """Quantized axis bits → base32 cell id via the staged Morton
-    ladders (shared by :func:`geohash_encode` and
-    :func:`geohash_probe_cells`)."""
+    """Quantized axis bits → the interleaved int64 Morton cell id via the
+    staged ladders. The INTEGER id is the preferred join/group key: same
+    cell ⇔ same id, but the key is 8 bytes instead of a string and the
+    plan carries no base32 render tree — whole-stage codegen of a
+    join+filter+agg stage over the STRING encode inlines the render per
+    reference and can blow Janino's 64 KB method limit (observed on
+    zones_geohash_join; BENCH r8 tail), while the id form stays small."""
     n = 5 * precision
     df = _staged_ladder(df, _spread_steps(lonb), "__gh_lon")
     df = _staged_ladder(df, _spread_steps(latb), "__gh_lat")
@@ -132,9 +136,18 @@ def encode_bits_staged(
         g = F.col("__gh_lon").bitwiseOR(F.shiftleft(F.col("__gh_lat"), 1))
     else:
         g = F.shiftleft(F.col("__gh_lon"), 1).bitwiseOR(F.col("__gh_lat"))
-    df = df.withColumn("__gh_g", g)
+    return df.withColumn(out_col, g).drop("__gh_lon", "__gh_lat")
+
+
+def encode_bits_staged(
+    df: DataFrame, lonb: Column, latb: Column, precision: int, out_col: str
+) -> DataFrame:
+    """Quantized axis bits → base32 cell id via the staged Morton
+    ladders (shared by :func:`geohash_encode` and
+    :func:`geohash_probe_cells`)."""
+    df = interleave_staged(df, lonb, latb, precision, "__gh_g")
     return df.withColumn(out_col, _base32_chars(F.col("__gh_g"), precision)).drop(
-        "__gh_lon", "__gh_lat", "__gh_g"
+        "__gh_g"
     )
 
 
@@ -160,6 +173,66 @@ def geohash_encode(
     lonb = _axis_bits(F.col(lon_col), -180.0, 180.0, (n + 1) // 2)
     latb = _axis_bits(F.col(lat_col), -90.0, 90.0, n // 2)
     return encode_bits_staged(df, lonb, latb, precision, out_col)
+
+
+@register("geohash_cell_id")
+def geohash_cell_id(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    precision: int = 7,
+    out_col: str = "cell_id",
+) -> DataFrame:
+    """Add the int64 Morton cell id (the geohash's integer form: base32
+    is just this id rendered 5 bits/char). Use this as the join/group
+    key whenever the human-readable string isn't needed — 8-byte hash
+    key, and the join stage's generated code stays far from Janino's
+    64 KB method limit (see :func:`interleave_staged`)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    n = 5 * precision
+    lonb = _axis_bits(F.col(lon_col), -180.0, 180.0, (n + 1) // 2)
+    latb = _axis_bits(F.col(lat_col), -90.0, 90.0, n // 2)
+    return interleave_staged(df, lonb, latb, precision, out_col)
+
+
+@register("geohash_probe_cell_ids")
+def geohash_probe_cell_ids(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    precision: int = 7,
+    out_col: str = "cell_id",
+) -> DataFrame:
+    """Explode each point to its 3×3 probe cells as int64 Morton ids —
+    the integer-key twin of :func:`geohash_probe_cells` (same wrap/clamp
+    semantics); pair with :func:`geohash_cell_id` on the build side."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    n = 5 * precision
+    n_lon, n_lat = (n + 1) // 2, n // 2
+    df = df.withColumn(
+        "__gh_lonb0", _axis_bits(F.col(lon_col), -180.0, 180.0, n_lon)
+    ).withColumn("__gh_latb0", _axis_bits(F.col(lat_col), -90.0, 90.0, n_lat))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    df = (
+        df.withColumn("__gh_o", F.explode(offsets))
+        .withColumn(
+            "__gh_lonb",
+            F.pmod(F.col("__gh_lonb0") + F.col("__gh_o.dx"), F.lit(1 << n_lon)),
+        )
+        .withColumn("__gh_latb", F.col("__gh_latb0") + F.col("__gh_o.dy"))
+        .filter(
+            (F.col("__gh_latb") >= 0) & (F.col("__gh_latb") < F.lit(1 << n_lat))
+        )
+    )
+    return interleave_staged(
+        df, F.col("__gh_lonb"), F.col("__gh_latb"), precision, out_col
+    ).drop("__gh_lonb0", "__gh_latb0", "__gh_o", "__gh_lonb", "__gh_latb")
 
 
 @register("geohash_probe_cells")
