@@ -2614,8 +2614,13 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per-event trailing 1-hour mean per sensor —
     a frame keyed on event-time microseconds, not row counts, so irregular
     sampling is handled exactly. Partitioned by sensor: each window sort
-    stays inside one shuffle partition, no global ordering."""
+    stays inside one shuffle partition, no global ordering. The mean is
+    Σ(e6-quantized BIGINT)/count, not AVG(double): a raw double window sum
+    is summation-order-dependent, and on a 30-row hostile frame the two
+    engines landed one 1e-6 quantum apart (seed-2 twin)."""
     from pyspark.sql import Window
+
+    from sensordatapipelines_spark.operators.temporal import quantize_e6
 
     _register_views(spark, sf_dir)
     hour_us = 3_600_000_000
@@ -2624,10 +2629,14 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_last(F.unix_micros(F.col("ts"))))
         .rangeBetween(-hour_us, 0)
     )
+    sum_q = F.sum(quantize_e6(F.col("value"))).over(w)
+    n_val = F.count(F.col("value")).over(w)
     return spark.table("events").select(
         "event_id",
         "user_id",
-        (F.round((F.avg("value").over(w)) * F.lit(1e6)) / F.lit(1e6)).alias("trail_avg_1h"),
+        (F.round(sum_q.cast("double") / n_val.cast("double")) / F.lit(1e6)).alias(
+            "trail_avg_1h"
+        ),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
 
@@ -12041,8 +12050,12 @@ def oracle_sql() -> dict[str, str]:
                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
                 FROM toks
             ),
-            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            -- DISTINCT at (id, shingle): duplicate-id rows MERGE into ONE
+            -- shingle set (the operator contract) — per-row sizes would
+            -- multiply through the joins and hand a duplicate id two
+            -- different |A| denominators (seed-2 twin, doc_id 309)
+            ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -12531,18 +12544,26 @@ def oracle_sql() -> dict[str, str]:
         WITH stepped AS (
             SELECT user_id,
                    CAST(epoch_ns(ts) // 1000000000 AS DOUBLE) AS t,
-                   value AS v,
+                   -- e6-quantized BIGINT value: the integral accumulates
+                   -- exactly (a raw double sum is order-dependent)
+                   CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                        ELSE CAST(ROUND(LEAST(GREATEST(value, -1e10), 1e10)
+                                        * 1e6) AS BIGINT) END AS q,
                    LEAD(CAST(epoch_ns(ts) // 1000000000 AS DOUBLE)) OVER (
                        PARTITION BY user_id
-                       ORDER BY epoch_ns(ts) // 1000000000, event_id) AS nt
+                       ORDER BY epoch_ns(ts) // 1000000000, event_id,
+                                value) AS nt
             FROM events
         )
         SELECT user_id, COUNT(*) AS n_obs,
                ROUND(CASE WHEN MAX(t) > MIN(t)
-                          THEN SUM(CASE WHEN nt IS NOT NULL
-                                        THEN v * (nt - t) END)
+                          THEN CAST(SUM(CASE WHEN nt IS NOT NULL
+                                             THEN CAST(q AS HUGEINT)
+                                                  * CAST(nt - t AS HUGEINT)
+                                        END) AS DOUBLE)
                                / (MAX(t) - MIN(t))
-                          ELSE AVG(v) END, 6) AS twap
+                          ELSE CAST(SUM(q) AS DOUBLE) / COUNT(q) END)
+                   / 1e6 AS twap
         FROM stepped
         GROUP BY user_id
     """
@@ -13107,7 +13128,16 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["events_range_window"] = """
         SELECT event_id, user_id,
-               ROUND(AVG(value) OVER w, 6) AS trail_avg_1h,
+               -- quantized window mean (Σ e6-BIGINT / count): a raw
+               -- double AVG is summation-order-dependent across engines
+               ROUND(CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+                                   THEN NULL
+                                   ELSE CAST(ROUND(LEAST(GREATEST(value,
+                                        -1e10), 1e10) * 1e6) AS BIGINT)
+                              END) OVER w AS DOUBLE)
+                     / COUNT(CASE WHEN value IS NULL OR isnan(value)
+                                  THEN NULL ELSE 1 END) OVER w)
+                   / 1e6 AS trail_avg_1h,
                COUNT(*) OVER w AS n_in_window
         FROM events
         -- integer-microsecond RANGE frame (floor ns->us, pmod form),
@@ -14764,7 +14794,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    list_filter(
                        list(v) OVER (PARTITION BY user_id
-                                     ORDER BY tus, event_id
+                                     ORDER BY tus, event_id, v
                                      ROWS BETWEEN 20 PRECEDING
                                               AND CURRENT ROW),
                        x -> x IS NOT NULL) AS l
@@ -14877,8 +14907,9 @@ def oracle_sql() -> dict[str, str]:
                    AS file_name,
                CAST(16 AS BIGINT) AS n_bytes,
                upper(md5(text)) AS content_hex
-        FROM (SELECT doc_id, text FROM documents
-              ORDER BY doc_id LIMIT {N_BINARY_STAGE})
+        FROM (SELECT doc_id, MAX(text) AS text FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+              GROUP BY doc_id ORDER BY doc_id LIMIT {N_BINARY_STAGE})
     """
     oracles["media_payload_features"] = f"""
         WITH staged AS (

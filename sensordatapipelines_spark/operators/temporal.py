@@ -441,22 +441,41 @@ def time_weighted_average(
     the same aggregation — no self-join, no resample grid. Equal
     timestamps make the lead order ambiguous (a tied row's weight is 0
     except the last of the tie group) — pass ``order_tiebreak`` (a unique
-    column) for full determinism, exactly as ``sessionize`` does."""
+    column) for full determinism, exactly as ``sessionize`` does.
+
+    Determinism: the integral accumulates e6-quantized BIGINT terms in a
+    DECIMAL(38,0) — a raw double Σ v·Δt is summation-order-dependent and
+    on a ~4k-row series the engines landed one 1e-6 quantum apart (seed-2
+    twin). Terms: q·Δt ≤ 1e16·~1e11 s, sum < 1e38 — exact."""
     ts = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
     keep = [F.col(key_col), ts.alias("__t"), F.col(value_col).cast("double").alias("__v")]
     order = [F.col("__t").asc_nulls_last()]
     if order_tiebreak:
         keep.append(F.col(order_tiebreak))
         order.append(F.col(order_tiebreak).asc_nulls_last())
+    # value as the final order key: rows tied on (ts, tiebreak) — e.g.
+    # NULL ts + NULL id — otherwise hand the tie group's single nonzero
+    # Δt to an engine-arbitrary member (seed-2 twin); after this key the
+    # remaining ties are value-identical and the integral is invariant
+    order.append(F.col("__v").asc_nulls_last())
     w = Window.partitionBy(key_col).orderBy(*order)
     stepped = df.select(*keep).withColumn("__nt", F.lead("__t").over(w))
+    q = quantize_e6(F.col("__v")).cast("decimal(20,0)")
+    dt = (F.col("__nt") - F.col("__t")).cast("decimal(12,0)")
+    integral = F.sum(F.when(F.col("__nt").isNotNull(), q * dt))
+    sum_q = F.sum(quantize_e6(F.col("__v")))
+    span = F.max("__t") - F.min("__t")
     return stepped.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_obs"),
-        (F.round((F.when(
-                F.max("__t") > F.min("__t"),
-                F.sum(F.when(F.col("__nt").isNotNull(), F.col("__v") * (F.col("__nt") - F.col("__t"))))
-                / (F.max("__t") - F.min("__t")),
-            ).otherwise(F.avg("__v"))) * F.lit(1e6)) / F.lit(1e6)).alias("twap"),
+        (
+            F.round(
+                F.when(span > 0, integral.cast("double") / span).otherwise(
+                    sum_q.cast("double")
+                    / F.count(quantize_e6(F.col("__v"))).cast("double")
+                )
+            )
+            / F.lit(1e6)
+        ).alias("twap"),
     )
 
 
@@ -598,6 +617,12 @@ def ewma(
     order = [F.unix_micros(F.col(ts_col).cast("timestamp")).asc_nulls_last()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc_nulls_last())
+    # final tiebreak on the VALUE itself: rows tied on (ts, tiebreak) —
+    # e.g. NULL ts + NULL id — would otherwise enter the recurrence in
+    # engine-arbitrary order (observed on the seed-2 twin); after this
+    # key, remaining ties are value-identical and the fold is invariant
+    # to their order
+    order.append(F.col(value_col).cast("double").asc_nulls_last())
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)

@@ -375,7 +375,13 @@ def grouped_zscore(
         # dropna=False: a NULL group key is still a group (SQL window
         # PARTITION BY semantics) — pandas'' default silently drops it
         g = pdf.groupby(keys, sort=False, dropna=False)[value_col]
-        pdf[out_col] = (pdf[value_col] - g.transform("mean")) / g.transform("std")
+        # std == 0 → z undefined (SQL x/0 is NULL; IEEE would give ±inf
+        # when v−mean is a denormal that survived the squared-sum
+        # underflow that zeroed std — observed on a {-0.0, 5e-324} group)
+        std = g.transform("std")
+        pdf[out_col] = (pdf[value_col] - g.transform("mean")) / std.where(
+            std != 0.0
+        )
         return pdf.drop(columns="__bkt")
 
     bkt = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_buckets))

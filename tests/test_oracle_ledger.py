@@ -20,7 +20,17 @@ import pytest
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-LEDGER = "/root/repo/LOCAL_ORACLE_r8.json"
+LEDGER = "/root/repo/LOCAL_ORACLE_r9.json"
+# Adversarial-twin ledgers (tools/adversarial_testdata.py +
+# tools/typed_twin.py variants), one per oracle registration mode:
+# parquet views pin raw-file semantics, pandas views pin the driver
+# model (int64-with-NULL → float64 drift, NaN/NULL collapse, ns-exact
+# scanner) — see tools/check_oracle.py --pandas-views.
+ADV_LEDGERS = (
+    "/root/repo/LOCAL_ORACLE_ADV_r9_std.json",
+    "/root/repo/LOCAL_ORACLE_ADV_r9_pv.json",
+)
+ADV_KEYS = ("sf_adv", "sf_adv2", "sf_adv_dd")
 
 
 def _entry_queries():
@@ -45,7 +55,25 @@ def test_committed_ledger_complete_and_green():
         import __spark_entry__ as e
 
         for name in e.oracle_sql():
+            if results[name]["status"] == "diag":
+                continue  # xfil_* probes: a mismatch IS the measurement
             assert results[name]["value_hash"], f"{sf_key}:{name} has no value hash"
+
+
+def test_committed_adversarial_ledgers_complete_and_green():
+    qnames = set(_entry_queries())
+    for path in ADV_LEDGERS:
+        with open(path) as f:
+            ledger = json.load(f)
+        for key in ADV_KEYS:
+            assert key in ledger, f"{path} missing {key}"
+            results = ledger[key]
+            missing = qnames - set(results)
+            assert not missing, f"{path}:{key}: missing rows: {missing}"
+            failed = {
+                n: r["detail"] for n, r in results.items() if r["status"] == "fail"
+            }
+            assert not failed, f"{path}:{key}: failing rows: {failed}"
 
 
 @pytest.mark.slow

@@ -15,7 +15,14 @@ at two scale factors. tests/test_oracle_ledger.py asserts the committed
 ledger is complete and all-pass, and independently re-runs the full live
 check at sf0.001 so a code change that breaks an oracle fails CI.
 
-Usage: python tools/build_oracle_ledger.py r3 [sf_dir ...]
+Usage: python tools/build_oracle_ledger.py [--pandas-views] [--out PATH] r3 [sf_dir ...]
+
+``--pandas-views`` registers the DuckDB oracle over ``pandas.read_parquet``
+frames instead of ``read_parquet`` views (see tools/check_oracle.py) —
+the registration path the round-9 probe analysis infers for the external
+driver's oracle. The adversarial-twin ledger runs BOTH modes: parquet
+views pin raw-file semantics, pandas views pin the driver model
+(int64-with-NULL → float64 drift, NaN/NULL collapse, ns-exact scanner).
 """
 
 from __future__ import annotations
@@ -31,8 +38,17 @@ from check_oracle import run_checks  # noqa: E402
 
 
 def main() -> int:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r3"
-    sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    pandas_views = False
+    out = None
+    if args and args[0] == "--pandas-views":
+        pandas_views = True
+        args = args[1:]
+    if args and args[0] == "--out":
+        out = args[1]
+        args = args[2:]
+    tag = args[0] if args else "r3"
+    sf_dirs = args[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
     from sensordatapipelines_spark import get_spark
 
@@ -40,14 +56,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     ledger: dict = {"generated_for": tag}
+    if pandas_views:
+        ledger["oracle_mode"] = "pandas-views"
     n_fail = 0
     for sf_dir in sf_dirs:
         key = os.path.basename(sf_dir.rstrip("/"))
         print(f"=== {key} ===", flush=True)
-        results = run_checks(spark, sf_dir, verbose=True)
+        results = run_checks(spark, sf_dir, verbose=True, pandas_views=pandas_views)
         ledger[key] = results
         n_fail += sum(1 for r in results.values() if r["status"] == "fail")
-    out = f"/root/repo/LOCAL_ORACLE_{tag}.json"
+    out = out or f"/root/repo/LOCAL_ORACLE_{tag}.json"
     with open(out, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
     print(f"wrote {out}; {n_fail} failures total")
