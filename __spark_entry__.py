@@ -10959,10 +10959,19 @@ def _minhash_oracle() -> str:
                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
             FROM toks
         ),
-        hs AS (
+        -- duplicate-id rows MERGE into one shingle multiset before the
+        -- signature (the operator contract: Spark's groupBy(id) min runs
+        -- over ALL rows of an id — min over a multiset = min over its
+        -- set); the per-row form handed a duplicate id TWO signatures
+        -- and the banding join matched either (seed-3 twin, doc_id 194)
+        hs0 AS (
             SELECT doc_id,
-                   list_transform(shingles, s -> {_POLY_SQL.format(s="s")}) AS h0
-            FROM sh WHERE len(shingles) > 0
+                   unnest(list_transform(shingles,
+                       s -> {_POLY_SQL.format(s="s")})) AS h
+            FROM sh
+        ),
+        hs AS (
+            SELECT doc_id, list(h) AS h0 FROM hs0 GROUP BY doc_id
         ),
         sig AS (
             SELECT doc_id,

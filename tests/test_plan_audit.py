@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     # distance/ray-cast join broadcasts the small vector/sensor dim side
     "zones_geojson_ingest", "zones_geojson_holes_agg",
     "zones_shapefile_ingest", "zones_gpkg_ingest",
+    # same ray-cast polygon join via the executor-side gpkg reader (the
+    # old audit had captured its degenerate driver-fallback plan)
+    "zones_gpkg_ingest_dist",
     "sensors_zonal_from_grid",
     "sensors_zonal_from_geotiff",
     "sensors_zonal_from_geotiff_deflate",  # same plan as the uncompressed twin
