@@ -37,6 +37,28 @@ TABLES = (
     "embeddings",
 )
 
+# Canonical integer-typed columns per table (TESTDATA.md schemas). A data
+# generation that physically stores one of these as float/double (the
+# classic pandas int64-with-NULL → float64 drift, baked into a file) is a
+# storage accident, not a semantic change: ids and counts are integers.
+# ``load_table`` restores them to LONG at ingestion so grouping keys,
+# membership hashes and rendered outputs are identical no matter which
+# physical type the file shipped with; the DuckDB oracle applies the same
+# TRY_CAST in its normalized CTEs (__spark_entry__._ORACLE_NORM_INT reads
+# this map), keeping both engines on one logical relation.
+INT_COLS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey", "p_size"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id", "n_chars"),
+    "embeddings": ("vec_id", "label"),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; normalizes the events timestamp column and
@@ -87,6 +109,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumns(
             {c: F.when(~F.isnan(F.col(c)), F.col(c)) for c in float_cols}
         )
+    # Integer-identity policy: a canonical int column stored as float
+    # (file-level pandas drift) is cast back to LONG — values are integral
+    # ids/counts < 2^53, so the round-trip is lossless; NaNs were already
+    # normalized to NULL above. No-op (no cast node at all) on files with
+    # the canonical integer physical type.
+    drifted = [
+        c
+        for c in INT_COLS.get(name, ())
+        if dict(df.dtypes).get(c) in ("double", "float")
+    ]
+    if drifted:
+        df = df.withColumns({c: F.col(c).cast("long") for c in drifted})
     return df
 
 
