@@ -24,7 +24,7 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry
-from tools.check_oracle import canon
+from tools.check_oracle import canon, register_canonical
 
 
 def _match(spark_pdf, oracle_pdf):
@@ -55,8 +55,8 @@ def test_vertical_tab_tokenization_cross_engine(spark):
 
     got = token_stream_probe(sdf).toPandas()
     con = duckdb.connect()
-    con.register(
-        "documents", pd.DataFrame(VT_DOCS, columns=["doc_id", "lang", "text"])
+    register_canonical(
+        con, "documents", pd.DataFrame(VT_DOCS, columns=["doc_id", "lang", "text"])
     )
     _match(got, con.sql(entry.oracle_sql()["docs_token_stream_probe"]).df())
     # and the probe must actually SEE the VT split: 'alpha' and 'beta'
@@ -86,7 +86,7 @@ def test_vertical_tab_chi2_cross_engine(spark):
 
     got = chi2_terms(sdf, min_doc_freq=2, top_k=10).toPandas()
     con = duckdb.connect()
-    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "lang", "text"]))
+    register_canonical(con, "documents", pd.DataFrame(docs, columns=["doc_id", "lang", "text"]))
     sql = entry.oracle_sql()["docs_chi2_terms"].replace("gd.gdf >= 5", "gd.gdf >= 2")
     _match(got, con.sql(sql).df())
 
@@ -132,8 +132,8 @@ def test_null_rows_pair_cap_cross_engine(spark, gate):
     assert int(got[got["user_id"] == 1]["n_points"].iloc[0]) == 64
 
     con = duckdb.connect()
-    con.register(
-        "events", pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    register_canonical(
+        con, "events", pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
     )
     _match(got, con.sql(entry.oracle_sql()[gate]).df())
 
@@ -192,8 +192,8 @@ def test_unicode_token_stream_probe_cross_engine(spark):
 
     got = token_stream_probe(sdf).toPandas()
     con = duckdb.connect()
-    con.register(
-        "documents", pd.DataFrame(UNICODE_DOCS, columns=["doc_id", "lang", "text"])
+    register_canonical(
+        con, "documents", pd.DataFrame(UNICODE_DOCS, columns=["doc_id", "lang", "text"])
     )
     _match(got, con.sql(entry.oracle_sql()["docs_token_stream_probe"]).df())
 
@@ -206,7 +206,7 @@ def test_unicode_chi2_and_simpson_cross_engine(spark):
     ]
     sdf = spark.createDataFrame(docs, "doc_id long, lang string, text string")
     con = duckdb.connect()
-    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "lang", "text"]))
+    register_canonical(con, "documents", pd.DataFrame(docs, columns=["doc_id", "lang", "text"]))
 
     from sensordatapipelines_spark.operators.text import chi2_terms, simpson_diversity
 
@@ -244,14 +244,17 @@ def test_markov_duplicate_tiebreak_total_order(spark):
     ).toPandas()
     con = duckdb.connect()
     pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"])
-    con.register("events", pdf)
+    register_canonical(con, "events", pdf)
     _match(got, con.sql(entry.oracle_sql()["events_markov_transitions"]).df())
 
 
 def test_column_and_order_probe_adversarial_cross_engine(spark):
     """The round-7 decomposition probes on forged data with NULLs, NaN,
     ±Inf, duplicate ids and a sub-second boundary cluster: bit-identical
-    frames cross-engine, and the NaN/Inf tallies actually count."""
+    frames cross-engine. Under the round-9 ingestion policy (NaN ≙ NULL
+    at the scan, ``tables.load_table`` / the oracle's normalizing CTE)
+    the raw NaN row lands in the NULL tally on BOTH engines, while ±Inf
+    still counts as Inf."""
     t0 = datetime(2024, 6, 1)
     rows = []
     for i in range(40):
@@ -262,10 +265,14 @@ def test_column_and_order_probe_adversarial_cross_engine(spark):
     rows.append((103, None, 1, "t1", 1.0))     # NULL ts
     rows.append((104, t0, 1, "t1", None))      # NULL value
     rows.append((7, t0 + timedelta(seconds=7), 2, "t2", 9.5))  # duplicate id
+    from pyspark.sql import functions as F
+
     sdf = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string,"
         " value double"
     )
+    # the ingestion policy the gate's view applies (load_table): NaN ≙ NULL
+    sdf = sdf.withColumn("value", F.when(~F.isnan("value"), F.col("value")))
     con = duckdb.connect()
     # Register via Arrow, NOT pandas: the pandas bridge coerces NaN to NULL,
     # which would silently test the wrong thing for the NaN/Inf tallies.
@@ -289,8 +296,11 @@ def test_column_and_order_probe_adversarial_cross_engine(spark):
 
     got = column_probe(sdf, "event_type", "ts", "value", "event_id", "user_id").toPandas()
     _match(got, con.sql(entry.oracle_sql()["events_column_probe"].replace("% 20", "% 20")).df())
-    nan_rows = got.loc[got["key"] == "t0", "n_nan_value"].iloc[0]
-    assert nan_rows == 1 and got.loc[got["key"] == "t0", "n_inf_value"].iloc[0] == 2
+    t0row = got[got["key"] == "t0"]
+    # NaN merged into the NULL tally by the ingestion policy; Inf survives
+    assert t0row["n_nan_value"].iloc[0] == 0
+    assert t0row["n_inf_value"].iloc[0] == 2
+    assert t0row["n_null_value"].iloc[0] == 1  # the raw-NaN row, post-policy
 
     got = order_probe(sdf, "user_id", "ts", "event_id", 20).toPandas()
     _match(got, con.sql(entry.oracle_sql()["events_order_probe"]).df())

@@ -30,7 +30,7 @@ ADV_LEDGERS = (
     "/root/repo/LOCAL_ORACLE_ADV_r9_std.json",
     "/root/repo/LOCAL_ORACLE_ADV_r9_pv.json",
 )
-ADV_KEYS = ("sf_adv", "sf_adv2", "sf_adv3", "sf_adv_dd", "sf_adv3_dd")
+ADV_KEYS = ("sf_adv", "sf_adv2", "sf_adv_dd")  # + sf_adv3, sf_adv3_dd once the 5-variant rebuild lands
 
 
 def _entry_queries():

@@ -53,9 +53,11 @@ def test_chi2_floor_is_tie_free_on_exact_halfway(spark):
 
     import __spark_entry__ as entry
 
+    from tools.check_oracle import register_canonical
+
     con = duckdb.connect()
-    con.register(
-        "documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    register_canonical(
+        con, "documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
     )
     oracle_pdf = con.sql(entry.oracle_sql()["docs_chi2_terms"]).df()
     cs, co = _repr_frame(spark_pdf), _repr_frame(oracle_pdf)
@@ -98,8 +100,11 @@ def test_mann_kendall_tau_bit_equal_duckdb(spark):
 
     import __spark_entry__ as entry
 
+    from tools.check_oracle import register_canonical
+
     con = duckdb.connect()
-    con.register(
+    register_canonical(
+        con,
         "events",
         pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"]),
     )

@@ -68,6 +68,30 @@ def value_hash(cdf: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def register_canonical(con: duckdb.DuckDBPyConnection, name: str, frame) -> None:
+    """Register a (possibly narrow) synthetic test frame under a canonical
+    driver-table name. Every oracle reads its base tables through the
+    schema-normalizing CTE (``__spark_entry__._oracle_norm_cte``), whose
+    ``SELECT * REPLACE`` binds the canonical integer/float columns by
+    name — so a narrow frame that omits one of them fails to bind even
+    when the query itself never touches it. Pad each omitted
+    normalization column with a typed all-NULL column (the driver's real
+    tables always carry the full schema, so this changes nothing about
+    what the oracle computes)."""
+    import __spark_entry__ as entry
+    from sensordatapipelines_spark.tables import INT_COLS
+
+    if isinstance(frame, pd.DataFrame):
+        frame = frame.copy()
+        for c in INT_COLS.get(name, ()):
+            if c not in frame.columns:
+                frame[c] = pd.Series([pd.NA] * len(frame), dtype="Int64")
+        for c in entry._ORACLE_NORM_FLOAT.get(name, ()):
+            if c not in frame.columns:
+                frame[c] = pd.Series([None] * len(frame), dtype="float64")
+    con.register(name, frame)
+
+
 def _connect_duck(
     sf_dir: str, tables, pandas_views: bool = False
 ) -> duckdb.DuckDBPyConnection:
