@@ -788,7 +788,7 @@ def connected_components(
     )
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("label")
+            F.col("dst").alias("node"), F.col("label"), F.lit(None).cast("long").alias("__old")
         )
         jump = (
             labels.alias("a")
@@ -798,23 +798,29 @@ def connected_components(
                 ),
                 F.col("a.label") == F.col("__ln"),
             )
-            .select(F.col("a.node").alias("node"), F.col("__ll").alias("label"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("__ll").alias("label"),
+                F.lit(None).cast("long").alias("__old"),
+            )
         )
+        # The convergence test rides the label fold itself: every node has
+        # exactly one row in ``labels``, tagged with its pre-round label as
+        # ``__old`` (MIN ignores the NULLs on the neigh/jump rows), so
+        # "did anything change" is a filter over the already-checkpointed
+        # result — the former labels⋈new_labels join was one extra keyed
+        # shuffle per round for a boolean.
         new_labels = (
-            labels.union(neigh)
+            labels.select("node", "label", F.col("label").alias("__old"))
+            .union(neigh)
             .union(jump)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        unchanged = new_labels.filter(F.col("label") != F.col("__old")).isEmpty()
+        labels = new_labels.select("node", "label")
+        if unchanged:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

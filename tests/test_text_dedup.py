@@ -243,6 +243,31 @@ def test_connected_components_transitive_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
 
 
+def test_connected_components_fused_convergence_no_column_leak(spark):
+    """r9 optimization: the convergence test rides the label fold (the
+    ``__old`` tag) instead of a per-round labels⋈new_labels join. Pin the
+    observable contract: output schema is exactly (node, component), a
+    long path still reaches the component minimum (pointer jumping works
+    through the fused fold), and max_iter=1 shows the fold's single-round
+    labels (neighbor+jump of the identity labeling) — i.e. the tag never
+    changes what a round computes."""
+    from sensordatapipelines_spark.operators.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    full = connected_components(path)
+    assert full.columns == ["node", "component"]
+    assert {r["component"] for r in full.collect()} == {1}
+    one = {
+        r["node"]: r["component"]
+        for r in connected_components(path, max_iter=1).collect()
+    }
+    # one fused round from identity labels: node n folds min over itself,
+    # its neighbors, and its label's label (still identity) -> n-1 (n>1)
+    assert one[1] == 1 and one[2] == 1 and one[5] == 4 and one[12] == 11
+
+
 def test_tfidf_topk_ranks_rare_terms_higher(spark):
     """A term unique to one doc outranks a corpus-wide term at equal tf;
     k bounds rows per doc; ties break deterministically."""
