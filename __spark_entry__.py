@@ -2794,15 +2794,19 @@ def _stage_xml(spark: SparkSession, sf_dir: str) -> str:
 def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML source/sink round-trip via Spark 4's BUILT-IN XML data source
     (no spark-xml package): events written row-tagged XML, read back with
-    schema inference, aggregated. Oracle: the same aggregate over the
-    original table — the round-trip must be lossless. The XML scan
+    the writer's own schema, aggregated. Oracle: the same aggregate over
+    the original table — the round-trip must be lossless. The XML scan
     parallelizes by file like any text source; staging is memoized and
-    untimed (the query measures the XML parse + aggregate)."""
+    untimed (the query measures the XML parse + aggregate). The read
+    pins the exact schema the staging writer produced (guide §1/§6:
+    schema inference is a FULL extra pass over the corpus before the
+    real scan — a self-round-trip knows its types)."""
     _register_views(spark, sf_dir)
     stage = _stage_xml(spark, sf_dir)
     back = (
         spark.read.format("xml")
         .option("rowTag", "event")
+        .schema("event_id long, user_id long, event_type string, value double")
         .load(f"{stage}/events_xml")
     )
     return back.groupBy("event_type").agg(

@@ -170,7 +170,11 @@ def cooccurrence_edges(
     (a bucket that half the corpus touches carries no signal) — the
     explode fan-out is the square of the WIDEST bucket, which AQE splits
     but cannot shrink."""
-    occ = df.select(F.col(actor_col).alias("__a"), *bucket_cols).distinct()
+    # No pre-``distinct()``: ``collect_set`` already dedups actors within
+    # each bucket, so the (actor, bucket) distinct was a second full
+    # exchange buying nothing (guide §2.4 — the set semantics are
+    # identical, one keyed shuffle instead of two).
+    occ = df.select(F.col(actor_col).alias("__a"), *bucket_cols)
     lists = occ.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_set("__a")).alias("__xs")
     )
@@ -481,10 +485,19 @@ def jaccard_link_pred(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= int(min_common))
     )
-    canon = edges.select(
-        F.least(F.col(src_col), F.col(dst_col)).alias("x"),
-        F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
-    ).distinct()
+    # Canonical existing-edge pairs derive from the CHECKPOINTED sym, not
+    # the raw ``edges`` frame: least/greatest collapses both orientations
+    # to the same canonical pair, so the set is identical — but reading it
+    # off sym means an expensive upstream edge builder (the co-occurrence
+    # explode) runs once per query instead of twice (guide §2.4: remove
+    # recomputed subtrees before removing shuffles).
+    # No ``.distinct()`` on canon: it feeds a LEFT ANTI join, where right-
+    # side duplicates cannot change the result — the dedup was a full
+    # exchange + aggregate spent on nothing (guide §2.4).
+    canon = sym.select(
+        F.least(F.col("s"), F.col("d")).alias("x"),
+        F.greatest(F.col("s"), F.col("d")).alias("y"),
+    )
     newp = common.join(canon, ["x", "y"], "left_anti")
     scored = (
         newp.join(deg.withColumnRenamed("s", "x").withColumnRenamed("deg", "dx"), "x")

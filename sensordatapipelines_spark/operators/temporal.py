@@ -1540,8 +1540,27 @@ def _ordered_pairs(
             F.col(value_col).cast("double").alias("v"),
         ).alias("__p"),
     )
-    lists = pts.groupBy(group_col).agg(
-        F.slice(F.sort_array(F.collect_list("__p")), 1, int(max_points)).alias("__xs")
+    # Pin the keyed exchange feeding the list-collect (the ``spread_by``
+    # pattern, placed ABOVE the aggregate): the packed per-group lists
+    # are BYTE-small (≈1.2 KB/group), so AQE coalesces an
+    # EnsureRequirements agg exchange to one partition — and the
+    # quadratic pair Generate, slope math and median sort downstream all
+    # serialize onto one core (measured: a 6 s single-task stage at
+    # sf0.1; ~0.2 s/task spread). A REPARTITION_BY_NUM exchange is
+    # exempt from AQE coalescing and satisfies the aggregate's
+    # distribution, so the whole CPU-bound chain keeps full parallelism
+    # with NO extra shuffle. (A repartition placed after the aggregate is
+    # pruned as redundant by the planner — same key, same count — which
+    # re-exposes the coalesce; above the aggregate it IS the exchange.)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    lists = (
+        pts.repartition(n_part, F.col(group_col))
+        .groupBy(group_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("__p")), 1, int(max_points)
+            ).alias("__xs")
+        )
     )
     combos = lists.select(
         F.col(group_col),
@@ -1585,12 +1604,52 @@ def theil_sen_trend(
         "__slope",
         F.col("__dv") * F.lit(3600.0) / F.col("__dts").cast("double"),
     )
+    # Median of slopes via a codegen window sort + conditional aggregate
+    # instead of the interpreted ``percentile()`` ObjectHashAggregate
+    # (guide §1.2 step 2: the typed-buffer aggregate was 5.3 s of this
+    # query's 9.4 s at sf0.1 — the sort/row_number path runs in whole-
+    # stage codegen on the SAME already-keyed partitioning, no new
+    # exchange). Selection replays percentile's exact arithmetic:
+    # position = 0.5·(n−1), lower = ⌊position⌋, higher = ⌈position⌉
+    # (1-based ranks below), result = v_lo when the position is integral
+    # else 0.5·v_lo + 0.5·v_hi — the identical IEEE operations, verified
+    # bit-exact against ``percentile`` on ±0.0 / ±Inf / denormal / 1e308
+    # fixtures. The ``1/v`` secondary sort key pins −0.0 before +0.0 so
+    # the vlo==vhi tie branch (only reachable for a mixed ±0.0 middle
+    # pair, where interpolating would flip the sign bit) deterministically
+    # returns the −0.0 percentile() emits.
+    wsort = Window.partitionBy(group_col).orderBy(
+        F.col("__slope").asc(),
+        F.when(F.col("__slope") == 0.0, F.lit(1.0) / F.col("__slope"))
+        .otherwise(F.lit(0.0))
+        .asc(),
+    )
+    wcnt = Window.partitionBy(group_col)
+    ranked = (
+        slopes.select(group_col, "__m", "__slope")
+        .withColumn("__rn", F.row_number().over(wsort))
+        .withColumn("__n", F.count(F.lit(1)).over(wcnt))
+    )
+    lo_rk = F.expr("((__n - 1) div 2) + 1")
+    hi_rk = F.expr("(__n div 2) + 1")
+    mid = ranked.filter((F.col("__rn") == lo_rk) | (F.col("__rn") == hi_rk))
+    agg = mid.groupBy(group_col).agg(
+        F.max("__m").alias("n_points"),
+        F.max("__n").alias("n_pairs"),
+        F.max(F.when(F.col("__rn") == lo_rk, F.col("__slope"))).alias("__vlo"),
+        F.max(F.when(F.col("__rn") == hi_rk, F.col("__slope"))).alias("__vhi"),
+    )
+    med = (
+        F.when(F.col("n_pairs") % 2 == 1, F.col("__vlo"))
+        .when(F.col("__vlo") == F.col("__vhi"), F.col("__vlo"))
+        .otherwise(F.lit(0.5) * F.col("__vlo") + F.lit(0.5) * F.col("__vhi"))
+    )
     return (
-        slopes.groupBy(group_col)
-        .agg(
-            F.max("__m").alias("n_points"),
-            F.count(F.lit(1)).alias("n_pairs"),
-            (F.round((F.expr("percentile(__slope, 0.5)")) * F.lit(1e6)) / F.lit(1e6)).alias("slope_per_hour"),
+        agg.select(
+            group_col,
+            "n_points",
+            "n_pairs",
+            (F.round(med * F.lit(1e6)) / F.lit(1e6)).alias("slope_per_hour"),
         )
         .filter(F.col("n_points") >= F.lit(int(min_points)))
     )
@@ -1810,27 +1869,37 @@ def quantize_e6(col: Column) -> Column:
     )
 
 
-def _exact_median_x2(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+def _exact_median_x2(
+    df: DataFrame, key: str, val: str, out: str, n_out: str | None = None
+) -> DataFrame:
     """Per-key EXACT 2·median of an integer column as a BIGINT: the sum
     of the two middle order statistics (ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉,
     both equal to the middle for odd n, in which case the middle value
     doubles). No float ever touches the computation — the interpolation
     freedom that made percentile/quantile_cont diverge at >2^53
     magnitudes is gone by construction. One keyed window + one keyed
-    aggregate."""
+    aggregate. ``n_out`` optionally emits the per-key row count from the
+    same pass (it is already on every ranked row), sparing callers a
+    separate count aggregate over the input."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(F.col(val).asc_nulls_last())
     ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(key))
     )
-    lo = ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
-    hi = ranked.filter(F.col("__rn") == F.expr("(__n + 2) div 2"))
-    return (
-        lo.select(key, F.col(val).alias("__lo"))
-        .join(hi.select(key, F.col(val).alias("__hi")), key)
-        .select(key, (F.col("__lo") + F.col("__hi")).alias(out))
-    )
+    # One conditional aggregate instead of a lo⋈hi self-join (guide §2.4:
+    # two filters + an equi-join re-shuffled the ranked rows twice; the
+    # middle rows are already co-located by the window partitioning).
+    # Odd n: lo-rank == hi-rank — the single middle row doubles; even n:
+    # the two distinct middle rows sum. Identical BIGINT by construction.
+    lo_rk = F.expr("(__n + 1) div 2")
+    hi_rk = F.expr("(__n + 2) div 2")
+    mid = ranked.filter((F.col("__rn") == lo_rk) | (F.col("__rn") == hi_rk))
+    doubled = F.when(lo_rk == hi_rk, F.col(val) * F.lit(2)).otherwise(F.col(val))
+    aggs = [F.sum(doubled).alias(out)]
+    if n_out is not None:
+        aggs.append(F.max("__n").alias(n_out))
+    return mid.groupBy(key).agg(*aggs)
 
 
 @register("mad_anomaly")
@@ -1857,9 +1926,10 @@ def mad_anomaly(
     base = df.select(
         F.col(key_col).alias("__k"), quantize_e6(F.col(value_col)).alias("__v6")
     ).filter(F.col("__v6").isNotNull())
-    med = _exact_median_x2(base, "__k", "__v6", "med2")
-    nrows = base.groupBy("__k").agg(F.count(F.lit(1)).alias("n_rows"))
-    dev = base.join(med, "__k").withColumn(
+    # n_rows rides the median pass (it is on every ranked row already) —
+    # one fewer full scan+aggregate of the fact input (guide §2.4).
+    med = _exact_median_x2(base, "__k", "__v6", "med2", n_out="n_rows")
+    dev = base.join(med.select("__k", "med2"), "__k").withColumn(
         "__dev2", F.abs(F.col("__v6") * F.lit(2) - F.col("med2"))
     )
     mad = _exact_median_x2(dev, "__k", "__dev2", "mad4")
@@ -1877,7 +1947,6 @@ def mad_anomaly(
     )
     return (
         med.join(mad, "__k")
-        .join(nrows, "__k")
         .join(flagged, "__k")
         .select(
             F.col("__k").alias(key_col),
