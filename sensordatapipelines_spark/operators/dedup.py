@@ -1169,7 +1169,16 @@ def incremental_neardedup(
         .select(F.col("__bid").alias("__loser"))
         .distinct()
     )
-    all_losers = losers_bb if losers is None else losers.unionByName(losers_bb).distinct()
+    # The loser id-set is consumed by BOTH outputs (survivors anti-join
+    # and the state's surviving-signature anti-join), and callers run
+    # those as separate actions (the foreachBatch handler writes
+    # survivors then state; the batch gate materializes day-1 state for
+    # day 2). Without a cache the entire banded-join cascade re-executes
+    # per consumer; the set itself is only ids (guide §2.4 — remove
+    # recomputed subtrees). Tiny, so MEMORY_ONLY semantics via cache().
+    all_losers = (
+        losers_bb if losers is None else losers.unionByName(losers_bb).distinct()
+    ).cache()
     survivors = batch.join(
         all_losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
     )

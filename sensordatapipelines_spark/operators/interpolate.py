@@ -468,6 +468,13 @@ KRIGING3_DET_SQL = {
 }
 
 
+#: Grid-cell size for kriging_exact3's ring candidate generation. The
+#: gate lattice is 64×64 with ~3-4 samples per lattice point, so a 4-cell
+#: ring (≥3 candidates within γ < 16) certifies virtually every target;
+#: uncertified targets take the exact BNLJ fallback.
+_K3_CELL = 4
+
+
 @register("kriging_exact3")
 def kriging_exact3(
     samples: DataFrame,
@@ -491,9 +498,20 @@ def kriging_exact3(
     Σ D_i·zc_i)`` with the sign normalized so ``den > 0``; the exact
     prediction is ``pred_num / den`` cents.
 
-    Scale shape: broadcast the (small) target set, inequality BNLJ for
-    candidate distances, one keyed window for the 3-NN stencil, then a
-    map-side pivot — no all-pairs shuffle on the sample side."""
+    Scale shape: candidate generation is a ±1 grid-cell ring EQUI-join
+    (cell size ``_K3_CELL``) — each target sees only samples in its 3×3
+    cell neighborhood instead of the full inequality-BNLJ cross product
+    (guide §3: the all-pairs BNLJ emitted |samples|·|targets| rows; the
+    ring emits the local density only). Correctness is PROVEN per
+    target, not assumed: any sample outside the ring is at Chebyshev
+    distance ≥ ``_K3_CELL``, hence γ ≥ ``_K3_CELL²``, so when a target
+    finds 3 ring candidates with γ strictly below ``_K3_CELL²`` its
+    top-3 by (γ, kid) provably equals the global top-3 (no outside
+    sample can tie into the top-3, tiebreaks included). Targets without
+    that certificate — sparse rings, NULL coordinates — fall back to
+    the exact BNLJ, restricted to just those targets. One keyed window
+    for the 3-NN stencil, then a map-side pivot — no all-pairs shuffle
+    on the sample side."""
     t = targets.select(
         F.col("sensor_id").alias("tid"),
         F.col("qx").alias("tx"),
@@ -504,15 +522,47 @@ def kriging_exact3(
     )
     from pyspark.sql import Window
 
-    pairs = k.join(
-        F.broadcast(t), F.col("kid") != F.col("tid"), "inner"
-    ).withColumn(
-        "g",
-        (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
-        + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty")),
-    )
     w = Window.partitionBy("tid").orderBy(F.asc_nulls_last("g"), F.asc_nulls_last("kid"))
-    nn = pairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    gexpr = (
+        (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
+        + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty"))
+    )
+    cell = _K3_CELL
+    tcells = t.select(
+        "tid", "tx", "ty",
+        F.explode(
+            F.array(*[F.lit(i) for i in (-1, 0, 1)])
+        ).alias("__dx"),
+    ).select(
+        "tid", "tx", "ty", "__dx",
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("__dy"),
+    ).select(
+        "tid", "tx", "ty",
+        (F.floor(F.col("tx") / cell) + F.col("__dx")).alias("__cx"),
+        (F.floor(F.col("ty") / cell) + F.col("__dy")).alias("__cy"),
+    )
+    ring = k.withColumn("__cx", F.floor(F.col("qx") / cell)).withColumn(
+        "__cy", F.floor(F.col("qy") / cell)
+    ).join(F.broadcast(tcells), ["__cx", "__cy"]).filter(
+        F.col("kid") != F.col("tid")
+    ).withColumn("g", gexpr)
+    ring_nn = ring.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    # Certificate: 3 candidates with γ < cell² ⇒ the ring top-3 is the
+    # global top-3 (outside samples all have γ ≥ cell²).
+    cert = ring_nn.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("__n3"), F.max("g").alias("__gmax")
+    ).filter(
+        (F.col("__n3") == 3) & (F.col("__gmax") < F.lit(int(cell * cell)))
+    ).select("tid")
+    nn_fast = ring_nn.join(F.broadcast(cert), "tid", "left_semi").drop(
+        "__cx", "__cy"
+    )
+    t_slow = t.join(F.broadcast(cert), "tid", "left_anti")
+    pairs_slow = k.join(
+        F.broadcast(t_slow), F.col("kid") != F.col("tid"), "inner"
+    ).withColumn("g", gexpr)
+    nn_slow = pairs_slow.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    nn = nn_fast.unionByName(nn_slow)
     piv = nn.groupBy("tid").agg(
         *[
             F.max(F.when(F.col("rn") == i, F.col(c))).alias(f"{c}{i}")
