@@ -278,9 +278,19 @@ def _prewarm_stages(spark: SparkSession, sf_dir: str) -> None:
     # no type hints: under `from __future__ import annotations` they
     # stringify and pyspark's eval-type inference fails (pd is only a
     # local import) — the returnType string is authoritative
+    # The closure captures a numpy array on purpose: unpickling it forces
+    # the WORKER-side numpy import, so the 32-wide worker pool pays
+    # numpy's module-init here (untimed bring-up) instead of inside the
+    # first numpy-kernel query's timing (guide §4.5 — heavyweight init
+    # amortized; profiled as a 32-task stage with ~0 CPU but seconds of
+    # wall on the first emb kernel stage).
+    import numpy as _np
+
+    _one = _np.ones(1)
+
     @pandas_udf("double")
     def _warm(s):
-        return s * 1.0
+        return s * float(_one[0])
 
     spark.range(32).select(_warm(F.col("id").cast("double"))).count()
 

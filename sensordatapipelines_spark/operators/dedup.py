@@ -774,9 +774,17 @@ def connected_components(
     1000 executors the same loop runs unchanged — state is only ever
     (node, label) pairs partitioned by node.
     """
+    # Materialize the edge list BEFORE symmetrizing: the union's two
+    # column-swapped branches are not recognized as a shared subtree, so
+    # an expensive upstream edge builder (the minhash banded-join
+    # cascade for the dup gates) would execute twice inside the one sym
+    # checkpoint job (guide §2.4 — measured as two back-to-back
+    # identical signature stages in the dup_components profile).
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )

@@ -62,7 +62,13 @@ def pagerank(
     edge list, which guarantees deg ≥ 1 for every node — no dangling-mass
     redistribution needed (documented constraint; pass directed edges only
     if every node has an out-edge)."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Materialize the directed edge list before symmetrizing — the
+    # union's column-swapped branches would otherwise run the upstream
+    # edge builder (jaccard_pairs' banded cascade) twice inside the one
+    # checkpoint job (guide §2.4; same fix as connected_components).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     if undirected:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint()
@@ -352,11 +358,15 @@ def kcore(
     and oracle-replayable — each round is one keyed degree aggregate +
     one semi-join filter, ``localCheckpoint`` truncates the loop
     lineage so the plan never grows superlinearly."""
-    sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .unionAll(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .localCheckpoint()
-    )
+    # Materialize edges before symmetrizing (guide §2.4): the unionAll's
+    # column-swapped branches re-run the upstream builder (the
+    # co-occurrence explode for the events gate) twice otherwise.
+    e0 = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint()
+    sym = e0.unionAll(
+        e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
     for _ in range(int(rounds)):
         alive = (
             sym.groupBy("s")
@@ -400,9 +410,13 @@ def bfs_depths(
     ``localCheckpoint`` truncates lineage per round. Frontier size is
     the skew knob: a dense graph saturates (frontier → whole component)
     within a few hops, after which anti-joins shrink the work to zero."""
+    # Materialize edges before symmetrizing (guide §2.4): the union's
+    # column-swapped branches re-run the upstream builder twice otherwise.
+    e0 = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint()
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint()
     )
