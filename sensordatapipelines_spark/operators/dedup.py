@@ -1317,9 +1317,15 @@ def substring_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # The tokenized frame feeds FOUR consumers (gram hashing, the token
+    # table, totals) and the hashed gram table feeds TWO (winner fold +
+    # loser join) — uncached, tokenization ran 4× and the xxhash64 gram
+    # transform 2× in one action (guide §2.4 / §5: cache only what is
+    # reused AND expensive to recompute; both frames are narrow).
+    toks = toks.cache()
     grams = toks.select(
         "__id", F.posexplode(gram_hashes).alias("__start", "__g")
-    )
+    ).cache()
     winners = grams.groupBy("__g").agg(
         F.min(F.struct("__id", "__start")).alias("__w"),
         F.count(F.lit(1)).alias("__n"),
