@@ -1880,7 +1880,14 @@ def bpe_learn_merges(
         merges.append((rank, a, b, tot))
         pat, rep = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
         merged = F.replace(F.col("repr"), pat, rep)
-        words = words.select(merged.alias("repr"), "cnt").localCheckpoint()
+        # STACK the replace expression instead of checkpointing per round:
+        # the frame is vocab-sized, so round k re-evaluating k string
+        # replaces over the ONE checkpointed base histogram is trivia —
+        # while a per-round localCheckpoint was a whole extra job (plus a
+        # stored copy of the vocab) per merge, n_merges times per query
+        # (guide §1.2: per-round job count is the cost driver on
+        # control-plane-sized loops).
+        words = words.select(merged.alias("repr"), "cnt")
     return spark.createDataFrame(
         [(r, a, b, t, a + b) for r, a, b, t in merges],
         "rank int, left string, right string, pair_count bigint, token string",
