@@ -1720,7 +1720,14 @@ def naive_bayes_classify(
         F.explode(toks).alias("__tok"),
     )
     # training counts: c_st per (class, token), N_s per class, vocab size V
-    ct = stream.groupBy("__true", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # ct is vocabulary×class-sized (scale-safe to hold) and is consumed
+    # by the EAGER v_size count below as well as by the final plan —
+    # cross-ACTION reuse that ReuseExchange cannot provide (it dedups
+    # identical subtrees within one plan only), so without the cache the
+    # corpus tokenize+explode+count ran once for the count and again for
+    # the query (guide §5: cache what is reused across actions). The
+    # v_size count doubles as the cache materialization.
+    ct = stream.groupBy("__true", "__tok").agg(F.count(F.lit(1)).alias("__c")).cache()
     totals = ct.groupBy("__true").agg(F.sum("__c").alias("__ns"))
     v_size = ct.select("__tok").distinct().count()
     priors = df.groupBy(F.col(class_col).alias("__cls")).agg(
