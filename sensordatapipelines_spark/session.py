@@ -61,9 +61,14 @@ DEFAULT_CONF: dict[str, str] = {
     # behind a checkpoint-heavy stretch ran 3-7x their solo time —
     # events_hll_mergeable 1.99 s -> 0.27 s, emb_quantize_roundtrip
     # 4.34 s -> 0.84 s — with a 90 s cleaner cadence; sweep total
-    # 362 s -> 349 s). Env-overridable for A/B measurement.
+    # 362 s -> 349 s). A second order-controlled A/B over the 18 heaviest
+    # checkpoint/cache queries measured 30 s strictly better again
+    # (74.9 s and 89.6 s vs 109.0 s at 90 s): the heavy stretch
+    # accumulates dead blocks faster than a 90 s window reclaims, and a
+    # periodic GC of a mostly-dead heap is cheap. Env-overridable for
+    # A/B measurement.
     "spark.cleaner.periodicGC.interval": os.environ.get(
-        "SPARK_GRAFT_PERIODIC_GC", "90s"
+        "SPARK_GRAFT_PERIODIC_GC", "30s"
     ),
 }
 
