@@ -1178,20 +1178,44 @@ def bm25_topk(
     """
     terms = list(query_terms)
     toks = tokens_expr(lower_ascii_expr(F.col(text_col)))
-    dl = F.size(toks).cast("double")
+    # One HOF fold computes doc length AND every per-term tf in a single
+    # traversal that evaluates the tokenizer argument ONCE; the explode of
+    # a 1-element array is a Generate barrier project-collapse cannot
+    # cross, so downstream references read the materialized fold instead
+    # of re-inlining it. Before, the tokenize regex ran ~4x per row per
+    # pass (dl + one filter/array_contains per term — HOF arguments are
+    # not common-subexpression-eliminated). Integers are identical by
+    # construction (tf = occurrence count, dl = size, df = tf > 0), and
+    # every float expression below is operand-for-operand the original,
+    # so scores are bit-identical.
+    acc = F.aggregate(
+        toks,
+        F.array(*[F.lit(0) for _ in range(len(terms) + 1)]),
+        lambda a, x: F.array(
+            a[0] + F.lit(1),
+            *[
+                a[i + 1] + F.when(x == F.lit(t), F.lit(1)).otherwise(F.lit(0))
+                for i, t in enumerate(terms)
+            ],
+        ),
+    )
+    dl = F.col("__acc")[0].cast("double")
+    stat_base = df.select(F.explode(F.array(acc)).alias("__acc"))
     stat_aggs = [
         F.count(F.lit(1)).cast("double").alias("__N"),
         F.avg(dl).alias("__avgdl"),
     ]
     for i, t in enumerate(terms):
         stat_aggs.append(
-            F.sum(F.array_contains(toks, t).cast("int")).cast("double").alias(f"__df_{i}")
+            F.sum((F.col("__acc")[i + 1] > 0).cast("int")).cast("double").alias(f"__df_{i}")
         )
-    stats = df.agg(*stat_aggs)
-    scored = df.crossJoin(F.broadcast(stats))
+    stats = stat_base.agg(*stat_aggs)
+    scored = df.select(
+        F.col(id_col), F.explode(F.array(acc)).alias("__acc")
+    ).crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i, t in enumerate(terms):
-        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        tf = F.col("__acc")[i + 1].cast("double")
         idf = F.log(
             F.lit(1.0)
             + (F.col("__N") - F.col(f"__df_{i}") + F.lit(0.5))
