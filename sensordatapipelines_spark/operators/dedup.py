@@ -576,6 +576,14 @@ def setsim_join(
             F.explode(tokens_expr(lower_ascii_expr(F.col(text_col)))).alias("__tok"),
         )
         .distinct()
+        # Materialize the distinct (doc, token) table once: five consumers
+        # (sizes, tok_df, ordered, and both verify-join sides) re-derived
+        # the tokenize+explode+distinct pipeline — the plan carried 20
+        # scans of the corpus and the post-exchange distinct aggregate ran
+        # per consumer (runtime exchange reuse covers only the shuffle
+        # write, not the operators above it). Same materialize-once
+        # contract as substring_dedup's token cache (guide §2.4/§5).
+        .localCheckpoint()
     )
     sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     tok_df = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))

@@ -450,6 +450,14 @@ def market_basket_pairs(
         )
         .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
         .distinct()
+        # Materialize the distinct (basket, item) table once: it feeds the
+        # EAGER n_baskets count (a separate action ReuseExchange cannot
+        # bridge) plus three main-plan consumers (supp ×2 broadcast sides,
+        # lists) whose subtrees are not byte-identical — without the cut
+        # the source scan + distinct aggregate ran 4× per query
+        # (guide §2.4/§5). Storage is O(distinct pairs), the same
+        # contract as the graph-loop checkpoints.
+        .localCheckpoint()
     )
     n_baskets = items.select("__b").distinct().count()
     supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
@@ -459,7 +467,16 @@ def market_basket_pairs(
     # the item stream twice; A/B-measured equal-output and faster, and
     # the per-basket state is the basket width (same contract as any
     # collect_set). Skewed mega-baskets would cap via a width filter.
-    lists = items.groupBy("__b").agg(
+    # Pin the basket-list aggregate's exchange to a user-numbered
+    # repartition (AQE-exempt): the per-basket lists are tiny, so AQE
+    # coalesced the aggregate's exchange to a handful of partitions and
+    # the width²/2 pair EXPLODE above it (the expensive stage) inherited
+    # that serialization — the theil_sen `_ordered_pairs` lesson
+    # (guide §2.5: parallelism for the amplified stage, not its input).
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    lists = items.repartition(n_part, "__b").groupBy("__b").agg(
         F.sort_array(F.collect_set("__i")).alias("__xs")
     )
     combos = lists.select(
