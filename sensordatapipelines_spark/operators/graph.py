@@ -79,7 +79,19 @@ def pagerank(
     ranks = nodes.select(
         "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
     )
-    for _ in range(iters):
+    # No per-round localCheckpoint: ranks_t is consumed exactly ONCE per
+    # round (inside contribs), so the lineage is LINEAR — no subtree
+    # duplication to cut, and the plan depth is bounded by ``iters``.
+    # Each checkpoint was a full blocking JOB (profiled: the query is
+    # latency-bound, ~0.8 s of 32-core CPU inside ~6 s of wall — the wall
+    # is sequential job turnarounds); folding all rounds into the single
+    # final action removes ``iters`` jobs outright. Contrast ``kcore``,
+    # whose per-round state feeds TWO consumers and must stay
+    # materialized (guide §1.2 per-round job count; §3.3 plan growth is
+    # the thing to watch, and it is linear here). Loops with caller-sized
+    # ``iters`` stay bounded: checkpoint every 8th round to cap plan
+    # depth without paying a job per round.
+    for it in range(iters):
         contribs = (
             e.join(
                 ranks.select(
@@ -91,18 +103,16 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                "__deg",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            "__deg",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if it % 8 == 7 and it != iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
 
 
