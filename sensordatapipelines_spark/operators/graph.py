@@ -448,7 +448,13 @@ def bfs_depths(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # No checkpoint on visited: it is a pure UNION of frames that are
+        # each already checkpointed (seeds + every nxt), so re-consuming
+        # it costs RDD scans only — the per-round visited checkpoint was
+        # a third blocking job per round storing a cumulatively growing
+        # O(depth·nodes) copy for nothing (guide §1.2 per-round job
+        # count; plan growth is linear in depth).
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         F.col("node"), F.col("depth").cast("long").alias("depth")
