@@ -6650,7 +6650,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return random_projection(
-        _emb(spark), out_dim=RP_OUT_DIM, seed=RP_SEED
+        _emb(spark), out_dim=RP_OUT_DIM, seed=RP_SEED, dim=ANN_DIM
     )
 
 

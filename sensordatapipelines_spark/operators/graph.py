@@ -73,8 +73,17 @@ def pagerank(
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    nodes = deg.select(F.col("src").alias("node"), "__deg").localCheckpoint()
-    n_nodes = nodes.count()
+    # The node count rides the checkpoint job as an observed metric —
+    # the separate count() action was one whole extra job for a scalar.
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    nodes = (
+        deg.select(F.col("src").alias("node"), "__deg")
+        .observe(_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_nodes = int(_obs.get["n"])
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select(
         "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
@@ -438,15 +447,23 @@ def bfs_depths(
     )
     frontier = visited
     for d in range(1, int(max_depth) + 1):
+        # The empty-frontier test rides the checkpoint job as an observed
+        # metric (same fix as connected_components' convergence test):
+        # ``isEmpty`` was a take() costing up to 4 extra jobs exactly on
+        # the terminating round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier.node == sym.s)
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if not obs.get["n"]:
             break
         # No checkpoint on visited: it is a pure UNION of frames that are
         # each already checkpointed (seeds + every nxt), so re-consuming

@@ -92,20 +92,38 @@ def frequent_sequences(
             lambda s: s["__it"],
         ).alias("__xs")
     )
-    outs = []
+    # ONE traversal for every length: tag each per-length distinct
+    # candidate array with its length and explode the concatenation —
+    # the per-actor window + collect_list pipeline and the support
+    # aggregate's exchange run once instead of once per length (the
+    # union-of-branches form re-evaluated the list build per branch;
+    # guide §2.4). Per-length ``array_distinct`` BEFORE the concat keeps
+    # the original per-length support semantics bit-identically, and the
+    # size guard (empty array when the list is shorter than the pattern)
+    # replays the old ``size >= length`` row filter — ``explode`` drops
+    # empty arrays.
+    def _tag(L: int):
+        # single-arg lambda on purpose: a two-parameter function makes
+        # ``transform`` pass the ELEMENT INDEX as the second argument,
+        # silently overriding a default-bound length
+        return lambda s: F.struct(s.alias("seq"), F.lit(L).alias("len"))
+
+    tagged = []
     for length in lengths:
-        subs = lists.filter(F.size("__xs") >= length).select(
-            "__a",
-            F.explode(
-                F.array_distinct(F.expr(_subseq_expr("__xs", length, sep)))
-            ).alias("seq"),
+        arr = F.array_distinct(
+            F.when(
+                F.size("__xs") >= length,
+                F.expr(_subseq_expr("__xs", length, sep)),
+            ).otherwise(F.array().cast("array<string>"))
         )
-        outs.append(
-            subs.groupBy("seq")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .select("seq", F.lit(length).alias("seq_len"), "support")
-        )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result.filter(F.col("support") >= F.lit(int(min_support)))
+        tagged.append(F.transform(arr, _tag(length)))
+    combined = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
+    subs = lists.select(F.explode(combined).alias("__p")).select(
+        F.col("__p.seq").alias("seq"), F.col("__p.len").alias("seq_len")
+    )
+    return (
+        subs.groupBy("seq", "seq_len")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select("seq", "seq_len", "support")
+        .filter(F.col("support") >= F.lit(int(min_support)))
+    )

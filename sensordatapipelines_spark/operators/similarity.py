@@ -695,6 +695,7 @@ def random_projection(
     vec_col: str = "embedding",
     out_dim: int = 16,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a deterministic
     ±1 sign matrix (Achlioptas 2003's database-friendly projection): each
@@ -709,7 +710,15 @@ def random_projection(
     and both engines fold left-to-right, so results are bit-identical;
     outputs round to 6 decimals. Output columns ``p00..pNN`` (flat, not
     an array, so oracle comparison is per-column)."""
-    signs = _rp_signs_for(df, vec_col, out_dim, seed)
+    # ``dim`` given by the caller skips the one-row probe ACTION (an
+    # extra job per run just to read the vector width); the probe stays
+    # as the ad-hoc-frame fallback. The sign matrix is identical either
+    # way — dim only sizes it.
+    signs = (
+        _rp_signs(int(dim), out_dim, seed)
+        if dim
+        else _rp_signs_for(df, vec_col, out_dim, seed)
+    )
     v = F.col(vec_col)
     scale = float(out_dim) ** 0.5
     cols = {}
