@@ -1200,7 +1200,15 @@ def bm25_topk(
         ),
     )
     dl = F.col("__acc")[0].cast("double")
-    stat_base = df.select(F.explode(F.array(acc)).alias("__acc"))
+    # Materialize the per-doc fold ONCE: the stats aggregate and the
+    # scoring pass are two consumers of the same tokenize+fold pipeline
+    # inside one action (the stats side sits under a BroadcastExchange,
+    # so ReuseExchange never bridges them) — without the cut the
+    # tokenizer ran over the corpus twice per query (guide §2.4). The
+    # frame is (id, 1+|terms| ints) per doc.
+    accf = df.select(
+        F.col(id_col), F.explode(F.array(acc)).alias("__acc")
+    ).localCheckpoint()
     stat_aggs = [
         F.count(F.lit(1)).cast("double").alias("__N"),
         F.avg(dl).alias("__avgdl"),
@@ -1209,10 +1217,8 @@ def bm25_topk(
         stat_aggs.append(
             F.sum((F.col("__acc")[i + 1] > 0).cast("int")).cast("double").alias(f"__df_{i}")
         )
-    stats = stat_base.agg(*stat_aggs)
-    scored = df.select(
-        F.col(id_col), F.explode(F.array(acc)).alias("__acc")
-    ).crossJoin(F.broadcast(stats))
+    stats = accf.agg(*stat_aggs)
+    scored = accf.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i, t in enumerate(terms):
         tf = F.col("__acc")[i + 1].cast("double")
