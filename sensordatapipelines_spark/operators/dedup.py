@@ -12,7 +12,7 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.operators.text import (
@@ -829,8 +829,6 @@ def connected_components(
         # ``filter(...).isEmpty()`` was a take() that escalated through up
         # to 4 extra jobs on the converged round (guide §1.2 per-round job
         # count; measured 9 jobs/round → the isEmpty share removed).
-        from pyspark.sql import Observation
-
         obs = Observation()
         new_labels = (
             labels.select("node", "label", F.col("label").alias("__old"))

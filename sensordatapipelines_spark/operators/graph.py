@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sensordatapipelines_spark.registry import register
@@ -61,7 +61,15 @@ def pagerank(
     state: the node count N, a single long. Undirected mode doubles the
     edge list, which guarantees deg ≥ 1 for every node — no dangling-mass
     redistribution needed (documented constraint; pass directed edges only
-    if every node has an out-edge)."""
+    if every node has an out-edge).
+
+    Single-action contract (ADVICE r9): the returned frame carries the
+    un-materialized per-round join lineage — each ACTION replays the whole
+    loop, and float shuffle-sum order is not bit-stable across replays.
+    Act on it once (write/collect), or ``localCheckpoint()`` it yourself
+    before multi-action use; the library does not pay that extra blocking
+    job for the common single-action path (every declared query consumes
+    it exactly once, and quantizes ranks before comparison)."""
     # Materialize the directed edge list before symmetrizing — the
     # union's column-swapped branches would otherwise run the upstream
     # edge builder (jaccard_pairs' banded cascade) twice inside the one
@@ -75,8 +83,6 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # The node count rides the checkpoint job as an observed metric —
     # the separate count() action was one whole extra job for a scalar.
-    from pyspark.sql import Observation
-
     _obs = Observation()
     nodes = (
         deg.select(F.col("src").alias("node"), "__deg")
@@ -451,8 +457,6 @@ def bfs_depths(
         # metric (same fix as connected_components' convergence test):
         # ``isEmpty`` was a take() costing up to 4 extra jobs exactly on
         # the terminating round.
-        from pyspark.sql import Observation
-
         obs = Observation()
         nxt = (
             frontier.join(sym, frontier.node == sym.s)
@@ -465,13 +469,19 @@ def bfs_depths(
         )
         if not obs.get["n"]:
             break
-        # No checkpoint on visited: it is a pure UNION of frames that are
-        # each already checkpointed (seeds + every nxt), so re-consuming
-        # it costs RDD scans only — the per-round visited checkpoint was
-        # a third blocking job per round storing a cumulatively growing
-        # O(depth·nodes) copy for nothing (guide §1.2 per-round job
-        # count; plan growth is linear in depth).
+        # No per-round checkpoint on visited: it is a pure UNION of frames
+        # that are each already checkpointed (seeds + every nxt), so
+        # re-consuming it costs RDD scans only — the per-round visited
+        # checkpoint was a third blocking job per round storing a
+        # cumulatively growing O(depth·nodes) copy for nothing (guide
+        # §1.2 per-round job count). But each round's anti-join re-scans
+        # every prior frontier block, so a caller-sized ``max_depth``
+        # would grow O(depth²) scans — compact visited every 8th round
+        # (pagerank's cadence) to bound both plan width and re-scan cost
+        # without paying a job per round (ADVICE r9).
         visited = visited.unionByName(nxt)
+        if d % 8 == 0:
+            visited = visited.localCheckpoint()
         frontier = nxt
     return visited.select(
         F.col("node"), F.col("depth").cast("long").alias("depth")

@@ -473,9 +473,14 @@ def market_basket_pairs(
     # the width²/2 pair EXPLODE above it (the expensive stage) inherited
     # that serialization — the theil_sen `_ordered_pairs` lesson
     # (guide §2.5: parallelism for the amplified stage, not its input).
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    # ADVICE r9: the conf can be non-numeric on some platforms (e.g.
+    # "auto" under vendor AQE modes) — fall back to defaultParallelism.
+    try:
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        n_part = df.sparkSession.sparkContext.defaultParallelism or 200
     lists = items.repartition(n_part, "__b").groupBy("__b").agg(
         F.sort_array(F.collect_set("__i")).alias("__xs")
     )

@@ -73,6 +73,11 @@ def frequent_sequences(
     for length in lengths:
         if length not in (2, 3):
             raise ValueError("only lengths 2 and 3 are supported")
+    # Duplicate lengths would double-count support in the concat form
+    # (each candidate would appear twice in one actor's combined array;
+    # the old union form emitted duplicate ROWS with correct per-branch
+    # support) — dedupe order-preservingly (ADVICE r9).
+    lengths = tuple(dict.fromkeys(lengths))
     w = Window.partitionBy("__a").orderBy(
         F.col("__ts").asc_nulls_last(), F.col("__tb").asc_nulls_last()
     )

@@ -32,21 +32,22 @@ def canon(df: pd.DataFrame, strict_float: bool = True) -> pd.DataFrame:
     formats floats at repr level (shortest round-trip — bit-exact), so
     ULP-level cross-engine divergence can never pass locally and then
     fail at the driver's tighter hash. Pass ``strict_float=False`` for
-    the legacy 9-significant-digit comparison."""
+    the legacy 9-significant-digit comparison.
+
+    Since r10 integral doubles are NOT collapsed to ints: the external
+    driver hashes pandas-converted frames, where an int64 123 and a
+    float64 123.0 stringify differently — the old collapse existed to
+    paper over DuckDB widening SUM(BIGINT) to HUGEINT (→ float64 in
+    pandas), which hid exactly the dtype-class divergence that kept 16
+    gates driver-red for four rounds. The oracles now cast those columns
+    back to BIGINT (``__spark_entry__._ORACLE_BIGINT_COLS``), and any
+    future int-vs-float dtype asymmetry must FAIL here, as it does at
+    the driver."""
     df = df.reindex(sorted(df.columns), axis=1)
 
-    def _repr(v):
-        # integral doubles print as ints so a BIGINT column on one engine
-        # matches the same values as DOUBLE on the other (DuckDB widens
-        # some integer aggregates); everything else is repr-level exact
-        f = float(v)
-        # int(f) is exact for ANY finite integral double (no magnitude
-        # cutoff): repr would print >=1e16 integral doubles as '1e+16'
-        # while a true BIGINT column prints digits, falsely mismatching
-        # large integral sums across engines
-        return str(int(f)) if f.is_integer() else repr(f)
-
-    fmt = _repr if strict_float else (lambda v: f"{v:.9g}")
+    # float() first: numpy scalar repr is version-dependent (numpy 2 prints
+    # "np.float64(1.5)"); builtin-float repr is the stable shortest form.
+    fmt = (lambda v: repr(float(v))) if strict_float else (lambda v: f"{v:.9g}")
     out = {}
     for c in df.columns:
         s = df[c]

@@ -57,6 +57,14 @@ def audit_plan(plan: str) -> dict:
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("FlatMapCoGroupsInPandas")
         + plan.count("MapInPandas"),
+        # Split the Python boundary by serialization (VERDICT r9 #7):
+        # ArrowEvalPython/MapInArrow move columnar batches; BatchEvalPython
+        # is the pickled-row path (guide §4.3) and must stay at zero
+        # outside allow-listed codec shims — tests/test_plan_audit.py
+        # asserts the engine-wide budget.
+        "arrow_eval_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInArrow"),
+        "batch_eval_python": plan.count("BatchEvalPython"),
         "scans": plan.count("FileScan parquet"),
         "partition_filtered_scans": sum(
             1
@@ -114,6 +122,10 @@ def main() -> int:
         "bnlj_queries": [
             n for n, r in out.items()
             if isinstance(r, dict) and r.get("bnlj", 0) > 0
+        ],
+        "batch_eval_python_queries": [
+            n for n, r in out.items()
+            if isinstance(r, dict) and r.get("batch_eval_python", 0) > 0
         ],
     }
     out["_skipped"] = skipped
