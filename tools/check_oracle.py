@@ -135,6 +135,9 @@ def run_checks(
         rec: dict = {"status": "pass", "rows": None, "value_hash": None, "detail": None}
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # release this query's .cache() entries (CacheManager pins them
+            # for the whole session otherwise — same hygiene as bench.py)
+            spark.catalog.clearCache()
         except Exception as exc:
             rec.update(status="fail", detail=f"spark error: {exc}")
             results[name] = rec
