@@ -1869,37 +1869,35 @@ def quantize_e6(col: Column) -> Column:
     )
 
 
-def _exact_median_x2(
-    df: DataFrame, key: str, val: str, out: str, n_out: str | None = None
-) -> DataFrame:
-    """Per-key EXACT 2·median of an integer column as a BIGINT: the sum
-    of the two middle order statistics (ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉,
-    both equal to the middle for odd n, in which case the middle value
-    doubles). No float ever touches the computation — the interpolation
+def _median_x2_window(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-key EXACT 2·median of an integer column as a BIGINT **window
+    column** on every row: the sum of the two middle order statistics
+    (ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ — the single middle doubles for odd
+    n). No float ever touches the computation — the interpolation
     freedom that made percentile/quantile_cont diverge at >2^53
-    magnitudes is gone by construction. One keyed window + one keyed
-    aggregate. ``n_out`` optionally emits the per-key row count from the
-    same pass (it is already on every ranked row), sparing callers a
-    separate count aggregate over the input."""
+    magnitudes is gone by construction.
+
+    Plan shape: ONE exchange on ``key``, three stacked WindowExecs
+    (row_number over the value sort; count + conditional sum over the
+    whole partition — the unbounded frames share the sort). Emitting the
+    median as a window column instead of a keyed aggregate lets the
+    caller use it row-wise (MAD's ``|v − med|``) with NO join back and
+    NO re-scan of the input — the r9 aggregate+join form rebuilt the
+    quantize subtree once per consumer (6 scans / 12 joins / 24 window
+    nodes in the executed mad_anomaly plan). Adds ``__n`` (per-key row
+    count) alongside ``out``."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(F.col(val).asc_nulls_last())
+    wk = Window.partitionBy(key)
     ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(key))
+        "__n", F.count(F.lit(1)).over(wk)
     )
-    # One conditional aggregate instead of a lo⋈hi self-join (guide §2.4:
-    # two filters + an equi-join re-shuffled the ranked rows twice; the
-    # middle rows are already co-located by the window partitioning).
-    # Odd n: lo-rank == hi-rank — the single middle row doubles; even n:
-    # the two distinct middle rows sum. Identical BIGINT by construction.
     lo_rk = F.expr("(__n + 1) div 2")
     hi_rk = F.expr("(__n + 2) div 2")
-    mid = ranked.filter((F.col("__rn") == lo_rk) | (F.col("__rn") == hi_rk))
     doubled = F.when(lo_rk == hi_rk, F.col(val) * F.lit(2)).otherwise(F.col(val))
-    aggs = [F.sum(doubled).alias(out)]
-    if n_out is not None:
-        aggs.append(F.max("__n").alias(n_out))
-    return mid.groupBy(key).agg(*aggs)
+    mid = F.when((F.col("__rn") == lo_rk) | (F.col("__rn") == hi_rk), doubled)
+    return ranked.withColumn(out, F.sum(mid).over(wk))
 
 
 @register("mad_anomaly")
@@ -1917,42 +1915,53 @@ def mad_anomaly(
 
     Determinism (VERDICT r7 #5): values pass the clamped e6 quantizer,
     then 2·median and 4·MAD are computed as EXACT BIGINT sums of the two
-    middle order statistics (``_exact_median_x2``) — no float
+    middle order statistics (``_median_x2_window``) — no float
     interpolation anywhere, so engines cannot diverge at any magnitude;
     the anomaly test cross-multiplies to the pure integer comparison
-    ``4·|2v − med2| > k·mad4``. Plan shape: two keyed windows + keyed
-    aggregates on a per-key dim table; the fact scans twice — the price
-    of an EXACT MAD (at 100 TB use the quantile sketch instead)."""
+    ``4·|2v − med2| > k·mad4``.
+
+    Plan shape (r10, guide §2.4): BOTH medians ride window columns over
+    the SAME hash partitioning on the key, so the whole query is one
+    scan → one exchange → two sort+window stacks → one aggregate — zero
+    joins, zero re-scans. The r9 aggregate+join formulation rebuilt the
+    quantize subtree once per consumer: its executed plan carried 6
+    parquet scans, 12 joins and 24 window nodes for the same answer (at
+    100 TB use the quantile sketch instead of any exact form)."""
     base = df.select(
         F.col(key_col).alias("__k"), quantize_e6(F.col(value_col)).alias("__v6")
     ).filter(F.col("__v6").isNotNull())
-    # n_rows rides the median pass (it is on every ranked row already) —
-    # one fewer full scan+aggregate of the fact input (guide §2.4).
-    med = _exact_median_x2(base, "__k", "__v6", "med2", n_out="n_rows")
-    dev = base.join(med.select("__k", "med2"), "__k").withColumn(
-        "__dev2", F.abs(F.col("__v6") * F.lit(2) - F.col("med2"))
+    # median as a window column: every row carries med2 — the deviation
+    # is a row-local expression, no join back (guide §2.4: a window
+    # partitioned like the preceding exchange needs no second shuffle).
+    dev = _median_x2_window(base, "__k", "__v6", "med2").select(
+        "__k",
+        "__v6",
+        "__n",
+        "med2",
+        F.abs(F.col("__v6") * F.lit(2) - F.col("med2")).alias("__dev2"),
     )
-    mad = _exact_median_x2(dev, "__k", "__dev2", "mad4")
-    flagged = (
-        dev.join(mad, "__k")
-        .withColumn(
-            "__anom",
-            (
-                F.col("__dev2") * F.lit(4)
-                > F.lit(int(k_times_2)) * F.col("mad4")
-            ).cast("long"),
-        )
-        .groupBy("__k")
-        .agg(F.sum("__anom").alias("n_anomalies"))
-    )
+    # MAD rides a second window stack over the SAME partitioning (sort by
+    # deviation — a sort, not a shuffle), then one keyed aggregate folds
+    # the anomaly tally and carries the per-key constants via MAX.
+    scored = _median_x2_window(dev, "__k", "__dev2", "mad4")
     return (
-        med.join(mad, "__k")
-        .join(flagged, "__k")
+        scored.groupBy("__k")
+        .agg(
+            F.max("__n").alias("n_rows"),
+            F.max("med2").alias("med_x2_e6"),
+            F.max("mad4").alias("mad_x4_e6"),
+            F.sum(
+                (
+                    F.col("__dev2") * F.lit(4)
+                    > F.lit(int(k_times_2)) * F.col("mad4")
+                ).cast("long")
+            ).alias("n_anomalies"),
+        )
         .select(
             F.col("__k").alias(key_col),
             "n_rows",
-            F.col("med2").alias("med_x2_e6"),
-            F.col("mad4").alias("mad_x4_e6"),
+            "med_x2_e6",
+            "mad_x4_e6",
             "n_anomalies",
         )
     )

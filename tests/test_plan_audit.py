@@ -81,3 +81,10 @@ def test_committed_plan_audit_complete_and_clean():
                 f"{n} introduced a BroadcastNestedLoopJoin not on the "
                 "documented allow-list"
             )
+        # Engine contract: Python compute crosses the boundary as Arrow
+        # (guide §4.3). Zero pickled-row BatchEvalPython nodes anywhere —
+        # the last one (docs_word_udtf) went Arrow in r10 (VERDICT r9 #7).
+        assert rec.get("batch_eval_python", 0) == 0, (
+            f"{n} has a pickled-row BatchEvalPython node — use Arrow "
+            "(useArrow=True / pandas_udf / mapInArrow)"
+        )

@@ -874,6 +874,30 @@ def test_mad_anomaly_planted_outliers(spark):
     assert b.n_anomalies == 0 and b.mad_x4_e6 == 0  # zero MAD: no |d|>0 flags? all d=0
 
 
+def test_mad_anomaly_even_odd_parity_and_plan(spark):
+    """r10 fused-window rewrite: the 2·median is the SUM of the two middle
+    order statistics for even n (no doubling) and double the single middle
+    for odd n — pinned for both parities per key; and the whole query
+    plans with ZERO joins and ONE key exchange (the r9 aggregate+join form
+    carried 12 joins and rebuilt the scan per consumer)."""
+    from sensordatapipelines_spark.operators.temporal import mad_anomaly
+
+    rows = [("e", v) for v in (1.0, 2.0, 4.0, 8.0)]  # even: med2 = (2+4)e6
+    rows += [("o", v) for v in (1.0, 2.0, 7.0)]  # odd: med2 = 2*2e6
+    df = spark.createDataFrame(rows, "k string, value double")
+    res = mad_anomaly(df, "k", "value")
+    out = {r.k: r for r in res.collect()}
+    assert out["e"].med_x2_e6 == (2_000_000 + 4_000_000) and out["e"].n_rows == 4
+    assert out["o"].med_x2_e6 == 2 * 2_000_000 and out["o"].n_rows == 3
+    # even-n MAD: devs2 = |2v-6e6| = [4,2,2,10]e6 -> sorted [2,2,4,10] -> mad4 = 2+4 = 6e6? no:
+    # mad4 = sum of two middle dev2s = 2e6+4e6
+    assert out["e"].mad_x4_e6 == 2_000_000 + 4_000_000
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, "fused mad must not join"
+    assert plan.count("Exchange hashpartitioning") == 1, "one key exchange"
+
+
 def test_markov_transitions_known_sequence(spark):
     import datetime as dt
 

@@ -3,7 +3,7 @@
 Usage: python tools/dump_plans.py <suffix> <query> [query ...]
        python tools/dump_plans.py <suffix> --all
 
-Writes plans/r09/<query>_<suffix>.txt (suffix = "before" / "after").
+Writes plans/r10/<query>_<suffix>.txt (suffix = "before" / "after").
 Streaming gates (events_stream_*, docs_stream_*, orders_stream_*) execute on
 build; they are skipped (their micro-batch plans are pinned by
 tests/test_streaming.py).
@@ -31,7 +31,7 @@ def main() -> int:
     qs = entry.queries()
     if names == ["--all"]:
         names = [n for n in qs if not any(s in n for s in SKIP_SUBSTR)]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         if any(s in n for s in SKIP_SUBSTR):
