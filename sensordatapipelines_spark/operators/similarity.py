@@ -662,11 +662,14 @@ def semantic_dedup(
         dot = _pair_dot_udf()(F.col("a.__v"), F.col("b.__v"))
     else:
         dot = dot_expr(F.col("a.__v"), F.col("b.__v"))
+    # No distinct on the loser side: LEFT ANTI is set-semantics on its
+    # right input already, and the distinct was a whole extra
+    # aggregate+exchange in the executed plan (guide §2.4 — the same
+    # dropped-anti-join-side-distinct lesson as jaccard_link_pred in r9).
     losers = (
         cand.withColumn("__dot", dot)
         .filter(F.col("__dot") / (F.col("a.__n") * F.col("b.__n")) >= F.lit(threshold))
         .select(F.col("b.__id").alias("__loser"))
-        .distinct()
     )
     return clustered.join(
         losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
